@@ -1,0 +1,64 @@
+"""Central query registry.
+
+Every operator module registers its queries with the ``@query`` decorator:
+a name, a builder ``(spark, sf_dir) -> DataFrame``, and (when the semantics
+are ANSI-SQL-expressible) a DuckDB oracle string over the same parquet
+tables. ``__spark_entry__.py`` exposes the merged registry to the driver.
+
+Design rule (driver contract): every computed column is aliased identically
+in the Spark pipeline and the oracle SQL, and float aggregates are computed
+in exact DECIMAL arithmetic then cast to DOUBLE and rounded, so the
+order-insensitive value hash is deterministic on both engines regardless of
+partitioning / aggregation order.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_OPERATOR_MODULES = (
+    "go_dfs_mapreduce_spark.operators.wordcount",
+    "go_dfs_mapreduce_spark.operators.log_analysis",
+    "go_dfs_mapreduce_spark.operators.relational",
+    "go_dfs_mapreduce_spark.operators.windows",
+    "go_dfs_mapreduce_spark.operators.dedup",
+    "go_dfs_mapreduce_spark.operators.similarity",
+    "go_dfs_mapreduce_spark.operators.textstats",
+    "go_dfs_mapreduce_spark.operators.multimodal",
+    "go_dfs_mapreduce_spark.operators.streaming_batch",
+    "go_dfs_mapreduce_spark.operators.mr_parity",
+)
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query builder; ``oracle`` is DuckDB SQL or None for
+    non-SQL-expressible ops (driver then records a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """Import all operator modules (idempotent) and return the registry."""
+    for mod in _OPERATOR_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:
+            # module not built yet (incremental rounds) — skip
+            pass
+    return dict(QUERIES), dict(ORACLES)

@@ -1,0 +1,132 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, sorted column
+names, and an order-insensitive multiset of normalized rows (exact match —
+stricter than a tolerant compare, because the driver hashes values).
+
+Usage:
+    python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import decimal
+import math
+import os
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def norm_value(v):
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr round-trip: exact doubles must match bit-for-bit
+        return repr(v)
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_value(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def norm_rows(cols, rows):
+    """Sort columns by name, normalize values, return multiset of tuples."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(norm_value(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as mod
+    from go_dfs_mapreduce_spark.session import get_spark
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    names = args.names or sorted(qs)
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        if name not in qs:
+            print(f"  {name}: NOT REGISTERED")
+            n_fail += 1
+            continue
+        t0 = time.time()
+        try:
+            df = qs[name](spark, args.sf_dir)
+            s_cols = df.columns
+            s_rows = df.collect()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        spark_t = time.time() - t0
+        if name not in oracles:
+            print(f"  ok {name}: rows-only ({len(s_rows)} rows, {spark_t:.1f}s, no oracle)")
+            n_noracle += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            o_cols = rel.columns
+            o_rows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(o_rows)}")
+        if sorted(s_cols) != sorted(o_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duckdb={sorted(o_cols)}")
+        else:
+            sm = norm_rows(s_cols, s_rows)
+            om = norm_rows(o_cols, o_rows)
+            if sm != om:
+                only_s = list((sm - om).items())[:3]
+                only_o = list((om - sm).items())[:3]
+                problems.append(f"values differ; spark-only={only_s} duckdb-only={only_o}")
+        if problems:
+            print(f"FAIL {name}: " + " | ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows, spark {spark_t:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
