@@ -1,0 +1,204 @@
+"""MapReduceJob — the reference's plugin MapReduce engine on Spark.
+
+Mapping of the reference's framework operators (SURVEY.md §2.2):
+
+- F1 scan with line numbers  -> ``read_text_with_line_numbers`` /
+  caller-provided DataFrame[file, line_number, line]
+- F2 source pruning          -> path list handed to ``spark.read.text``
+- F3 flatMap                 -> Arrow-batched ``mapInPandas`` calling the
+  Python ``f_map``; odd-length flat output repaired by dropping the
+  unpaired tail (sn/mr_actions.go:218-224)
+- F4 hash partition by key   -> the *parity partitioner*
+  ``ascii(lower(substr(key,1,1))) % R`` (sn/mr_actions.go:226-229) as a
+  derived ``r_id`` column (Go takes the first *byte*; this takes the first
+  codepoint — identical on ASCII keys; '' maps to partition 0 where the
+  reference would crash the mapper)
+- F5/F6/F7 sort + shuffle + k-way merge -> ``groupBy(r_id).applyInPandas``
+  with a byte-wise pair-unit sort inside the group (util/util.go:43-65
+  KVBufSort semantics: sort (key, value) units, keys before values)
+- F8 partition-wide reduce   -> one ``f_reduce(keys, values)`` call per
+  r_id group — NOT per key; re-grouping by key is the plugin's job, exactly
+  like sn/mr_actions.go:487-508
+- F9 ordered result sink     -> output DataFrame[r_id, seq, line];
+  ``orderBy(r_id, seq)`` reproduces the client's r0..r(R-1) concatenation
+  (cl/mr_actions.go:228-245)
+
+Why ``groupBy().applyInPandas`` instead of physically placing partition i
+on reducer i: the observable semantics are "each r_id group is reduced as
+one unit, in sorted order" — which group-by delivers with Spark's native
+shuffle (sort-based, spilling, AQE-balanced) while staying Arrow-batched.
+Physical placement was only ever the reference's *mechanism*
+(cn/mr_actions.go:242-249), not its semantics.
+
+Scale note: the parity partitioner is pathologically skewed by design
+(26-way split on first character of a Zipf vocabulary). It exists for
+semantic parity with the reference; idiomatic pipelines should use
+``groupBy(key)`` and let Spark hash-partition. AQE skew-join/partition
+splitting cannot help a *semantic* 26-bucket partition, so MapReduceJob is
+correctness surface, not the fast path — same stance as SURVEY.md §7.5.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MapFn = Callable[[str, int, str], list[Any]]
+ReduceFn = Callable[[list[str], list[str]], list[str]]
+
+KV_SCHEMA = T.StructType(
+    [T.StructField("key", T.StringType()), T.StructField("value", T.StringType())]
+)
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("r_id", T.IntegerType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("line", T.StringType()),
+    ]
+)
+
+INPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("line_number", T.LongType()),
+        T.StructField("line", T.StringType()),
+    ]
+)
+
+
+def read_text_with_line_numbers(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """F1: text scan producing (file, line_number, line) with 0-based
+    per-file line numbers (sn/mr_actions.go:211-231 tracks them per chunk).
+
+    Uses one zipWithIndex per file — two passes per file, acceptable for
+    the parity layer (the idiomatic layer never needs line numbers; when it
+    wants file provenance it uses ``input_file_name()`` in a single pass).
+    """
+    dfs = []
+    for path in paths:
+        rdd = (
+            spark.read.text(path)
+            .rdd.zipWithIndex()
+            .map(lambda t, p=path: (p, t[1], t[0].value))
+        )
+        dfs.append(spark.createDataFrame(rdd, INPUT_SCHEMA))
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _normalize_pairs(emitted: list[Any]) -> list[tuple[str, str]]:
+    """Accept either a flat [k, v, k, v, ...] list (the reference's wire
+    shape, example_plugins/word_count/word_count.go:20-21) or a list of
+    (k, v) tuples. Flat odd-length output loses its unpaired tail, like
+    sn/mr_actions.go:218-224. Trailing newlines (Go's Sprintln artifact)
+    are stripped — our transport is columns, not newline-delimited text.
+    """
+    if not emitted:
+        return []
+    if isinstance(emitted[0], (tuple, list)):
+        return [(str(k).rstrip("\n"), str(v).rstrip("\n")) for k, v in emitted]
+    flat = [str(x).rstrip("\n") for x in emitted]
+    if len(flat) % 2:
+        flat = flat[:-1]
+    return list(zip(flat[0::2], flat[1::2]))
+
+
+class MapReduceJob:
+    """One MapReduce job; at most one *running* job per name, mirroring the
+    cmp_manager's duplicate-job rejection (cn/mr_actions.go:56-59)."""
+
+    _running: dict[str, "MapReduceJob"] = {}
+    _lock = threading.Lock()
+
+    def __init__(
+        self,
+        name: str,
+        f_map: MapFn,
+        f_reduce: ReduceFn,
+        r: int,
+        parity_partitioner: bool = True,
+    ) -> None:
+        if r < 1:
+            raise ValueError("R must be >= 1")
+        if not callable(f_map) or not callable(f_reduce):
+            # symbol validation, as cn/mr_actions.go:146-168 does for the
+            # compiled plugin's R/F_map/F_reduce exports
+            raise TypeError("f_map and f_reduce must be callable")
+        self.name = name
+        self.f_map = f_map
+        self.f_reduce = f_reduce
+        self.r = r
+        self.parity_partitioner = parity_partitioner
+
+    # -- F4: partition expression -----------------------------------------
+    def _partition_col(self):
+        if self.parity_partitioner:
+            first = F.ascii(F.lower(F.substring(F.col("key"), 1, 1)))
+            return F.pmod(first, F.lit(self.r)).cast("int")
+        return F.pmod(F.hash(F.col("key")), F.lit(self.r)).cast("int")
+
+    # -- pipeline ----------------------------------------------------------
+    def run(self, input_df: DataFrame) -> DataFrame:
+        """input_df: DataFrame[file: string, line_number: long, line: string].
+        Returns DataFrame[r_id: int, seq: int, line: string].
+        """
+        with MapReduceJob._lock:
+            if self.name in MapReduceJob._running:
+                raise RuntimeError(f"job {self.name!r} already running")
+            MapReduceJob._running[self.name] = self
+        try:
+            return self._plan(input_df)
+        finally:
+            with MapReduceJob._lock:
+                MapReduceJob._running.pop(self.name, None)
+
+    def _plan(self, input_df: DataFrame) -> DataFrame:
+        f_map = self.f_map
+        f_reduce = self.f_reduce
+
+        def map_phase(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                keys: list[str] = []
+                vals: list[str] = []
+                for file, line_no, line in zip(
+                    pdf["file"], pdf["line_number"], pdf["line"]
+                ):
+                    out: list[Any] = []
+                    f_map(file, int(line_no), line, out)
+                    for k, v in _normalize_pairs(out):
+                        keys.append(k)
+                        vals.append(v)
+                yield pd.DataFrame({"key": keys, "value": vals})
+
+        kv = input_df.mapInPandas(map_phase, KV_SCHEMA)
+        with_pid = kv.withColumn("r_id", self._partition_col())
+
+        def reduce_phase(pdf: pd.DataFrame) -> pd.DataFrame:
+            r_id = int(pdf["r_id"].iloc[0])
+            # F5/F7: byte-wise pair-unit sort (KVBufSort semantics)
+            pairs = sorted(
+                zip(pdf["key"], pdf["value"]),
+                key=lambda kv_: (kv_[0].encode(), kv_[1].encode()),
+            )
+            keys = [k for k, _ in pairs]
+            vals = [v for _, v in pairs]
+            out: list[str] = []
+            f_reduce(keys, vals, out)
+            return pd.DataFrame(
+                {
+                    "r_id": [r_id] * len(out),
+                    "seq": list(range(len(out))),
+                    "line": out,
+                }
+            )
+
+        return with_pid.groupBy("r_id").applyInPandas(reduce_phase, OUT_SCHEMA)

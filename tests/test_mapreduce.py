@@ -1,0 +1,146 @@
+"""MR-parity layer tests (SURVEY.md §5 items 2-4).
+
+The load-bearing test is the differential simulation: MapReduceJob's
+distributed result must equal a pure-Python single-process simulation of
+the reference's partition/sort/reduce semantics on the same input.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_dfs_mapreduce_spark.mapreduce import MapReduceJob
+from go_dfs_mapreduce_spark.mapreduce.job import INPUT_SCHEMA, _normalize_pairs
+from go_dfs_mapreduce_spark.mapreduce import plugins
+
+
+def simulate(rows, f_map, f_reduce, r):
+    """Single-process reference simulation of F3-F9."""
+    parts: dict[int, list[tuple[str, str]]] = {i: [] for i in range(r)}
+    for file, line_no, line in rows:
+        out: list = []
+        f_map(file, line_no, line, out)
+        for k, v in _normalize_pairs(out):
+            pid = (ord(k[:1].lower()) if k else 0) % r
+            parts[pid].append((k, v))
+    result = []
+    for pid, pairs in parts.items():
+        if not pairs:
+            continue
+        pairs = sorted(pairs, key=lambda kv: (kv[0].encode(), kv[1].encode()))
+        out: list = []
+        f_reduce([k for k, _ in pairs], [v for _, v in pairs], out)
+        result.extend((pid, i, line) for i, line in enumerate(out))
+    return sorted(result)
+
+
+LINES = [
+    ("f1", 0, "The quick brown fox--jumps! over the lazy dog"),
+    ("f1", 1, "the THE ### 42 zebra Zebra   zebra"),
+    ("f2", 0, ""),
+    ("f2", 1, "!!! ??? ..."),
+    ("f2", 2, "Spark spark SPARK counts counts"),
+]
+
+
+def test_word_count_differential(spark):
+    df = spark.createDataFrame(LINES, INPUT_SCHEMA)
+    job = MapReduceJob("t_wc", plugins.word_count_map, plugins.word_count_reduce, r=26)
+    got = sorted(tuple(r) for r in job.run(df).collect())
+    want = simulate(LINES, plugins.word_count_map, plugins.word_count_reduce, 26)
+    assert got == want
+
+
+def test_log_analyzer_differential(spark):
+    log_lines = [
+        ("lg", 0, "2024-01-01 00:00:01 botA http://www.example.com/a/b?q=1"),
+        ("lg", 1, "2024-01-01 00:00:02 botB https://sub.blog.site.org/p#frag"),
+        ("lg", 2, "2024-01-01 00:00:03 botA 10.0.0.1:8080/x/y"),
+        ("lg", 3, "2024-01-01 00:00:04 botC example.com"),
+        ("lg", 4, "short line"),
+        ("lg", 5, "2024-01-01 00:00:05 botA http://example.com/a/b"),
+    ]
+    df = spark.createDataFrame(log_lines, INPUT_SCHEMA)
+    job = MapReduceJob(
+        "t_la", plugins.log_analyzer_map, plugins.log_analyzer_reduce, r=10
+    )
+    got = sorted(tuple(r) for r in job.run(df).collect())
+    want = simulate(
+        log_lines, plugins.log_analyzer_map, plugins.log_analyzer_reduce, 10
+    )
+    assert got == want
+
+
+def test_odd_length_flat_output_repaired():
+    assert _normalize_pairs(["k1", "v1", "k2"]) == [("k1", "v1")]
+    assert _normalize_pairs([]) == []
+    assert _normalize_pairs([("a", "b")]) == [("a", "b")]
+    assert _normalize_pairs(["a\n", "1\n"]) == [("a", "1")]
+
+
+def test_parity_partitioner_matches_reference_rule(spark):
+    # sn/mr_actions.go:226-229: int(lower(key[0])) % R
+    rows = [("f", 0, "Apple banana 1digit Zoo")]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+
+    def ident_map(file, ln, line, out):
+        for t in line.split():
+            out.extend([t, "1"])
+
+    def ident_reduce(keys, values, out):
+        out.extend(sorted(set(keys)))
+
+    job = MapReduceJob("t_part", ident_map, ident_reduce, r=7)
+    got = {r.line: r.r_id for r in job.run(df).collect()}
+    assert got == {
+        "Apple": ord("a") % 7,
+        "banana": ord("b") % 7,
+        "1digit": ord("1") % 7,
+        "Zoo": ord("z") % 7,
+    }
+
+
+def test_partition_wide_reduce_not_per_key(spark):
+    """F8: f_reduce must see the WHOLE partition (sn/mr_actions.go:487-508),
+    not per-key groups — with R=1 every key lands in one call."""
+    rows = [("f", 0, "a a b c")]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    calls: list[int] = []
+
+    def m(file, ln, line, out):
+        for t in line.split():
+            out.extend([t, "1"])
+
+    def red(keys, values, out):
+        out.append("ncalls_keys=%d" % len(keys))
+
+    job = MapReduceJob("t_pw", m, red, r=1)
+    result = [r.line for r in job.run(df).collect()]
+    assert result == ["ncalls_keys=4"]  # one call, all 4 pairs
+
+
+def test_duplicate_running_job_rejected(spark):
+    job = MapReduceJob("t_dup", lambda *a: None, lambda *a: None, r=1)
+    MapReduceJob._running["t_dup"] = job
+    try:
+        with pytest.raises(RuntimeError, match="already running"):
+            job.run(spark.createDataFrame([("f", 0, "x")], INPUT_SCHEMA))
+    finally:
+        MapReduceJob._running.pop("t_dup", None)
+
+
+def test_mr_wordcount_matches_idiomatic_pipeline(spark, sf_dir):
+    """Internal differential: parity-layer counts == idiomatic DataFrame
+    pipeline counts (modulo the ''-token artifact the idiomatic layer
+    filters out)."""
+    from go_dfs_mapreduce_spark.operators.mr_parity import mr_wordcount
+    from go_dfs_mapreduce_spark.operators.wordcount import wordcount
+
+    parity = {}
+    for r in mr_wordcount(spark, sf_dir).collect():
+        word, cnt = r.line.split("::")
+        parity[word.strip()] = int(cnt)
+    parity.pop("", None)
+    idiomatic = {r.word: r.cnt for r in wordcount(spark, sf_dir).collect()}
+    assert parity == idiomatic
