@@ -20,17 +20,51 @@ from ..tables import table
 
 DEC = "decimal(28,6)"
 
+# Cross-engine float determinism:
+# - sums: aggregate in DECIMAL (exact, order-independent), ROUND while still
+#   decimal (both engines round decimals half-away-from-zero), THEN cast to
+#   double. Rounding after the cast is unsafe: Spark rounds the shortest
+#   decimal repr of the double (BigDecimal.valueOf) while DuckDB rounds the
+#   binary value, and they disagree on exact .xx5 landings.
+# - averages: no portable decimal division exists (DuckDB decimal division
+#   returns DOUBLE), so the mean is computed in exact integer micro-units
+#   with HALF_UP via (2*S + d) DIV (2*d) — identical integers on both
+#   engines, then one exact double division by 10^scale. Assumes
+#   non-negative inputs with <= 6 decimal places (true for all averaged
+#   columns here).
+
 
 def _dsum(col, alias: str, scale: int = 2):
     """Exact decimal sum of a double expression, emitted as rounded double."""
-    return F.round(F.sum(col.cast(DEC)).cast("double"), scale).alias(alias)
+    return F.round(F.sum(col.cast(DEC)), scale).cast("double").alias(alias)
 
 
-def _davg(col, alias: str, scale: int = 2):
-    """Average as exact-decimal sum / count, emitted as rounded double."""
-    return F.round(
-        (F.sum(col.cast(DEC)).cast("double") / F.count(F.lit(1))), scale
+def dsum_sql(expr: str, alias: str, scale: int = 2) -> str:
+    """DuckDB twin of _dsum."""
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(28,6))), {scale}) AS DOUBLE)"
+        f" AS {alias}"
+    )
+
+
+def _davg(col_sql: str, alias: str, scale: int = 2):
+    """HALF_UP mean of a non-negative column in exact integer arithmetic."""
+    p = 10 ** (6 - scale)
+    return F.expr(
+        f"CAST((2 * SUM(CAST(ROUND(({col_sql}) * 1000000) AS BIGINT))"
+        f" + COUNT(*) * {p}) DIV (2 * COUNT(*) * {p}) AS DOUBLE)"
+        f" / {10 ** scale}"
     ).alias(alias)
+
+
+def davg_sql(expr: str, alias: str, scale: int = 2) -> str:
+    """DuckDB twin of _davg (// is DuckDB integer division)."""
+    p = 10 ** (6 - scale)
+    return (
+        f"(CAST((2 * SUM(CAST(ROUND(({expr}) * 1000000) AS BIGINT))"
+        f" + COUNT(*) * {p}) // (2 * COUNT(*) * {p}) AS DOUBLE)"
+        f" / {10 ** scale}) AS {alias}"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -38,17 +72,17 @@ def _davg(col, alias: str, scale: int = 2):
 # Flagship query: exercises pushdown, partial aggregation, codegen.
 # --------------------------------------------------------------------------
 
-Q1_ORACLE = """
+Q1_ORACLE = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_base_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 2) AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 2) AS avg_price,
-  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+  {dsum_sql('l_quantity', 'sum_qty')},
+  {dsum_sql('l_extendedprice', 'sum_base_price')},
+  {dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+  {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+  {davg_sql('l_quantity', 'avg_qty')},
+  {davg_sql('l_extendedprice', 'avg_price')},
+  {davg_sql('l_discount', 'avg_disc', scale=4)},
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -69,9 +103,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("l_extendedprice"), "sum_base_price"),
             _dsum(disc_price, "sum_disc_price"),
             _dsum(charge, "sum_charge"),
-            _davg(F.col("l_quantity"), "avg_qty"),
-            _davg(F.col("l_extendedprice"), "avg_price"),
-            _davg(F.col("l_discount"), "avg_disc", scale=4),
+            _davg("l_quantity", "avg_qty"),
+            _davg("l_extendedprice", "avg_price"),
+            _davg("l_discount", "avg_disc", scale=4),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -82,10 +116,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # customer is tiny -> broadcast; orders⋈lineitem shuffles on orderkey.
 # --------------------------------------------------------------------------
 
-Q3_ORACLE = """
+Q3_ORACLE = f"""
 SELECT
   l_orderkey,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue,
+  {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
   CAST(o_orderdate AS DATE) AS order_date
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -127,4 +161,366 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Join family (SURVEY.md §2.4 — absent in the reference, required surface).
+# Dimension tables (region/nation/customer/supplier) are broadcast; only
+# the fact tables shuffle, and only when two facts meet (orders⋈lineitem).
+# --------------------------------------------------------------------------
+
+JOIN_NATION_ORACLE = f"""
+SELECT
+  n_name,
+  COUNT(*) AS order_cnt,
+  {dsum_sql('o_totalprice', 'total_revenue')}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY n_name
+"""
+
+
+@query("join_orders_per_nation", oracle=JOIN_NATION_ORACLE)
+def join_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner joins through the dim hierarchy; every dim side broadcast, so
+    the only exchange is the final aggregation on n_name."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            _dsum(F.col("o_totalprice"), "total_revenue"),
+        )
+    )
+
+
+LEFT_JOIN_ORACLE = """
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_cnt
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+@query("join_left_outer_order_counts", oracle=LEFT_JOIN_ORACLE)
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+SEMI_JOIN_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@query("join_semi_urgent_customers", oracle=SEMI_JOIN_ORACLE)
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+ANTI_JOIN_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@query("join_anti_customers_without_orders", oracle=ANTI_JOIN_ORACLE)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+FULL_OUTER_ORACLE = """
+SELECT
+  COALESCE(c.nk, s.nk) AS nationkey,
+  COALESCE(c.n_cust, 0) AS n_cust,
+  COALESCE(s.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer WHERE c_acctbal > 5000 GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+ON c.nk = s.nk
+"""
+
+
+@query("join_full_outer_nation_counts", oracle=FULL_OUTER_ORACLE)
+def join_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(supp, cust.nk == supp.nk, "full").select(
+        F.coalesce(cust.nk, supp.nk).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of + range joins over the events table.
+# --------------------------------------------------------------------------
+
+ASOF_ORACLE = """
+SELECT e.event_id, p.ts AS last_purchase_ts,
+       CAST(p.value AS DOUBLE) AS last_purchase_value
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT ts, value FROM events p
+  WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+    AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id <= e.event_id))
+  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+) p ON TRUE
+WHERE e.event_type = 'error'
+"""
+
+
+@query("asof_join_last_purchase", oracle=ASOF_ORACLE)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each error event, the user's most recent purchase at
+    or before it. Implemented with the union+window pattern — one shuffle
+    on user_id, no per-row subquery, scales linearly with events — instead
+    of a lateral join (which Spark would plan as a nested loop)."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    enriched = e.withColumns(
+        {
+            "last_purchase_ts": F.last(
+                F.when(is_purchase, F.col("ts")), ignorenulls=True
+            ).over(w),
+            "last_purchase_value": F.last(
+                F.when(is_purchase, F.col("value")), ignorenulls=True
+            ).over(w),
+        }
+    )
+    return enriched.where(F.col("event_type") == "error").select(
+        "event_id", "last_purchase_ts", "last_purchase_value"
+    )
+
+
+RANGE_JOIN_ORACLE = """
+SELECT a.event_id AS first_id, b.event_id AS second_id, a.user_id,
+       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_sec
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+"""
+
+
+@query("range_join_event_pairs", oracle=RANGE_JOIN_ORACLE)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: pairs of same-user events within 5 minutes. The
+    equi-key (user_id) carries the shuffle; the range predicate is a
+    post-join filter, so this stays a sort-merge join, not a nested loop."""
+    e = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(
+            F.col("a.event_id").alias("first_id"),
+            F.col("b.event_id").alias("second_id"),
+            F.col("a.user_id").alias("user_id"),
+            (F.unix_timestamp("b.ts") - F.unix_timestamp("a.ts")).alias("gap_sec"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations.
+# --------------------------------------------------------------------------
+
+INTERSECT_ORACLE = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+INTERSECT
+SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+@query("set_intersect_nations", oracle=INTERSECT_ORACLE)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    auto = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    bld = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return auto.intersect(bld)
+
+
+EXCEPT_ORACLE = """
+SELECT DISTINCT p_brand FROM part WHERE p_size > 25
+EXCEPT
+SELECT DISTINCT p_brand FROM part WHERE p_type LIKE '%BRASS%'
+"""
+
+
+@query("set_except_brands", oracle=EXCEPT_ORACLE)
+def set_except_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    big = part.where(F.col("p_size") > 25).select("p_brand")
+    brass = part.where(F.col("p_type").like("%BRASS%")).select("p_brand")
+    return big.exceptAll(brass.distinct()).distinct()
+
+
+UNION_ORACLE = """
+SELECT o_orderkey AS k, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey AS k, 'open' AS src FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@query("set_union_all_orders", oracle=UNION_ORACLE)
+def set_union_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k"), F.lit("urgent").alias("src")
+    )
+    open_ = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("k"), F.lit("open").alias("src")
+    )
+    return urgent.unionByName(open_)
+
+
+# --------------------------------------------------------------------------
+# Cube / rollup (grouping sets are exercised in log_analysis).
+# --------------------------------------------------------------------------
+
+CUBE_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       COUNT(*) AS cnt,
+       {dsum_sql('o_totalprice', 'total')}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("cube_order_status_priority", oracle=CUBE_ORACLE)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        _dsum(F.col("o_totalprice"), "total"),
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT r_name, n_name, COUNT(*) AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@query("rollup_customers_by_geo", oracle=ROLLUP_ORACLE)
+def rollup_customers_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_cust"))
+
+
+# --------------------------------------------------------------------------
+# Scalar function library showcase (string/date/math/array/json) — every
+# expression stays inside whole-stage codegen; the oracle mirrors each
+# function in DuckDB's dialect.
+# --------------------------------------------------------------------------
+
+SCALAR_ORACLE = """
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+  CAST(year(ts) AS INTEGER) AS yr,
+  CAST(month(ts) AS INTEGER) AS mo,
+  CAST(day(ts) AS INTEGER) AS dy,
+  CAST(hour(ts) AS INTEGER) AS hr,
+  ROUND(sqrt(value), 6) AS sqrt_val,
+  ROUND(abs(value - 100.0), 2) AS abs_centered,
+  upper(event_type) AS event_upper,
+  substr(event_type, 1, 3) AS event_pfx,
+  CAST(length(event_type) AS INTEGER) AS event_len,
+  ROUND(list_sum([value, value * 2, 3.0]), 2) AS arr_sum,
+  CAST(len(string_split(props, '"')) AS INTEGER) AS quote_parts
+FROM events
+"""
+
+
+@query("scalar_function_showcase", oracle=SCALAR_ORACLE)
+def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    arr = F.array(F.col("value"), F.col("value") * 2, F.lit(3.0))
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.year("ts").cast("int").alias("yr"),
+        F.month("ts").cast("int").alias("mo"),
+        F.dayofmonth("ts").cast("int").alias("dy"),
+        F.hour("ts").cast("int").alias("hr"),
+        F.round(F.sqrt("value"), 6).alias("sqrt_val"),
+        F.round(F.abs(F.col("value") - 100.0), 2).alias("abs_centered"),
+        F.upper("event_type").alias("event_upper"),
+        F.substring("event_type", 1, 3).alias("event_pfx"),
+        F.length("event_type").cast("int").alias("event_len"),
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), 2
+        ).alias("arr_sum"),
+        F.size(F.split("props", '"')).cast("int").alias("quote_parts"),
     )
