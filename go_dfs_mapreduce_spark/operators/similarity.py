@@ -1,0 +1,232 @@
+"""Similarity search over the embeddings table (north-star surface).
+
+- ann_cosine_topk : exact brute-force cosine top-k — the correctness
+  baseline. Query set is broadcast; scoring is the posexplode/join/
+  decimal-sum formulation (bit-identical across engines), ranking is a
+  per-query window.
+- ann_ivf_topk    : the scale path — IVF-style coarse quantization using
+  per-label centroids (computed with exact decimal means), n_probe=2:
+  each query searches only its 2 nearest clusters. Same decimal-exact
+  arithmetic, so it also carries a full DuckDB oracle; its recall vs the
+  brute-force baseline is asserted in tests/test_similarity.py.
+
+At 100 TB the brute-force variant is the one you run per-query-batch as a
+single broadcast join stage; IVF cuts the scored candidate set by the
+cluster fan-out (here 2/10 labels ≈ 5x fewer scored pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import table
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 5
+N_PROBE = 2
+
+DEC18 = "decimal(28,18)"
+
+
+def _exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame[vec_id, label, i, v] — one row per vector dimension."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "vf")
+    ).select("vec_id", "label", "i", F.col("vf").cast("double").alias("v"))
+
+
+EXPLODED_DUCK = """
+  SELECT vec_id, label, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) r(i)
+"""
+
+ANN_TOPK_ORACLE = f"""
+WITH x AS ({EXPLODED_DUCK}),
+norms AS (
+  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,18))) AS n2 FROM x GROUP BY vec_id
+),
+q AS (SELECT * FROM x WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         SUM(CAST(q.v * c.v AS DECIMAL(28,18))) AS dot
+  FROM q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT qid, cid,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS c
+  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id
+)
+SELECT qid AS query_id, cid AS neighbor_id,
+       CAST(rn AS INTEGER) AS rank, ROUND(c, 6) AS cosine
+FROM (SELECT qid, cid, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rn
+      FROM cos)
+WHERE rn <= {TOP_K}
+"""
+
+
+@query("ann_cosine_topk", oracle=ANN_TOPK_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = _exploded(spark, sf_dir)
+    norms = x.groupBy("vec_id").agg(
+        F.sum((F.col("v") * F.col("v")).cast(DEC18)).alias("n2")
+    )
+    q = x.where(F.col("vec_id") < N_QUERIES).alias("q")
+    c = x.alias("c")
+    dots = (
+        c.join(
+            # query side is tiny -> broadcast it; the big side streams
+            F.broadcast(q),
+            (F.col("q.i") == F.col("c.i"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .groupBy(F.col("q.vec_id").alias("qid"), F.col("c.vec_id").alias("cid"))
+        .agg(F.sum((F.col("q.v") * F.col("c.v")).cast(DEC18)).alias("dot"))
+    )
+    nq = norms.alias("nq")
+    nc = norms.alias("nc")
+    cos = (
+        dots.join(nq, F.col("qid") == F.col("nq.vec_id"))
+        .join(nc, F.col("cid") == F.col("nc.vec_id"))
+        .select(
+            "qid",
+            "cid",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nq.n2").cast("double"))
+                    * F.sqrt(F.col("nc.n2").cast("double"))
+                )
+            ).alias("c"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("cid"))
+    return (
+        cos.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.round("c", 6).alias("cosine"),
+        )
+    )
+
+
+# --- IVF: label-centroid coarse quantization, n_probe=2 -------------------
+
+IVF_ORACLE = f"""
+WITH x AS ({EXPLODED_DUCK}),
+norms AS (
+  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,18))) AS n2 FROM x GROUP BY vec_id
+),
+cent AS (  -- per-label centroid, exact decimal mean per dimension
+  SELECT label, i,
+         CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
+  FROM x GROUP BY label, i
+),
+q AS (SELECT * FROM x WHERE vec_id < {N_QUERIES}),
+qc AS (  -- squared distance from each query to each centroid
+  SELECT q.vec_id AS qid, cent.label,
+         SUM(CAST((q.v - cent.cv) * (q.v - cent.cv) AS DECIMAL(28,18))) AS d2
+  FROM q JOIN cent ON q.i = cent.i
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT qid, label FROM (
+    SELECT qid, label,
+           row_number() OVER (PARTITION BY qid ORDER BY CAST(d2 AS DOUBLE), label) AS rn
+    FROM qc) WHERE rn <= {N_PROBE}
+),
+dots AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         SUM(CAST(q.v * c.v AS DECIMAL(28,18))) AS dot
+  FROM q
+  JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id
+  JOIN probe p ON p.qid = q.vec_id AND p.label = c.label
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT qid, cid,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS c
+  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id
+)
+SELECT qid AS query_id, cid AS neighbor_id,
+       CAST(rn AS INTEGER) AS rank, ROUND(c, 6) AS cosine
+FROM (SELECT qid, cid, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rn
+      FROM cos)
+WHERE rn <= {TOP_K}
+"""
+
+
+@query("ann_ivf_topk", oracle=IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = _exploded(spark, sf_dir).cache()
+    norms = x.groupBy("vec_id").agg(
+        F.sum((F.col("v") * F.col("v")).cast(DEC18)).alias("n2")
+    )
+    cent = x.groupBy("label", "i").agg(
+        (F.sum(F.col("v").cast(DEC18)).cast("double") / F.count(F.lit(1))).alias("cv")
+    )
+    q = x.where(F.col("vec_id") < N_QUERIES).alias("q")
+    qc = (
+        q.join(F.broadcast(cent).alias("cent"), F.col("q.i") == F.col("cent.i"))
+        .groupBy(F.col("q.vec_id").alias("qid"), F.col("cent.label").alias("label"))
+        .agg(
+            F.sum(
+                ((F.col("q.v") - F.col("cv")) * (F.col("q.v") - F.col("cv"))).cast(
+                    DEC18
+                )
+            ).alias("d2")
+        )
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("d2").cast("double"), F.col("label"))
+    probe = (
+        qc.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= N_PROBE)
+        .select("qid", "label")
+    )
+    c = x.alias("c")
+    dots = (
+        q.join(c, (F.col("q.i") == F.col("c.i")) & (F.col("q.vec_id") != F.col("c.vec_id")))
+        .join(
+            F.broadcast(probe).alias("p"),
+            (F.col("p.qid") == F.col("q.vec_id")) & (F.col("p.label") == F.col("c.label")),
+        )
+        .groupBy(F.col("q.vec_id").alias("qid"), F.col("c.vec_id").alias("cid"))
+        .agg(F.sum((F.col("q.v") * F.col("c.v")).cast(DEC18)).alias("dot"))
+    )
+    nq = norms.alias("nq")
+    nc = norms.alias("nc")
+    cos = (
+        dots.join(nq, F.col("qid") == F.col("nq.vec_id"))
+        .join(nc, F.col("cid") == F.col("nc.vec_id"))
+        .select(
+            "qid",
+            "cid",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nq.n2").cast("double"))
+                    * F.sqrt(F.col("nc.n2").cast("double"))
+                )
+            ).alias("c"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("cid"))
+    return (
+        cos.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.round("c", 6).alias("cosine"),
+        )
+    )

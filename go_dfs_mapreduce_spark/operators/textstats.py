@@ -1,0 +1,187 @@
+"""Text-analysis operators for LLM-data pipelines (north-star surface,
+BASELINE.json): quality scoring, language-ID heuristic, token counting,
+document fingerprinting — all pure column expressions (codegen, no UDFs),
+each with a DuckDB oracle.
+
+Determinism: every ratio is a double division of exact integers, and both
+engines build token arrays with the same regex split, so artifacts (e.g. a
+leading '' token on leading whitespace) are identical on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+STOPWORDS = "'the','and','of','to','a','in','is','it'"
+
+QUALITY_ORACLE = f"""
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  ROUND(punct_cnt * 1.0 / NULLIF(n_chars_txt, 0), 6) AS punct_ratio,
+  ROUND(stop_cnt * 1.0 / NULLIF(n_tokens, 0), 6) AS stop_ratio,
+  ROUND(alpha_cnt * 1.0 / NULLIF(n_chars_txt, 0), 6) AS alpha_ratio,
+  ROUND(
+    (alpha_cnt * 1.0 / NULLIF(n_chars_txt, 0)) * 0.5
+    + LEAST(stop_cnt * 5.0 / NULLIF(n_tokens, 0), 1.0) * 0.3
+    + LEAST(n_tokens / 100.0, 1.0) * 0.2, 6) AS quality_score
+FROM (
+  SELECT doc_id,
+    length(text) AS n_chars_txt,
+    len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct_cnt,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_cnt,
+    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        t -> t IN ({STOPWORDS}))) AS stop_cnt
+  FROM documents
+)
+"""
+
+
+@query("text_quality_scores", oracle=QUALITY_ORACLE)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_txt"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+        ).alias("punct_cnt"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("alpha_cnt"),
+        F.size(
+            F.expr(f"filter(split(lower(text), '\\\\s+'), t -> t IN ({STOPWORDS}))")
+        ).alias("stop_cnt"),
+    )
+    nz = lambda c: F.nullif(F.col(c), F.lit(0))  # noqa: E731
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("punct_cnt") * 1.0 / nz("n_chars_txt"), 6).alias("punct_ratio"),
+        F.round(F.col("stop_cnt") * 1.0 / nz("n_tokens"), 6).alias("stop_ratio"),
+        F.round(F.col("alpha_cnt") * 1.0 / nz("n_chars_txt"), 6).alias("alpha_ratio"),
+        F.round(
+            (F.col("alpha_cnt") * 1.0 / nz("n_chars_txt")) * 0.5
+            + F.least(F.col("stop_cnt") * 5.0 / nz("n_tokens"), F.lit(1.0)) * 0.3
+            + F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.2,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+_MARKERS = {
+    "en": "'the','and','of','to','a'",
+    "de": "'der','die','und','das','ist'",
+    "es": "'el','la','los','que','por'",
+    "fr": "'le','les','des','et','une'",
+}
+
+_HITS_SPARK = {
+    lang: f"size(filter(split(lower(text), '\\\\s+'), t -> t IN ({m})))"
+    for lang, m in _MARKERS.items()
+}
+_HITS_DUCK = {
+    lang: f"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ({m})))"
+    for lang, m in _MARKERS.items()
+}
+
+_PREDICT_CASE = """
+CASE
+  WHEN h_en = 0 AND h_de = 0 AND h_es = 0 AND h_fr = 0 THEN 'unknown'
+  WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+  WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+  WHEN h_es >= h_fr THEN 'es'
+  ELSE 'fr'
+END
+"""
+
+LANG_ID_ORACLE = f"""
+SELECT doc_id, lang AS labeled_lang, {_PREDICT_CASE} AS predicted_lang
+FROM (
+  SELECT doc_id, lang,
+    {_HITS_DUCK['en']} AS h_en,
+    {_HITS_DUCK['de']} AS h_de,
+    {_HITS_DUCK['es']} AS h_es,
+    {_HITS_DUCK['fr']} AS h_fr
+  FROM documents
+)
+"""
+
+
+@query("lang_id_heuristic", oracle=LANG_ID_ORACLE)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (n-gram-heuristic family). On the synthetic
+    English-ish corpus nearly everything scores 'en' or 'unknown' — the
+    point is the operator shape: per-language hit counts in one scan, then
+    a deterministic argmax with a fixed tie order."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.expr(_HITS_SPARK["en"]).alias("h_en"),
+        F.expr(_HITS_SPARK["de"]).alias("h_de"),
+        F.expr(_HITS_SPARK["es"]).alias("h_es"),
+        F.expr(_HITS_SPARK["fr"]).alias("h_fr"),
+    )
+    return base.select(
+        "doc_id", "labeled_lang", F.expr(_PREDICT_CASE).alias("predicted_lang")
+    )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS bpe_tokens,
+  ROUND(length(text) * 1.0 /
+        NULLIF(len(regexp_extract_all(text, '{BPE_PATTERN}')), 0), 4)
+    AS chars_per_bpe_token
+FROM documents
+"""
+
+
+@query("token_stats", oracle=TOKEN_STATS_ORACLE)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bpe = F.regexp_count("text", F.lit(BPE_PATTERN))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.round(F.length("text") * 1.0 / F.nullif(bpe, F.lit(0)), 4).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id,
+  md5(norm) AS content_md5,
+  CAST(('0x' || substr(md5(norm), 1, 15))::UBIGINT AS BIGINT) AS fingerprint60
+FROM (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents
+)
+"""
+
+
+@query("doc_fingerprint", oracle=FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized text plus a 60-bit
+    integer fingerprint (first 15 hex digits) — md5 is the portable hash
+    both engines agree on (Spark hash()/xxhash64 have no DuckDB twin)."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    digest = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        digest.alias("content_md5"),
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("fingerprint60"),
+    )
