@@ -1,0 +1,93 @@
+"""Batch twins of the streaming window queries, with DuckDB oracles.
+
+Each query calls the SAME aggregation builder the streaming surface uses
+(streaming/windows.py) on the static events table — so the driver's
+correctness gate covers the streaming logic, and tests/test_streaming.py
+separately proves the streaming *mechanics* (file source, AvailableNow,
+watermark late-data drop) produce identical rows.
+
+Oracle mapping: Spark's window() buckets are epoch-aligned, and DuckDB's
+time_bucket is too; session windows are the classic gaps-and-islands
+(lag + cumulative flag sum), whose [min(ts), max(ts)+gap) extents match
+Spark's session_window definition exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
+from ..tables import table
+
+_DSUM_VAL = (
+    "CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_value"
+)
+
+TUMBLING_ORACLE = f"""
+SELECT
+  time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS w_start,
+  time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) + INTERVAL 5 MINUTE AS w_end,
+  event_type,
+  COUNT(*) AS n_events,
+  {_DSUM_VAL}
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("stream_tumbling_counts", oracle=TUMBLING_ORACLE)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(table(spark, sf_dir, "events"), "5 minutes")
+
+
+SLIDING_ORACLE = f"""
+SELECT
+  time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) - k.k * INTERVAL 5 MINUTE AS w_start,
+  user_id,
+  COUNT(*) AS n_events,
+  {_DSUM_VAL}
+FROM events, range(2) k(k)
+GROUP BY 1, 2
+"""
+
+
+@query("stream_sliding_user_value", oracle=SLIDING_ORACLE)
+def stream_sliding_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5: every event belongs to exactly two
+    epoch-aligned windows, which the oracle generates with a range(2)
+    offset join."""
+    return sliding_agg(table(spark, sf_dir, "events"), "10 minutes", "5 minutes")
+
+
+SESSION_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN CAST(ts AS TIMESTAMP)
+              - lag(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1900-01-01')
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM marked
+)
+SELECT
+  MIN(CAST(ts AS TIMESTAMP)) AS s_start,
+  MAX(CAST(ts AS TIMESTAMP)) + INTERVAL 30 MINUTE AS s_end,
+  user_id,
+  COUNT(*) AS n_events,
+  {_DSUM_VAL}
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("stream_session_windows", oracle=SESSION_ORACLE)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(table(spark, sf_dir, "events"), "30 minutes")

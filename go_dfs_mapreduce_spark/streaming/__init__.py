@@ -1,0 +1,19 @@
+"""Structured Streaming surface (SURVEY.md §2.4 — the reference has no
+data-plane streaming; its heartbeats are control-plane only,
+cn/struct.go:53-187)."""
+
+from .windows import (
+    read_events_stream,
+    run_available_now,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_available_now",
+    "session_agg",
+    "sliding_agg",
+    "tumbling_agg",
+]

@@ -1,0 +1,120 @@
+"""Event-time windowing: tumbling / sliding / session, with watermarks.
+
+The aggregation builders take ANY DataFrame (static or streaming) — the
+batch oracle twins in operators/streaming_batch.py call the same functions
+on the static events table, so the driver's DuckDB gate checks exactly the
+logic the streaming queries run. That is the whole testing strategy for
+the streaming surface (SURVEY.md §7.3 step 6): batch-checkable semantics,
+streaming-verified mechanics.
+
+Scale notes: windowed aggregations shuffle on (window, keys); state store
+size is bounded by the watermark horizon. Session windows merge state per
+key — the watermark is what lets Spark evict closed sessions, so
+``session_agg`` requires one in append-mode production use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEC = "decimal(28,6)"
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, watermark: str | None = "10 minutes"
+) -> DataFrame:
+    """events parquet as a file-source stream (nanos ts converted exactly
+    like tables.table does for batch). ``path`` must be a DIRECTORY — the
+    file stream source tracks arriving files under a base path."""
+    df = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    return df
+
+
+def _value_aggs():
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("total_value"),
+    ]
+
+
+def tumbling_agg(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    w = F.window("ts", width)
+    return (
+        events.groupBy(w, "event_type")
+        .agg(*_value_aggs())
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    w = F.window("ts", width, slide)
+    return (
+        events.groupBy(w, "user_id")
+        .agg(*_value_aggs())
+        .select(
+            F.col("window.start").alias("w_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    w = F.session_window("ts", gap)
+    return (
+        events.groupBy(w, "user_id")
+        .agg(*_value_aggs())
+        .select(
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming aggregation over all currently-available input
+    (Trigger.AvailableNow) into an in-memory table; returns the result as a
+    DataFrame. Test/diagnostic helper — production sinks use
+    ``writeStream.format('parquet'/'kafka')`` with the same plan."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

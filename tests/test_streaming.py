@@ -1,0 +1,118 @@
+"""Streaming mechanics tests: the same aggregations the driver gate checks
+in batch must produce identical rows through the Structured Streaming
+engine, and watermarks must actually drop late data in append mode."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from go_dfs_mapreduce_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    session_agg,
+    tumbling_agg,
+)
+from go_dfs_mapreduce_spark.tables import table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(sf_dir, tmp_path_factory):
+    """The file stream source needs a DIRECTORY; stage the single-file
+    events table into one."""
+    d = tmp_path_factory.mktemp("events_src")
+    os.symlink(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, events_stream_dir):
+    stream = read_events_stream(spark, events_stream_dir, watermark=None)
+    got = run_available_now(tumbling_agg(stream), "t_tumble", "complete")
+    want = tumbling_agg(table(spark, sf_dir, "events"))
+    assert _rows(got) == _rows(want)
+
+
+def test_streaming_session_matches_batch(spark, sf_dir, events_stream_dir):
+    stream = read_events_stream(spark, events_stream_dir, watermark="1 hour")
+    got = run_available_now(session_agg(stream), "t_sess", "complete")
+    want = session_agg(table(spark, sf_dir, "events"))
+    assert _rows(got) == _rows(want)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Micro-batches via maxFilesPerTrigger=1: an event arriving two
+    batches after the watermark passed its window must be dropped
+    (numRowsDroppedByWatermark) and must not resurrect the already-emitted
+    window in append-mode output.
+
+    NB: a window's final emission happens at the END of the batch whose
+    *start-of-batch* watermark passed its end — a late row arriving in
+    that same batch still merges. Hence the late row here arrives one
+    batch later than that."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        return str(tmp_path / name)
+
+    batches = [
+        write_batch("b1", [(1, base), (2, base + dt.timedelta(hours=2))]),
+        write_batch("b2", [(4, base + dt.timedelta(hours=3))]),
+        # event 3 is ~3h late vs the 10-minute watermark delay
+        write_batch("b3", [(3, base + dt.timedelta(minutes=1)),
+                           (5, base + dt.timedelta(hours=4))]),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    now = dt.datetime.now().timestamp()
+    for i, d in enumerate(batches):
+        for f in glob.glob(d + "/*.parquet"):
+            dst = f"{src}/{i}_{os.path.basename(f)}"
+            shutil.copy(f, dst)
+            # the file source orders batches by modification time — make
+            # batch order explicit
+            os.utime(dst, (now + 100 * i, now + 100 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = tumbling_agg(stream, "5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1  # the late event-3 row
+
+    emitted = {r.w_start: r.n_events for r in spark.table("t_late").collect()}
+    assert emitted[base] == 1  # event 1 only; late event 3 never merged
