@@ -18,9 +18,20 @@ import time
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO_ROOT)
 
+# one representative per operator family (SURVEY.md §2) — correctness for
+# all 49 registered queries is the driver's CORRECTNESS gate; bench tracks
+# throughput of the load-bearing shapes.
 HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+    "q1_pricing_summary",        # scan + 8-way aggregate
+    "q3_shipping_priority",      # 3-way join + agg + top-k
+    "wordcount",                 # explode + hash aggregate
+    "log_top_domains",           # string normalization + top-k
+    "window_rank_topk_per_customer",  # partitioned window
+    "asof_join_last_purchase",   # union+window as-of join
+    "dedup_minhash_lsh",         # shingle/minhash/band/verify joins
+    "ann_cosine_topk",           # broadcast-join vector scoring
+    "stream_session_windows",    # session windows (batch twin)
+    "mr_wordcount",              # MR-parity layer (Arrow/pandas path)
 ]
 
 

@@ -1,0 +1,176 @@
+"""Warehouse — the DFS command surface on a parquet warehouse directory.
+
+Maps the reference's client commands (SURVEY.md §2.1) onto Spark + a
+filesystem warehouse; chunking/replication/heartbeat/checksum machinery is
+intentionally delegated to the storage layer and Spark task retry
+(SURVEY.md §2.1 rows 'replicate', 'corruption repair', 'heartbeat'):
+
+  store    <- cl/dfs_actions.go:27-288  (incl. TXT/BIN sniffing 69-74 and
+              the duplicate-name rejection of cn/dfs_actions.go:17-22)
+  retrieve <- cl/dfs_actions.go:297-495 (incl. the O_EXCL no-clobber
+              create of cl/dfs_actions.go:305-310)
+  delete   <- cl/dfs_actions.go:500-541
+  ls       <- cl/dfs_actions.go:546-580 (sorted; -v adds per-file detail
+              like chunk counts, cn/dfs_actions.go:183-224)
+  info     <- cl/dfs_actions.go:582-627 (executor-level diagnostics)
+  activity <- cl/dfs_actions.go:632-662 (cluster-level diagnostics)
+
+Text files become line tables (`value: string`, like spark.read.text);
+binary files become single-row (path, content) tables via the binaryFile
+source. Both are stored as parquet, so at scale every stored file is
+splittable, columnar, and checksummed — what the reference built 1,000
+lines of chunk/replica machinery to approximate.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TEXT_SNIFF_BYTES = 512
+
+
+def _is_text(path: str) -> bool:
+    """TXT/BIN sniff analog of http.DetectContentType at
+    cl/dfs_actions.go:69-74: first 512 bytes decode as UTF-8 with no NULs."""
+    with open(path, "rb") as fh:
+        head = fh.read(_TEXT_SNIFF_BYTES)
+    if b"\x00" in head:
+        return False
+    try:
+        head.decode("utf-8")
+    except UnicodeDecodeError:
+        # a multibyte char split at the boundary is fine; hard errors are not
+        try:
+            head[: max(0, len(head) - 3)].decode("utf-8")
+        except UnicodeDecodeError:
+            return False
+    return True
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def _table_dir(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"bad file name {name!r}")
+        return os.path.join(self.root, name)
+
+    def _exists(self, name: str) -> bool:
+        return os.path.isdir(self._table_dir(name))
+
+    def _ftype(self, name: str) -> str:
+        with open(os.path.join(self._table_dir(name), "_FTYPE")) as fh:
+            return fh.read().strip()
+
+    # -- store -------------------------------------------------------------
+    def store(self, local_path: str, name: str | None = None) -> str:
+        """Ingest a local file; rejects duplicate names like the controller
+        (cn/dfs_actions.go:17-22). Returns the stored name."""
+        name = name or os.path.basename(local_path)
+        if self._exists(name):
+            raise FileExistsError(f"file {name!r} already stored")
+        target = self._table_dir(name)
+        if _is_text(local_path):
+            df = self.spark.read.text(local_path)
+            ftype = "TXT"
+        else:
+            df = (
+                self.spark.read.format("binaryFile")
+                .load(local_path)
+                .select("path", "content")
+            )
+            ftype = "BIN"
+        df.write.parquet(target)
+        with open(os.path.join(target, "_FTYPE"), "w") as fh:
+            fh.write(ftype)
+        return name
+
+    def store_df(self, df: DataFrame, name: str) -> str:
+        """Store any DataFrame as a named parquet table (the idiomatic
+        path — the reference can only store raw files)."""
+        if self._exists(name):
+            raise FileExistsError(f"file {name!r} already stored")
+        df.write.parquet(self._table_dir(name))
+        with open(os.path.join(self._table_dir(name), "_FTYPE"), "w") as fh:
+            fh.write("TABLE")
+        return name
+
+    # -- retrieve ----------------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        if not self._exists(name):
+            raise FileNotFoundError(f"file {name!r} not stored")
+        return self.spark.read.parquet(self._table_dir(name))
+
+    def retrieve(self, name: str, out_path: str) -> str:
+        """Reassemble a stored file to a single local file; no-clobber like
+        the O_EXCL create at cl/dfs_actions.go:305-310."""
+        if os.path.exists(out_path):
+            raise FileExistsError(f"{out_path} already exists")
+        ftype = self._ftype(name)
+        df = self.read(name)
+        if ftype == "TXT":
+            with open(out_path, "x", encoding="utf-8") as fh:
+                # text tables are small-per-line; stream via toLocalIterator
+                # to avoid materializing the file on the driver
+                for row in df.select("value").toLocalIterator():
+                    fh.write(row.value)
+                    fh.write("\n")
+        elif ftype == "BIN":
+            rows = df.select("content").collect()
+            with open(out_path, "xb") as fh:
+                for r in rows:
+                    fh.write(bytes(r.content))
+        else:
+            raise ValueError(f"{name!r} is a TABLE; use read() not retrieve()")
+        return out_path
+
+    # -- delete / ls -------------------------------------------------------
+    def delete(self, name: str) -> None:
+        if not self._exists(name):
+            raise FileNotFoundError(f"file {name!r} not stored")
+        shutil.rmtree(self._table_dir(name))
+
+    def ls(self, verbose: bool = False) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            if not os.path.isdir(self._table_dir(name)):
+                continue
+            entry: dict = {"name": name, "type": self._ftype(name)}
+            if verbose:
+                d = self._table_dir(name)
+                parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+                entry["n_parts"] = len(parts)
+                entry["bytes"] = sum(
+                    os.path.getsize(os.path.join(d, f)) for f in parts
+                )
+            out.append(entry)
+        return out
+
+    # -- diagnostics -------------------------------------------------------
+    def info(self) -> list[dict]:
+        """Per-executor report (the reference's per-node `info`,
+        cn/dfs_actions.go:226-282)."""
+        sc = self.spark.sparkContext
+        return [
+            {"executor": e} for e in sorted(sc._jsc.sc().getExecutorMemoryStatus().keySet().toString()[4:-1].split(", "))
+        ]
+
+    def activity(self) -> dict:
+        """Cluster-level report (the reference's `activity`,
+        cn/dfs_actions.go:287-324)."""
+        sc = self.spark.sparkContext
+        tracker = sc.statusTracker()
+        return {
+            "active_jobs": len(tracker.getActiveJobsIds()),
+            "active_stages": len(tracker.getActiveStageIds()),
+            "default_parallelism": sc.defaultParallelism,
+            "stored_files": len(self.ls()),
+        }

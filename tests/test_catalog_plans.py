@@ -1,0 +1,108 @@
+"""Warehouse (DFS-command parity) + explain-audit tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_dfs_mapreduce_spark.plans import audit_plan
+from go_dfs_mapreduce_spark.sources import Warehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def test_store_retrieve_text_roundtrip(wh, tmp_path):
+    src = tmp_path / "hello.txt"
+    content = "line one\nline two\nsparkling line three\n"
+    src.write_text(content)
+    wh.store(str(src))
+    out = tmp_path / "out.txt"
+    wh.retrieve("hello.txt", str(out))
+    assert out.read_text() == content
+
+
+def test_store_rejects_duplicates(wh, tmp_path):
+    src = tmp_path / "a.txt"
+    src.write_text("x\n")
+    wh.store(str(src))
+    with pytest.raises(FileExistsError, match="already stored"):
+        wh.store(str(src))
+
+
+def test_retrieve_no_clobber(wh, tmp_path):
+    src = tmp_path / "b.txt"
+    src.write_text("y\n")
+    wh.store(str(src))
+    out = tmp_path / "exists.txt"
+    out.write_text("do not overwrite")
+    with pytest.raises(FileExistsError):
+        wh.retrieve("b.txt", str(out))
+    assert out.read_text() == "do not overwrite"
+
+
+def test_binary_store_roundtrip(wh, tmp_path):
+    src = tmp_path / "blob.bin"
+    payload = bytes(range(256)) * 4
+    src.write_bytes(payload)
+    wh.store(str(src))
+    entries = {e["name"]: e for e in wh.ls()}
+    assert entries["blob.bin"]["type"] == "BIN"
+    out = tmp_path / "blob.out"
+    wh.retrieve("blob.bin", str(out))
+    assert out.read_bytes() == payload
+
+
+def test_delete_and_ls(wh, tmp_path):
+    src = tmp_path / "c.txt"
+    src.write_text("z\n")
+    wh.store(str(src))
+    assert [e["name"] for e in wh.ls()] == ["c.txt"]
+    assert wh.ls(verbose=True)[0]["n_parts"] >= 1
+    wh.delete("c.txt")
+    assert wh.ls() == []
+    with pytest.raises(FileNotFoundError):
+        wh.delete("c.txt")
+
+
+def test_activity_reports(wh):
+    act = wh.activity()
+    assert act["default_parallelism"] >= 1
+    assert act["stored_files"] == 0
+
+
+# --- plan audits ----------------------------------------------------------
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    from go_dfs_mapreduce_spark.operators.relational import q1_pricing_summary
+
+    a = audit_plan(q1_pricing_summary(spark, sf_dir))
+    assert a["pushed_filters"], "shipdate filter must reach the parquet scan"
+    assert "l_orderkey" not in a["read_columns"], "column pruning failed"
+    assert not a["has_python_worker"], "q1 must stay JVM-side"
+
+
+def test_q3_broadcasts_dims(spark, sf_dir):
+    from go_dfs_mapreduce_spark.operators.relational import q3_shipping_priority
+
+    a = audit_plan(q3_shipping_priority(spark, sf_dir))
+    assert a["n_broadcast_joins"] >= 2
+    assert a["n_sortmerge_joins"] == 0
+
+
+def test_wordcount_stays_jvm_side(spark, sf_dir):
+    from go_dfs_mapreduce_spark.operators.wordcount import wordcount
+
+    a = audit_plan(wordcount(spark, sf_dir))
+    assert not a["has_python_worker"]
+
+
+def test_mr_parity_layer_uses_python_workers(spark, sf_dir):
+    """The parity layer is *supposed* to run Python (that's the plugin
+    contract); assert the plan shows Arrow-batched pandas operators."""
+    from go_dfs_mapreduce_spark.operators.mr_parity import mr_wordcount
+
+    a = audit_plan(mr_wordcount(spark, sf_dir))
+    assert a["has_python_worker"]
