@@ -1,0 +1,123 @@
+"""Property-based tests (SURVEY.md §5 item 4) — hypothesis generates the
+inputs, a single shared SparkSession executes them.
+
+Strategy notes: examples are kept small (Spark job per example is the
+cost), deadline disabled, and text is drawn from a mixed alphabet
+including unicode, punctuation, digits, and whitespace runs to hit the
+tokenizer's artifact space (FIXTURES.md cross-cutting requirements).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from go_dfs_mapreduce_spark.mapreduce import MapReduceJob
+from go_dfs_mapreduce_spark.mapreduce.job import INPUT_SCHEMA
+from go_dfs_mapreduce_spark.mapreduce import plugins
+
+TEXT = st.text(alphabet="abcsXYZ012 \t.,!?-#ü€λ中", max_size=60)
+
+_STRIP = re.compile(r"[^a-zA-Z0-9]+")
+
+SET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(lines=st.lists(TEXT, min_size=1, max_size=6))
+@SET
+def test_mr_wordcount_totals_match_naive_python(spark, lines):
+    """Distributed MR word count == naive in-process Counter, on arbitrary
+    unicode lines (totals aggregated across reducers)."""
+    rows = [(f"f{i}", i, line) for i, line in enumerate(lines)]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    job = MapReduceJob(
+        "prop_wc", plugins.word_count_map, plugins.word_count_reduce, r=5
+    )
+    got: Counter = Counter()
+    for r in job.run(df).collect():
+        word, cnt = r.line.rsplit("::", 1)
+        got[word.rstrip()] += int(cnt)
+
+    want: Counter = Counter()
+    for line in lines:
+        for t in line.lower().split():
+            want[_STRIP.sub("", t)] += 1
+    assert got == +want or dict(got) == dict(want)
+
+
+@given(lines=st.lists(TEXT, min_size=1, max_size=5), r=st.integers(1, 26))
+@SET
+def test_partitioner_never_splits_a_key(spark, lines, r):
+    """All occurrences of one key land on one reducer for every R."""
+    rows = [(f"f{i}", i, line) for i, line in enumerate(lines)]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+
+    def m(file, ln, line, out):
+        for t in line.split():
+            out.extend([t, "1"])
+
+    def red(keys, values, out):
+        out.extend(sorted(set(keys)))
+
+    job = MapReduceJob(f"prop_part_{r}", m, red, r=r)
+    seen: dict[str, set[int]] = {}
+    for row in job.run(df).collect():
+        seen.setdefault(row.line, set()).add(row.r_id)
+    assert all(len(s) == 1 for s in seen.values()), seen
+
+
+@given(st.data())
+@SET
+def test_topk_is_prefix_of_full_order(spark, data):
+    """top-k by (cnt desc, word) over any word multiset is a prefix of the
+    fully ordered aggregate (SURVEY.md §5.4)."""
+    words = data.draw(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "e1"]), min_size=1, max_size=30)
+    )
+    k = data.draw(st.integers(1, 5))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    agg = df.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    full = [
+        (r.word, r.cnt)
+        for r in agg.orderBy(F.desc("cnt"), F.asc("word")).collect()
+    ]
+    top = [
+        (r.word, r.cnt)
+        for r in agg.orderBy(F.desc("cnt"), F.asc("word")).limit(k).collect()
+    ]
+    assert top == full[:k]
+
+
+@given(lines=st.lists(TEXT, min_size=1, max_size=4))
+@SET
+def test_exact_dedup_idempotent(spark, lines):
+    """Dedup of (corpus + its own duplicate) == dedup of corpus, with
+    doubled copy counts for duplicated rows."""
+    from pyspark.sql import functions as F
+
+    norm = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    df1 = spark.createDataFrame([(i, l) for i, l in enumerate(lines)], "doc_id long, text string")
+    df2 = df1.unionByName(
+        spark.createDataFrame(
+            [(i + 1000, l) for i, l in enumerate(lines)], "doc_id long, text string"
+        )
+    )
+
+    def groups(df):
+        return {
+            r.k: r.n
+            for r in df.select(norm.alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    g1, g2 = groups(df1), groups(df2)
+    assert set(g1) == set(g2)
+    assert all(g2[k] == 2 * g1[k] for k in g1)
