@@ -524,3 +524,44 @@ def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("arr_sum"),
         F.size(F.split("props", '"')).cast("int").alias("quote_parts"),
     )
+
+
+RIGHT_JOIN_ORACLE = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM orders
+RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+@query("join_right_outer_counts", oracle=RIGHT_JOIN_ORACLE)
+def join_right_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+GLOBAL_SORT_ORACLE = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+FROM orders
+WHERE o_orderstatus = 'F'
+ORDER BY o_orderdate, o_orderkey
+"""
+
+
+@query("global_sort_orders", oracle=GLOBAL_SORT_ORACLE)
+def global_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full global sort (range-partitioned exchange + local sort) — the
+    principled version of the reference's alphabetic reducer ordering
+    (SURVEY.md §2.3 Q13). The driver's compare is order-insensitive; the
+    ordering itself is pinned by tests/test_ordering.py."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderstatus") == "F")
+        .orderBy("o_orderdate", "o_orderkey")
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+    )
