@@ -46,8 +46,10 @@ def main() -> None:
     qs = mod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warm up the JVM + parquet footer cache with one tiny action
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warm up the JVM + parquet footers of every input with tiny actions
+    # (timings then measure query work, not first-touch JVM/footers)
+    for t in ("region", "lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -63,9 +63,86 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return job.run(_documents_as_lines(spark, sf_dir)).select("r_id", "line")
 
 
-@query("mr_log_analyzer")  # no oracle: per-partition top-k summaries are
-# not meaningfully ANSI-SQL-expressible (SURVEY.md §7.5 #1); covered by the
-# pure-Python differential simulation in tests/test_mapreduce.py instead.
+# Full SQL oracle for the per-partition summaries (SURVEY.md §7.5 #1): the
+# parity partitioner routes every key by its first character — the crawler
+# name — so partition r_id = ascii(crawler[0]) % 10, and each partition's
+# reduce is expressible as per-r_id aggregation + windowed top-k + UNION
+# ALL line assembly. Normalization below replicates the PLUGIN's rules
+# (log_analyzer.go:20-57: first-CHAR numeric test, path without leading
+# slash, '/'/'#'/'?' trims only at index > 0), which differ in corners
+# from the idiomatic normalize_cols.
+from ..functions.url import CRAWLER_LOGS_SQL  # noqa: E402
+
+MR_LOG_ANALYZER_ORACLE = f"""
+WITH raw AS ({CRAWLER_LOGS_SQL}),
+stripped AS (
+  SELECT crawler, regexp_replace(url, '^https?://', '') AS u FROM raw
+),
+parts AS (
+  SELECT crawler,
+    CASE WHEN strpos(u, '/') > 1 THEN substr(u, 1, strpos(u, '/') - 1) ELSE u END AS dom0,
+    CASE WHEN strpos(u, '/') > 1 THEN substr(u, strpos(u, '/') + 1) ELSE '' END AS url0
+  FROM stripped
+),
+normed AS (
+  SELECT crawler, url0,
+    CASE WHEN substr(dom0, 1, 1) BETWEEN '0' AND '9'
+         THEN CASE WHEN strpos(reverse(dom0), ':') > 0
+                        AND length(dom0) - strpos(reverse(dom0), ':') + 1 > 1
+                   THEN substr(dom0, 1, length(dom0) - strpos(reverse(dom0), ':'))
+                   ELSE dom0 END
+         ELSE CASE WHEN (length(dom0) - length(replace(dom0, '.', ''))) > 1
+                   THEN substr(dom0, strpos(dom0, '.') + 1)
+                   ELSE dom0 END
+    END AS dom
+  FROM parts
+  WHERE dom0 <> ''
+),
+keys AS (
+  SELECT crawler, dom,
+    CASE WHEN url0 = '' THEN ''
+         WHEN LEAST(NULLIF(strpos(url0, '#'), 0), NULLIF(strpos(url0, '?'), 0)) > 1
+         THEN substr(url0, 1, LEAST(NULLIF(strpos(url0, '#'), 0), NULLIF(strpos(url0, '?'), 0)) - 1)
+         ELSE url0 END AS url1,
+    CAST(ascii(substr(crawler, 1, 1)) % 10 AS INTEGER) AS r_id
+  FROM normed
+),
+dom_counts AS (SELECT r_id, dom, COUNT(*) AS cnt FROM keys GROUP BY 1, 2),
+crw_counts AS (SELECT r_id, crawler, COUNT(*) AS cnt FROM keys GROUP BY 1, 2),
+stats AS (
+  SELECT r_id,
+    COUNT(DISTINCT dom) AS n_dom,
+    COUNT(DISTINCT CASE WHEN url1 <> '' THEN dom || url1 END) AS n_url,
+    COUNT(DISTINCT crawler) AS n_crw
+  FROM keys GROUP BY r_id
+)
+SELECT CAST(r_id AS INTEGER) AS r_id, CAST(0 AS INTEGER) AS seq,
+       printf('* Unique URLs:    %d', n_url + n_dom) AS line FROM stats
+UNION ALL
+SELECT r_id, 1, printf('* Unique Domains: %d', n_dom) FROM stats
+UNION ALL
+SELECT r_id, 2, printf('* Top %d Websites:', LEAST(n_dom, 10)) FROM stats
+UNION ALL
+SELECT r_id, CAST(2 + rn AS INTEGER), '    - ' || dom
+FROM (SELECT r_id, dom,
+             row_number() OVER (PARTITION BY r_id ORDER BY cnt DESC, dom) AS rn
+      FROM dom_counts)
+WHERE rn <= 10
+UNION ALL
+SELECT s.r_id, CAST(3 + LEAST(s.n_dom, 10) AS INTEGER),
+       printf('* Top %d Crawlers:', LEAST(s.n_crw, 5))
+FROM stats s
+UNION ALL
+SELECT c.r_id, CAST(3 + LEAST(s.n_dom, 10) + c.rn AS INTEGER), '    - ' || c.crawler
+FROM (SELECT r_id, crawler,
+             row_number() OVER (PARTITION BY r_id ORDER BY cnt DESC, crawler) AS rn
+      FROM crw_counts) c
+JOIN stats s ON c.r_id = s.r_id
+WHERE c.rn <= 5
+"""
+
+
+@query("mr_log_analyzer", oracle=MR_LOG_ANALYZER_ORACLE)
 def mr_log_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs = crawler_logs(spark, table(spark, sf_dir, "events"))
     lines = logs.select(
