@@ -116,3 +116,54 @@ def test_watermark_drops_late_data(spark, tmp_path):
 
     emitted = {r.w_start: r.n_events for r in spark.table("t_late").collect()}
     assert emitted[base] == 1  # event 1 only; late event 3 never merged
+
+
+def test_stateful_user_profiles_converge_to_batch_truth(spark, sf_dir, tmp_path):
+    """applyInPandasWithState across multiple micro-batches: the LAST
+    emitted row per user must equal a plain batch aggregation over all
+    events — state accumulation is batching-invariant."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.streaming.stateful import stateful_user_profiles
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", d / "events.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .parquet(str(d))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        stateful_user_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.last_type)
+        for r in spark.table("t_state").collect()
+    }
+
+    from go_dfs_mapreduce_spark.tables import table
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want_rows = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("tv"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("lt"),
+        )
+        .collect()
+    )
+    want = {r.user_id: (r.n, r.tv, r.lt) for r in want_rows}
+    assert got == want
