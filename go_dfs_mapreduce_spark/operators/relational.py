@@ -653,3 +653,58 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles: Spark percentile() and DuckDB quantile_cont use the
+# same sorted-linear-interpolation definition and match bit-for-bit (no
+# rounding needed). approx_percentile is the 100 TB path; it has no
+# cross-engine oracle, so the exact form is what the gate checks.
+# --------------------------------------------------------------------------
+
+PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+  quantile_cont(l_extendedprice, 0.5) AS median_price,
+  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+  quantile_cont(l_quantity, 0.5) AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("percentiles_by_returnflag", oracle=PERCENTILE_ORACLE)
+def percentiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+    )
+
+
+DATE_FUNCS_ORACLE = """
+SELECT o_orderkey,
+  CAST(date_diff('day', o_orderdate, TIMESTAMP '1999-01-01') AS INTEGER) AS days_to_ref,
+  strftime(o_orderdate, '%a') AS dow,
+  CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+  regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num
+FROM orders
+"""
+
+
+@query("date_function_showcase", oracle=DATE_FUNCS_ORACLE)
+def date_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate")).cast("int").alias("days_to_ref"),
+        F.date_format("o_orderdate", "EEE").alias("dow"),
+        F.weekofyear("o_orderdate").cast("int").alias("wk"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.regexp_extract("o_orderpriority", "([0-9]+)", 1).alias("prio_num"),
+    )
