@@ -441,3 +441,89 @@ def embedding_nn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c", 6).alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Frequency-capped Jaccard: the 100 TB variant of the all-pairs join.
+# Shingles occurring in more than MAX_DOC_FREQ docs are dropped from PAIR
+# GENERATION (hot-shingle cap — the prefix-filtering idea: ubiquitous
+# shingles generate O(n^2) candidate pairs while carrying no discriminative
+# signal) but still count toward set sizes and intersections for the
+# surviving candidate pairs, so the reported jaccard stays exact.
+# --------------------------------------------------------------------------
+
+MAX_DOC_FREQ = 50
+
+CAPPED_JACCARD_ORACLE = f"""
+WITH sh AS ({SHINGLES_DUCK}),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_DOC_FREQ}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM rare)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) AS jaccard
+FROM cand c
+JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE i.n * 1.0 / (sa.sz + sb.sz - i.n) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard_capped", oracle=CAPPED_JACCARD_ORACLE)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).cache()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= MAX_DOC_FREQ)
+        .select("shingle")
+    )
+    sh_rare = sh.join(F.broadcast(rare), "shingle", "left_semi")
+    ra = sh_rare.alias("ra")
+    rb = sh_rare.alias("rb")
+    cand = (
+        ra.join(
+            rb,
+            (F.col("ra.shingle") == F.col("rb.shingle"))
+            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
+        )
+        .select(
+            F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n") * 1.0 / (F.col("sa.sz") + F.col("sb.sz") - F.col("n"))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -708,3 +708,43 @@ def date_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
         F.regexp_extract("o_orderpriority", "([0-9]+)", 1).alias("prio_num"),
     )
+
+
+INTERSECT_ALL_ORACLE = """
+SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@query("set_intersect_all_custkeys", oracle=INTERSECT_ALL_ORACLE)
+def set_intersect_all_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersect (bag semantics): each custkey appears
+    min(count_left, count_right) times."""
+    orders = table(spark, sf_dir, "orders")
+    left = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    right = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    return left.intersectAll(right)
+
+
+EXCEPT_ALL_ORACLE = """
+SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@query("set_except_all_custkeys", oracle=EXCEPT_ALL_ORACLE)
+def set_except_all_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    left = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    right = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    return left.exceptAll(right)
