@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "go_dfs_mapreduce_spark.operators.streaming_batch",
     "go_dfs_mapreduce_spark.operators.mr_parity",
     "go_dfs_mapreduce_spark.operators.udfs",
+    "go_dfs_mapreduce_spark.operators.reshape",
 )
 
 

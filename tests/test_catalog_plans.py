@@ -106,3 +106,26 @@ def test_mr_parity_layer_uses_python_workers(spark, sf_dir):
 
     a = audit_plan(mr_wordcount(spark, sf_dir))
     assert a["has_python_worker"]
+
+def test_dedup_minhash_stays_jvm_side(spark, sf_dir):
+    """All hashing/banding is md5/conv expressions — no Python workers."""
+    from go_dfs_mapreduce_spark.operators.dedup import dedup_minhash_lsh
+
+    a = audit_plan(dedup_minhash_lsh(spark, sf_dir))
+    assert not a["has_python_worker"]
+
+
+def test_approx_count_distinct_tracks_exact(spark, sf_dir):
+    """The at-scale sketch path (no cross-engine oracle exists for HLL):
+    approx_count_distinct within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.functions.text import exploded_words
+    from go_dfs_mapreduce_spark.tables import table
+
+    words = exploded_words(table(spark, sf_dir, "documents"), "text")
+    row = words.agg(
+        F.countDistinct("word").alias("exact"),
+        F.approx_count_distinct("word").alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= max(1, 0.05 * row.exact)
