@@ -190,3 +190,36 @@ def window_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w_full).alias("last_event"),
         F.count(F.lit(1)).over(w_all).alias("n_events"),
     ).distinct()
+
+
+# RANGE frame over an event-time axis: sum of the trailing 10 minutes per
+# user. The order key is epoch microseconds (numeric), so the frame is a
+# true value-range, not a row count — rows with equal timestamps share a
+# frame regardless of tie order.
+RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6)))
+    OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+    AS trailing_10m_value
+FROM events
+"""
+
+
+@query("window_range_frame_trailing", oracle=RANGE_FRAME_ORACLE)
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast(DEC)).over(w), 2)
+        .cast("double")
+        .alias("trailing_10m_value"),
+    )
