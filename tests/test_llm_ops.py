@@ -97,3 +97,27 @@ def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
     for pair in strong:
         if pair in ham:  # only comparable when both landed in one band
             assert ham[pair] <= 8
+
+
+def test_fast_nn_matches_exact_formulation(spark, sf_dir):
+    """numpy fast path == decimal-exact join formulation (neighbor ids
+    must agree everywhere; cosines within 1e-9 — BLAS vs exact-decimal
+    summation differ only in the last ulp)."""
+    from go_dfs_mapreduce_spark.operators.dedup import embedding_nn_cosine
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        embedding_nn_cosine_fast,
+    )
+
+    exact = {
+        r.vec_id: (r.nn_vec_id, r.cosine)
+        for r in embedding_nn_cosine(spark, sf_dir).collect()
+    }
+    fast = {
+        r.vec_id: (r.nn_vec_id, r.cosine)
+        for r in embedding_nn_cosine_fast(spark, sf_dir).collect()
+    }
+    assert set(fast) == set(exact)
+    for vid, (nn, cos) in exact.items():
+        fnn, fcos = fast[vid]
+        assert fnn == nn, (vid, nn, fnn)
+        assert abs(fcos - cos) < 1e-6
