@@ -750,3 +750,55 @@ def set_except_all_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("k")
     )
     return left.exceptAll(right)
+
+
+SCALAR_SUBQ_ORACLE = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+"""
+
+
+@query("subquery_scalar_above_avg", oracle=SCALAR_SUBQ_ORACLE)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above 1.5x the global mean. The threshold
+    comparison uses the raw double average on both engines (no rounding
+    needed — it's a filter, not an output), and ties at the exact boundary
+    cannot occur because the mean has far more precision than the data.
+    Spark plans the scalar subquery as a one-row broadcast — no driver
+    round-trip."""
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_scalar_subq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+        FROM _orders_scalar_subq
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM _orders_scalar_subq)
+        """
+    )
+
+
+CORRELATED_SUBQ_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o
+WHERE o.o_totalprice > 1.5 * (
+  SELECT AVG(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+"""
+
+
+@query("subquery_correlated_above_own_avg", oracle=CORRELATED_SUBQ_ORACLE)
+def subquery_correlated_above_own_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery (each order vs its customer's own mean),
+    de-correlated into a window aggregate — one shuffle on the correlation
+    key instead of a per-row subquery, which is exactly the rewrite
+    Catalyst itself applies to such predicates."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey")
+    )
