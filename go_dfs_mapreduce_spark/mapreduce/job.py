@@ -6,8 +6,8 @@ Mapping of the reference's framework operators (SURVEY.md §2.2):
   caller-provided DataFrame[file, line_number, line]
 - F2 source pruning          -> path list handed to ``spark.read.text``
 - F3 flatMap                 -> Arrow-batched ``mapInPandas`` calling the
-  Python ``f_map``; odd-length flat output repaired by dropping the
-  unpaired tail (sn/mr_actions.go:218-224)
+  Python ``f_map``; odd-length flat output repaired with the reference's
+  append-"\\n" / drop-two rule (sn/mr_actions.go:218-224)
 - F4 hash partition by key   -> the *parity partitioner*
   ``ascii(lower(substr(key,1,1))) % R`` (sn/mr_actions.go:226-229) as a
   derived ``r_id`` column (Go takes the first *byte*; this takes the first
@@ -98,17 +98,28 @@ def read_text_with_line_numbers(spark: SparkSession, paths: list[str]) -> DataFr
 def _normalize_pairs(emitted: list[Any]) -> list[tuple[str, str]]:
     """Accept either a flat [k, v, k, v, ...] list (the reference's wire
     shape, example_plugins/word_count/word_count.go:20-21) or a list of
-    (k, v) tuples. Flat odd-length output loses its unpaired tail, like
-    sn/mr_actions.go:218-224. Trailing newlines (Go's Sprintln artifact)
-    are stripped — our transport is columns, not newline-delimited text.
+    (k, v) tuples. Flat odd-length output is repaired exactly like
+    sn/mr_actions.go:218-224: if the unpaired tail is "\\n" the last TWO
+    elements are dropped, otherwise "\\n" is appended as the missing value
+    (so the tail key still reaches the reducer, with an empty value after
+    newline stripping). Trailing newlines (Go's Sprintln artifact) are
+    stripped — our transport is columns, not newline-delimited text.
     """
     if not emitted:
         return []
     if isinstance(emitted[0], (tuple, list)):
         return [(str(k).rstrip("\n"), str(v).rstrip("\n")) for k, v in emitted]
-    flat = [str(x).rstrip("\n") for x in emitted]
-    if len(flat) % 2:
-        flat = flat[:-1]
+    raw = [str(x) for x in emitted]
+    if len(raw) % 2:
+        if raw[-1] == "\n":
+            raw = raw[:-2]
+        else:
+            raw.append("\n")
+    if len(raw) % 2:
+        # the Go code would index out of range here (drop-two on a 1-element
+        # tail); degrade gracefully by dropping the unpairable remainder
+        raw = raw[:-1]
+    flat = [x.rstrip("\n") for x in raw]
     return list(zip(flat[0::2], flat[1::2]))
 
 

@@ -104,7 +104,7 @@ keys AS (
          WHEN LEAST(NULLIF(strpos(url0, '#'), 0), NULLIF(strpos(url0, '?'), 0)) > 1
          THEN substr(url0, 1, LEAST(NULLIF(strpos(url0, '#'), 0), NULLIF(strpos(url0, '?'), 0)) - 1)
          ELSE url0 END AS url1,
-    CAST(ascii(substr(crawler, 1, 1)) % 10 AS INTEGER) AS r_id
+    CAST(ascii(lower(substr(crawler, 1, 1))) % 10 AS INTEGER) AS r_id
   FROM normed
 ),
 dom_counts AS (SELECT r_id, dom, COUNT(*) AS cnt FROM keys GROUP BY 1, 2),

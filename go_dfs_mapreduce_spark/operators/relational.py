@@ -414,7 +414,9 @@ def set_except_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     big = part.where(F.col("p_size") > 25).select("p_brand")
     brass = part.where(F.col("p_type").like("%BRASS%")).select("p_brand")
-    return big.exceptAll(brass.distinct()).distinct()
+    # DataFrame.subtract IS set-difference (EXCEPT DISTINCT); exceptAll +
+    # distinct would let a left row with multiplicity >= 2 survive.
+    return big.distinct().subtract(brass.distinct())
 
 
 UNION_ORACLE = """

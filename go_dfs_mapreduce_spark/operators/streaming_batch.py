@@ -62,7 +62,7 @@ def stream_sliding_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_ORACLE = f"""
 WITH marked AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
     CASE WHEN CAST(ts AS TIMESTAMP)
               - lag(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1900-01-01')
                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -72,7 +72,7 @@ WITH marked AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       AS session_id
   FROM marked

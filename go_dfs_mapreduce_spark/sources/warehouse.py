@@ -79,8 +79,24 @@ class Warehouse:
             raise FileExistsError(f"file {name!r} already stored")
         target = self._table_dir(name)
         if _is_text(local_path):
-            df = self.spark.read.text(local_path)
+            # Persist a per-file line_number so retrieve can ORDER BY it:
+            # parquet scans do not preserve row order across part files.
+            # monotonically_increasing_id is (partitionIndex << 33) | row,
+            # and text splits are assigned in byte-offset order, so sorting
+            # by it restores the original line order (the reference keeps
+            # byte order via chunk indexes, cl/dfs_actions.go retrieve).
+            df = self.spark.read.text(local_path).select(
+                F.monotonically_increasing_id().alias("line_number"),
+                "value",
+            )
             ftype = "TXT"
+            with open(local_path, "rb") as fh:
+                fh.seek(0, os.SEEK_END)
+                if fh.tell() > 0:
+                    fh.seek(-1, os.SEEK_END)
+                    trailing_nl = fh.read(1) == b"\n"
+                else:
+                    trailing_nl = False
         else:
             df = (
                 self.spark.read.format("binaryFile")
@@ -88,9 +104,13 @@ class Warehouse:
                 .select("path", "content")
             )
             ftype = "BIN"
+            trailing_nl = False
         df.write.parquet(target)
         with open(os.path.join(target, "_FTYPE"), "w") as fh:
             fh.write(ftype)
+        if ftype == "TXT" and not trailing_nl:
+            with open(os.path.join(target, "_NO_TRAILING_NL"), "w") as fh:
+                fh.write("1")
         return name
 
     def store_df(self, df: DataFrame, name: str) -> str:
@@ -117,16 +137,34 @@ class Warehouse:
         ftype = self._ftype(name)
         df = self.read(name)
         if ftype == "TXT":
+            trailing_nl = not os.path.exists(
+                os.path.join(self._table_dir(name), "_NO_TRAILING_NL")
+            )
+            # ORDER BY the persisted line_number — parquet scans pack splits
+            # by size, so multi-part tables need an explicit ordering key.
+            ordered = (
+                df.orderBy("line_number") if "line_number" in df.columns else df
+            )
             with open(out_path, "x", encoding="utf-8") as fh:
-                # text tables are small-per-line; stream via toLocalIterator
-                # to avoid materializing the file on the driver
-                for row in df.select("value").toLocalIterator():
+                # stream via toLocalIterator to avoid materializing the
+                # whole file on the driver
+                first = True
+                for row in ordered.select("value").toLocalIterator():
+                    if not first:
+                        fh.write("\n")
                     fh.write(row.value)
+                    first = False
+                if trailing_nl and not first:
                     fh.write("\n")
         elif ftype == "BIN":
-            rows = df.select("content").collect()
             with open(out_path, "xb") as fh:
-                for r in rows:
+                # deterministic order + streaming: no full-result collect
+                it = (
+                    df.orderBy("path").select("content")
+                    if "path" in df.columns
+                    else df.select("content")
+                ).toLocalIterator()
+                for r in it:
                     fh.write(bytes(r.content))
         else:
             raise ValueError(f"{name!r} is a TABLE; use read() not retrieve()")

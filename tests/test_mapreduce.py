@@ -73,7 +73,13 @@ def test_log_analyzer_differential(spark):
 
 
 def test_odd_length_flat_output_repaired():
-    assert _normalize_pairs(["k1", "v1", "k2"]) == [("k1", "v1")]
+    # sn/mr_actions.go:218-224: unpaired tail key gets "\n" as its value
+    # (empty after newline stripping) ...
+    assert _normalize_pairs(["k1", "v1", "k2"]) == [("k1", "v1"), ("k2", "")]
+    # ... and a "\n" tail drops the last two elements (leaving an odd
+    # remainder, where Go would panic; we drop the unpairable tail instead)
+    assert _normalize_pairs(["k1", "v1", "\n"]) == []
+    assert _normalize_pairs(["k1", "v1", "k2", "v2", "\n"]) == [("k1", "v1")]
     assert _normalize_pairs([]) == []
     assert _normalize_pairs([("a", "b")]) == [("a", "b")]
     assert _normalize_pairs(["a\n", "1\n"]) == [("a", "1")]
