@@ -16,9 +16,11 @@ Spark's hash()/xxhash64 have no DuckDB twin):
 - dedup_simhash        : 60-bit simhash over distinct tokens (bit votes via
                          a range(60) cross join), top-15-bit band blocking,
                          hamming<=8 pairs
-- embedding_nn_cosine  : per-vector nearest neighbor within its label block
-                         by cosine; dot products summed in exact DECIMAL so
-                         both engines produce bit-identical cosines
+- embedding_nn_cosine  : per-vector nearest neighbor within its IVF cell
+                         (deterministic sub-blocks of the label, bounding
+                         the pair join) by cosine; dot products summed in
+                         exact DECIMAL so both engines produce
+                         bit-identical cosines
 
 Scale notes: every operator is explode -> join -> aggregate, which is how
 these algorithms are deployed at 100 TB (pair generation never leaves the
@@ -140,7 +142,7 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
 
 @query("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir).cache()
+    sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -190,17 +192,18 @@ cand AS (
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+inter AS (  -- candidate-restricted: only LSH candidate pairs are verified
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
-SELECT c.doc_a, c.doc_b,
+SELECT i.doc_a, i.doc_b,
        ROUND(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) AS jaccard
-FROM cand c
-JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-JOIN sizes sa ON c.doc_a = sa.doc_id
-JOIN sizes sb ON c.doc_b = sb.doc_id
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
 """
 
 
@@ -209,8 +212,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate generation + exact verification, entirely in
     JVM expressions (md5/conv/groupBy — no Python in the hot path). At
     scale the band join touches only same-signature buckets, so work is
-    proportional to collisions, not to n^2."""
-    sh = _shingles(spark, sf_dir).cache()
+    proportional to collisions, not to n^2 — and the verify stage below is
+    *candidate-restricted*: intersections are computed by joining the LSH
+    candidate pairs to each side's shingle set, never by an unrestricted
+    shingle self-join (which would rebuild the all-pairs matrix LSH exists
+    to avoid)."""
+    sh = _shingles(spark, sf_dir)
     idx = spark.range(N_HASHES).toDF("i")
     hashed = (
         sh.crossJoin(F.broadcast(idx))
@@ -255,27 +262,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    inter = _candidate_intersections(cand, sh)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n") * 1.0 / (F.col("sa.sz") + F.col("sb.sz") - F.col("n"))
     return (
-        cand.join(inter, ["doc_a", "doc_b"])
-        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _candidate_intersections(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-intersection counts for CANDIDATE pairs only.
+
+    Joins (doc_a, doc_b) pairs to doc_a's shingles, then matches each
+    against doc_b's shingle set — work is |cand| x avg-shingles-per-doc,
+    never the all-pairs ``sh x sh`` self-join. This is the verify shape
+    that keeps LSH/blocking meaningful at 100 TB.
+    """
+    return (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -365,10 +378,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cosine so both engines agree bit-for-bit.
 # --------------------------------------------------------------------------
 
-EMB_NN_ORACLE = """
+N_NN_CELLS = 4  # IVF sub-cells per label block
+
+EMB_NN_ORACLE = f"""
 WITH x AS (
   SELECT vec_id, label, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS v
   FROM embeddings, range(1, 65) r(i)
+),
+seed_ids AS (
+  SELECT vec_id AS seed_id, label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM embeddings) WHERE rn <= {N_NN_CELLS}
+),
+seeds AS (
+  SELECT s.seed_id, s.label, x.i, x.v AS sv
+  FROM seed_ids s JOIN x ON x.vec_id = s.seed_id
+),
+d2 AS (
+  SELECT x.vec_id, s.seed_id,
+         SUM(CAST((x.v - s.sv) * (x.v - s.sv) AS DECIMAL(28,18))) AS d2
+  FROM x JOIN seeds s ON x.label = s.label AND x.i = s.i
+  GROUP BY 1, 2
+),
+cell AS (
+  SELECT vec_id, seed_id AS cell FROM (
+    SELECT vec_id, seed_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+    FROM d2) WHERE rn = 1
+),
+xc AS (
+  SELECT x.vec_id, x.i, x.v, c.cell FROM x JOIN cell c ON x.vec_id = c.vec_id
 ),
 norms AS (
   SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,18))) AS n2 FROM x GROUP BY vec_id
@@ -376,7 +416,7 @@ norms AS (
 dots AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,
          SUM(CAST(a.v * b.v AS DECIMAL(28,18))) AS dot
-  FROM x a JOIN x b ON a.i = b.i AND a.label = b.label AND a.vec_id <> b.vec_id
+  FROM xc a JOIN xc b ON a.i = b.i AND a.cell = b.cell AND a.vec_id <> b.vec_id
   GROUP BY 1, 2
 ),
 cos AS (
@@ -390,25 +430,78 @@ WHERE rn = 1
 """
 
 
-@query("embedding_nn_cosine", oracle=EMB_NN_ORACLE)
-def embedding_nn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked all-pairs cosine as posexplode -> equi-join on (label, dim)
-    -> decimal sum — the join-aggregate matrix-product formulation that
-    scales out (never materializes vectors on the driver)."""
+def _exploded_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    x = emb.select(
+    return emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("i", "vf")
     ).select("vec_id", "label", "i", F.col("vf").cast("double").alias("v"))
+
+
+def nn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame[vec_id, cell] — deterministic IVF-style sub-cell per
+    vector: seeds are the ``N_NN_CELLS`` smallest vec_ids per label, every
+    vector is assigned to its nearest seed by EXACT decimal squared
+    distance (ties to the smaller seed id), so both engines compute the
+    identical partition. At 100 TB the cell count scales with block size,
+    bounding the within-cell pair join that a raw per-label block leaves
+    quadratic."""
+    emb = table(spark, sf_dir, "embeddings")
+    x = _exploded_dims(spark, sf_dir)
+    wseed = Window.partitionBy("label").orderBy("vec_id")
+    seed_ids = (
+        emb.select("vec_id", "label")
+        .withColumn("rn", F.row_number().over(wseed))
+        .where(F.col("rn") <= N_NN_CELLS)
+        .select(F.col("vec_id").alias("seed_id"), F.col("label").alias("s_label"))
+    )
+    seeds = seed_ids.join(
+        x.select(F.col("vec_id").alias("seed_id"), "i", F.col("v").alias("sv")),
+        "seed_id",
+    )
+    d2 = (
+        x.join(
+            F.broadcast(seeds),
+            (F.col("label") == F.col("s_label")) & (x["i"] == seeds["i"]),
+        )
+        .groupBy("vec_id", "seed_id")
+        .agg(
+            F.sum(
+                ((F.col("v") - F.col("sv")) * (F.col("v") - F.col("sv"))).cast(
+                    "decimal(28,18)"
+                )
+            ).alias("d2")
+        )
+    )
+    wcell = Window.partitionBy("vec_id").orderBy("d2", "seed_id")
+    return (
+        d2.withColumn("rn", F.row_number().over(wcell))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cell"))
+    )
+
+
+@query("embedding_nn_cosine", oracle=EMB_NN_ORACLE)
+def embedding_nn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-blocked nearest neighbor: posexplode -> deterministic IVF cell
+    assignment (``nn_cells``) -> within-cell equi-join on (cell, dim) ->
+    decimal sum. The cell bound keeps the pair join linear in cell size —
+    a raw per-label block is quadratic and a million-vector label would be
+    a cartesian bomb. NN is searched within the vector's cell (IVF
+    semantics); the oracle computes the identical partition, so the result
+    is exact w.r.t. its declared semantics."""
+    x = _exploded_dims(spark, sf_dir)
+    cells = nn_cells(spark, sf_dir)
+    xc = x.join(cells, "vec_id").select("vec_id", "i", "v", "cell")
     norms = x.groupBy("vec_id").agg(
         F.sum((F.col("v") * F.col("v")).cast("decimal(28,18)")).alias("n2")
     )
-    a = x.alias("a")
-    b = x.alias("b")
+    a = xc.alias("a")
+    b = xc.alias("b")
     dots = (
         a.join(
             b,
             (F.col("a.i") == F.col("b.i"))
-            & (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .groupBy(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
@@ -465,24 +558,26 @@ cand AS (
   WHERE a.shingle IN (SELECT shingle FROM rare)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+inter AS (  -- candidate-restricted: only capped candidate pairs verified,
+            -- but intersections/sizes use the FULL shingle set (exact jaccard)
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
-SELECT c.doc_a, c.doc_b,
+SELECT i.doc_a, i.doc_b,
        ROUND(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) AS jaccard
-FROM cand c
-JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-JOIN sizes sa ON c.doc_a = sa.doc_id
-JOIN sizes sb ON c.doc_b = sb.doc_id
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE i.n * 1.0 / (sa.sz + sb.sz - i.n) >= {JACCARD_THRESHOLD}
 """
 
 
 @query("dedup_ngram_jaccard_capped", oracle=CAPPED_JACCARD_ORACLE)
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir).cache()
+    sh = _shingles(spark, sf_dir)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -504,25 +599,14 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    # verify ONLY the capped candidate set — sizes and intersections still
+    # come from the full shingle set, so the reported jaccard stays exact
+    inter = _candidate_intersections(cand, sh)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n") * 1.0 / (F.col("sa.sz") + F.col("sb.sz") - F.col("n"))
     return (
-        cand.join(inter, ["doc_a", "doc_b"])
-        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))

@@ -167,7 +167,7 @@ WHERE rn <= {TOP_K}
 
 @query("ann_ivf_topk", oracle=IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    x = _exploded(spark, sf_dir).cache()
+    x = _exploded(spark, sf_dir)
     norms = x.groupBy("vec_id").agg(
         F.sum((F.col("v") * F.col("v")).cast(DEC18)).alias("n2")
     )
@@ -238,13 +238,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_nn_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label nearest neighbor via one Arrow batch + numpy matmul per
+    """Per-cell nearest neighbor via one Arrow batch + numpy matmul per
     block — the throughput shape for the 100 TB path (measured ~10x faster
-    than the decimal-exact join formulation at sf0.1). Same blocking, same
-    tie rule (cosine desc, then neighbor id asc)."""
+    than the decimal-exact join formulation at sf0.1). Same IVF-cell
+    blocking as ``embedding_nn_cosine`` (``dedup.nn_cells``), same tie
+    rule (cosine desc, then neighbor id asc)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    from .dedup import nn_cells
 
     out_schema = T.StructType(
         [
@@ -255,6 +258,12 @@ def embedding_nn_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def per_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            # a singleton cell has no neighbor; the exact operator drops
+            # the row too (inner pair join)
+            return pd.DataFrame(
+                {"vec_id": [], "nn_vec_id": [], "cosine": []}
+            ).astype({"vec_id": "int64", "nn_vec_id": "int64", "cosine": "float64"})
         ids = pdf["vec_id"].to_numpy()
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
@@ -274,4 +283,10 @@ def embedding_nn_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     emb = table(spark, sf_dir, "embeddings")
-    return emb.groupBy("label").applyInPandas(per_label, out_schema)
+    cells = nn_cells(spark, sf_dir)
+    return (
+        emb.join(cells, "vec_id")
+        .select("vec_id", "embedding", "cell")
+        .groupBy("cell")
+        .applyInPandas(per_label, out_schema)
+    )

@@ -51,3 +51,42 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def _join_key_lists(df):
+    import re
+
+    from go_dfs_mapreduce_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(df)
+    keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan)
+    return plan, [[c.split("#")[0].strip() for c in k.split(",")] for k in keys]
+
+
+def test_minhash_verify_is_candidate_restricted(spark, sf_dir):
+    """VERDICT r1 #2: the exact-verify stage must never run an unrestricted
+    shingle self-join — every intersection is computed against the LSH
+    candidate pairs (composite (doc, shingle) keys)."""
+    from go_dfs_mapreduce_spark.operators.dedup import dedup_minhash_lsh
+
+    _, keys = _join_key_lists(dedup_minhash_lsh(spark, sf_dir))
+    assert ["shingle"] not in keys, keys
+    assert ["doc_b", "shingle"] in keys, keys
+
+
+def test_capped_jaccard_verify_honors_cap(spark, sf_dir):
+    """VERDICT r1 #3: pair generation may self-join only the frequency-
+    capped shingle set; the verify stage joins candidate pairs to shingle
+    sets (composite keys) instead of a second unrestricted self-join."""
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        MAX_DOC_FREQ,
+        dedup_ngram_jaccard_capped,
+    )
+
+    plan, keys = _join_key_lists(dedup_ngram_jaccard_capped(spark, sf_dir))
+    assert ["doc_b", "shingle"] in keys, keys
+    # the only shingle-only joins are candidate generation over the capped
+    # set: the hot-shingle cap filter must be present in the same plan
+    assert f"<= {MAX_DOC_FREQ}" in plan
+    n_shingle_only = sum(1 for k in keys if k == ["shingle"])
+    assert n_shingle_only <= 6, keys  # semi-join + pair join, both sides
