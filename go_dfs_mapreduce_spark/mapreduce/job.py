@@ -95,6 +95,25 @@ def read_text_with_line_numbers(spark: SparkSession, paths: list[str]) -> DataFr
     return out
 
 
+class PerKeyIntSumFormat:
+    """Declarative lowering spec a reduce plugin may attach to itself
+    (``f_reduce.lowering = PerKeyIntSumFormat(fmt)``) when its semantics
+    are exactly: per-key SUM of integer values (skipping values that fail
+    integer parsing, and keys whose values all fail), then one output line
+    per key in sorted key order, formatted ``fmt % (key, total)``.
+
+    MapReduceJob recognizes the spec and lowers the reduce to a native
+    ``groupBy(r_id, key).agg(sum)`` — Spark then does map-side partial
+    aggregation and the 26-way parity partition no longer caps
+    parallelism with a Python partition-wide sort (SURVEY.md §7.5 /
+    VERDICT r1 #6). Equality with the Arrow reduce path is proven by
+    tests/test_mapreduce.py::test_lowered_reduce_matches_arrow_path.
+    """
+
+    def __init__(self, fmt: str) -> None:
+        self.fmt = fmt
+
+
 def _normalize_pairs(emitted: list[Any]) -> list[tuple[str, str]]:
     """Accept either a flat [k, v, k, v, ...] list (the reference's wire
     shape, example_plugins/word_count/word_count.go:20-21) or a list of
@@ -137,6 +156,7 @@ class MapReduceJob:
         f_reduce: ReduceFn,
         r: int,
         parity_partitioner: bool = True,
+        lower: bool = True,
     ) -> None:
         if r < 1:
             raise ValueError("R must be >= 1")
@@ -149,6 +169,10 @@ class MapReduceJob:
         self.f_reduce = f_reduce
         self.r = r
         self.parity_partitioner = parity_partitioner
+        # lower=True: use a declared algebraic lowering of the reduce when
+        # the plugin advertises one (f_reduce.lowering); lower=False pins
+        # the Arrow partition-wide reduce (the differential test uses it)
+        self.lower = lower
 
     # -- F4: partition expression -----------------------------------------
     def _partition_col(self):
@@ -193,6 +217,10 @@ class MapReduceJob:
         kv = input_df.mapInPandas(map_phase, KV_SCHEMA)
         with_pid = kv.withColumn("r_id", self._partition_col())
 
+        spec = getattr(self.f_reduce, "lowering", None)
+        if self.lower and isinstance(spec, PerKeyIntSumFormat):
+            return self._lowered_per_key_sum(with_pid, spec)
+
         def reduce_phase(pdf: pd.DataFrame) -> pd.DataFrame:
             r_id = int(pdf["r_id"].iloc[0])
             # F5/F7: byte-wise pair-unit sort (KVBufSort semantics)
@@ -213,3 +241,25 @@ class MapReduceJob:
             )
 
         return with_pid.groupBy("r_id").applyInPandas(reduce_phase, OUT_SCHEMA)
+
+    def _lowered_per_key_sum(self, with_pid: DataFrame, spec: PerKeyIntSumFormat) -> DataFrame:
+        """Native lowering of a ``PerKeyIntSumFormat`` reduce: the per-key
+        integer sum becomes ``groupBy(r_id, key).agg(sum)`` (partial
+        aggregation before the shuffle — the combiner the Python
+        partition-wide reduce can never get), ``try_cast`` reproduces the
+        skip-on-atoi-error rule (null values are ignored by SUM; all-null
+        keys are dropped like keys that never enter the Python tally), and
+        ``seq`` is the sorted-key rank the Arrow reduce emits."""
+        from pyspark.sql.window import Window
+
+        agg = (
+            with_pid.groupBy("r_id", "key")
+            .agg(F.sum(F.expr("try_cast(value AS BIGINT)")).alias("total"))
+            .where(F.col("total").isNotNull())
+        )
+        w = Window.partitionBy("r_id").orderBy("key")
+        return agg.select(
+            "r_id",
+            (F.row_number().over(w) - 1).cast("int").alias("seq"),
+            F.format_string(spec.fmt, F.col("key"), F.col("total")).alias("line"),
+        )

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import re
 
+from .job import PerKeyIntSumFormat
+
 WORD_COUNT_R = 26  # word_count.go:10
 LOG_ANALYZER_R = 10  # log_analyzer.go:9
 
@@ -43,6 +45,12 @@ def word_count_reduce(keys: list[str], values: list[str], out: list) -> None:
         tally[k] = tally.get(k, 0) + iv
     for k in sorted(tally):  # Go map order is nondeterministic; sort for tests
         out.append("%-12s :: %4d" % (k, tally[k]))
+
+
+# word_count_reduce is exactly a per-key integer sum + printf — declare the
+# lowering so MapReduceJob can run it as native groupBy.agg (keys are
+# ASCII-only after _STRIP, so Python sorted() == Spark binary string order)
+word_count_reduce.lowering = PerKeyIntSumFormat("%-12s :: %4d")
 
 
 def log_analyzer_map(file_name: str, line_number: int, line_text: str, out: list) -> None:

@@ -150,3 +150,25 @@ def test_mr_wordcount_matches_idiomatic_pipeline(spark, sf_dir):
     parity.pop("", None)
     idiomatic = {r.word: r.cnt for r in wordcount(spark, sf_dir).collect()}
     assert parity == idiomatic
+
+
+def test_lowered_reduce_matches_arrow_path(spark, sf_dir):
+    """The PerKeyIntSumFormat lowering (native groupBy.agg) must produce
+    exactly the Arrow partition-wide reduce's rows on real data."""
+    from go_dfs_mapreduce_spark.operators.mr_parity import _documents_as_lines
+
+    lines = _documents_as_lines(spark, sf_dir)
+    fast = MapReduceJob(
+        "wc_lowered", plugins.word_count_map, plugins.word_count_reduce,
+        r=plugins.WORD_COUNT_R,
+    ).run(lines)
+    slow = MapReduceJob(
+        "wc_arrow", plugins.word_count_map, plugins.word_count_reduce,
+        r=plugins.WORD_COUNT_R, lower=False,
+    ).run(lines)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    # and the lowered plan really is native: no Python grouped-map stage
+    from go_dfs_mapreduce_spark.plans.audit import formatted_plan
+
+    assert "FlatMapGroupsInPandas" not in formatted_plan(fast)
+    assert "FlatMapGroupsInPandas" in formatted_plan(slow)
