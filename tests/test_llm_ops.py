@@ -121,3 +121,25 @@ def test_fast_nn_matches_exact_formulation(spark, sf_dir):
         fnn, fcos = fast[vid]
         assert fnn == nn, (vid, nn, fnn)
         assert abs(fcos - cos) < 1e-6
+
+
+def test_image_header_roundtrip_and_garbage():
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        make_image_bytes,
+        parse_image_header,
+    )
+
+    for fmt in ("png", "gif", "bmp", "jpeg"):
+        b = make_image_bytes(fmt, 317, 211)
+        assert parse_image_header(b) == {
+            "format": fmt, "width": 317, "height": 211,
+        }
+        # truncation must degrade to None, never raise
+        assert parse_image_header(b[:5]) is None or fmt == "gif"
+    assert parse_image_header(b"not an image") is None
+    assert parse_image_header(b"") is None
+    # JPEG marker scan: APP segments before SOF are skipped correctly
+    jpeg = make_image_bytes("jpeg", 40, 30)
+    assert parse_image_header(jpeg)["width"] == 40
+    # bad segment length aborts the scan instead of looping
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x01" + b"\x00" * 8) is None
