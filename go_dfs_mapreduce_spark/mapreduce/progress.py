@@ -25,6 +25,12 @@ def watch_progress(
     cn/mr_actions.go:341). Returns a stop function."""
     tracker = spark.sparkContext.statusTracker()
     stop = threading.Event()
+    # cumulative per-stage failure counts — the F14 surface: the reference
+    # keeps mf/rf failure lists in its Job_map and prints them in every
+    # update (cn/mr_actions.go:293-343); Spark's stage info is transient,
+    # so the watcher accumulates failures across polls and keeps reporting
+    # them after the stage leaves the active set
+    stage_failures: dict[int, int] = {}
 
     def loop() -> None:
         while not stop.is_set():
@@ -33,6 +39,10 @@ def watch_progress(
             for sid in active:
                 info = tracker.getStageInfo(sid)
                 if info:
+                    if info.numFailedTasks > 0:
+                        stage_failures[sid] = max(
+                            stage_failures.get(sid, 0), info.numFailedTasks
+                        )
                     report["stages"].append(
                         {
                             "stage": sid,
@@ -41,6 +51,11 @@ def watch_progress(
                             "failed": info.numFailedTasks,
                         }
                     )
+            report["failed_tasks"] = sum(stage_failures.values())
+            report["failures"] = [
+                f"stage {sid}: {n} failed task(s)"
+                for sid, n in sorted(stage_failures.items())
+            ]
             callback(report)
             stop.wait(interval_s)
 

@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
+from pyspark.sql import functions as F
 
 from go_dfs_mapreduce_spark.plans import audit_plan
 from go_dfs_mapreduce_spark.sources import Warehouse
@@ -129,3 +132,45 @@ def test_approx_count_distinct_tracks_exact(spark, sf_dir):
         F.approx_count_distinct("word").alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) <= max(1, 0.05 * row.exact)
+
+
+def test_store_retrieve_no_trailing_newline(wh, tmp_path):
+    src = tmp_path / "nonl.txt"
+    src.write_text("alpha\nbeta\ngamma")  # no trailing newline
+    wh.store(str(src))
+    out = tmp_path / "nonl_out.txt"
+    wh.retrieve("nonl.txt", str(out))
+    assert out.read_text() == "alpha\nbeta\ngamma"
+
+
+def test_retrieve_orders_lines_across_parts(wh, tmp_path, spark):
+    """Multi-part TXT tables must reassemble in original line order — the
+    persisted line_number is the ordering key (ADVICE r1: parquet scans
+    pack splits by size, not row order)."""
+    lines = [f"line {i:04d}" for i in range(500)]
+    src = tmp_path / "big.txt"
+    src.write_text("\n".join(lines) + "\n")
+    wh.store(str(src))
+    # rewrite the stored table as many shuffled parts to simulate a
+    # multi-chunk file whose scan order differs from write order
+    import shutil
+
+    d = wh._table_dir("big.txt")
+    df = spark.read.parquet(d).orderBy(F.desc("line_number")).repartition(7)
+    tmp_out = str(tmp_path / "rewrite")
+    df.write.parquet(tmp_out)
+    for f in list(os.listdir(d)):
+        if f.endswith(".parquet") or f.startswith("part-"):
+            os.remove(os.path.join(d, f))
+    for f in os.listdir(tmp_out):
+        if f.startswith("part-"):
+            shutil.copy(os.path.join(tmp_out, f), os.path.join(d, f))
+    out = tmp_path / "big_out.txt"
+    wh.retrieve("big.txt", str(out))
+    assert out.read_text() == "\n".join(lines) + "\n"
+
+
+def test_info_reports_executors(wh):
+    report = wh.info()
+    assert isinstance(report, list) and report
+    assert all("executor" in e for e in report)
