@@ -40,7 +40,9 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        # local[N, 2]: allow one task retry like a real cluster (bare
+        # local[N] pins maxFailures=1 and ignores spark.task.maxFailures)
+        SparkSession.builder.master(f"local[{cpus},2]")
         .appName(app_name)
         # --- determinism ---
         .config("spark.sql.session.timeZone", "UTC")
@@ -66,6 +68,11 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
         )
         .config("spark.ui.enabled", "false")
+        # cluster semantics for task failure: retries are the F14 story —
+        # the reference *reports* failed mappers/reducers and degrades;
+        # Spark re-runs the task and the progress watcher reports it
+        # (actual retry count comes from the local[N,2] master above)
+        .config("spark.task.maxFailures", "2")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # the driver's events.parquet stores TIMESTAMP(NANOS) which Spark
         # rejects by default; read as long and convert in tables.table()

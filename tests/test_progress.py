@@ -27,32 +27,33 @@ def test_watch_progress_reports_induced_failure(spark):
     """F14 parity: the watcher must surface failed-task counts the way the
     reference's update stream carries mf/rf failure lists
     (cn/mr_actions.go:293-343)."""
-    import pytest
-
     from go_dfs_mapreduce_spark.mapreduce.progress import watch_progress
 
     def boom(it):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        time.sleep(0.4)
-        if pid == 0:
+        tc = TaskContext.get()
+        if tc.partitionId() == 0 and tc.attemptNumber() == 0:
             raise ValueError("induced task failure")
-        time.sleep(1.0)
+        time.sleep(0.6)
         return iter([sum(1 for _ in it)])
 
     reports = []
     stop = watch_progress(spark, reports.append, interval_s=0.02)
     try:
-        with pytest.raises(Exception, match="induced task failure"):
-            spark.sparkContext.parallelize(range(1000), 8).mapPartitions(
-                boom
-            ).collect()
-        time.sleep(0.2)
+        # task 0 fails on its first attempt and succeeds on retry
+        # (spark.task.maxFailures=2, session.py) — the stage stays alive
+        # through the retry, so the watcher deterministically observes the
+        # failure, and the job still completes (the degraded-but-reported
+        # behavior F14 is about)
+        result = spark.sparkContext.parallelize(range(1000), 8).mapPartitions(
+            boom
+        ).collect()
+        time.sleep(0.1)
     finally:
         stop()
+    assert len(result) == 8  # job succeeded despite the failure
     assert reports
-    # the cumulative counter must have caught the failure and must persist
-    # in reports polled after the stage aborted
+    # the cumulative counter caught the failure and persists in later polls
     assert max(r["failed_tasks"] for r in reports) >= 1
     assert any(r["failures"] for r in reports)
