@@ -37,6 +37,7 @@ _OPERATOR_MODULES = (
     "go_dfs_mapreduce_spark.operators.mr_parity",
     "go_dfs_mapreduce_spark.operators.udfs",
     "go_dfs_mapreduce_spark.operators.reshape",
+    "go_dfs_mapreduce_spark.operators.tpch_more",
     "go_dfs_mapreduce_spark.operators.wordcount",
     "go_dfs_mapreduce_spark.operators.log_analysis",
     "go_dfs_mapreduce_spark.operators.relational",
