@@ -1,0 +1,192 @@
+"""Further LLM-training-pipeline operators (north-star surface).
+
+- embedding_quantize_int8 : symmetric int8 quantization of the embedding
+  column + per-vector reconstruction-error stats. Everything is portable
+  IEEE arithmetic: fixed scale 127 (values are bounded in (-1, 1)),
+  half-up rounding spelled as FLOOR(x * 127 + 0.5) (floor of a double is
+  engine-independent, unlike round-of-double), dequantization as q / 127.0
+  (one IEEE division), and the error mean via exact integer pico-units
+  (double->DECIMAL casts of tiny values are NOT cross-engine portable).
+- bigram_topk             : order-preserving 2-gram counts over the
+  normalized token stream (language-model statistics — NOT the distinct
+  shingle set dedup uses), global top-k with deterministic ties.
+- events_hier_rollup      : hypertable-style continuous-aggregate shape —
+  aggregate ONCE at the fine granularity, derive the coarse level by
+  re-aggregating the fine partials (exact decimal partials, rounded only
+  at emit), so the daily rows are provably identical to a direct daily
+  aggregate while the fact table is scanned a single time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import table
+
+# --------------------------------------------------------------------------
+# int8 quantization
+# --------------------------------------------------------------------------
+
+QUANT_ORACLE = """
+WITH x AS (
+  SELECT vec_id, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) r(i)
+),
+q AS (
+  SELECT vec_id, i, v,
+         CAST(FLOOR(v * 127 + 0.5) AS INTEGER) AS qv
+  FROM x
+),
+e AS (
+  -- the mean goes through integer PICO-units (floor(x*1e12+0.5)): casting
+  -- a tiny double to DECIMAL is NOT portable (Spark rounds the shortest
+  -- repr, DuckDB the exact binary expansion — they split at digit 18),
+  -- but double multiply + floor + integer sum is bit-identical everywhere
+  SELECT vec_id, qv, abs(v - qv / 127.0) AS err,
+         CAST(FLOOR(abs(v - qv / 127.0) * 1000000000000 + 0.5) AS BIGINT) AS err_pico
+  FROM q
+)
+SELECT vec_id,
+       CAST(SUM(qv) AS BIGINT) AS q_sum,
+       MAX(err) AS max_abs_err,
+       CAST(SUM(err_pico) AS DOUBLE) / 64 / 1000000000000.0 AS mean_abs_err
+FROM e GROUP BY vec_id
+"""
+
+
+@query("embedding_quantize_int8", oracle=QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize-then-audit: the at-scale preprocessing step that shrinks an
+    embedding corpus 4x before ANN indexing. The emitted per-vector error
+    stats are the quality gate a real pipeline alerts on."""
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select("vec_id", F.posexplode("embedding").alias("i", "vf")).select(
+        "vec_id", F.col("vf").cast("double").alias("v")
+    )
+    qv = F.floor(F.col("v") * 127 + 0.5).cast("int")
+    err = F.abs(F.col("v") - qv.cast("double") / 127.0)
+    e = x.select(
+        "vec_id",
+        qv.alias("qv"),
+        err.alias("err"),
+        F.floor(err * 1000000000000 + 0.5).cast("long").alias("err_pico"),
+    )
+    return e.groupBy("vec_id").agg(
+        F.sum("qv").cast("long").alias("q_sum"),
+        F.max("err").alias("max_abs_err"),
+        (F.sum("err_pico").cast("double") / 64 / 1000000000000.0).alias(
+            "mean_abs_err"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# bigram language-model counts
+# --------------------------------------------------------------------------
+
+BIGRAM_K = 20
+
+BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+),
+bg AS (
+  SELECT t[i] || ' ' || t[i+1] AS bigram
+  FROM toks, unnest(range(1, greatest(len(t), 1))) r(i)
+),
+counts AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram)
+SELECT bigram, cnt, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT bigram, cnt, row_number() OVER (ORDER BY cnt DESC, bigram) AS rn
+  FROM counts)
+WHERE rn <= {BIGRAM_K}
+"""
+
+
+@query("bigram_topk", oracle=BIGRAM_ORACLE)
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving bigram counts (LM statistics). Unlike the dedup
+    shingle builder this keeps duplicates — frequency is the signal. The
+    global top-k is a single-partition window over the already-aggregated
+    count table (tiny), never over raw bigrams."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr("split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')").alias("t")
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2),"
+                " i -> concat(t[i], ' ', t[i+1])) ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= BIGRAM_K)
+        .select("bigram", "cnt", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# hypertable-style hierarchical rollup
+# --------------------------------------------------------------------------
+
+HIER_ROLLUP_ORACLE = """
+SELECT 'hour' AS granularity,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day',
+       date_trunc('day', CAST(ts AS TIMESTAMP)),
+       event_type, COUNT(*),
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+FROM events GROUP BY 2, 3
+"""
+
+
+@query("events_hier_rollup", oracle=HIER_ROLLUP_ORACLE)
+def events_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate shape: ONE scan builds the hourly partials
+    (counts + unrounded decimal sums); the daily level re-aggregates those
+    partials instead of rescanning the fact table. Because the partials
+    stay exact decimals until emit, the derived daily rows are bit-equal
+    to a direct daily aggregate (the oracle computes it directly — the
+    hash match IS the proof)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("w_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("_sum"),
+    )
+    hour_out = hourly.select(
+        F.lit("hour").alias("granularity"),
+        "w_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("_sum"), 2).cast("double").alias("total_value"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("w_start")).alias("w_start"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("_sum").alias("_sum"),
+    )
+    day_out = daily.select(
+        F.lit("day").alias("granularity"),
+        "w_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("_sum"), 2).cast("double").alias("total_value"),
+    )
+    return hour_out.unionByName(day_out)
