@@ -190,3 +190,53 @@ def events_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_sum"), 2).cast("double").alias("total_value"),
     )
     return hour_out.unionByName(day_out)
+
+
+# --------------------------------------------------------------------------
+# clean-corpus selection: the whole pipeline as ONE declarative plan
+# --------------------------------------------------------------------------
+
+from .dedup import DEDUP_EXACT_ORACLE, dedup_exact  # noqa: E402
+from .textstats import (  # noqa: E402
+    LANG_ID_ORACLE,
+    QUALITY_ORACLE,
+    lang_id_heuristic,
+    text_quality_scores,
+)
+
+QUALITY_MIN = 0.6
+
+CLEAN_CORPUS_ORACLE = f"""
+WITH q AS ({QUALITY_ORACLE}),
+l AS ({LANG_ID_ORACLE}),
+d AS ({DEDUP_EXACT_ORACLE})
+SELECT q.doc_id, q.n_tokens, q.quality_score, l.predicted_lang
+FROM q
+JOIN l ON q.doc_id = l.doc_id
+WHERE q.quality_score >= {QUALITY_MIN}
+  AND l.predicted_lang = 'en'
+  AND q.doc_id IN (SELECT canonical_doc FROM d)
+"""
+
+
+@query("clean_corpus_selection", oracle=CLEAN_CORPUS_ORACLE)
+def clean_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation end-to-end IN ONE PLAN: exact-dedup
+    survivors ∩ quality gate ∩ language filter. Composing the operator
+    builders keeps everything a single Catalyst plan — one scan of
+    documents feeds all three branches, filters collapse, and the dedup
+    survivor check is a semi-join, so at 100 TB this runs as one job
+    instead of three materialized passes."""
+    quality = text_quality_scores(spark, sf_dir)
+    lang = lang_id_heuristic(spark, sf_dir).where(
+        F.col("predicted_lang") == "en"
+    ).select("doc_id", "predicted_lang")
+    survivors = dedup_exact(spark, sf_dir).select(
+        F.col("canonical_doc").alias("doc_id")
+    )
+    return (
+        quality.where(F.col("quality_score") >= QUALITY_MIN)
+        .join(lang, "doc_id")
+        .join(survivors, "doc_id", "left_semi")
+        .select("doc_id", "n_tokens", "quality_score", "predicted_lang")
+    )
