@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import query
-from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
+from ..streaming.windows import (
+    session_agg,
+    sliding_agg,
+    throttle_dedup,
+    tumbling_agg,
+)
 from ..tables import table
 
 _DSUM_VAL = (
@@ -91,3 +96,19 @@ GROUP BY user_id, session_id
 @query("stream_session_windows", oracle=SESSION_ORACLE)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(table(spark, sf_dir, "events"), "30 minutes")
+
+
+THROTTLE_ORACLE = """
+SELECT DISTINCT user_id, event_type,
+       date_trunc('minute', CAST(ts AS TIMESTAMP)) AS w_minute
+FROM events
+"""
+
+
+@query("stream_throttle_dedup", oracle=THROTTLE_ORACLE)
+def stream_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dropDuplicatesWithinWatermark throttle
+    (streaming/windows.py::throttle_dedup) — emitting only key columns
+    makes the result survivor-independent, so DISTINCT is the exact
+    oracle; tests/test_streaming.py proves the streaming mechanics."""
+    return throttle_dedup(table(spark, sf_dir, "events"))

@@ -7,6 +7,7 @@ from .windows import (
     run_available_now,
     session_agg,
     sliding_agg,
+    throttle_dedup,
     tumbling_agg,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "run_available_now",
     "session_agg",
     "sliding_agg",
+    "throttle_dedup",
     "tumbling_agg",
 ]

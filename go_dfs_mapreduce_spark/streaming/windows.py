@@ -104,6 +104,24 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def throttle_dedup(events: DataFrame) -> DataFrame:
+    """Event throttling: at most one record per (user_id, event_type,
+    minute). Streaming uses ``dropDuplicatesWithinWatermark`` — state is
+    evicted once the watermark passes the minute bucket, so memory is
+    bounded by the watermark horizon regardless of stream length (the
+    at-scale requirement). Because only the KEY columns are emitted, the
+    result is survivor-independent: batch ``dropDuplicates`` (arbitrary
+    survivor) and streaming first-arrival produce identical rows, which is
+    what makes the batch twin oracle-able as a plain DISTINCT."""
+    keyed = events.withColumn("w_minute", F.date_trunc("minute", F.col("ts")))
+    keys = ["user_id", "event_type", "w_minute"]
+    if keyed.isStreaming:
+        deduped = keyed.dropDuplicatesWithinWatermark(keys)
+    else:
+        deduped = keyed.dropDuplicates(keys)
+    return deduped.select(*keys)
+
+
 def run_available_now(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -174,3 +174,26 @@ def test_info_reports_executors(wh):
     report = wh.info()
     assert isinstance(report, list) and report
     assert all("executor" in e for e in report)
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    from go_dfs_mapreduce_spark.operators.tpch_more import q6_forecast_revenue
+
+    a = audit_plan(q6_forecast_revenue(spark, sf_dir))
+    pushed = " ".join(a["pushed_filters"])
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, pushed
+    # column pruning: the scan reads only what the query touches
+    assert set(a["read_columns"]) == {
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate",
+    }, a["read_columns"]
+    assert not a["has_python_worker"]
+
+
+def test_q7_dims_broadcast_no_sortmerge(spark, sf_dir):
+    from go_dfs_mapreduce_spark.operators.tpch_more import q7_volume_shipping
+
+    a = audit_plan(q7_volume_shipping(spark, sf_dir))
+    assert a["n_broadcast_joins"] >= 4, a["n_broadcast_joins"]
+    assert a["n_sortmerge_joins"] == 0
+    assert not a["has_python_worker"]

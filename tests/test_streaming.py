@@ -167,3 +167,12 @@ def test_stateful_user_profiles_converge_to_batch_truth(spark, sf_dir, tmp_path)
     )
     want = {r.user_id: (r.n, r.tv, r.lt) for r in want_rows}
     assert got == want
+
+
+def test_streaming_throttle_dedup_matches_batch(spark, sf_dir, events_stream_dir):
+    from go_dfs_mapreduce_spark.streaming import throttle_dedup
+
+    stream = read_events_stream(spark, events_stream_dir, watermark="10 minutes")
+    got = run_available_now(throttle_dedup(stream), "t_throttle", "append")
+    want = throttle_dedup(table(spark, sf_dir, "events"))
+    assert _rows(got) == _rows(want)
