@@ -378,7 +378,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cosine so both engines agree bit-for-bit.
 # --------------------------------------------------------------------------
 
-N_NN_CELLS = 4  # IVF sub-cells per label block
+N_NN_CELLS = 8  # IVF sub-cells per label block
 
 EMB_NN_ORACLE = f"""
 WITH x AS (
@@ -437,6 +437,34 @@ def _exploded_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "i", F.col("vf").cast("double").alias("v"))
 
 
+# Exact-decimal inner products over ARRAY columns: zip_with multiplies in
+# double (exact for float inputs), casts each term to DECIMAL(28,18), and
+# aggregate() adds them sequentially in DECIMAL(38,18) — exact, so the
+# result equals the oracle's explode+SUM formulation REGARDLESS of
+# summation order. This keeps the whole NN pipeline free of per-dimension
+# explodes and their groupBy shuffles (measured 3-4x on the sf0.1 block).
+# Accumulator is DECIMAL(30,18) with an explicit re-cast in the merge
+# lambda: Spark's decimal ADD widens precision ((30,18)+(28,18) -> (31,18))
+# and the re-cast keeps the acc type stable WITHOUT losing scale — at
+# precision 38 the add would trim to scale 17 and break exactness. The
+# 12 integer digits are ample for any realistic dimension count.
+def _dec_dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (p, q) -> "
+        "CAST(CAST(p AS DOUBLE) * CAST(q AS DOUBLE) AS DECIMAL(28,18))), "
+        "CAST(0 AS DECIMAL(30,18)), (acc, e) -> CAST(acc + e AS DECIMAL(30,18)))"
+    )
+
+
+def _dec_sqdist_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (p, q) -> "
+        "CAST((CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) * "
+        "(CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) AS DECIMAL(28,18))), "
+        "CAST(0 AS DECIMAL(30,18)), (acc, e) -> CAST(acc + e AS DECIMAL(30,18)))"
+    )
+
+
 def nn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame[vec_id, cell] — deterministic IVF-style sub-cell per
     vector: seeds are the ``N_NN_CELLS`` smallest vec_ids per label, every
@@ -444,86 +472,98 @@ def nn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance (ties to the smaller seed id), so both engines compute the
     identical partition. At 100 TB the cell count scales with block size,
     bounding the within-cell pair join that a raw per-label block leaves
-    quadratic."""
+    quadratic. Distances are array expressions (``_dec_sqdist_expr``) —
+    one broadcast join row per (vector, seed), no per-dimension explode."""
     emb = table(spark, sf_dir, "embeddings")
-    x = _exploded_dims(spark, sf_dir)
     wseed = Window.partitionBy("label").orderBy("vec_id")
-    seed_ids = (
-        emb.select("vec_id", "label")
+    seeds = (
+        emb.select("vec_id", "label", "embedding")
         .withColumn("rn", F.row_number().over(wseed))
         .where(F.col("rn") <= N_NN_CELLS)
-        .select(F.col("vec_id").alias("seed_id"), F.col("label").alias("s_label"))
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("label").alias("s_label"),
+            F.col("embedding").alias("seed_emb"),
+        )
     )
-    seeds = seed_ids.join(
-        x.select(F.col("vec_id").alias("seed_id"), "i", F.col("v").alias("sv")),
+    d2 = emb.join(
+        F.broadcast(seeds), emb["label"] == seeds["s_label"]
+    ).select(
+        "vec_id",
         "seed_id",
+        F.expr(_dec_sqdist_expr("embedding", "seed_emb")).alias("d2"),
     )
-    d2 = (
-        x.join(
-            F.broadcast(seeds),
-            (F.col("label") == F.col("s_label")) & (x["i"] == seeds["i"]),
-        )
-        .groupBy("vec_id", "seed_id")
-        .agg(
-            F.sum(
-                ((F.col("v") - F.col("sv")) * (F.col("v") - F.col("sv"))).cast(
-                    "decimal(28,18)"
-                )
-            ).alias("d2")
-        )
-    )
-    wcell = Window.partitionBy("vec_id").orderBy("d2", "seed_id")
-    return (
-        d2.withColumn("rn", F.row_number().over(wcell))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cell"))
+    # argmin via min_by over the UNIQUE (d2, seed_id) struct — partial
+    # aggregation before the shuffle, where a row_number window would
+    # shuffle every (vector, seed) row into per-vector partitions first.
+    # Uniqueness of the ordering struct makes the result deterministic and
+    # identical to the oracle's row_number-over-(d2, seed_id) formulation.
+    return d2.groupBy("vec_id").agg(
+        F.expr("min_by(seed_id, struct(d2, seed_id))").alias("cell")
     )
 
 
 @query("embedding_nn_cosine", oracle=EMB_NN_ORACLE)
 def embedding_nn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell-blocked nearest neighbor: posexplode -> deterministic IVF cell
-    assignment (``nn_cells``) -> within-cell equi-join on (cell, dim) ->
-    decimal sum. The cell bound keeps the pair join linear in cell size —
-    a raw per-label block is quadratic and a million-vector label would be
-    a cartesian bomb. NN is searched within the vector's cell (IVF
-    semantics); the oracle computes the identical partition, so the result
-    is exact w.r.t. its declared semantics."""
-    x = _exploded_dims(spark, sf_dir)
+    """Cell-blocked nearest neighbor: deterministic IVF cell assignment
+    (``nn_cells``) -> within-cell pair join on the cell key -> exact
+    decimal dot product as an ARRAY expression per pair (no per-dimension
+    explode, no aggregation shuffle). The cell bound keeps the pair join
+    linear in cell size — a raw per-label block is quadratic and a
+    million-vector label would be a cartesian bomb. NN is searched within
+    the vector's cell (IVF semantics); the oracle computes the identical
+    partition, so the result is exact w.r.t. its declared semantics."""
+    emb = table(spark, sf_dir, "embeddings")
     cells = nn_cells(spark, sf_dir)
-    xc = x.join(cells, "vec_id").select("vec_id", "i", "v", "cell")
-    norms = x.groupBy("vec_id").agg(
-        F.sum((F.col("v") * F.col("v")).cast("decimal(28,18)")).alias("n2")
+    ec = emb.join(cells, "vec_id").select(
+        "vec_id",
+        "cell",
+        "embedding",
+        F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
     )
-    a = xc.alias("a")
-    b = xc.alias("b")
-    dots = (
+    a = ec.alias("a")
+    b = ec.alias("b")
+    # cosine is symmetric: evaluate the (exact-decimal) dot lambda once per
+    # unordered pair, then mirror — halves the dominant per-pair cost
+    half = (
         a.join(
             b,
-            (F.col("a.i") == F.col("b.i"))
-            & (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .groupBy(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
-        .agg(F.sum((F.col("a.v") * F.col("b.v")).cast("decimal(28,18)")).alias("dot"))
-    )
-    na = norms.alias("na")
-    nb = norms.alias("nb")
-    cos = (
-        dots.join(na, F.col("va") == F.col("na.vec_id"))
-        .join(nb, F.col("vb") == F.col("nb.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.expr(_dec_dot_expr("a.embedding", "b.embedding")).alias("dot"),
+            F.col("a.n2").alias("na"),
+            F.col("b.n2").alias("nb"),
+        )
         .select(
             "va",
             "vb",
             (
                 F.col("dot").cast("double")
                 / (
-                    F.sqrt(F.col("na.n2").cast("double"))
-                    * F.sqrt(F.col("nb.n2").cast("double"))
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
                 )
             ).alias("c"),
         )
     )
+    # explode (not union-with-self) so the pair subtree is evaluated ONCE:
+    # each unordered pair emits its two directed rows from one computation
+    cos = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("va").alias("va"), F.col("vb").alias("vb"), F.col("c")
+                ),
+                F.struct(
+                    F.col("vb").alias("va"), F.col("va").alias("vb"), F.col("c")
+                ),
+            )
+        ).alias("p")
+    ).select("p.va", "p.vb", "p.c")
     w = Window.partitionBy("va").orderBy(F.desc("c"), F.asc("vb"))
     return (
         cos.withColumn("rn", F.row_number().over(w))
