@@ -240,3 +240,70 @@ def clean_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(survivors, "doc_id", "left_semi")
         .select("doc_id", "n_tokens", "quality_score", "predicted_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic corpus sampling (hash-threshold, not TABLESAMPLE)
+# --------------------------------------------------------------------------
+
+SAMPLE_PCT = 10  # keep ~10% of docs
+
+SAMPLE_ORACLE = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      % 100 < {SAMPLE_PCT}
+"""
+
+
+@query("corpus_sample_hash", oracle=SAMPLE_ORACLE)
+def corpus_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample by md5-hash threshold on the key.
+    Unlike TABLESAMPLE/df.sample (partition-order dependent, irreproducible
+    across engines and runs), a hash threshold is a pure filter: it pushes
+    into the scan, needs no shuffle or state, samples consistently across
+    reruns AND across tables keyed by the same id — exactly what a
+    training-data pipeline needs for holdout splits at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    return docs.where(bucket < SAMPLE_PCT).select("doc_id", "source", "lang")
+
+
+STRAT_PER_GROUP = 20  # keep the 20 hash-smallest docs per language
+
+STRAT_ORACLE = f"""
+SELECT doc_id, lang, CAST(rn AS INTEGER) AS rank_in_lang
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT,
+                    doc_id) AS rn
+  FROM documents)
+WHERE rn <= {STRAT_PER_GROUP}
+"""
+
+
+@query("corpus_sample_stratified", oracle=STRAT_ORACLE)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-size sample: exactly N docs per language, chosen by
+    hash order (deterministic, uniform within stratum). The window runs on
+    the already-tiny (doc_id, lang, hash) projection; per-stratum top-N by
+    hash is the scalable equivalent of per-group shuffling."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= STRAT_PER_GROUP)
+        .select("doc_id", "lang", F.col("rn").cast("int").alias("rank_in_lang"))
+    )
