@@ -343,3 +343,35 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("c_acctbal"), "totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q2-style argmin-per-group: cheapest part per brand, resolved with a
+# join-back against the grouped minimum (the classic correlated-subquery
+# rewrite that runs as two hash aggregates + one broadcast join).
+# --------------------------------------------------------------------------
+
+Q2_ORACLE = """
+SELECT p.p_brand, MIN(p.p_partkey) AS cheapest_partkey, p.p_retailprice AS min_price
+FROM part p
+JOIN (SELECT p_brand, MIN(p_retailprice) AS mn FROM part GROUP BY p_brand) m
+  ON p.p_brand = m.p_brand AND p.p_retailprice = m.mn
+GROUP BY p.p_brand, p.p_retailprice
+"""
+
+
+@query("q2_cheapest_part", oracle=Q2_ORACLE)
+def q2_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    mins = part.groupBy(F.col("p_brand").alias("m_brand")).agg(
+        F.min("p_retailprice").alias("mn")
+    )
+    return (
+        part.join(
+            F.broadcast(mins),
+            (part.p_brand == F.col("m_brand")) & (part.p_retailprice == F.col("mn")),
+        )
+        .groupBy("p_brand", F.col("p_retailprice").alias("min_price"))
+        .agg(F.min("p_partkey").alias("cheapest_partkey"))
+        .select("p_brand", "cheapest_partkey", "min_price")
+    )

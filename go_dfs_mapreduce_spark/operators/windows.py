@@ -225,3 +225,38 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_10m_value"),
     )
+
+
+RANK_FUNCS_ORACLE = """
+SELECT
+  c_custkey,
+  c_mktsegment,
+  CAST(rank()         OVER w AS BIGINT)  AS bal_rank,
+  CAST(dense_rank()   OVER w AS BIGINT)  AS bal_dense_rank,
+  ROUND(percent_rank() OVER w, 6)        AS bal_percent_rank,
+  ROUND(cume_dist()    OVER w, 6)        AS bal_cume_dist,
+  first_value(c_custkey) OVER w          AS richest_in_segment
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@query("window_rank_functions", oracle=RANK_FUNCS_ORACLE)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one window: rank/dense_rank/
+    percent_rank/cume_dist/first_value. percent_rank and cume_dist are
+    IEEE divisions of identical integer counts on both engines, so the
+    rounded doubles hash-match."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_percent_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.first("c_custkey").over(w).alias("richest_in_segment"),
+    )
