@@ -37,3 +37,31 @@ def salted_count(
         .agg(F.sum("_partial").alias(count_alias))
         .withColumnRenamed("_key", key if isinstance(key, str) else "key")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Inner equi-join with hot-key salting: the big (skewed) side gets a
+    random-ish salt per row; the small side is replicated ``n_salts``
+    times so every (key, salt) bucket finds its match. Splits one hot
+    key's rows across ``n_salts`` tasks — the manual fallback for joins
+    where AQE's size-based skew split can't engage (e.g. the skew is in a
+    *derived* key AQE can't see, or the join sits upstream of the
+    materialization AQE rebalances). Result set is EXACTLY the plain
+    join's (salt columns never escape), which is what makes it
+    oracle-checkable."""
+    salt = F.pmod(
+        F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)
+    )
+    big_s = big.withColumn("_salt", salt)
+    small_r = small.join(
+        F.broadcast(
+            big.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    joined = big_s.join(small_r, [key, "_salt"])
+    return joined.drop("_salt")

@@ -375,3 +375,84 @@ def q2_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("p_partkey").alias("cheapest_partkey"))
         .select("p_brand", "cheapest_partkey", "min_price")
     )
+
+
+# --------------------------------------------------------------------------
+# date spine: calendar join that keeps empty days (generator + outer join).
+# --------------------------------------------------------------------------
+
+DATE_SPINE_ORACLE = """
+WITH spine AS (
+  SELECT CAST(d.d AS TIMESTAMP) AS day
+  FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                      TIMESTAMP '1995-03-31',
+                                      INTERVAL 1 DAY)) AS d) d
+),
+daily AS (
+  SELECT date_trunc('day', CAST(o_orderdate AS TIMESTAMP)) AS day,
+         COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+  GROUP BY 1
+)
+SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+
+@query("date_spine_order_counts", oracle=DATE_SPINE_ORACLE)
+def date_spine_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar (date-spine) pattern: a generated day dimension LEFT-joined
+    to per-day fact aggregates so zero-activity days appear explicitly.
+    The spine is sequence()+explode — rows are generated, never read; the
+    fact side aggregates BEFORE the join so the outer join touches one row
+    per day, not per order."""
+    orders = table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp'1995-01-01', timestamp'1995-03-31',"
+                " interval 1 day)"
+            )
+        ).alias("day")
+    )
+    daily = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders")
+    )
+
+
+# --------------------------------------------------------------------------
+# salted join: skew-mitigated equi-join whose RESULT equals the plain join
+# (the salt never escapes), so the plain join is its exact oracle.
+# --------------------------------------------------------------------------
+
+SALTED_JOIN_ORACLE = """
+SELECT l_orderkey, o_orderpriority, l_extendedprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@query("salted_join_urgent_lineitems", oracle=SALTED_JOIN_ORACLE)
+def salted_join_urgent_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    urgent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    return salted_join(li, urgent, "o_orderkey", n_salts=8).select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderpriority",
+        "l_extendedprice",
+    )
