@@ -197,3 +197,36 @@ def test_q7_dims_broadcast_no_sortmerge(spark, sf_dir):
     assert a["n_broadcast_joins"] >= 4, a["n_broadcast_joins"]
     assert a["n_sortmerge_joins"] == 0
     assert not a["has_python_worker"]
+
+
+def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
+    """Repo-wide invariant: no registered query may contain a
+    row-at-a-time Python UDF (BatchEvalPython), and Arrow-batched Python
+    stages may appear only in the declared Python-path queries (MR parity
+    layer, multimodal decoders, pandas UDF/UDAF showcases). Everything
+    else must stay entirely JVM-side."""
+    from go_dfs_mapreduce_spark import registry
+    from go_dfs_mapreduce_spark.plans.audit import formatted_plan
+
+    declared_python = {
+        "mr_wordcount",  # Arrow map phase (lowered reduce is native)
+        "mr_log_analyzer",
+        "multimodal_fake_features",
+        "multimodal_image_dims",
+        "udf_price_tier",
+        "udaf_customer_stats",
+    }
+    qs, _ = registry.collect()
+    offenders, python_leaks = [], []
+    for name, fn in qs.items():
+        plan = formatted_plan(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+        has_arrow_python = any(
+            tok in plan
+            for tok in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+        )
+        if has_arrow_python and name not in declared_python:
+            python_leaks.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+    assert not python_leaks, f"undeclared Python stages in: {python_leaks}"
