@@ -804,3 +804,34 @@ def subquery_correlated_above_own_avg(spark: SparkSession, sf_dir: str) -> DataF
         .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
         .select("o_orderkey", "o_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Map-type scalar functions: JSON -> MAP column and the map function
+# family (size/keys/element_at/contains) — closes the §2.4 "map scalars"
+# row. props is parsed ONCE into a map and every derived column reads it.
+# --------------------------------------------------------------------------
+
+MAP_FUNC_ORACLE = """
+SELECT event_id,
+  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+  list_sort(json_keys(props)) AS key_list,
+  CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+  CAST(json_extract(props, '$.k') IS NOT NULL AS BOOLEAN) AS has_k,
+  CAST(json_extract(props, '$.missing') AS INTEGER) AS missing_val
+FROM events
+"""
+
+
+@query("map_function_showcase", oracle=MAP_FUNC_ORACLE)
+def map_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_sort(F.map_keys(m)).alias("key_list"),
+        F.element_at(m, "k").alias("k_val"),
+        F.map_contains_key(m, "k").alias("has_k"),
+        F.element_at(m, "missing").alias("missing_val"),
+    )
