@@ -38,6 +38,7 @@ _OPERATOR_MODULES = (
     "go_dfs_mapreduce_spark.operators.udfs",
     "go_dfs_mapreduce_spark.operators.reshape",
     "go_dfs_mapreduce_spark.operators.tpch_more",
+    "go_dfs_mapreduce_spark.operators.tpch_complete",
     "go_dfs_mapreduce_spark.operators.llm_extras",
     "go_dfs_mapreduce_spark.operators.wordcount",
     "go_dfs_mapreduce_spark.operators.log_analysis",
