@@ -1,0 +1,258 @@
+"""Training-corpus preparation operators (north-star LLM-pipeline surface).
+
+Four operators a large-scale training-data pipeline runs between raw text
+and the tokenizer, all pure codegen expressions with DuckDB oracles:
+
+- decontaminate_vs_benchmark : test-set decontamination — flag training
+  docs sharing any 5-gram with a held-out benchmark slice. The real-world
+  operation behind "n-gram overlap decontamination" in LLM data reports;
+  same explode->semi-join shape as dedup, but asymmetric (corpus vs small
+  eval set), so the benchmark side broadcasts.
+- doc_chunking               : fixed-width token windows with stride
+  (window=32, stride=16) — the packing step that turns documents into
+  training sequences. Chunk math is integer-exact on both engines.
+- distinctive_terms          : per-doc top-3 terms by a log-free tf-df
+  score (tf * N / df — ONE IEEE division of exact integers, so rankings
+  are bit-identical cross-engine; ln()-based idf is NOT portable).
+- corpus_vocab_stats         : per-source token/vocab/doc-length profile —
+  the corpus-balance dashboard numbers.
+
+Scale notes: every operator is explode -> aggregate/join with partial
+aggregation before any shuffle; the benchmark set in decontamination and
+the doc-count scalar in distinctive_terms broadcast. Nothing touches
+Python. Chunking multiplies rows by ~n/stride — at 100 TB that is the
+INTENDED output volume (it feeds the trainer), not a blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import table
+from .dedup import _NORM_DUCK, _NORM_SPARK
+
+# --------------------------------------------------------------------------
+# Test-set decontamination: 5-gram overlap against a benchmark slice.
+# --------------------------------------------------------------------------
+
+DECON_N = 5  # n-gram width
+BENCH_MAX_DOC = 25  # doc_id < 25 is the held-out "benchmark" slice
+
+DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, g.s FROM toks,
+    unnest(list_transform(range(1, greatest(len(t) - {DECON_N - 2}, 1)),
+           i -> array_to_string(t[i:i+{DECON_N - 1}], ' '))) g(s)
+  WHERE len(t) >= {DECON_N}
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < {BENCH_MAX_DOC}),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY doc_id)
+SELECT sh.doc_id, COUNT(*) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / t.n_grams AS hit_ratio
+FROM sh JOIN bench ON sh.s = bench.s
+JOIN tot t ON sh.doc_id = t.doc_id
+WHERE sh.doc_id >= {BENCH_MAX_DOC}
+GROUP BY sh.doc_id, t.n_grams
+"""
+
+
+def _ngrams(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """DataFrame[doc_id, s] — distinct n-gram token shingles."""
+    docs = table(spark, sf_dir, "documents")
+    concat = ", ' ', ".join(f"t[i+{j}]" for j in range(n))
+    return (
+        docs.select("doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(t) >= {n} THEN "
+                    f"transform(sequence(0, size(t) - {n}), "
+                    f"i -> concat({concat})) ELSE array() END"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+
+
+@query("decontaminate_vs_benchmark", oracle=DECON_ORACLE)
+def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs contaminated by benchmark 5-grams. The benchmark
+    shingle set is small by construction (it is the eval set), so it
+    BROADCASTS to every executor — candidate detection costs one scan of
+    the corpus shingles, no shuffle of the corpus side."""
+    sh = _ngrams(spark, sf_dir, DECON_N)
+    bench = sh.where(F.col("doc_id") < BENCH_MAX_DOC).select("s").distinct()
+    train = sh.where(F.col("doc_id") >= BENCH_MAX_DOC)
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.join(tot, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_grams")).alias("hit_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document chunking: fixed token windows with stride (training sequences).
+# --------------------------------------------------------------------------
+
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 16
+
+CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS t FROM documents
+)
+SELECT doc_id, CAST(r.i AS INTEGER) AS chunk_idx,
+       CAST(least({CHUNK_WINDOW}, len(t) - r.i * {CHUNK_STRIDE}) AS INTEGER) AS n_tokens,
+       array_to_string(t[r.i * {CHUNK_STRIDE} + 1 :
+                         least(r.i * {CHUNK_STRIDE} + {CHUNK_WINDOW}, len(t))],
+                       ' ') AS chunk_text
+FROM toks, unnest(range((len(t) + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE})) r(i)
+"""
+
+
+@query("doc_chunking", oracle=CHUNK_ORACLE)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents -> overlapping fixed-width token windows. One generated
+    struct per chunk via transform+explode — row count multiplies by
+    ~n_tokens/stride, which is the operator's purpose (these rows feed the
+    trainer); no shuffle at all, the whole op is map-side."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("t")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"""inline(transform(
+  sequence(0, CAST((size(t) + {CHUNK_STRIDE} - 1) DIV {CHUNK_STRIDE} AS INT) - 1),
+  i -> struct(
+    CAST(i AS INT) AS chunk_idx,
+    CAST(least({CHUNK_WINDOW}, size(t) - i * {CHUNK_STRIDE}) AS INT) AS n_tokens,
+    array_join(slice(t, i * {CHUNK_STRIDE} + 1, {CHUNK_WINDOW}), ' ') AS chunk_text)))"""
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinctive terms: per-doc top-3 by log-free tf-df score.
+# --------------------------------------------------------------------------
+
+DISTINCTIVE_K = 3
+
+DISTINCTIVE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, t.tk AS token FROM (
+    SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS toks FROM documents) d,
+    unnest(toks) t(tk)
+  WHERE t.tk <> ''
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, token, tf, score, CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rnk
+      FROM scored)
+WHERE rnk <= {DISTINCTIVE_K}
+"""
+
+
+@query("distinctive_terms", oracle=DISTINCTIVE_ORACLE)
+def distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-k distinctive terms. Score is tf * N / df — ONE IEEE
+    division of exact integers, deterministic on both engines, where a
+    ln()-based idf would diverge in the last bit (Java Math.log vs libm).
+    df comes from re-aggregating the tf table (already one row per
+    doc-term), and the one-row doc count broadcasts."""
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token")
+        )
+        .where(F.col("token") != "")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= DISTINCTIVE_K)
+        .select("doc_id", "token", "tf", "score", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary profile per source.
+# --------------------------------------------------------------------------
+
+VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, t.tk AS token FROM (
+    SELECT doc_id, source, string_split({_NORM_DUCK}, ' ') AS toks
+    FROM documents) d,
+    unnest(toks) t(tk)
+  WHERE t.tk <> ''
+)
+SELECT source,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS total_tokens,
+       COUNT(DISTINCT token) AS vocab_size,
+       CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avg_doc_tokens
+FROM tok
+GROUP BY source
+"""
+
+
+@query("corpus_vocab_stats", oracle=VOCAB_ORACLE)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus balance profile. Two distinct-counts and a plain
+    count in one aggregate — Spark expands to one partial-aggregated
+    multi-distinct plan; the mean is one IEEE division of exact counts."""
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    return tok.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.count_distinct("token").alias("vocab_size"),
+        (F.count(F.lit(1)).cast("double") / F.count_distinct("doc_id")).alias(
+            "avg_doc_tokens"
+        ),
+    )
