@@ -214,6 +214,15 @@ class MapReduceJob:
                         vals.append(v)
                 yield pd.DataFrame({"key": keys, "value": vals})
 
+        # Mapper fan-out (F10 analog): a small single-file input arrives as
+        # ONE partition, which would run the whole Python map phase on one
+        # core — the reference instead spreads chunks over M mapper nodes
+        # (cn/mr_actions.go:216-240). Round-robin repartition to the
+        # session's parallelism; at real scale the scan already has >=
+        # defaultParallelism splits and this is a no-op.
+        par = input_df.sparkSession.sparkContext.defaultParallelism
+        if input_df.rdd.getNumPartitions() < par:
+            input_df = input_df.repartition(par)
         kv = input_df.mapInPandas(map_phase, KV_SCHEMA)
         with_pid = kv.withColumn("r_id", self._partition_col())
 
