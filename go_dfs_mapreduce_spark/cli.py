@@ -1,0 +1,177 @@
+"""Client CLI — the reference's interactive client as a one-shot command.
+
+Mirrors the verb set of /root/reference/client/client.go:96-107 (store,
+retrieve, delete, ls [-v], info, activity, mr) on the Warehouse + MR
+layers, and adds `query` — the reference's MR plugins are its only query
+surface, while this engine exposes the whole registered analytics registry
+by name.
+
+    python -m go_dfs_mapreduce_spark store /tmp/corpus.txt
+    python -m go_dfs_mapreduce_spark ls -v
+    python -m go_dfs_mapreduce_spark mr word_count corpus.txt -o /tmp/out
+    python -m go_dfs_mapreduce_spark query q1_pricing_summary \
+        --sf-dir /root/testdata/sf0.01
+
+The MR verb writes one result file per reducer (r0..r{R-1}) exactly like
+the reference client (cl/mr_actions.go:200-245): rows stream through
+``toLocalIterator`` ordered by (r_id, seq) — never a full collect.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _get_spark(app: str) -> SparkSession:
+    from .session import get_spark
+
+    return get_spark(app)
+
+
+# plugin registry for the `mr` verb — name -> (f_map, f_reduce, R), the
+# analog of the reference's job_plugins/{name}/{name}.go lookup
+# (cl/mr_actions.go:37-48)
+def _mr_plugins():
+    from .mapreduce.plugins import (
+        LOG_ANALYZER_R,
+        WORD_COUNT_R,
+        log_analyzer_map,
+        log_analyzer_reduce,
+        word_count_map,
+        word_count_reduce,
+    )
+
+    return {
+        "word_count": (word_count_map, word_count_reduce, WORD_COUNT_R),
+        "log_analyzer": (log_analyzer_map, log_analyzer_reduce, LOG_ANALYZER_R),
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="go_dfs_mapreduce_spark")
+    ap.add_argument(
+        "--warehouse",
+        default=os.environ.get("SPARK_GRAFT_WAREHOUSE", "./warehouse"),
+        help="warehouse root directory (env SPARK_GRAFT_WAREHOUSE)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("store", help="ingest a local file (TXT/BIN sniffed)")
+    p.add_argument("path")
+    p.add_argument("name", nargs="?")
+
+    p = sub.add_parser("retrieve", help="reassemble a stored file locally")
+    p.add_argument("name")
+    p.add_argument("out")
+
+    p = sub.add_parser("delete", help="remove a stored file")
+    p.add_argument("name")
+
+    p = sub.add_parser("ls", help="list stored files")
+    p.add_argument("-v", "--verbose", action="store_true")
+
+    sub.add_parser("info", help="per-executor report")
+    sub.add_parser("activity", help="cluster-level report")
+
+    p = sub.add_parser("mr", help="run a MapReduce plugin over stored TXT files")
+    p.add_argument("job", choices=sorted(_mr_plugins()))
+    p.add_argument("files", nargs="*", help="stored names (default: all TXT)")
+    p.add_argument("-o", "--out-dir", required=True)
+
+    p = sub.add_parser("query", help="run a registered analytics query")
+    p.add_argument("name")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("-n", "--limit", type=int, default=20)
+
+    args = ap.parse_args(argv)
+
+    from .sources.warehouse import Warehouse
+
+    spark = _get_spark(f"cli-{args.cmd}")
+    wh = Warehouse(spark, args.warehouse)
+
+    if args.cmd == "store":
+        print(wh.store(args.path, args.name))
+    elif args.cmd == "retrieve":
+        print(wh.retrieve(args.name, args.out))
+    elif args.cmd == "delete":
+        wh.delete(args.name)
+        print(f"deleted {args.name}")
+    elif args.cmd == "ls":
+        for entry in wh.ls(verbose=args.verbose):
+            print(json.dumps(entry))
+    elif args.cmd == "info":
+        for entry in wh.info():
+            print(json.dumps(entry))
+    elif args.cmd == "activity":
+        print(json.dumps(wh.activity()))
+    elif args.cmd == "mr":
+        rc = _run_mr(spark, wh, args)
+        if rc:
+            return rc
+    elif args.cmd == "query":
+        from . import registry
+
+        qs, _ = registry.collect()
+        if args.name not in qs:
+            print(f"unknown query {args.name!r}; {len(qs)} available", file=sys.stderr)
+            return 2
+        df = qs[args.name](spark, args.sf_dir)
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+def _run_mr(spark: SparkSession, wh, args) -> int:
+    """The `mr {job} [files...]` verb: stored TXT tables -> (file,
+    line_number, line) -> MapReduceJob -> one local file per reducer,
+    mirroring the reference's TXT-only input filter (cn/mr_actions.go:
+    221-230) and per-reducer result files (cl/mr_actions.go:200-245)."""
+    from .mapreduce import MapReduceJob
+
+    f_map, f_reduce, r = _mr_plugins()[args.job]
+    stored = {e["name"]: e["type"] for e in wh.ls()}
+    names = args.files or [n for n, t in sorted(stored.items()) if t == "TXT"]
+    for n in names:
+        if n not in stored:
+            print(f"file {n!r} not stored", file=sys.stderr)
+            return 2
+        if stored[n] != "TXT":
+            print(f"file {n!r} is {stored[n]}, not TXT", file=sys.stderr)
+            return 2
+    if not names:
+        print("no TXT files stored", file=sys.stderr)
+        return 2
+    inputs = None
+    for n in names:
+        df = wh.read(n).select(
+            F.lit(n).alias("file"),
+            F.col("line_number").cast("long").alias("line_number"),
+            F.col("value").alias("line"),
+        )
+        inputs = df if inputs is None else inputs.unionByName(df)
+    job = MapReduceJob(f"cli-{args.job}", f_map, f_reduce, r=r)
+    result = job.run(inputs).orderBy("r_id", "seq")
+    os.makedirs(args.out_dir, exist_ok=True)
+    handles: dict[int, object] = {}
+    try:
+        for row in result.toLocalIterator():
+            fh = handles.get(row.r_id)
+            if fh is None:
+                fh = open(os.path.join(args.out_dir, f"r{row.r_id}"), "w")
+                handles[row.r_id] = fh
+            fh.write(row.line + "\n")
+    finally:
+        for fh in handles.values():
+            fh.close()
+    print(f"wrote {len(handles)} reducer file(s) to {args.out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

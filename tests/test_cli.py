@@ -1,0 +1,74 @@
+"""CLI round-trip: the reference client's verb set end-to-end
+(client/client.go:96-107), driven through cli.main with a temp warehouse."""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+
+import pytest
+
+from go_dfs_mapreduce_spark import cli
+
+
+@pytest.fixture()
+def wh_root(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _run(capsys, *argv) -> tuple[int, str]:
+    rc = cli.main(list(argv))
+    return rc, capsys.readouterr().out
+
+
+def test_cli_store_ls_mr_retrieve_delete(spark, tmp_path, wh_root, capsys):
+    src = tmp_path / "corpus.txt"
+    src.write_text("Hello, world!\nhello WORLD\nspark spark spark\n")
+
+    rc, out = _run(capsys, "--warehouse", wh_root, "store", str(src))
+    assert rc == 0 and out.strip() == "corpus.txt"
+
+    rc, out = _run(capsys, "--warehouse", wh_root, "ls", "-v")
+    assert rc == 0
+    (entry,) = [json.loads(line) for line in out.splitlines()]
+    assert entry["name"] == "corpus.txt" and entry["type"] == "TXT"
+    assert entry["n_parts"] >= 1
+
+    out_dir = tmp_path / "results"
+    rc, out = _run(
+        capsys, "--warehouse", wh_root, "mr", "word_count", "-o", str(out_dir)
+    )
+    assert rc == 0
+    # reducer files hold '%-12s :: %4d' lines; verify global counts against
+    # a naive Python count (reference-semantics: lowercase, strip non-alnum)
+    counts: Counter[str] = Counter()
+    for f in out_dir.iterdir():
+        for line in f.read_text().splitlines():
+            word, _, n = line.rpartition(" :: ")
+            counts[word.strip()] += int(n)
+    assert counts["hello"] == 2 and counts["world"] == 2 and counts["spark"] == 3
+
+    back = tmp_path / "back.txt"
+    rc, out = _run(capsys, "--warehouse", wh_root, "retrieve", "corpus.txt", str(back))
+    assert rc == 0
+    assert back.read_text() == src.read_text()
+
+    rc, out = _run(capsys, "--warehouse", wh_root, "delete", "corpus.txt")
+    assert rc == 0
+    rc, out = _run(capsys, "--warehouse", wh_root, "ls")
+    assert rc == 0 and out.strip() == ""
+
+
+def test_cli_query_and_diagnostics(spark, wh_root, capsys, sf_dir):
+    rc, out = _run(
+        capsys, "--warehouse", wh_root, "query", "q1_pricing_summary",
+        "--sf-dir", sf_dir,
+    )
+    assert rc == 0 and "l_returnflag" in out
+
+    rc, _ = _run(capsys, "--warehouse", wh_root, "query", "no_such_query")
+    assert rc == 2
+
+    rc, out = _run(capsys, "--warehouse", wh_root, "activity")
+    assert rc == 0
+    assert json.loads(out)["stored_files"] == 0
