@@ -341,23 +341,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    bits = spark.range(SIMHASH_BITS).toDF("b")
-    votes = (
-        th.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "b")
-        .agg(
+    # all 60 bit votes as COLUMNS of one aggregate (same columnization as
+    # the minhash rewrite): the exchange carries one 60-long row per doc
+    # instead of 60 exploded (doc, bit) rows per token, and map-side
+    # partial aggregation collapses each partition's tokens before the
+    # shuffle — the crossJoin-with-range formulation materialized
+    # 60x|tokens| rows first. sf0.1: ~7.7 s -> ~1.6 s warm.
+    votes = th.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-            ).alias("v")
-        )
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    sim = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(
-                F.lit(0)
-            )
-        ).alias("sh60")
+    sh60_expr = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) << {b}"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
     )
+    sim = votes.select("doc_id", F.expr(sh60_expr).alias("sh60"))
     a = sim.alias("a")
     b = sim.alias("b")
     hamming = F.expr(
