@@ -113,15 +113,89 @@ class Warehouse:
                 fh.write("1")
         return name
 
-    def store_df(self, df: DataFrame, name: str) -> str:
+    def store_df(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> str:
         """Store any DataFrame as a named parquet table (the idiomatic
-        path — the reference can only store raw files)."""
+        path — the reference can only store raw files). ``partition_by``
+        hive-partitions the table — the 100 TB sink layout: partition
+        pruning turns predicate scans into directory listings."""
         if self._exists(name):
             raise FileExistsError(f"file {name!r} already stored")
-        df.write.parquet(self._table_dir(name))
+        w = df.write
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._table_dir(name))
         with open(os.path.join(self._table_dir(name), "_FTYPE"), "w") as fh:
             fh.write("TABLE")
         return name
+
+    def overwrite_partitions(self, df: DataFrame, name: str) -> str:
+        """Dynamic partition overwrite: replace ONLY the hive partitions
+        present in ``df``, leaving every other partition untouched — the
+        incremental-reload pattern (a full-table overwrite at 100 TB
+        rewrites everything; this rewrites one day/source). Uses Spark's
+        ``partitionOverwriteMode=dynamic`` so the set of replaced
+        partitions is discovered from the data, not declared."""
+        if not self._exists(name):
+            raise FileNotFoundError(f"file {name!r} not stored")
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            parts = self._partition_cols(name)
+            w = df.write.mode("overwrite")
+            if parts:
+                w = w.partitionBy(*parts)
+            w.parquet(self._table_dir(name))
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return name
+
+    def compact(self, name: str, target_files: int = 1) -> int:
+        """Small-file compaction: rewrite a stored table into
+        ``target_files`` files per partition directory (coalesce — no
+        shuffle). The at-scale hygiene op for streaming/incremental sinks
+        whose many small files degrade scan planning. Returns the number
+        of data files after compaction."""
+        if not self._exists(name):
+            raise FileNotFoundError(f"file {name!r} not stored")
+        d = self._table_dir(name)
+        ftype = self._ftype(name)
+        parts = self._partition_cols(name)
+        df = self.spark.read.parquet(d)
+        tmp = d + ".compact_tmp"
+        w = df.coalesce(target_files).write
+        if parts:
+            # preserve the hive layout: target_files per partition dir
+            w = w.partitionBy(*parts)
+        w.parquet(tmp)
+        shutil.rmtree(d)
+        os.rename(tmp, d)
+        with open(os.path.join(d, "_FTYPE"), "w") as fh:
+            fh.write(ftype)
+        return sum(
+            1
+            for root, _, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    def _partition_cols(self, name: str) -> list[str]:
+        """Hive partition columns inferred from the on-disk layout: each
+        nested dir level named ``col=value`` under the table root."""
+        parts: list[str] = []
+        d = self._table_dir(name)
+        while True:
+            subdirs = [
+                s
+                for s in os.listdir(d)
+                if os.path.isdir(os.path.join(d, s)) and "=" in s
+            ]
+            if not subdirs:
+                return parts
+            parts.append(subdirs[0].split("=", 1)[0])
+            d = os.path.join(d, subdirs[0])
 
     # -- retrieve ----------------------------------------------------------
     def read(self, name: str) -> DataFrame:

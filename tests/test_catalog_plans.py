@@ -230,3 +230,66 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
             python_leaks.append(name)
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
     assert not python_leaks, f"undeclared Python stages in: {python_leaks}"
+
+
+# -- partitioned sinks / incremental reload / compaction --------------------
+
+
+def test_partitioned_store_prunes_and_overwrites(wh, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "event_type"
+    )
+    wh.store_df(events, "events_part", partition_by=["event_type"])
+    types = [r.event_type for r in events.select("event_type").distinct().collect()]
+    t0 = sorted(types)[0]
+
+    # partition pruning: a filter on the partition column must reduce the
+    # files read to that partition's directory
+    read = wh.read("events_part")
+    pruned = read.where(F.col("event_type") == t0)
+    touched = [
+        r[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert touched and all(f"event_type={t0}" in f for f in touched)
+
+    # dynamic partition overwrite: replace ONLY partition t0
+    replacement = events.where(F.col("event_type") == t0).withColumn(
+        "user_id", F.lit(-1).cast("long")
+    )
+    wh.overwrite_partitions(replacement, "events_part")
+    after = wh.read("events_part")
+    assert after.where(F.col("event_type") == t0).where(
+        F.col("user_id") != -1
+    ).count() == 0
+    untouched = after.where(F.col("event_type") != t0)
+    expect = events.where(F.col("event_type") != t0)
+    assert untouched.count() == expect.count() > 0
+    assert untouched.where(F.col("user_id") == -1).count() == 0
+
+
+def test_compact_preserves_rows_and_layout(wh, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type"
+    )
+    # fragment: 8 files per partition dir
+    wh.store_df(events.repartition(8), "frag", partition_by=["event_type"])
+    before_files = sum(
+        1
+        for root, _, files in os.walk(wh._table_dir("frag"))
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_parts = events.select("event_type").distinct().count()
+    assert before_files > n_parts
+
+    n_after = wh.compact("frag", target_files=1)
+    assert n_after == n_parts  # one file per partition dir
+    assert wh._partition_cols("frag") == ["event_type"]  # layout preserved
+    got = wh.read("frag")
+    assert got.count() == events.count()
+    assert [r.event_type for r in got.select("event_type").distinct().collect()] != []
