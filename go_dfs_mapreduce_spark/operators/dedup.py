@@ -289,12 +289,20 @@ def _candidate_intersections(cand: DataFrame, sh: DataFrame) -> DataFrame:
     never the all-pairs ``sh x sh`` self-join. This is the verify shape
     that keeps LSH/blocking meaningful at 100 TB.
     """
+    # join-strategy control: hint MERGE (sort-merge). Three alternatives,
+    # all observed failing on a near-dup-heavy corpus where the candidate
+    # set is NOT small: (a) statistics-driven planning broadcast the FULL
+    # shingle table (fits the 64 MB *estimate*; inverts the LSH asymmetry,
+    # impossible at corpus scale); (b) force-broadcasting the candidate
+    # side OOMs the driver; (c) shuffle-hash OOMs the per-task hash build.
+    # Sort-merge spills, and AQE still converts to broadcast at runtime
+    # whenever the candidate side truly is tiny — the best of both.
+    j1 = sh.withColumnRenamed("doc_id", "doc_a").join(
+        cand.hint("merge"), "doc_a"
+    )
     return (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
+        sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        .join(j1.hint("merge"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -600,13 +608,13 @@ MAX_DOC_FREQ = 50
 
 CAPPED_JACCARD_ORACLE = f"""
 WITH sh AS ({SHINGLES_DUCK}),
-rare AS (
-  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_DOC_FREQ}
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {MAX_DOC_FREQ}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  WHERE a.shingle IN (SELECT shingle FROM rare)
+  WHERE a.shingle NOT IN (SELECT shingle FROM hot)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (  -- candidate-restricted: only capped candidate pairs verified,
@@ -629,14 +637,22 @@ WHERE i.n * 1.0 / (sa.sz + sb.sz - i.n) >= {JACCARD_THRESHOLD}
 @query("dedup_ngram_jaccard_capped", oracle=CAPPED_JACCARD_ORACLE)
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a WINDOW count partitioned by shingle: the
+    # window's exchange hashes by shingle — exactly the partitioning the
+    # pair self-join needs — so Catalyst reuses ONE shuffle for df
+    # computation and both join sides (no separate hot-set aggregate, no
+    # broadcast, no driver-size assumption on the vocabulary). The filter
+    # drops the Zipf head (df > MAX_DOC_FREQ) before pair generation.
+    wdf = Window.partitionBy("shingle")
+    sh_rare = (
+        sh.withColumn("df", F.count(F.lit(1)).over(wdf))
         .where(F.col("df") <= MAX_DOC_FREQ)
-        .select("shingle")
+        .drop("df")
     )
-    sh_rare = sh.join(F.broadcast(rare), "shingle", "left_semi")
-    ra = sh_rare.alias("ra")
+    # hint the pair self-join to sort-merge: both sides are the SAME
+    # windowed subtree, so SMJ reuses one exchange; the statistics-driven
+    # alternative broadcasts the whole (large) shingle side
+    ra = sh_rare.alias("ra").hint("merge")
     rb = sh_rare.alias("rb")
     cand = (
         ra.join(
