@@ -309,6 +309,117 @@ def _candidate_intersections(cand: DataFrame, sh: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dedup clustering: connected components over the verified near-dup pair
+# graph — the step that turns pairwise matches into canonical groups.
+# --------------------------------------------------------------------------
+
+CLUSTER_MIN_JACCARD = JACCARD_THRESHOLD
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+sh AS ({SHINGLES_DUCK}),
+hashed AS (
+  SELECT doc_id, r.i AS i,
+    MIN(CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || shingle), 1, 8))::UBIGINT AS BIGINT)) AS mh
+  FROM sh, range({N_HASHES}) r(i)
+  GROUP BY doc_id, r.i
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+  FROM hashed GROUP BY doc_id, i // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+dup_pairs AS (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE i.n * 1.0 / (sa.sz + sb.sz - i.n) >= {CLUSTER_MIN_JACCARD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM dup_pairs
+),
+reach(doc, seen) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.seen
+),
+clusters AS (SELECT doc, MIN(seen) AS cluster FROM reach GROUP BY doc)
+SELECT c.doc AS doc_id, c.cluster,
+       COUNT(*) OVER (PARTITION BY c.cluster) AS cluster_size
+FROM clusters c
+"""
+
+
+@query("dedup_clusters", oracle=DEDUP_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over LSH-verified near-dup pairs (jaccard >=
+    threshold) by iterative min-label propagation — the canonical-group
+    assignment a dedup pipeline feeds the survivor selector.
+
+    Spark has no recursive SQL, so the fixpoint is a driver loop: each
+    round every doc takes the min label among itself and its neighbors;
+    convergence when no label changes (checked with a one-row aggregate,
+    never by collecting data rows). Rounds = cluster diameter, which for
+    near-dup graphs is tiny. Edges and labels are ``localCheckpoint``-ed
+    each round to truncate lineage — without it the plan doubles per
+    iteration. The fixpoint (min doc_id reachable) is unique, so the
+    result is deterministic and matches the oracle's recursive CTE."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("jaccard") >= CLUSTER_MIN_JACCARD
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .localCheckpoint()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster")).localCheckpoint()
+    # bounded fixpoint: rounds needed = graph diameter. Near-dup clusters
+    # are dense blobs with tiny diameter; a 64-hop chain of pairwise
+    # near-dups is pathological, so fail loudly instead of spinning
+    for _ in range(64):
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "a"), "a"
+        ).select(F.col("b").alias("doc_id"), "cluster")
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()[0]["c"]
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("dedup_clusters did not converge in 64 rounds")
+    w = Window.partitionBy("cluster")
+    return labels.select(
+        "doc_id", "cluster", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash (60-bit, md5-derived token hashes, banded hamming pairs)
 # --------------------------------------------------------------------------
 
