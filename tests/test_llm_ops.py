@@ -143,3 +143,82 @@ def test_image_header_roundtrip_and_garbage():
     assert parse_image_header(jpeg)["width"] == 40
     # bad segment length aborts the scan instead of looping
     assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x01" + b"\x00" * 8) is None
+
+
+def test_doc_chunking_reconstructs_token_stream(spark, sf_dir):
+    """Concatenating each chunk's leading STRIDE tokens (all tokens for the
+    final chunk) rebuilds every document's token stream exactly."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.corpus_ops import (
+        CHUNK_STRIDE,
+        doc_chunking,
+    )
+    from go_dfs_mapreduce_spark.operators.dedup import _NORM_SPARK
+    from go_dfs_mapreduce_spark.tables import table
+
+    chunks = doc_chunking(spark, sf_dir)
+    rebuilt = (
+        chunks.withColumn("t", F.expr("split(chunk_text, ' ')"))
+        .withColumn(
+            "head",
+            F.expr(
+                f"CASE WHEN n_tokens <= {CHUNK_STRIDE} THEN t "
+                f"ELSE slice(t, 1, {CHUNK_STRIDE}) END"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(flatten(transform(array_sort(collect_list("
+                "struct(chunk_idx, head))), x -> x.head)), ' ')"
+            ).alias("rebuilt")
+        )
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_NORM_SPARK).alias("norm")
+    )
+    bad = rebuilt.join(docs, "doc_id").where(F.col("rebuilt") != F.col("norm"))
+    assert bad.count() == 0
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup pair lands in one cluster, and each cluster id is the
+    min doc_id of its members (the deterministic fixpoint)."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        CLUSTER_MIN_JACCARD,
+        dedup_clusters,
+        dedup_minhash_lsh,
+    )
+
+    labels = dedup_clusters(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("jaccard") >= CLUSTER_MIN_JACCARD
+    )
+    la = labels.select(F.col("doc_id").alias("doc_a"), F.col("cluster").alias("ca"))
+    lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("cluster").alias("cb"))
+    split_pairs = (
+        pairs.join(la, "doc_a").join(lb, "doc_b").where(F.col("ca") != F.col("cb"))
+    )
+    assert split_pairs.count() == 0
+    bad_roots = (
+        labels.groupBy("cluster")
+        .agg(F.min("doc_id").alias("mn"))
+        .where(F.col("cluster") != F.col("mn"))
+    )
+    assert bad_roots.count() == 0
+
+
+def test_decontamination_flags_only_nonbenchmark_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.corpus_ops import (
+        BENCH_MAX_DOC,
+        decontaminate_vs_benchmark,
+    )
+
+    hits = decontaminate_vs_benchmark(spark, sf_dir)
+    assert hits.where(F.col("doc_id") < BENCH_MAX_DOC).count() == 0
+    assert hits.where((F.col("hit_ratio") <= 0) | (F.col("hit_ratio") > 1)).count() == 0
