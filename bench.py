@@ -19,7 +19,7 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO_ROOT)
 
 # one representative per operator family (SURVEY.md §2) — correctness for
-# all 67 registered queries is the driver's CORRECTNESS gate; bench tracks
+# every registered query is the driver's CORRECTNESS gate; bench tracks
 # throughput of the load-bearing shapes.
 HEADLINE = [
     "q1_pricing_summary",        # scan + 8-way aggregate

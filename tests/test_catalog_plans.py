@@ -293,3 +293,23 @@ def test_compact_preserves_rows_and_layout(wh, spark, sf_dir):
     got = wh.read("frag")
     assert got.count() == events.count()
     assert [r.event_type for r in got.select("event_type").distinct().collect()] != []
+
+
+def test_schema_evolution_mergeschema(wh, spark):
+    """Schema evolution on a stored table: a later write adds a column;
+    mergeSchema reads the union schema with nulls for old files."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(5).select(F.col("id").alias("k"), F.lit("v1").alias("a"))
+    wh.store_df(base, "evolving")
+    extended = spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit("v2").alias("a"), F.lit(1.5).alias("b")
+    )
+    extended.write.mode("append").parquet(wh._table_dir("evolving"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        wh._table_dir("evolving")
+    )
+    assert sorted(merged.columns) == ["a", "b", "k"]
+    assert merged.count() == 8
+    assert merged.where(F.col("b").isNull()).count() == 5
