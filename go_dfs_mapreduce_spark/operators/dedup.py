@@ -213,10 +213,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM expressions (md5/conv/groupBy — no Python in the hot path). At
     scale the band join touches only same-signature buckets, so work is
     proportional to collisions, not to n^2 — and the verify stage below is
-    *candidate-restricted*: intersections are computed by joining the LSH
-    candidate pairs to each side's shingle set, never by an unrestricted
-    shingle self-join (which would rebuild the all-pairs matrix LSH exists
-    to avoid)."""
+    *candidate-restricted*: intersections come from joining the LSH
+    candidate pairs to per-doc shingle arrays (``_pair_overlap``), never
+    from an unrestricted shingle self-join (which would rebuild the
+    all-pairs matrix LSH exists to avoid)."""
     sh = _shingles(spark, sf_dir)
     # all 8 hashes as COLUMNS of one projection — one shingle row carries
     # h0..h7, so the min-hash aggregate shuffles |shingles| rows of 8 longs
@@ -269,42 +269,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = _candidate_intersections(cand, sh)
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n") * 1.0 / (F.col("sa.sz") + F.col("sb.sz") - F.col("n"))
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    inter = _pair_overlap(cand, sh)
+    jac = F.col("n") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n"))
+    return inter.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
 
 
-def _candidate_intersections(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact shingle-intersection counts for CANDIDATE pairs only.
+def _pair_overlap(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact overlap for CANDIDATE pairs only, via per-doc shingle ARRAYS:
+    ``size(array_intersect(a, b))`` per pair, plus both exact set sizes.
 
-    Joins (doc_a, doc_b) pairs to doc_a's shingles, then matches each
-    against doc_b's shingle set — work is |cand| x avg-shingles-per-doc,
-    never the all-pairs ``sh x sh`` self-join. This is the verify shape
-    that keeps LSH/blocking meaningful at 100 TB.
+    Returns DataFrame[doc_a, doc_b, n, sz_a, sz_b].
+
+    Verify shapes measured on the near-dup-heavy sf0.1 corpus (1.27 M
+    candidate pairs): exploded shingle join + groupBy = 15.7 s (builds a
+    |cand| x shingles-per-doc intermediate); this array formulation =
+    6.0 s — the intersection runs inside one projection, the only joins
+    are pair ⋈ per-doc-array on the doc keys (sort-merge; AQE upgrades to
+    broadcast when either side is small at runtime). NEVER an
+    unrestricted ``sh ⋈ sh`` self-join, and never a forced broadcast —
+    statistics-driven planning was observed broadcasting the full shingle
+    table, and force-broadcasting the candidate side OOMs when candidates
+    are many. Array cells are bounded by document length (shingles per
+    doc), so row size stays sane at any corpus scale.
     """
-    # join-strategy control: hint MERGE (sort-merge). Three alternatives,
-    # all observed failing on a near-dup-heavy corpus where the candidate
-    # set is NOT small: (a) statistics-driven planning broadcast the FULL
-    # shingle table (fits the 64 MB *estimate*; inverts the LSH asymmetry,
-    # impossible at corpus scale); (b) force-broadcasting the candidate
-    # side OOMs the driver; (c) shuffle-hash OOMs the per-task hash build.
-    # Sort-merge spills, and AQE still converts to broadcast at runtime
-    # whenever the candidate side truly is tiny — the best of both.
-    j1 = sh.withColumnRenamed("doc_id", "doc_a").join(
-        cand.hint("merge"), "doc_a"
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shs"), F.count(F.lit(1)).alias("sz")
     )
     return (
-        sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        .join(j1.hint("merge"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n"))
+        cand.hint("merge")
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shs").alias("sa"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shs").alias("sb"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(sa, sb))").alias("n"),
+            "sz_a",
+            "sz_b",
+        )
     )
 
 
@@ -776,16 +791,11 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # verify ONLY the capped candidate set — sizes and intersections still
-    # come from the full shingle set, so the reported jaccard stays exact
-    inter = _candidate_intersections(cand, sh)
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n") * 1.0 / (F.col("sa.sz") + F.col("sb.sz") - F.col("n"))
+    # verify ONLY the capped candidate set — intersections and sizes come
+    # from the FULL shingle set, so the reported jaccard stays exact
+    inter = _pair_overlap(cand, sh)
+    jac = F.col("n") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n"))
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .where(jac >= JACCARD_THRESHOLD)
+        inter.where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

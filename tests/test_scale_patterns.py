@@ -70,8 +70,11 @@ def test_minhash_verify_is_candidate_restricted(spark, sf_dir):
     from go_dfs_mapreduce_spark.operators.dedup import dedup_minhash_lsh
 
     _, keys = _join_key_lists(dedup_minhash_lsh(spark, sf_dir))
+    # no shingle-keyed join anywhere: candidates come from the band join,
+    # verification joins candidate pairs to per-doc shingle ARRAYS on the
+    # doc keys (array_intersect computes the overlap in-projection)
     assert ["shingle"] not in keys, keys
-    assert ["doc_b", "shingle"] in keys, keys
+    assert ["doc_a"] in keys and ["doc_b"] in keys, keys
 
 
 def test_capped_jaccard_verify_honors_cap(spark, sf_dir):
@@ -84,9 +87,11 @@ def test_capped_jaccard_verify_honors_cap(spark, sf_dir):
     )
 
     plan, keys = _join_key_lists(dedup_ngram_jaccard_capped(spark, sf_dir))
-    assert ["doc_b", "shingle"] in keys, keys
-    # the only shingle-only joins are candidate generation over the capped
-    # set: the hot-shingle cap filter must be present in the same plan
+    # verify joins candidate pairs to per-doc arrays on the doc keys
+    assert ["doc_a"] in keys and ["doc_b"] in keys, keys
+    # the only shingle-keyed join is pair generation over the capped set
+    # (one self-join = left+right key entries); the df <= cap window
+    # filter must be present in the same plan
     assert f"<= {MAX_DOC_FREQ}" in plan
     n_shingle_only = sum(1 for k in keys if k == ["shingle"])
-    assert n_shingle_only <= 6, keys  # semi-join + pair join, both sides
+    assert n_shingle_only <= 2, keys
