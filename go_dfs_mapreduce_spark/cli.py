@@ -89,6 +89,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("-n", "--limit", type=int, default=20)
 
+    p = sub.add_parser(
+        "sql", help="run ad-hoc SQL over the sf tables (registered as views)"
+    )
+    p.add_argument("statement")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("-n", "--limit", type=int, default=20)
+
     args = ap.parse_args(argv)
 
     from .sources.warehouse import Warehouse
@@ -124,6 +131,11 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         df = qs[args.name](spark, args.sf_dir)
         df.show(args.limit, truncate=False)
+    elif args.cmd == "sql":
+        from .tables import register_temp_views
+
+        register_temp_views(spark, args.sf_dir)
+        spark.sql(args.statement).show(args.limit, truncate=False)
     return 0
 
 

@@ -72,3 +72,14 @@ def test_cli_query_and_diagnostics(spark, wh_root, capsys, sf_dir):
     rc, out = _run(capsys, "--warehouse", wh_root, "activity")
     assert rc == 0
     assert json.loads(out)["stored_files"] == 0
+
+
+def test_cli_sql_adhoc(spark, wh_root, capsys, sf_dir):
+    rc = cli.main([
+        "--warehouse", wh_root, "sql",
+        "SELECT r_name, COUNT(*) AS n FROM region JOIN nation"
+        " ON r_regionkey = n_regionkey GROUP BY r_name ORDER BY r_name",
+        "--sf-dir", sf_dir,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "r_name" in out and "AFRICA" in out
