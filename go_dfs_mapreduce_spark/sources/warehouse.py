@@ -114,14 +114,27 @@ class Warehouse:
         return name
 
     def store_df(
-        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        n_files: int | None = None,
     ) -> str:
         """Store any DataFrame as a named parquet table (the idiomatic
         path — the reference can only store raw files). ``partition_by``
-        hive-partitions the table — the 100 TB sink layout: partition
-        pruning turns predicate scans into directory listings."""
+        hive-partitions the table (partition pruning turns predicate scans
+        into directory listings); ``cluster_by`` range-partitions and
+        sorts rows so each parquet file covers a disjoint key range —
+        min/max footer stats then let scans skip whole files/row-groups
+        for selective predicates (the sorted-layout analog of Z-ordering
+        for the single-key case)."""
         if self._exists(name):
             raise FileExistsError(f"file {name!r} already stored")
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            n = n_files or df.sparkSession.sparkContext.defaultParallelism
+            df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
         w = df.write
         if partition_by:
             w = w.partitionBy(*partition_by)
