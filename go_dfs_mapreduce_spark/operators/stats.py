@@ -1,0 +1,81 @@
+"""Distributed descriptive statistics with cross-engine-exact results.
+
+Built-in ``stddev``/``var_samp``/``corr`` stream through Welford-style
+accumulators whose float rounding depends on partitioning and engine —
+they can never hash-match an oracle bit-for-bit. These queries instead
+aggregate EXACT integer power sums (Σx, Σx², Σxy in micro-units — 128-bit
+integers: DECIMAL(38,0) on Spark, HUGEINT on DuckDB; order-independent)
+and spend the float budget on a fixed, tiny sequence of IEEE ops at emit:
+
+    var_samp = (n·Σx² − (Σx)²) / (n·(n−1)) / 10¹²     two divisions
+    corr     = (n·Σxy − ΣxΣy) / sqrt(A·B)              (µ-factors cancel)
+
+Same integers in, same op sequence, same doubles out on Spark and DuckDB —
+and run-to-run deterministic under ANY partitioning, which the streaming
+accumulators are not. Map-side partial aggregation still applies (sums),
+so the shuffle is one row of 128-bit integers per group at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+STATS_PROFILE_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity * 1000000) AS HUGEINT) AS qm,
+         CAST(ROUND(l_extendedprice * 1000000) AS HUGEINT) AS pm
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(qm) AS s1, SUM(qm * qm) AS s2,
+         SUM(pm) AS t1, SUM(pm * pm) AS t2,
+         SUM(qm * pm) AS sxy
+  FROM m GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(s1 AS DOUBLE) / n / 1000000.0 AS mean_qty,
+       CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+         / 1000000000000.0 AS var_qty,
+       CAST(n * sxy - s1 * t1 AS DOUBLE)
+         / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) * CAST(n * t2 - t1 * t1 AS DOUBLE))
+         AS corr_qty_price
+FROM s
+"""
+
+
+@query("stats_profile_by_flag", oracle=STATS_PROFILE_ORACLE)
+def stats_profile_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    # micro-unit integers: exact for inputs with <= 6 decimal places;
+    # DECIMAL(19,0) factors so products get 128-bit headroom (39 -> 38)
+    qm = F.expr("CAST(CAST(ROUND(l_quantity * 1000000) AS BIGINT) AS DECIMAL(19,0))")
+    pm = F.expr(
+        "CAST(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT) AS DECIMAL(19,0))"
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qm).alias("s1"),
+        F.sum(qm * qm).alias("s2"),
+        F.sum(pm).alias("t1"),
+        F.sum(pm * pm).alias("t2"),
+        F.sum(qm * pm).alias("sxy"),
+    )
+    n = F.col("n")
+    var_num = (n * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    cov_num = (n * F.col("sxy") - F.col("s1") * F.col("t1")).cast("double")
+    var_p = (n * F.col("t2") - F.col("t1") * F.col("t1")).cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1").cast("double") / n / F.lit(1000000.0)).alias("mean_qty"),
+        (var_num / (n * (n - 1)).cast("double") / F.lit(1000000000000.0)).alias(
+            "var_qty"
+        ),
+        (cov_num / F.sqrt(var_num * var_p)).alias("corr_qty_price"),
+    )
