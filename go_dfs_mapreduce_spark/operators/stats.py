@@ -79,3 +79,95 @@ def stats_profile_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (cov_num / F.sqrt(var_num * var_p)).alias("corr_qty_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Histogram: equi-width buckets via ONE identical float op on both engines
+# (x / width, floored) — DuckDB has no width_bucket, and replicating its
+# internal op order would be fragile; a single shared division is not.
+# --------------------------------------------------------------------------
+
+BUCKET_WIDTH = 5500.0  # ~20 buckets over the l_extendedprice range
+
+HISTOGRAM_ORACLE = f"""
+SELECT CAST(FLOOR(l_extendedprice / {BUCKET_WIDTH}) AS INTEGER) AS bucket,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+         AS bucket_value
+FROM lineitem
+GROUP BY bucket
+"""
+
+
+@query("price_histogram", oracle=HISTOGRAM_ORACLE)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: one scan, one partial-aggregated shuffle of
+    <= n_buckets rows — the profiling primitive behind every numeric
+    data-quality dashboard."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / BUCKET_WIDTH)
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("bucket_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy vocabulary variants: levenshtein is integer-exact on both engines.
+# --------------------------------------------------------------------------
+
+MAX_EDIT = 2
+
+FUZZY_VOCAB_ORACLE = """
+WITH vocab AS (
+  SELECT DISTINCT t.tk AS w FROM (
+    SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+    FROM documents) d,
+    unnest(toks) t(tk)
+  WHERE t.tk <> ''
+)
+SELECT a.w AS word_a, b.w AS word_b,
+       CAST(levenshtein(a.w, b.w) AS INTEGER) AS edit_dist
+FROM vocab a JOIN vocab b ON a.w < b.w
+WHERE levenshtein(a.w, b.w) <= 2
+"""
+
+
+@query("vocab_fuzzy_variants", oracle=FUZZY_VOCAB_ORACLE)
+def vocab_fuzzy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant pairs in the corpus vocabulary (edit distance <=
+    2) — the fuzzy-matching primitive behind typo normalization. The
+    self-join is over the DISTINCT vocabulary, which is dictionary-sized
+    (not corpus-sized) — the standard trick that makes edit-distance
+    linking feasible at corpus scale; production systems further block by
+    length or q-grams, which this vocabulary is too small to need."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.expr("split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    dist = F.levenshtein(F.col("a.w"), F.col("b.w"))
+    return (
+        a.join(b, F.col("a.w") < F.col("b.w"))
+        .where(dist <= MAX_EDIT)
+        .select(
+            F.col("a.w").alias("word_a"),
+            F.col("b.w").alias("word_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
