@@ -80,7 +80,11 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("activity", help="cluster-level report")
 
     p = sub.add_parser("mr", help="run a MapReduce plugin over stored TXT files")
-    p.add_argument("job", choices=sorted(_mr_plugins()))
+    p.add_argument(
+        "job",
+        help="builtin plugin name (word_count, log_analyzer) or a path to a"
+        " .py file exporting R, f_map, f_reduce",
+    )
     p.add_argument("files", nargs="*", help="stored names (default: all TXT)")
     p.add_argument("-o", "--out-dir", required=True)
 
@@ -146,7 +150,22 @@ def _run_mr(spark: SparkSession, wh, args) -> int:
     221-230) and per-reducer result files (cl/mr_actions.go:200-245)."""
     from .mapreduce import MapReduceJob
 
-    f_map, f_reduce, r = _mr_plugins()[args.job]
+    builtins = _mr_plugins()
+    if args.job in builtins:
+        f_map, f_reduce, r = builtins[args.job]
+    elif args.job.endswith(".py"):
+        try:
+            f_map, f_reduce, r = _load_plugin_file(args.job)
+        except (OSError, ValueError, SyntaxError) as e:
+            print(f"plugin error: {e}", file=sys.stderr)
+            return 2
+    else:
+        print(
+            f"unknown job {args.job!r}; builtins: {sorted(builtins)}"
+            " (or pass a .py plugin path)",
+            file=sys.stderr,
+        )
+        return 2
     stored = {e["name"]: e["type"] for e in wh.ls()}
     names = args.files or [n for n, t in sorted(stored.items()) if t == "TXT"]
     for n in names:
@@ -183,6 +202,36 @@ def _run_mr(spark: SparkSession, wh, args) -> int:
             fh.close()
     print(f"wrote {len(handles)} reducer file(s) to {args.out_dir}")
     return 0
+
+
+def _load_plugin_file(path: str):
+    """Load a user MR plugin from a .py file and validate its exports —
+    the analog of the reference's compile-and-symbol-check admission step
+    (cn/mr_actions.go:87-199 compiles the received Go source with
+    `go build -buildmode=plugin` and looks up R / F_map / F_reduce; here
+    the 'compile' is an import and the symbol check is the same).
+
+    The plugin must export:
+      R        : int >= 1, the reducer count
+      f_map    : callable(file, line_no, line, out) appending (k, v) pairs
+      f_reduce : callable(keys, values, out) appending output lines
+    """
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("mr_user_plugin", path)
+    if spec is None or spec.loader is None:
+        raise ValueError(f"cannot load plugin from {path!r}")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    missing = [s for s in ("R", "f_map", "f_reduce") if not hasattr(mod, s)]
+    if missing:
+        raise ValueError(f"plugin {path!r} missing exports: {missing}")
+    r = mod.R
+    if not isinstance(r, int) or r < 1:
+        raise ValueError(f"plugin R must be an int >= 1, got {r!r}")
+    if not callable(mod.f_map) or not callable(mod.f_reduce):
+        raise ValueError("plugin f_map and f_reduce must be callable")
+    return mod.f_map, mod.f_reduce, r
 
 
 if __name__ == "__main__":

@@ -83,3 +83,44 @@ def test_cli_sql_adhoc(spark, wh_root, capsys, sf_dir):
     ])
     out = capsys.readouterr().out
     assert rc == 0 and "r_name" in out and "AFRICA" in out
+
+
+def test_cli_mr_user_plugin(spark, tmp_path, wh_root, capsys):
+    """F12 parity: a user-supplied plugin file is loaded, its exports
+    validated, and run through the MR engine (the reference compiles any
+    submitted Go source, cn/mr_actions.go:87-199)."""
+    src = tmp_path / "data.txt"
+    src.write_text("a b\nb c\nc d\n")
+    rc, _ = _run(capsys, "--warehouse", wh_root, "store", str(src))
+    assert rc == 0
+
+    plugin = tmp_path / "char_count.py"
+    plugin.write_text(
+        "R = 4\n"
+        "def f_map(file, line_no, line, out):\n"
+        "    for ch in line.replace(' ', ''):\n"
+        "        out.append(ch)\n"
+        "        out.append('1')\n"
+        "def f_reduce(keys, values, out):\n"
+        "    tally = {}\n"
+        "    for k, v in zip(keys, values):\n"
+        "        tally[k] = tally.get(k, 0) + int(v)\n"
+        "    for k in sorted(tally):\n"
+        "        out.append(f'{k}={tally[k]}')\n"
+    )
+    out_dir = tmp_path / "out"
+    rc, _ = _run(
+        capsys, "--warehouse", wh_root, "mr", str(plugin), "-o", str(out_dir)
+    )
+    assert rc == 0
+    lines = sorted(
+        line for f in out_dir.iterdir() for line in f.read_text().splitlines()
+    )
+    assert lines == ["a=1", "b=2", "c=2", "d=1"]
+
+    # symbol validation: a plugin missing f_reduce is rejected like the
+    # reference's symbol-lookup failure
+    bad = tmp_path / "bad.py"
+    bad.write_text("R = 2\ndef f_map(file, line_no, line, out):\n    pass\n")
+    rc, _ = _run(capsys, "--warehouse", wh_root, "mr", str(bad), "-o", str(out_dir))
+    assert rc == 2
