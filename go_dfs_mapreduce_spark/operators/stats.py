@@ -171,3 +171,75 @@ def vocab_fuzzy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality audit: null rates, key uniqueness, referential integrity —
+# each check is a partial-aggregated count or an anti-join count, the two
+# shapes that stay cheap at any scale.
+# --------------------------------------------------------------------------
+
+DQ_ORACLE = """
+SELECT 'lineitem_orphan_orders' AS check_name,
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS violations
+UNION ALL
+SELECT 'orders_orphan_customers',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'orders_duplicate_keys',
+       (SELECT COUNT(*) FROM
+         (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+UNION ALL
+SELECT 'lineitem_null_shipdate',
+       (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
+UNION ALL
+SELECT 'lineitem_nonpositive_qty',
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+"""
+
+
+@query("dq_audit", oracle=DQ_ORACLE)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit over the fact tables: referential integrity via
+    anti-join counts (never a correlated re-scan), uniqueness via a
+    grouped HAVING, null/range checks via pushdown-able predicates. The
+    checks union into one DataFrame so a scheduler alerts on any
+    violations > 0 row. Keys here are NOT NULL in the generator, so the
+    NOT IN anti-joins match Spark's left_anti exactly."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    orphan_li = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"),
+                "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_orphan_orders").alias("check_name"), "violations")
+    )
+    orphan_ord = (
+        orders.join(cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey"),
+                    "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_orphan_customers").alias("check_name"), "violations")
+    )
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_duplicate_keys").alias("check_name"), "violations")
+    )
+    null_ship = (
+        li.where(F.col("l_shipdate").isNull())
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_null_shipdate").alias("check_name"), "violations")
+    )
+    bad_qty = (
+        li.where(F.col("l_quantity") <= 0)
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_nonpositive_qty").alias("check_name"), "violations")
+    )
+    return (
+        orphan_li.union(orphan_ord).union(dup_keys).union(null_ship).union(bad_qty)
+    )
