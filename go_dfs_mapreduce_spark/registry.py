@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "go_dfs_mapreduce_spark.operators.llm_extras",
     "go_dfs_mapreduce_spark.operators.corpus_ops",
     "go_dfs_mapreduce_spark.operators.stats",
+    "go_dfs_mapreduce_spark.operators.timeseries",
     "go_dfs_mapreduce_spark.operators.wordcount",
     "go_dfs_mapreduce_spark.operators.log_analysis",
     "go_dfs_mapreduce_spark.operators.relational",
