@@ -114,6 +114,44 @@ class PerKeyIntSumFormat:
         self.fmt = fmt
 
 
+class FlatMapExpr:
+    """Declarative lowering spec a MAP plugin may attach to itself
+    (``f_map.lowering = FlatMapExpr(builder)``): ``builder`` takes the
+    input DataFrame[file, line_number, line] and returns
+    DataFrame[key: string, value: string] using ONLY native column
+    expressions (split/explode/regexp_replace/... — no Python rows).
+
+    When present (and ``lower=True``), MapReduceJob replaces the Arrow
+    ``mapInPandas`` flat-map (F3) with the builder's plan, so the whole
+    map phase stays inside whole-stage codegen — the per-line Python
+    call is the parity layer's dominant cost at scale. Equality with
+    the Arrow path is proven per plugin by the lowered-vs-pinned
+    differential tests in tests/test_mapreduce.py.
+    """
+
+    def __init__(self, builder: Callable[[DataFrame], DataFrame]) -> None:
+        self.builder = builder
+
+
+class ReduceExpr:
+    """Declarative lowering spec for a whole REDUCE phase
+    (``f_reduce.lowering = ReduceExpr(builder)``): ``builder`` takes the
+    partitioned KV DataFrame[r_id, key, value] and returns the job
+    output DataFrame[r_id, seq, line] using only native expressions.
+
+    Unlike :class:`PerKeyIntSumFormat` (a fixed per-key-sum shape), this
+    lets a plugin whose partition-wide reduce is expressible relationally
+    (e.g. log_analyzer's tallies + per-partition top-k summary,
+    example_plugins/log_analyzer/log_analyzer.go:58-135) run entirely
+    JVM-side: aggregates get map-side partial aggregation and the 10-way
+    parity partition no longer serializes through one pandas group per
+    reducer.
+    """
+
+    def __init__(self, builder: Callable[[DataFrame], DataFrame]) -> None:
+        self.builder = builder
+
+
 def _normalize_pairs(emitted: list[Any]) -> list[tuple[str, str]]:
     """Accept either a flat [k, v, k, v, ...] list (the reference's wire
     shape, example_plugins/word_count/word_count.go:20-21) or a list of
@@ -214,21 +252,31 @@ class MapReduceJob:
                         vals.append(v)
                 yield pd.DataFrame({"key": keys, "value": vals})
 
-        # Mapper fan-out (F10 analog): a small single-file input arrives as
-        # ONE partition, which would run the whole Python map phase on one
-        # core — the reference instead spreads chunks over M mapper nodes
-        # (cn/mr_actions.go:216-240). Round-robin repartition to the
-        # session's parallelism; at real scale the scan already has >=
-        # defaultParallelism splits and this is a no-op.
-        par = input_df.sparkSession.sparkContext.defaultParallelism
-        if input_df.rdd.getNumPartitions() < par:
-            input_df = input_df.repartition(par)
-        kv = input_df.mapInPandas(map_phase, KV_SCHEMA)
+        mspec = getattr(self.f_map, "lowering", None)
+        if self.lower and isinstance(mspec, FlatMapExpr):
+            # F3 lowered: the plugin's declared expression twin — pure
+            # codegen, no per-line Python, no fan-out repartition needed
+            # (codegen map work rides the scan's own splits).
+            kv = mspec.builder(input_df).select("key", "value")
+        else:
+            # Mapper fan-out (F10 analog): a small single-file input
+            # arrives as ONE partition, which would run the whole Python
+            # map phase on one core — the reference instead spreads chunks
+            # over M mapper nodes (cn/mr_actions.go:216-240). Round-robin
+            # repartition to the session's parallelism; at real scale the
+            # scan already has >= defaultParallelism splits and this is a
+            # no-op. Only worth a shuffle when the map phase is Python.
+            par = input_df.sparkSession.sparkContext.defaultParallelism
+            if input_df.rdd.getNumPartitions() < par:
+                input_df = input_df.repartition(par)
+            kv = input_df.mapInPandas(map_phase, KV_SCHEMA)
         with_pid = kv.withColumn("r_id", self._partition_col())
 
         spec = getattr(self.f_reduce, "lowering", None)
         if self.lower and isinstance(spec, PerKeyIntSumFormat):
             return self._lowered_per_key_sum(with_pid, spec)
+        if self.lower and isinstance(spec, ReduceExpr):
+            return spec.builder(with_pid).select("r_id", "seq", "line")
 
         def reduce_phase(pdf: pd.DataFrame) -> pd.DataFrame:
             r_id = int(pdf["r_id"].iloc[0])

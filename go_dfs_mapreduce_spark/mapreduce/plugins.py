@@ -17,7 +17,11 @@ from __future__ import annotations
 
 import re
 
-from .job import PerKeyIntSumFormat
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .job import FlatMapExpr, PerKeyIntSumFormat, ReduceExpr
 
 WORD_COUNT_R = 26  # word_count.go:10
 LOG_ANALYZER_R = 10  # log_analyzer.go:9
@@ -51,6 +55,27 @@ def word_count_reduce(keys: list[str], values: list[str], out: list) -> None:
 # lowering so MapReduceJob can run it as native groupBy.agg (keys are
 # ASCII-only after _STRIP, so Python sorted() == Spark binary string order)
 word_count_reduce.lowering = PerKeyIntSumFormat("%-12s :: %4d")
+
+
+def _word_count_map_df(df: DataFrame) -> DataFrame:
+    """Expression twin of word_count_map: ``line.lower().split()`` is
+    split-on-whitespace-runs with no empty tokens (so filter '' AFTER the
+    regex split, which unlike Python emits empties at the edges), then
+    strip non-alnum per token — emitting every token, even ones that strip
+    to '' (word_count.go:12-22 has no filter). Python str.split() also
+    splits on Unicode whitespace where Java's \\s is ASCII-only; the
+    documents corpus is ASCII, and the lowered-vs-pinned differential test
+    covers the real fixture."""
+    toks = F.filter(
+        F.split(F.lower(F.col("line")), r"\s+"), lambda t: t != F.lit("")
+    )
+    return df.select(F.explode(toks).alias("t")).select(
+        F.regexp_replace("t", "[^a-z0-9]+", "").alias("key"),
+        F.lit("1").alias("value"),
+    )
+
+
+word_count_map.lowering = FlatMapExpr(_word_count_map_df)
 
 
 def log_analyzer_map(file_name: str, line_number: int, line_text: str, out: list) -> None:
@@ -123,3 +148,188 @@ def log_analyzer_reduce(keys: list[str], values: list[str], out: list) -> None:
     if top_crs:
         out.append("* Top %d Crawlers:" % len(top_crs))
         out.extend("    - %s" % c for c in top_crs)
+
+
+def _log_analyzer_map_df(df: DataFrame) -> DataFrame:
+    """Expression twin of log_analyzer_map (log_analyzer.go:11-57). Every
+    Python 0-based ``find/rfind`` guard translates to 1-based ``instr``:
+    ``find('/') > 0`` == ``instr > 1`` (a leading '/' does NOT split),
+    ``rfind(':') > 0`` == a colon exists before the last position
+    (``instr(reverse) < length``), and only '#'/'?' at index > 0 trim the
+    path. Empty-domain and short (< 4 token) rows emit nothing, matching
+    the early returns.
+
+    Shape note: the whole transformation is ONE expression whose
+    intermediates (tokens, stripped domain, host/path split, ...) are
+    bound as nested higher-order-function lambda variables. Chained
+    ``withColumn`` stages would let CollapseProject inline each
+    intermediate's tree at every reference — multiplicatively, until the
+    serialized plan reached megabytes (observed: 12 MiB task binaries
+    when the input `line` is itself a synthesized expression). Lambda
+    variables are real let-bindings: every level references its variable,
+    trees compose additively, and the plan stays KB-sized. HOFs run
+    interpreted rather than codegen'd, but stay fully JVM-side — no
+    Python, no Arrow transfer."""
+    m = (
+        "least(CASE WHEN instr(p.url, '#') > 1 THEN instr(p.url, '#') - 1 END,"
+        " CASE WHEN instr(p.url, '?') > 1 THEN instr(p.url, '?') - 1 END)"
+    )
+    pairs = rf"""
+    filter(
+      transform(
+        filter(array(filter(split(line, '\\s+'), t -> t != '')),
+               tk -> size(tk) >= 4),
+        tk -> transform(
+          array(regexp_replace(get(tk, 3), '^https?://', '')),
+          d0 -> transform(
+            array(named_struct(
+              'crawler', get(tk, 2),
+              'dom', CASE WHEN instr(d0, '/') > 1
+                          THEN substring(d0, 1, instr(d0, '/') - 1)
+                          ELSE d0 END,
+              'url', CASE WHEN instr(d0, '/') > 1
+                          THEN substring(d0, instr(d0, '/') + 1)
+                          ELSE '' END)),
+            p -> transform(
+              array(CASE WHEN substring(p.dom, 1, 1) BETWEEN '0' AND '9'
+                         THEN CASE WHEN instr(reverse(p.dom), ':') > 0
+                                        AND instr(reverse(p.dom), ':') < length(p.dom)
+                                   THEN substring(p.dom, 1,
+                                                  length(p.dom) - instr(reverse(p.dom), ':'))
+                                   ELSE p.dom END
+                         ELSE CASE WHEN length(p.dom) - length(replace(p.dom, '.', '')) > 1
+                                   THEN substring(p.dom, instr(p.dom, '.') + 1)
+                                   ELSE p.dom END
+                    END),
+              dom2 -> transform(
+                array(CASE WHEN {m} IS NOT NULL
+                           THEN substring(p.url, 1, {m})
+                           ELSE p.url END),
+                url2 -> named_struct(
+                  'keep', p.dom != '',
+                  'key', CASE WHEN url2 != ''
+                              THEN concat(p.crawler, ' ', dom2, ' ', url2)
+                              ELSE concat(p.crawler, ' ', dom2) END)
+              )[0]
+            )[0]
+          )[0]
+        )[0]
+      ),
+      s -> s.keep)
+    """
+    return df.select(F.explode(F.expr(pairs)).alias("s")).select(
+        F.col("s.key").alias("key"), F.lit("1").alias("value")
+    )
+
+
+log_analyzer_map.lowering = FlatMapExpr(_log_analyzer_map_df)
+
+
+def _log_analyzer_reduce_df(kv: DataFrame) -> DataFrame:
+    """Expression twin of log_analyzer_reduce: the three tallies become
+    three aggregates over the parsed key parts, the summary counts and
+    per-PARTITION top-k blocks are assembled with computed ``seq`` values
+    that replicate the plugin's append order (headers at 0-1, website
+    block at 2.., crawler block offset by the website block's length).
+    r_ids whose values all fail int-parse still emit the two zero-count
+    header lines, exactly like the Python tally loop."""
+    ks = F.split(F.col("key"), " ")
+    rows = kv.select(
+        "r_id",
+        F.get(ks, 0).alias("crawler"),
+        F.get(ks, 1).alias("domain"),
+        F.get(ks, 2).alias("path"),
+        F.expr("try_cast(value AS BIGINT)").alias("v"),
+    )
+    # ONE aggregation over the full composite key carries every downstream
+    # tally: all later groupBys re-aggregate this (tiny) frame, so the
+    # expensive subtree (scan -> normalize -> partial agg -> exchange) is
+    # planned identically in every branch and Spark's ReuseExchange runs it
+    # once — grouping the three tallies straight off `rows` would give each
+    # branch its own exchange and recompute the input per branch. Rows
+    # whose values ALL fail int-parse keep their r_id here with a NULL
+    # total (SUM ignores nulls), preserving the plugin's zero-count
+    # header-only output for such partitions.
+    trip = rows.groupBy("r_id", "crawler", "domain", "path").agg(
+        F.sum("v").alias("cnt")
+    )
+    ok = trip.where(F.col("cnt").isNotNull())
+    dm = ok.groupBy("r_id", "domain").agg(F.sum("cnt").alias("cnt"))
+    cr = ok.groupBy("r_id", "crawler").agg(F.sum("cnt").alias("cnt"))
+    ur = (
+        ok.where(F.col("path").isNotNull())
+        .select("r_id", F.concat("domain", "path").alias("u"))
+        .distinct()
+    )
+    ndom = dm.groupBy("r_id").agg(F.count(F.lit(1)).alias("n_dom"))
+    nurl = ur.groupBy("r_id").agg(F.count(F.lit(1)).alias("n_url"))
+    base = trip.select("r_id").distinct()
+    hdr_src = (
+        base.join(ndom, "r_id", "left")
+        .join(nurl, "r_id", "left")
+        .select(
+            "r_id",
+            F.coalesce("n_dom", F.lit(0)).alias("n_dom"),
+            F.coalesce("n_url", F.lit(0)).alias("n_url"),
+        )
+    )
+    line0 = hdr_src.select(
+        "r_id",
+        F.lit(0).alias("seq"),
+        F.format_string(
+            "* Unique URLs:    %d", F.col("n_url") + F.col("n_dom")
+        ).alias("line"),
+    )
+    line1 = hdr_src.select(
+        "r_id",
+        F.lit(1).alias("seq"),
+        F.format_string("* Unique Domains: %d", F.col("n_dom")).alias("line"),
+    )
+    wd = Window.partitionBy("r_id").orderBy(F.desc("cnt"), F.asc("domain"))
+    topd = (
+        dm.select("r_id", "domain", "cnt", F.row_number().over(wd).alias("rn"))
+        .where(F.col("rn") <= 10)
+    )
+    kd = topd.groupBy("r_id").agg(F.max("rn").alias("kd"))
+    wc_ = Window.partitionBy("r_id").orderBy(F.desc("cnt"), F.asc("crawler"))
+    topc = (
+        cr.select("r_id", "crawler", "cnt", F.row_number().over(wc_).alias("rn"))
+        .where(F.col("rn") <= 5)
+    )
+    kc = topc.groupBy("r_id").agg(F.max("rn").alias("kc"))
+    dhdr = kd.select(
+        "r_id",
+        F.lit(2).alias("seq"),
+        F.format_string("* Top %d Websites:", F.col("kd")).alias("line"),
+    )
+    dent = topd.select(
+        "r_id",
+        (F.lit(2) + F.col("rn")).alias("seq"),
+        F.format_string("    - %s", F.col("domain")).alias("line"),
+    )
+    # crawler block starts after the website block: offset kd+1 when that
+    # block exists (header + kd entries), else 0
+    off = base.join(kd, "r_id", "left").select(
+        "r_id", F.coalesce(F.col("kd") + 1, F.lit(0)).alias("doff")
+    )
+    chdr = kc.join(off, "r_id").select(
+        "r_id",
+        (F.lit(2) + F.col("doff")).alias("seq"),
+        F.format_string("* Top %d Crawlers:", F.col("kc")).alias("line"),
+    )
+    cent = topc.join(off, "r_id").select(
+        "r_id",
+        (F.lit(2) + F.col("doff") + F.col("rn")).alias("seq"),
+        F.format_string("    - %s", F.col("crawler")).alias("line"),
+    )
+    out = (
+        line0.unionByName(line1)
+        .unionByName(dhdr)
+        .unionByName(dent)
+        .unionByName(chdr)
+        .unionByName(cent)
+    )
+    return out.select("r_id", F.col("seq").cast("int").alias("seq"), "line")
+
+
+log_analyzer_reduce.lowering = ReduceExpr(_log_analyzer_reduce_df)

@@ -142,15 +142,19 @@ WHERE c.rn <= 5
 """
 
 
-@query("mr_log_analyzer", oracle=MR_LOG_ANALYZER_ORACLE)
-def mr_log_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def crawler_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized crawler log rendered as F1-shaped text lines."""
     logs = crawler_logs(spark, table(spark, sf_dir, "events"))
-    lines = logs.select(
+    return logs.select(
         F.lit("crawler_logs").alias("file"),
         F.col("event_id").cast("long").alias("line_number"),
         F.concat_ws(" ", "ts_date", "ts_time", "crawler", "url").alias("line"),
     )
+
+
+@query("mr_log_analyzer", oracle=MR_LOG_ANALYZER_ORACLE)
+def mr_log_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     job = MapReduceJob(
         "mr_log_analyzer", log_analyzer_map, log_analyzer_reduce, r=LOG_ANALYZER_R
     )
-    return job.run(lines)
+    return job.run(crawler_log_lines(spark, sf_dir))

@@ -172,3 +172,43 @@ def test_lowered_reduce_matches_arrow_path(spark, sf_dir):
 
     assert "FlatMapGroupsInPandas" not in formatted_plan(fast)
     assert "FlatMapGroupsInPandas" in formatted_plan(slow)
+
+
+def test_lowered_map_and_reduce_fully_native(spark, sf_dir):
+    """With FlatMapExpr + ReduceExpr/PerKeyIntSumFormat lowerings declared,
+    both example jobs must run with NO Python stage anywhere in the plan
+    (the map phase was the last Arrow stage), and the lowered rows must
+    equal the pinned Arrow path's rows on real data."""
+    from go_dfs_mapreduce_spark.operators.mr_parity import (
+        _documents_as_lines,
+        crawler_log_lines,
+    )
+    from go_dfs_mapreduce_spark.plans.audit import formatted_plan
+
+    for tag, mk_lines, f_map, f_reduce, r in (
+        (
+            "wc",
+            _documents_as_lines,
+            plugins.word_count_map,
+            plugins.word_count_reduce,
+            plugins.WORD_COUNT_R,
+        ),
+        (
+            "la",
+            crawler_log_lines,
+            plugins.log_analyzer_map,
+            plugins.log_analyzer_reduce,
+            plugins.LOG_ANALYZER_R,
+        ),
+    ):
+        lines = mk_lines(spark, sf_dir)
+        fast = MapReduceJob(f"{tag}_native", f_map, f_reduce, r=r).run(lines)
+        slow = MapReduceJob(
+            f"{tag}_pinned", f_map, f_reduce, r=r, lower=False
+        ).run(lines)
+        plan = formatted_plan(fast)
+        for py_stage in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_stage not in plan, f"{tag}: {py_stage} in lowered plan"
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        )
