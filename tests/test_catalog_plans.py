@@ -102,13 +102,27 @@ def test_wordcount_stays_jvm_side(spark, sf_dir):
     assert not a["has_python_worker"]
 
 
-def test_mr_parity_layer_uses_python_workers(spark, sf_dir):
-    """The parity layer is *supposed* to run Python (that's the plugin
-    contract); assert the plan shows Arrow-batched pandas operators."""
-    from go_dfs_mapreduce_spark.operators.mr_parity import mr_wordcount
+def test_mr_parity_layer_python_only_when_unlowered(spark, sf_dir):
+    """The registered mr_wordcount query is fully lowered (FlatMapExpr +
+    PerKeyIntSumFormat) — no Python worker in its plan. The Arrow plugin
+    path still exists and still runs Python, but only when lowering is
+    pinned off (the differential tests' baseline)."""
+    from go_dfs_mapreduce_spark.mapreduce import MapReduceJob, plugins
+    from go_dfs_mapreduce_spark.operators.mr_parity import (
+        _documents_as_lines,
+        mr_wordcount,
+    )
 
     a = audit_plan(mr_wordcount(spark, sf_dir))
-    assert a["has_python_worker"]
+    assert not a["has_python_worker"]
+    arrow = MapReduceJob(
+        "t_plan_arrow",
+        plugins.word_count_map,
+        plugins.word_count_reduce,
+        r=plugins.WORD_COUNT_R,
+        lower=False,
+    ).run(_documents_as_lines(spark, sf_dir))
+    assert audit_plan(arrow)["has_python_worker"]
 
 def test_dedup_minhash_stays_jvm_side(spark, sf_dir):
     """All hashing/banding is md5/conv expressions — no Python workers."""
