@@ -1,0 +1,261 @@
+"""Training-batch preparation operators (north-star LLM-pipeline surface).
+
+Four operators between the cleaned corpus and the trainer, complementing
+:mod:`corpus_ops` (decontamination/chunking/vocab) — all pure codegen
+expressions with exact DuckDB oracles:
+
+- doc_repetition_scores     : Gopher-style repetition quality gates —
+  duplicate-trigram ratio and top-token frequency ratio per document.
+  Heavily repetitive documents are the classic low-quality signal these
+  thresholds remove before training.
+- embedding_label_centroids : per-label mean embedding by dimension —
+  the centroid table an IVF index (similarity.py) seeds from, and the
+  drift dashboard for embedding-space monitoring.
+- seq_length_buckets        : documents bucketed by fixed-width token
+  count for length-bucketed batch packing; reports the padding overhead
+  each bucket pays if padded to its top.
+- source_temperature_weights: per-source sampling weights w ∝ sqrt(token
+  share) (temperature-style source re-weighting, alpha=0.5 so the power
+  is IEEE-exact sqrt on both engines — pow(x, 0.7) is libm-dependent and
+  NOT hash-portable).
+
+Cross-engine determinism: ratios are ONE IEEE division of exact integers;
+centroid means divide an exact DECIMAL sum once; the weight denominator
+sums DECIMAL(18,6)-rounded terms (decimal addition is associative, so the
+aggregate is order-free where a double sum would depend on partitioning).
+
+Scale notes: everything is explode -> partial-aggregate -> one shuffle on
+the group key. The only 64x row inflation (centroids) aggregates down to
+|labels| x 64 rows with map-side combine before the exchange; the weight
+normalization windows over one row per source (tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import table
+from .dedup import _NORM_DUCK, _NORM_SPARK
+
+# --------------------------------------------------------------------------
+# Repetition quality gates (within-document duplicate structure)
+# --------------------------------------------------------------------------
+
+REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS t FROM documents
+),
+tokc AS (
+  SELECT doc_id, g.tok, COUNT(*) AS c
+  FROM toks, unnest(t) g(tok) GROUP BY doc_id, g.tok
+),
+tt AS (
+  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS max_tok
+  FROM tokc GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, g.s FROM toks,
+    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> array_to_string(t[i:i+2], ' '))) g(s)
+  WHERE len(t) >= 3
+),
+trc AS (
+  SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT s) AS n_dist
+  FROM tri GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(tr.n_tri - tr.n_dist AS DOUBLE) / tr.n_tri AS dup_trigram_ratio,
+       CAST(t.max_tok AS DOUBLE) / t.n_tokens AS top_token_ratio
+FROM tt t JOIN trc tr ON t.doc_id = tr.doc_id
+"""
+
+
+@query("doc_repetition_scores", oracle=REPETITION_ORACLE)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals: share of trigrams that are
+    duplicates of an earlier trigram in the same document, and the most
+    frequent token's share of all tokens. Both are one IEEE division of
+    exact integer counts (bit-identical cross-engine). Documents shorter
+    than 3 tokens have no trigram row and drop out (inner join), exactly
+    like the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("t"))
+    tokc = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tt = tokc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("max_tok")
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t) - 3),"
+                " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) ELSE array() END"
+            )
+        ).alias("s"),
+    )
+    trc = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"), F.countDistinct("s").alias("n_dist")
+    )
+    return tt.join(trc, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            (F.col("n_tri") - F.col("n_dist")).cast("double") / F.col("n_tri")
+        ).alias("dup_trigram_ratio"),
+        (F.col("max_tok").cast("double") / F.col("n_tokens")).alias(
+            "top_token_ratio"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroids (IVF seed / drift table)
+# --------------------------------------------------------------------------
+
+CENTROID_ORACLE = """
+WITH x AS (
+  SELECT label, r.i - 1 AS dim, CAST(embedding[r.i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) r(i)
+)
+SELECT label, dim, COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*), 6)
+         AS centroid
+FROM x GROUP BY label, dim
+"""
+
+
+@query("embedding_label_centroids", oracle=CENTROID_ORACLE)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) mean embedding: posexplode -> one shuffle on
+    (label, dim) with map-side partial aggregation — the 64x row inflation
+    collapses to |labels| x 64 output rows. The sum is exact DECIMAL (so
+    aggregation order is irrelevant) and the mean is one IEEE division."""
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "vf")
+    ).select("label", "dim", F.col("vf").cast("double").alias("v"))
+    return x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(28,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batch packing
+# --------------------------------------------------------------------------
+
+BUCKET_W = 32  # tokens per bucket
+
+BUCKET_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, len(string_split({_NORM_DUCK}, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT CAST((n_tokens - 1) // {BUCKET_W} AS INTEGER) AS bucket,
+       CAST(((n_tokens - 1) // {BUCKET_W}) * {BUCKET_W} + 1 AS BIGINT) AS bucket_lo,
+       CAST(((n_tokens - 1) // {BUCKET_W} + 1) * {BUCKET_W} AS BIGINT) AS bucket_hi,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       SUM(((n_tokens - 1) // {BUCKET_W} + 1) * {BUCKET_W} - n_tokens)
+         AS padding_tokens
+FROM n GROUP BY 1, 2, 3
+"""
+
+
+@query("seq_length_buckets", oracle=BUCKET_ORACLE)
+def seq_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width token-length buckets for batch packing: per bucket, how
+    many documents land there and how many pad tokens padding-to-bucket-top
+    would cost. All integer arithmetic — exact on both engines. One
+    aggregation shuffle on the (tiny-cardinality) bucket key; partial
+    aggregation makes the exchange a few rows per input partition."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.select(
+        F.expr(f"size(split({_NORM_SPARK}, ' '))").alias("n_tokens")
+    )
+    b = F.expr(f"(n_tokens - 1) DIV {BUCKET_W}")
+    return (
+        n.select(
+            b.cast("int").alias("bucket"),
+            (b * BUCKET_W + 1).cast("long").alias("bucket_lo"),
+            ((b + 1) * BUCKET_W).cast("long").alias("bucket_hi"),
+            "n_tokens",
+        )
+        .groupBy("bucket", "bucket_lo", "bucket_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("bucket_hi") - F.col("n_tokens")).alias(
+                "padding_tokens"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-style source sampling weights (alpha = 0.5 => sqrt)
+# --------------------------------------------------------------------------
+
+TEMPERATURE_ORACLE = f"""
+WITH pers AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(len(string_split({_NORM_DUCK}, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS srt
+  FROM pers
+)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(srt AS DOUBLE) / CAST(SUM(srt) OVER () AS DOUBLE), 6)
+         AS weight
+FROM w
+"""
+
+
+@query("source_temperature_weights", oracle=TEMPERATURE_ORACLE)
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial source re-weighting at temperature alpha=0.5: sampling
+    weight proportional to sqrt(source token count). sqrt is IEEE-exact
+    (correctly rounded) on both engines where general pow() is not; each
+    sqrt is rounded to DECIMAL(18,6) so the normalizing sum is exact
+    decimal addition (order-free), then ONE IEEE division per source.
+    Aggregation is one shuffle on source; the normalization window spans
+    one row per source — broadcast-tiny."""
+    docs = table(spark, sf_dir, "documents")
+    pers = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(f"size(split({_NORM_SPARK}, ' '))")).alias("n_tokens"),
+    )
+    w = pers.select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("srt"),
+    )
+    tot = Window.partitionBy()
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("srt").cast("double") / F.sum("srt").over(tot).cast("double"),
+            6,
+        ).alias("weight"),
+    )

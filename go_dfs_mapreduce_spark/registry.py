@@ -41,6 +41,7 @@ _OPERATOR_MODULES = (
     "go_dfs_mapreduce_spark.operators.tpch_complete",
     "go_dfs_mapreduce_spark.operators.llm_extras",
     "go_dfs_mapreduce_spark.operators.corpus_ops",
+    "go_dfs_mapreduce_spark.operators.training_prep",
     "go_dfs_mapreduce_spark.operators.stats",
     "go_dfs_mapreduce_spark.operators.timeseries",
     "go_dfs_mapreduce_spark.operators.wordcount",

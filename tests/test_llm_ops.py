@@ -222,3 +222,80 @@ def test_decontamination_flags_only_nonbenchmark_docs(spark, sf_dir):
     hits = decontaminate_vs_benchmark(spark, sf_dir)
     assert hits.where(F.col("doc_id") < BENCH_MAX_DOC).count() == 0
     assert hits.where((F.col("hit_ratio") <= 0) | (F.col("hit_ratio") > 1)).count() == 0
+
+
+def test_repetition_scores_bounded_and_cover_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        doc_repetition_scores,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+
+    rep = doc_repetition_scores(spark, sf_dir)
+    n_docs = table(spark, sf_dir, "documents").count()
+    # every doc in this corpus has >= 3 tokens, so none drop out
+    assert rep.count() == n_docs
+    bad = rep.where(
+        (F.col("dup_trigram_ratio") < 0)
+        | (F.col("dup_trigram_ratio") >= 1)
+        | (F.col("top_token_ratio") <= 0)
+        | (F.col("top_token_ratio") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_label_centroids_shape_and_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        embedding_label_centroids,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+
+    cent = embedding_label_centroids(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    assert cent.count() == n_labels * 64
+    # per-dimension vector counts must equal the label's vector count
+    per_label = {r.label: r.c for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for r in cent.select("label", "n_vecs").distinct().collect():
+        assert per_label[r.label] == r.n_vecs
+
+
+def test_seq_length_buckets_conserve_docs_and_tokens(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        BUCKET_W,
+        seq_length_buckets,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+
+    b = seq_length_buckets(spark, sf_dir)
+    tot = b.agg(
+        F.sum("n_docs").alias("d"),
+        F.sum("padding_tokens").alias("p"),
+        F.max(F.col("bucket_hi") - F.col("bucket_lo")).alias("w"),
+    ).first()
+    assert tot.d == table(spark, sf_dir, "documents").count()
+    assert tot.p >= 0 and tot.w == BUCKET_W - 1
+    # padded length never exceeds one bucket width per doc
+    over = b.where(F.col("padding_tokens") >= F.col("n_docs") * BUCKET_W)
+    assert over.count() == 0
+
+
+def test_temperature_weights_normalize_and_flatten(spark, sf_dir):
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        source_temperature_weights,
+    )
+
+    rows = source_temperature_weights(spark, sf_dir).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    # temperature < 1 flattens: biggest source's weight share is SMALLER
+    # than its raw token share, smallest source's is bigger
+    tok_tot = sum(r.n_tokens for r in rows)
+    big = max(rows, key=lambda r: r.n_tokens)
+    small = min(rows, key=lambda r: r.n_tokens)
+    assert big.weight < big.n_tokens / tok_tot
+    assert small.weight > small.n_tokens / tok_tot
