@@ -167,54 +167,76 @@ WHERE rn <= {TOP_K}
 
 @query("ann_ivf_topk", oracle=IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-expression formulation (round 2): norms, query-to-centroid
+    distances, and candidate dot products are exact-decimal ARRAY folds
+    (``_dec_dot_expr``/``_dec_sqdist_expr``) instead of posexplode ->
+    per-dimension join -> decimal groupBy. Decimal addition is exact and
+    order-free, so the fold equals the oracle's explode+SUM term-for-term
+    — same equivalence the cell-blocked NN operator relies on — while the
+    64x row inflation and its aggregation exchanges disappear from the
+    plan. Only the (tiny) per-label centroid table is still built from
+    exploded rows, then re-packed into ordered arrays."""
+    from .dedup import _dec_dot_expr, _dec_sqdist_expr
+
+    emb = table(spark, sf_dir, "embeddings")
+    ed = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
+    )
+    # per-label centroid as an i-ordered DOUBLE array (explode only here:
+    # |vectors| x 64 rows collapsing to |labels| rows)
     x = _exploded(spark, sf_dir)
-    norms = x.groupBy("vec_id").agg(
-        F.sum((F.col("v") * F.col("v")).cast(DEC18)).alias("n2")
-    )
-    cent = x.groupBy("label", "i").agg(
-        (F.sum(F.col("v").cast(DEC18)).cast("double") / F.count(F.lit(1))).alias("cv")
-    )
-    q = x.where(F.col("vec_id") < N_QUERIES).alias("q")
-    qc = (
-        q.join(F.broadcast(cent).alias("cent"), F.col("q.i") == F.col("cent.i"))
-        .groupBy(F.col("q.vec_id").alias("qid"), F.col("cent.label").alias("label"))
+    cent = (
+        x.groupBy("label", "i")
         .agg(
-            F.sum(
-                ((F.col("q.v") - F.col("cv")) * (F.col("q.v") - F.col("cv"))).cast(
-                    DEC18
-                )
-            ).alias("d2")
+            (F.sum(F.col("v").cast(DEC18)).cast("double") / F.count(F.lit(1))).alias(
+                "cv"
+            )
         )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, cv))), s -> s.cv)"
+            ).alias("cent_emb")
+        )
+    )
+    q = ed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("qn2"),
+    )
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "qid",
+        "q_emb",
+        "qn2",
+        "label",
+        F.expr(_dec_sqdist_expr("q_emb", "cent_emb")).alias("d2"),
     )
     wp = Window.partitionBy("qid").orderBy(F.col("d2").cast("double"), F.col("label"))
     probe = (
         qc.withColumn("rn", F.row_number().over(wp))
         .where(F.col("rn") <= N_PROBE)
-        .select("qid", "label")
+        .select("qid", "q_emb", "qn2", "label")
     )
-    c = x.alias("c")
-    dots = (
-        q.join(c, (F.col("q.i") == F.col("c.i")) & (F.col("q.vec_id") != F.col("c.vec_id")))
+    # candidates = vectors in a probed label; probe (queries x n_probe
+    # rows, carrying the query vector) broadcasts against the big side
+    cos = (
+        ed.alias("c")
         .join(
             F.broadcast(probe).alias("p"),
-            (F.col("p.qid") == F.col("q.vec_id")) & (F.col("p.label") == F.col("c.label")),
+            (F.col("p.label") == F.col("c.label"))
+            & (F.col("p.qid") != F.col("c.vec_id")),
         )
-        .groupBy(F.col("q.vec_id").alias("qid"), F.col("c.vec_id").alias("cid"))
-        .agg(F.sum((F.col("q.v") * F.col("c.v")).cast(DEC18)).alias("dot"))
-    )
-    nq = norms.alias("nq")
-    nc = norms.alias("nc")
-    cos = (
-        dots.join(nq, F.col("qid") == F.col("nq.vec_id"))
-        .join(nc, F.col("cid") == F.col("nc.vec_id"))
         .select(
-            "qid",
-            "cid",
+            F.col("p.qid").alias("qid"),
+            F.col("c.vec_id").alias("cid"),
             (
-                F.col("dot").cast("double")
+                F.expr(_dec_dot_expr("p.q_emb", "c.embedding")).cast("double")
                 / (
-                    F.sqrt(F.col("nq.n2").cast("double"))
-                    * F.sqrt(F.col("nc.n2").cast("double"))
+                    F.sqrt(F.col("p.qn2").cast("double"))
+                    * F.sqrt(F.col("c.n2").cast("double"))
                 )
             ).alias("c"),
         )
