@@ -1,8 +1,9 @@
 """Similarity search over the embeddings table (north-star surface).
 
 - ann_cosine_topk : exact brute-force cosine top-k — the correctness
-  baseline. Query set is broadcast; scoring is the posexplode/join/
-  decimal-sum formulation (bit-identical across engines), ranking is a
+  baseline. Query set is broadcast; scoring is an exact-decimal array
+  fold per pair (bit-identical across engines — decimal addition is
+  order-free, so it matches the oracle's explode+SUM), ranking is a
   per-query window.
 - ann_ivf_topk    : the scale path — IVF-style coarse quantization using
   per-label centroids (computed with exact decimal means), n_probe=2:
@@ -72,35 +73,37 @@ WHERE rn <= {TOP_K}
 
 @query("ann_cosine_topk", oracle=ANN_TOPK_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    x = _exploded(spark, sf_dir)
-    norms = x.groupBy("vec_id").agg(
-        F.sum((F.col("v") * F.col("v")).cast(DEC18)).alias("n2")
+    """Brute-force exact cosine top-k, array-fold formulation (round 2):
+    ONE broadcast join of the tiny query side against the streaming
+    candidate scan, dot product and both norms as exact-decimal array
+    folds per pair — no per-dimension explode, no aggregation exchange
+    before the ranking window. Equals the oracle's explode+SUM because
+    decimal addition is order-free."""
+    from .dedup import _dec_dot_expr
+
+    emb = table(spark, sf_dir, "embeddings")
+    ed = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
     )
-    q = x.where(F.col("vec_id") < N_QUERIES).alias("q")
-    c = x.alias("c")
-    dots = (
-        c.join(
-            # query side is tiny -> broadcast it; the big side streams
-            F.broadcast(q),
-            (F.col("q.i") == F.col("c.i"))
-            & (F.col("q.vec_id") != F.col("c.vec_id")),
-        )
-        .groupBy(F.col("q.vec_id").alias("qid"), F.col("c.vec_id").alias("cid"))
-        .agg(F.sum((F.col("q.v") * F.col("c.v")).cast(DEC18)).alias("dot"))
+    q = ed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("qn2"),
     )
-    nq = norms.alias("nq")
-    nc = norms.alias("nc")
     cos = (
-        dots.join(nq, F.col("qid") == F.col("nq.vec_id"))
-        .join(nc, F.col("cid") == F.col("nc.vec_id"))
+        ed.alias("c")
+        # query side is tiny -> broadcast it; the big side streams
+        .join(F.broadcast(q), F.col("qid") != F.col("c.vec_id"))
         .select(
             "qid",
-            "cid",
+            F.col("c.vec_id").alias("cid"),
             (
-                F.col("dot").cast("double")
+                F.expr(_dec_dot_expr("q_emb", "c.embedding")).cast("double")
                 / (
-                    F.sqrt(F.col("nq.n2").cast("double"))
-                    * F.sqrt(F.col("nc.n2").cast("double"))
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("c.n2").cast("double"))
                 )
             ).alias("c"),
         )
