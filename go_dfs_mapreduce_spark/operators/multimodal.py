@@ -289,3 +289,204 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = docs.select("doc_id").mapInPandas(synth, payload_schema)
     return payloads.mapInPandas(decode, DIMS_SCHEMA)
+
+
+# --- real audio (WAV/RIFF) header decode ----------------------------------
+
+
+def parse_wav_header(b: bytes) -> dict | None:
+    """Pure-Python RIFF/WAVE header parse: walk chunks, read the fmt
+    chunk's channels/sample_rate/bits and the data chunk's byte size.
+    Returns None on anything that is not a well-formed WAV prefix."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data_size = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= len(b):
+            fmt = {
+                "channels": int.from_bytes(b[i + 10 : i + 12], "little"),
+                "sample_rate": int.from_bytes(b[i + 12 : i + 16], "little"),
+                "block_align": int.from_bytes(b[i + 20 : i + 22], "little"),
+                "bits": int.from_bytes(b[i + 22 : i + 24], "little"),
+            }
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if fmt is None or data_size is None or fmt["block_align"] == 0:
+        return None
+    return {
+        "channels": fmt["channels"],
+        "sample_rate": fmt["sample_rate"],
+        "bits": fmt["bits"],
+        "n_samples": data_size // fmt["block_align"],
+    }
+
+
+def make_wav_bytes(channels: int, sample_rate: int, bits: int, n_samples: int) -> bytes:
+    """Synthesize a REAL minimal WAV file (canonical 44-byte header +
+    zeroed PCM data) that any standards-following parser reads back."""
+    block_align = channels * bits // 8
+    data_size = n_samples * block_align
+    byte_rate = sample_rate * block_align
+    return (
+        b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+        + b"data" + data_size.to_bytes(4, "little")
+        + bytes(data_size)
+    )
+
+
+_RATE_CYCLE = (8000, 16000, 22050, 44100)
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+AUDIO_META_ORACLE = """
+SELECT doc_id,
+  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                       WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INTEGER) AS bits,
+  CAST(doc_id % 500 + 1 AS BIGINT) AS n_samples,
+  CAST((doc_id % 500 + 1) * 1000 //
+       (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+@query("multimodal_audio_meta", oracle=AUDIO_META_ORACLE)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio header decode end-to-end, mirroring the image pipeline:
+    stage 1 synthesizes valid RIFF/WAVE payloads (params derived from
+    doc_id) into a binary column; stage 2 walks the actual chunk layout
+    back out (`parse_wav_header`) via Arrow-batched mapInPandas. The
+    oracle states the generator formulas, so any parser bug (endianness,
+    chunk walk, block-align math) fails the hash compare. duration_ms is
+    integer floor division — exact on both engines."""
+    docs = table(spark, sf_dir, "documents")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        make_wav_bytes(
+                            int(i) % 2 + 1,
+                            _RATE_CYCLE[int(i) % 4],
+                            8 if int(i) % 3 == 0 else 16,
+                            int(i) % 500 + 1,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = [parse_wav_header(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "channels": [h["channels"] if h else -1 for h in hs],
+                    "sample_rate": [h["sample_rate"] if h else -1 for h in hs],
+                    "bits": [h["bits"] if h else -1 for h in hs],
+                    "n_samples": [h["n_samples"] if h else -1 for h in hs],
+                    "duration_ms": [
+                        h["n_samples"] * 1000 // h["sample_rate"] if h else -1
+                        for h in hs
+                    ],
+                }
+            )
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    payloads = docs.select("doc_id").mapInPandas(synth, payload_schema)
+    return payloads.mapInPandas(decode, AUDIO_SCHEMA)
+
+
+# --- video-style frame sampling over a binary column ----------------------
+
+FRAME_BYTES = 16  # bytes per "frame"
+FRAME_STRIDE = 4  # sample every 4th frame
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("sampled_sum_mod", T.LongType()),
+    ]
+)
+
+FRAME_SAMPLE_ORACLE = f"""
+SELECT doc_id,
+  CAST(nf AS BIGINT) AS n_frames,
+  CAST((nf + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS BIGINT) AS n_sampled,
+  CAST(COALESCE(list_sum(list_transform(
+         range(0, (nf + {FRAME_STRIDE - 1}) // {FRAME_STRIDE}),
+         k -> ('0x' || substr(h, 2 * ({FRAME_BYTES * FRAME_STRIDE} * k) + 1, 2))::INT)),
+       0) % 997 AS BIGINT) AS sampled_sum_mod
+FROM (SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) // {FRAME_BYTES} AS nf
+      FROM documents)
+"""
+
+
+@query("multimodal_frame_sample", oracle=FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: treat the opaque payload as fixed-width
+    frames, decode every ``FRAME_STRIDE``-th one (here 'decode' = read the
+    frame's lead byte — a real video decoder slots into the same batch
+    loop). The oracle recomputes the sampled-byte checksum through the
+    hex-string route, so offsets/stride mistakes fail the hash compare."""
+    docs = table(spark, sf_dir, "documents")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_frames, n_sampled, ssum = [], [], []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                nf = len(b) // FRAME_BYTES
+                picks = range(0, nf, FRAME_STRIDE)
+                n_frames.append(nf)
+                n_sampled.append(len(picks))
+                ssum.append(sum(b[FRAME_BYTES * f] for f in picks) % 997)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": n_frames,
+                    "n_sampled": n_sampled,
+                    "sampled_sum_mod": ssum,
+                }
+            )
+
+    return (
+        with_binary_payload(docs)
+        .select("doc_id", "payload")
+        .mapInPandas(sample, FRAME_SCHEMA)
+    )

@@ -299,3 +299,41 @@ def test_temperature_weights_normalize_and_flatten(spark, sf_dir):
     small = min(rows, key=lambda r: r.n_tokens)
     assert big.weight < big.n_tokens / tok_tot
     assert small.weight > small.n_tokens / tok_tot
+
+
+def test_wav_header_roundtrip_and_garbage():
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        make_wav_bytes,
+        parse_wav_header,
+    )
+
+    for ch, rate, bits, n in ((1, 8000, 8, 1), (2, 44100, 16, 500), (2, 22050, 16, 37)):
+        h = parse_wav_header(make_wav_bytes(ch, rate, bits, n))
+        assert h == {
+            "channels": ch,
+            "sample_rate": rate,
+            "bits": bits,
+            "n_samples": n,
+        }
+    assert parse_wav_header(b"") is None
+    assert parse_wav_header(b"RIFFxxxxJUNK") is None
+    assert parse_wav_header(b"\x89PNG\r\n\x1a\n") is None
+    # truncated fmt chunk must not crash or return a bogus parse
+    assert parse_wav_header(b"RIFF\x10\x00\x00\x00WAVEfmt ") is None
+
+
+def test_frame_sample_counts_consistent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        FRAME_STRIDE,
+        multimodal_frame_sample,
+    )
+
+    fs = multimodal_frame_sample(spark, sf_dir)
+    bad = fs.where(
+        (F.col("n_sampled") != F.ceil(F.col("n_frames") / FRAME_STRIDE))
+        | (F.col("sampled_sum_mod") < 0)
+        | (F.col("sampled_sum_mod") >= 997)
+    )
+    assert bad.count() == 0
