@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import query
 from ..streaming.windows import (
+    interval_join,
     session_agg,
     sliding_agg,
     throttle_dedup,
@@ -112,3 +113,25 @@ def stream_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the result survivor-independent, so DISTINCT is the exact
     oracle; tests/test_streaming.py proves the streaming mechanics."""
     return throttle_dedup(table(spark, sf_dir, "events"))
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts, CAST(c.ts AS TIMESTAMP) AS click_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= CAST(p.ts AS TIMESTAMP) - INTERVAL 240 MINUTE
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@query("stream_interval_join", oracle=INTERVAL_JOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/windows.py::interval_join): purchase-to-click attribution
+    within a 4-hour lookback per user. The streaming run (two
+    watermarked file streams, append mode) is proven row-identical in
+    tests/test_streaming.py."""
+    ev = table(spark, sf_dir, "events")
+    return interval_join(ev, ev, "240 minutes")

@@ -3,6 +3,7 @@ data-plane streaming; its heartbeats are control-plane only,
 cn/struct.go:53-187)."""
 
 from .windows import (
+    interval_join,
     read_events_stream,
     run_available_now,
     session_agg,
@@ -12,6 +13,7 @@ from .windows import (
 )
 
 __all__ = [
+    "interval_join",
     "read_events_stream",
     "run_available_now",
     "session_agg",

@@ -122,6 +122,44 @@ def throttle_dedup(events: DataFrame) -> DataFrame:
     return deduped.select(*keys)
 
 
+def interval_join(
+    left_events: DataFrame,
+    right_events: DataFrame,
+    interval: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream time-interval join: each purchase matched to the same
+    user's clicks in the preceding ``interval`` (purchase attribution).
+
+    Works on two streaming inputs or two static ones (the batch twin). In
+    streaming mode both inputs must carry watermarks and the two-sided
+    time bound is what lets Spark evict join state: click state older than
+    ``interval`` past the watermark can never match a future purchase, so
+    state is bounded by watermark horizon + interval — the stream-stream
+    join contract at any scale. Output is append-only (no aggregation)."""
+    p = left_events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = right_events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.expr(f"p_ts - INTERVAL {interval}"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    return p.join(c, cond).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.col("p_ts").alias("purchase_ts"),
+        F.col("c_ts").alias("click_ts"),
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -223,3 +223,20 @@ def test_stream_foreachbatch_sinks_into_partitioned_warehouse(
     # idempotent reprocess: overwriting the same partitions changes nothing
     wh.overwrite_partitions(want, "events_live")
     assert wh.read("events_live").count() == want.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_dir):
+    """Stream-stream time-interval join (purchase->click attribution):
+    two watermarked file streams joined in append mode must produce
+    exactly the batch twin's rows."""
+    from go_dfs_mapreduce_spark.streaming import interval_join
+
+    left = read_events_stream(spark, events_stream_dir, watermark="1 hour")
+    right = read_events_stream(spark, events_stream_dir, watermark="1 hour")
+    got = run_available_now(
+        interval_join(left, right, "240 minutes"), "t_ssjoin", "append"
+    )
+    ev = table(spark, sf_dir, "events")
+    want = interval_join(ev, ev, "240 minutes")
+    assert _rows(got) == _rows(want)
+    assert want.count() > 0
