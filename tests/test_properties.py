@@ -121,3 +121,59 @@ def test_exact_dedup_idempotent(spark, lines):
     g1, g2 = groups(df1), groups(df2)
     assert set(g1) == set(g2)
     assert all(g2[k] == 2 * g1[k] for k in g1)
+
+
+# URL-ish tokens chosen to hit every branch boundary of the log-analyzer
+# normalization: bare schemes (domain strips to ''), leading '/' (find('/')
+# == 0 does NOT split), '#'/'?' at path index 0 (no trim), numeric hosts
+# with ':' first/last, multi-dot subdomain stripping. ASCII-only: that is
+# the domain where the lowered expression twin is declared equivalent to
+# the Python plugin (plugins._log_analyzer_map_df docstring).
+URLISH = st.sampled_from(
+    [
+        "http://",
+        "https://x",
+        "http:///lead",
+        "example.com",
+        "a.b.c.org/p",
+        "www.site.com/a/b?q=1",
+        "10.0.0.1:8080/x",
+        "10.0.0.1:",
+        ":8080",
+        "9y.z:80",
+        "x.com/#frag",
+        "x.com/?q",
+        "x.com/p#f?both",
+        "dot.",
+        ".lead.dot/p",
+        "plain",
+        "a b",  # becomes two tokens after join
+    ]
+)
+CRAWLER = st.sampled_from(["botA", "Bot-B", "x", "1digit", ""])
+
+
+@given(
+    entries=st.lists(st.tuples(CRAWLER, URLISH), min_size=1, max_size=5),
+    r=st.integers(1, 10),
+)
+@SET
+def test_lowered_log_analyzer_matches_python_simulation(spark, entries, r):
+    """The fully-lowered (FlatMapExpr + ReduceExpr) log-analyzer job must
+    equal the pure-Python simulation of the reference's semantics on
+    arbitrary ASCII log lines, for every reducer count."""
+    from tests.test_mapreduce import simulate
+
+    lines = [
+        (f"f{i}", i, " ".join(["2024-01-01", "00:00:01", cr, url]))
+        for i, (cr, url) in enumerate(entries)
+    ]
+    df = spark.createDataFrame(lines, INPUT_SCHEMA)
+    job = MapReduceJob(
+        "prop_la", plugins.log_analyzer_map, plugins.log_analyzer_reduce, r=r
+    )
+    got = sorted(tuple(x) for x in job.run(df).collect())
+    want = simulate(
+        lines, plugins.log_analyzer_map, plugins.log_analyzer_reduce, r
+    )
+    assert got == want
