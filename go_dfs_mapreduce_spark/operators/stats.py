@@ -243,3 +243,68 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orphan_li.union(orphan_ord).union(dup_keys).union(null_ship).union(bad_qty)
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate-aggregate audit: sketches vs exact, with the bound itself
+# oracle-checked.
+# --------------------------------------------------------------------------
+
+APPROX_AUDIT_ORACLE = """
+SELECT 'distinct_user_id' AS metric,
+       CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS exact_value,
+       TRUE AS approx_ok
+FROM events
+UNION ALL
+SELECT 'distinct_props',
+       CAST(COUNT(DISTINCT props) AS DOUBLE), TRUE FROM events
+UNION ALL
+SELECT 'median_value',
+       CAST(quantile_disc(value, 0.5) AS DOUBLE), TRUE FROM events
+"""
+
+
+@query("approx_aggregates_audit", oracle=APPROX_AUDIT_ORACLE)
+def approx_aggregates_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cardinality/quantile path audited against ground truth:
+    HyperLogLog distinct counts (rsd=0.05) and the quantile sketch
+    (percentile_approx) each run NEXT TO their exact counterpart, and the
+    emitted flag asserts the sketch landed within 2x its stated error
+    bound. The oracle states the exact values plus literal TRUE — a sketch
+    regression outside the bound fails the hash compare, making sketch
+    accuracy itself a gated property. Exact values are either integers or
+    an actual element of the data (percentile_disc), so no cross-engine
+    float arithmetic is involved."""
+    ev = table(spark, sf_dir, "events")
+
+    def audit_distinct(col: str, metric: str) -> DataFrame:
+        return ev.agg(
+            F.countDistinct(col).cast("double").alias("exact_value"),
+            F.approx_count_distinct(col, rsd=0.05).alias("approx"),
+        ).select(
+            F.lit(metric).alias("metric"),
+            "exact_value",
+            (
+                F.abs(F.col("approx") - F.col("exact_value"))
+                <= 0.10 * F.col("exact_value")
+            ).alias("approx_ok"),
+        )
+
+    median = ev.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "exact_value"
+        ),
+        F.percentile_approx("value", 0.5, 10000).alias("approx"),
+    ).select(
+        F.lit("median_value").alias("metric"),
+        F.col("exact_value").cast("double").alias("exact_value"),
+        (
+            F.abs(F.col("approx") - F.col("exact_value"))
+            <= 0.05 * F.abs(F.col("exact_value"))
+        ).alias("approx_ok"),
+    )
+    return (
+        audit_distinct("user_id", "distinct_user_id")
+        .unionByName(audit_distinct("props", "distinct_props"))
+        .unionByName(median)
+    )
