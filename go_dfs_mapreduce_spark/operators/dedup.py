@@ -207,17 +207,10 @@ JOIN sizes sb ON i.doc_b = sb.doc_id
 """
 
 
-@query("dedup_minhash_lsh", oracle=MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate generation + exact verification, entirely in
-    JVM expressions (md5/conv/groupBy — no Python in the hot path). At
-    scale the band join touches only same-signature buckets, so work is
-    proportional to collisions, not to n^2 — and the verify stage below is
-    *candidate-restricted*: intersections come from joining the LSH
-    candidate pairs to per-doc shingle arrays (``_pair_overlap``), never
-    from an unrestricted shingle self-join (which would rebuild the
-    all-pairs matrix LSH exists to avoid)."""
-    sh = _shingles(spark, sf_dir)
+def _lsh_candidates(sh: DataFrame) -> DataFrame:
+    """DataFrame[doc_a, doc_b] — MinHash band-collision candidate pairs,
+    entirely in JVM expressions (md5/conv/groupBy). Shared by the Jaccard
+    and containment verifiers."""
     # all 8 hashes as COLUMNS of one projection — one shingle row carries
     # h0..h7, so the min-hash aggregate shuffles |shingles| rows of 8 longs
     # instead of 8x|shingles| exploded rows (the crossJoin-with-range
@@ -257,7 +250,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ba = bands.alias("ba")
     bb = bands.alias("bb")
-    cand = (
+    return (
         ba.join(
             bb,
             (F.col("ba.band") == F.col("bb.band"))
@@ -269,7 +262,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    inter = _pair_overlap(cand, sh)
+
+
+@query("dedup_minhash_lsh", oracle=MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation + exact verification, entirely in
+    JVM expressions (md5/conv/groupBy — no Python in the hot path). At
+    scale the band join touches only same-signature buckets, so work is
+    proportional to collisions, not to n^2 — and the verify stage is
+    *candidate-restricted*: intersections come from joining the LSH
+    candidate pairs to per-doc shingle arrays (``_pair_overlap``), never
+    from an unrestricted shingle self-join (which would rebuild the
+    all-pairs matrix LSH exists to avoid)."""
+    sh = _shingles(spark, sf_dir)
+    inter = _pair_overlap(_lsh_candidates(sh), sh)
     jac = F.col("n") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n"))
     return inter.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
 
@@ -798,4 +804,66 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Containment (partial-duplicate / quote detection): |A ∩ B| / min(|A|,|B|)
+# --------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+CONTAINMENT_ORACLE = f"""
+WITH sh AS ({SHINGLES_DUCK}),
+hashed AS (
+  SELECT doc_id, r.i AS i,
+    MIN(CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || shingle), 1, 8))::UBIGINT AS BIGINT)) AS mh
+  FROM sh, range({N_HASHES}) r(i)
+  GROUP BY doc_id, r.i
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+  FROM hashed GROUP BY doc_id, i // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.n * 1.0 / LEAST(sa.sz, sb.sz), 6) AS containment
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.n * 1.0 / LEAST(sa.sz, sb.sz) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@query("dedup_containment", oracle=CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplicate detection: containment of the smaller shingle set
+    in the larger (|A∩B| / min(|A|,|B|)) over LSH candidate pairs, same
+    candidate generation + array-overlap verify as dedup_minhash_lsh.
+    Catches quote/subset relationships symmetric Jaccard under-scores.
+
+    Honesty note on recall at scale: Jaccard-tuned LSH bands under-recall
+    pairs with very unequal sizes (a tiny doc fully contained in a huge
+    one has low Jaccard, so few band collisions). A production
+    containment search bands the SMALLER side's shingles only (or uses
+    size-stratified bands); the oracle here computes the identical
+    candidate set, so the gate checks the verify math, not recall."""
+    sh = _shingles(spark, sf_dir)
+    inter = _pair_overlap(_lsh_candidates(sh), sh)
+    cont = F.col("n") * 1.0 / F.least(F.col("sz_a"), F.col("sz_b"))
+    return (
+        inter.where(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )

@@ -77,6 +77,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # module registration order (previously-unrecorded modules first — see
 # _OPERATOR_MODULES note).
 _HEAVY_TAIL = (
+    "dedup_containment",
     "dedup_ngram_jaccard_capped",
     "clean_corpus_selection",
     "embedding_nn_cosine",
