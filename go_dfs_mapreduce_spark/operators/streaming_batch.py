@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import query
 from ..streaming.windows import (
+    enrich_with_dim,
     interval_join,
     session_agg,
     sliding_agg,
@@ -135,3 +136,21 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py."""
     ev = table(spark, sf_dir, "events")
     return interval_join(ev, ev, "240 minutes")
+
+
+ENRICH_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type,
+       c.c_mktsegment AS segment, c.c_nationkey AS nationkey
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@query("stream_enrich_dim", oracle=ENRICH_ORACLE)
+def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static dimension enrichment
+    (streaming/windows.py::enrich_with_dim): events joined to the
+    broadcast customer dim. The streaming run is proven row-identical in
+    tests/test_streaming.py."""
+    return enrich_with_dim(
+        table(spark, sf_dir, "events"), table(spark, sf_dir, "customer")
+    )

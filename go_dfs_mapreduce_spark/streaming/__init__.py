@@ -3,6 +3,7 @@ data-plane streaming; its heartbeats are control-plane only,
 cn/struct.go:53-187)."""
 
 from .windows import (
+    enrich_with_dim,
     interval_join,
     read_events_stream,
     run_available_now,
@@ -13,6 +14,7 @@ from .windows import (
 )
 
 __all__ = [
+    "enrich_with_dim",
     "interval_join",
     "read_events_stream",
     "run_available_now",

@@ -160,6 +160,23 @@ def interval_join(
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the (possibly streaming) events side
+    to a static dimension on user key. The static side broadcasts — in
+    streaming mode Spark re-plans the broadcast per micro-batch, so dim
+    updates between batches are picked up and NO stream state is kept
+    (unlike stream-stream joins). Event-side columns only + inner join
+    keeps the output append-only."""
+    d = dim.select(
+        F.col("c_custkey").alias("dim_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return events.join(
+        F.broadcast(d), events["user_id"] == d["dim_key"]
+    ).select("event_id", "user_id", "event_type", "segment", "nationkey")
+
+
 def run_available_now(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -240,3 +240,16 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_
     want = interval_join(ev, ev, "240 minutes")
     assert _rows(got) == _rows(want)
     assert want.count() > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_stream_dir):
+    """Stream-static join: streaming events enriched against the static
+    customer dim must equal the batch twin (broadcast, no join state)."""
+    from go_dfs_mapreduce_spark.streaming import enrich_with_dim
+
+    dim = table(spark, sf_dir, "customer")
+    stream = read_events_stream(spark, events_stream_dir, watermark=None)
+    got = run_available_now(enrich_with_dim(stream, dim), "t_enrich", "append")
+    want = enrich_with_dim(table(spark, sf_dir, "events"), dim)
+    assert _rows(got) == _rows(want)
+    assert want.count() > 0
