@@ -223,10 +223,13 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
     from go_dfs_mapreduce_spark.plans.audit import formatted_plan
 
     declared_python = {
-        "mr_wordcount",  # Arrow map phase (lowered reduce is native)
-        "mr_log_analyzer",
+        # mr_wordcount / mr_log_analyzer are deliberately ABSENT: their
+        # map+reduce lowerings are fully native, and this audit now
+        # guards that they stay that way.
         "multimodal_fake_features",
         "multimodal_image_dims",
+        "multimodal_audio_meta",
+        "multimodal_frame_sample",
         "udf_price_tier",
         "udaf_customer_stats",
     }
@@ -358,3 +361,47 @@ def test_clustered_store_gives_disjoint_file_ranges(wh, spark, sf_dir):
         assert hi1 <= lo2, ranges  # disjoint (range partitioner boundaries)
     # and the table still reads back completely
     assert wh.read("li_clustered").count() == li.count()
+
+
+def test_zorder_store_tightens_both_column_ranges(wh, spark, sf_dir):
+    """zorder_by lays rows on a Morton curve: per-file footer min/max
+    spans must be materially tighter than the global span on BOTH
+    z-ordered columns — while a single-key cluster_by leaves the second
+    column's per-file span at ~the full range (no skipping power)."""
+    import pyarrow.parquet as pq
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+
+    def spans(table_name, col_idx):
+        d = wh._table_dir(table_name)
+        file_spans, g_min, g_max = [], None, None
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            file_spans.append(max(maxs) - min(mins))
+            g_min = min(mins) if g_min is None else min(g_min, min(mins))
+            g_max = max(maxs) if g_max is None else max(g_max, max(maxs))
+        global_span = (g_max - g_min) or 1
+        return sum(file_spans) / len(file_spans) / global_span, len(file_spans)
+
+    wh.store_df(li, "li_z", zorder_by=("l_orderkey", "l_suppkey"), n_files=16)
+    wh.store_df(li, "li_1d", cluster_by=["l_orderkey"], n_files=16)
+
+    z_ok_frac, n_z = spans("li_z", 0)
+    z_sk_frac, _ = spans("li_z", 1)
+    c_sk_frac, _ = spans("li_1d", 1)
+    assert n_z >= 8
+    # both dimensions tight under z-order ...
+    assert z_ok_frac < 0.55, z_ok_frac
+    assert z_sk_frac < 0.55, z_sk_frac
+    # ... but the non-clustered dimension is useless under 1-D clustering
+    assert c_sk_frac > 0.9, c_sk_frac
+    assert wh.read("li_z").count() == li.count()
