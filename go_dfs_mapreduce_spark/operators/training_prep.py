@@ -1,6 +1,6 @@
 """Training-batch preparation operators (north-star LLM-pipeline surface).
 
-Four operators between the cleaned corpus and the trainer, complementing
+Operators between the cleaned corpus and the trainer, complementing
 :mod:`corpus_ops` (decontamination/chunking/vocab) — all pure codegen
 expressions with exact DuckDB oracles:
 
@@ -18,6 +18,10 @@ expressions with exact DuckDB oracles:
   share) (temperature-style source re-weighting, alpha=0.5 so the power
   is IEEE-exact sqrt on both engines — pow(x, 0.7) is libm-dependent and
   NOT hash-portable).
+- doc_pack_bins             : sequential packing of documents into
+  fixed-capacity token bins by per-shard running sums (the distributed
+  packing shape: windows parallel across shards, never one global
+  serial pass).
 
 Cross-engine determinism: ratios are ONE IEEE division of exact integers;
 centroid means divide an exact DECIMAL sum once; the weight denominator
@@ -258,4 +262,66 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("srt").cast("double") / F.sum("srt").over(tot).cast("double"),
             6,
         ).alias("weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequential document packing into fixed token budgets (per shard)
+# --------------------------------------------------------------------------
+
+PACK_CAPACITY = 512  # token budget per packed sequence
+PACK_SHARDS = 8  # documents pack within hash shards, not globally
+
+PACK_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id,
+         CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+         len(string_split({_NORM_DUCK}, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM n
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS bin_id,
+       CAST((cum - n_tokens) - ((cum - n_tokens) // {PACK_CAPACITY}) * {PACK_CAPACITY}
+            AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
+@query("doc_pack_bins", oracle=PACK_ORACLE)
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents are assigned to fixed-capacity token
+    bins by a running cumulative sum in doc_id order WITHIN hash shards —
+    the distributed form of greedy sequential packing (global packing
+    would serialize through one partition; per-shard packing keeps the
+    window parallel across shards, which is how packing shards out at any
+    scale). bin_id/bin_offset locate the doc's FIRST token (a doc longer than
+    the remaining capacity spills into following bins — the
+    concat-then-chunk convention). All integer arithmetic."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+        F.expr(f"size(split({_NORM_SPARK}, ' '))").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = n.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")  # 0-based token position
+    bin_id = F.expr(f"(cum - n_tokens) DIV {PACK_CAPACITY}")
+    return c.select(
+        "doc_id",
+        "shard",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        bin_id.cast("long").alias("bin_id"),
+        (start - bin_id * PACK_CAPACITY).cast("long").alias("bin_offset"),
     )

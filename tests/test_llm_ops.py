@@ -337,3 +337,36 @@ def test_frame_sample_counts_consistent(spark, sf_dir):
         | (F.col("sampled_sum_mod") >= 997)
     )
     assert bad.count() == 0
+
+
+def test_doc_pack_bins_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        PACK_CAPACITY,
+        doc_pack_bins,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+
+    packed = doc_pack_bins(spark, sf_dir)
+    assert packed.count() == table(spark, sf_dir, "documents").count()
+    # offsets live inside the bin, bins are non-negative
+    bad = packed.where(
+        (F.col("bin_offset") < 0)
+        | (F.col("bin_offset") >= PACK_CAPACITY)
+        | (F.col("bin_id") < 0)
+    )
+    assert bad.count() == 0
+    # within a shard, (bin_id, bin_offset) is strictly increasing in
+    # doc_id order — packing is sequential
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    seq = packed.withColumn(
+        "prev", F.lag(F.col("bin_id") * PACK_CAPACITY + F.col("bin_offset")).over(w)
+    )
+    disorder = seq.where(
+        F.col("prev").isNotNull()
+        & (F.col("bin_id") * PACK_CAPACITY + F.col("bin_offset") <= F.col("prev"))
+    )
+    assert disorder.count() == 0
