@@ -71,9 +71,21 @@ class Warehouse:
             return fh.read().strip()
 
     # -- store -------------------------------------------------------------
-    def store(self, local_path: str, name: str | None = None) -> str:
+    def store(
+        self,
+        local_path: str,
+        name: str | None = None,
+        chunk_mib: int | None = None,
+    ) -> str:
         """Ingest a local file; rejects duplicate names like the controller
-        (cn/dfs_actions.go:17-22). Returns the stored name."""
+        (cn/dfs_actions.go:17-22). ``chunk_mib`` is the reference's
+        client-settable chunk size (`store {path} [chunk_MiB]`,
+        cl/dfs_actions.go:76-81, default 64 MiB): TXT files split into
+        ~that many bytes per output part; BIN files are stored as CHUNK
+        ROWS of at most that many bytes — constant memory at both store
+        (streamed parquet writer, one row group per chunk) and retrieve
+        (toLocalIterator over chunk rows), never one whole-blob row.
+        Returns the stored name."""
         name = name or os.path.basename(local_path)
         if self._exists(name):
             raise FileExistsError(f"file {name!r} already stored")
@@ -89,6 +101,12 @@ class Warehouse:
                 F.monotonically_increasing_id().alias("line_number"),
                 "value",
             )
+            if chunk_mib:
+                n_parts = max(
+                    1,
+                    -(-os.path.getsize(local_path) // (chunk_mib * 1024 * 1024)),
+                )
+                df = df.repartition(n_parts)
             ftype = "TXT"
             with open(local_path, "rb") as fh:
                 fh.seek(0, os.SEEK_END)
@@ -98,13 +116,38 @@ class Warehouse:
                 else:
                     trailing_nl = False
         else:
-            df = (
-                self.spark.read.format("binaryFile")
-                .load(local_path)
-                .select("path", "content")
+            # BIN: stream the file into chunk rows with a local parquet
+            # writer (the client-side analog of the reference's chunked
+            # upload, cl/dfs_actions.go:140-288) — one row group per
+            # chunk, so Spark's scan assigns chunks to tasks by row group
+            # and neither store nor retrieve ever holds the whole blob.
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(target, exist_ok=True)
+            schema = pa.schema(
+                [("chunk_idx", pa.int64()), ("content", pa.binary())]
             )
-            ftype = "BIN"
-            trailing_nl = False
+            chunk = (chunk_mib or 64) * 1024 * 1024
+            with pq.ParquetWriter(
+                os.path.join(target, "part-00000.parquet"), schema
+            ) as w:
+                idx = 0
+                with open(local_path, "rb") as fh:
+                    while True:
+                        buf = fh.read(chunk)
+                        if not buf:
+                            break
+                        w.write_table(
+                            pa.table(
+                                {"chunk_idx": [idx], "content": [buf]},
+                                schema=schema,
+                            )
+                        )
+                        idx += 1
+            with open(os.path.join(target, "_FTYPE"), "w") as fh:
+                fh.write("BIN")
+            return name
         df.write.parquet(target)
         with open(os.path.join(target, "_FTYPE"), "w") as fh:
             fh.write(ftype)
@@ -292,13 +335,15 @@ class Warehouse:
                     fh.write("\n")
         elif ftype == "BIN":
             with open(out_path, "xb") as fh:
-                # deterministic order + streaming: no full-result collect
-                it = (
-                    df.orderBy("path").select("content")
-                    if "path" in df.columns
-                    else df.select("content")
-                ).toLocalIterator()
-                for r in it:
+                # deterministic chunk order + streaming: no full-result
+                # collect, constant driver memory per chunk row
+                if "chunk_idx" in df.columns:
+                    ordered_bin = df.orderBy("chunk_idx")
+                elif "path" in df.columns:  # legacy whole-blob layout
+                    ordered_bin = df.orderBy("path")
+                else:
+                    ordered_bin = df
+                for r in ordered_bin.select("content").toLocalIterator():
                     fh.write(bytes(r.content))
         else:
             raise ValueError(f"{name!r} is a TABLE; use read() not retrieve()")

@@ -405,3 +405,31 @@ def test_zorder_store_tightens_both_column_ranges(wh, spark, sf_dir):
     # ... but the non-clustered dimension is useless under 1-D clustering
     assert c_sk_frac > 0.9, c_sk_frac
     assert wh.read("li_z").count() == li.count()
+
+
+def test_binary_chunked_store_roundtrip(wh, tmp_path):
+    """chunk_mib splits a BIN file into chunk rows (the reference's
+    client-set chunk size); retrieve reassembles byte-exactly in
+    chunk_idx order."""
+    src = tmp_path / "big.bin"
+    payload = bytes(range(256)) * 4096 * 5  # 5 MiB
+    src.write_bytes(payload)
+    wh.store(str(src), chunk_mib=1)
+    chunks = wh.read("big.bin")
+    assert chunks.count() == 5
+    assert {r.chunk_idx for r in chunks.select("chunk_idx").collect()} == set(range(5))
+    out = tmp_path / "big.out"
+    wh.retrieve("big.bin", str(out))
+    assert out.read_bytes() == payload
+
+
+def test_text_chunked_store_makes_parts(wh, tmp_path, spark):
+    src = tmp_path / "many.txt"
+    lines = [f"line {i:06d} " + "x" * 100 for i in range(20000)]  # ~2 MiB
+    src.write_text("\n".join(lines) + "\n")
+    wh.store(str(src), chunk_mib=1)
+    entry = [e for e in wh.ls(verbose=True) if e["name"] == "many.txt"][0]
+    assert entry["n_parts"] >= 2
+    out = tmp_path / "many.out"
+    wh.retrieve("many.txt", str(out))
+    assert out.read_text() == "\n".join(lines) + "\n"
