@@ -65,6 +65,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("store", help="ingest a local file (TXT/BIN sniffed)")
     p.add_argument("path")
     p.add_argument("name", nargs="?")
+    # the reference's `store {path} [chunk_MiB]` knob (cl/dfs_actions.go:76-81)
+    p.add_argument("--chunk-mib", type=int, default=None)
 
     p = sub.add_parser("retrieve", help="reassemble a stored file locally")
     p.add_argument("name")
@@ -108,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
     wh = Warehouse(spark, args.warehouse)
 
     if args.cmd == "store":
-        print(wh.store(args.path, args.name))
+        print(wh.store(args.path, args.name, chunk_mib=args.chunk_mib))
     elif args.cmd == "retrieve":
         print(wh.retrieve(args.name, args.out))
     elif args.cmd == "delete":
