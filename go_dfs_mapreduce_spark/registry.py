@@ -29,7 +29,7 @@ ORACLES: dict[str, str] = {}
 # the modules whose entries went unrecorded then are registered FIRST now:
 # if the driver cuts again, a *different* (already-driver-verified) slice
 # is affected, and if the cut was a time budget, the whole set fits — the
-# full 66-query gate is ~40 s of Spark at sf0.01.
+# full 118-query gate is ~71 s of warm Spark at sf0.01 (+ ~3 s of DuckDB).
 _OPERATOR_MODULES = (
     "go_dfs_mapreduce_spark.operators.textstats",
     "go_dfs_mapreduce_spark.operators.multimodal",
@@ -78,13 +78,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # _OPERATOR_MODULES note).
 _HEAVY_TAIL = (
     "dedup_containment",
-    "dedup_ngram_jaccard_capped",
     "clean_corpus_selection",
+    "dedup_ngram_jaccard_capped",
+    "bigram_topk",
     "embedding_nn_cosine",
     "dedup_simhash",
+    "multimodal_audio_meta",
     "ann_ivf_topk",
     "mr_log_analyzer",
-    "bigram_topk",
     "dedup_clusters",
 )
 
