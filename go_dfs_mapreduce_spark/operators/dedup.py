@@ -391,7 +391,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold) by iterative min-label propagation — the canonical-group
     assignment a dedup pipeline feeds the survivor selector.
 
-    Spark has no recursive SQL, so the fixpoint is a driver loop: each
+    Spark 4 has recursive CTEs but only with UNION ALL recursion
+    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE as of 4.1), which cannot
+    terminate on the cyclic reachability expansion connected components
+    needs — so the fixpoint stays a driver loop: each
     round every doc takes the min label among itself and its neighbors;
     convergence when no label changes (checked with a one-row aggregate,
     never by collecting data rows). Rounds = cluster diameter, which for
