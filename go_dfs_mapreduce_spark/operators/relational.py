@@ -835,3 +835,76 @@ def map_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_contains_key(m, "k").alias("has_k"),
         F.element_at(m, "missing").alias("missing_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# listagg (SQL:2016 string aggregation, Spark 4) + error-safe try_* family
+# --------------------------------------------------------------------------
+
+LISTAGG_ORACLE = """
+SELECT c_nationkey AS nationkey,
+       string_agg(seg, ',' ORDER BY seg) AS segments,
+       COUNT(*) AS n_segments
+FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg FROM customer)
+GROUP BY c_nationkey
+"""
+
+
+@query("listagg_segments_per_nation", oracle=LISTAGG_ORACLE)
+def listagg_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 LISTAGG ... WITHIN GROUP (new in Spark 4): deterministic
+    because the WITHIN GROUP ordering fixes element order on both engines
+    (an unordered collect_list + concat would be partition-order
+    dependent). Input is pre-distincted so the aggregate is order-free."""
+    cust = table(spark, sf_dir, "customer")
+    segs = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("seg"),
+    ).distinct()
+    segs.createOrReplaceTempView("_listagg_segs")
+    return spark.sql(
+        """
+        SELECT nationkey,
+               listagg(seg, ',') WITHIN GROUP (ORDER BY seg) AS segments,
+               COUNT(*) AS n_segments
+        FROM _listagg_segs GROUP BY nationkey
+        """
+    )
+
+
+TRY_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_linenumber - 1 = 0 THEN NULL
+       ELSE CAST(l_extendedprice AS DOUBLE) / (l_linenumber - 1) END
+    AS price_per_extra_line,
+  TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+  TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+                THEN CAST(CAST(l_quantity AS INTEGER) AS VARCHAR)
+                ELSE l_returnflag END AS INTEGER) AS mixed_cast
+FROM lineitem
+WHERE l_orderkey <= 640
+"""
+
+
+@query("try_arithmetic_showcase", oracle=TRY_ORACLE)
+def try_arithmetic_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe surface: try_divide yields NULL on a zero
+    divisor (where ANSI division would raise) and try_cast yields NULL on
+    malformed input (where CAST raises). The oracle states the same
+    semantics with guarded CASE / TRY_CAST; the one IEEE division is of
+    exact inputs, so doubles match bit-for-bit."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 640)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice").cast("double"),
+            (F.col("l_linenumber") - 1).cast("double"),
+        ).alias("price_per_extra_line"),
+        F.expr("try_cast(l_returnflag AS INT)").alias("flag_as_int"),
+        F.expr(
+            "try_cast(CASE WHEN l_linenumber % 2 = 0"
+            " THEN CAST(CAST(l_quantity AS INT) AS STRING)"
+            " ELSE l_returnflag END AS INT)"
+        ).alias("mixed_cast"),
+    )
