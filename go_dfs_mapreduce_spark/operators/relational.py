@@ -908,3 +908,39 @@ def try_arithmetic_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE l_returnflag END AS INT)"
         ).alias("mixed_cast"),
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT semi-structured type (new in Spark 4)
+# --------------------------------------------------------------------------
+
+VARIANT_ORACLE = """
+SELECT event_id,
+  CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+  CAST(json_extract_string(props, '$.nope') AS VARCHAR) AS missing_str,
+  CAST(json(props) AS VARCHAR) AS props_canonical,
+  'OBJECT<k: BIGINT>' AS shape
+FROM events
+WHERE event_id < 2000
+"""
+
+
+@query("variant_props_showcase", oracle=VARIANT_ORACLE)
+def variant_props_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of semi-structured props: parse_json into
+    the binary variant encoding, typed path extraction (variant_get with a
+    target type; missing paths yield NULL), canonical re-serialization,
+    and schema_of_variant shape inference. The oracle uses DuckDB's JSON
+    twins — canonical forms agree because the single-key objects admit
+    only one minified serialization."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_int"),
+        F.expr("variant_get(parse_json(props), '$.nope', 'string')").alias(
+            "missing_str"
+        ),
+        F.to_json(v).alias("props_canonical"),
+        F.schema_of_variant(v).alias("shape"),
+    )
