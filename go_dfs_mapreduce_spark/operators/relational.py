@@ -944,3 +944,69 @@ def variant_props_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(v).alias("props_canonical"),
         F.schema_of_variant(v).alias("shape"),
     )
+
+
+# --------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4) + LATERAL correlated subquery
+# --------------------------------------------------------------------------
+
+PIPE_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@query("pipe_syntax_priority_rollup", oracle=PIPE_ORACLE)
+def pipe_syntax_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|> operators): the same logical plan as
+    the nested-SELECT oracle, declared as a linear pipeline. Demonstrates
+    that the surface is syntax only — Catalyst plans it identically, so
+    pushdown/pruning/partial aggregation all still apply."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_pipe_orders")
+    return spark.sql(
+        """
+        FROM _pipe_orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2)
+                          AS DOUBLE) AS total_price
+           GROUP BY o_orderpriority
+        """
+    )
+
+
+LATERAL_ORACLE = """
+SELECT n.n_name, top.c_custkey, top.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) top
+"""
+
+
+@query("lateral_topk_per_nation", oracle=LATERAL_ORACLE)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: per nation, the top-2 customers by
+    balance, written as a per-row dependent subquery rather than a window.
+    Catalyst decorrelates it to a join + per-group limit — the same plan
+    family the window formulation gets, so the lateral surface costs
+    nothing extra at scale. Deterministic via the custkey tiebreak."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, top.c_custkey, top.c_acctbal
+        FROM _lat_nation n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM _lat_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) top
+        """
+    )
