@@ -95,3 +95,45 @@ def udaf_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons, so the oracle matches despite the Python path."""
     cust = table(spark, sf_dir, "customer")
     return cust.groupBy("c_nationkey").applyInPandas(_nation_stats, STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (Spark 3.5+ table function API)
+# --------------------------------------------------------------------------
+
+UDTF_TOKENS_ORACLE = """
+SELECT d.doc_id, g.i - 1 AS pos, t[g.i] AS token
+FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents WHERE doc_id < 50) d,
+     range(1, 4) g(i)
+WHERE len(t) >= g.i
+"""
+
+
+@query("udtf_first_tokens", oracle=UDTF_TOKENS_ORACLE)
+def udtf_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real @udtf API (the third leg of UDF/UDAF/UDTF): a Python table
+    function emitting (pos, token) rows per document, invoked via LATERAL
+    in SQL. DECLARED Python surface — the plan carries a Python UDTF
+    stage by design (the idiomatic equivalent is posexplode, used
+    everywhere else); restricted to a small doc slice so the gate cost
+    stays trivial."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class FirstTokens:
+        def eval(self, text: str, n: int):
+            toks = str(text).lower().split()
+            for i, t in enumerate(toks[: int(n)]):
+                yield i, t
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    table(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM _udtf_docs d, LATERAL first_tokens(d.text, 3) t
+        """
+    )

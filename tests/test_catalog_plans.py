@@ -232,18 +232,30 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         "multimodal_frame_sample",
         "udf_price_tier",
         "udaf_customer_stats",
+        "udtf_first_tokens",
     }
     qs, _ = registry.collect()
     offenders, python_leaks = [], []
     for name, fn in qs.items():
         plan = formatted_plan(fn(spark, sf_dir))
-        if "BatchEvalPython" in plan:
-            offenders.append(name)
-        has_arrow_python = any(
-            tok in plan
-            for tok in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+        # scalar row-at-a-time Python UDFs are banned outright; a Python
+        # UDTF node (BatchEvalPythonUDTF) is a different operator class —
+        # it is allowed only as a DECLARED surface like the Arrow stages
+        scalar_python = "BatchEvalPython" in plan.replace(
+            "BatchEvalPythonUDTF", ""
         )
-        if has_arrow_python and name not in declared_python:
+        if scalar_python:
+            offenders.append(name)
+        has_declared_class = any(
+            tok in plan
+            for tok in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+                "BatchEvalPythonUDTF",
+            )
+        )
+        if has_declared_class and name not in declared_python:
             python_leaks.append(name)
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
     assert not python_leaks, f"undeclared Python stages in: {python_leaks}"
