@@ -1010,3 +1010,78 @@ def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) top
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Collations (Spark 4) + interval arithmetic
+# --------------------------------------------------------------------------
+
+COLLATION_ORACLE = """
+SELECT p_brand,
+       COUNT(DISTINCT mixed) AS n_binary,
+       COUNT(DISTINCT lower(mixed)) AS n_lcase
+FROM (SELECT p_brand,
+             CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                  ELSE lower(p_type) END AS mixed
+      FROM part)
+GROUP BY p_brand
+"""
+
+
+@query("collation_showcase", oracle=COLLATION_ORACLE)
+def collation_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: distinct counts over a case-mixed column under
+    binary vs UTF8_LCASE collation — the collated count equals the
+    oracle's lower() emulation, while binary counts the case variants
+    separately. Collation-aware comparison happens inside the aggregate
+    (no normalization materialized), which is the engine-level surface
+    lower()-wrapping can't express."""
+    part = table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_type")
+    ).otherwise(F.lower("p_type"))
+    return (
+        part.select("p_brand", mixed.alias("mixed"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("mixed").alias("n_binary"),
+            F.countDistinct(F.expr("collate(mixed, 'UTF8_LCASE')")).alias(
+                "n_lcase"
+            ),
+        )
+    )
+
+
+INTERVAL_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+  EXTRACT(DAY FROM (CAST(l_shipdate AS TIMESTAMP) - CAST(o_orderdate AS TIMESTAMP)))
+    AS ship_delay_days,
+  CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY AS promise_ts,
+  l_shipdate > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY AS late
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_orderkey <= 320
+"""
+
+
+@query("interval_arithmetic_showcase", oracle=INTERVAL_ORACLE)
+def interval_arithmetic_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-time INTERVAL arithmetic: timestamp subtraction produces an
+    interval whose day field drives an SLA check, and +INTERVAL shifts the
+    promise date. Output columns are primitives (days, timestamp, bool) —
+    interval VALUES are exercised in the expressions but never emitted, so
+    cross-engine hashing stays on well-defined types."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 320)
+    orders = table(spark, sf_dir, "orders")
+    j = li.join(
+        F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("extract(DAY FROM (l_shipdate - o_orderdate))").alias(
+            "ship_delay_days"
+        ),
+        F.expr("o_orderdate + INTERVAL 90 DAY").alias("promise_ts"),
+        F.expr("l_shipdate > o_orderdate + INTERVAL 90 DAY").alias("late"),
+    )
