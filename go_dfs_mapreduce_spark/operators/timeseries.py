@@ -136,3 +136,112 @@ def funnel_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
     )
     return firsts.select("user_id", stage.cast("int").alias("funnel_stage"))
+
+
+# --------------------------------------------------------------------------
+# Linear-interpolation resample (the other canonical gap-fill mode)
+# --------------------------------------------------------------------------
+
+INTERP_ORACLE = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+spine AS (
+  SELECT u.user_id, g.h AS hour
+  FROM users u,
+       unnest(generate_series(TIMESTAMP '{LOCF_START}',
+                              TIMESTAMP '{LOCF_END}',
+                              INTERVAL 1 HOUR)) g(h)
+),
+samples AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, MAX(value) AS sample
+  FROM events
+  WHERE ts < TIMESTAMP '{LOCF_END}' + INTERVAL 1 HOUR
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT s.user_id, s.hour, p.sample,
+    LAST_VALUE(p.sample IGNORE NULLS) OVER (
+      PARTITION BY s.user_id ORDER BY s.hour
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN p.sample IS NOT NULL THEN s.hour END IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    FIRST_VALUE(p.sample IGNORE NULLS) OVER (
+      PARTITION BY s.user_id ORDER BY s.hour
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN p.sample IS NOT NULL THEN s.hour END IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.hour
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM spine s LEFT JOIN samples p
+    ON s.user_id = p.user_id AND s.hour = p.hour
+)
+SELECT user_id, hour,
+  CASE WHEN sample IS NOT NULL THEN sample
+       WHEN pv IS NOT NULL AND nv IS NOT NULL
+       THEN pv + (nv - pv) * (CAST(epoch(hour) - epoch(ph) AS DOUBLE)
+                              / CAST(epoch(nh) - epoch(ph) AS DOUBLE))
+       ELSE NULL END AS value_interp
+FROM j
+"""
+
+
+@query("events_linear_resample", oracle=INTERP_ORACLE)
+def events_linear_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill on the hourly grid: observed hours
+    keep their sample, interior gaps interpolate between the bracketing
+    observations, and points outside the observed range stay NULL (strict
+    interpolation — LOCF is the other operator). The interpolation
+    formula is written with the identical operation order on both engines
+    (pv + (nv - pv) * (int-epoch delta / int-epoch delta)), so the IEEE
+    doubles match bit-for-bit with no rounding step. Same
+    one-shuffle-on-user shape as LOCF: both direction windows share the
+    spine-join partitioning."""
+    events = table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    spine = users.crossJoin(
+        spark.range(1).select(
+            F.explode(
+                F.expr(
+                    f"sequence(timestamp'{LOCF_START}', timestamp'{LOCF_END}',"
+                    " interval 1 hour)"
+                )
+            ).alias("hour")
+        )
+    )
+    samples = (
+        events.where(
+            F.col("ts")
+            < F.lit(LOCF_END).cast("timestamp") + F.expr("INTERVAL 1 HOUR")
+        )
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.max("value").alias("sample"))
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("sample").isNotNull(), F.col("hour"))
+    j = (
+        spine.join(samples, ["user_id", "hour"], "left")
+        .withColumn("pv", F.last("sample", ignorenulls=True).over(back))
+        .withColumn("ph", F.last(obs_hour, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("sample", ignorenulls=True).over(fwd))
+        .withColumn("nh", F.first(obs_hour, ignorenulls=True).over(fwd))
+    )
+    frac = F.expr(
+        "CAST(unix_timestamp(hour) - unix_timestamp(ph) AS DOUBLE)"
+        " / CAST(unix_timestamp(nh) - unix_timestamp(ph) AS DOUBLE)"
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    return j.select(
+        "user_id",
+        "hour",
+        F.when(F.col("sample").isNotNull(), F.col("sample"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("value_interp"),
+    )
