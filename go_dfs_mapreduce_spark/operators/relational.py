@@ -1085,3 +1085,47 @@ def interval_arithmetic_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("o_orderdate + INTERVAL 90 DAY").alias("promise_ts"),
         F.expr("l_shipdate > o_orderdate + INTERVAL 90 DAY").alias("late"),
     )
+
+
+# --------------------------------------------------------------------------
+# Higher-order array functions (lambda surface) over the embedding column
+# --------------------------------------------------------------------------
+
+ARRAY_HOF_ORACLE = """
+SELECT vec_id,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+  CAST((len(embedding) - len(list_filter(embedding, x -> x > 0.5))) > 0
+       AS BOOLEAN) AS any_below_half,
+  CAST(list_sum(list_transform(embedding,
+       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+    AS sum_micros,
+  list_transform(list_sort(list_transform(embedding,
+       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))[1:3], x -> x)
+    AS smallest3_micros
+FROM embeddings
+WHERE vec_id < 200
+"""
+
+
+@query("array_hof_showcase", oracle=ARRAY_HOF_ORACLE)
+def array_hof_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — filter/exists/transform/aggregate/
+    array_sort with lambda expressions. Float-derived outputs are
+    micro-unit BIGINTs (round once, then integer ops), so the lambda
+    pipeline is hash-exact cross-engine."""
+    emb = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    micros = F.expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)"
+        " AS BIGINT))"
+    )
+    return emb.select(
+        "vec_id",
+        F.expr("size(filter(embedding, x -> x > 0))")
+        .cast("int")
+        .alias("n_positive"),
+        F.expr("exists(embedding, x -> x <= 0.5)").alias("any_below_half"),
+        F.aggregate(
+            micros, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("sum_micros"),
+        F.slice(F.array_sort(micros), 1, 3).alias("smallest3_micros"),
+    )
