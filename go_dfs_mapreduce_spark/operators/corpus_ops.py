@@ -256,3 +256,108 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_doc_tokens"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup reporting: per-source duplicate rates + cross-source overlap
+# --------------------------------------------------------------------------
+
+DEDUP_RATES_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, md5({_NORM_DUCK}) AS content_key FROM documents
+),
+canon AS (
+  SELECT content_key, MIN(doc_id) AS canonical_doc FROM keyed GROUP BY content_key
+)
+SELECT k.source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN k.doc_id <> c.canonical_doc THEN 1 ELSE 0 END) AS n_dropped,
+       CAST(SUM(CASE WHEN k.doc_id <> c.canonical_doc THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS drop_rate
+FROM keyed k JOIN canon c ON k.content_key = c.content_key
+GROUP BY k.source
+"""
+
+
+@query("dedup_rates_by_source", oracle=DEDUP_RATES_ORACLE)
+def dedup_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup dashboard: per source, how many documents the exact-dedup
+    survivor rule (min doc_id per content key) would drop. One IEEE
+    division of exact counts; the same hash-groupBy shape as dedup_exact
+    with the survivor joined back to attribute drops to sources."""
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "source", F.md5(F.expr(_NORM_SPARK)).alias("content_key")
+    )
+    canon = keyed.groupBy("content_key").agg(
+        F.min("doc_id").alias("canonical_doc")
+    )
+    dropped = F.when(
+        F.col("doc_id") != F.col("canonical_doc"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        keyed.join(canon, "content_key")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dropped).alias("n_dropped"),
+            (F.sum(dropped).cast("double") / F.count(F.lit(1))).alias(
+                "drop_rate"
+            ),
+        )
+    )
+
+
+OVERLAP_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT d.source, t.s AS shingle FROM (
+    SELECT source, string_split({_NORM_DUCK}, ' ') AS toks FROM documents) d,
+    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) t(s)
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+FROM sh a JOIN sh b
+  ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+@query("corpus_overlap_matrix", oracle=OVERLAP_ORACLE)
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: shared distinct 3-gram shingles
+    per source pair. The self-join runs on the shingle key AFTER a
+    per-source distinct, so its width is the number of sources sharing a
+    shingle (bounded by |sources|), never a doc-level cross join; the
+    pair aggregate is |sources|^2 rows at most."""
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 3 THEN "
+                    "transform(sequence(0, size(toks) - 3), "
+                    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) "
+                    "ELSE array() END"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
