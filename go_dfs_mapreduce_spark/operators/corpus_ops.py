@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 from ..registry import query
 from ..tables import table
-from .dedup import _NORM_DUCK, _NORM_SPARK
+from .dedup import _NORM_DUCK, _NORM_SPARK, ngram_expr
 
 # --------------------------------------------------------------------------
 # Test-set decontamination: 5-gram overlap against a benchmark slice.
@@ -65,19 +65,9 @@ GROUP BY sh.doc_id, t.n_grams
 def _ngrams(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     """DataFrame[doc_id, s] — distinct n-gram token shingles."""
     docs = table(spark, sf_dir, "documents")
-    concat = ", ' ', ".join(f"t[i+{j}]" for j in range(n))
     return (
         docs.select("doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("t"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"CASE WHEN size(t) >= {n} THEN "
-                    f"transform(sequence(0, size(t) - {n}), "
-                    f"i -> concat({concat})) ELSE array() END"
-                )
-            ).alias("s"),
-        )
+        .select("doc_id", F.explode(F.expr(ngram_expr("t", n))).alias("s"))
         .distinct()
     )
 
@@ -335,15 +325,7 @@ def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
         )
         .select(
-            "source",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(toks) >= 3 THEN "
-                    "transform(sequence(0, size(toks) - 3), "
-                    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) "
-                    "ELSE array() END"
-                )
-            ).alias("shingle"),
+            "source", F.explode(F.expr(ngram_expr("toks", 3))).alias("shingle")
         )
         .distinct()
     )

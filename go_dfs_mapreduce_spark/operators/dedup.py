@@ -59,6 +59,19 @@ TOKENS_DUCK = f"""
 """
 
 
+def ngram_expr(arr: str, n: int) -> str:
+    """SQL expression: the n-gram array of token array column ``arr``
+    (empty array when too short). THE single source of truth for shingle
+    construction — dedup, corpus, and repetition operators all build
+    their n-grams through this, so an edge-rule change lands everywhere."""
+    concat = ", ' ', ".join(f"{arr}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN size({arr}) >= {n} THEN "
+        f"transform(sequence(0, size({arr}) - {n}), i -> concat({concat})) "
+        "ELSE array() END"
+    )
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame[doc_id, shingle] — distinct 3-gram token shingles."""
     docs = table(spark, sf_dir, "documents")
@@ -66,17 +79,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
         )
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(toks) >= 3 THEN "
-                    "transform(sequence(0, size(toks) - 3), "
-                    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) "
-                    "ELSE array() END"
-                )
-            ).alias("shingle"),
-        )
+        .select("doc_id", F.explode(F.expr(ngram_expr("toks", 3))).alias("shingle"))
         .distinct()
     )
 

@@ -116,14 +116,9 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.expr("split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')").alias("t")
     )
-    bg = toks.select(
-        F.explode(
-            F.expr(
-                "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2),"
-                " i -> concat(t[i], ' ', t[i+1])) ELSE array() END"
-            )
-        ).alias("bigram")
-    )
+    from .dedup import ngram_expr
+
+    bg = toks.select(F.explode(F.expr(ngram_expr("t", 2))).alias("bigram"))
     counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy(F.desc("cnt"), F.asc("bigram"))
     return (

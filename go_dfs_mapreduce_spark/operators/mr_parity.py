@@ -100,9 +100,15 @@ normed AS (
 ),
 keys AS (
   SELECT crawler, dom,
+    -- only markers at 0-based index > 0 trim (find(x) > 0 in the plugin):
+    -- each marker is excluded INDIVIDUALLY before LEAST, so '#' at index
+    -- 0 with '?' later still trims at the '?' (a bare LEAST(...) > 1
+    -- guard would wrongly skip that case)
     CASE WHEN url0 = '' THEN ''
-         WHEN LEAST(NULLIF(strpos(url0, '#'), 0), NULLIF(strpos(url0, '?'), 0)) > 1
-         THEN substr(url0, 1, LEAST(NULLIF(strpos(url0, '#'), 0), NULLIF(strpos(url0, '?'), 0)) - 1)
+         WHEN LEAST(CASE WHEN strpos(url0, '#') > 1 THEN strpos(url0, '#') END,
+                    CASE WHEN strpos(url0, '?') > 1 THEN strpos(url0, '?') END) IS NOT NULL
+         THEN substr(url0, 1, LEAST(CASE WHEN strpos(url0, '#') > 1 THEN strpos(url0, '#') END,
+                                    CASE WHEN strpos(url0, '?') > 1 THEN strpos(url0, '?') END) - 1)
          ELSE url0 END AS url1,
     CAST(ascii(lower(substr(crawler, 1, 1))) % 10 AS INTEGER) AS r_id
   FROM normed

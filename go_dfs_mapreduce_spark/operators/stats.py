@@ -276,35 +276,45 @@ def approx_aggregates_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     an actual element of the data (percentile_disc), so no cross-engine
     float arithmetic is involved."""
     ev = table(spark, sf_dir, "events")
-
-    def audit_distinct(col: str, metric: str) -> DataFrame:
-        return ev.agg(
-            F.countDistinct(col).cast("double").alias("exact_value"),
-            F.approx_count_distinct(col, rsd=0.05).alias("approx"),
-        ).select(
-            F.lit(metric).alias("metric"),
-            "exact_value",
-            (
-                F.abs(F.col("approx") - F.col("exact_value"))
-                <= 0.10 * F.col("exact_value")
-            ).alias("approx_ok"),
-        )
-
-    median = ev.agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
-            "exact_value"
-        ),
-        F.percentile_approx("value", 0.5, 10000).alias("approx"),
-    ).select(
-        F.lit("median_value").alias("metric"),
-        F.col("exact_value").cast("double").alias("exact_value"),
-        (
-            F.abs(F.col("approx") - F.col("exact_value"))
-            <= 0.05 * F.abs(F.col("exact_value"))
-        ).alias("approx_ok"),
+    # one pass: all six measures in a single aggregate, then the row-per-
+    # metric shape comes from exploding an inline array — the three-scan
+    # union formulation read events three times for the same numbers
+    one = ev.agg(
+        F.countDistinct("user_id").cast("double").alias("ex_u"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("ap_u"),
+        F.countDistinct("props").cast("double").alias("ex_p"),
+        F.approx_count_distinct("props", rsd=0.05).alias("ap_p"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+        .cast("double")
+        .alias("ex_m"),
+        F.percentile_approx("value", 0.5, 10000).alias("ap_m"),
     )
-    return (
-        audit_distinct("user_id", "distinct_user_id")
-        .unionByName(audit_distinct("props", "distinct_props"))
-        .unionByName(median)
+    rows = one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("distinct_user_id").alias("metric"),
+                    F.col("ex_u").alias("exact_value"),
+                    (F.abs(F.col("ap_u") - F.col("ex_u")) <= 0.10 * F.col("ex_u")).alias(
+                        "approx_ok"
+                    ),
+                ),
+                F.struct(
+                    F.lit("distinct_props").alias("metric"),
+                    F.col("ex_p").alias("exact_value"),
+                    (F.abs(F.col("ap_p") - F.col("ex_p")) <= 0.10 * F.col("ex_p")).alias(
+                        "approx_ok"
+                    ),
+                ),
+                F.struct(
+                    F.lit("median_value").alias("metric"),
+                    F.col("ex_m").alias("exact_value"),
+                    (
+                        F.abs(F.col("ap_m") - F.col("ex_m"))
+                        <= 0.05 * F.abs(F.col("ex_m"))
+                    ).alias("approx_ok"),
+                ),
+            )
+        ).alias("r")
     )
+    return rows.select("r.metric", "r.exact_value", "r.approx_ok")

@@ -42,7 +42,7 @@ from pyspark.sql.window import Window
 
 from ..registry import query
 from ..tables import table
-from .dedup import _NORM_DUCK, _NORM_SPARK
+from .dedup import _NORM_DUCK, _NORM_SPARK, ngram_expr
 
 # --------------------------------------------------------------------------
 # Repetition quality gates (within-document duplicate structure)
@@ -97,13 +97,7 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_tokens"), F.max("c").alias("max_tok")
     )
     tri = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t) - 3),"
-                " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) ELSE array() END"
-            )
-        ).alias("s"),
+        "doc_id", F.explode(F.expr(ngram_expr("t", 3))).alias("s")
     )
     trc = tri.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tri"), F.countDistinct("s").alias("n_dist")

@@ -106,7 +106,7 @@ SELECT d.doc_id, g.i - 1 AS pos, t[g.i] AS token
 FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
       FROM documents WHERE doc_id < 50) d,
      range(1, 4) g(i)
-WHERE len(t) >= g.i
+WHERE len(t) >= g.i AND t[g.i] <> ''
 """
 
 
@@ -123,6 +123,8 @@ def udtf_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: int, token: string")
     class FirstTokens:
         def eval(self, text: str, n: int):
+            if text is None:
+                return  # oracle's string_split(NULL) also yields no rows
             toks = str(text).lower().split()
             for i, t in enumerate(toks[: int(n)]):
                 yield i, t

@@ -29,7 +29,7 @@ ORACLES: dict[str, str] = {}
 # the modules whose entries went unrecorded then are registered FIRST now:
 # if the driver cuts again, a *different* (already-driver-verified) slice
 # is affected, and if the cut was a time budget, the whole set fits — the
-# full 118-query gate is ~71 s of warm Spark at sf0.01 (+ ~3 s of DuckDB).
+# full gate (~130 queries) is ~75 s of warm Spark at sf0.01 (+ ~3 s DuckDB).
 _OPERATOR_MODULES = (
     "go_dfs_mapreduce_spark.operators.textstats",
     "go_dfs_mapreduce_spark.operators.multimodal",

@@ -29,6 +29,17 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC_SPARK_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
 
 _TEXT_SNIFF_BYTES = 512
 
@@ -186,9 +197,22 @@ class Warehouse:
             raise ValueError("cluster_by and zorder_by are exclusive")
         if zorder_by:
             cx, cy = zorder_by
+            for c in (cx, cy):
+                if not isinstance(
+                    df.schema[c].dataType, _NUMERIC_SPARK_TYPES
+                ):
+                    raise TypeError(
+                        f"zorder_by column {c!r} must be numeric, got "
+                        f"{df.schema[c].dataType.simpleString()}"
+                    )
             lo_x, hi_x, lo_y, hi_y = df.agg(
                 F.min(cx), F.max(cx), F.min(cy), F.max(cy)
             ).first()
+            if lo_x is None or lo_y is None:
+                raise ValueError(
+                    "zorder_by needs at least one non-NULL row in both "
+                    "columns (empty or all-NULL input)"
+                )
             z = self._morton_expr(cx, cy, lo_x, hi_x, lo_y, hi_y)
             n = n_files or df.sparkSession.sparkContext.defaultParallelism
             df = (
@@ -217,7 +241,9 @@ class Warehouse:
 
         def bucket(col, lo, hi):
             span = (hi - lo) or 1
-            # 16-bit bucket; DIV keeps it integer-exact for int inputs
+            # 16-bit bucket via double math: adequate for layout quality
+            # (keys above 2^53 may collide into neighboring buckets, which
+            # only softens skipping, never correctness)
             return F.expr(
                 f"CAST(((CAST({col} AS DOUBLE) - {lo}) * 65535.0) / {span} AS BIGINT)"
             )

@@ -144,6 +144,8 @@ URLISH = st.sampled_from(
         "x.com/#frag",
         "x.com/?q",
         "x.com/p#f?both",
+        "x.com/#f?q",   # '#' at path index 0 (no trim) + '?' later (trims)
+        "x.com/?",      # '?' at path index 0 alone (no trim)
         "dot.",
         ".lead.dot/p",
         "plain",
