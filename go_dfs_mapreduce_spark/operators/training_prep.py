@@ -319,3 +319,51 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_id.cast("long").alias("bin_id"),
         (start - bin_id * PACK_CAPACITY).cast("long").alias("bin_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# Novelty scoring: how much of a document is unique to it corpus-wide
+# --------------------------------------------------------------------------
+
+NOVELTY_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, t.s AS shingle FROM (
+    SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS toks FROM documents) d,
+    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) t(s)
+),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_novel,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS novelty_ratio
+FROM sh JOIN df ON sh.shingle = df.shingle
+GROUP BY sh.doc_id
+"""
+
+
+@query("doc_novelty_scores", oracle=NOVELTY_ORACLE)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide novelty per document: the fraction of its distinct
+    trigram shingles that appear in NO other document (df == 1). High
+    novelty marks unique content; low novelty marks recycled/boilerplate
+    text — the complement of the within-doc repetition gate. Document
+    frequency is a window count partitioned by shingle, so ONE exchange
+    serves df computation and the per-doc aggregate re-partitions only
+    the (doc_id, is_novel) pairs; a separate df groupBy + join back would
+    shuffle the shingle set twice. One IEEE division of exact counts."""
+    from .dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    wdf = Window.partitionBy("shingle")
+    flagged = sh.withColumn("df", F.count(F.lit(1)).over(wdf))
+    novel = F.when(F.col("df") == 1, F.lit(1)).otherwise(F.lit(0))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(novel).alias("n_novel"),
+        (F.sum(novel).cast("double") / F.count(F.lit(1))).alias(
+            "novelty_ratio"
+        ),
+    )
+
