@@ -1129,3 +1129,90 @@ def array_hof_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_micros"),
         F.slice(F.array_sort(micros), 1, 3).alias("smallest3_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# Conditional aggregates (count_if / bool_and / bool_or / FILTER semantics)
+# --------------------------------------------------------------------------
+
+CONDAGG_ORACLE = """
+SELECT o_orderpriority,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+  bool_and(o_totalprice > 900) AS all_above_floor,
+  bool_or(o_orderstatus = 'P') AS any_pending,
+  MIN(o_orderkey) FILTER (WHERE o_orderstatus = 'F') AS first_finished_key
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("conditional_agg_showcase", oracle=CONDAGG_ORACLE)
+def conditional_agg_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate surface: count_if, bool_and/bool_or, and
+    FILTER-style min — all deterministic (counts, booleans, and a MIN over
+    a filtered set need no tie rule). One aggregation shuffle with partial
+    aggregation; the conditions fold into the partial step."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("count_if(o_orderstatus = 'O')").alias("n_open"),
+        F.expr("count_if(o_totalprice > 200000)").alias("n_big"),
+        F.expr("bool_and(o_totalprice > 900)").alias("all_above_floor"),
+        F.expr("bool_or(o_orderstatus = 'P')").alias("any_pending"),
+        F.expr("min(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END)").alias(
+            "first_finished_key"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Regexp function family (RE2-safe patterns so both engines agree)
+# --------------------------------------------------------------------------
+
+REGEXP_ORACLE = """
+SELECT event_id,
+  regexp_extract(url, '([a-z0-9.]+)(:[0-9]+)?(/|$)', 1) AS host_part,
+  CAST(len(regexp_extract_all(url, '[0-9]+')) AS INTEGER) AS n_number_runs,
+  CAST(regexp_matches(url, '^https://') AS BOOLEAN) AS is_https,
+  regexp_replace(url, '[0-9]+', '#', 'g') AS digits_masked
+FROM (SELECT event_id,
+        (CASE WHEN event_id % 3 = 0 THEN 'http://'
+              WHEN event_id % 3 = 1 THEN 'https://' ELSE '' END)
+        || 'site' || CAST(user_id % 20 AS VARCHAR) || '.com:'
+        || CAST(8000 + event_id % 100 AS VARCHAR) || '/p'
+        || CAST(event_id % 7 AS VARCHAR) AS url
+      FROM events WHERE event_id < 3000)
+"""
+
+
+@query("regexp_functions_showcase", oracle=REGEXP_ORACLE)
+def regexp_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family over synthesized URLs: capture-group extract,
+    extract-all counting, anchored match test, and global replace.
+    Patterns are RE2-safe (no lookaround/backrefs), the subset where
+    Java's regex and DuckDB's RE2 agree — the portability boundary this
+    repo's oracles must respect."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    url = F.concat(
+        F.when(F.col("event_id") % 3 == 0, F.lit("http://"))
+        .when(F.col("event_id") % 3 == 1, F.lit("https://"))
+        .otherwise(F.lit("")),
+        F.lit("site"),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit(".com:"),
+        (8000 + F.col("event_id") % 100).cast("string"),
+        F.lit("/p"),
+        (F.col("event_id") % 7).cast("string"),
+    )
+    u = ev.select("event_id", url.alias("url"))
+    return u.select(
+        "event_id",
+        F.regexp_extract("url", r"([a-z0-9.]+)(:[0-9]+)?(/|$)", 1).alias(
+            "host_part"
+        ),
+        F.expr("size(regexp_extract_all(url, '[0-9]+', 0))")
+        .cast("int")
+        .alias("n_number_runs"),
+        F.col("url").rlike("^https://").alias("is_https"),
+        F.regexp_replace("url", "[0-9]+", "#").alias("digits_masked"),
+    )
