@@ -1216,3 +1216,84 @@ def regexp_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url").rlike("^https://").alias("is_https"),
         F.regexp_replace("url", "[0-9]+", "#").alias("digits_masked"),
     )
+
+
+# --------------------------------------------------------------------------
+# NULL semantics: null-safe equality, NULL grouping, NULLS FIRST ordering
+# --------------------------------------------------------------------------
+
+NULLSEM_ORACLE = """
+WITH w AS (
+  SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_np,
+         NULLIF(o_orderpriority, '3-MEDIUM') AS prio_nm
+  FROM orders
+)
+SELECT status_np, prio_nm, COUNT(*) AS n,
+       COUNT(status_np) AS n_nonnull,
+       SUM(CASE WHEN status_np IS NOT DISTINCT FROM prio_nm THEN 1 ELSE 0 END)
+         AS n_nullsafe_eq
+FROM w
+GROUP BY status_np, prio_nm
+"""
+
+
+@query("null_semantics_showcase", oracle=NULLSEM_ORACLE)
+def null_semantics_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: grouping keys that are NULL group together
+    (SQL three-valued logic makes them a real group), COUNT(col) skips
+    NULLs where COUNT(*) doesn't, and the null-safe equality operator
+    (<=> / IS NOT DISTINCT FROM) treats NULL = NULL as true where plain
+    equality yields unknown."""
+    orders = table(spark, sf_dir, "orders")
+    w = orders.select(
+        F.expr("NULLIF(o_orderstatus, 'P')").alias("status_np"),
+        F.expr("NULLIF(o_orderpriority, '3-MEDIUM')").alias("prio_nm"),
+    )
+    return w.groupBy("status_np", "prio_nm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("status_np").alias("n_nonnull"),
+        F.sum(
+            F.when(F.expr("status_np <=> prio_nm"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_nullsafe_eq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct count over a window (Spark needs the collect_set workaround)
+# --------------------------------------------------------------------------
+
+WINDISTINCT_ORACLE = """
+SELECT o_custkey, o_orderkey,
+  COUNT(DISTINCT o_orderpriority) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_prio_seen
+FROM orders
+WHERE o_custkey <= 200
+"""
+
+
+@query("window_distinct_count", oracle=WINDISTINCT_ORACLE)
+def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count per customer. Spark does not support
+    COUNT(DISTINCT ...) OVER — the standard workaround is
+    size(collect_set(...)) over the same frame, which is exactly
+    equivalent for counting (set semantics) and deterministic because
+    only the SIZE is emitted. DuckDB supports the windowed distinct
+    directly, so the oracle states it natively."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.collect_set("o_orderpriority").over(w)).cast("long").alias(
+            "n_prio_seen"
+        ),
+    )
