@@ -179,3 +179,23 @@ def test_lowered_log_analyzer_matches_python_simulation(spark, entries, r):
         lines, plugins.log_analyzer_map, plugins.log_analyzer_reduce, r
     )
     assert got == want
+
+
+@given(
+    toks=st.lists(st.text(alphabet="abc0", min_size=1, max_size=4), max_size=8),
+    n=st.integers(2, 5),
+)
+@SET
+def test_ngram_expr_matches_python_ngrams(spark, toks, n):
+    """The shared ngram_expr builder (single source of truth for shingle
+    construction across dedup/corpus/repetition/overlap operators) must
+    equal the naive Python n-gramming for any token list and width."""
+    from go_dfs_mapreduce_spark.operators.dedup import ngram_expr
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(toks,)], "t array<string>")
+    got = df.select(F.expr(ngram_expr("t", n)).alias("g")).first().g
+    want = [
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    ] if len(toks) >= n else []
+    assert got == want
