@@ -445,3 +445,33 @@ def test_text_chunked_store_makes_parts(wh, tmp_path, spark):
     out = tmp_path / "many.out"
     wh.retrieve("many.txt", str(out))
     assert out.read_text() == "\n".join(lines) + "\n"
+
+
+def test_store_retrieve_edge_payloads(wh, tmp_path):
+    """Boundary payloads round-trip byte-exactly: empty BIN, BIN sized
+    exactly at a chunk boundary, and unicode TXT without trailing
+    newline."""
+    cases = {
+        "empty.bin": b"",
+        "boundary.bin": bytes(range(256)) * 4096,  # exactly 1 MiB
+        "over.bin": bytes(range(256)) * 4096 + b"x",  # 1 MiB + 1
+    }
+    for name, payload in cases.items():
+        src = tmp_path / name
+        src.write_bytes(payload)
+        wh.store(str(src), chunk_mib=1)
+        out = tmp_path / (name + ".out")
+        wh.retrieve(name, str(out))
+        assert out.read_bytes() == payload, name
+    # chunk counts: 0 rows for empty, 1 for exact boundary, 2 for +1
+    assert wh.read("empty.bin").count() == 0
+    assert wh.read("boundary.bin").count() == 1
+    assert wh.read("over.bin").count() == 2
+
+    src = tmp_path / "uni.txt"
+    content = "café naïve\n中文 line\nlast no newline"
+    src.write_text(content, encoding="utf-8")
+    wh.store(str(src))
+    out = tmp_path / "uni.out"
+    wh.retrieve("uni.txt", str(out))
+    assert out.read_text(encoding="utf-8") == content
