@@ -11,8 +11,9 @@ Spark's hash()/xxhash64 have no DuckDB twin):
                          V-SMART-Join / PAPERS.md — no array intersections,
                          pure join+agg, so Spark shuffles do the work)
 - dedup_minhash_lsh    : 8 md5-derived minhashes, 4 bands x 2 rows,
-                         band-bucket join for candidates, then exact
-                         Jaccard verification of candidates only
+                         bucket expansion (grouped (band, sig) doc lists
+                         emit in-bucket pairs row-locally) for candidates,
+                         then exact Jaccard verification of candidates only
 - dedup_simhash        : 60-bit simhash over distinct tokens (bit votes via
                          a range(60) cross join), top-15-bit band blocking,
                          hamming<=8 pairs
@@ -81,6 +82,35 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.explode(F.expr(ngram_expr("toks", 3))).alias("shingle"))
         .distinct()
+    )
+
+
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame[doc_id, shs, sz] — each document's DISTINCT shingle set as
+    an array column, built with exactly ONE corpus-sized exchange:
+    explode → groupBy(doc_id).collect_set (map-side partial sets, so the
+    shuffle carries per-doc set fragments, not raw shingle rows). The
+    round-1 formulation shuffled shingles THREE times (distinct, minhash
+    groupBy, verify re-group); a fully row-local variant
+    (``array_distinct`` over the n-gram transform, zero exchanges) was
+    measured 2-9x SLOWER end-to-end because it serializes all downstream
+    md5 hashing into the scan stage's task granularity — one task per
+    parquet split, a real ceiling whenever splits are coarse (and at any
+    scale, hashing belongs AFTER a spread, not inside the scan). This
+    shape hashes post-shuffle at full parallelism, and the aggregate
+    leaves the frame hash-partitioned by doc_id, which the verify joins
+    (``_pair_overlap``) then consume exchange-free. Docs too short to
+    have a shingle are dropped (explode of an empty array), matching
+    SHINGLES_DUCK."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+        )
+        .select("doc_id", F.explode(F.expr(ngram_expr("toks", 3))).alias("shingle"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shs"))
+        .withColumn("sz", F.expr("size(shs)"))
     )
 
 
@@ -210,33 +240,32 @@ JOIN sizes sb ON i.doc_b = sb.doc_id
 """
 
 
-def _lsh_candidates(sh: DataFrame) -> DataFrame:
+def _lsh_candidates(arrs: DataFrame) -> DataFrame:
     """DataFrame[doc_a, doc_b] — MinHash band-collision candidate pairs,
-    entirely in JVM expressions (md5/conv/groupBy). Shared by the Jaccard
-    and containment verifiers."""
-    # all 8 hashes as COLUMNS of one projection — one shingle row carries
-    # h0..h7, so the min-hash aggregate shuffles |shingles| rows of 8 longs
-    # instead of 8x|shingles| exploded rows (the crossJoin-with-range
-    # formulation). At 100 TB that is an 8x smaller exchange on the
-    # operator's dominant shuffle.
-    hashed = sh.select(
-        "doc_id",
-        *[
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 8
-                ),
-                16,
-                10,
+    entirely in JVM expressions (md5/conv over array lambdas). Shared by
+    the Jaccard and containment verifiers."""
+    # each doc's 8 minhashes via array_min(transform(shs, ...)) on the
+    # per-doc shingle-set ARRAY — no exchange at all. The earlier exploded
+    # formulation shuffled |shingles| rows of 8 longs into a groupBy just
+    # to take per-doc minima; array_min does that inside the row, so the
+    # first exchange in the whole LSH pipeline is the (band, sig) bucket
+    # join, whose size is |docs| x n_bands, independent of shingle count.
+    def _minhash(i: int):
+        # NB: the lambda must take exactly ONE parameter — F.transform
+        # dispatches on arity, and a second parameter (even a defaulted
+        # one) is bound to the element-index column
+        return F.array_min(
+            F.transform(
+                F.col("shs"),
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
             )
-            .cast("long")
-            .alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
-    )
-    mins = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(N_HASHES)]
-    )
+        ).alias(f"mh{i}")
+
+    mins = arrs.select("doc_id", *[_minhash(i) for i in range(N_HASHES)])
     # bands of 2 rows each: sig = "mh{2b},mh{2b+1}" — the same band
     # signature string the oracle's string_agg-ordered-by-i builds
     bands = mins.select(
@@ -251,18 +280,30 @@ def _lsh_candidates(sh: DataFrame) -> DataFrame:
             + "))"
         ),
     )
-    ba = bands.alias("ba")
-    bb = bands.alias("bb")
+    # bucket expansion instead of a bands self-join: group each (band, sig)
+    # bucket's doc list and emit in-bucket pairs row-locally. One tiny
+    # exchange of (band, sig, doc_id) rows replaces a self-join that would
+    # rebuild the whole upstream pipeline for its second side, and a hot
+    # bucket of k docs expands to its k(k-1)/2 pairs inside one task
+    # instead of shuffling k x k join probe rows (production LSH also caps
+    # bucket size to bound the quadratic tail; the oracle doesn't, so no
+    # cap here — sig collisions at 4 bands x 2 rows keep buckets tiny).
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.expr("size(ds) > 1"))
+    )
     return (
-        ba.join(
-            bb,
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.sig") == F.col("bb.sig"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ds) - 1),"
+                    " i -> transform(slice(ds, i + 1, size(ds) - i),"
+                    " d -> struct(element_at(ds, i) AS doc_a, d AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
-        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -270,22 +311,27 @@ def _lsh_candidates(sh: DataFrame) -> DataFrame:
 @query("dedup_minhash_lsh", oracle=MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate generation + exact verification, entirely in
-    JVM expressions (md5/conv/groupBy — no Python in the hot path). At
-    scale the band join touches only same-signature buckets, so work is
-    proportional to collisions, not to n^2 — and the verify stage is
-    *candidate-restricted*: intersections come from joining the LSH
-    candidate pairs to per-doc shingle arrays (``_pair_overlap``), never
-    from an unrestricted shingle self-join (which would rebuild the
-    all-pairs matrix LSH exists to avoid)."""
-    sh = _shingles(spark, sf_dir)
-    inter = _pair_overlap(_lsh_candidates(sh), sh)
+    JVM expressions (md5/conv over array lambdas — no Python in the hot
+    path). Candidates come from bucket expansion (same-signature doc
+    lists emit their own pairs), so work is proportional to collisions,
+    not to n^2 — and the verify stage is *candidate-restricted*:
+    intersections come from joining the LSH candidate pairs to per-doc
+    shingle arrays (``_pair_overlap``), never from an unrestricted
+    shingle self-join (which would rebuild the all-pairs matrix LSH
+    exists to avoid). One corpus-sized exchange exists per arrs consumer
+    (the ``_shingle_arrays`` collect_set); every other exchange carries
+    doc-id-sized rows."""
+    arrs = _shingle_arrays(spark, sf_dir)
+    inter = _pair_overlap(_lsh_candidates(arrs), arrs)
     jac = F.col("n") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n"))
     return inter.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
 
 
-def _pair_overlap(cand: DataFrame, sh: DataFrame) -> DataFrame:
+def _pair_overlap(cand: DataFrame, arrs: DataFrame) -> DataFrame:
     """Exact overlap for CANDIDATE pairs only, via per-doc shingle ARRAYS:
     ``size(array_intersect(a, b))`` per pair, plus both exact set sizes.
+
+    ``arrs`` is the row-local ``_shingle_arrays`` frame (doc_id, shs, sz).
 
     Returns DataFrame[doc_a, doc_b, n, sz_a, sz_b].
 
@@ -301,9 +347,6 @@ def _pair_overlap(cand: DataFrame, sh: DataFrame) -> DataFrame:
     are many. Array cells are bounded by document length (shingles per
     doc), so row size stays sane at any corpus scale.
     """
-    arrs = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shs"), F.count(F.lit(1)).alias("sz")
-    )
     return (
         cand.hint("merge")
         .join(
@@ -804,8 +847,8 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # verify ONLY the capped candidate set — intersections and sizes come
-    # from the FULL shingle set, so the reported jaccard stays exact
-    inter = _pair_overlap(cand, sh)
+    # from the FULL shingle set (row-local arrays), so jaccard stays exact
+    inter = _pair_overlap(cand, _shingle_arrays(spark, sf_dir))
     jac = F.col("n") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n"))
     return (
         inter.where(jac >= JACCARD_THRESHOLD)
@@ -866,8 +909,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment search bands the SMALLER side's shingles only (or uses
     size-stratified bands); the oracle here computes the identical
     candidate set, so the gate checks the verify math, not recall."""
-    sh = _shingles(spark, sf_dir)
-    inter = _pair_overlap(_lsh_candidates(sh), sh)
+    arrs = _shingle_arrays(spark, sf_dir)
+    inter = _pair_overlap(_lsh_candidates(arrs), arrs)
     cont = F.col("n") * 1.0 / F.least(F.col("sz_a"), F.col("sz_b"))
     return (
         inter.where(cont >= CONTAINMENT_THRESHOLD)
