@@ -69,12 +69,16 @@ def test_minhash_verify_is_candidate_restricted(spark, sf_dir):
     candidate pairs (composite (doc, shingle) keys)."""
     from go_dfs_mapreduce_spark.operators.dedup import dedup_minhash_lsh
 
-    _, keys = _join_key_lists(dedup_minhash_lsh(spark, sf_dir))
-    # no shingle-keyed join anywhere: candidates come from the band join,
-    # verification joins candidate pairs to per-doc shingle ARRAYS on the
-    # doc keys (array_intersect computes the overlap in-projection)
+    plan, keys = _join_key_lists(dedup_minhash_lsh(spark, sf_dir))
+    # no shingle-keyed join anywhere: candidates come from LSH bucket
+    # expansion, verification joins candidate pairs to per-doc shingle
+    # ARRAYS on the doc keys (array_intersect computes the overlap
+    # in-projection)
     assert ["shingle"] not in keys, keys
     assert ["doc_a"] in keys and ["doc_b"] in keys, keys
+    # candidate generation is bucket expansion, not a bands self-join:
+    # no (band, sig)-keyed join exists in the plan
+    assert ["band", "sig"] not in keys, keys
 
 
 def test_capped_jaccard_verify_honors_cap(spark, sf_dir):
