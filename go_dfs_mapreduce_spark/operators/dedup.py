@@ -550,26 +550,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(SIMHASH_BITS)
     )
     sim = votes.select("doc_id", F.expr(sh60_expr).alias("sh60"))
-    a = sim.alias("a")
-    b = sim.alias("b")
-    hamming = F.expr(
-        "bit_count(CAST(a.sh60 AS BIGINT) ^ CAST(b.sh60 AS BIGINT))"
+    # bucket expansion on the 15-bit block (same shape as the LSH candidate
+    # stage): group each block's (doc_id, sh60) structs and emit in-bucket
+    # pairs row-locally. A block self-join would rebuild the whole
+    # tokens→votes pipeline for its second side and shuffle k x k probe
+    # rows on hot blocks; this shuffles one (blk, doc_id, sh60) row per doc
+    # and expands k(k-1)/2 pairs inside the bucket's task. array_sort on
+    # the structs orders by doc_id, so doc_a < doc_b by construction, and
+    # each pair appears in exactly one bucket (a doc has one block).
+    buckets = (
+        sim.groupBy(F.expr(f"sh60 >> {SIMHASH_BAND_SHIFT}").alias("blk"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sh60"))).alias("ds"))
+        .where(F.expr("size(ds) > 1"))
     )
     return (
-        a.join(
-            b,
-            (
-                F.expr(f"a.sh60 >> {SIMHASH_BAND_SHIFT}")
-                == F.expr(f"b.sh60 >> {SIMHASH_BAND_SHIFT}")
-            )
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ds) - 1),"
+                    " i -> transform(slice(ds, i + 1, size(ds) - i),"
+                    " d -> struct(element_at(ds, i) AS a, d AS b))))"
+                )
+            ).alias("p")
         )
-        .where(hamming <= HAMMING_MAX)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.expr("bit_count(p.a.sh60 ^ p.b.sh60)").cast("int").alias("hamming"),
         )
+        .where(F.col("hamming") <= HAMMING_MAX)
     )
 
 
