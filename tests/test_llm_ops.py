@@ -370,3 +370,32 @@ def test_doc_pack_bins_invariants(spark, sf_dir):
         & (F.col("bin_id") * PACK_CAPACITY + F.col("bin_offset") <= F.col("prev"))
     )
     assert disorder.count() == 0
+
+
+def test_shingle_arrays_match_exploded_formulation(spark, sf_dir):
+    """The one-shuffle collect_set array builder must produce exactly the
+    per-doc distinct shingle sets of the exploded/distinct formulation
+    (same docs dropped when too short, same sets, sz = set size)."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        _shingle_arrays,
+        _shingles,
+    )
+
+    ref = (
+        _shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("ref_shs"))
+    )
+    got = _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.sort_array("shs").alias("got_shs"), "sz"
+    )
+    j = ref.join(got, "doc_id", "full_outer")
+    assert (
+        j.where(
+            "ref_shs IS NULL OR got_shs IS NULL OR ref_shs <> got_shs"
+            " OR sz <> size(got_shs)"
+        ).count()
+        == 0
+    )
