@@ -827,32 +827,30 @@ WHERE i.n * 1.0 / (sa.sz + sb.sz - i.n) >= {JACCARD_THRESHOLD}
 @query("dedup_ngram_jaccard_capped", oracle=CAPPED_JACCARD_ORACLE)
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
-    # document frequency as a WINDOW count partitioned by shingle: the
-    # window's exchange hashes by shingle — exactly the partitioning the
-    # pair self-join needs — so Catalyst reuses ONE shuffle for df
-    # computation and both join sides (no separate hot-set aggregate, no
-    # broadcast, no driver-size assumption on the vocabulary). The filter
-    # drops the Zipf head (df > MAX_DOC_FREQ) before pair generation.
-    wdf = Window.partitionBy("shingle")
-    sh_rare = (
-        sh.withColumn("df", F.count(F.lit(1)).over(wdf))
-        .where(F.col("df") <= MAX_DOC_FREQ)
-        .drop("df")
+    # bucket expansion per shingle with the hot-shingle cap as a BUCKET
+    # SIZE filter: group each shingle's (distinct) doc list — the list
+    # length IS the document frequency, so dropping the Zipf head is
+    # `size(ds) <= cap`, no separate df window — and emit in-bucket pairs
+    # row-locally. One exchange of shingle rows replaces the df window +
+    # a self-join that rebuilt the shingle pipeline for its second side,
+    # and the cap structurally bounds the quadratic tail: no bucket can
+    # expand to more than cap*(cap-1)/2 pairs inside its task.
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.expr(f"size(ds) BETWEEN 2 AND {MAX_DOC_FREQ}"))
     )
-    # hint the pair self-join to sort-merge: both sides are the SAME
-    # windowed subtree, so SMJ reuses one exchange; the statistics-driven
-    # alternative broadcasts the whole (large) shingle side
-    ra = sh_rare.alias("ra").hint("merge")
-    rb = sh_rare.alias("rb")
     cand = (
-        ra.join(
-            rb,
-            (F.col("ra.shingle") == F.col("rb.shingle"))
-            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ds) - 1),"
+                    " i -> transform(slice(ds, i + 1, size(ds) - i),"
+                    " d -> struct(element_at(ds, i) AS doc_a, d AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b")
-        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # verify ONLY the capped candidate set — intersections and sizes come
