@@ -28,6 +28,16 @@ LOG_ANALYZER_R = 10  # log_analyzer.go:9
 
 _STRIP = re.compile(r"[^a-zA-Z0-9]+")
 
+# Exactly Python str.split()'s whitespace set (chars where str.isspace()
+# is True), as a Java-regex character class for the lowered expression
+# twins. Neither Java's \\s (ASCII-only) nor Unicode White_Space (which
+# excludes the \x1c-\x1f separators) matches str.split() on its own, so
+# the class is derived from str.isspace itself. All whitespace codepoints
+# live in the BMP, and raw characters (not escapes) work in both the
+# Python F.split API and SQL text fragments.
+_PY_SPLIT_WS = "".join(chr(c) for c in range(0x10000) if chr(c).isspace())
+_PY_SPLIT_RE = f"[{_PY_SPLIT_WS}]+"
+
 
 def word_count_map(file_name: str, line_number: int, line_text: str, out: list) -> None:
     # word_count.go:12-22 — lowercase, Fields-split, strip, emit (token, 1)
@@ -62,12 +72,12 @@ def _word_count_map_df(df: DataFrame) -> DataFrame:
     split-on-whitespace-runs with no empty tokens (so filter '' AFTER the
     regex split, which unlike Python emits empties at the edges), then
     strip non-alnum per token — emitting every token, even ones that strip
-    to '' (word_count.go:12-22 has no filter). Python str.split() also
-    splits on Unicode whitespace where Java's \\s is ASCII-only; the
-    documents corpus is ASCII, and the lowered-vs-pinned differential test
-    covers the real fixture."""
+    to '' (word_count.go:12-22 has no filter). The split pattern is the
+    enumerated _PY_SPLIT_RE class so the lowered path agrees with
+    str.split() on Unicode whitespace too (property-tested with non-ASCII
+    whitespace in test_mr_properties)."""
     toks = F.filter(
-        F.split(F.lower(F.col("line")), r"\s+"), lambda t: t != F.lit("")
+        F.split(F.lower(F.col("line")), _PY_SPLIT_RE), lambda t: t != F.lit("")
     )
     return df.select(F.explode(toks).alias("t")).select(
         F.regexp_replace("t", "[^a-z0-9]+", "").alias("key"),
@@ -177,7 +187,7 @@ def _log_analyzer_map_df(df: DataFrame) -> DataFrame:
     pairs = rf"""
     filter(
       transform(
-        filter(array(filter(split(line, '\\s+'), t -> t != '')),
+        filter(array(filter(split(line, '{_PY_SPLIT_RE}'), t -> t != '')),
                tk -> size(tk) >= 4),
         tk -> transform(
           array(regexp_replace(get(tk, 3), '^https?://', '')),

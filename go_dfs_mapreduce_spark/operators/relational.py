@@ -815,7 +815,7 @@ def subquery_correlated_above_own_avg(spark: SparkSession, sf_dir: str) -> DataF
 MAP_FUNC_ORACLE = """
 SELECT event_id,
   CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
-  list_sort(json_keys(props)) AS key_list,
+  array_to_string(list_sort(json_keys(props)), ',') AS key_list,
   CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
   CAST(json_extract(props, '$.k') IS NOT NULL AS BOOLEAN) AS has_k,
   CAST(json_extract(props, '$.missing') AS INTEGER) AS missing_val
@@ -830,7 +830,8 @@ def map_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.size(m).cast("int").alias("n_keys"),
-        F.array_sort(F.map_keys(m)).alias("key_list"),
+        # serialized: list-typed cells break the driver's value-hash sort
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("key_list"),
         F.element_at(m, "k").alias("k_val"),
         F.map_contains_key(m, "k").alias("has_k"),
         F.element_at(m, "missing").alias("missing_val"),
@@ -1099,8 +1100,8 @@ SELECT vec_id,
   CAST(list_sum(list_transform(embedding,
        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
     AS sum_micros,
-  list_transform(list_sort(list_transform(embedding,
-       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))[1:3], x -> x)
+  array_to_string(list_transform(list_sort(list_transform(embedding,
+       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))[1:3], x -> x), ',')
     AS smallest3_micros
 FROM embeddings
 WHERE vec_id < 200
@@ -1127,7 +1128,10 @@ def array_hof_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             micros, F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("sum_micros"),
-        F.slice(F.array_sort(micros), 1, 3).alias("smallest3_micros"),
+        # serialized: list-typed cells break the driver's value-hash sort
+        F.array_join(F.slice(F.array_sort(micros), 1, 3), ",").alias(
+            "smallest3_micros"
+        ),
     )
 
 

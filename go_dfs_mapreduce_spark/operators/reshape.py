@@ -59,7 +59,7 @@ def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ARRAY_AGG_ORACLE = """
 SELECT source,
-  list_sort(list_distinct(list(lang))) AS langs,
+  array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs,
   COUNT(*) AS n_docs
 FROM documents
 GROUP BY source
@@ -68,8 +68,12 @@ GROUP BY source
 
 @query("array_agg_langs_per_source", oracle=ARRAY_AGG_ORACLE)
 def array_agg_langs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The grouped-array aggregate is the operator under test; the sorted
+    # array is serialized to CSV because the driver's order-insensitive
+    # value hash canonicalizes via pandas sort, which cannot order
+    # list-typed cells (round-2 driver failure: unhashable type 'list').
     docs = table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
-        F.array_sort(F.collect_set("lang")).alias("langs"),
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
         F.count(F.lit(1)).alias("n_docs"),
     )

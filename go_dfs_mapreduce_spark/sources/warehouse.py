@@ -24,6 +24,7 @@ lines of chunk/replica machinery to approximate.
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 
@@ -98,6 +99,11 @@ class Warehouse:
         (toLocalIterator over chunk rows), never one whole-blob row.
         Returns the stored name."""
         name = name or os.path.basename(local_path)
+        if chunk_mib is not None and chunk_mib < 1:
+            # a negative value would make the BIN path fh.read(negative)
+            # (whole file in one chunk row), silently defeating the
+            # chunked constant-memory contract; 0 would diverge TXT/BIN
+            raise ValueError(f"chunk_mib must be >= 1, got {chunk_mib}")
         if self._exists(name):
             raise FileExistsError(f"file {name!r} already stored")
         target = self._table_dir(name)
@@ -213,6 +219,14 @@ class Warehouse:
                     "zorder_by needs at least one non-NULL row in both "
                     "columns (empty or all-NULL input)"
                 )
+            for col, v in ((cx, lo_x), (cx, hi_x), (cy, lo_y), (cy, hi_y)):
+                # bounds are interpolated into SQL text; 'nan'/'inf'
+                # literals would fail with an opaque parse error
+                if isinstance(v, float) and not math.isfinite(v):
+                    raise ValueError(
+                        f"zorder_by column {col!r} has non-finite "
+                        f"min/max ({v}); filter NaN/Infinity rows first"
+                    )
             z = self._morton_expr(cx, cy, lo_x, hi_x, lo_y, hi_y)
             n = n_files or df.sparkSession.sparkContext.defaultParallelism
             df = (

@@ -19,7 +19,13 @@ from go_dfs_mapreduce_spark.mapreduce import MapReduceJob
 from go_dfs_mapreduce_spark.mapreduce.job import INPUT_SCHEMA
 from go_dfs_mapreduce_spark.mapreduce import plugins
 
-TEXT = st.text(alphabet="abcsXYZ012 \t.,!?-#ü€λ中", max_size=60)
+# alphabet includes non-ASCII whitespace (\xa0 NBSP,   LS,
+# ideographic space, \x1c FS): Python str.split() splits on all of these
+# while Java's \s does not, so they pin the lowered twins' _PY_SPLIT_RE
+# to the Python semantics (ADVICE r2: make the boundary explicit).
+TEXT = st.text(
+    alphabet="abcsXYZ012 \t.,!?-#ü€λ中\xa0 　\x1c", max_size=60
+)
 
 _STRIP = re.compile(r"[^a-zA-Z0-9]+")
 
@@ -126,9 +132,10 @@ def test_exact_dedup_idempotent(spark, lines):
 # URL-ish tokens chosen to hit every branch boundary of the log-analyzer
 # normalization: bare schemes (domain strips to ''), leading '/' (find('/')
 # == 0 does NOT split), '#'/'?' at path index 0 (no trim), numeric hosts
-# with ':' first/last, multi-dot subdomain stripping. ASCII-only: that is
-# the domain where the lowered expression twin is declared equivalent to
-# the Python plugin (plugins._log_analyzer_map_df docstring).
+# with ':' first/last, multi-dot subdomain stripping. Tokens are ASCII;
+# the SEPARATOR between tokens is drawn from Python str.split()'s
+# whitespace set including non-ASCII members, pinning the lowered twin's
+# _PY_SPLIT_RE to the Python tokenization (ADVICE r2).
 URLISH = st.sampled_from(
     [
         "http://",
@@ -153,21 +160,24 @@ URLISH = st.sampled_from(
     ]
 )
 CRAWLER = st.sampled_from(["botA", "Bot-B", "x", "1digit", ""])
+WS_SEP = st.sampled_from([" ", "\t", "\xa0", "　", "\x1c", "  "])
 
 
 @given(
     entries=st.lists(st.tuples(CRAWLER, URLISH), min_size=1, max_size=5),
     r=st.integers(1, 10),
+    sep=WS_SEP,
 )
 @SET
-def test_lowered_log_analyzer_matches_python_simulation(spark, entries, r):
+def test_lowered_log_analyzer_matches_python_simulation(spark, entries, r, sep):
     """The fully-lowered (FlatMapExpr + ReduceExpr) log-analyzer job must
     equal the pure-Python simulation of the reference's semantics on
-    arbitrary ASCII log lines, for every reducer count."""
+    arbitrary log lines — including non-ASCII whitespace separators — for
+    every reducer count."""
     from tests.test_mapreduce import simulate
 
     lines = [
-        (f"f{i}", i, " ".join(["2024-01-01", "00:00:01", cr, url]))
+        (f"f{i}", i, sep.join(["2024-01-01", "00:00:01", cr, url]))
         for i, (cr, url) in enumerate(entries)
     ]
     df = spark.createDataFrame(lines, INPUT_SCHEMA)

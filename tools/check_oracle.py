@@ -91,6 +91,23 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        # Driver fidelity: the driver canonicalizes results by sorting a
+        # pandas frame on every column, which raises "unhashable type" on
+        # array/map/struct cells (observed in CORRECTNESS_r02). Flag any
+        # complex-typed result column as a failure even though this
+        # replica's tuple-normalization could compare it.
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            print(
+                f"FAIL {name}: complex-typed result columns {complex_cols} "
+                "(driver cannot hash these; serialize with array_join/to_json)"
+            )
+            n_fail += 1
+            continue
         spark_t = time.time() - t0
         if name not in oracles:
             print(f"  ok {name}: rows-only ({len(s_rows)} rows, {spark_t:.1f}s, no oracle)")
