@@ -23,29 +23,41 @@ DEC = "decimal(18,6)"  # <=18 precision is long-backed in Spark (~15% faster agg
 # than BigDecimal-backed 28,6); the SUM accumulator auto-widens, so exactness
 # and the DECIMAL(28,6) oracles are unaffected at any scale.
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(
     spark: SparkSession, path: str, watermark: str | None = "10 minutes"
 ) -> DataFrame:
-    """events parquet as a file-source stream (nanos ts converted exactly
-    like tables.table does for batch). ``path`` must be a DIRECTORY — the
-    file stream source tracks arriving files under a base path."""
-    df = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    """events parquet as a file-source stream, with ``ts`` normalized to
+    TIMESTAMP exactly like tables.table does for batch. The file source
+    needs the schema up front, so a one-time batch read probes how this
+    parquet encodes ``ts`` (nanos-as-long vs timestamp_ntz vs timestamp).
+    ``path`` must be a DIRECTORY — the file stream source tracks arriving
+    files under a base path."""
+    probed = dict(spark.read.parquet(path).dtypes).get("ts")
+    if probed == "bigint":
+        raw = spark.readStream.schema(_events_raw_schema(T.LongType())).parquet(path)
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif probed == "timestamp_ntz":
+        raw = spark.readStream.schema(
+            _events_raw_schema(T.TimestampNTZType())
+        ).parquet(path)
+        df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        df = spark.readStream.schema(
+            _events_raw_schema(T.TimestampType())
+        ).parquet(path)
     if watermark:
         df = df.withWatermark("ts", watermark)
     return df

@@ -129,13 +129,7 @@ def test_stateful_user_profiles_converge_to_batch_truth(spark, sf_dir, tmp_path)
     d = tmp_path / "ev"
     d.mkdir()
     os.symlink(f"{sf_dir}/events.parquet", d / "events.parquet")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
-        .parquet(str(d))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = read_events_stream(spark, str(d), watermark=None)
     q = (
         stateful_user_profiles(stream)
         .writeStream.format("memory")
