@@ -50,6 +50,16 @@ def main() -> None:
     # (timings then measure query work, not first-touch JVM/footers)
     for t in ("region", "lineitem", "orders", "customer", "events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    # ... and the whole-stage-codegen classes: running each headline plan
+    # once at sf0.001 compiles the identical generated code (codegen cache
+    # keys on source, which is scale-independent), so the timed sf runs
+    # measure query work, not first-execution janino compilation (~2.5 s
+    # on the 8-aggregate q1 alone). A long-lived cluster's executors are
+    # exactly this warm.
+    for name in names:
+        qs[name](spark, "/root/testdata/sf0.001").write.mode("overwrite").format(
+            "noop"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in names:
