@@ -1,0 +1,169 @@
+"""Python DataSource reading the reference's on-disk chunk format.
+
+A Go_DFS storage node keeps each stored file as chunk files named
+``<file>_<FTYPE><idx>`` (``sn/dfs_actions.go:30``) next to an md5 sidecar
+``<chunk>h`` holding the raw 16-byte digest (``sn/dfs_actions.go:32,77``,
+``util/util.go:12-41``). TXT chunks are newline-aligned byte ranges
+(``cl/dfs_actions.go:172-195``), so every chunk is independently scannable
+— which is exactly a Spark input partition.
+
+These sources are the migration path for reference users: point
+``spark.read.format("go_dfs_text")`` at one or more storage-node
+directories (comma-separated — each directory is a "node") and the chunk
+inventory is read in place, no re-ingestion:
+
+- planning (driver side) unions the per-node chunk inventories into a
+  replica map, one InputPartition per distinct (file, chunk_idx) — the
+  Spark twin of the controller's soft-state registry
+  (``cn/struct.go:18-31``);
+- each task md5-verifies its chunk against the sidecar and fails over to
+  the next replica on mismatch, mirroring retrieve's per-chunk failover
+  (``cl/dfs_actions.go:369-495``); a chunk with no healthy replica fails
+  the scan like the reference fails the whole retrieve
+  (``cl/dfs_actions.go:396-411``);
+- ``go_dfs_text`` emits (file, chunk_idx, line_number, line) with
+  per-chunk line numbers from 0 — the exact record the MR scan hands to
+  ``F_map`` (``sn/mr_actions.go:211-231``); ``go_dfs_bin`` emits one
+  (file, chunk_idx, content) row per chunk.
+
+At scale this degrades gracefully: planning cost is one directory listing
+per node (metadata-only), partition count equals chunk count (64 MiB
+default chunks → the same task granularity Spark would pick for parquet),
+and verification is streamed per-task, never on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_CHUNK_RE = re.compile(r"^(?P<file>.+)_(?P<ftype>TXT|BIN)(?P<idx>\d+)$")
+
+
+@dataclass
+class _ChunkPartition(InputPartition):
+    file: str
+    ftype: str
+    idx: int
+    replicas: tuple[str, ...]  # full paths, tried in order
+    verify: bool
+
+
+def _inventory(dirs: list[str], want_ftype: str, only_file: str | None):
+    """(file, idx) -> [replica paths], from every node dir's listing."""
+    chunks: dict[tuple[str, int], list[str]] = {}
+    for d in dirs:
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"go_dfs node directory {d!r} not found")
+        for entry in sorted(os.listdir(d)):
+            m = _CHUNK_RE.match(entry)
+            if not m or m.group("ftype") != want_ftype:
+                continue  # sidecars (trailing 'h') and foreign files skipped
+            if only_file and m.group("file") != only_file:
+                continue
+            key = (m.group("file"), int(m.group("idx")))
+            chunks.setdefault(key, []).append(os.path.join(d, entry))
+    return chunks
+
+
+def _read_verified(part: _ChunkPartition) -> bytes:
+    """Chunk bytes from the first replica whose md5 matches its sidecar."""
+    errors = []
+    for path in part.replicas:
+        try:
+            with open(path, "rb") as fh:
+                data = fh.read()
+            if part.verify:
+                with open(path + "h", "rb") as fh:
+                    want = fh.read()
+                got = hashlib.md5(data).digest()
+                if got != want:
+                    errors.append(f"{path}: checksum mismatch")
+                    continue
+            return data
+        except OSError as e:  # missing replica / unreadable sidecar
+            errors.append(f"{path}: {e}")
+    raise IOError(
+        f"chunk {part.file}_{part.ftype}{part.idx}: all "
+        f"{len(part.replicas)} replicas failed: {errors}"
+    )
+
+
+class _BaseReader(DataSourceReader):
+    def __init__(self, options, ftype: str) -> None:
+        raw = options.get("path") or options.get("paths")
+        if not raw:
+            raise ValueError("go_dfs source requires a path (node dir[,dir...])")
+        self._dirs = [p for p in (s.strip() for s in raw.split(",")) if p]
+        self._file = options.get("file")
+        self._verify = str(options.get("verify", "true")).lower() != "false"
+        self._ftype = ftype
+
+    def partitions(self):
+        chunks = _inventory(self._dirs, self._ftype, self._file)
+        return [
+            _ChunkPartition(f, self._ftype, i, tuple(paths), self._verify)
+            for (f, i), paths in sorted(chunks.items())
+        ]
+
+
+class _TextReader(_BaseReader):
+    def __init__(self, options) -> None:
+        super().__init__(options, "TXT")
+
+    def read(self, partition: _ChunkPartition):
+        if partition is None:  # empty inventory -> Spark's implicit single split
+            return
+        data = _read_verified(partition)
+        # bufio.Scanner semantics (sn/mr_actions.go:211-231): split on \n,
+        # strip one trailing \r, no final empty line for trailing \n
+        for n, line in enumerate(data.decode("utf-8").split("\n")[:-1]):
+            yield (partition.file, partition.idx, n, line.rstrip("\r"))
+
+
+class _BinReader(_BaseReader):
+    def __init__(self, options) -> None:
+        super().__init__(options, "BIN")
+
+    def read(self, partition: _ChunkPartition):
+        if partition is None:
+            return
+        yield (partition.file, partition.idx, _read_verified(partition))
+
+
+class GoDfsTextDataSource(DataSource):
+    """``spark.read.format("go_dfs_text").load("node1[,node2,...]")``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "go_dfs_text"
+
+    def schema(self) -> str:
+        return "file string, chunk_idx bigint, line_number bigint, line string"
+
+    def reader(self, schema):
+        return _TextReader(self.options)
+
+
+class GoDfsBinDataSource(DataSource):
+    """``spark.read.format("go_dfs_bin").load("node1[,node2,...]")``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "go_dfs_bin"
+
+    def schema(self) -> str:
+        return "file string, chunk_idx bigint, content binary"
+
+    def reader(self, schema):
+        return _BinReader(self.options)
+
+
+def register(spark) -> None:
+    """Register both formats on this session (idempotent)."""
+    spark.dataSource.register(GoDfsTextDataSource)
+    spark.dataSource.register(GoDfsBinDataSource)

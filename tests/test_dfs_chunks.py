@@ -1,0 +1,139 @@
+"""go_dfs_text / go_dfs_bin custom sources: read the reference's storage
+node chunk layout (``<file>_<FTYPE><idx>`` + md5 sidecar ``...h``) in
+place, with per-chunk checksum verify and replica failover."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from go_dfs_mapreduce_spark.sources import register_dfs_sources
+
+TEXT = (
+    "the quick brown fox\n"
+    "jumps over the lazy dog\n"
+    "pack my box\n"
+    "with five dozen liquor jugs\n"
+)
+
+
+def _write_chunk(node_dir, fname, ftype, idx, data: bytes, corrupt=False):
+    os.makedirs(node_dir, exist_ok=True)
+    cfn = os.path.join(node_dir, f"{fname}_{ftype}{idx}")
+    digest = hashlib.md5(data).digest()  # sidecar ALWAYS hashes true bytes
+    if corrupt:
+        data = b"X" + data[1:]
+    with open(cfn, "wb") as fh:
+        fh.write(data)
+    with open(cfn + "h", "wb") as fh:
+        fh.write(digest)
+
+
+@pytest.fixture()
+def nodes(spark, tmp_path):
+    """Two 'storage node' dirs; doc.txt split into 2 newline-aligned TXT
+    chunks replicated on both nodes, with node1's copy of chunk 0
+    corrupted; blob.bin as one BIN chunk only on node2."""
+    register_dfs_sources(spark)
+    n1, n2 = str(tmp_path / "node1"), str(tmp_path / "node2")
+    lines = TEXT.encode().split(b"\n")
+    c0 = b"\n".join(lines[:2]) + b"\n"
+    c1 = b"\n".join(lines[2:4]) + b"\n"
+    _write_chunk(n1, "doc.txt", "TXT", 0, c0, corrupt=True)
+    _write_chunk(n2, "doc.txt", "TXT", 0, c0)
+    _write_chunk(n1, "doc.txt", "TXT", 1, c1)
+    _write_chunk(n2, "doc.txt", "TXT", 1, c1)
+    _write_chunk(n2, "blob.bin", "BIN", 0, bytes(range(256)))
+    return n1, n2
+
+
+def test_text_chunks_scan_with_per_chunk_line_numbers(spark, nodes):
+    df = spark.read.format("go_dfs_text").load(",".join(nodes))
+    rows = sorted(
+        (r.chunk_idx, r.line_number, r.line) for r in df.collect()
+    )
+    assert rows == [
+        (0, 0, "the quick brown fox"),
+        (0, 1, "jumps over the lazy dog"),
+        (1, 0, "pack my box"),
+        (1, 1, "with five dozen liquor jugs"),
+    ]
+    assert df.rdd.getNumPartitions() == 2  # one partition per chunk
+    assert {r.file for r in df.collect()} == {"doc.txt"}
+
+
+def test_corrupt_replica_fails_over(spark, nodes):
+    """node1's chunk 0 is corrupted: its md5 no longer matches the
+    sidecar, so the task must fall back to node2's healthy replica —
+    the retrieve failover semantics (cl/dfs_actions.go:369-495)."""
+    n1, n2 = nodes
+    got = (
+        spark.read.format("go_dfs_text")
+        .load(f"{n1},{n2}")
+        .where("chunk_idx = 0")
+        .count()
+    )
+    assert got == 2
+
+
+def test_all_replicas_corrupt_fails_scan(spark, nodes):
+    n1, _ = nodes
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as e:
+        spark.read.format("go_dfs_text").load(n1).where("chunk_idx = 0").count()
+    assert "checksum mismatch" in str(e.value) or isinstance(
+        e.value, Py4JJavaError
+    )
+
+
+def test_verify_false_reads_corrupt_bytes(spark, nodes):
+    n1, _ = nodes
+    df = (
+        spark.read.format("go_dfs_text")
+        .option("verify", "false")
+        .load(n1)
+        .where("chunk_idx = 0 and line_number = 0")
+    )
+    assert df.collect()[0].line == "Xhe quick brown fox"
+
+
+def test_bin_chunks(spark, nodes):
+    df = spark.read.format("go_dfs_bin").load(",".join(nodes))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].file == "blob.bin"
+    assert bytes(rows[0].content) == bytes(range(256))
+
+
+def test_file_option_filters_inventory(spark, nodes):
+    df = (
+        spark.read.format("go_dfs_text")
+        .option("file", "nope.txt")
+        .load(",".join(nodes))
+    )
+    assert df.count() == 0
+
+
+def test_wordcount_over_chunk_source_matches_python(spark, nodes):
+    """The F1 record shape feeds the same wordcount the MR layer runs:
+    counts over the chunk source must equal a plain Python count."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.format("go_dfs_text").load(",".join(nodes))
+    got = {
+        (r.word, r.cnt)
+        for r in df.select(
+            F.explode(F.split(F.lower("line"), r"\s+")).alias("word")
+        )
+        .where("word != ''")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    want = set(Counter(TEXT.lower().split()).items())
+    assert got == want
