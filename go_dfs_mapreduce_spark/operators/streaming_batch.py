@@ -154,3 +154,29 @@ def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_with_dim(
         table(spark, sf_dir, "events"), table(spark, sf_dir, "customer")
     )
+
+
+FIRST_OCCURRENCE_ORACLE = """
+SELECT user_id, event_type, event_id AS first_event_id,
+       CAST(ts AS TIMESTAMP) AS first_ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("stream_first_occurrences", oracle=FIRST_OCCURRENCE_ORACLE)
+def stream_first_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the transformWithStateInPandas first-occurrence
+    detector (streaming/novelty.py::first_occurrences_stream): the
+    deterministic argmin-(ts, event_id) row per (user_id, event_type).
+    The streaming run keeps seen types in a per-user ListState and is
+    proven batching-invariant in tests/test_streaming_novelty.py (which
+    skips where Spark's transformWithState protobuf dependency is
+    absent)."""
+    from ..streaming.novelty import first_occurrences_batch
+
+    return first_occurrences_batch(table(spark, sf_dir, "events"))

@@ -2,6 +2,7 @@
 data-plane streaming; its heartbeats are control-plane only,
 cn/struct.go:53-187)."""
 
+from .novelty import first_occurrences_batch, first_occurrences_stream
 from .windows import (
     enrich_with_dim,
     interval_join,
@@ -15,6 +16,8 @@ from .windows import (
 
 __all__ = [
     "enrich_with_dim",
+    "first_occurrences_batch",
+    "first_occurrences_stream",
     "interval_join",
     "read_events_stream",
     "run_available_now",
