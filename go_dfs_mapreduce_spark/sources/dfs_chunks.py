@@ -37,9 +37,16 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import uuid
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _CHUNK_RE = re.compile(r"^(?P<file>.+)_(?P<ftype>TXT|BIN)(?P<idx>\d+)$")
 
@@ -135,8 +142,109 @@ class _BinReader(_BaseReader):
         yield (partition.file, partition.idx, _read_verified(partition))
 
 
+@dataclass
+class _ChunkCommit(WriterCommitMessage):
+    pid: int
+    tmp_name: str
+
+
+class _TextWriter(DataSourceWriter):
+    """Write a text DataFrame as reference-layout TXT chunks.
+
+    Mirrors the storage node's commit protocol exactly
+    (``sn/dfs_actions.go:34-112``): each task streams its partition's
+    lines + md5 sidecar into ``chunks_tmp/`` under a job-unique name, and
+    the driver-side commit atomically renames them into place. Chunk
+    indices are assigned contiguously in partition order at commit time
+    (a failed job leaves only ``chunks_tmp`` litter, never a partial
+    file), and partition boundaries fall between lines, so every chunk
+    is newline-aligned like the reference's TXT split
+    (``cl/dfs_actions.go:172-195``).
+
+    Save-mode mapping (the Python DataSource API offers append/overwrite
+    only): ``append`` is the reference's ``store`` — it REJECTS a
+    duplicate file name at commit like the controller does
+    (``cn/dfs_actions.go:17-22``); ``overwrite`` replaces the file's
+    chunks."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        raw = options.get("path") or options.get("paths")
+        if not raw:
+            raise ValueError("go_dfs_text write requires a node directory path")
+        self._dir = raw.split(",")[0].strip()
+        fname = options.get("file")
+        if not fname:
+            raise ValueError("go_dfs_text write requires .option('file', name)")
+        self._file = fname
+        self._overwrite = overwrite
+        self._job = uuid.uuid4().hex
+
+    def _existing(self):
+        if not os.path.isdir(self._dir):
+            return []
+        return [
+            e
+            for e in os.listdir(self._dir)
+            if _CHUNK_RE.match(e) and _CHUNK_RE.match(e).group("file") == self._file
+        ]
+
+    def write(self, iterator) -> _ChunkCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp_dir = os.path.join(self._dir, "chunks_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp_name = f"{self._job}_p{pid}"
+        h = hashlib.md5()
+        wrote = False
+        with open(os.path.join(tmp_dir, tmp_name), "wb") as fh:
+            for row in iterator:
+                data = (str(row[0]) + "\n").encode("utf-8")
+                fh.write(data)
+                h.update(data)
+                wrote = True
+        if not wrote:  # empty partition -> no chunk (indices stay contiguous)
+            os.remove(os.path.join(tmp_dir, tmp_name))
+            return _ChunkCommit(pid=pid, tmp_name="")
+        with open(os.path.join(tmp_dir, tmp_name + "h"), "wb") as fh:
+            fh.write(h.digest())
+        return _ChunkCommit(pid=pid, tmp_name=tmp_name)
+
+    def commit(self, messages) -> None:
+        existing = self._existing()
+        if existing and not self._overwrite:
+            raise FileExistsError(
+                f"file {self._file!r} already stored in {self._dir}"
+            )
+        for e in existing:  # overwrite: drop old chunks + sidecars
+            os.remove(os.path.join(self._dir, e))
+            side = os.path.join(self._dir, e + "h")
+            if os.path.exists(side):
+                os.remove(side)
+        tmp_dir = os.path.join(self._dir, "chunks_tmp")
+        idx = 0
+        for m in sorted(
+            (m for m in messages if m and m.tmp_name), key=lambda m: m.pid
+        ):
+            final = os.path.join(self._dir, f"{self._file}_TXT{idx}")
+            os.rename(os.path.join(tmp_dir, m.tmp_name), final)
+            os.rename(os.path.join(tmp_dir, m.tmp_name + "h"), final + "h")
+            idx += 1
+
+    def abort(self, messages) -> None:
+        tmp_dir = os.path.join(self._dir, "chunks_tmp")
+        for m in messages:
+            if not (m and m.tmp_name):
+                continue
+            for suffix in ("", "h"):
+                p = os.path.join(tmp_dir, m.tmp_name + suffix)
+                if os.path.exists(p):
+                    os.remove(p)
+
+
 class GoDfsTextDataSource(DataSource):
-    """``spark.read.format("go_dfs_text").load("node1[,node2,...]")``"""
+    """``spark.read.format("go_dfs_text").load("node1[,node2,...]")`` /
+    ``df.write.format("go_dfs_text").option("file", name).save(node)``"""
 
     @classmethod
     def name(cls) -> str:
@@ -147,6 +255,14 @@ class GoDfsTextDataSource(DataSource):
 
     def reader(self, schema):
         return _TextReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        if len(schema.fields) != 1 or schema.fields[0].dataType.typeName() != "string":
+            raise ValueError(
+                "go_dfs_text write expects exactly one string column of lines,"
+                f" got {schema.simpleString()}"
+            )
+        return _TextWriter(self.options, overwrite)
 
 
 class GoDfsBinDataSource(DataSource):

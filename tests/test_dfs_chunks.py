@@ -137,3 +137,48 @@ def test_wordcount_over_chunk_source_matches_python(spark, nodes):
     }
     want = set(Counter(TEXT.lower().split()).items())
     assert got == want
+
+
+def test_write_roundtrip_reference_layout(spark, tmp_path):
+    """df.write.format('go_dfs_text') must produce the reference's chunk
+    layout (contiguous _TXT<idx> files + md5 sidecars, committed via
+    chunks_tmp rename) that the reader — and the reference itself —
+    can consume."""
+    import hashlib as _h
+
+    register_dfs_sources(spark)
+    node = str(tmp_path / "node")
+    lines = [f"line number {i}" for i in range(100)]
+    df = spark.createDataFrame([(l,) for l in lines], "value string").repartition(4)
+    df.write.format("go_dfs_text").option("file", "out.txt").mode("append").save(node)
+
+    names = sorted(os.listdir(node))
+    chunk_files = [n for n in names if not n.endswith("h") and n != "chunks_tmp"]
+    assert chunk_files == [f"out.txt_TXT{i}" for i in range(len(chunk_files))]
+    assert len(chunk_files) >= 2  # multiple partitions -> multiple chunks
+    for cf in chunk_files:  # sidecar is the md5 of the true bytes
+        with open(os.path.join(node, cf), "rb") as fh:
+            data = fh.read()
+        with open(os.path.join(node, cf + "h"), "rb") as fh:
+            assert fh.read() == _h.md5(data).digest()
+        assert data.endswith(b"\n")  # newline-aligned chunks
+    assert os.listdir(os.path.join(node, "chunks_tmp")) == []
+
+    back = spark.read.format("go_dfs_text").load(node)
+    assert sorted(r.line for r in back.collect()) == sorted(lines)
+
+
+def test_write_rejects_duplicate_and_honors_overwrite(spark, tmp_path):
+    register_dfs_sources(spark)
+    node = str(tmp_path / "node")
+    df = spark.createDataFrame([("a",), ("b",)], "value string")
+    df.write.format("go_dfs_text").option("file", "f.txt").mode("append").save(node)
+    with pytest.raises(Exception) as e:
+        df.write.format("go_dfs_text").option("file", "f.txt").mode("append").save(node)
+    assert "already stored" in str(e.value)
+    df2 = spark.createDataFrame([("c",)], "value string").coalesce(1)
+    df2.write.format("go_dfs_text").option("file", "f.txt").mode(
+        "overwrite"
+    ).save(node)
+    back = spark.read.format("go_dfs_text").load(node)
+    assert [r.line for r in back.collect()] == ["c"]
