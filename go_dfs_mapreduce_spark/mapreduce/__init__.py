@@ -7,6 +7,14 @@ pipeline instead of the reference's 15-stage TCP choreography
 (SURVEY.md §3.1).
 """
 
-from .job import MapReduceJob, read_text_with_line_numbers
+from .job import (
+    MapReduceJob,
+    read_dfs_chunks_with_line_numbers,
+    read_text_with_line_numbers,
+)
 
-__all__ = ["MapReduceJob", "read_text_with_line_numbers"]
+__all__ = [
+    "MapReduceJob",
+    "read_dfs_chunks_with_line_numbers",
+    "read_text_with_line_numbers",
+]

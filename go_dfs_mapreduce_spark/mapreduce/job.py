@@ -95,6 +95,32 @@ def read_text_with_line_numbers(spark: SparkSession, paths: list[str]) -> DataFr
     return out
 
 
+def read_dfs_chunks_with_line_numbers(
+    spark: SparkSession, node_dirs: list[str], file: str | None = None
+) -> DataFrame:
+    """F1 over the reference's ON-DISK chunk layout: scan reference
+    storage-node directories through the ``go_dfs_text`` source
+    (sources/dfs_chunks.py) and present the exact record the reference's
+    mapper hands to ``F_map`` — the CHUNK name (``<file>_TXT<idx>``) as
+    the file field and 0-based per-chunk line numbers
+    (``sn/mr_actions.go:211-231`` passes ``cn``, the chunk filename).
+    One Spark partition per chunk, checksum-verified with replica
+    failover — so a MapReduceJob runs unmodified over data the reference
+    system stored."""
+    from ..sources import register_dfs_sources
+
+    register_dfs_sources(spark)
+    reader = spark.read.format("go_dfs_text")
+    if file:
+        reader = reader.option("file", file)
+    df = reader.load(",".join(node_dirs))
+    return df.select(
+        F.concat(F.col("file"), F.lit("_TXT"), F.col("chunk_idx")).alias("file"),
+        "line_number",
+        "line",
+    )
+
+
 class PerKeyIntSumFormat:
     """Declarative lowering spec a reduce plugin may attach to itself
     (``f_reduce.lowering = PerKeyIntSumFormat(fmt)``) when its semantics

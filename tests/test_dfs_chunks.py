@@ -182,3 +182,49 @@ def test_write_rejects_duplicate_and_honors_overwrite(spark, tmp_path):
     ).save(node)
     back = spark.read.format("go_dfs_text").load(node)
     assert [r.line for r in back.collect()] == ["c"]
+
+
+def test_mr_job_runs_over_reference_chunk_layout(spark, tmp_path):
+    """End-to-end parity flow: a MapReduceJob consumes data stored in the
+    reference's own chunk layout through read_dfs_chunks_with_line_numbers
+    and must produce the same counts as the identical job over a plain
+    in-memory (file, line_number, line) frame — chunk names as file
+    fields notwithstanding (F_map receives the chunk name exactly as the
+    reference passes cn, sn/mr_actions.go:217)."""
+    from go_dfs_mapreduce_spark.mapreduce import (
+        MapReduceJob,
+        read_dfs_chunks_with_line_numbers,
+    )
+    from go_dfs_mapreduce_spark.mapreduce import plugins
+
+    register_dfs_sources(spark)
+    node = str(tmp_path / "node")
+    text = "alpha beta gamma\nbeta gamma\ngamma gamma alpha\n"
+    lines = text.encode().split(b"\n")
+    _write_chunk(node, "corpus.txt", "TXT", 0, b"\n".join(lines[:2]) + b"\n")
+    _write_chunk(node, "corpus.txt", "TXT", 1, lines[2] + b"\n")
+
+    df = read_dfs_chunks_with_line_numbers(spark, [node], file="corpus.txt")
+    assert {r.file for r in df.select("file").distinct().collect()} == {
+        "corpus.txt_TXT0",
+        "corpus.txt_TXT1",
+    }
+    got = (
+        MapReduceJob(
+            "t_dfs_wc", plugins.word_count_map, plugins.word_count_reduce, r=26
+        )
+        .run(df)
+        .collect()
+    )
+    plain = spark.createDataFrame(
+        [(r.file, r.line_number, r.line) for r in df.collect()],
+        "file string, line_number long, line string",
+    )
+    want = (
+        MapReduceJob(
+            "t_plain_wc", plugins.word_count_map, plugins.word_count_reduce, r=26
+        )
+        .run(plain)
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
