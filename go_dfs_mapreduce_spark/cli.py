@@ -90,6 +90,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("files", nargs="*", help="stored names (default: all TXT)")
     p.add_argument("-o", "--out-dir", required=True)
 
+    p = sub.add_parser(
+        "dfs-import",
+        help="ingest a file stored in reference storage-node chunk dirs"
+        " (chunk layout <file>_TXT<idx> + md5 sidecars) into the warehouse",
+    )
+    p.add_argument("nodes", help="comma-separated storage-node directories")
+    p.add_argument("file", help="stored file name in the chunk layout")
+    p.add_argument("name", nargs="?", help="warehouse name (default: file)")
+
+    p = sub.add_parser(
+        "dfs-export",
+        help="export a warehouse TXT table back to the reference chunk layout",
+    )
+    p.add_argument("name", help="warehouse TXT table name")
+    p.add_argument("node", help="target storage-node directory")
+    p.add_argument("--file", help="chunk-layout file name (default: name)")
+    p.add_argument("--chunks", type=int, default=1, help="output chunk count")
+    p.add_argument("--overwrite", action="store_true")
+
     p = sub.add_parser("query", help="run a registered analytics query")
     p.add_argument("name")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -128,6 +147,10 @@ def main(argv: list[str] | None = None) -> int:
         rc = _run_mr(spark, wh, args)
         if rc:
             return rc
+    elif args.cmd == "dfs-import":
+        print(_dfs_import(spark, wh, args))
+    elif args.cmd == "dfs-export":
+        print(_dfs_export(spark, wh, args))
     elif args.cmd == "query":
         from . import registry
 
@@ -234,6 +257,64 @@ def _load_plugin_file(path: str):
     if not callable(mod.f_map) or not callable(mod.f_reduce):
         raise ValueError("plugin f_map and f_reduce must be callable")
     return mod.f_map, mod.f_reduce, r
+
+
+def _dfs_import(spark: SparkSession, wh, args) -> str:
+    """dfs-import: chunk-layout file -> warehouse TXT table. Reads through
+    the go_dfs_text source (checksum verify + replica failover), restores
+    the global line order from (chunk_idx, line_number) — chunk indices
+    are byte-ordered by construction (cl/dfs_actions.go:76-95) — and
+    lands the warehouse's TXT layout (parquet line_number+value)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .sources import register_dfs_sources
+
+    register_dfs_sources(spark)
+    name = args.name or args.file
+    target = wh._table_dir(name)
+    if wh._exists(name):
+        raise FileExistsError(f"file {name!r} already stored")
+    df = (
+        spark.read.format("go_dfs_text")
+        .option("file", args.file)
+        .load(args.nodes)
+    )
+    w = Window.orderBy("chunk_idx", "line_number")
+    lines = df.select(
+        (F.row_number().over(w) - 1).alias("line_number"),
+        F.col("line").alias("value"),
+    )
+    lines.write.parquet(target)
+    with open(_os.path.join(target, "_FTYPE"), "w") as fh:
+        fh.write("TXT")  # chunk-layout TXT data is always newline-terminated
+    return name
+
+
+def _dfs_export(spark: SparkSession, wh, args) -> str:
+    """dfs-export: warehouse TXT table -> reference chunk layout via the
+    go_dfs_text writer (chunks_tmp + commit rename). Range-partitioning on
+    the persisted line_number keeps chunk indices in byte order."""
+    from .sources import register_dfs_sources
+
+    register_dfs_sources(spark)
+    if wh._ftype(args.name) != "TXT":
+        raise ValueError(f"{args.name!r} is not a TXT file")
+    df = spark.read.parquet(wh._table_dir(args.name))
+    if args.chunks > 1:
+        df = df.repartitionByRange(args.chunks, "line_number")
+    else:
+        df = df.coalesce(1)
+    out = df.sortWithinPartitions("line_number").select("value")
+    writer = (
+        out.write.format("go_dfs_text")
+        .option("file", args.file or args.name)
+        .mode("overwrite" if args.overwrite else "append")
+    )
+    writer.save(args.node)
+    return args.node
 
 
 if __name__ == "__main__":

@@ -124,3 +124,40 @@ def test_cli_mr_user_plugin(spark, tmp_path, wh_root, capsys):
     bad.write_text("R = 2\ndef f_map(file, line_no, line, out):\n    pass\n")
     rc, _ = _run(capsys, "--warehouse", wh_root, "mr", str(bad), "-o", str(out_dir))
     assert rc == 2
+
+
+def test_cli_dfs_import_export_roundtrip(spark, tmp_path, wh_root, capsys):
+    """dfs-export writes the reference chunk layout; dfs-import reads it
+    back; retrieve reassembles the original bytes."""
+    src = tmp_path / "book.txt"
+    text = "".join(f"line {i} of the book\n" for i in range(50))
+    src.write_text(text)
+    rc, out = _run(capsys, "--warehouse", wh_root, "store", str(src))
+    assert rc == 0
+
+    node = str(tmp_path / "node0")
+    rc, out = _run(
+        capsys, "--warehouse", wh_root, "dfs-export", "book.txt", node,
+        "--chunks", "3",
+    )
+    assert rc == 0
+    import os as _os
+
+    chunks = sorted(
+        n for n in _os.listdir(node)
+        if "_TXT" in n and not n.endswith("h")
+    )
+    assert chunks == [f"book.txt_TXT{i}" for i in range(3)]
+
+    rc, out = _run(
+        capsys, "--warehouse", wh_root, "dfs-import", node, "book.txt",
+        "book_back.txt",
+    )
+    assert rc == 0 and out.strip() == "book_back.txt"
+
+    dst = tmp_path / "back.txt"
+    rc, out = _run(
+        capsys, "--warehouse", wh_root, "retrieve", "book_back.txt", str(dst)
+    )
+    assert rc == 0
+    assert dst.read_text() == text
