@@ -335,21 +335,24 @@ def _pair_overlap(cand: DataFrame, arrs: DataFrame) -> DataFrame:
 
     Returns DataFrame[doc_a, doc_b, n, sz_a, sz_b].
 
-    Verify shapes measured on the near-dup-heavy sf0.1 corpus (1.27 M
-    candidate pairs): exploded shingle join + groupBy = 15.7 s (builds a
-    |cand| x shingles-per-doc intermediate); this array formulation =
-    6.0 s — the intersection runs inside one projection, the only joins
-    are pair ⋈ per-doc-array on the doc keys (sort-merge; AQE upgrades to
-    broadcast when either side is small at runtime). NEVER an
-    unrestricted ``sh ⋈ sh`` self-join, and never a forced broadcast —
-    statistics-driven planning was observed broadcasting the full shingle
-    table, and force-broadcasting the candidate side OOMs when candidates
-    are many. Array cells are bounded by document length (shingles per
+    Verify shapes measured on the round-2 near-dup-heavy sf0.1 corpus
+    (1.27 M candidate pairs): exploded shingle join + groupBy = 15.7 s
+    (builds a |cand| x shingles-per-doc intermediate); this array
+    formulation = 6.0 s — the intersection runs inside one projection,
+    the only joins are pair ⋈ per-doc-array on the doc keys. Join
+    strategy is left to AQE (round 3): with runtime sizes it broadcasts
+    whichever side is genuinely small (the candidate side on the
+    regenerated corpus — measured marginally faster than a pinned
+    sort-merge) and falls back to spillable sort-merge when both sides
+    are large, which is the at-scale posture. A FORCED strategy loses
+    both ways: force-broadcast OOMs when candidates are many, and the
+    previously pinned ``merge`` hint paid two sorts even when candidates
+    were a few hundred rows. NEVER an unrestricted ``sh ⋈ sh``
+    self-join. Array cells are bounded by document length (shingles per
     doc), so row size stays sane at any corpus scale.
     """
     return (
-        cand.hint("merge")
-        .join(
+        cand.join(
             arrs.select(
                 F.col("doc_id").alias("doc_a"),
                 F.col("shs").alias("sa"),
