@@ -209,3 +209,52 @@ def test_ngram_expr_matches_python_ngrams(spark, toks, n):
         " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
     ] if len(toks) >= n else []
     assert got == want
+
+
+@given(
+    lines=st.lists(
+        st.text(alphabet="abXY 012.ü€λ中\xa0\t", max_size=40), min_size=1, max_size=20
+    ),
+    chunks=st.integers(1, 4),
+)
+@SET
+def test_dfs_chunk_writer_reader_roundtrip(spark, tmp_path_factory, lines, chunks):
+    """go_dfs_text write -> read round-trips arbitrary unicode lines in
+    order across any chunking (the layout's contiguous chunk indices +
+    per-chunk line numbers are a total order), and every chunk's sidecar
+    is the md5 of its true bytes."""
+    import hashlib as _h
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.sources import register_dfs_sources
+
+    register_dfs_sources(spark)
+    node = str(tmp_path_factory.mktemp("dfsprop"))
+    df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(lines)], "seq long, value string"
+    ).repartitionByRange(chunks, "seq")
+    (
+        df.sortWithinPartitions("seq")
+        .select("value")
+        .write.format("go_dfs_text")
+        .option("file", "p.txt")
+        .mode("append")
+        .save(node)
+    )
+    for cf in _os.listdir(node):
+        if cf.endswith("h") or cf == "chunks_tmp":
+            continue
+        with open(_os.path.join(node, cf), "rb") as fh:
+            data = fh.read()
+        with open(_os.path.join(node, cf + "h"), "rb") as fh:
+            assert fh.read() == _h.md5(data).digest()
+    back = (
+        spark.read.format("go_dfs_text")
+        .load(node)
+        .orderBy("chunk_idx", "line_number")
+        .select("line")
+        .collect()
+    )
+    assert [r.line for r in back] == lines
