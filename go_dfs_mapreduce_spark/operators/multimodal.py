@@ -50,18 +50,23 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Full pixel decode — requires PIL, not present in this container.
-    Header-level decode (format/width/height) IS implemented, pure-Python:
-    see ``parse_image_header`` / the ``multimodal_image_dims`` query."""
+def decode_image(payload: bytes):  # pragma: no cover - pillow-gated
+    """Full pixel decode, import-gated on pillow (absent in this
+    container). Header-level decode (format/width/height) is implemented
+    pure-Python regardless: see ``parse_image_header`` / the
+    ``multimodal_image_dims`` query. With pillow present this returns
+    (width, height, mode, pixel_bytes)."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
             "pixel decode needs pillow; this environment is text-only — "
             "parse_image_header covers format/width/height without it"
         ) from exc
-    raise NotImplementedError("wire up Image.open(BytesIO(payload)) here")
+    from io import BytesIO
+
+    img = Image.open(BytesIO(payload))
+    return (img.width, img.height, img.mode, img.tobytes())
 
 
 # --- real header decode: pure-Python parsers for the four classic wire

@@ -265,8 +265,68 @@ class GoDfsTextDataSource(DataSource):
         return _TextWriter(self.options, overwrite)
 
 
+class _BinWriter(_TextWriter):
+    """BIN twin of the text writer: each input row's ``content`` bytes
+    become one chunk (the Warehouse BIN layout is already chunk rows, so
+    export is row -> chunk), with the same chunks_tmp + commit-rename
+    protocol and contiguous indices in (partition, row) order."""
+
+    _FTYPE = "BIN"
+
+    def write(self, iterator) -> _ChunkCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp_dir = os.path.join(self._dir, "chunks_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        names = []
+        for n, row in enumerate(iterator):
+            data = bytes(row[0])
+            tmp_name = f"{self._job}_p{pid}_{n}"
+            with open(os.path.join(tmp_dir, tmp_name), "wb") as fh:
+                fh.write(data)
+            with open(os.path.join(tmp_dir, tmp_name + "h"), "wb") as fh:
+                fh.write(hashlib.md5(data).digest())
+            names.append(tmp_name)
+        return _ChunkCommit(pid=pid, tmp_name=",".join(names))
+
+    def commit(self, messages) -> None:
+        existing = self._existing()
+        if existing and not self._overwrite:
+            raise FileExistsError(
+                f"file {self._file!r} already stored in {self._dir}"
+            )
+        for e in existing:
+            os.remove(os.path.join(self._dir, e))
+            side = os.path.join(self._dir, e + "h")
+            if os.path.exists(side):
+                os.remove(side)
+        tmp_dir = os.path.join(self._dir, "chunks_tmp")
+        idx = 0
+        for m in sorted(
+            (m for m in messages if m and m.tmp_name), key=lambda m: m.pid
+        ):
+            for tmp_name in m.tmp_name.split(","):
+                final = os.path.join(self._dir, f"{self._file}_BIN{idx}")
+                os.rename(os.path.join(tmp_dir, tmp_name), final)
+                os.rename(os.path.join(tmp_dir, tmp_name + "h"), final + "h")
+                idx += 1
+
+    def abort(self, messages) -> None:
+        tmp_dir = os.path.join(self._dir, "chunks_tmp")
+        for m in messages:
+            if not (m and m.tmp_name):
+                continue
+            for tmp_name in m.tmp_name.split(","):
+                for suffix in ("", "h"):
+                    p = os.path.join(tmp_dir, tmp_name + suffix)
+                    if os.path.exists(p):
+                        os.remove(p)
+
+
 class GoDfsBinDataSource(DataSource):
-    """``spark.read.format("go_dfs_bin").load("node1[,node2,...]")``"""
+    """``spark.read.format("go_dfs_bin").load("node1[,node2,...]")`` /
+    ``df.write.format("go_dfs_bin").option("file", name).save(node)``"""
 
     @classmethod
     def name(cls) -> str:
@@ -277,6 +337,14 @@ class GoDfsBinDataSource(DataSource):
 
     def reader(self, schema):
         return _BinReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        if len(schema.fields) != 1 or schema.fields[0].dataType.typeName() != "binary":
+            raise ValueError(
+                "go_dfs_bin write expects exactly one binary column of"
+                f" chunk contents, got {schema.simpleString()}"
+            )
+        return _BinWriter(self.options, overwrite)
 
 
 def register(spark) -> None:
