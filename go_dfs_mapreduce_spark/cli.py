@@ -260,11 +260,13 @@ def _load_plugin_file(path: str):
 
 
 def _dfs_import(spark: SparkSession, wh, args) -> str:
-    """dfs-import: chunk-layout file -> warehouse TXT table. Reads through
-    the go_dfs_text source (checksum verify + replica failover), restores
-    the global line order from (chunk_idx, line_number) — chunk indices
-    are byte-ordered by construction (cl/dfs_actions.go:76-95) — and
-    lands the warehouse's TXT layout (parquet line_number+value)."""
+    """dfs-import: chunk-layout file -> warehouse table, both file types.
+    TXT reads through the go_dfs_text source (checksum verify + replica
+    failover) and restores the global line order from (chunk_idx,
+    line_number) — chunk indices are byte-ordered by construction
+    (cl/dfs_actions.go:76-95) — landing the warehouse TXT layout (parquet
+    line_number+value). BIN reads chunk rows through go_dfs_bin and lands
+    the warehouse's chunk-row layout unchanged."""
     import os as _os
 
     from pyspark.sql import functions as F
@@ -277,39 +279,65 @@ def _dfs_import(spark: SparkSession, wh, args) -> str:
     target = wh._table_dir(name)
     if wh._exists(name):
         raise FileExistsError(f"file {name!r} already stored")
-    df = (
+    txt = (
         spark.read.format("go_dfs_text")
         .option("file", args.file)
         .load(args.nodes)
     )
-    w = Window.orderBy("chunk_idx", "line_number")
-    lines = df.select(
-        (F.row_number().over(w) - 1).alias("line_number"),
-        F.col("line").alias("value"),
-    )
-    lines.write.parquet(target)
+    if txt.limit(1).count() > 0:
+        w = Window.orderBy("chunk_idx", "line_number")
+        out = txt.select(
+            (F.row_number().over(w) - 1).alias("line_number"),
+            F.col("line").alias("value"),
+        )
+        ftype = "TXT"  # chunk-layout TXT data is always newline-terminated
+    else:
+        out = (
+            spark.read.format("go_dfs_bin")
+            .option("file", args.file)
+            .load(args.nodes)
+            .select("chunk_idx", "content")
+        )
+        if out.limit(1).count() == 0:
+            raise FileNotFoundError(
+                f"no TXT or BIN chunks for {args.file!r} in {args.nodes}"
+            )
+        ftype = "BIN"
+    out.write.parquet(target)
     with open(_os.path.join(target, "_FTYPE"), "w") as fh:
-        fh.write("TXT")  # chunk-layout TXT data is always newline-terminated
+        fh.write(ftype)
     return name
 
 
 def _dfs_export(spark: SparkSession, wh, args) -> str:
-    """dfs-export: warehouse TXT table -> reference chunk layout via the
-    go_dfs_text writer (chunks_tmp + commit rename). Range-partitioning on
-    the persisted line_number keeps chunk indices in byte order."""
+    """dfs-export: warehouse TXT/BIN table -> reference chunk layout via
+    the go_dfs_text / go_dfs_bin writers (chunks_tmp + commit rename).
+    Range-partitioning on the persisted order key keeps chunk indices in
+    byte order."""
     from .sources import register_dfs_sources
 
     register_dfs_sources(spark)
-    if wh._ftype(args.name) != "TXT":
-        raise ValueError(f"{args.name!r} is not a TXT file")
+    ftype = wh._ftype(args.name)
     df = spark.read.parquet(wh._table_dir(args.name))
-    if args.chunks > 1:
-        df = df.repartitionByRange(args.chunks, "line_number")
+    if ftype == "TXT":
+        if args.chunks > 1:
+            df = df.repartitionByRange(args.chunks, "line_number")
+        else:
+            df = df.coalesce(1)
+        out = df.sortWithinPartitions("line_number").select("value")
+        fmt = "go_dfs_text"
+    elif ftype == "BIN":
+        # chunk rows map 1:1 to chunks; --chunks is ignored for BIN
+        out = (
+            df.repartitionByRange(1, "chunk_idx")
+            .sortWithinPartitions("chunk_idx")
+            .select("content")
+        )
+        fmt = "go_dfs_bin"
     else:
-        df = df.coalesce(1)
-    out = df.sortWithinPartitions("line_number").select("value")
+        raise ValueError(f"{args.name!r} is a TABLE; dfs-export needs TXT/BIN")
     writer = (
-        out.write.format("go_dfs_text")
+        out.write.format(fmt)
         .option("file", args.file or args.name)
         .mode("overwrite" if args.overwrite else "append")
     )

@@ -161,3 +161,36 @@ def test_cli_dfs_import_export_roundtrip(spark, tmp_path, wh_root, capsys):
     )
     assert rc == 0
     assert dst.read_text() == text
+
+
+def test_cli_dfs_bin_roundtrip(spark, tmp_path, wh_root, capsys):
+    """BIN files migrate both directions: store a binary file chunked,
+    export it to the reference layout, import it back, retrieve the
+    original bytes."""
+    src = tmp_path / "img.bin"
+    payload = bytes(range(256)) * 512  # 128 KiB, clearly non-text
+    src.write_bytes(payload)
+    rc, out = _run(
+        capsys, "--warehouse", wh_root, "store", str(src), "--chunk-mib", "1"
+    )
+    assert rc == 0
+
+    node = str(tmp_path / "node0")
+    rc, out = _run(capsys, "--warehouse", wh_root, "dfs-export", "img.bin", node)
+    assert rc == 0
+    import os as _os
+
+    assert any("_BIN" in n for n in _os.listdir(node))
+
+    rc, out = _run(
+        capsys, "--warehouse", wh_root, "dfs-import", node, "img.bin",
+        "img_back.bin",
+    )
+    assert rc == 0
+
+    dst = tmp_path / "back.bin"
+    rc, out = _run(
+        capsys, "--warehouse", wh_root, "retrieve", "img_back.bin", str(dst)
+    )
+    assert rc == 0
+    assert dst.read_bytes() == payload
