@@ -495,3 +495,82 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "payload")
         .mapInPandas(sample, FRAME_SCHEMA)
     )
+
+
+# --- image resize: the remaining stage of the decode / feature-extract /
+# resize / frame-sample pipeline. The resize itself is REAL (numpy
+# nearest-neighbor over a synthesized grayscale raster — the same index
+# arithmetic PIL's Image.resize(NEAREST) performs); only the pixel SOURCE
+# is synthetic, because the corpus carries no real images. A decoder
+# (decode_image above, pillow-gated) slots in front of the same batch
+# loop unchanged. -----------------------------------------------------------
+
+RESIZE_OUT_W = 8
+RESIZE_OUT_H = 8
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_w", T.LongType()),
+        T.StructField("src_h", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("pix_sum", T.LongType()),
+    ]
+)
+
+# oracle recomputes the resized-pixel sum through the nearest-neighbor
+# index formula (sx = x*src_w // out_w), so any off-by-one in the index
+# mapping or the synthetic raster fails the hash compare
+RESIZE_ORACLE = f"""
+SELECT d.doc_id,
+  CAST(16 + d.doc_id % 5 AS BIGINT) AS src_w,
+  CAST(12 + d.doc_id % 3 AS BIGINT) AS src_h,
+  CAST({RESIZE_OUT_W} AS BIGINT) AS out_w,
+  CAST({RESIZE_OUT_H} AS BIGINT) AS out_h,
+  CAST(SUM((d.doc_id
+            + 7 * ((x.i * (16 + d.doc_id % 5)) // {RESIZE_OUT_W})
+            + 13 * ((y.i * (12 + d.doc_id % 3)) // {RESIZE_OUT_H})) % 256)
+       AS BIGINT) AS pix_sum
+FROM documents d, range({RESIZE_OUT_W}) x(i), range({RESIZE_OUT_H}) y(i)
+GROUP BY d.doc_id
+"""
+
+
+@query("multimodal_resize_nn", oracle=RESIZE_ORACLE)
+def multimodal_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize over Arrow batches: per document,
+    synthesize a deterministic src_h x src_w grayscale raster
+    (pixel(y, x) = (doc_id + 7x + 13y) mod 256), resize it to
+    RESIZE_OUT_H x RESIZE_OUT_W with numpy fancy indexing — the actual
+    resample, producing the full output raster — and emit its dimensions
+    and exact pixel sum for the oracle compare."""
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(RESIZE_OUT_W)
+        ys = np.arange(RESIZE_OUT_H)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 16 + doc_id % 5, 12 + doc_id % 3
+                raster = (
+                    doc_id
+                    + 7 * np.arange(w)[None, :]
+                    + 13 * np.arange(h)[:, None]
+                ) % 256
+                sx = (xs * w) // RESIZE_OUT_W
+                sy = (ys * h) // RESIZE_OUT_H
+                resized = raster[np.ix_(sy, sx)]
+                rows.append(
+                    (doc_id, w, h, RESIZE_OUT_W, RESIZE_OUT_H, int(resized.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "src_w", "src_h", "out_w", "out_h", "pix_sum"],
+            )
+
+    return docs.select("doc_id").mapInPandas(resize, RESIZE_SCHEMA)
