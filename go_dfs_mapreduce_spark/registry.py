@@ -77,10 +77,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # list is presentation order only — all 135 registered queries pass the
 # local gate; these are the 50 that get driver-file rows.
 _DRIVER_SHOWCASE = (
-    # reference parity: wordcount plugin family (Q1-Q6, Q11, Q12)
+    # reference parity: wordcount plugin family (Q1-Q6, Q11; Q12 top-k is
+    # driver-recorded via the log_top_* rows)
     "wordcount",
     "wordcount_fmt",
-    "wordcount_topk",
     # reference parity: log-analysis plugin family (Q7-Q12)
     "log_parse_fields",
     "log_normalize_urls",
@@ -98,7 +98,6 @@ _DRIVER_SHOWCASE = (
     # join family
     "join_orders_per_nation",
     "join_left_outer_order_counts",
-    "join_right_outer_counts",
     "join_full_outer_nation_counts",
     "join_semi_urgent_customers",
     "join_anti_customers_without_orders",
@@ -127,9 +126,11 @@ _DRIVER_SHOWCASE = (
     "udf_price_tier",
     "udaf_customer_stats",
     "udtf_first_tokens",
-    # streaming (batch twins of the streaming pipelines)
+    # streaming (batch twins of the streaming pipelines, incl. the
+    # transformWithState first-occurrence detector's twin)
     "stream_session_windows",
     "stream_tumbling_counts",
+    "stream_first_occurrences",
     # deduplication family
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -142,8 +143,9 @@ _DRIVER_SHOWCASE = (
     # text analysis
     "text_quality_scores",
     "doc_fingerprint",
-    # multimodal (real image-header decode)
+    # multimodal (real image-header decode + real NN resize)
     "multimodal_image_dims",
+    "multimodal_resize_nn",
 )
 
 
