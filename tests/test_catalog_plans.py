@@ -230,6 +230,7 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         "multimodal_image_dims",
         "multimodal_audio_meta",
         "multimodal_frame_sample",
+        "multimodal_resize_nn",
         "udf_price_tier",
         "udaf_customer_stats",
         "udtf_first_tokens",
