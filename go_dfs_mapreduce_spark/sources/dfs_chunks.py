@@ -127,8 +127,14 @@ class _TextReader(_BaseReader):
             return
         data = _read_verified(partition)
         # bufio.Scanner semantics (sn/mr_actions.go:211-231): split on \n,
-        # strip one trailing \r, no final empty line for trailing \n
-        for n, line in enumerate(data.decode("utf-8").split("\n")[:-1]):
+        # strip one trailing \r, no final empty line for trailing \n.
+        # Go strings are arbitrary bytes, so a chunk can legally contain
+        # invalid UTF-8; Spark strings cannot, so such bytes become
+        # U+FFFD instead of failing the whole scan (truly binary data
+        # belongs in the BIN reader).
+        for n, line in enumerate(
+            data.decode("utf-8", errors="replace").split("\n")[:-1]
+        ):
             yield (partition.file, partition.idx, n, line.rstrip("\r"))
 
 

@@ -266,3 +266,18 @@ def test_bin_write_roundtrip(spark, tmp_path):
         .collect()
     )
     assert [bytes(r.content) for r in back] == blobs
+
+
+def test_invalid_utf8_in_text_chunk_degrades_to_replacement(spark, tmp_path):
+    """Go strings are arbitrary bytes; Spark strings are UTF-8. A TXT
+    chunk with invalid UTF-8 must scan (U+FFFD replacement) rather than
+    fail the whole read."""
+    register_dfs_sources(spark)
+    node = str(tmp_path / "node")
+    _write_chunk(node, "weird.txt", "TXT", 0, b"ok line\nbad \xff\xfe line\n")
+    rows = sorted(
+        (r.line_number, r.line)
+        for r in spark.read.format("go_dfs_text").load(node).collect()
+    )
+    assert rows[0] == (0, "ok line")
+    assert rows[1][0] == 1 and "�" in rows[1][1]
