@@ -277,8 +277,6 @@ class _BinWriter(_TextWriter):
     export is row -> chunk), with the same chunks_tmp + commit-rename
     protocol and contiguous indices in (partition, row) order."""
 
-    _FTYPE = "BIN"
-
     def write(self, iterator) -> _ChunkCommit:
         from pyspark import TaskContext
 
