@@ -205,7 +205,10 @@ class _TextWriter(DataSourceWriter):
         wrote = False
         with open(os.path.join(tmp_dir, tmp_name), "wb") as fh:
             for row in iterator:
-                data = (str(row[0]) + "\n").encode("utf-8")
+                # NULL lines write as empty (the layout has no null notion)
+                data = (("" if row[0] is None else str(row[0])) + "\n").encode(
+                    "utf-8"
+                )
                 fh.write(data)
                 h.update(data)
                 wrote = True
