@@ -56,8 +56,10 @@ def main() -> None:
     # measure query work, not first-execution janino compilation (~2.5 s
     # on the 8-aggregate q1 alone). A long-lived cluster's executors are
     # exactly this warm.
+    from go_dfs_mapreduce_spark.tables import SMOKE_SF_DIR
+
     for name in names:
-        qs[name](spark, "/root/testdata/sf0.001").write.mode("overwrite").format(
+        qs[name](spark, SMOKE_SF_DIR).write.mode("overwrite").format(
             "noop"
         ).save()
 

@@ -270,27 +270,56 @@ def _dfs_import(spark: SparkSession, wh, args) -> str:
     import os as _os
 
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from .sources import register_dfs_sources
+    from .sources.dfs_chunks import _inventory
 
     register_dfs_sources(spark)
     name = args.name or args.file
     target = wh._table_dir(name)
     if wh._exists(name):
         raise FileExistsError(f"file {name!r} already stored")
-    txt = (
-        spark.read.format("go_dfs_text")
-        .option("file", args.file)
-        .load(args.nodes)
-    )
-    if txt.limit(1).count() > 0:
-        w = Window.orderBy("chunk_idx", "line_number")
+    # file type comes from the chunk INVENTORY (the filename encodes it),
+    # not from data presence — an empty TXT file is still a TXT file
+    dirs = [p for p in (s.strip() for s in args.nodes.split(",")) if p]
+    has_txt = bool(_inventory(dirs, "TXT", args.file))
+    has_bin = bool(_inventory(dirs, "BIN", args.file))
+    if not (has_txt or has_bin):
+        raise FileNotFoundError(
+            f"no TXT or BIN chunks for {args.file!r} in {args.nodes}"
+        )
+    if has_txt:
+        txt = (
+            spark.read.format("go_dfs_text")
+            .option("file", args.file)
+            .load(args.nodes)
+        )
+        # global line numbers WITHOUT a single-task global window: chunk
+        # line counts are tiny metadata (one row per chunk) — collect
+        # them, prefix-sum on the driver, and add each chunk's offset to
+        # its per-chunk line numbers map-side. Chunk indices are
+        # byte-ordered by construction (cl/dfs_actions.go:76-95).
+        counts = {
+            r.chunk_idx: r.n
+            for r in txt.groupBy("chunk_idx").agg(F.count("*").alias("n")).collect()
+        }
+        offsets, acc = {}, 0
+        for idx in sorted(counts):
+            offsets[idx] = acc
+            acc += counts[idx]
+        offmap = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ) if offsets else F.create_map()
         out = txt.select(
-            (F.row_number().over(w) - 1).alias("line_number"),
+            (F.col("line_number") + offmap[F.col("chunk_idx")]).alias(
+                "line_number"
+            ),
             F.col("line").alias("value"),
         )
-        ftype = "TXT"  # chunk-layout TXT data is always newline-terminated
+        ftype = "TXT"
+        # chunk data not ending in \n means the original file had no
+        # trailing newline — preserve that through retrieve
+        last_chunk_nl = _chunk_ends_with_newline(dirs, args.file)
     else:
         out = (
             spark.read.format("go_dfs_bin")
@@ -298,15 +327,31 @@ def _dfs_import(spark: SparkSession, wh, args) -> str:
             .load(args.nodes)
             .select("chunk_idx", "content")
         )
-        if out.limit(1).count() == 0:
-            raise FileNotFoundError(
-                f"no TXT or BIN chunks for {args.file!r} in {args.nodes}"
-            )
         ftype = "BIN"
     out.write.parquet(target)
     with open(_os.path.join(target, "_FTYPE"), "w") as fh:
         fh.write(ftype)
+    if ftype == "TXT" and not last_chunk_nl:
+        with open(_os.path.join(target, "_NO_TRAILING_NL"), "w") as fh:
+            fh.write("1")
     return name
+
+
+def _chunk_ends_with_newline(dirs: list[str], file: str) -> bool:
+    """True when the highest-index TXT chunk's last byte is a newline
+    (empty files count as newline-terminated)."""
+    from .sources.dfs_chunks import _inventory
+
+    chunks = _inventory(dirs, "TXT", file)
+    if not chunks:
+        return True
+    _, last_paths = max(chunks.items(), key=lambda kv: kv[0][1])
+    with open(last_paths[0], "rb") as fh:
+        fh.seek(0, 2)
+        if fh.tell() == 0:
+            return True
+        fh.seek(-1, 2)
+        return fh.read(1) == b"\n"
 
 
 def _dfs_export(spark: SparkSession, wh, args) -> str:
@@ -314,6 +359,8 @@ def _dfs_export(spark: SparkSession, wh, args) -> str:
     the go_dfs_text / go_dfs_bin writers (chunks_tmp + commit rename).
     Range-partitioning on the persisted order key keeps chunk indices in
     byte order."""
+    import os as _os
+
     from .sources import register_dfs_sources
 
     register_dfs_sources(spark)
@@ -342,7 +389,36 @@ def _dfs_export(spark: SparkSession, wh, args) -> str:
         .mode("overwrite" if args.overwrite else "append")
     )
     writer.save(args.node)
+    if ftype == "TXT" and _os.path.exists(
+        _os.path.join(wh._table_dir(args.name), "_NO_TRAILING_NL")
+    ):
+        # the chunk writer newline-terminates every line; restore the
+        # stored file's missing trailing newline by truncating the last
+        # chunk's final byte and re-hashing its sidecar (the reference's
+        # own last chunk simply ends at EOF)
+        _strip_final_newline(args.node, args.file or args.name)
     return args.node
+
+
+def _strip_final_newline(node: str, file: str) -> None:
+    import hashlib as _h
+
+    from .sources.dfs_chunks import _inventory
+
+    chunks = _inventory([node], "TXT", file)
+    if not chunks:
+        return
+    _, paths = max(chunks.items(), key=lambda kv: kv[0][1])
+    path = paths[0]
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if not data.endswith(b"\n"):
+        return
+    data = data[:-1]
+    with open(path, "wb") as fh:
+        fh.write(data)
+    with open(path + "h", "wb") as fh:
+        fh.write(_h.md5(data).digest())
 
 
 if __name__ == "__main__":

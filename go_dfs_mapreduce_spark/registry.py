@@ -154,11 +154,10 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     the curated _DRIVER_SHOWCASE slice first (the driver records exactly
     50 entries), everything else in module registration order."""
     for mod in _OPERATOR_MODULES:
-        try:
-            importlib.import_module(mod)
-        except ModuleNotFoundError:
-            # module not built yet (incremental rounds) — skip
-            pass
+        # every listed module exists (round 1's build-incrementally skip
+        # is gone): an import failure is a genuine bug and must surface
+        # here, loudly, rather than as a silently shrunken registry
+        importlib.import_module(mod)
     missing = [n for n in _DRIVER_SHOWCASE if n not in QUERIES]
     if missing:
         raise RuntimeError(f"_DRIVER_SHOWCASE names not registered: {missing}")

@@ -126,16 +126,24 @@ class _TextReader(_BaseReader):
         if partition is None:  # empty inventory -> Spark's implicit single split
             return
         data = _read_verified(partition)
-        # bufio.Scanner semantics (sn/mr_actions.go:211-231): split on \n,
-        # strip one trailing \r, no final empty line for trailing \n.
-        # Go strings are arbitrary bytes, so a chunk can legally contain
-        # invalid UTF-8; Spark strings cannot, so such bytes become
-        # U+FFFD instead of failing the whole scan (truly binary data
-        # belongs in the BIN reader).
-        for n, line in enumerate(
-            data.decode("utf-8", errors="replace").split("\n")[:-1]
-        ):
-            yield (partition.file, partition.idx, n, line.rstrip("\r"))
+        # bufio.Scanner semantics (sn/mr_actions.go:211-231): split on \n;
+        # a trailing newline yields no final empty line, but a chunk that
+        # ends at EOF without one still yields its last line; exactly ONE
+        # trailing \r is stripped per line (Go's dropCR). Go strings are
+        # arbitrary bytes, so a chunk can legally contain invalid UTF-8;
+        # Spark strings cannot, so such bytes become U+FFFD instead of
+        # failing the whole scan (truly binary data belongs in the BIN
+        # reader).
+        lines = data.decode("utf-8", errors="replace").split("\n")
+        if lines and lines[-1] == "":
+            lines = lines[:-1]
+        for n, line in enumerate(lines):
+            yield (
+                partition.file,
+                partition.idx,
+                n,
+                line[:-1] if line.endswith("\r") else line,
+            )
 
 
 class _BinReader(_BaseReader):
@@ -288,7 +296,9 @@ class _BinWriter(_TextWriter):
         os.makedirs(tmp_dir, exist_ok=True)
         names = []
         for n, row in enumerate(iterator):
-            data = bytes(row[0])
+            # NULL content writes as an empty chunk, matching the text
+            # writer's NULL-line policy (the layout has no null notion)
+            data = b"" if row[0] is None else bytes(row[0])
             tmp_name = f"{self._job}_p{pid}_{n}"
             with open(os.path.join(tmp_dir, tmp_name), "wb") as fh:
                 fh.write(data)

@@ -57,8 +57,15 @@ class FirstOccurrenceProcessor(StatefulProcessor):
         (user_id,) = key
         seen = {r[0] for r in self._seen.get()}
         out = []
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # a key's micro-batch arrives as MULTIPLE Arrow chunks when it
+        # exceeds maxRecordsPerBatch — concat before the (ts, event_id)
+        # sort, else a later-ts row in an earlier chunk would win and
+        # break the batching-invariance equality with the batch twin
+        chunks = list(rows)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             for _, row in pdf.iterrows():
                 et = str(row["event_type"])
                 if et in seen:

@@ -44,8 +44,16 @@ def read_events_stream(
     needs the schema up front, so a one-time batch read probes how this
     parquet encodes ``ts`` (nanos-as-long vs timestamp_ntz vs timestamp).
     ``path`` must be a DIRECTORY — the file stream source tracks arriving
-    files under a base path."""
-    probed = dict(spark.read.parquet(path).dtypes).get("ts")
+    files under a base path; if it is still EMPTY at stream definition
+    the probe cannot see a footer and the current generator encoding
+    (timestamp_ntz) is assumed."""
+    # same conf tables.table sets: lets the probe read nanos-encoded
+    # parquet under ANY caller's session, not only ours
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        probed = dict(spark.read.parquet(path).dtypes).get("ts")
+    except Exception:  # empty dir: UNABLE_TO_INFER_SCHEMA until files land
+        probed = "timestamp_ntz"
     if probed == "bigint":
         raw = spark.readStream.schema(_events_raw_schema(T.LongType())).parquet(path)
         df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

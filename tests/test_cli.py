@@ -194,3 +194,31 @@ def test_cli_dfs_bin_roundtrip(spark, tmp_path, wh_root, capsys):
     )
     assert rc == 0
     assert dst.read_bytes() == payload
+
+
+def test_cli_dfs_roundtrip_preserves_missing_trailing_newline(
+    spark, tmp_path, wh_root, capsys
+):
+    """A stored file WITHOUT a trailing newline must survive
+    dfs-export -> dfs-import -> retrieve byte-identically (the export
+    truncates the last chunk's added newline; the import detects the
+    non-terminated last chunk)."""
+    src = tmp_path / "nonl.txt"
+    text = "alpha\nbeta\ngamma"  # no trailing newline
+    src.write_text(text)
+    rc, _ = _run(capsys, "--warehouse", wh_root, "store", str(src))
+    assert rc == 0
+    node = str(tmp_path / "node0")
+    rc, _ = _run(capsys, "--warehouse", wh_root, "dfs-export", "nonl.txt", node)
+    assert rc == 0
+    rc, _ = _run(
+        capsys, "--warehouse", wh_root, "dfs-import", node, "nonl.txt",
+        "nonl_back.txt",
+    )
+    assert rc == 0
+    dst = tmp_path / "back.txt"
+    rc, _ = _run(
+        capsys, "--warehouse", wh_root, "retrieve", "nonl_back.txt", str(dst)
+    )
+    assert rc == 0
+    assert dst.read_text() == text

@@ -281,3 +281,29 @@ def test_invalid_utf8_in_text_chunk_degrades_to_replacement(spark, tmp_path):
     )
     assert rows[0] == (0, "ok line")
     assert rows[1][0] == 1 and "�" in rows[1][1]
+
+
+def test_last_line_without_trailing_newline_not_dropped(spark, tmp_path):
+    """bufio.Scanner yields a final non-newline-terminated line; the
+    reader must too (a chunk at EOF without '\\n' keeps its last line)."""
+    register_dfs_sources(spark)
+    node = str(tmp_path / "node")
+    _write_chunk(node, "tail.txt", "TXT", 0, b"first\nlast-no-nl")
+    rows = sorted(
+        (r.line_number, r.line)
+        for r in spark.read.format("go_dfs_text").load(node).collect()
+    )
+    assert rows == [(0, "first"), (1, "last-no-nl")]
+
+
+def test_exactly_one_trailing_cr_stripped(spark, tmp_path):
+    """Go's dropCR removes exactly one \\r; 'x\\r\\r\\n' must scan as
+    'x\\r', not 'x'."""
+    register_dfs_sources(spark)
+    node = str(tmp_path / "node")
+    _write_chunk(node, "cr.txt", "TXT", 0, b"x\r\r\nplain\r\n")
+    rows = sorted(
+        (r.line_number, r.line)
+        for r in spark.read.format("go_dfs_text").load(node).collect()
+    )
+    assert rows == [(0, "x\r"), (1, "plain")]
