@@ -307,15 +307,18 @@ def _dfs_import(spark: SparkSession, wh, args) -> str:
         for idx in sorted(counts):
             offsets[idx] = acc
             acc += counts[idx]
-        offmap = F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
-        ) if offsets else F.create_map()
-        out = txt.select(
-            (F.col("line_number") + offmap[F.col("chunk_idx")]).alias(
-                "line_number"
-            ),
-            F.col("line").alias("value"),
-        )
+        if offsets:
+            offmap = F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            )
+            out = txt.select(
+                (F.col("line_number") + offmap[F.col("chunk_idx")]).alias(
+                    "line_number"
+                ),
+                F.col("line").alias("value"),
+            )
+        else:  # TXT file whose chunks hold zero lines
+            out = spark.createDataFrame([], "line_number long, value string")
         ftype = "TXT"
         # chunk data not ending in \n means the original file had no
         # trailing newline — preserve that through retrieve

@@ -222,3 +222,27 @@ def test_cli_dfs_roundtrip_preserves_missing_trailing_newline(
     )
     assert rc == 0
     assert dst.read_text() == text
+
+
+def test_cli_dfs_import_empty_txt_file(spark, tmp_path, wh_root, capsys):
+    """An existing TXT file whose chunks hold zero lines is still a TXT
+    file: dfs-import must land an empty table, not error."""
+    import hashlib as _h
+    import os as _os
+
+    node = str(tmp_path / "node0")
+    _os.makedirs(node)
+    with open(_os.path.join(node, "empty.txt_TXT0"), "wb") as fh:
+        fh.write(b"")
+    with open(_os.path.join(node, "empty.txt_TXT0h"), "wb") as fh:
+        fh.write(_h.md5(b"").digest())
+    rc, out = _run(
+        capsys, "--warehouse", wh_root, "dfs-import", node, "empty.txt"
+    )
+    assert rc == 0 and out.strip() == "empty.txt"
+    dst = tmp_path / "empty_back.txt"
+    rc, _ = _run(
+        capsys, "--warehouse", wh_root, "retrieve", "empty.txt", str(dst)
+    )
+    assert rc == 0
+    assert dst.read_text() == ""
