@@ -89,6 +89,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("files", nargs="*", help="stored names (default: all TXT)")
     p.add_argument("-o", "--out-dir", required=True)
+    p.add_argument(
+        "--dfs-nodes",
+        help="run over reference storage-node chunk dirs (comma-separated)"
+        " instead of warehouse tables; FILES filter by chunk-layout name",
+    )
 
     p = sub.add_parser(
         "dfs-import",
@@ -191,26 +196,43 @@ def _run_mr(spark: SparkSession, wh, args) -> int:
             file=sys.stderr,
         )
         return 2
-    stored = {e["name"]: e["type"] for e in wh.ls()}
-    names = args.files or [n for n, t in sorted(stored.items()) if t == "TXT"]
-    for n in names:
-        if n not in stored:
-            print(f"file {n!r} not stored", file=sys.stderr)
+    if getattr(args, "dfs_nodes", None):
+        # run straight over reference-stored chunks — the reference's own
+        # `mr {job} [files...]` input path, no ingestion step
+        from .mapreduce import read_dfs_chunks_with_line_numbers
+
+        dirs = [p for p in (s.strip() for s in args.dfs_nodes.split(",")) if p]
+        if args.files:
+            parts = [
+                read_dfs_chunks_with_line_numbers(spark, dirs, file=n)
+                for n in args.files
+            ]
+            inputs = parts[0]
+            for df in parts[1:]:
+                inputs = inputs.unionByName(df)
+        else:
+            inputs = read_dfs_chunks_with_line_numbers(spark, dirs)
+    else:
+        stored = {e["name"]: e["type"] for e in wh.ls()}
+        names = args.files or [n for n, t in sorted(stored.items()) if t == "TXT"]
+        for n in names:
+            if n not in stored:
+                print(f"file {n!r} not stored", file=sys.stderr)
+                return 2
+            if stored[n] != "TXT":
+                print(f"file {n!r} is {stored[n]}, not TXT", file=sys.stderr)
+                return 2
+        if not names:
+            print("no TXT files stored", file=sys.stderr)
             return 2
-        if stored[n] != "TXT":
-            print(f"file {n!r} is {stored[n]}, not TXT", file=sys.stderr)
-            return 2
-    if not names:
-        print("no TXT files stored", file=sys.stderr)
-        return 2
-    inputs = None
-    for n in names:
-        df = wh.read(n).select(
-            F.lit(n).alias("file"),
-            F.col("line_number").cast("long").alias("line_number"),
-            F.col("value").alias("line"),
-        )
-        inputs = df if inputs is None else inputs.unionByName(df)
+        inputs = None
+        for n in names:
+            df = wh.read(n).select(
+                F.lit(n).alias("file"),
+                F.col("line_number").cast("long").alias("line_number"),
+                F.col("value").alias("line"),
+            )
+            inputs = df if inputs is None else inputs.unionByName(df)
     job = MapReduceJob(f"cli-{args.job}", f_map, f_reduce, r=r)
     result = job.run(inputs).orderBy("r_id", "seq")
     os.makedirs(args.out_dir, exist_ok=True)

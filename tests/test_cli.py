@@ -246,3 +246,33 @@ def test_cli_dfs_import_empty_txt_file(spark, tmp_path, wh_root, capsys):
     )
     assert rc == 0
     assert dst.read_text() == ""
+
+
+def test_cli_mr_over_dfs_nodes(spark, tmp_path, wh_root, capsys):
+    """mr --dfs-nodes runs a plugin straight over reference chunk dirs —
+    the reference's own input path with no ingestion step."""
+    import hashlib as _h
+    import os as _os
+
+    node = str(tmp_path / "node0")
+    _os.makedirs(node)
+    data = b"spark spark go\ngo spark\n"
+    with open(_os.path.join(node, "c.txt_TXT0"), "wb") as fh:
+        fh.write(data)
+    with open(_os.path.join(node, "c.txt_TXT0h"), "wb") as fh:
+        fh.write(_h.md5(data).digest())
+
+    out_dir = str(tmp_path / "out")
+    rc, out = _run(
+        capsys, "--warehouse", wh_root, "mr", "word_count",
+        "-o", out_dir, "--dfs-nodes", node,
+    )
+    assert rc == 0
+    text = "".join(
+        open(_os.path.join(out_dir, f)).read() for f in sorted(_os.listdir(out_dir))
+    )
+    counts = dict(
+        (line.split("::")[0].strip(), int(line.split("::")[1]))
+        for line in text.strip().split("\n")
+    )
+    assert counts == {"spark": 3, "go": 2}
