@@ -114,6 +114,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--chunks", type=int, default=1, help="output chunk count")
     p.add_argument("--overwrite", action="store_true")
 
+    p = sub.add_parser(
+        "dfs-fsck",
+        help="verify every chunk replica across storage-node dirs against"
+        " its md5 sidecar; --repair deletes corrupt replicas and"
+        " re-replicates from healthy copies (the controller's 5s cycle)",
+    )
+    p.add_argument("nodes", help="comma-separated storage-node directories")
+    p.add_argument("--repair", action="store_true")
+    p.add_argument("--replicas", type=int, default=3)
+
     p = sub.add_parser("query", help="run a registered analytics query")
     p.add_argument("name")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -152,6 +162,12 @@ def main(argv: list[str] | None = None) -> int:
         rc = _run_mr(spark, wh, args)
         if rc:
             return rc
+    elif args.cmd == "dfs-fsck":
+        from .sources.dfs_chunks import fsck
+
+        dirs = [p for p in (s.strip() for s in args.nodes.split(",")) if p]
+        for row in fsck(dirs, repair=args.repair, replicas=args.replicas):
+            print(json.dumps(row))
     elif args.cmd == "dfs-import":
         print(_dfs_import(spark, wh, args))
     elif args.cmd == "dfs-export":

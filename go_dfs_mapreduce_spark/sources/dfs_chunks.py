@@ -368,3 +368,83 @@ def register(spark) -> None:
     """Register both formats on this session (idempotent)."""
     spark.dataSource.register(GoDfsTextDataSource)
     spark.dataSource.register(GoDfsBinDataSource)
+
+
+def fsck(
+    dirs: list[str], repair: bool = False, replicas: int = 3
+) -> list[dict]:
+    """The controller's maintenance cycle as a batch pass
+    (``cn/struct.go:234-392`` re-replicates chunks with fewer than 3
+    healthy copies; ``sn/dfs_actions.go:183-194`` deletes a replica whose
+    bytes no longer match its checksum so the next cycle restores it).
+
+    Scans every chunk across the node dirs, md5-verifies each replica
+    against its sidecar, and reports one dict per chunk:
+    ``{file, ftype, idx, healthy, corrupt, missing_sidecar, repaired}``.
+    With ``repair=True``: corrupt replicas (and orphaned data files with
+    no sidecar) are deleted, then healthy bytes are copied to nodes
+    lacking a replica until ``replicas`` copies exist (or nodes run
+    out). A chunk with NO healthy replica is reported but untouched —
+    the reference logs the same unrecoverable case
+    (``cn/struct.go:266-268``).
+
+    This walk is metadata-scale (one entry per chunk, like the
+    controller's soft-state registry); at deployment the verify step
+    distributes trivially — the same per-replica check inside a Spark
+    job over the inventory list.
+    """
+    chunks: dict[tuple[str, str, int], list[str]] = {}
+    for d in dirs:
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"go_dfs node directory {d!r} not found")
+        for entry in sorted(os.listdir(d)):
+            m = _CHUNK_RE.match(entry)
+            if not m:
+                continue
+            key = (m.group("file"), m.group("ftype"), int(m.group("idx")))
+            chunks.setdefault(key, []).append(os.path.join(d, entry))
+    report = []
+    for (fname, ftype, idx), paths in sorted(chunks.items()):
+        healthy, corrupt, no_sidecar = [], [], []
+        for p in paths:
+            try:
+                with open(p, "rb") as fh:
+                    data = fh.read()
+                with open(p + "h", "rb") as fh:
+                    want = fh.read()
+            except OSError:
+                no_sidecar.append(p)
+                continue
+            (healthy if hashlib.md5(data).digest() == want else corrupt).append(p)
+        repaired = 0
+        if repair and healthy:
+            for p in corrupt + no_sidecar:  # delete bad replicas (sn semantics)
+                for suffix in ("", "h"):
+                    if os.path.exists(p + suffix):
+                        os.remove(p + suffix)
+            src = healthy[0]
+            have = {os.path.dirname(p) for p in healthy}
+            for d in dirs:  # re-replicate onto nodes lacking a copy
+                if len(have) >= replicas:
+                    break
+                if d in have:
+                    continue
+                dst = os.path.join(d, f"{fname}_{ftype}{idx}")
+                for suffix in ("", "h"):
+                    with open(src + suffix, "rb") as fin, open(
+                        dst + suffix, "wb"
+                    ) as fout:
+                        fout.write(fin.read())
+                have.add(d)
+                repaired += 1
+        report.append(
+            {
+                "file": fname,
+                "ftype": ftype,
+                "idx": idx,
+                "healthy": len(healthy),
+                "corrupt": len(corrupt) + len(no_sidecar),
+                "repaired": repaired,
+            }
+        )
+    return report

@@ -307,3 +307,31 @@ def test_exactly_one_trailing_cr_stripped(spark, tmp_path):
         for r in spark.read.format("go_dfs_text").load(node).collect()
     )
     assert rows == [(0, "x\r"), (1, "plain")]
+
+
+def test_fsck_reports_and_repairs(spark, nodes, tmp_path):
+    """fsck detects the corrupt replica, deletes it on repair, and
+    re-replicates from the healthy copy (controller cycle semantics,
+    cn/struct.go:234-392); afterwards every replica verifies and the
+    under-replicated BIN chunk gains a second copy."""
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import fsck
+
+    n1, n2 = nodes
+    before = {(r["file"], r["idx"]): r for r in fsck([n1, n2])}
+    assert before[("doc.txt", 0)]["corrupt"] == 1  # node1's bad replica
+    assert before[("doc.txt", 0)]["healthy"] == 1
+    assert before[("blob.bin", 0)]["healthy"] == 1  # under-replicated
+
+    after = {
+        (r["file"], r["idx"]): r
+        for r in fsck([n1, n2], repair=True, replicas=2)
+    }
+    assert after[("doc.txt", 0)]["repaired"] == 1
+    assert after[("blob.bin", 0)]["repaired"] == 1
+
+    final = {(r["file"], r["idx"]): r for r in fsck([n1, n2])}
+    assert all(r["corrupt"] == 0 for r in final.values())
+    assert final[("doc.txt", 0)]["healthy"] == 2
+    assert final[("blob.bin", 0)]["healthy"] == 2
+    # the repaired layout reads clean end-to-end
+    assert spark.read.format("go_dfs_text").load(",".join(nodes)).count() == 4
