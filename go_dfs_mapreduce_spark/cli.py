@@ -98,7 +98,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser(
         "dfs-import",
         help="ingest a file stored in reference storage-node chunk dirs"
-        " (chunk layout <file>_TXT<idx> + md5 sidecars) into the warehouse",
+        " (chunk layout <file>_t<idx> / <file>_b<idx> + md5 sidecars) into"
+        " the warehouse",
     )
     p.add_argument("nodes", help="comma-separated storage-node directories")
     p.add_argument("file", help="stored file name in the chunk layout")
@@ -166,7 +167,9 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.dfs_chunks import fsck
 
         dirs = [p for p in (s.strip() for s in args.nodes.split(",")) if p]
-        for row in fsck(dirs, repair=args.repair, replicas=args.replicas):
+        for row in fsck(
+            dirs, repair=args.repair, replicas=args.replicas, spark=spark
+        ):
             print(json.dumps(row))
     elif args.cmd == "dfs-import":
         print(_dfs_import(spark, wh, args))
@@ -216,9 +219,19 @@ def _run_mr(spark: SparkSession, wh, args) -> int:
         # run straight over reference-stored chunks — the reference's own
         # `mr {job} [files...]` input path, no ingestion step
         from .mapreduce import read_dfs_chunks_with_line_numbers
+        from .sources.dfs_chunks import _inventory
 
         dirs = [p for p in (s.strip() for s in args.dfs_nodes.split(",")) if p]
         if args.files:
+            # a typo'd name must be a diagnostic, not an empty result —
+            # matching the warehouse branch's 'file not stored' check
+            for n in args.files:
+                if not _inventory(dirs, "TXT", n):
+                    print(
+                        f"file {n!r} has no TXT chunks in {args.dfs_nodes}",
+                        file=sys.stderr,
+                    )
+                    return 2
             parts = [
                 read_dfs_chunks_with_line_numbers(spark, dirs, file=n)
                 for n in args.files
@@ -380,19 +393,20 @@ def _dfs_import(spark: SparkSession, wh, args) -> str:
 
 def _chunk_ends_with_newline(dirs: list[str], file: str) -> bool:
     """True when the highest-index TXT chunk's last byte is a newline
-    (empty files count as newline-terminated)."""
-    from .sources.dfs_chunks import _inventory
+    (empty files count as newline-terminated). Reads through the same
+    checksum-verify + replica-failover path as the scan readers, so a
+    corrupt first replica can't silently flip the trailing-newline
+    decision."""
+    from .sources.dfs_chunks import _ChunkPartition, _inventory, _read_verified
 
     chunks = _inventory(dirs, "TXT", file)
     if not chunks:
         return True
-    _, last_paths = max(chunks.items(), key=lambda kv: kv[0][1])
-    with open(last_paths[0], "rb") as fh:
-        fh.seek(0, 2)
-        if fh.tell() == 0:
-            return True
-        fh.seek(-1, 2)
-        return fh.read(1) == b"\n"
+    (fname, idx), last_paths = max(chunks.items(), key=lambda kv: kv[0][1])
+    data = _read_verified(
+        _ChunkPartition(fname, "TXT", idx, tuple(last_paths), verify=True)
+    )
+    return data == b"" or data.endswith(b"\n")
 
 
 def _dfs_export(spark: SparkSession, wh, args) -> str:

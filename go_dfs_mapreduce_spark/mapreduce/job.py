@@ -101,7 +101,7 @@ def read_dfs_chunks_with_line_numbers(
     """F1 over the reference's ON-DISK chunk layout: scan reference
     storage-node directories through the ``go_dfs_text`` source
     (sources/dfs_chunks.py) and present the exact record the reference's
-    mapper hands to ``F_map`` — the CHUNK name (``<file>_TXT<idx>``) as
+    mapper hands to ``F_map`` — the CHUNK name (``<file>_t<idx>``) as
     the file field and 0-based per-chunk line numbers
     (``sn/mr_actions.go:211-231`` passes ``cn``, the chunk filename).
     One Spark partition per chunk, checksum-verified with replica
@@ -115,7 +115,7 @@ def read_dfs_chunks_with_line_numbers(
         reader = reader.option("file", file)
     df = reader.load(",".join(node_dirs))
     return df.select(
-        F.concat(F.col("file"), F.lit("_TXT"), F.col("chunk_idx")).alias("file"),
+        F.concat(F.col("file"), F.lit("_t"), F.col("chunk_idx")).alias("file"),
         "line_number",
         "line",
     )

@@ -1,7 +1,9 @@
 """Python DataSource reading the reference's on-disk chunk format.
 
 A Go_DFS storage node keeps each stored file as chunk files named
-``<file>_<FTYPE><idx>`` (``sn/dfs_actions.go:30``) next to an md5 sidecar
+``<file>_t<idx>`` (TXT) / ``<file>_b<idx>`` (BIN) — single lowercase type
+char, ``sn/dfs_actions.go:20-30`` writes it and ``sn/struct.go:198-216`` /
+``cl/dfs_actions.go:422-429`` parse it — next to an md5 sidecar
 ``<chunk>h`` holding the raw 16-byte digest (``sn/dfs_actions.go:32,77``,
 ``util/util.go:12-41``). TXT chunks are newline-aligned byte ranges
 (``cl/dfs_actions.go:172-195``), so every chunk is independently scannable
@@ -48,7 +50,19 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-_CHUNK_RE = re.compile(r"^(?P<file>.+)_(?P<ftype>TXT|BIN)(?P<idx>\d+)$")
+# On-disk name: <file>_<t|b><idx>; the greedy .+ mirrors the reference's
+# strings.LastIndex("_") parse (sn/struct.go:198-216). Sidecars end in a
+# trailing 'h' after the digits, so \d+$ excludes them.
+_CHUNK_RE = re.compile(r"^(?P<file>.+)_(?P<tchar>[tb])(?P<idx>\d+)$")
+# Logical file type (API surface, matches the warehouse's TXT/BIN) <-> the
+# reference's single-char on-disk code (sn/dfs_actions.go:20-28).
+_CHAR_OF = {"TXT": "t", "BIN": "b"}
+_TYPE_OF = {"t": "TXT", "b": "BIN"}
+
+
+def chunk_name(file: str, ftype: str, idx: int) -> str:
+    """The reference's on-disk chunk file name for (file, TXT|BIN, idx)."""
+    return f"{file}_{_CHAR_OF[ftype]}{idx}"
 
 
 @dataclass
@@ -68,7 +82,7 @@ def _inventory(dirs: list[str], want_ftype: str, only_file: str | None):
             raise FileNotFoundError(f"go_dfs node directory {d!r} not found")
         for entry in sorted(os.listdir(d)):
             m = _CHUNK_RE.match(entry)
-            if not m or m.group("ftype") != want_ftype:
+            if not m or _TYPE_OF[m.group("tchar")] != want_ftype:
                 continue  # sidecars (trailing 'h') and foreign files skipped
             if only_file and m.group("file") != only_file:
                 continue
@@ -95,7 +109,7 @@ def _read_verified(part: _ChunkPartition) -> bytes:
         except OSError as e:  # missing replica / unreadable sidecar
             errors.append(f"{path}: {e}")
     raise IOError(
-        f"chunk {part.file}_{part.ftype}{part.idx}: all "
+        f"chunk {chunk_name(part.file, part.ftype, part.idx)}: all "
         f"{len(part.replicas)} replicas failed: {errors}"
     )
 
@@ -243,7 +257,7 @@ class _TextWriter(DataSourceWriter):
         for m in sorted(
             (m for m in messages if m and m.tmp_name), key=lambda m: m.pid
         ):
-            final = os.path.join(self._dir, f"{self._file}_TXT{idx}")
+            final = os.path.join(self._dir, chunk_name(self._file, "TXT", idx))
             os.rename(os.path.join(tmp_dir, m.tmp_name), final)
             os.rename(os.path.join(tmp_dir, m.tmp_name + "h"), final + "h")
             idx += 1
@@ -324,7 +338,7 @@ class _BinWriter(_TextWriter):
             (m for m in messages if m and m.tmp_name), key=lambda m: m.pid
         ):
             for tmp_name in m.tmp_name.split(","):
-                final = os.path.join(self._dir, f"{self._file}_BIN{idx}")
+                final = os.path.join(self._dir, chunk_name(self._file, "BIN", idx))
                 os.rename(os.path.join(tmp_dir, tmp_name), final)
                 os.rename(os.path.join(tmp_dir, tmp_name + "h"), final + "h")
                 idx += 1
@@ -370,8 +384,32 @@ def register(spark) -> None:
     spark.dataSource.register(GoDfsBinDataSource)
 
 
+def _verify_replica(path: str) -> tuple[str, str]:
+    """(path, status) where status is healthy | corrupt | missing_sidecar.
+
+    Module-level and self-contained so it ships to Spark tasks as-is."""
+    import hashlib as _h
+
+    try:
+        with open(path + "h", "rb") as fh:
+            want = fh.read()
+    except OSError:
+        return (path, "missing_sidecar")
+    try:
+        h = _h.md5()
+        with open(path, "rb") as fh:
+            for block in iter(lambda: fh.read(1 << 20), b""):
+                h.update(block)
+    except OSError:
+        return (path, "corrupt")
+    return (path, "healthy" if h.digest() == want else "corrupt")
+
+
 def fsck(
-    dirs: list[str], repair: bool = False, replicas: int = 3
+    dirs: list[str],
+    repair: bool = False,
+    replicas: int = 3,
+    spark=None,
 ) -> list[dict]:
     """The controller's maintenance cycle as a batch pass
     (``cn/struct.go:234-392`` re-replicates chunks with fewer than 3
@@ -380,42 +418,60 @@ def fsck(
 
     Scans every chunk across the node dirs, md5-verifies each replica
     against its sidecar, and reports one dict per chunk:
-    ``{file, ftype, idx, healthy, corrupt, missing_sidecar, repaired}``.
-    With ``repair=True``: corrupt replicas (and orphaned data files with
-    no sidecar) are deleted, then healthy bytes are copied to nodes
+    ``{file, ftype, idx, healthy, corrupt, missing_sidecar, repaired}``
+    (``corrupt`` = bad digest, ``missing_sidecar`` = data file with no
+    readable sidecar; repair deletes both kinds). With ``repair=True``:
+    bad replicas are deleted, then healthy bytes are copied to nodes
     lacking a replica until ``replicas`` copies exist (or nodes run
     out). A chunk with NO healthy replica is reported but untouched —
     the reference logs the same unrecoverable case
     (``cn/struct.go:266-268``).
 
-    This walk is metadata-scale (one entry per chunk, like the
-    controller's soft-state registry); at deployment the verify step
-    distributes trivially — the same per-replica check inside a Spark
-    job over the inventory list.
+    The verify phase is the byte-scale part; given ``spark`` it runs as
+    one Spark task per replica over the inventory (the distributed twin
+    of the controller's per-node checks — at deployment each task reads
+    its node-local file). The inventory walk and the repair bookkeeping
+    are metadata-scale and stay on the driver; repair copies are
+    node-local at deployment. Without ``spark`` the verify loops on the
+    driver (small layouts, no session at hand).
+
+    Node dirs and replica paths are realpath-normalized so membership
+    checks can't be fooled by trailing slashes / ``./`` aliases (a
+    mis-ranked membership check could otherwise select a copy whose
+    source and destination are the same file — guarded against
+    independently below).
     """
-    chunks: dict[tuple[str, str, int], list[str]] = {}
+    norm_dirs: list[str] = []
     for d in dirs:
         if not os.path.isdir(d):
             raise FileNotFoundError(f"go_dfs node directory {d!r} not found")
+        rd = os.path.realpath(d)
+        if rd not in norm_dirs:
+            norm_dirs.append(rd)
+    chunks: dict[tuple[str, str, int], list[str]] = {}
+    for d in norm_dirs:
         for entry in sorted(os.listdir(d)):
             m = _CHUNK_RE.match(entry)
             if not m:
                 continue
-            key = (m.group("file"), m.group("ftype"), int(m.group("idx")))
+            key = (m.group("file"), _TYPE_OF[m.group("tchar")], int(m.group("idx")))
             chunks.setdefault(key, []).append(os.path.join(d, entry))
+
+    all_paths = [p for paths in chunks.values() for p in paths]
+    if spark is not None and all_paths:
+        sc = spark.sparkContext
+        slices = min(len(all_paths), sc.defaultParallelism)
+        status = dict(
+            sc.parallelize(all_paths, slices).map(_verify_replica).collect()
+        )
+    else:
+        status = dict(map(_verify_replica, all_paths))
+
     report = []
     for (fname, ftype, idx), paths in sorted(chunks.items()):
-        healthy, corrupt, no_sidecar = [], [], []
-        for p in paths:
-            try:
-                with open(p, "rb") as fh:
-                    data = fh.read()
-                with open(p + "h", "rb") as fh:
-                    want = fh.read()
-            except OSError:
-                no_sidecar.append(p)
-                continue
-            (healthy if hashlib.md5(data).digest() == want else corrupt).append(p)
+        healthy = [p for p in paths if status[p] == "healthy"]
+        corrupt = [p for p in paths if status[p] == "corrupt"]
+        no_sidecar = [p for p in paths if status[p] == "missing_sidecar"]
         repaired = 0
         if repair and healthy:
             for p in corrupt + no_sidecar:  # delete bad replicas (sn semantics)
@@ -424,12 +480,14 @@ def fsck(
                         os.remove(p + suffix)
             src = healthy[0]
             have = {os.path.dirname(p) for p in healthy}
-            for d in dirs:  # re-replicate onto nodes lacking a copy
+            for d in norm_dirs:  # re-replicate onto nodes lacking a copy
                 if len(have) >= replicas:
                     break
                 if d in have:
                     continue
-                dst = os.path.join(d, f"{fname}_{ftype}{idx}")
+                dst = os.path.join(d, chunk_name(fname, ftype, idx))
+                if os.path.exists(dst) and os.path.samefile(src, dst):
+                    continue  # never open the healthy source for writing
                 for suffix in ("", "h"):
                     with open(src + suffix, "rb") as fin, open(
                         dst + suffix, "wb"
@@ -443,7 +501,8 @@ def fsck(
                 "ftype": ftype,
                 "idx": idx,
                 "healthy": len(healthy),
-                "corrupt": len(corrupt) + len(no_sidecar),
+                "corrupt": len(corrupt),
+                "missing_sidecar": len(no_sidecar),
                 "repaired": repaired,
             }
         )

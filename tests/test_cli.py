@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import json
+import re
 from collections import Counter
 
 import pytest
@@ -145,9 +146,9 @@ def test_cli_dfs_import_export_roundtrip(spark, tmp_path, wh_root, capsys):
 
     chunks = sorted(
         n for n in _os.listdir(node)
-        if "_TXT" in n and not n.endswith("h")
+        if re.fullmatch(r".*_t\d+", n)
     )
-    assert chunks == [f"book.txt_TXT{i}" for i in range(3)]
+    assert chunks == [f"book.txt_t{i}" for i in range(3)]
 
     rc, out = _run(
         capsys, "--warehouse", wh_root, "dfs-import", node, "book.txt",
@@ -180,7 +181,7 @@ def test_cli_dfs_bin_roundtrip(spark, tmp_path, wh_root, capsys):
     assert rc == 0
     import os as _os
 
-    assert any("_BIN" in n for n in _os.listdir(node))
+    assert any(re.fullmatch(r".*_b\d+", n) for n in _os.listdir(node))
 
     rc, out = _run(
         capsys, "--warehouse", wh_root, "dfs-import", node, "img.bin",
@@ -232,9 +233,9 @@ def test_cli_dfs_import_empty_txt_file(spark, tmp_path, wh_root, capsys):
 
     node = str(tmp_path / "node0")
     _os.makedirs(node)
-    with open(_os.path.join(node, "empty.txt_TXT0"), "wb") as fh:
+    with open(_os.path.join(node, "empty.txt_t0"), "wb") as fh:
         fh.write(b"")
-    with open(_os.path.join(node, "empty.txt_TXT0h"), "wb") as fh:
+    with open(_os.path.join(node, "empty.txt_t0h"), "wb") as fh:
         fh.write(_h.md5(b"").digest())
     rc, out = _run(
         capsys, "--warehouse", wh_root, "dfs-import", node, "empty.txt"
@@ -257,9 +258,9 @@ def test_cli_mr_over_dfs_nodes(spark, tmp_path, wh_root, capsys):
     node = str(tmp_path / "node0")
     _os.makedirs(node)
     data = b"spark spark go\ngo spark\n"
-    with open(_os.path.join(node, "c.txt_TXT0"), "wb") as fh:
+    with open(_os.path.join(node, "c.txt_t0"), "wb") as fh:
         fh.write(data)
-    with open(_os.path.join(node, "c.txt_TXT0h"), "wb") as fh:
+    with open(_os.path.join(node, "c.txt_t0h"), "wb") as fh:
         fh.write(_h.md5(data).digest())
 
     out_dir = str(tmp_path / "out")
@@ -276,3 +277,10 @@ def test_cli_mr_over_dfs_nodes(spark, tmp_path, wh_root, capsys):
         for line in text.strip().split("\n")
     )
     assert counts == {"spark": 3, "go": 2}
+
+    # a typo'd file name is a diagnostic (exit 2), not an empty result
+    rc, _ = _run(
+        capsys, "--warehouse", wh_root, "mr", "word_count", "nope.txt",
+        "-o", str(tmp_path / "out2"), "--dfs-nodes", node,
+    )
+    assert rc == 2

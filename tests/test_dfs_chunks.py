@@ -1,6 +1,7 @@
 """go_dfs_text / go_dfs_bin custom sources: read the reference's storage
-node chunk layout (``<file>_<FTYPE><idx>`` + md5 sidecar ``...h``) in
-place, with per-chunk checksum verify and replica failover."""
+node chunk layout (``<file>_t<idx>`` / ``<file>_b<idx>`` + md5 sidecar
+``...h``, sn/dfs_actions.go:20-32) in place, with per-chunk checksum
+verify and replica failover."""
 
 from __future__ import annotations
 
@@ -20,8 +21,12 @@ TEXT = (
 
 
 def _write_chunk(node_dir, fname, ftype, idx, data: bytes, corrupt=False):
+    """Lay a chunk down exactly as the reference storage node does:
+    ``<file>_<t|b><idx>`` + 16-byte md5 sidecar ``...h``
+    (sn/dfs_actions.go:20-32)."""
     os.makedirs(node_dir, exist_ok=True)
-    cfn = os.path.join(node_dir, f"{fname}_{ftype}{idx}")
+    tchar = {"TXT": "t", "BIN": "b"}[ftype]
+    cfn = os.path.join(node_dir, f"{fname}_{tchar}{idx}")
     digest = hashlib.md5(data).digest()  # sidecar ALWAYS hashes true bytes
     if corrupt:
         data = b"X" + data[1:]
@@ -141,7 +146,7 @@ def test_wordcount_over_chunk_source_matches_python(spark, nodes):
 
 def test_write_roundtrip_reference_layout(spark, tmp_path):
     """df.write.format('go_dfs_text') must produce the reference's chunk
-    layout (contiguous _TXT<idx> files + md5 sidecars, committed via
+    layout (contiguous _t<idx> files + md5 sidecars, committed via
     chunks_tmp rename) that the reader — and the reference itself —
     can consume."""
     import hashlib as _h
@@ -154,7 +159,7 @@ def test_write_roundtrip_reference_layout(spark, tmp_path):
 
     names = sorted(os.listdir(node))
     chunk_files = [n for n in names if not n.endswith("h") and n != "chunks_tmp"]
-    assert chunk_files == [f"out.txt_TXT{i}" for i in range(len(chunk_files))]
+    assert chunk_files == [f"out.txt_t{i}" for i in range(len(chunk_files))]
     assert len(chunk_files) >= 2  # multiple partitions -> multiple chunks
     for cf in chunk_files:  # sidecar is the md5 of the true bytes
         with open(os.path.join(node, cf), "rb") as fh:
@@ -206,8 +211,8 @@ def test_mr_job_runs_over_reference_chunk_layout(spark, tmp_path):
 
     df = read_dfs_chunks_with_line_numbers(spark, [node], file="corpus.txt")
     assert {r.file for r in df.select("file").distinct().collect()} == {
-        "corpus.txt_TXT0",
-        "corpus.txt_TXT1",
+        "corpus.txt_t0",
+        "corpus.txt_t1",
     }
     got = (
         MapReduceJob(
@@ -251,9 +256,9 @@ def test_bin_write_roundtrip(spark, tmp_path):
         .save(node)
     )
     chunk_files = sorted(
-        n for n in os.listdir(node) if "_BIN" in n and not n.endswith("h")
+        n for n in os.listdir(node) if "_b" in n and not n.endswith("h")
     )
-    assert chunk_files == [f"blob.bin_BIN{i}" for i in range(5)]
+    assert chunk_files == [f"blob.bin_b{i}" for i in range(5)]
     for cf in chunk_files:
         with open(os.path.join(node, cf), "rb") as fh:
             data = fh.read()
@@ -309,6 +314,55 @@ def test_exactly_one_trailing_cr_stripped(spark, tmp_path):
     assert rows == [(0, "x\r"), (1, "plain")]
 
 
+def test_reference_exact_layout_fixture(spark, tmp_path):
+    """A directory laid out byte-for-byte as the reference storage node
+    writes it (sn/dfs_actions.go:20-34: ``<file>_t<idx>``/``<file>_b<idx>``
+    data files, ``...h`` md5 sidecars, a ``chunks_tmp`` scratch dir) must
+    be consumed as-is — and names using any OTHER type encoding (e.g. an
+    uppercase ``_TXT0``) must be ignored, not misparsed."""
+    import hashlib as _h
+
+    register_dfs_sources(spark)
+    node = tmp_path / "node"
+    (node / "chunks_tmp").mkdir(parents=True)
+    txt = b"hello from the reference\nsecond line\n"
+    (node / "mytext_t0").write_bytes(txt)
+    (node / "mytext_t0h").write_bytes(_h.md5(txt).digest())
+    blob = bytes(range(64))
+    (node / "prog_b0").write_bytes(blob)
+    (node / "prog_b0h").write_bytes(_h.md5(blob).digest())
+    # foreign/legacy names: must not appear in any inventory
+    (node / "legacy_TXT0").write_bytes(b"nope\n")
+    (node / "legacy_TXT0h").write_bytes(_h.md5(b"nope\n").digest())
+
+    rows = spark.read.format("go_dfs_text").load(str(node)).collect()
+    assert sorted((r.file, r.line_number, r.line) for r in rows) == [
+        ("mytext", 0, "hello from the reference"),
+        ("mytext", 1, "second line"),
+    ]
+    brows = spark.read.format("go_dfs_bin").load(str(node)).collect()
+    assert [(r.file, bytes(r.content)) for r in brows] == [("prog", blob)]
+
+
+def test_export_names_parse_like_the_reference(spark, tmp_path):
+    """Chunk names our writers emit must survive the reference's own
+    parse: split at the LAST '_', single type char in {t, b}, the rest
+    all digits (sn/struct.go:198-216, cl/dfs_actions.go:422-429)."""
+    import re
+
+    register_dfs_sources(spark)
+    node = str(tmp_path / "node")
+    df = spark.createDataFrame([("x",), ("y",)], "value string").repartition(2)
+    df.write.format("go_dfs_text").option("file", "f_t1.txt").mode("append").save(node)
+    data = [n for n in os.listdir(node) if n != "chunks_tmp" and not n.endswith("h")]
+    for n in data:
+        stem, _, tail = n.rpartition("_")
+        assert stem == "f_t1.txt"
+        assert tail[0] in ("t", "b")
+        assert re.fullmatch(r"\d+", tail[1:]), n
+        assert os.path.exists(os.path.join(node, n + "h"))
+
+
 def test_fsck_reports_and_repairs(spark, nodes, tmp_path):
     """fsck detects the corrupt replica, deletes it on repair, and
     re-replicates from the healthy copy (controller cycle semantics,
@@ -335,3 +389,80 @@ def test_fsck_reports_and_repairs(spark, nodes, tmp_path):
     assert final[("blob.bin", 0)]["healthy"] == 2
     # the repaired layout reads clean end-to-end
     assert spark.read.format("go_dfs_text").load(",".join(nodes)).count() == 4
+
+
+def test_fsck_repair_with_trailing_slash_does_not_destroy_sole_replica(
+    spark, tmp_path
+):
+    """Regression: dir aliases ('node/', './node') once made the node
+    holding the only healthy replica look replica-less, and the repair
+    copy then opened THE SAME FILE for writing — truncating the sole
+    healthy copy before reading it. Aliased dirs must be a no-op here."""
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import fsck
+
+    node = str(tmp_path / "node1")
+    data = b"precious bytes\nmore precious bytes\n"
+    _write_chunk(node, "only.txt", "TXT", 0, data)
+    aliased = [node + "/", os.path.join(os.path.dirname(node), ".", "node1")]
+    report = fsck(aliased, repair=True, replicas=2)
+    assert report == [
+        {
+            "file": "only.txt",
+            "ftype": "TXT",
+            "idx": 0,
+            "healthy": 1,
+            "corrupt": 0,
+            "missing_sidecar": 0,
+            "repaired": 0,
+        }
+    ]
+    with open(os.path.join(node, "only.txt_t0"), "rb") as fh:
+        assert fh.read() == data  # sole replica untouched
+
+
+def test_fsck_missing_sidecar_reported_separately_and_repaired(spark, tmp_path):
+    """A data file with no sidecar is 'missing_sidecar', not 'corrupt'
+    (the report keys the docstring promises); repair deletes it and
+    re-replicates from a healthy copy."""
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import fsck
+
+    n1, n2 = str(tmp_path / "n1"), str(tmp_path / "n2")
+    data = b"good\nlines\n"
+    _write_chunk(n1, "d.txt", "TXT", 0, data)
+    os.makedirs(n2, exist_ok=True)
+    with open(os.path.join(n2, "d.txt_t0"), "wb") as fh:
+        fh.write(b"orphan bytes")  # no sidecar
+    before = fsck([n1, n2])
+    assert before[0]["missing_sidecar"] == 1
+    assert before[0]["corrupt"] == 0
+    assert before[0]["healthy"] == 1
+    after = fsck([n1, n2], repair=True, replicas=2)
+    assert after[0]["repaired"] == 1
+    final = fsck([n1, n2])
+    assert final[0] == {
+        "file": "d.txt",
+        "ftype": "TXT",
+        "idx": 0,
+        "healthy": 2,
+        "corrupt": 0,
+        "missing_sidecar": 0,
+        "repaired": 0,
+    }
+
+
+def test_fsck_verify_runs_as_spark_tasks(spark, nodes):
+    """With a session, the verify phase must execute as a Spark job over
+    the replica inventory (one task per replica at deployment), and the
+    report must equal the driver-loop result."""
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import fsck
+
+    n1, n2 = nodes
+    sc = spark.sparkContext
+    sc.setJobGroup("fsck-verify-test", "fsck distributed verify")
+    try:
+        with_spark = fsck([n1, n2], spark=spark)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("fsck-verify-test")
+    assert jobs, "fsck(spark=...) must run the verify phase as a Spark job"
+    assert with_spark == fsck([n1, n2])
