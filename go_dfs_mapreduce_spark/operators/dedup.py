@@ -6,10 +6,11 @@ hashing is md5-derived (the one hash both engines compute identically;
 Spark's hash()/xxhash64 have no DuckDB twin):
 
 - dedup_exact          : hash-groupBy on normalized text
-- dedup_ngram_jaccard  : exact 3-gram Jaccard via the explode/self-join/
-                         count formulation (the scalable all-pairs join of
-                         V-SMART-Join / PAPERS.md — no array intersections,
-                         pure join+agg, so Spark shuffles do the work)
+- dedup_ngram_jaccard  : exact 3-gram Jaccard baseline via per-shingle
+                         bucket expansion + pair counting (the all-pairs
+                         join of V-SMART-Join / PAPERS.md), with an
+                         in-plan hot-shingle guard that refuses past a
+                         document-frequency bound instead of detonating
 - dedup_minhash_lsh    : 8 md5-derived minhashes, 4 bands x 2 rows,
                          bucket expansion (grouped (band, sig) doc lists
                          emit in-bucket pairs row-locally) for candidates,
@@ -173,21 +174,59 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
 """
 
 
+# Exact-baseline safety rail: the baseline is all-pairs by definition, so
+# a Zipf-head shingle shared by k documents contributes k*(k-1)/2 pairs.
+# Rather than silently detonate at corpus scale, the plan itself refuses
+# (distributed raise_error inside the bucket task) when any shingle's
+# document frequency exceeds this bound — use dedup_ngram_jaccard_capped
+# (which *drops* hot buckets instead of failing) for corpora where the
+# guard trips.
+BASELINE_MAX_DOC_FREQ = 10_000
+
+
 @query("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_doc_freq: int = BASELINE_MAX_DOC_FREQ
+) -> DataFrame:
+    """The declared EXACT all-pairs Jaccard baseline.
+
+    Formulated as bucket expansion (groupBy shingle, pairs emitted
+    row-locally from each bucket's doc list) rather than the sh-join-sh
+    self-join: one corpus-sized exchange instead of two join probes, and
+    the per-shingle bucket is where the guard lives — any shingle whose
+    document frequency exceeds ``max_doc_freq`` raises inside its task
+    (loud, distributed, before the quadratic expansion), because past
+    that bound an exact baseline is a cartesian bomb and the capped/LSH
+    variants are the scale path."""
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds0"))
+        .select(
+            F.expr(
+                f"CASE WHEN size(ds0) <= {int(max_doc_freq)} THEN ds0 "
+                "ELSE raise_error(concat('dedup_ngram_jaccard: shingle document"
+                f" frequency ', size(ds0), ' exceeds the exact-baseline guard"
+                f" {int(max_doc_freq)}; use dedup_ngram_jaccard_capped or raise"
+                " max_doc_freq')) END"
+            ).alias("ds")
+        )
+        .where(F.expr("size(ds) >= 2"))
+    )
+    # one pair instance per shared shingle -> count = |A ∩ B|, exactly the
+    # oracle's join-count semantics
     pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ds) - 1),"
+                    " i -> transform(slice(ds, i + 1, size(ds) - i),"
+                    " d -> struct(element_at(ds, i) AS doc_a, d AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.alias("sa")

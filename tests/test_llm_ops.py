@@ -79,6 +79,28 @@ def test_minhash_candidates_subset_of_jaccard_blocking(spark, sf_dir):
         assert hit >= 0.9, (hit, near_exact - cand)
 
 
+def test_ngram_jaccard_guard_trips_on_hot_shingle_corpus(spark, tmp_path):
+    """The exact baseline must REFUSE (distributed raise_error) when any
+    shingle's document frequency exceeds max_doc_freq, instead of
+    silently expanding a quadratic bucket (VERDICT r3: the uncapped
+    baseline was a loaded gun with no guard)."""
+    from go_dfs_mapreduce_spark.operators.dedup import dedup_ngram_jaccard
+
+    hot_dir = str(tmp_path / "hotsf")
+    docs = [
+        (i, f"common hot shingle padding{i} tail{i} unique{i} words{i}")
+        for i in range(8)
+    ]  # every doc shares the 3-gram 'common hot shingle' -> df = 8
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{hot_dir}/documents.parquet"
+    )
+    with pytest.raises(Exception, match="exceeds the exact-baseline guard"):
+        dedup_ngram_jaccard(spark, hot_dir, max_doc_freq=4).collect()
+    # same corpus under the bound computes fine
+    ok = dedup_ngram_jaccard(spark, hot_dir, max_doc_freq=8).collect()
+    assert all(0.0 <= r.jaccard <= 1.0 for r in ok)
+
+
 def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
     from go_dfs_mapreduce_spark.operators.dedup import (
         dedup_ngram_jaccard,
