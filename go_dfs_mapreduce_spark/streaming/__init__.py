@@ -2,7 +2,11 @@
 data-plane streaming; its heartbeats are control-plane only,
 cn/struct.go:53-187)."""
 
-from .novelty import first_occurrences_batch, first_occurrences_stream
+from .novelty import (
+    first_occurrences_batch,
+    first_occurrences_stream,
+    first_occurrences_stream_v1,
+)
 from .windows import (
     enrich_with_dim,
     interval_join,
@@ -18,6 +22,7 @@ __all__ = [
     "enrich_with_dim",
     "first_occurrences_batch",
     "first_occurrences_stream",
+    "first_occurrences_stream_v1",
     "interval_join",
     "read_events_stream",
     "run_available_now",

@@ -24,10 +24,13 @@ expire; a TTL variant is one ``ttlDurationMs`` argument away.
 
 Runtime dependency: Spark's transformWithStateInPandas driver worker
 imports ``google.protobuf`` (its state-server protocol is protobuf over
-a local socket). In environments without the protobuf wheel the
-STREAMING path raises at query start; the batch twin below has no such
-dependency and stays oracle-checked either way. Tests skip the
-streaming half when protobuf is absent.
+a local socket). The SAME operator is therefore also provided on the v1
+arbitrary-state API (``first_occurrences_stream_v1`` via
+``applyInPandasWithState``), which has no protobuf dependency and runs
+the real streaming engine anywhere; the batch twin stays oracle-checked
+either way. tests/test_streaming_novelty.py runs the v1 path end-to-end,
+and drives THIS processor class through a local replay of the engine
+contract when protobuf is absent — zero environment-dependent skips.
 """
 
 from __future__ import annotations
@@ -92,6 +95,47 @@ def first_occurrences_stream(events: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Append",
         timeMode="None",
+    )
+
+
+def _first_occurrences_v1_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: same semantics as
+    FirstOccurrenceProcessor, with the seen-type set as ONE GroupState row
+    (array<string>) instead of ListState appends."""
+    (user_id,) = key
+    seen = set((state.get)[0]) if state.exists else set()
+    chunks = list(pdf_iter)
+    out = []
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            et = str(row["event_type"])
+            if et in seen:
+                continue
+            seen.add(et)
+            out.append((int(user_id), et, int(row["event_id"]), row["ts"]))
+    state.update((sorted(seen),))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_type", "first_event_id", "first_ts"]
+        )
+
+
+def first_occurrences_stream_v1(events: DataFrame) -> DataFrame:
+    """The same first-occurrence operator on the v1 arbitrary-state API
+    (``applyInPandasWithState``), which has no protobuf dependency — the
+    engine path that runs in protobuf-less environments, and a live
+    demonstration that both state APIs express this operator. State per
+    user is one array<string> of seen types (bounded by the event-type
+    vocabulary, same as the ListState variant)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _first_occurrences_v1_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType="seen array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
