@@ -77,22 +77,14 @@ def read_text_with_line_numbers(spark: SparkSession, paths: list[str]) -> DataFr
     """F1: text scan producing (file, line_number, line) with 0-based
     per-file line numbers (sn/mr_actions.go:211-231 tracks them per chunk).
 
-    Uses one zipWithIndex per file — two passes per file, acceptable for
-    the parity layer (the idiomatic layer never needs line numbers; when it
-    wants file provenance it uses ``input_file_name()`` in a single pass).
-    """
-    dfs = []
-    for path in paths:
-        rdd = (
-            spark.read.text(path)
-            .rdd.zipWithIndex()
-            .map(lambda t, p=path: (p, t[1], t[0].value))
-        )
-        dfs.append(spark.createDataFrame(rdd, INPUT_SCHEMA))
-    out = dfs[0]
-    for df in dfs[1:]:
-        out = out.unionByName(df)
-    return out
+    One single-pass task per file through the ``local_text_lines``
+    DataSource (sources/local_text.py) — no RDD scan, no zipWithIndex
+    double pass. For data stored in the reference chunk layout use
+    ``read_dfs_chunks_with_line_numbers`` (per-chunk parallelism)."""
+    from ..sources import register_dfs_sources
+
+    register_dfs_sources(spark)
+    return spark.read.format("local_text_lines").load(",".join(paths))
 
 
 def read_dfs_chunks_with_line_numbers(

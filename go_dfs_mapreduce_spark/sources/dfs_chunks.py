@@ -91,6 +91,20 @@ def _inventory(dirs: list[str], want_ftype: str, only_file: str | None):
     return chunks
 
 
+def scan_lines(data: bytes):
+    """bufio.Scanner semantics (sn/mr_actions.go:211-231): split on \\n;
+    a trailing newline yields no final empty line, but data that ends at
+    EOF without one still yields its last line; exactly ONE trailing \\r
+    is stripped per line (Go's dropCR). Go strings are arbitrary bytes,
+    so input can legally contain invalid UTF-8; Spark strings cannot, so
+    such bytes become U+FFFD instead of failing the whole scan."""
+    lines = data.decode("utf-8", errors="replace").split("\n")
+    if lines and lines[-1] == "":
+        lines = lines[:-1]
+    for line in lines:
+        yield line[:-1] if line.endswith("\r") else line
+
+
 def _read_verified(part: _ChunkPartition) -> bytes:
     """Chunk bytes from the first replica whose md5 matches its sidecar."""
     errors = []
@@ -140,24 +154,8 @@ class _TextReader(_BaseReader):
         if partition is None:  # empty inventory -> Spark's implicit single split
             return
         data = _read_verified(partition)
-        # bufio.Scanner semantics (sn/mr_actions.go:211-231): split on \n;
-        # a trailing newline yields no final empty line, but a chunk that
-        # ends at EOF without one still yields its last line; exactly ONE
-        # trailing \r is stripped per line (Go's dropCR). Go strings are
-        # arbitrary bytes, so a chunk can legally contain invalid UTF-8;
-        # Spark strings cannot, so such bytes become U+FFFD instead of
-        # failing the whole scan (truly binary data belongs in the BIN
-        # reader).
-        lines = data.decode("utf-8", errors="replace").split("\n")
-        if lines and lines[-1] == "":
-            lines = lines[:-1]
-        for n, line in enumerate(lines):
-            yield (
-                partition.file,
-                partition.idx,
-                n,
-                line[:-1] if line.endswith("\r") else line,
-            )
+        for n, line in enumerate(scan_lines(data)):
+            yield (partition.file, partition.idx, n, line)
 
 
 class _BinReader(_BaseReader):

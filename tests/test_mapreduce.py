@@ -44,6 +44,29 @@ LINES = [
 ]
 
 
+def test_read_text_with_line_numbers_single_pass_no_rdd(spark, tmp_path):
+    """F1 over plain local files: per-file 0-based numbering, bufio
+    semantics (no-trailing-newline last line kept), and the plan is a
+    DataSource scan — no 'Scan ExistingRDD' / zipWithIndex double pass."""
+    from go_dfs_mapreduce_spark.mapreduce import read_text_with_line_numbers
+
+    f1 = tmp_path / "a.txt"
+    f1.write_text("alpha\nbeta\n")
+    f2 = tmp_path / "b.txt"
+    f2.write_text("gamma\ndelta")  # no trailing newline
+    df = read_text_with_line_numbers(spark, [str(f1), str(f2)])
+    got = sorted((r.file, r.line_number, r.line) for r in df.collect())
+    assert got == [
+        (str(f1), 0, "alpha"),
+        (str(f1), 1, "beta"),
+        (str(f2), 0, "gamma"),
+        (str(f2), 1, "delta"),
+    ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan
+    assert df.rdd.getNumPartitions() == 2  # one task per file
+
+
 def test_word_count_differential(spark):
     df = spark.createDataFrame(LINES, INPUT_SCHEMA)
     job = MapReduceJob("t_wc", plugins.word_count_map, plugins.word_count_reduce, r=26)
