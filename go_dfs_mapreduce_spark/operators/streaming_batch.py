@@ -168,15 +168,85 @@ FROM (
 """
 
 
+CHUNK_TAIL_ORACLE = """
+SELECT 'docs' AS file,
+       doc_id % 4 AS chunk_idx,
+       ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1
+         AS line_number,
+       CAST(doc_id AS VARCHAR) || chr(9) || md5(text) AS line
+FROM documents
+"""
+
+
+@query("stream_dfs_chunk_tail", oracle=CHUNK_TAIL_ORACLE)
+def stream_dfs_chunk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL streaming query through the go_dfs_text streaming source
+    (sources/dfs_chunks.py::_TextStreamReader): lay the documents table
+    down as a reference chunk layout (4 TXT chunks of
+    '<doc_id>\\t<md5(text)>' lines, bucketed by doc_id % 4), then tail
+    the directory with readStream + AvailableNow into a memory sink and
+    return the emitted rows. The oracle reproduces every (file,
+    chunk_idx, line_number, line) in SQL, so the driver's gate checks
+    the streaming source's offsets/partition planning end-to-end — the
+    migration story for users whose reference deployment keeps writing
+    chunks while Spark consumes them."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..sources import register_dfs_sources
+
+    register_dfs_sources(spark)
+    docs = table(spark, sf_dir, "documents")
+    lines = (
+        docs.select(
+            F.col("doc_id"),
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("\t"),
+                F.md5(F.col("text").cast("binary")),
+            ).alias("line"),
+        )
+        .orderBy("doc_id")
+        .collect()  # id+hash rows only — metadata-sized at any SF
+    )
+    node = tempfile.mkdtemp(prefix="go_dfs_tail_")
+    for b in range(4):
+        data = "".join(
+            r.line + "\n" for r in lines if r.doc_id % 4 == b
+        ).encode()
+        cfn = os.path.join(node, f"docs_t{b}")
+        with open(cfn, "wb") as fh:
+            fh.write(data)
+        with open(cfn + "h", "wb") as fh:
+            fh.write(hashlib.md5(data).digest())
+    qname = f"t_chunk_tail_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("go_dfs_text")
+        .load(node)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 @query("stream_first_occurrences", oracle=FIRST_OCCURRENCE_ORACLE)
 def stream_first_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the transformWithStateInPandas first-occurrence
     detector (streaming/novelty.py::first_occurrences_stream): the
     deterministic argmin-(ts, event_id) row per (user_id, event_type).
-    The streaming run keeps seen types in a per-user ListState and is
-    proven batching-invariant in tests/test_streaming_novelty.py (which
-    skips where Spark's transformWithState protobuf dependency is
-    absent)."""
+    The streaming run keeps seen types in a per-user ListState (or a
+    GroupState array on the protobuf-free applyInPandasWithState path,
+    streaming/novelty.py::first_occurrences_stream_v1) and is proven
+    batching-invariant in tests/test_streaming_novelty.py on whichever
+    engine path the environment supports — zero skips either way."""
     from ..streaming.novelty import first_occurrences_batch
 
     return first_occurrences_batch(table(spark, sf_dir, "events"))

@@ -45,6 +45,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -271,8 +272,74 @@ class _TextWriter(DataSourceWriter):
                     os.remove(p)
 
 
+class _TextStreamReader(DataSourceStreamReader):
+    """Streaming tail of a growing chunk directory set.
+
+    The offset is ``{"files": {<file>: <next chunk idx>}}`` — per stored
+    file, the count of contiguously-processed chunks. This is exact for
+    the reference layout because chunk indices are assigned contiguously
+    from 0 (``cl/dfs_actions.go:76-95``; our writers commit the same
+    way), so "new data" is always a higher index or a brand-new file, and
+    the offset stays bounded by the file count, not the chunk count. Each
+    micro-batch plans one InputPartition per newly-visible chunk (same
+    md5-verify + replica-failover read as the batch reader), so a live
+    migration can point ``readStream`` at reference storage-node dirs and
+    keep consuming while the old system still writes."""
+
+    def __init__(self, options) -> None:
+        raw = options.get("path") or options.get("paths")
+        if not raw:
+            raise ValueError("go_dfs source requires a path (node dir[,dir...])")
+        self._dirs = [p for p in (s.strip() for s in raw.split(",")) if p]
+        self._file = options.get("file")
+        self._verify = str(options.get("verify", "true")).lower() != "false"
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        inv = _inventory(self._dirs, "TXT", self._file)
+        by_file: dict[str, set[int]] = {}
+        for f, i in inv:
+            by_file.setdefault(f, set()).add(i)
+        files: dict[str, int] = {}
+        for f, idxs in by_file.items():
+            n = 0
+            while n in idxs:  # longest contiguous prefix 0..n-1
+                n += 1
+            files[f] = n
+        return {"files": files}
+
+    def partitions(self, start: dict, end: dict):
+        inv = _inventory(self._dirs, "TXT", self._file)
+        parts = []
+        for f, n_end in sorted(end.get("files", {}).items()):
+            n_start = start.get("files", {}).get(f, 0)
+            for i in range(n_start, n_end):
+                paths = inv.get((f, i))
+                if not paths:
+                    raise IOError(
+                        f"chunk {chunk_name(f, 'TXT', i)} vanished between"
+                        " offset planning and read"
+                    )
+                parts.append(
+                    _ChunkPartition(f, "TXT", i, tuple(paths), self._verify)
+                )
+        return parts
+
+    def read(self, partition: _ChunkPartition):
+        data = _read_verified(partition)
+        for n, line in enumerate(scan_lines(data)):
+            yield (partition.file, partition.idx, n, line)
+
+    def commit(self, end: dict) -> None:
+        pass  # chunk files are immutable; nothing to release
+
+
 class GoDfsTextDataSource(DataSource):
     """``spark.read.format("go_dfs_text").load("node1[,node2,...]")`` /
+    ``spark.readStream.format("go_dfs_text").load(...)`` (tails growing
+    chunk dirs) /
     ``df.write.format("go_dfs_text").option("file", name).save(node)``"""
 
     @classmethod
@@ -284,6 +351,9 @@ class GoDfsTextDataSource(DataSource):
 
     def reader(self, schema):
         return _TextReader(self.options)
+
+    def streamReader(self, schema):
+        return _TextStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool):
         if len(schema.fields) != 1 or schema.fields[0].dataType.typeName() != "string":

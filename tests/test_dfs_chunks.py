@@ -450,6 +450,46 @@ def test_fsck_missing_sidecar_reported_separately_and_repaired(spark, tmp_path):
     }
 
 
+def test_stream_tails_growing_chunk_directory(spark, tmp_path):
+    """readStream over chunk dirs: run 1 consumes the chunks present;
+    more chunks land (a new index for doc.txt AND a brand-new file);
+    run 2 on the same checkpoint emits ONLY the new rows — the offset
+    (per-file contiguous chunk count) survives restart."""
+    register_dfs_sources(spark)
+    node = str(tmp_path / "node")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    _write_chunk(node, "doc.txt", "TXT", 0, b"line a\nline b\n")
+
+    def _drain():
+        q = (
+            spark.readStream.format("go_dfs_text")
+            .load(node)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.file, r.chunk_idx, r.line_number, r.line)
+            for r in spark.read.parquet(sink).collect()
+        )
+
+    first = _drain()
+    assert first == [("doc.txt", 0, 0, "line a"), ("doc.txt", 0, 1, "line b")]
+
+    _write_chunk(node, "doc.txt", "TXT", 1, b"line c\n")
+    _write_chunk(node, "new.txt", "TXT", 0, b"fresh\n")
+    second = _drain()  # restart on the same checkpoint: only new chunks
+    assert second == first + [
+        ("doc.txt", 1, 0, "line c"),
+        ("new.txt", 0, 0, "fresh"),
+    ]
+
+
 def test_fsck_verify_runs_as_spark_tasks(spark, nodes):
     """With a session, the verify phase must execute as a Spark job over
     the replica inventory (one task per replica at deployment), and the
