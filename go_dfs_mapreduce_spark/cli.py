@@ -125,6 +125,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--repair", action="store_true")
     p.add_argument("--replicas", type=int, default=3)
 
+    p = sub.add_parser(
+        "dfs-nodes-status",
+        help="one controller maintenance cycle over storage-node dirs:"
+        " heartbeat liveness (22s flatline eviction), live files map,"
+        " under-replication report (cn/struct.go:53-187 semantics)",
+    )
+    p.add_argument("nodes", help="comma-separated storage-node directories")
+    p.add_argument("--flatline-ms", type=int, default=22000)
+    p.add_argument("--replicas", type=int, default=3)
+    p.add_argument(
+        "--heartbeat",
+        action="store_true",
+        help="write this cycle's .heartbeat into each dir first (the"
+        " storage-node agent's side of the protocol)",
+    )
+
     p = sub.add_parser("query", help="run a registered analytics query")
     p.add_argument("name")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -171,6 +187,20 @@ def main(argv: list[str] | None = None) -> int:
             dirs, repair=args.repair, replicas=args.replicas, spark=spark
         ):
             print(json.dumps(row))
+    elif args.cmd == "dfs-nodes-status":
+        from .sources.membership import node_status, touch_heartbeat
+
+        dirs = [p for p in (s.strip() for s in args.nodes.split(",")) if p]
+        if args.heartbeat:
+            for d in dirs:
+                touch_heartbeat(d)
+        print(
+            json.dumps(
+                node_status(
+                    dirs, flatline_ms=args.flatline_ms, replicas=args.replicas
+                )
+            )
+        )
     elif args.cmd == "dfs-import":
         print(_dfs_import(spark, wh, args))
     elif args.cmd == "dfs-export":

@@ -490,6 +490,75 @@ def test_stream_tails_growing_chunk_directory(spark, tmp_path):
     ]
 
 
+def test_node_status_flatline_eviction_and_replication_report(tmp_path):
+    """Controller maintenance-cycle semantics (cn/struct.go:53-187): a
+    node with a fresh heartbeat is alive; silent past 22s is evicted and
+    its replicas leave the live files map; chunks under the replica
+    target surface in the report; a chunk stranded only on dead nodes
+    shows live_replicas=0."""
+    import json as _json
+    import os as _os
+
+    from go_dfs_mapreduce_spark.sources.membership import (
+        node_status,
+        touch_heartbeat,
+    )
+
+    n1, n2 = str(tmp_path / "n1"), str(tmp_path / "n2")
+    _write_chunk(n1, "d.txt", "TXT", 0, b"x\n")
+    _write_chunk(n2, "d.txt", "TXT", 0, b"x\n")
+    _write_chunk(n2, "only2.bin", "BIN", 0, b"\x01\x02")
+
+    hb1 = touch_heartbeat(n1)
+    assert hb1["served"] == 1 and hb1["space"] > 0
+    touch_heartbeat(n2)
+    st = node_status([n1, n2], replicas=2)
+    by_dir = {n["dir"]: n for n in st["nodes"]}
+    assert by_dir[n1]["alive"] and by_dir[n2]["alive"]
+    assert by_dir[n2]["served"] == 2 and by_dir[n2]["chunks"] == 2
+    assert st["under_replicated"] == [
+        {"file": "only2.bin", "ftype": "BIN", "idx": 0,
+         "live_replicas": 1, "want": 2}
+    ]
+
+    # age n2's heartbeat past the flatline window -> evicted
+    hb_path = _os.path.join(n2, ".heartbeat")
+    hb = _json.load(open(hb_path))
+    hb["epoch_ms"] -= 60_000
+    _json.dump(hb, open(hb_path, "w"))
+    st2 = node_status([n1, n2], replicas=2)
+    by_dir = {n["dir"]: n for n in st2["nodes"]}
+    assert by_dir[n1]["alive"] and not by_dir[n2]["alive"]
+    under = {(u["file"], u["idx"]): u["live_replicas"]
+             for u in st2["under_replicated"]}
+    assert under[("d.txt", 0)] == 1  # n2's replica left the files map
+    assert under[("only2.bin", 0)] == 0  # stranded on a dead node
+
+    # migration mode: a reference-written dir (no .heartbeat) uses its
+    # newest chunk mtime as the last-known heartbeat
+    n3 = str(tmp_path / "n3")
+    _write_chunk(n3, "ref.txt", "TXT", 0, b"y\n")
+    st3 = node_status([n3], replicas=1)
+    assert st3["nodes"][0]["alive"]  # just written -> fresh
+    assert st3["under_replicated"] == []
+
+
+def test_cli_dfs_nodes_status(tmp_path, capsys):
+    import json as _json
+
+    from go_dfs_mapreduce_spark import cli
+
+    n1 = str(tmp_path / "n1")
+    _write_chunk(n1, "a.txt", "TXT", 0, b"z\n")
+    rc = cli.main(
+        ["dfs-nodes-status", n1, "--heartbeat", "--replicas", "1"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    st = _json.loads(out)
+    assert st["nodes"][0]["alive"] and st["under_replicated"] == []
+
+
 def test_fsck_verify_runs_as_spark_tasks(spark, nodes):
     """With a session, the verify phase must execute as a Spark job over
     the replica inventory (one task per replica at deployment), and the
