@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "go_dfs_mapreduce_spark.operators.tpch_complete",
     "go_dfs_mapreduce_spark.operators.llm_extras",
     "go_dfs_mapreduce_spark.operators.corpus_ops",
+    "go_dfs_mapreduce_spark.operators.scrubbing",
     "go_dfs_mapreduce_spark.operators.training_prep",
     "go_dfs_mapreduce_spark.operators.stats",
     "go_dfs_mapreduce_spark.operators.timeseries",

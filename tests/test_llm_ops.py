@@ -101,6 +101,31 @@ def test_ngram_jaccard_guard_trips_on_hot_shingle_corpus(spark, tmp_path):
     assert all(0.0 <= r.jaccard <= 1.0 for r in ok)
 
 
+def test_pii_scrub_actually_detects_and_redacts(spark, sf_dir):
+    """The oracle proves Spark==DuckDB; this proves the detectors FIRE
+    (symmetric no-op regexes would still hash-match): every doc_id%7==0
+    doc has its injected email counted and redacted out."""
+    from go_dfs_mapreduce_spark.operators.scrubbing import pii_scrub_redact
+
+    rows = {r.doc_id: r for r in pii_scrub_redact(spark, sf_dir).collect()}
+    assert rows, "empty result"
+    emails = [r for r in rows.values() if r.doc_id % 7 == 0]
+    assert emails and all(r.n_emails >= 1 for r in emails)
+    assert all(r.n_emails == 0 for r in rows.values() if r.doc_id % 7 != 0)
+    phones = [r for r in rows.values() if r.doc_id % 11 == 0]
+    assert phones and all(r.n_phones >= 1 for r in phones)
+    ips = [r for r in rows.values() if r.doc_id % 13 == 0]
+    assert ips and all(r.n_ips >= 1 for r in ips)
+
+
+def test_url_extraction_finds_injected_domains(spark, sf_dir):
+    from go_dfs_mapreduce_spark.operators.scrubbing import url_extraction_topk
+
+    rows = url_extraction_topk(spark, sf_dir).collect()
+    assert rows and all(r.domain.endswith(".example.org") for r in rows)
+    assert sum(r.n_urls for r in rows) > 0
+
+
 def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
     from go_dfs_mapreduce_spark.operators.dedup import (
         dedup_ngram_jaccard,
