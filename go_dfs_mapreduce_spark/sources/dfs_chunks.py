@@ -286,19 +286,20 @@ class _TextStreamReader(DataSourceStreamReader):
     migration can point ``readStream`` at reference storage-node dirs and
     keep consuming while the old system still writes."""
 
-    def __init__(self, options) -> None:
+    def __init__(self, options, ftype: str = "TXT") -> None:
         raw = options.get("path") or options.get("paths")
         if not raw:
             raise ValueError("go_dfs source requires a path (node dir[,dir...])")
         self._dirs = [p for p in (s.strip() for s in raw.split(",")) if p]
         self._file = options.get("file")
         self._verify = str(options.get("verify", "true")).lower() != "false"
+        self._ftype = ftype
 
     def initialOffset(self) -> dict:
         return {"files": {}}
 
     def latestOffset(self) -> dict:
-        inv = _inventory(self._dirs, "TXT", self._file)
+        inv = _inventory(self._dirs, self._ftype, self._file)
         by_file: dict[str, set[int]] = {}
         for f, i in inv:
             by_file.setdefault(f, set()).add(i)
@@ -311,7 +312,7 @@ class _TextStreamReader(DataSourceStreamReader):
         return {"files": files}
 
     def partitions(self, start: dict, end: dict):
-        inv = _inventory(self._dirs, "TXT", self._file)
+        inv = _inventory(self._dirs, self._ftype, self._file)
         parts = []
         for f, n_end in sorted(end.get("files", {}).items()):
             n_start = start.get("files", {}).get(f, 0)
@@ -319,11 +320,11 @@ class _TextStreamReader(DataSourceStreamReader):
                 paths = inv.get((f, i))
                 if not paths:
                     raise IOError(
-                        f"chunk {chunk_name(f, 'TXT', i)} vanished between"
-                        " offset planning and read"
+                        f"chunk {chunk_name(f, self._ftype, i)} vanished"
+                        " between offset planning and read"
                     )
                 parts.append(
-                    _ChunkPartition(f, "TXT", i, tuple(paths), self._verify)
+                    _ChunkPartition(f, self._ftype, i, tuple(paths), self._verify)
                 )
         return parts
 
@@ -423,8 +424,21 @@ class _BinWriter(_TextWriter):
                         os.remove(p)
 
 
+class _BinStreamReader(_TextStreamReader):
+    """BIN twin of the streaming tail: one (file, chunk_idx, content)
+    row per newly-visible chunk, same per-file contiguous offsets."""
+
+    def __init__(self, options) -> None:
+        super().__init__(options, "BIN")
+
+    def read(self, partition: _ChunkPartition):
+        yield (partition.file, partition.idx, _read_verified(partition))
+
+
 class GoDfsBinDataSource(DataSource):
     """``spark.read.format("go_dfs_bin").load("node1[,node2,...]")`` /
+    ``spark.readStream.format("go_dfs_bin").load(...)`` (tails growing
+    chunk dirs) /
     ``df.write.format("go_dfs_bin").option("file", name).save(node)``"""
 
     @classmethod
@@ -436,6 +450,9 @@ class GoDfsBinDataSource(DataSource):
 
     def reader(self, schema):
         return _BinReader(self.options)
+
+    def streamReader(self, schema):
+        return _BinStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool):
         if len(schema.fields) != 1 or schema.fields[0].dataType.typeName() != "binary":

@@ -490,6 +490,40 @@ def test_stream_tails_growing_chunk_directory(spark, tmp_path):
     ]
 
 
+def test_bin_stream_tails_growing_chunk_directory(spark, tmp_path):
+    """go_dfs_bin streaming twin: new BIN chunks appear between two
+    checkpointed availableNow runs; only the new chunk rows are emitted."""
+    register_dfs_sources(spark)
+    node = str(tmp_path / "node")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    _write_chunk(node, "blob.bin", "BIN", 0, bytes([1, 2, 3]))
+
+    def _drain():
+        q = (
+            spark.readStream.format("go_dfs_bin")
+            .load(node)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.file, r.chunk_idx, bytes(r.content))
+            for r in spark.read.parquet(sink).collect()
+        )
+
+    assert _drain() == [("blob.bin", 0, bytes([1, 2, 3]))]
+    _write_chunk(node, "blob.bin", "BIN", 1, bytes([4, 5]))
+    assert _drain() == [
+        ("blob.bin", 0, bytes([1, 2, 3])),
+        ("blob.bin", 1, bytes([4, 5])),
+    ]
+
+
 def test_node_status_flatline_eviction_and_replication_report(tmp_path):
     """Controller maintenance-cycle semantics (cn/struct.go:53-187): a
     node with a fresh heartbeat is alive; silent past 22s is evicted and
