@@ -79,12 +79,20 @@ def read_text_with_line_numbers(spark: SparkSession, paths: list[str]) -> DataFr
 
     One single-pass task per file through the ``local_text_lines``
     DataSource (sources/local_text.py) — no RDD scan, no zipWithIndex
-    double pass. For data stored in the reference chunk layout use
+    double pass. Paths may be files, directories, or globs (local
+    filesystem; passed as an exact JSON list, so commas in file names
+    survive). For data stored in the reference chunk layout use
     ``read_dfs_chunks_with_line_numbers`` (per-chunk parallelism)."""
+    import json as _json
+
     from ..sources import register_dfs_sources
 
     register_dfs_sources(spark)
-    return spark.read.format("local_text_lines").load(",".join(paths))
+    return (
+        spark.read.format("local_text_lines")
+        .option("files_json", _json.dumps(list(paths)))
+        .load()
+    )
 
 
 def read_dfs_chunks_with_line_numbers(

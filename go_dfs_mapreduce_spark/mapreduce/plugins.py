@@ -260,7 +260,10 @@ def _log_analyzer_reduce_df(kv: DataFrame) -> DataFrame:
     # small in-memory composite-key frame (bounded by distinct
     # (crawler, domain, path) triples, not by input rows). CacheManager
     # keys on the canonicalized plan, so repeated query invocations share
-    # one entry rather than accreting. Rows whose values ALL fail
+    # one entry; DISTINCT inputs (different sf_dirs) each hold one
+    # composite-key-sized entry for the session — the deliberate price of
+    # the 13-scans-to-1 reduction (see SCALE.md). The count() below also
+    # makes plan construction eager by one job. Rows whose values ALL fail
     # int-parse keep their r_id here with a NULL total (SUM ignores
     # nulls), preserving the plugin's zero-count header-only output for
     # such partitions.

@@ -234,7 +234,16 @@ def stream_dfs_chunk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(qname)
+    # detach the result from the sink so the per-invocation scratch can
+    # be dropped (repeated gate sweeps must not accrete temp dirs or
+    # sink tables); the emitted set is id+hash rows — metadata-sized
+    rows = spark.table(qname).collect()
+    schema = spark.table(qname).schema
+    spark.catalog.dropTempView(qname)
+    import shutil
+
+    shutil.rmtree(node, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @query("stream_first_occurrences", oracle=FIRST_OCCURRENCE_ORACLE)

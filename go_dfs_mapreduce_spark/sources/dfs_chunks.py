@@ -299,10 +299,17 @@ class _TextStreamReader(DataSourceStreamReader):
         return {"files": {}}
 
     def latestOffset(self) -> dict:
+        # a chunk becomes VISIBLE only once a replica has its md5 sidecar:
+        # writers (ours and the reference's, sn/dfs_actions.go:30-34)
+        # land the data file before the sidecar, and planning a chunk in
+        # that window would crash the tail's read instead of deferring
+        # the chunk to the next micro-batch. With verify=false the read
+        # never opens sidecars, so data-file existence is the right gate.
         inv = _inventory(self._dirs, self._ftype, self._file)
         by_file: dict[str, set[int]] = {}
-        for f, i in inv:
-            by_file.setdefault(f, set()).add(i)
+        for (f, i), paths in inv.items():
+            if not self._verify or any(os.path.exists(p + "h") for p in paths):
+                by_file.setdefault(f, set()).add(i)
         files: dict[str, int] = {}
         for f, idxs in by_file.items():
             n = 0

@@ -18,6 +18,8 @@ path for ad-hoc local files)."""
 
 from __future__ import annotations
 
+import glob as _glob
+import json
 import os
 from dataclasses import dataclass
 
@@ -33,10 +35,20 @@ class _FilePartition(InputPartition):
 
 class _LocalTextReader(DataSourceReader):
     def __init__(self, options) -> None:
-        raw = options.get("path") or options.get("paths")
-        if not raw:
-            raise ValueError("local_text_lines requires a path (file[,file...])")
-        self._paths = [p for p in (s.strip() for s in raw.split(",")) if p]
+        # files_json carries an exact path list with no delimiter
+        # ambiguity (a comma is legal in a file name); the load() path
+        # string remains as comma-separated convenience for ad-hoc use
+        fj = options.get("files_json")
+        if fj:
+            self._paths = list(json.loads(fj))
+        else:
+            raw = options.get("path") or options.get("paths")
+            if not raw:
+                raise ValueError(
+                    "local_text_lines requires a path (file[,file...])"
+                    " or .option('files_json', ...)"
+                )
+            self._paths = [p for p in (s.strip() for s in raw.split(",")) if p]
 
     def partitions(self):
         parts = []
@@ -49,6 +61,13 @@ class _LocalTextReader(DataSourceReader):
                 )
             elif os.path.isfile(p):
                 parts.append(_FilePartition(p))
+            elif _glob.has_magic(p):
+                hits = sorted(f for f in _glob.glob(p) if os.path.isfile(f))
+                if not hits:
+                    raise FileNotFoundError(
+                        f"local_text_lines: glob {p!r} matched nothing"
+                    )
+                parts.extend(_FilePartition(f) for f in hits)
             else:
                 raise FileNotFoundError(f"local_text_lines: {p!r} not found")
         return parts

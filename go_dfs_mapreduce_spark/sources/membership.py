@@ -93,15 +93,24 @@ def node_status(
     """
     if now_ms is None:
         now_ms = int(time.time() * 1000)
-    nodes = []
-    live_chunks: dict[tuple[str, str, int], int] = {}
+    # realpath-normalize + dedupe, like fsck: 'n1' and 'n1/' are ONE node,
+    # and counting an aliased dir twice would fake a replica and hide
+    # under-replication — the exact condition this report exists to catch
+    norm_dirs: list[str] = []
     for d in dirs:
         if not os.path.isdir(d):
             raise FileNotFoundError(f"node directory {d!r} not found")
+        rd = os.path.realpath(d)
+        if rd not in norm_dirs:
+            norm_dirs.append(rd)
+    nodes = []
+    live_chunks: dict[tuple[str, str, int], int] = {}
+    for d in norm_dirs:
         hb_path = os.path.join(d, ".heartbeat")
         space = served = None
         epoch_ms = None
-        if os.path.isfile(hb_path):
+        has_hb_file = os.path.isfile(hb_path)
+        if has_hb_file:
             try:
                 with open(hb_path) as fh:
                     hb = json.load(fh)
@@ -117,7 +126,11 @@ def node_status(
                 chunks.append(
                     (m.group("file"), _TYPE_OF[m.group("tchar")], int(m.group("idx")))
                 )
-        if epoch_ms is None and chunks:
+        if epoch_ms is None and not has_hb_file and chunks:
+            # migration mode is ONLY for dirs that never participate in
+            # the heartbeat protocol (reference-written layouts); a node
+            # that writes .heartbeat but corrupts it is silent, not
+            # grandfathered — chunk mtimes must not revive it
             epoch_ms = int(
                 max(
                     os.path.getmtime(os.path.join(d, e))

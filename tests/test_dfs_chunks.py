@@ -577,6 +577,64 @@ def test_node_status_flatline_eviction_and_replication_report(tmp_path):
     assert st3["under_replicated"] == []
 
 
+def test_node_status_dir_aliases_do_not_fake_replicas(tmp_path):
+    """Review regression: 'n1' and 'n1/' are ONE node — an aliased dir
+    must not double-count the sole replica and hide under-replication."""
+    from go_dfs_mapreduce_spark.sources.membership import (
+        node_status,
+        touch_heartbeat,
+    )
+
+    n1 = str(tmp_path / "n1")
+    _write_chunk(n1, "solo.txt", "TXT", 0, b"x\n")
+    touch_heartbeat(n1)
+    st = node_status([n1, n1 + "/"], replicas=2)
+    assert len(st["nodes"]) == 1
+    assert st["under_replicated"] == [
+        {"file": "solo.txt", "ftype": "TXT", "idx": 0,
+         "live_replicas": 1, "want": 2}
+    ]
+
+
+def test_node_status_corrupt_heartbeat_is_silence(tmp_path):
+    """A node that writes .heartbeat but corrupts it is SILENT — fresh
+    chunk mtimes must not revive it (mtime fallback is only for dirs
+    that never participate in the protocol)."""
+    import os as _os
+
+    from go_dfs_mapreduce_spark.sources.membership import node_status
+
+    n1 = str(tmp_path / "n1")
+    _write_chunk(n1, "d.txt", "TXT", 0, b"x\n")  # fresh mtime
+    with open(_os.path.join(n1, ".heartbeat"), "w") as fh:
+        fh.write("{not json")
+    st = node_status([n1], replicas=1)
+    assert not st["nodes"][0]["alive"]
+    assert st["nodes"][0]["heartbeat_age_ms"] is None
+
+
+def test_stream_offset_waits_for_sidecar(tmp_path):
+    """Review regression: a data file whose md5 sidecar hasn't landed yet
+    (the writer's data-then-sidecar window) must stay invisible to
+    latestOffset instead of crashing the tail's read."""
+    import hashlib as _h
+    import os as _os
+
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import _TextStreamReader
+
+    node = str(tmp_path / "node")
+    _write_chunk(node, "doc.txt", "TXT", 0, b"a\n")
+    # chunk 1: data file only, no sidecar yet
+    with open(_os.path.join(node, "doc.txt_t1"), "wb") as fh:
+        fh.write(b"b\n")
+    rdr = _TextStreamReader({"path": node})
+    assert rdr.latestOffset() == {"files": {"doc.txt": 1}}
+    # sidecar lands -> chunk 1 becomes visible
+    with open(_os.path.join(node, "doc.txt_t1h"), "wb") as fh:
+        fh.write(_h.md5(b"b\n").digest())
+    assert rdr.latestOffset() == {"files": {"doc.txt": 2}}
+
+
 def test_cli_dfs_nodes_status(tmp_path, capsys):
     import json as _json
 

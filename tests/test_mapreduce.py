@@ -67,6 +67,29 @@ def test_read_text_with_line_numbers_single_pass_no_rdd(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 2  # one task per file
 
 
+def test_read_text_handles_commas_and_globs(spark, tmp_path):
+    """Review regression: a comma in a file name must survive (paths ride
+    an exact JSON list, not a comma-joined string), and globs expand."""
+    from go_dfs_mapreduce_spark.mapreduce import read_text_with_line_numbers
+
+    weird = tmp_path / "a,b.txt"
+    weird.write_text("one\ntwo\n")
+    (tmp_path / "g1.txt").write_text("g1\n")
+    (tmp_path / "g2.txt").write_text("g2\n")
+    got = sorted(
+        (r.file, r.line_number, r.line)
+        for r in read_text_with_line_numbers(
+            spark, [str(weird), str(tmp_path / "g*.txt")]
+        ).collect()
+    )
+    assert got == [
+        (str(weird), 0, "one"),
+        (str(weird), 1, "two"),
+        (str(tmp_path / "g1.txt"), 0, "g1"),
+        (str(tmp_path / "g2.txt"), 0, "g2"),
+    ]
+
+
 def test_word_count_differential(spark):
     df = spark.createDataFrame(LINES, INPUT_SCHEMA)
     job = MapReduceJob("t_wc", plugins.word_count_map, plugins.word_count_reduce, r=26)
