@@ -102,9 +102,22 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves the frame hash-partitioned by doc_id, which the verify joins
     (``_pair_overlap``) then consume exchange-free. Docs too short to
     have a shingle are dropped (explode of an empty array), matching
-    SHINGLES_DUCK."""
+    SHINGLES_DUCK.
+
+    PERSISTED (and populated eagerly): the LSH pipelines consume this
+    frame three times (candidate generation + both verify join sides),
+    and branch-specific pruning de-canonicalizes the subtree so
+    ReuseExchange never collapses them — measured 3 full corpus
+    pipelines per run without the persist, 0 Reused* nodes. Locally the
+    duplicates hide in idle cores (cold wall unchanged), but repeat
+    invocations drop 2.2 s -> 1.1 s at sf0.1, and on a busy cluster the
+    2 redundant corpus passes are the real 100 TB cost. The trade:
+    MEMORY_AND_DISK storage of the per-doc arrays (compact vs raw text;
+    Spark evicts LRU under pressure) held per distinct input for the
+    session — the same deliberate trade as mr_log_analyzer's tally
+    cache (SCALE.md)."""
     docs = table(spark, sf_dir, "documents")
-    return (
+    arrs = (
         docs.select(
             "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
         )
@@ -112,7 +125,12 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shs"))
         .withColumn("sz", F.expr("size(shs)"))
+        .persist()
     )
+    # populate NOW: concurrent AQE stages racing an unpopulated cache
+    # each recompute the subtree (see mr_log_analyzer, plugins.py)
+    arrs.count()
+    return arrs
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
