@@ -767,9 +767,17 @@ def nn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle every (vector, seed) row into per-vector partitions first.
     # Uniqueness of the ordering struct makes the result deterministic and
     # identical to the oracle's row_number-over-(d2, seed_id) formulation.
-    return d2.groupBy("vec_id").agg(
+    #
+    # PERSISTED + eager like _shingle_arrays: both sides of the
+    # within-cell pair self-join consume this frame, and without the
+    # persist each side re-runs the seeds + decimal-distance + argmin
+    # pipeline (no ReuseExchange across the differently-pruned copies).
+    # The cached frame is two scalars per vector — near-free to hold.
+    cells = d2.groupBy("vec_id").agg(
         F.expr("min_by(seed_id, struct(d2, seed_id))").alias("cell")
-    )
+    ).persist()
+    cells.count()
+    return cells
 
 
 @query("embedding_nn_cosine", oracle=EMB_NN_ORACLE)
