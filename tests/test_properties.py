@@ -258,3 +258,77 @@ def test_dfs_chunk_writer_reader_roundtrip(spark, tmp_path_factory, lines, chunk
         .collect()
     )
     assert [r.line for r in back] == lines
+
+
+# --- round 4: bufio line-scan semantics + streaming offset contiguity ----
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_characters="\n", max_codepoint=0x2FF
+            ),
+            max_size=20,
+        ),
+        max_size=12,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_scan_lines_matches_bufio_simulation(lines, trailing_nl):
+    """scan_lines == a direct simulation of Go's bufio.Scanner ScanLines:
+    split on \\n, drop ONE trailing \\r per line, no phantom final empty
+    line for newline-terminated data, last line kept at EOF without
+    newline."""
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import scan_lines
+
+    data = "\n".join(lines).encode("utf-8", "surrogatepass")
+    if trailing_nl and lines:
+        data += b"\n"
+    # bufio simulation over the raw bytes
+    want = []
+    buf = data
+    while buf:
+        nl = buf.find(b"\n")
+        if nl == -1:
+            tok, buf = buf, b""
+        else:
+            tok, buf = buf[:nl], buf[nl + 1 :]
+        if tok.endswith(b"\r"):
+            tok = tok[:-1]
+        want.append(tok.decode("utf-8", errors="replace"))
+    assert list(scan_lines(data)) == want
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a.txt", "b.txt", "c,d.txt"]),
+        st.sets(st.integers(min_value=0, max_value=8), min_size=1),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_stream_offset_is_longest_contiguous_sidecarred_prefix(tmp_path_factory, idx_sets):
+    """latestOffset reports, per file, the longest contiguous chunk
+    prefix 0..n-1 present with sidecars — gaps hold the offset back."""
+    import hashlib as _h
+    import os as _os
+
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import _TextStreamReader
+
+    node = str(tmp_path_factory.mktemp("offs"))
+    for fname, idxs in idx_sets.items():
+        for i in idxs:
+            data = f"{fname}:{i}\n".encode()
+            with open(_os.path.join(node, f"{fname}_t{i}"), "wb") as fh:
+                fh.write(data)
+            with open(_os.path.join(node, f"{fname}_t{i}h"), "wb") as fh:
+                fh.write(_h.md5(data).digest())
+    got = _TextStreamReader({"path": node}).latestOffset()["files"]
+    for fname, idxs in idx_sets.items():
+        n = 0
+        while n in idxs:
+            n += 1
+        assert got.get(fname, 0) == n
