@@ -9,10 +9,9 @@ Mapping of the reference's framework operators (SURVEY.md §2.2):
   Python ``f_map``; odd-length flat output repaired with the reference's
   append-"\\n" / drop-two rule (sn/mr_actions.go:218-224)
 - F4 hash partition by key   -> the *parity partitioner*
-  ``ascii(lower(substr(key,1,1))) % R`` (sn/mr_actions.go:226-229) as a
-  derived ``r_id`` column (Go takes the first *byte*; this takes the first
-  codepoint — identical on ASCII keys; '' maps to partition 0 where the
-  reference would crash the mapper)
+  (sn/mr_actions.go:226-229) as a derived ``r_id`` column, BYTE-exact
+  since round 4: first UTF-8 byte of the key, ASCII-lowercased, mod R
+  ('' maps to partition 0 where the reference would crash the mapper)
 - F5/F6/F7 sort + shuffle + k-way merge -> ``groupBy(r_id).applyInPandas``
   with a byte-wise pair-unit sort inside the group (util/util.go:43-65
   KVBufSort semantics: sort (key, value) units, keys before values)
@@ -241,8 +240,27 @@ class MapReduceJob:
     # -- F4: partition expression -----------------------------------------
     def _partition_col(self):
         if self.parity_partitioner:
-            first = F.ascii(F.lower(F.substring(F.col("key"), 1, 1)))
-            return F.pmod(first, F.lit(self.r)).cast("int")
+            # BYTE-exact twin of sn/mr_actions.go:226-229:
+            # `strings.ToLower(out[j][0:1])[0] % r` slices the first BYTE
+            # (Go strings are bytes), ToLower touches only ASCII A-Z (an
+            # isolated multibyte lead byte is invalid UTF-8 and passes
+            # through unchanged). Lowercasing the first CHARACTER instead
+            # diverges for non-ASCII keys whose upper/lower forms differ
+            # in their lead byte (e.g. 'Ÿ' C5B8 -> 'ÿ' C3BF).
+            b = F.conv(
+                F.hex(F.substring(F.encode(F.col("key"), "utf-8"), 1, 1)),
+                16,
+                10,
+            ).cast("int")
+            lowered = b + F.when(
+                (b >= 65) & (b <= 90), F.lit(32)
+            ).otherwise(F.lit(0))
+            # empty key -> empty binary -> conv('') is NULL; Go would
+            # index out of range — route to partition 0 like the Arrow
+            # path's guard
+            return F.pmod(F.coalesce(lowered, F.lit(0)), F.lit(self.r)).cast(
+                "int"
+            )
         return F.pmod(F.hash(F.col("key")), F.lit(self.r)).cast("int")
 
     # -- pipeline ----------------------------------------------------------

@@ -15,6 +15,17 @@ from go_dfs_mapreduce_spark.mapreduce.job import INPUT_SCHEMA, _normalize_pairs
 from go_dfs_mapreduce_spark.mapreduce import plugins
 
 
+def _go_parity_pid(k: str, r: int) -> int:
+    """sn/mr_actions.go:226-229 byte-exact: first UTF-8 BYTE of the key,
+    ASCII-lowercased (ToLower on an isolated lead byte is identity)."""
+    if not k:
+        return 0
+    b = k.encode("utf-8")[0]
+    if 65 <= b <= 90:
+        b += 32
+    return b % r
+
+
 def simulate(rows, f_map, f_reduce, r):
     """Single-process reference simulation of F3-F9."""
     parts: dict[int, list[tuple[str, str]]] = {i: [] for i in range(r)}
@@ -22,8 +33,7 @@ def simulate(rows, f_map, f_reduce, r):
         out: list = []
         f_map(file, line_no, line, out)
         for k, v in _normalize_pairs(out):
-            pid = (ord(k[:1].lower()) if k else 0) % r
-            parts[pid].append((k, v))
+            parts[_go_parity_pid(k, r)].append((k, v))
     result = []
     for pid, pairs in parts.items():
         if not pairs:
