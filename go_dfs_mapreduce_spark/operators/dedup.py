@@ -11,10 +11,12 @@ Spark's hash()/xxhash64 have no DuckDB twin):
                          join of V-SMART-Join / PAPERS.md), with an
                          in-plan hot-shingle guard that refuses past a
                          document-frequency bound instead of detonating
-- dedup_minhash_lsh    : 8 md5-derived minhashes, 4 bands x 2 rows,
-                         bucket expansion (grouped (band, sig) doc lists
-                         emit in-bucket pairs row-locally) for candidates,
-                         then exact Jaccard verification of candidates only
+- dedup_minhash_lsh    : 8 minhash lanes carved from 2 md5 digests per
+                         shingle (4x less hashing in the dominant stage),
+                         4 bands x 2 rows, bucket expansion (grouped
+                         (band, sig) doc lists emit in-bucket pairs
+                         row-locally) for candidates, then exact Jaccard
+                         verification of candidates only
 - dedup_simhash        : 60-bit simhash over distinct tokens (bit votes via
                          a range(60) cross join), top-15-bit band blocking,
                          hamming<=8 pairs
@@ -268,7 +270,7 @@ MINHASH_ORACLE = f"""
 WITH sh AS ({SHINGLES_DUCK}),
 hashed AS (
   SELECT doc_id, r.i AS i,
-    MIN(CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || shingle), 1, 8))::UBIGINT AS BIGINT)) AS mh
+    MIN(CAST(('0x' || substr(md5(CAST(r.i // 4 AS VARCHAR) || ':' || shingle), 1 + 8 * (r.i % 4), 8))::UBIGINT AS BIGINT)) AS mh
   FROM sh, range({N_HASHES}) r(i)
   GROUP BY doc_id, r.i
 ),
@@ -307,22 +309,34 @@ def _lsh_candidates(arrs: DataFrame) -> DataFrame:
     # to take per-doc minima; array_min does that inside the row, so the
     # first exchange in the whole LSH pipeline is the (band, sig) bucket
     # join, whose size is |docs| x n_bands, independent of shingle count.
-    def _minhash(i: int):
-        # NB: the lambda must take exactly ONE parameter — F.transform
-        # dispatches on arity, and a second parameter (even a defaulted
-        # one) is bound to the element-index column
+    # 8 lanes from TWO md5 calls per shingle (the standard multi-lane
+    # trick: one 128-bit digest yields four independent-enough 32-bit
+    # lanes) — the md5 is computed once per (shingle, j) inside the inner
+    # transform's bound variable, so the dominant hashing stage does 2
+    # digests per shingle instead of 8. Lane i = hex window
+    # [1 + 8*(i%4), 8] of md5('<i//4>:' || shingle), which is exactly
+    # what the DuckDB oracles compute.
+    lanes = F.expr(
+        "transform(shs, s -> flatten(transform("
+        " array(md5(concat('0:', s)), md5(concat('1:', s))),"
+        " h -> array("
+        + ", ".join(
+            f"cast(conv(substr(h, {1 + 8 * k}, 8), 16, 10) as bigint)"
+            for k in range(4)
+        )
+        + "))))"
+    ).alias("lanes")
+    def _lane_min(i: int):
+        # NB: the transform lambda must take exactly ONE parameter —
+        # a second parameter (even a defaulted one) is bound to the
+        # element-index column by arity dispatch
         return F.array_min(
-            F.transform(
-                F.col("shs"),
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 8),
-                    16,
-                    10,
-                ).cast("long"),
-            )
+            F.transform(F.col("lanes"), lambda a: F.element_at(a, i + 1))
         ).alias(f"mh{i}")
 
-    mins = arrs.select("doc_id", *[_minhash(i) for i in range(N_HASHES)])
+    mins = arrs.select("doc_id", lanes).select(
+        "doc_id", *[_lane_min(i) for i in range(N_HASHES)]
+    )
     # bands of 2 rows each: sig = "mh{2b},mh{2b+1}" — the same band
     # signature string the oracle's string_agg-ordered-by-i builds
     bands = mins.select(
@@ -447,7 +461,7 @@ WITH RECURSIVE
 sh AS ({SHINGLES_DUCK}),
 hashed AS (
   SELECT doc_id, r.i AS i,
-    MIN(CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || shingle), 1, 8))::UBIGINT AS BIGINT)) AS mh
+    MIN(CAST(('0x' || substr(md5(CAST(r.i // 4 AS VARCHAR) || ':' || shingle), 1 + 8 * (r.i % 4), 8))::UBIGINT AS BIGINT)) AS mh
   FROM sh, range({N_HASHES}) r(i)
   GROUP BY doc_id, r.i
 ),
@@ -941,7 +955,7 @@ CONTAINMENT_ORACLE = f"""
 WITH sh AS ({SHINGLES_DUCK}),
 hashed AS (
   SELECT doc_id, r.i AS i,
-    MIN(CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || shingle), 1, 8))::UBIGINT AS BIGINT)) AS mh
+    MIN(CAST(('0x' || substr(md5(CAST(r.i // 4 AS VARCHAR) || ':' || shingle), 1 + 8 * (r.i % 4), 8))::UBIGINT AS BIGINT)) AS mh
   FROM sh, range({N_HASHES}) r(i)
   GROUP BY doc_id, r.i
 ),
