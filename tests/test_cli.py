@@ -284,3 +284,31 @@ def test_cli_mr_over_dfs_nodes(spark, tmp_path, wh_root, capsys):
         "-o", str(tmp_path / "out2"), "--dfs-nodes", node,
     )
     assert rc == 2
+
+
+def test_cli_mr_inverted_index_example(spark, tmp_path, wh_root, capsys):
+    """The shipped inverted-index plugin runs through the user-plugin
+    path (`mr examples/inverted_index.py`) and produces correct
+    postings."""
+    import os as _os
+
+    src = tmp_path / "docs.txt"
+    src.write_text("apple banana\nbanana cherry\napple\n")
+    rc, _ = _run(capsys, "--warehouse", wh_root, "store", str(src))
+    assert rc == 0
+    out_dir = str(tmp_path / "out")
+    rc, _ = _run(
+        capsys, "--warehouse", wh_root, "mr", "examples/inverted_index.py",
+        "-o", out_dir,
+    )
+    assert rc == 0
+    text = "".join(
+        open(_os.path.join(out_dir, f)).read()
+        for f in sorted(_os.listdir(out_dir))
+    )
+    lines = dict(
+        l.split(" -> ") for l in text.strip().split("\n") if l
+    )
+    assert lines["apple"] == "docs.txt:0 docs.txt:2"
+    assert lines["banana"] == "docs.txt:0 docs.txt:1"
+    assert lines["cherry"] == "docs.txt:1"
