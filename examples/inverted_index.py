@@ -38,5 +38,11 @@ def f_reduce(keys, values, out):
     postings = {}
     for k, v in zip(keys, values):
         postings.setdefault(k, set()).add(v)
+
+    def _file_line(p):
+        f, _, n = p.rpartition(":")
+        return (f, int(n))  # numeric line order ('x:2' before 'x:10')
+
     for k in sorted(postings):
-        out.append(f"{k} -> {' '.join(sorted(postings[k]))}")
+        ordered = sorted(postings[k], key=_file_line)
+        out.append(f"{k} -> {' '.join(ordered)}")

@@ -10,8 +10,10 @@ Mapping of the reference's framework operators (SURVEY.md §2.2):
   append-"\\n" / drop-two rule (sn/mr_actions.go:218-224)
 - F4 hash partition by key   -> the *parity partitioner*
   (sn/mr_actions.go:226-229) as a derived ``r_id`` column, BYTE-exact
-  since round 4: first UTF-8 byte of the key, ASCII-lowercased, mod R
-  ('' maps to partition 0 where the reference would crash the mapper)
+  since round 4: first UTF-8 byte of the key, ASCII-lowercased, mod R;
+  a non-ASCII lead byte follows Go's ToLower-of-invalid-slice behavior
+  (U+FFFD -> byte 0xEF = 239) ('' maps to partition 0 where the
+  reference would crash the mapper)
 - F5/F6/F7 sort + shuffle + k-way merge -> ``groupBy(r_id).applyInPandas``
   with a byte-wise pair-unit sort inside the group (util/util.go:43-65
   KVBufSort semantics: sort (key, value) units, keys before values)
@@ -242,25 +244,27 @@ class MapReduceJob:
         if self.parity_partitioner:
             # BYTE-exact twin of sn/mr_actions.go:226-229:
             # `strings.ToLower(out[j][0:1])[0] % r` slices the first BYTE
-            # (Go strings are bytes), ToLower touches only ASCII A-Z (an
-            # isolated multibyte lead byte is invalid UTF-8 and passes
-            # through unchanged). Lowercasing the first CHARACTER instead
-            # diverges for non-ASCII keys whose upper/lower forms differ
-            # in their lead byte (e.g. 'Ÿ' C5B8 -> 'ÿ' C3BF).
+            # (Go strings are bytes). For ASCII that is plain lowercasing;
+            # for ANY byte >= 0x80 the one-byte slice is invalid UTF-8 and
+            # Go's strings.Map replaces it with U+FFFD, whose first UTF-8
+            # byte is 0xEF = 239 — so every non-ASCII-initial key routes
+            # to partition 239 % r in the reference, NOT first-byte % r.
             b = F.conv(
                 F.hex(F.substring(F.encode(F.col("key"), "utf-8"), 1, 1)),
                 16,
                 10,
             ).cast("int")
-            lowered = b + F.when(
-                (b >= 65) & (b <= 90), F.lit(32)
-            ).otherwise(F.lit(0))
             # empty key -> empty binary -> conv('') is NULL; Go would
-            # index out of range — route to partition 0 like the Arrow
-            # path's guard
-            return F.pmod(F.coalesce(lowered, F.lit(0)), F.lit(self.r)).cast(
-                "int"
+            # index out of range — route to partition 0. The NULL case
+            # must precede otherwise(239), which is for REAL non-ASCII
+            # lead bytes only.
+            lowered = (
+                F.when(b.isNull(), F.lit(0))
+                .when((b >= 65) & (b <= 90), b + 32)
+                .when(b <= 127, b)
+                .otherwise(F.lit(239))
             )
+            return F.pmod(lowered, F.lit(self.r)).cast("int")
         return F.pmod(F.hash(F.col("key")), F.lit(self.r)).cast("int")
 
     # -- pipeline ----------------------------------------------------------

@@ -293,7 +293,12 @@ def test_cli_mr_inverted_index_example(spark, tmp_path, wh_root, capsys):
     import os as _os
 
     src = tmp_path / "docs.txt"
-    src.write_text("apple banana\nbanana cherry\napple\n")
+    # 12 lines so postings cross line 10 — numeric order must hold
+    # ('docs.txt:2' before 'docs.txt:11', not lexicographic)
+    body = ["apple banana", "banana cherry", "apple"] + ["filler"] * 8 + [
+        "apple cherry"
+    ]
+    src.write_text("\n".join(body) + "\n")
     rc, _ = _run(capsys, "--warehouse", wh_root, "store", str(src))
     assert rc == 0
     out_dir = str(tmp_path / "out")
@@ -309,6 +314,6 @@ def test_cli_mr_inverted_index_example(spark, tmp_path, wh_root, capsys):
     lines = dict(
         l.split(" -> ") for l in text.strip().split("\n") if l
     )
-    assert lines["apple"] == "docs.txt:0 docs.txt:2"
+    assert lines["apple"] == "docs.txt:0 docs.txt:2 docs.txt:11"
     assert lines["banana"] == "docs.txt:0 docs.txt:1"
-    assert lines["cherry"] == "docs.txt:1"
+    assert lines["cherry"] == "docs.txt:1 docs.txt:11"

@@ -17,12 +17,16 @@ from go_dfs_mapreduce_spark.mapreduce import plugins
 
 def _go_parity_pid(k: str, r: int) -> int:
     """sn/mr_actions.go:226-229 byte-exact: first UTF-8 BYTE of the key,
-    ASCII-lowercased (ToLower on an isolated lead byte is identity)."""
+    ASCII-lowercased; a non-ASCII lead byte is an invalid one-byte UTF-8
+    slice, which Go's strings.ToLower replaces with U+FFFD — first byte
+    0xEF = 239."""
     if not k:
         return 0
     b = k.encode("utf-8")[0]
     if 65 <= b <= 90:
         b += 32
+    elif b > 127:
+        b = 239
     return b % r
 
 
@@ -98,6 +102,32 @@ def test_read_text_handles_commas_and_globs(spark, tmp_path):
         (str(tmp_path / "g1.txt"), 0, "g1"),
         (str(tmp_path / "g2.txt"), 0, "g2"),
     ]
+
+
+def test_parity_partitioner_non_ascii_keys_differential(spark):
+    """Engine r_id == the Go-exact simulation for keys with non-ASCII
+    lead bytes (all of which the reference routes through U+FFFD ->
+    byte 239): identity plugin emitting the token itself as key."""
+    def ident_map(file, line_no, line, out):
+        for t in line.split():
+            out.append(t)
+            out.append("1")
+
+    def count_reduce(keys, values, out):
+        tally: dict[str, int] = {}
+        for k, v in zip(keys, values):
+            tally[k] = tally.get(k, 0) + int(v)
+        for k in sorted(tally, key=lambda s: s.encode()):
+            out.append(f"{k}={tally[k]}")
+
+    rows = [("f", 0, "Ångström ärgern Zebra ÿ zebra Ångström")]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    job = MapReduceJob("t_nonascii", ident_map, count_reduce, r=26)
+    got = sorted(tuple(r) for r in job.run(df).collect())
+    want = simulate(rows, ident_map, count_reduce, 26)
+    assert got == want
+    # every non-ASCII-lead key shares the reference's 239 % 26 = 5 slot
+    assert {r for r, _, line in got if not line[0].isascii()} == {239 % 26}
 
 
 def test_word_count_differential(spark):

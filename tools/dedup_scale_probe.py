@@ -84,11 +84,18 @@ def main() -> None:
         d = build_corpus(spark, k)
         n_docs = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
         pairs = dedup_minhash_lsh(spark, d).count()
-        wall = min(
-            _timed(lambda: dedup_minhash_lsh(spark, d).write.mode("overwrite")
-                   .format("noop").save())
-            for _ in range(REPS)
-        )
+
+        def _cold_run():
+            # the pipeline persists its shingle arrays (dedup.py); drop
+            # them so every timed rep pays the corpus stage end-to-end —
+            # otherwise the walls here measure warm-cache work and the
+            # corpus-bound stage silently leaves the timed region
+            spark.catalog.clearCache()
+            dedup_minhash_lsh(spark, d).write.mode("overwrite").format(
+                "noop"
+            ).save()
+
+        wall = min(_timed(_cold_run) for _ in range(REPS))
         print(json.dumps({"k": k, "docs": n_docs, "pairs": pairs,
                           "wall_sec": round(wall, 2)}), flush=True)
     spark.stop()
