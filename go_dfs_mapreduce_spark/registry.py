@@ -137,14 +137,18 @@ _DRIVER_SHOWCASE = (
     "pipe_syntax_priority_rollup",
     "lateral_topk_per_nation",
     "collation_showcase",
-    "array_hof_showcase",
-    "regexp_functions_showcase",
+    # incremental maintenance (round-4 additions; array_hof/regexp
+    # showcases yielded their slots — their scalar-function family is
+    # already anchored by scalar_function_showcase)
+    "merge_upsert_orders",
+    "scd2_user_status",
     # LLM-pipeline operators
     "dedup_clusters",
     "dedup_containment",
     "decontaminate_vs_benchmark",
     "doc_chunking",
-    "doc_pack_bins",
+    "incremental_rollup_merge",  # doc_pack_bins yielded (training-prep
+    # family keeps doc_chunking as its anchor this round)
     # scale / sketches / timeseries / multimodal-audio / embeddings
     "salted_join_urgent_lineitems",
     "approx_aggregates_audit",
