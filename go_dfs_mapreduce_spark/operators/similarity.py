@@ -315,3 +315,148 @@ def embedding_nn_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .applyInPandas(per_label, out_schema)
     )
+
+
+# --------------------------------------------------------------------------
+# k-means (Lloyd's algorithm, 2 unrolled iterations, deterministic)
+# --------------------------------------------------------------------------
+
+K_CLUSTERS = 8
+
+# Micro-unit quantization (the stats module's exactness pattern applied to
+# vectors): every coordinate becomes ROUND(v * 1e6) AS BIGINT, so ALL
+# k-means arithmetic — distances, centroid sums — is integer-exact and
+# order-independent, and the only floating-point op per centroid
+# coordinate is one IEEE division + round (deterministic on both engines).
+_MICRO_ARR = (
+    "transform(embedding, v -> "
+    "cast(round(cast(v as double) * 1000000) as bigint))"
+)
+
+
+def _sqd_micro(a: str, b: str) -> str:
+    """BIGINT squared euclidean distance between two micro-unit arrays.
+    Bounds: |coord| <= ~1e6 for unit-scale embeddings, so a 64-dim sum of
+    squared diffs tops out near 2^47 — far inside BIGINT."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (p, q) -> (p - q) * (p - q)), "
+        "cast(0 as bigint), (acc, e) -> acc + e)"
+    )
+
+
+KMEANS_ORACLE = f"""
+WITH xm AS (
+  SELECT vec_id, list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS seed_id, xm AS sm FROM xm ORDER BY vec_id LIMIT {K_CLUSTERS}
+),
+d1 AS (
+  SELECT x.vec_id, s.seed_id,
+         CAST(list_sum(list_transform(range(1, len(x.xm) + 1),
+              i -> (x.xm[i] - s.sm[i]) * (x.xm[i] - s.sm[i]))) AS BIGINT) AS d2
+  FROM xm x CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT vec_id, seed_id AS cluster FROM (
+    SELECT vec_id, seed_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+    FROM d1) t WHERE rn = 1
+),
+psum AS (
+  SELECT a.cluster, r.i AS pos, SUM(x.xm[r.i]) AS s, COUNT(*) AS n
+  FROM a1 a JOIN xm x USING (vec_id), range(1, 65) r(i)
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT cluster, pos,
+         CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS cm
+  FROM psum
+),
+carr AS (
+  SELECT cluster, list(cm ORDER BY pos) AS cm FROM cent GROUP BY cluster
+),
+d2_ AS (
+  SELECT x.vec_id, c.cluster,
+         CAST(list_sum(list_transform(range(1, len(x.xm) + 1),
+              i -> (x.xm[i] - c.cm[i]) * (x.xm[i] - c.cm[i]))) AS BIGINT) AS d2
+  FROM xm x CROSS JOIN carr c
+)
+SELECT vec_id, cluster, d2 AS d2_micro FROM (
+  SELECT vec_id, cluster, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM d2_) t WHERE rn = 1
+"""
+
+
+@query("kmeans_embeddings", oracle=KMEANS_ORACLE)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means over the embeddings, fully
+    deterministic: seeds are the K smallest vec_ids, assignment ties
+    break to the smaller cluster id, and all arithmetic is micro-unit
+    integer (``_MICRO_ARR``), so both engines compute bit-identical
+    assignments. This is THE iterative-ML shape on the engine: each
+    iteration is (broadcast centroids) x (one pass over vectors) ->
+    per-cluster partial sums — at 100 TB the per-iteration cost is one
+    scan + one |K x dims| aggregate, and more iterations are the same
+    plan repeated (cf. dedup_clusters' bounded label propagation for the
+    loop-until-converged variant).
+
+    Plan shape: centroids stay driver-free (broadcast joins of K rows),
+    assignment argmin is ``min_by`` with map-side partial aggregation,
+    and the iter-1 assignment frame is persisted because BOTH the
+    centroid-update branch and the iter-2 scoring branch consume it
+    (ReuseExchange does not fire across differently-pruned subtrees —
+    SCALE.md)."""
+    emb = table(spark, sf_dir, "embeddings")
+    xm = emb.select("vec_id", F.expr(_MICRO_ARR).alias("xm"))
+    seeds = (
+        xm.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .select(F.col("vec_id").alias("seed_id"), F.col("xm").alias("sm"))
+    )
+    d1 = xm.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "xm",
+        "seed_id",
+        F.expr(_sqd_micro("xm", "sm")).alias("d2"),
+    )
+    a1 = (
+        d1.groupBy("vec_id")
+        .agg(
+            F.expr("min_by(seed_id, struct(d2, seed_id))").alias("cluster"),
+            F.first("xm").alias("xm"),  # constant within the group
+        )
+        .persist()
+    )
+    a1.count()  # populate before the branches race (SCALE.md)
+    cent = (
+        a1.select("cluster", F.posexplode("xm").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cluster",
+            "pos",
+            F.expr("cast(round(cast(s as double) / n) as bigint)").alias("cm"),
+        )
+    )
+    carr = cent.groupBy("cluster").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, cm))), x -> x.cm)"
+        ).alias("cm")
+    )
+    d2 = a1.select("vec_id", "xm").crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "cluster",
+        F.expr(_sqd_micro("xm", "cm")).alias("d2"),
+    )
+    best = d2.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cluster")).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        F.col("m.cluster").alias("cluster"),
+        F.col("m.d2").alias("d2_micro"),
+    )

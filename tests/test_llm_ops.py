@@ -446,3 +446,48 @@ def test_shingle_arrays_match_exploded_formulation(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_kmeans_iteration_does_not_increase_inertia(spark, sf_dir):
+    """Lloyd's guarantee: total within-cluster squared distance after the
+    iter-2 reassignment is <= the inertia of the iter-1 assignment to the
+    raw seeds. Also: every cluster id is one of the K seed vec_ids, every
+    vector is assigned exactly once, and each seed lands in its own
+    cluster at distance 0 in iter 1."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        K_CLUSTERS,
+        _MICRO_ARR,
+        _sqd_micro,
+        kmeans_embeddings,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+
+    final = kmeans_embeddings(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    assert final.count() == n_vecs
+    assert final.select("vec_id").distinct().count() == n_vecs
+
+    # iter-1 inertia recomputed independently against the raw seeds
+    xm = emb.select("vec_id", F.expr(_MICRO_ARR).alias("xm"))
+    seeds = (
+        xm.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .select(F.col("vec_id").alias("seed_id"), F.col("xm").alias("sm"))
+    )
+    d1 = xm.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "seed_id", F.expr(_sqd_micro("xm", "sm")).alias("d2")
+    )
+    iter1 = d1.groupBy("vec_id").agg(F.min("d2").alias("d2"))
+    inertia1 = iter1.agg(F.sum("d2")).first()[0]
+    inertia2 = final.agg(F.sum("d2_micro")).first()[0]
+    assert inertia2 <= inertia1
+
+    seed_ids = {r.seed_id for r in seeds.select("seed_id").collect()}
+    clusters = {r.cluster for r in final.select("cluster").distinct().collect()}
+    assert clusters <= seed_ids
+    # seeds are distance 0 from themselves in iter 1
+    zero = iter1.where(F.col("vec_id").isin(*seed_ids)).where(F.col("d2") != 0)
+    assert zero.count() == 0
