@@ -245,3 +245,69 @@ def events_linear_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
         .alias("value_interp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4): nonlinear integer recurrence over order chains
+# --------------------------------------------------------------------------
+
+RECURSIVE_BALANCE_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT o_custkey AS c,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS seq,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+acc AS (
+  SELECT c, seq, cents AS bal FROM base WHERE seq = 1
+  UNION ALL
+  SELECT b.c, b.seq, (a.bal * 101) // 100 + b.cents
+  FROM acc a JOIN base b ON b.c = a.c AND b.seq = a.seq + 1
+)
+SELECT c AS o_custkey,
+       CAST(MAX(seq) AS BIGINT) AS n_orders,
+       CAST(ARG_MAX(bal, seq) AS BIGINT) AS final_balance_cents
+FROM acc GROUP BY c
+"""
+
+
+@query("recursive_compound_balance", oracle=RECURSIVE_BALANCE_ORACLE)
+def recursive_compound_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE (UNION ALL recursion) driving a NONLINEAR
+    integer recurrence: walking each customer's orders in (date, key)
+    order, ``bal_n = floor(bal_{n-1} * 101 / 100) + cents_n`` — 1%
+    compounding with integer floor between steps. The floor makes the
+    recurrence inexpressible as any window aggregate (no prefix-sum
+    decomposition exists), which is exactly the class of computation
+    recursive CTEs earn their keep on; contrast dedup_clusters, whose
+    CYCLIC reachability cannot terminate under Spark 4.1's
+    UNION-ALL-only recursion and stays a driver loop (dedup.py).
+
+    Scale shape: recursion depth = the longest per-customer chain (25
+    here; bounded by orders-per-customer, not corpus size), and every
+    step is one hash join keyed on (customer, seq) — each iteration
+    touches only rows that advanced, so total work is O(total orders).
+    All arithmetic is integer cents — bit-identical on both engines."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_rec_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE base AS (
+          SELECT o_custkey AS c,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS seq,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM _rec_orders
+        ),
+        acc AS (
+          SELECT c, seq, cents AS bal FROM base WHERE seq = 1
+          UNION ALL
+          SELECT b.c, b.seq, (a.bal * 101) DIV 100 + b.cents
+          FROM acc a JOIN base b ON b.c = a.c AND b.seq = a.seq + 1
+        )
+        SELECT c AS o_custkey,
+               CAST(MAX(seq) AS BIGINT) AS n_orders,
+               CAST(MAX_BY(bal, seq) AS BIGINT) AS final_balance_cents
+        FROM acc GROUP BY c
+        """
+    )
