@@ -311,3 +311,159 @@ def recursive_compound_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM acc GROUP BY c
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention
+# --------------------------------------------------------------------------
+
+COHORT_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM first_seen GROUP BY 1
+),
+joined AS (
+  SELECT f.cohort_week, (a.week - f.cohort_week) // 7 AS week_offset
+  FROM activity a JOIN first_seen f USING (user_id)
+)
+SELECT j.cohort_week,
+       CAST(j.week_offset AS BIGINT) AS week_offset,
+       COUNT(*) AS n_active,
+       CAST(z.cohort_size AS BIGINT) AS cohort_size,
+       CAST(CAST(COUNT(*) AS DOUBLE) / CAST(z.cohort_size AS DOUBLE)
+            AS DOUBLE) AS retention_rate
+FROM joined j JOIN sizes z USING (cohort_week)
+GROUP BY j.cohort_week, j.week_offset, z.cohort_size
+"""
+
+
+@query("cohort_retention", oracle=COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytics staple: users bucketed by first-seen ISO week, then
+    counted per (cohort, weeks-since-cohort). week offsets are exact
+    integers (both truncations land on Mondays, so the day diff is a
+    multiple of 7) and the retention rate is one IEEE division.
+
+    Plan shape: activity dedups (user, week) with map-side partials;
+    first_seen is one groupBy over the same scan; the enrichment join is
+    per-user rows — everything shuffles doc-id-sized keys, and the
+    cohort-size dimension joins post-aggregation (|weeks| rows,
+    broadcast)."""
+    events = table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = activity.join(first_seen, "user_id").select(
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+    )
+    agg = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return agg.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        (
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double")
+        )
+        .cast("double")
+        .alias("retention_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (piecewise-constant integration)
+# --------------------------------------------------------------------------
+
+TWA_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS vm,
+         epoch_us(ts) AS us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_us
+  FROM events
+),
+iv AS (
+  SELECT user_id, vm, next_us - us AS dt FROM seq WHERE next_us IS NOT NULL
+),
+sums AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         CAST(SUM(CAST(vm AS HUGEINT) * dt) AS HUGEINT) AS sp,
+         CAST(SUM(dt) AS HUGEINT) AS sdt
+  FROM iv GROUP BY user_id HAVING SUM(dt) > 0
+)
+-- the integral sp exceeds 2^53, and DuckDB's int128->double cast is NOT
+-- correctly rounded up there (measured: off by 1 ulp vs Java/Python on
+-- 3 of ~200 users), so the division is split exactly first:
+-- sp/sdt = q + r/sdt with q, r, sdt all < 2^53, then only
+-- correctly-rounded small casts and two IEEE ops remain.
+SELECT user_id, n_intervals,
+       CAST((CAST(CAST(sp // sdt AS BIGINT) AS DOUBLE)
+             + CAST(CAST(sp % sdt AS BIGINT) AS DOUBLE)
+               / CAST(CAST(sdt AS BIGINT) AS DOUBLE)) / 1000000.0
+            AS DOUBLE) AS twa
+FROM sums
+"""
+
+
+@query("events_time_weighted_avg", oracle=TWA_ORACLE)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value`` under a
+    piecewise-constant hold: each observation is weighted by the
+    microseconds until the next one (the finance/sensor TWAP shape that
+    a plain AVG silently gets wrong on irregular streams). Micro-unit
+    values x integer microsecond weights keep the integral exact and
+    order-independent. The final division is split via exact integer
+    divmod (sp/sdt = q + r/sdt) because the integral tops 2^53, where
+    DuckDB's int128->double cast is not correctly rounded — after the
+    split every cast is < 2^53 and the remaining float ops are
+    plain IEEE arithmetic both engines agree on bit-for-bit. Users
+    whose events all share one timestamp have zero total weight and are
+    excluded (HAVING). One user_id exchange serves both the LEAD window
+    and the aggregation."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("vm"),
+        F.unix_micros("ts").alias("us"),
+        "ts",
+        "event_id",
+    ).withColumn("next_us", F.lead("us").over(w))
+    iv = seq.where(F.col("next_us").isNotNull()).select(
+        "user_id", "vm", (F.col("next_us") - F.col("us")).alias("dt")
+    )
+    agg = iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("vm").cast("decimal(38,0)") * F.col("dt")).alias("sp"),
+        F.sum("dt").alias("sdt"),
+    )
+    return agg.where(F.col("sdt") > 0).select(
+        "user_id",
+        "n_intervals",
+        F.expr(
+            "CAST((CAST(CAST(sp DIV sdt AS BIGINT) AS DOUBLE)"
+            " + CAST(CAST(sp % sdt AS BIGINT) AS DOUBLE)"
+            "   / CAST(sdt AS DOUBLE)) / 1000000.0D AS DOUBLE)"
+        ).alias("twa"),
+    )
