@@ -145,6 +145,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("name")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("-n", "--limit", type=int, default=20)
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of executing",
+    )
 
     p = sub.add_parser(
         "sql", help="run ad-hoc SQL over the sf tables (registered as views)"
@@ -213,7 +218,12 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.name!r}; {len(qs)} available", file=sys.stderr)
             return 2
         df = qs[args.name](spark, args.sf_dir)
-        df.show(args.limit, truncate=False)
+        if args.explain:
+            from .plans import formatted_plan
+
+            print(formatted_plan(df))
+        else:
+            df.show(args.limit, truncate=False)
     elif args.cmd == "sql":
         from .tables import register_temp_views
 

@@ -317,3 +317,14 @@ def test_cli_mr_inverted_index_example(spark, tmp_path, wh_root, capsys):
     assert lines["apple"] == "docs.txt:0 docs.txt:2 docs.txt:11"
     assert lines["banana"] == "docs.txt:0 docs.txt:1"
     assert lines["cherry"] == "docs.txt:1 docs.txt:11"
+
+
+def test_cli_query_explain(spark, wh_root, capsys, sf_dir):
+    rc = cli.main([
+        "--warehouse", wh_root, "query", "wordcount",
+        "--sf-dir", sf_dir, "--explain",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "== Physical Plan ==" in out
+    assert "Scan parquet" in out

@@ -99,3 +99,38 @@ def test_capped_jaccard_verify_honors_cap(spark, sf_dir):
     assert f"<= {MAX_DOC_FREQ}" in plan
     n_shingle_only = sum(1 for k in keys if k == ["shingle"])
     assert n_shingle_only <= 2, keys
+
+
+def test_incremental_operators_plan_shapes(spark, sf_dir):
+    """Pin the 100-TB shapes of the round-4 operators: MERGE is a single
+    shuffle join with no nested-loop fallback, SCD2 runs every window
+    pass off ONE user_id exchange, the rollup merge keeps its cutoff as
+    a broadcast scalar, and kmeans never leaves broadcast joins. All
+    four stay fully JVM-side."""
+    from go_dfs_mapreduce_spark.operators.incremental import (
+        incremental_rollup_merge,
+        merge_upsert_orders,
+        scd2_user_status,
+    )
+    from go_dfs_mapreduce_spark.operators.similarity import kmeans_embeddings
+
+    a = audit_plan(merge_upsert_orders(spark, sf_dir))
+    assert "NestedLoop" not in a["plan"] and "Cartesian" not in a["plan"]
+    assert not a["has_python_worker"]
+
+    a = audit_plan(scd2_user_status(spark, sf_dir))
+    # one exchange for the user_id windows + island re-key; never more
+    # than 2, and no join at all
+    assert a["n_exchanges"] <= 2
+    assert a["n_sortmerge_joins"] == 0 and a["n_broadcast_joins"] == 0
+    assert not a["has_python_worker"]
+
+    a = audit_plan(incremental_rollup_merge(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in a["plan"]  # 1-row cutoff scalar
+    assert a["n_sortmerge_joins"] == 0
+    assert not a["has_python_worker"]
+
+    a = audit_plan(kmeans_embeddings(spark, sf_dir))
+    assert a["n_sortmerge_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    assert not a["has_python_worker"]
