@@ -302,3 +302,142 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= STRAT_PER_GROUP)
         .select("doc_id", "lang", F.col("rn").cast("int").alias("rank_in_lang"))
     )
+
+
+# --------------------------------------------------------------------------
+# cluster-safe train/val split (leakage control)
+# --------------------------------------------------------------------------
+
+TRAIN_PCT = 90  # ~90/10 split by duplicate-cluster hash
+
+
+def _cluster_split_oracle() -> str:
+    from .dedup import DEDUP_CLUSTERS_ORACLE
+
+    return f"""
+WITH clusters AS ({DEDUP_CLUSTERS_ORACLE})
+SELECT doc_id, cluster,
+       CASE WHEN ('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)),
+                  1, 8))::UBIGINT % 100 < {TRAIN_PCT}
+            THEN 'train' ELSE 'val' END AS split
+FROM clusters
+"""
+
+
+@query("cluster_safe_split", oracle=_cluster_split_oracle())
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-controlled holdout split: the split hash is taken on each
+    document's DUPLICATE-CLUSTER id (dedup_clusters), not its doc id, so
+    near-duplicates can never straddle train/val — the contamination mode
+    a doc-id hash split silently permits (a val doc's 0.9-Jaccard twin in
+    train is an eval leak). Same deterministic md5-threshold machinery as
+    corpus_sample_hash, applied one level up the dedup pipeline; cost
+    beyond dedup_clusters itself is one projection."""
+    from .dedup import dedup_clusters
+
+    cl = dedup_clusters(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("cluster").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return cl.select(
+        "doc_id",
+        "cluster",
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# token-budget corpus selection (curate exactly-N-tokens subsets)
+# --------------------------------------------------------------------------
+
+TOKEN_BUDGET = 12_000  # ~44% of the sf0.01 corpus, ~4% of sf0.1
+_N_BUDGET_BUCKETS = 256  # hash prefix buckets for the scalable cumsum
+
+
+def _budget_oracle() -> str:
+    from .dedup import _NORM_DUCK
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, len(string_split({_NORM_DUCK}, ' ')) AS n_tokens,
+         ('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)),
+          1, 8))::UBIGINT AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+@query("token_budget_selection", oracle=_budget_oracle())
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select documents in deterministic priority order until a token
+    budget is exhausted — "give me a 500B-token subset" as one plan. The
+    priority here is a uniform hash (swap in a quality score for curated
+    subsets; the cutoff machinery is the operator).
+
+    The oracle's naive form is a GLOBAL ordered cumulative sum — a
+    single-partition window at 100 TB. This runs the scalable
+    equivalent: docs group into 256 hash-prefix buckets (the prefix IS
+    the leading sort key, so bucket order refines to the global order),
+    per-bucket token totals roll up on 256 rows, each bucket learns the
+    cumulative total BEFORE it (broadcast back), and the ordered window
+    runs only WITHIN buckets — partition-parallel, identical output."""
+    from .dedup import _NORM_SPARK
+
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    t = docs.select(
+        "doc_id",
+        F.expr(f"size(split({_NORM_SPARK}, ' '))").cast("bigint").alias(
+            "n_tokens"
+        ),
+        h.alias("h"),
+    ).withColumn("bucket", F.expr(f"h DIV {(1 << 32) // _N_BUDGET_BUCKETS}"))
+    btot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bt"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # 256 rows: the global window is metadata-sized by construction
+    prior = btot.select(
+        "bucket", (F.sum("bt").over(wb) - F.col("bt")).alias("cum_before")
+    )
+    ww = Window.partitionBy("bucket").orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sel = (
+        t.join(F.broadcast(prior), "bucket")
+        .withColumn(
+            "cum_tokens", F.col("cum_before") + F.sum("n_tokens").over(ww)
+        )
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )
+    return sel.select(
+        "doc_id", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
+    )

@@ -491,3 +491,39 @@ def test_kmeans_iteration_does_not_increase_inertia(spark, sf_dir):
     # seeds are distance 0 from themselves in iter 1
     zero = iter1.where(F.col("vec_id").isin(*seed_ids)).where(F.col("d2") != 0)
     assert zero.count() == 0
+
+
+def test_cluster_safe_split_never_straddles_clusters(spark, sf_dir):
+    """The leakage-control contract: every doc in a duplicate cluster
+    lands on the same side, and both sides are nonempty at this SF."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.llm_extras import cluster_safe_split
+
+    sp = cluster_safe_split(spark, sf_dir)
+    mixed = sp.groupBy("cluster").agg(
+        F.countDistinct("split").alias("n_sides")
+    )
+    assert mixed.where(F.col("n_sides") > 1).count() == 0
+    sides = {r.split for r in sp.select("split").distinct().collect()}
+    assert sides == {"train", "val"}
+
+
+def test_token_budget_selection_is_maximal_prefix(spark, sf_dir):
+    """Selection fills the budget: total <= budget, and no unselected doc
+    could still fit at the cut point (the next doc in priority order
+    would overflow)."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.llm_extras import (
+        TOKEN_BUDGET,
+        token_budget_selection,
+    )
+
+    sel = token_budget_selection(spark, sf_dir)
+    total = sel.agg(F.max("cum_tokens")).first()[0]
+    n_sel = sel.count()
+    assert total <= TOKEN_BUDGET
+    # cum_tokens is a strictly increasing prefix: max == sum of n_tokens
+    assert total == sel.agg(F.sum("n_tokens")).first()[0]
+    assert n_sel == sel.select("doc_id").distinct().count()
