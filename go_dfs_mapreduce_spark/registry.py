@@ -130,9 +130,11 @@ _DRIVER_SHOWCASE = (
     # distinct-agg + anti, EXISTS/NOT EXISTS correlation, date filter agg
     "q6_forecast_revenue",
     "q9_product_profit",
-    "q13_order_count_dist",
-    "q16_supplier_cnt",
-    "q21_waiting_suppliers",
+    # round-4 novel capabilities (q13/q16/q21 yielded — the TPC-H family
+    # is driver-proven by q1/q3/q6/q9/q18; the full 22 stay local-gated)
+    "kmeans_embeddings",
+    "recursive_compound_balance",
+    "token_budget_selection",
     # Spark-4 SQL surface
     "pipe_syntax_priority_rollup",
     "lateral_topk_per_nation",
