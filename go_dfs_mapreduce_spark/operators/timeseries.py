@@ -284,11 +284,18 @@ def recursive_compound_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     CYCLIC reachability cannot terminate under Spark 4.1's
     UNION-ALL-only recursion and stays a driver loop (dedup.py).
 
-    Scale shape: recursion depth = the longest per-customer chain (25
-    here; bounded by orders-per-customer, not corpus size), and every
-    step is one hash join keyed on (customer, seq) — each iteration
-    touches only rows that advanced, so total work is O(total orders).
-    All arithmetic is integer cents — bit-identical on both engines."""
+    Scale shape (plan-verified): recursion depth = the longest
+    per-customer chain (25 here; bounded by orders-per-customer, not
+    corpus size). Spark's UnionLoop re-executes the step subtree each
+    level, and the step references ``base`` — so the base scan + window
+    run ONCE PER LEVEL: total cost is depth x (scan + join), not
+    O(total orders). Fine at depth ~25 over a pruned 3-column scan; for
+    deep recursions at 100 TB, materialize ``base`` once into a table
+    bucketed on the join key (each level's join then probes
+    shuffle-free) — or restructure to a window decomposition when the
+    recurrence is linear (this one's integer floor makes that
+    impossible, which is why it is the showcase). All arithmetic is
+    integer cents — bit-identical on both engines."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("_rec_orders")
     return spark.sql(
         """
