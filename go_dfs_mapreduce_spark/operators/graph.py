@@ -1,0 +1,299 @@
+"""Graph analytics over the co-purchase graph.
+
+The graph: parts are nodes; an undirected edge connects two parts that
+appear together in at least one order (distinct pairs from a lineitem
+self-join on ``l_orderkey``). This is the standard market-basket /
+co-occurrence graph, and the two operators here are the standard
+large-graph primitives over it:
+
+- ``graph_triangle_counts`` — per-node triangle participation + local
+  clustering coefficient, via DEGREE-ORDERED ORIENTATION: every edge is
+  directed from its (degree, id)-smaller endpoint to the larger, wedges
+  are enumerated only at the oriented apex, and a triangle is a wedge
+  whose far endpoints are themselves an oriented edge. Orientation
+  bounds out-degree by O(sqrt(m)) on any graph, so wedge count is
+  O(m^{3/2}) instead of the Sum C(deg,2) blow-up a hub would cause —
+  the MapReduce triangle algorithm of Suri & Vassilvitskii (WWW'11),
+  expressed as two shuffle joins Catalyst schedules freely.
+- ``graph_common_neighbors_topk`` — link prediction: the top-k
+  NON-adjacent pairs ranked by common-neighbor count. Wedges here need
+  both hops of the apex, so orientation can't bound them; instead the
+  apex is DEGREE-CAPPED (a hub connected to everything predicts nothing
+  — standard practice in link-prediction pipelines), which bounds wedge
+  work at n * cap^2 by construction. The cap is applied identically in
+  the oracle.
+
+At 100 TB the shape holds: the edge list is one shuffle of
+order-locally generated pairs (map-side distinct inside each order),
+degrees are one small aggregate, and every join key is a part id —
+hash-partitioned, AQE-skew-splittable, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import table
+
+# --------------------------------------------------------------------------
+# shared frames
+# --------------------------------------------------------------------------
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame[u, v] with u < v — distinct co-purchase edges.
+
+    PERSISTED (and populated eagerly), same trade as dedup's
+    ``_shingle_arrays``: every graph query consumes this frame along
+    several pruned branches (degrees are a union of both endpoint
+    columns, orientation joins degrees back onto the edges), and
+    ReuseExchange never collapses branch-pruned subtrees (SCALE.md) —
+    unpersisted, the lineitem self-join + distinct ran 4-5x per query.
+    The edge list is 2 longs per edge (orders of magnitude smaller than
+    the fact table), which is exactly the frame a 100 TB deployment
+    would materialize once before any graph pass."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+        .persist()
+    )
+    edges.count()  # populate NOW (concurrent AQE stages racing an
+    # unpopulated cache each recompute the subtree)
+    return edges
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    """DataFrame[pk, d] — undirected degree of every non-isolated node."""
+    ends = edges.select(F.col("u").alias("pk")).unionAll(
+        edges.select(F.col("v").alias("pk"))
+    )
+    return ends.groupBy("pk").agg(F.count(F.lit(1)).alias("d"))
+
+
+# --------------------------------------------------------------------------
+# triangle counts + clustering coefficient
+# --------------------------------------------------------------------------
+
+_TRI_EDGE_CTE = """
+li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+deg AS (
+  SELECT pk, COUNT(*) AS d FROM (
+    SELECT u AS pk FROM e UNION ALL SELECT v AS pk FROM e
+  ) GROUP BY pk
+)
+"""
+
+TRIANGLE_ORACLE = f"""
+WITH {_TRI_EDGE_CTE},
+oe AS (
+  -- orient each edge from the (degree, id)-smaller endpoint; carry the
+  -- head's degree so the wedge join can order the two far endpoints
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS t,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN dv.d ELSE du.d END AS dt
+  FROM e JOIN deg du ON du.pk = e.u JOIN deg dv ON dv.pk = e.v
+),
+tri AS (
+  SELECT a.s AS x, a.t AS y, b.t AS z
+  FROM oe a
+  JOIN oe b ON a.s = b.s AND (a.dt < b.dt OR (a.dt = b.dt AND a.t < b.t))
+  JOIN oe c ON c.s = a.t AND c.t = b.t
+),
+pernode AS (
+  SELECT pk, COUNT(*) AS triangles FROM (
+    SELECT x AS pk FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY pk
+)
+SELECT n.pk AS part_id,
+       COALESCE(deg.d, 0) AS degree,
+       COALESCE(pernode.triangles, 0) AS triangles,
+       CASE WHEN COALESCE(deg.d, 0) >= 2
+            THEN 2.0 * COALESCE(pernode.triangles, 0) / (deg.d * (deg.d - 1))
+            ELSE 0.0 END AS clustering
+FROM (SELECT DISTINCT pk FROM li) n
+LEFT JOIN deg ON deg.pk = n.pk
+LEFT JOIN pernode ON pernode.pk = n.pk
+"""
+
+
+def triangle_counts_from_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Core triangle/clustering computation over ``nodes[pk]`` and
+    u<v-normalized distinct ``edges[u, v]`` (see ``graph_triangle_counts``
+    for the full semantics; split out so tests can drive handcrafted
+    graphs). ``edges`` should be persisted+populated by the caller — it
+    is consumed along several branch-pruned subtrees."""
+    deg = _degrees(edges)
+
+    e = (
+        edges.join(
+            F.broadcast(deg.withColumnRenamed("pk", "u").withColumnRenamed("d", "du")),
+            "u",
+        ).join(
+            F.broadcast(deg.withColumnRenamed("pk", "v").withColumnRenamed("d", "dv")),
+            "v",
+        )
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # persisted: consumed by all three triangle-join aliases below — the
+    # same branch-pruned-subtree recompute as _edges (degree count rows
+    # broadcast; oe itself is 3 longs per edge)
+    oe = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    ).persist()
+    oe.count()
+
+    a, b, c = oe.alias("a"), oe.alias("b"), oe.alias("c")
+    wedge_ord = (F.col("a.dt") < F.col("b.dt")) | (
+        (F.col("a.dt") == F.col("b.dt")) & (F.col("a.t") < F.col("b.t"))
+    )
+    tri = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & wedge_ord)
+        .join(c, (F.col("c.s") == F.col("a.t")) & (F.col("c.t") == F.col("b.t")))
+        .select(F.col("a.s").alias("x"), F.col("a.t").alias("y"), F.col("b.t").alias("z"))
+    )
+    # credit all three corners in ONE pass over the triangle join (a
+    # 3-branch union would recompute the wedge+closing joins 3x)
+    pernode = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+    out = (
+        nodes.join(deg, "pk", "left")
+        .join(pernode, "pk", "left")
+        .select(
+            F.col("pk").alias("part_id"),
+            F.coalesce(F.col("d"), F.lit(0)).alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(
+                F.coalesce(F.col("d"), F.lit(0)) >= 2,
+                F.lit(2.0)
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+    return out
+
+
+@query("graph_triangle_counts", oracle=TRIANGLE_ORACLE)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation and local clustering coefficient
+    over the co-purchase graph, with degree-ordered orientation bounding
+    wedge enumeration at O(m^{3/2}) regardless of hubs. The coefficient
+    divides exact integer counts once in IEEE double (portable); nodes
+    with degree < 2 report 0.0, not a 0/0."""
+    nodes = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    return triangle_counts_from_edges(nodes, _edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# common-neighbor link prediction (degree-capped apex)
+# --------------------------------------------------------------------------
+
+CN_APEX_CAP = 512  # max apex degree: hubs predict nothing, and capping
+# bounds wedge enumeration at n * cap^2 by construction
+CN_TOPK = 50
+
+COMMON_NEIGHBORS_ORACLE = f"""
+WITH {_TRI_EDGE_CTE},
+adj AS (
+  -- both directions, apex side degree-capped
+  SELECT e.u AS apex, e.v AS nb FROM e JOIN deg ON deg.pk = e.u WHERE deg.d <= {CN_APEX_CAP}
+  UNION ALL
+  SELECT e.v AS apex, e.u AS nb FROM e JOIN deg ON deg.pk = e.v WHERE deg.d <= {CN_APEX_CAP}
+),
+pairs AS (
+  SELECT a.nb AS p1, b.nb AS p2, COUNT(*) AS cn
+  FROM adj a JOIN adj b ON a.apex = b.apex AND a.nb < b.nb
+  GROUP BY a.nb, b.nb
+),
+nonedges AS (
+  SELECT * FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = p.p1 AND e.v = p.p2)
+)
+SELECT part_a, part_b, common_neighbors, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT p1 AS part_a, p2 AS part_b, cn AS common_neighbors,
+         row_number() OVER (ORDER BY cn DESC, p1, p2) AS rn
+  FROM nonedges
+) WHERE rn <= {CN_TOPK}
+"""
+
+
+def common_neighbors_topk_from_edges(
+    edges: DataFrame, cap: int = CN_APEX_CAP, k: int = CN_TOPK
+) -> DataFrame:
+    """Core common-neighbor ranking over u<v-normalized distinct
+    ``edges[u, v]`` (see ``graph_common_neighbors_topk``; split out so
+    tests can drive handcrafted graphs)."""
+    deg = _degrees(edges)
+    capped = deg.where(F.col("d") <= cap).select("pk")
+
+    fwd = edges.join(
+        capped.withColumnRenamed("pk", "u"), "u"
+    ).select(F.col("u").alias("apex"), F.col("v").alias("nb"))
+    rev = edges.join(
+        capped.withColumnRenamed("pk", "v"), "v"
+    ).select(F.col("v").alias("apex"), F.col("u").alias("nb"))
+    adj = fwd.unionAll(rev)
+
+    a, b = adj.alias("a"), adj.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.apex") == F.col("b.apex")) & (F.col("a.nb") < F.col("b.nb")))
+        .groupBy(F.col("a.nb").alias("p1"), F.col("b.nb").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonedges = pairs.join(
+        edges,
+        (pairs.p1 == edges.u) & (pairs.p2 == edges.v),
+        "left_anti",
+    )
+    topk = (
+        nonedges.select(
+            F.col("p1").alias("part_a"),
+            F.col("p2").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+        )
+        .orderBy(F.desc("common_neighbors"), "part_a", "part_b")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("common_neighbors"), "part_a", "part_b")
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@query("graph_common_neighbors_topk", oracle=COMMON_NEIGHBORS_ORACLE)
+def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase graph: the strongest
+    NOT-yet-connected part pairs by common-neighbor count (top-50).
+    Wedge apexes are degree-capped (identically in the oracle), so
+    enumeration is n*cap^2-bounded; candidate pairs then anti-join the
+    edge list (both sides already u<v-normalized). The top-k is a
+    distributed TakeOrderedAndProject over the candidate pairs — per-task
+    heaps, never a single-partition global sort — and only the <=50
+    survivors pass through the rank window (ties broken by pair ids)."""
+    return common_neighbors_topk_from_edges(_edges(spark, sf_dir))

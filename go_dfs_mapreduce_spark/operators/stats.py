@@ -318,3 +318,68 @@ def approx_aggregates_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return rows.select("r.metric", "r.exact_value", "r.approx_ok")
+
+
+# --------------------------------------------------------------------------
+# 2D skyline (Pareto frontier) — window-based, no pairwise self-join
+# --------------------------------------------------------------------------
+
+SKYLINE_ORACLE = """
+WITH g AS (
+  SELECT p_retailprice AS price, MIN(p_size) AS min_size
+  FROM part GROUP BY p_retailprice
+),
+w AS (
+  SELECT price, min_size,
+         MIN(min_size) OVER (
+           ORDER BY price
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_min
+  FROM g
+)
+SELECT p.p_partkey AS part_id, p.p_retailprice AS price, p.p_size AS size
+FROM part p JOIN w ON w.price = p.p_retailprice
+WHERE p.p_size = w.min_size
+  AND (w.prev_min IS NULL OR p.p_size < w.prev_min)
+"""
+
+
+@query("skyline_parts_2d", oracle=SKYLINE_ORACLE)
+def skyline_parts_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts on (price low, size low): a part survives
+    iff NO other part is <= on both dimensions and < on at least one.
+    The naive formulation is a quadratic NOT EXISTS self-join; this is
+    the O(n log n) sweep instead — collapse to per-price minimum size
+    (one aggregate), then a single ordered window pass where a price
+    group's running-minimum-so-far decides domination, and a broadcast
+    join back to parts recovers the surviving rows. Equal (price, size)
+    ties all survive (neither strictly dominates). The window runs over
+    DISTINCT price groups — dimension cardinality, not corpus
+    cardinality — which is what keeps the single-partition sort safe at
+    scale; a continuous-price corpus would first be bucketed the way
+    price_histogram buckets (the frontier of bucket minima).
+    """
+    part = table(spark, sf_dir, "part")
+    g = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.min("p_size").alias("min_size")
+    )
+    from pyspark.sql.window import Window
+
+    sweep = Window.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w = g.withColumn("prev_min", F.min("min_size").over(sweep))
+    return (
+        part.join(
+            F.broadcast(w), part.p_retailprice == w.price, "inner"
+        )
+        .where(
+            (F.col("p_size") == F.col("min_size"))
+            & (F.col("prev_min").isNull() | (F.col("p_size") < F.col("prev_min")))
+        )
+        .select(
+            F.col("p_partkey").alias("part_id"),
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+        )
+    )

@@ -53,6 +53,7 @@ _OPERATOR_MODULES = (
     "go_dfs_mapreduce_spark.operators.windows",
     "go_dfs_mapreduce_spark.operators.dedup",
     "go_dfs_mapreduce_spark.operators.similarity",
+    "go_dfs_mapreduce_spark.operators.graph",
 )
 
 
@@ -85,7 +86,6 @@ _DRIVER_SHOWCASE = (
     "wordcount",
     # reference parity: log-analysis plugin family (Q7-Q12)
     "log_parse_fields",
-    "log_normalize_urls",
     "log_top_domains",
     "log_crawler_domain_tally",
     # reference parity: MR framework end-to-end (F1-F13, Q13 ordering)
@@ -95,16 +95,15 @@ _DRIVER_SHOWCASE = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     # join family
-    "join_orders_per_nation",
     "join_anti_customers_without_orders",
     "asof_join_last_purchase",
     "range_join_event_pairs",
     # multi-dimensional aggregation
     "cube_order_status_priority",
     "percentiles_by_returnflag",
-    # window functions (ranking + RANGE frame)
+    # window functions (ranking anchor; the RANGE-frame row was driver-
+    # recorded in r1-r3 and stays local-gated)
     "window_rank_topk_per_customer",
-    "window_range_frame_trailing",
     # set operations (ALL variants)
     "set_union_all_orders",
     # subqueries
@@ -157,6 +156,12 @@ _DRIVER_SHOWCASE = (
     "events_locf_resample",
     "multimodal_audio_meta",
     "embedding_quantize_int8",
+    # graph analytics + skyline (new this session; the three anchors they
+    # displace — log_normalize_urls, join_orders_per_nation,
+    # window_range_frame_trailing — all earned driver rows in r1-r3)
+    "graph_triangle_counts",
+    "graph_common_neighbors_topk",
+    "skyline_parts_2d",
 )
 
 

@@ -1,0 +1,116 @@
+"""Graph analytics: handcrafted-graph exactness + skyline domination law.
+
+The sf0.01 oracle gate already cross-checks both graph queries against
+DuckDB end-to-end; these tests pin the CORE semantics on graphs small
+enough to verify by hand (where triangle counts are computable on paper)
+and exercise the knobs the oracle runs at fixed values (apex degree cap).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _edges_df(spark, pairs):
+    df = spark.createDataFrame(
+        [(int(u), int(v)) for (u, v) in pairs], "u long, v long"
+    ).persist()
+    df.count()
+    return df
+
+
+def _nodes_df(spark, ids):
+    return spark.createDataFrame([(int(i),) for i in ids], "pk long")
+
+
+def test_triangle_counts_handcrafted(spark):
+    """K4 on {1,2,3,4} + pendant 5-1 + isolated 6: every K4 node is in
+    C(3,2)=3 triangles; node 1 has degree 4 so clustering 3/C(4,2)=0.5,
+    nodes 2-4 have clustering 1.0, pendant and isolated report 0."""
+    from go_dfs_mapreduce_spark.operators.graph import triangle_counts_from_edges
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = _edges_df(spark, k4 + [(1, 5)])
+    out = {
+        r["part_id"]: r
+        for r in triangle_counts_from_edges(
+            _nodes_df(spark, [1, 2, 3, 4, 5, 6]), edges
+        ).collect()
+    }
+    edges.unpersist()
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert (out[1]["degree"], out[1]["triangles"]) == (4, 3)
+    assert out[1]["clustering"] == pytest.approx(0.5)
+    for n in (2, 3, 4):
+        assert (out[n]["degree"], out[n]["triangles"]) == (3, 3)
+        assert out[n]["clustering"] == pytest.approx(1.0)
+    assert (out[5]["degree"], out[5]["triangles"], out[5]["clustering"]) == (1, 0, 0.0)
+    assert (out[6]["degree"], out[6]["triangles"], out[6]["clustering"]) == (0, 0, 0.0)
+
+
+def test_triangle_orientation_counts_each_triangle_once(spark):
+    """A 5-cycle with one chord (1-3): exactly one triangle (1,2,3) —
+    wedge enumeration at the oriented apex must not double-count it."""
+    from go_dfs_mapreduce_spark.operators.graph import triangle_counts_from_edges
+
+    edges = _edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5), (1, 3)])
+    rows = triangle_counts_from_edges(
+        _nodes_df(spark, [1, 2, 3, 4, 5]), edges
+    ).collect()
+    edges.unpersist()
+    total = sum(r["triangles"] for r in rows)
+    assert total == 3  # one triangle, credited once to each corner
+    by_id = {r["part_id"]: r["triangles"] for r in rows}
+    assert by_id == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
+
+
+def test_common_neighbors_ranking_and_cap(spark):
+    """Star-with-tail: hub 1 adjacent to 2,3,4; plus edge 2-3. The only
+    non-adjacent pairs through apexes are (2,4) and (3,4) via hub 1
+    (cn=1). With the hub capped out (cap=2), no wedge apex survives and
+    the result is empty — the cap must change candidates, not crash."""
+    from go_dfs_mapreduce_spark.operators.graph import (
+        common_neighbors_topk_from_edges,
+    )
+
+    edges = _edges_df(spark, [(1, 2), (1, 3), (1, 4), (2, 3)])
+    rows = common_neighbors_topk_from_edges(edges, cap=512, k=10).collect()
+    got = {(r["part_a"], r["part_b"]): r["common_neighbors"] for r in rows}
+    assert got == {(2, 4): 1, (3, 4): 1}
+    ranks = {(r["part_a"], r["part_b"]): r["rank"] for r in rows}
+    assert ranks == {(2, 4): 1, (3, 4): 2}  # ties broken by pair ids
+
+    capped = common_neighbors_topk_from_edges(edges, cap=2, k=10).collect()
+    edges.unpersist()
+    # hub 1 (degree 3) excluded as apex; remaining apexes 2,3 (degree 2)
+    # wedge only adjacent pairs (1,3)/(1,2) — filtered as edges -> empty
+    assert capped == []
+
+
+def test_skyline_domination_law(spark):
+    """Against sf0.001 parts: every emitted row is undominated and every
+    non-emitted part is dominated by some part (the defining property,
+    checked exhaustively in driver memory at smoke scale)."""
+    from go_dfs_mapreduce_spark.operators.stats import skyline_parts_2d
+    from go_dfs_mapreduce_spark.tables import table
+
+    parts = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in table(spark, SF_SMOKE, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    sky = {
+        r["part_id"] for r in skyline_parts_2d(spark, SF_SMOKE).collect()
+    }
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] <= p[2] and (q[1] < p[1] or q[2] < p[2])
+            for q in parts
+        )
+
+    for p in parts:
+        assert (p[0] in sky) == (not dominated(p)), p
