@@ -114,3 +114,55 @@ def test_skyline_domination_law(spark):
 
     for p in parts:
         assert (p[0] in sky) == (not dominated(p)), p
+
+
+# --------------------------------------------------------------------------
+# property: orientation-based counts == brute force on random graphs
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from itertools import combinations
+
+_GSET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_GSET
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered wedge enumeration == brute-force C(n,3) scan, on
+    arbitrary random graphs (the orientation invariants — exactly-once
+    counting, hub independence — hold for every degree profile)."""
+    from go_dfs_mapreduce_spark.operators.graph import triangle_counts_from_edges
+
+    norm = {(min(u, v), max(u, v)) for (u, v) in edges}
+    nodes = sorted({x for e in norm for x in e})
+    adj = {n: set() for n in nodes}
+    for u, v in norm:
+        adj[u].add(v)
+        adj[v].add(u)
+    want_tri = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                want_tri[x] += 1
+
+    df = _edges_df(spark, sorted(norm))
+    got = {
+        r["part_id"]: (r["degree"], r["triangles"])
+        for r in triangle_counts_from_edges(_nodes_df(spark, nodes), df).collect()
+    }
+    df.unpersist()
+    assert got == {n: (len(adj[n]), want_tri[n]) for n in nodes}
