@@ -297,3 +297,105 @@ def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     heaps, never a single-partition global sort — and only the <=50
     survivors pass through the rank window (ties broken by pair ids)."""
     return common_neighbors_topk_from_edges(_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# PageRank, 2 unrolled iterations, exact integer micro-units
+# --------------------------------------------------------------------------
+
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+PR_BASE = 1_000_000  # initial rank mass per node, micro-units
+PR_TELEPORT = 150_000  # (1 - d) * base, micro-units
+
+PAGERANK_ORACLE = f"""
+WITH {_TRI_EDGE_CTE},
+adj AS (
+  SELECT u AS src, v AS dst FROM e
+  UNION ALL
+  SELECT v AS src, u AS dst FROM e
+),
+nodes AS (SELECT DISTINCT pk FROM li),
+r0 AS (SELECT pk, CAST({PR_BASE} AS BIGINT) AS r FROM nodes),
+r1 AS (
+  SELECT n.pk,
+         {PR_TELEPORT} + ({PR_DAMP_NUM} * COALESCE(s.m, 0)) // {PR_DAMP_DEN} AS r
+  FROM nodes n LEFT JOIN (
+    SELECT adj.dst AS pk, SUM(r0.r // deg.d) AS m
+    FROM adj JOIN r0 ON r0.pk = adj.src JOIN deg ON deg.pk = adj.src
+    GROUP BY adj.dst
+  ) s ON s.pk = n.pk
+),
+r2 AS (
+  SELECT n.pk,
+         {PR_TELEPORT} + ({PR_DAMP_NUM} * COALESCE(s.m, 0)) // {PR_DAMP_DEN} AS r
+  FROM nodes n LEFT JOIN (
+    SELECT adj.dst AS pk, SUM(r1.r // deg.d) AS m
+    FROM adj JOIN r1 ON r1.pk = adj.src JOIN deg ON deg.pk = adj.src
+    GROUP BY adj.dst
+  ) s ON s.pk = n.pk
+)
+SELECT r2.pk AS part_id, COALESCE(deg.d, 0) AS degree,
+       CAST(r2.r AS BIGINT) AS pr_micro
+FROM r2 LEFT JOIN deg ON deg.pk = r2.pk
+"""
+
+
+def _pr_iteration(nodes: DataFrame, adj_d: DataFrame, r: DataFrame) -> DataFrame:
+    """One damped PageRank step in exact integers: every node sends
+    floor(r/d) along each incident edge; a node's next rank is
+    teleport + floor(0.85 * received). Shares ride the adjacency join
+    (keyed by node id, map-side-combined sum); floor-of-nonnegative
+    integer division is spelled `div` (Spark) / `//` (DuckDB), which
+    agree everywhere and never round through a double."""
+    shares = (
+        adj_d.join(r, adj_d.src == r.pk)
+        .select("dst", F.expr("r div d").alias("share"))
+        .groupBy("dst")
+        .agg(F.sum("share").alias("m"))
+    )
+    return nodes.join(shares, nodes.pk == shares.dst, "left").select(
+        nodes.pk,
+        (
+            F.lit(PR_TELEPORT)
+            + F.expr(f"({PR_DAMP_NUM} * coalesce(m, 0)) div {PR_DAMP_DEN}")
+        ).alias("r"),
+    )
+
+
+def pagerank_from_edges(
+    nodes: DataFrame, edges: DataFrame, iters: int = 2
+) -> DataFrame:
+    """Core PageRank over ``nodes[pk]`` and u<v-normalized distinct
+    ``edges[u, v]`` (split out so tests can drive handcrafted graphs)."""
+    deg = _degrees(edges)
+    adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    adj_d = adj.join(F.broadcast(deg), adj.src == deg.pk).select("src", "dst", "d")
+
+    r = nodes.select("pk", F.lit(PR_BASE).cast("long").alias("r"))
+    for _ in range(iters):
+        r = _pr_iteration(nodes, adj_d, r)
+    return r.join(deg, "pk", "left").select(
+        F.col("pk").alias("part_id"),
+        F.coalesce(F.col("d"), F.lit(0)).alias("degree"),
+        F.col("r").cast("long").alias("pr_micro"),
+    )
+
+
+@query("pagerank_parts_2iter", oracle=PAGERANK_ORACLE)
+def pagerank_parts_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the undirected co-purchase graph, two Lloyd-
+    style unrolled iterations (the kmeans pattern: iteration count is a
+    constant plan factor, not driver-side looping), entirely in exact
+    integer micro-units so the result is order-independent and engine-
+    portable — no float accumulation anywhere. Per iteration the only
+    corpus-sized exchange is the share aggregation keyed by node id;
+    degrees ride along broadcast. Isolated nodes hold teleport mass only
+    (the undirected graph has no other sinks)."""
+    nodes = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    return pagerank_from_edges(nodes, _edges(spark, sf_dir), iters=2)

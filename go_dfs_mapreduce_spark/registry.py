@@ -98,9 +98,9 @@ _DRIVER_SHOWCASE = (
     "join_anti_customers_without_orders",
     "asof_join_last_purchase",
     "range_join_event_pairs",
-    # multi-dimensional aggregation
+    # multi-dimensional aggregation (cube anchors the family; the
+    # percentile row was driver-recorded in r1-r3 and stays local-gated)
     "cube_order_status_priority",
-    "percentiles_by_returnflag",
     # window functions (ranking anchor; the RANGE-frame row was driver-
     # recorded in r1-r3 and stays local-gated)
     "window_rank_topk_per_customer",
@@ -162,6 +162,7 @@ _DRIVER_SHOWCASE = (
     "graph_triangle_counts",
     "graph_common_neighbors_topk",
     "skyline_parts_2d",
+    "pagerank_parts_2iter",
 )
 
 

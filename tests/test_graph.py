@@ -166,3 +166,39 @@ def test_triangle_counts_match_bruteforce(spark, edges):
     }
     df.unpersist()
     assert got == {n: (len(adj[n]), want_tri[n]) for n in nodes}
+
+
+def test_pagerank_matches_integer_reference(spark):
+    """Path graph 1-2-3 plus isolated 4: compare against the same integer
+    recurrence computed by hand in Python (floor division everywhere).
+    Also pins the semantics choices: isolated nodes hold teleport mass,
+    degree-1 endpoints forward their whole rank."""
+    from go_dfs_mapreduce_spark.operators.graph import (
+        PR_BASE,
+        PR_TELEPORT,
+        pagerank_from_edges,
+    )
+
+    pairs = [(1, 2), (2, 3)]
+    adj = {1: [2], 2: [1, 3], 3: [2], 4: []}
+
+    r = {n: PR_BASE for n in adj}
+    for _ in range(2):
+        shares = {n: sum(r[u] // len(adj[u]) for u in adj if n in adj[u]) for n in adj}
+        r = {n: PR_TELEPORT + (85 * shares[n]) // 100 for n in adj}
+
+    edges = _edges_df(spark, pairs)
+    got = {
+        row["part_id"]: (row["degree"], row["pr_micro"])
+        for row in pagerank_from_edges(
+            _nodes_df(spark, [1, 2, 3, 4]), edges, iters=2
+        ).collect()
+    }
+    edges.unpersist()
+    assert got == {
+        1: (1, r[1]),
+        2: (2, r[2]),
+        3: (1, r[3]),
+        4: (0, r[4]),
+    }
+    assert got[4][1] == PR_TELEPORT  # isolated: teleport mass only
