@@ -262,6 +262,14 @@ def common_neighbors_topk_from_edges(
     ).select(F.col("v").alias("apex"), F.col("u").alias("nb"))
     adj = fwd.unionAll(rev)
 
+    # wedge pairs via a STREAMING SELF-JOIN on the apex, deliberately NOT
+    # dedup's bucket-expansion trick: expansion wins when buckets hold a
+    # handful of members (LSH signatures), but an apex of degree d
+    # materializes a C(d,2)-struct array per row before explode, outside
+    # whole-stage codegen — measured 2.3x SLOWER than this join at sf0.1
+    # (103 s vs 45 s over 148M wedges, SCALE.md). The join streams both
+    # probe sides through generated code and feeds the partial count
+    # directly.
     a, b = adj.alias("a"), adj.alias("b")
     pairs = (
         a.join(b, (F.col("a.apex") == F.col("b.apex")) & (F.col("a.nb") < F.col("b.nb")))
@@ -292,10 +300,11 @@ def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT-yet-connected part pairs by common-neighbor count (top-50).
     Wedge apexes are degree-capped (identically in the oracle), so
     enumeration is n*cap^2-bounded; candidate pairs then anti-join the
-    edge list (both sides already u<v-normalized). The top-k is a
-    distributed TakeOrderedAndProject over the candidate pairs — per-task
-    heaps, never a single-partition global sort — and only the <=50
-    survivors pass through the rank window (ties broken by pair ids)."""
+    edge list (both sides already u<v-normalized). The
+    top-k is a distributed TakeOrderedAndProject over the candidate
+    pairs — per-task heaps, never a single-partition global sort — and
+    only the <=50 survivors pass through the rank window (ties broken
+    by pair ids)."""
     return common_neighbors_topk_from_edges(_edges(spark, sf_dir))
 
 
