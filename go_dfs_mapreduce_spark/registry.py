@@ -114,10 +114,12 @@ _DRIVER_SHOWCASE = (
     "pivot_event_counts",
     # UDF / UDAF / UDTF
     "udf_price_tier",
-    "udaf_customer_stats",
     "udtf_first_tokens",
-    # streaming (batch twins, incl. the transformWithState detector twin)
-    "stream_session_windows",
+    # streaming: REAL-engine runs (complete-mode memory sink; the batch
+    # twins stream_session_windows / stream_tumbling_counts were driver-
+    # recorded in r1-r3) + the transformWithState detector twin
+    "stream_session_windows_live",
+    "stream_tumbling_counts_live",
     "stream_first_occurrences",
     # deduplication + similarity + text + multimodal anchors
     "dedup_exact",
