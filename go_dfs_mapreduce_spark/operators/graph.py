@@ -31,6 +31,8 @@ hash-partitioned, AQE-skew-splittable, no driver-side state.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -43,6 +45,12 @@ from ..tables import table
 # --------------------------------------------------------------------------
 
 
+# (session id, sf_dir) -> persisted edge frame: the three graph queries
+# each need the same edge list, and a per-call persist would re-run the
+# lineitem self-join and pin duplicate cache entries across a gate sweep
+_EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame[u, v] with u < v — distinct co-purchase edges.
 
@@ -52,9 +60,18 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns, orientation joins degrees back onto the edges), and
     ReuseExchange never collapses branch-pruned subtrees (SCALE.md) —
     unpersisted, the lineitem self-join + distinct ran 4-5x per query.
-    The edge list is 2 longs per edge (orders of magnitude smaller than
-    the fact table), which is exactly the frame a 100 TB deployment
-    would materialize once before any graph pass."""
+    Memoized per (session, sf dir) so the graph query family shares one
+    materialization per sweep. The edge list is 2 longs per edge
+    (orders of magnitude smaller than the fact table), which is exactly
+    the frame a 100 TB deployment would materialize once before any
+    graph pass."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    memo = _EDGES_MEMO.get(key)
+    # clearCache() (bench reps, tests) unpersists behind our back; the
+    # storage-level probe detects that and rebuilds instead of silently
+    # recomputing the subtree on every consumer
+    if memo is not None and memo.storageLevel.useMemory:
+        return memo
     li = (
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
@@ -69,6 +86,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.count()  # populate NOW (concurrent AQE stages racing an
     # unpopulated cache each recompute the subtree)
+    _EDGES_MEMO[key] = edges
     return edges
 
 

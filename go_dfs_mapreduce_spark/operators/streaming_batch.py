@@ -261,22 +261,23 @@ def stream_first_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_occurrences_batch(table(spark, sf_dir, "events"))
 
 
-@query("stream_tumbling_counts_live", oracle=TUMBLING_ORACLE)
-def stream_tumbling_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The tumbling aggregation run through the REAL streaming engine —
-    not the batch twin: the events parquet is consumed by the file
-    stream source (symlinked into a scratch dir, zero-copy; the file
-    source needs a base directory), aggregated by the SAME
-    ``tumbling_agg`` builder the batch twin uses, and emitted in
-    complete mode to a memory sink under an AvailableNow trigger. The
-    oracle is the identical SQL as ``stream_tumbling_counts``, so the
-    driver's gate now hash-checks the streaming ENGINE's stateful
-    aggregation output, not just the shared logical plan. Complete mode
-    needs no watermark, so no window is held back at end-of-stream. At
+def _run_live(spark: SparkSession, sf_dir: str, builder, prefix: str,
+              shuffle_partitions: int = 8) -> DataFrame:
+    """Run ``builder(stream_events_df)`` through the REAL streaming
+    engine: the events parquet is consumed by the file stream source
+    (symlinked into a scratch dir, zero-copy — the file source needs a
+    base directory and the sf dirs are read-only), and the aggregate is
+    emitted in complete mode to a memory sink under an AvailableNow
+    trigger. Complete mode needs no watermark, so no window is held
+    back at end-of-stream. State-store commit cost is per partition per
+    batch, and one AvailableNow batch over a single file does not need
+    32 state partitions (measured 32 s -> 17 s on the session query),
+    so shuffle partitions are scoped down around start() — the value is
+    captured when the streaming query launches — and restored after.
+    The memory-sink view and scratch dir are removed on every path so
+    repeated gate sweeps never accrete sink tables or temp dirs. At
     deployment the stream points at the live landing directory and the
-    memory sink becomes a real one; the scratch symlink exists only to
-    satisfy the file source's directory contract in a read-only-sf
-    world."""
+    memory sink becomes a real one."""
     import os
     import shutil
     import tempfile
@@ -285,75 +286,59 @@ def stream_tumbling_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import read_events_stream
 
     node = tempfile.mkdtemp(prefix="go_dfs_events_live_")
+    qname = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    started = False
     try:
+        # abspath: a relative sf_dir would otherwise store a relative
+        # symlink target that dangles from inside the scratch dir
         os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
             os.path.join(node, "events.parquet"),
         )
         ev = read_events_stream(spark, node, watermark=None)
-        qname = f"t_tumbling_live_{uuid.uuid4().hex[:8]}"
-        q = (
-            tumbling_agg(ev, "5 minutes")
-            .writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        tbl = spark.table(qname)
-        rows = tbl.collect()  # result-sized (windows x types)
-        schema = tbl.schema
-        spark.catalog.dropTempView(qname)
-        return spark.createDataFrame(rows, schema)
-    finally:
-        shutil.rmtree(node, ignore_errors=True)
-
-
-@query("stream_session_windows_live", oracle=SESSION_ORACLE)
-def stream_session_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows through the REAL streaming engine (merging-window
-    state store), same scratch-symlink file source and complete-mode
-    memory sink as ``stream_tumbling_counts_live``, same builder and
-    oracle as the batch twin — the gate hash-checks the engine's session
-    MERGE logic (gaps-and-islands equivalence) end-to-end."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    from ..streaming.windows import read_events_stream
-
-    node = tempfile.mkdtemp(prefix="go_dfs_events_live_")
-    try:
-        os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(node, "events.parquet"),
-        )
-        ev = read_events_stream(spark, node, watermark=None)
-        qname = f"t_session_live_{uuid.uuid4().hex[:8]}"
-        # state-store commit cost is per partition per batch; one
-        # AvailableNow batch over a single file doesn't need 32 state
-        # partitions (measured 32 s -> 17 s). Restored after start: the
-        # value is captured when the streaming query launches.
         old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         try:
             q = (
-                session_agg(ev, "30 minutes")
+                builder(ev)
                 .writeStream.format("memory")
                 .queryName(qname)
                 .outputMode("complete")
                 .trigger(availableNow=True)
                 .start()
             )
+            started = True
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         q.awaitTermination()
         tbl = spark.table(qname)
-        rows = tbl.collect()  # result-sized (sessions)
+        rows = tbl.collect()  # result-sized (windows/sessions x keys)
         schema = tbl.schema
-        spark.catalog.dropTempView(qname)
         return spark.createDataFrame(rows, schema)
     finally:
+        if started:
+            spark.catalog.dropTempView(qname)
         shutil.rmtree(node, ignore_errors=True)
+
+
+@query("stream_tumbling_counts_live", oracle=TUMBLING_ORACLE)
+def stream_tumbling_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregation run through the REAL streaming engine,
+    not the batch twin — same ``tumbling_agg`` builder and identical
+    oracle SQL as ``stream_tumbling_counts``, so the driver's gate
+    hash-checks the streaming ENGINE's stateful aggregation output, not
+    just the shared logical plan (mechanics in ``_run_live``)."""
+    return _run_live(
+        spark, sf_dir, lambda ev: tumbling_agg(ev, "5 minutes"), "t_tumbling_live"
+    )
+
+
+@query("stream_session_windows_live", oracle=SESSION_ORACLE)
+def stream_session_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows through the REAL streaming engine (merging-window
+    state store), same builder and oracle as the batch twin — the gate
+    hash-checks the engine's session MERGE logic (gaps-and-islands
+    equivalence) end-to-end (mechanics in ``_run_live``)."""
+    return _run_live(
+        spark, sf_dir, lambda ev: session_agg(ev, "30 minutes"), "t_session_live"
+    )
