@@ -73,12 +73,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The exactly-50 queries the driver will record. Round-4 rotation
-# (VERDICT r3 #1): 30 anchors keep one representative per SURVEY §2
-# family green in every round's driver file, and 20 slots go to queries
+# (VERDICT r3 #1): 24 anchors keep one representative per SURVEY §2
+# family green in every round's driver file, and 26 slots go to queries
 # that have never earned a driver row (rounds 1-3 recorded 79 distinct
-# names; the local gate verifies all registered queries every round, but
+# names — cumulative driver-verified set reaches 105 after this round;
+# the local gate verifies all registered queries every round, but
 # driver rows are the externally-scored evidence). Future rounds keep
-# rotating the 20 floating slots through the remaining never-recorded
+# rotating the floating slots through the remaining never-recorded
 # set. Order within the list is presentation order only.
 _DRIVER_SHOWCASE = (
     # --- 30 family anchors (recorded in every round) ---
