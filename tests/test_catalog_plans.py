@@ -476,3 +476,28 @@ def test_store_retrieve_edge_payloads(wh, tmp_path):
     out = tmp_path / "uni.out"
     wh.retrieve("uni.txt", str(out))
     assert out.read_text(encoding="utf-8") == content
+
+
+def test_graph_family_plan_shapes(spark, sf_dir):
+    """Graph operators stay JVM-side end-to-end; the link-prediction
+    top-k is a distributed TakeOrderedAndProject (per-task heaps), and
+    the skyline scan is pruned to exactly its three part columns."""
+    from go_dfs_mapreduce_spark.operators.graph import (
+        graph_common_neighbors_topk,
+        graph_triangle_counts,
+        pagerank_parts_2iter,
+    )
+    from go_dfs_mapreduce_spark.operators.stats import skyline_parts_2d
+
+    for fn in (graph_triangle_counts, pagerank_parts_2iter):
+        a = audit_plan(fn(spark, sf_dir))
+        assert not a["has_python_worker"], fn.__name__
+
+    a = audit_plan(graph_common_neighbors_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "TakeOrderedAndProject" in a["plan"]
+
+    a = audit_plan(skyline_parts_2d(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_broadcast_joins"] >= 1
+    assert set(a["read_columns"]) == {"p_partkey", "p_retailprice", "p_size"}
