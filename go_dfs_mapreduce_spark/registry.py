@@ -85,8 +85,8 @@ _DRIVER_SHOWCASE = (
     # --- 30 family anchors (recorded in every round) ---
     # reference parity: wordcount plugin family (Q1-Q6)
     "wordcount",
-    # reference parity: log-analysis plugin family (Q7-Q12)
-    "log_parse_fields",
+    # reference parity: log-analysis plugin family (Q7-Q12; the
+    # parse-fields row was driver-recorded in r1-r3)
     "log_top_domains",
     "log_crawler_domain_tally",
     # reference parity: MR framework end-to-end (F1-F13, Q13 ordering)
@@ -166,6 +166,7 @@ _DRIVER_SHOWCASE = (
     "graph_common_neighbors_topk",
     "skyline_parts_2d",
     "pagerank_parts_2iter",
+    "dup_span_detection",
 )
 
 

@@ -527,3 +527,34 @@ def test_token_budget_selection_is_maximal_prefix(spark, sf_dir):
     # cum_tokens is a strictly increasing prefix: max == sum of n_tokens
     assert total == sel.agg(F.sum("n_tokens")).first()[0]
     assert n_sel == sel.select("doc_id").distinct().count()
+
+
+def test_dup_span_detection_handcrafted(spark):
+    """Two docs share an exact 8-token run embedded at different offsets
+    (unique filler elsewhere): each must report exactly one span covering
+    that run — 4 five-grams, 8 tokens — at its own 1-based offset. The
+    third doc shares nothing and must not appear. Also pins the
+    MIN_GRAMS floor: a shared 6-token run (2 grams) is noise-dropped."""
+    from go_dfs_mapreduce_spark.operators.dedup import dup_spans_from_docs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    short = "red orange yellow green blue violet"  # 6 tokens -> 2 grams
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 u3 {shared} u4 u5"),
+            (2, f"v1 {shared} v2 v3 v4 v5 v6"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+            (4, f"x1 x2 {short} x3 x4"),
+            (5, f"y1 y2 y3 y4 {short}"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"], r["n_grams"])
+        for r in dup_spans_from_docs(docs).collect()
+    }
+    # doc 1: shared run starts at token 4 (1-based), spans 8 tokens
+    assert rows == {
+        1: (4, 11, 8, 4),
+        2: (2, 9, 8, 4),
+    }
