@@ -73,16 +73,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The exactly-50 queries the driver will record. Round-4 rotation
-# (VERDICT r3 #1): 24 anchors keep one representative per SURVEY §2
-# family green in every round's driver file, and 26 slots go to queries
+# (VERDICT r3 #1): 23 anchors keep one representative per SURVEY §2
+# family green in every round's driver file, and 27 slots go to queries
 # that have never earned a driver row (rounds 1-3 recorded 79 distinct
-# names — cumulative driver-verified set reaches 105 after this round;
+# names — cumulative driver-verified set reaches 106 after this round;
 # the local gate verifies all registered queries every round, but
 # driver rows are the externally-scored evidence). Future rounds keep
 # rotating the floating slots through the remaining never-recorded
 # set. Order within the list is presentation order only.
 _DRIVER_SHOWCASE = (
-    # --- 30 family anchors (recorded in every round) ---
+    # --- 23 family anchors (recorded in every round) ---
     # reference parity: wordcount plugin family (Q1-Q6)
     "wordcount",
     # reference parity: log-analysis plugin family (Q7-Q12; the
@@ -127,7 +127,7 @@ _DRIVER_SHOWCASE = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_scores",
-    # --- 20 first-time rows (round-4 rotation) ---
+    # --- 27 first-time rows (round-4 rotation) ---
     # TPC-H coverage: multi-join profit, outer-join distribution,
     # distinct-agg + anti, EXISTS/NOT EXISTS correlation, date filter agg
     "q6_forecast_revenue",
