@@ -1046,11 +1046,6 @@ FROM isl GROUP BY doc_id, span_id HAVING COUNT(*) >= {SPAN_MIN_GRAMS}
 """
 
 
-def dup_spans_from_docs(docs: DataFrame) -> DataFrame:
-    """Core span computation over a ``docs[doc_id, text]`` frame (split
-    out so tests can drive handcrafted corpora); semantics in
-    ``dup_span_detection``."""
-    return _dup_spans_impl(docs)
 
 
 @query("dup_span_detection", oracle=DUP_SPANS_ORACLE.format(norm=_NORM_DUCK))
@@ -1072,22 +1067,32 @@ def dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_spans_from_docs(table(spark, sf_dir, "documents"))
 
 
-def _dup_spans_impl(docs: DataFrame) -> DataFrame:
+def dup_spans_from_docs(docs: DataFrame) -> DataFrame:
+    """Core span computation over a ``docs[doc_id, text]`` frame (split
+    out so tests can drive handcrafted corpora); semantics in
+    ``dup_span_detection``."""
     toks = docs.select(
         "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
     )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform("
-                f" if(size(toks) >= {SPAN_K},"
-                f"    sequence(1, size(toks) - {SPAN_K} + 1), array()),"
-                f" i -> struct(i AS pos,"
-                f"   md5(array_join(slice(toks, i, {SPAN_K}), ' ')) AS gk))"
-            )
-        ).alias("g"),
-    ).select("doc_id", "g.pos", "g.gk")
+    # grams through ngram_expr — the single source of truth for n-gram
+    # construction (posexplode is 0-based; positions here are 1-based).
+    # PERSISTED + eager like _shingle_arrays: both sides of the df join
+    # below consume this frame, and unpersisted the corpus was scanned,
+    # tokenized and md5-hashed twice per run (two Scan parquet nodes in
+    # the PLANS.md dump).
+    grams = (
+        toks.select(
+            "doc_id",
+            F.posexplode(F.expr(ngram_expr("toks", SPAN_K))).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5(F.col("gram")).alias("gk"),
+        )
+        .persist()
+    )
+    grams.count()
 
     # document frequency via distinct -> count -> join-back, NOT a
     # collect_set window: a boilerplate gram shared by millions of docs
@@ -1127,6 +1132,7 @@ def _dup_spans_impl(docs: DataFrame) -> DataFrame:
     )
 
 
-dup_span_detection.__doc__ = dup_span_detection.__doc__.format(
-    SPAN_K=SPAN_K, SPAN_MIN_GRAMS=SPAN_MIN_GRAMS
-)
+if dup_span_detection.__doc__:  # absent under python -OO
+    dup_span_detection.__doc__ = dup_span_detection.__doc__.format(
+        SPAN_K=SPAN_K, SPAN_MIN_GRAMS=SPAN_MIN_GRAMS
+    )

@@ -65,7 +65,13 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders of magnitude smaller than the fact table), which is exactly
     the frame a 100 TB deployment would materialize once before any
     graph pass."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    app = spark.sparkContext.applicationId
+    # evict entries from other (stopped) applications: their DataFrame
+    # wrappers point into dead JVM contexts and would otherwise accrete
+    # across session restarts within one Python process
+    for stale in [k for k in _EDGES_MEMO if k[0] != app]:
+        del _EDGES_MEMO[stale]
+    key = (app, os.path.abspath(sf_dir))
     memo = _EDGES_MEMO.get(key)
     # clearCache() (bench reps, tests) unpersists behind our back; the
     # storage-level probe detects that and rebuilds instead of silently

@@ -116,11 +116,9 @@ _DRIVER_SHOWCASE = (
     # UDF / UDAF / UDTF
     "udf_price_tier",
     "udtf_first_tokens",
-    # streaming: REAL-engine runs (complete-mode memory sink; the batch
+    # streaming anchor: the transformWithState detector twin (the batch
     # twins stream_session_windows / stream_tumbling_counts were driver-
-    # recorded in r1-r3) + the transformWithState detector twin
-    "stream_session_windows_live",
-    "stream_tumbling_counts_live",
+    # recorded in r1-r3; their REAL-engine runs are first-time rows below)
     "stream_first_occurrences",
     # deduplication + similarity + text + multimodal anchors
     "dedup_exact",
@@ -159,14 +157,18 @@ _DRIVER_SHOWCASE = (
     "events_locf_resample",
     "multimodal_audio_meta",
     "embedding_quantize_int8",
-    # graph analytics + skyline (new this session; the three anchors they
-    # displace — log_normalize_urls, join_orders_per_nation,
-    # window_range_frame_trailing — all earned driver rows in r1-r3)
+    # session-2 additions (all never driver-recorded; the anchors they
+    # displace — log_normalize_urls, log_parse_fields,
+    # join_orders_per_nation, window_range_frame_trailing,
+    # percentiles_by_returnflag, udaf_customer_stats, and the two
+    # streaming batch twins — all earned driver rows in r1-r3)
     "graph_triangle_counts",
     "graph_common_neighbors_topk",
     "skyline_parts_2d",
     "pagerank_parts_2iter",
     "dup_span_detection",
+    "stream_session_windows_live",
+    "stream_tumbling_counts_live",
 )
 
 

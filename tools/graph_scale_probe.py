@@ -42,8 +42,12 @@ def main() -> None:
     )
 
     fns = (graph_triangle_counts, graph_common_neighbors_topk, pagerank_parts_2iter)
-    for fn in fns:  # codegen warm-up: identical generated classes
-        fn(spark, WARM_SF).write.mode("overwrite").format("noop").save()
+    # codegen warm-up: identical generated classes. Prefer the tiny smoke
+    # SF; on hosts without it, warm on the first probed dir instead (the
+    # warm run's timings are discarded either way).
+    warm_dir = WARM_SF if os.path.isdir(WARM_SF) else sf_dirs[0]
+    for fn in fns:
+        fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
 
     for sf_dir in sf_dirs:
         spark.catalog.clearCache()
