@@ -359,7 +359,12 @@ def skyline_parts_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; a continuous-price corpus would first be bucketed the way
     price_histogram buckets (the frontier of bucket minima).
     """
-    part = table(spark, sf_dir, "part")
+    return skyline_2d_from_parts(table(spark, sf_dir, "part"))
+
+
+def skyline_2d_from_parts(part: DataFrame) -> DataFrame:
+    """Core sweep over a ``part[p_partkey, p_retailprice, p_size]`` frame
+    (split out so tests can drive handcrafted point sets)."""
     g = part.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.min("p_size").alias("min_size")
     )

@@ -202,3 +202,32 @@ def test_pagerank_matches_integer_reference(spark):
         4: (0, r[4]),
     }
     assert got[4][1] == PR_TELEPORT  # isolated: teleport mass only
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=15,
+    )
+)
+@_GSET
+def test_skyline_matches_bruteforce(spark, pts):
+    """Window-sweep skyline == brute-force domination scan on random
+    integer point sets (ties on one or both dimensions included)."""
+    from go_dfs_mapreduce_spark.operators.stats import skyline_2d_from_parts
+
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    docs = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    )
+    sky = {r["part_id"] for r in skyline_2d_from_parts(docs).collect()}
+
+    def dominated(i):
+        pi, si = rows[i][1], rows[i][2]
+        return any(
+            (q[1] <= pi and q[2] <= si and (q[1] < pi or q[2] < si))
+            for q in rows
+        )
+
+    assert sky == {i for i in range(len(rows)) if not dominated(i)}

@@ -558,3 +558,67 @@ def test_dup_span_detection_handcrafted(spark):
         1: (4, 11, 8, 4),
         2: (2, 9, 8, 4),
     }
+
+
+def _py_dup_spans(texts, k=5, min_grams=3):
+    """Reference implementation of dup_span_detection in plain Python."""
+    import re
+    from collections import defaultdict
+
+    toks = {
+        d: re.sub(r"\s+", " ", t).strip().lower().split(" ")
+        for d, t in texts.items()
+    }
+    grams = defaultdict(list)  # (doc, pos 1-based) lists per gram
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            grams[" ".join(ts[i : i + k])].append((d, i + 1))
+    dup_pos = defaultdict(list)
+    for g, occ in grams.items():
+        if len({d for d, _ in occ}) >= 2:
+            for d, p in occ:
+                dup_pos[d].append(p)
+    spans = []
+    for d, ps in dup_pos.items():
+        ps.sort()
+        run = [ps[0]]
+        for p in ps[1:]:
+            if p - run[-1] > k:
+                spans.append((d, run))
+                run = [p]
+            else:
+                run.append(p)
+        spans.append((d, run))
+    return {
+        (d, run[0], run[-1] + k - 1, run[-1] - run[0] + k, len(run))
+        for d, run in spans
+        if len(run) >= min_grams
+    }
+
+
+def test_dup_span_detection_random_corpora(spark):
+    """Distributed span pipeline == plain-Python reference on small
+    random corpora with planted shared runs (deterministic seed)."""
+    import random
+
+    from go_dfs_mapreduce_spark.operators.dedup import dup_spans_from_docs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(4):
+        shared = " ".join(rng.choices(vocab, k=rng.randint(5, 12)))
+        texts = {}
+        for d in range(6):
+            fill = lambda n: " ".join(f"u{d}x{j}" for j in range(n))
+            if d < rng.randint(2, 5):
+                texts[d] = f"{fill(rng.randint(0,4))} {shared} {fill(rng.randint(0,4))}".strip()
+            else:
+                texts[d] = fill(rng.randint(6, 14))
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_grams"])
+            for r in dup_spans_from_docs(docs).collect()
+        }
+        assert got == _py_dup_spans(texts), f"trial {trial}"
