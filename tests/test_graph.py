@@ -231,3 +231,51 @@ def test_skyline_matches_bruteforce(spark, pts):
         )
 
     assert sky == {i for i in range(len(rows)) if not dominated(i)}
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(1, 7), st.integers(1, 7)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@_GSET
+def test_pagerank_matches_python_recurrence(spark, edges):
+    """Distributed PageRank == the plain-Python integer recurrence on
+    random graphs: same floor divisions, same damping ratio, two
+    iterations — exact equality, no tolerance."""
+    from go_dfs_mapreduce_spark.operators.graph import (
+        PR_BASE,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_TELEPORT,
+        pagerank_from_edges,
+    )
+
+    norm = sorted({(min(u, v), max(u, v)) for (u, v) in edges})
+    nodes = sorted({x for e in norm for x in e})
+    adj = {n: set() for n in nodes}
+    for u, v in norm:
+        adj[u].add(v)
+        adj[v].add(u)
+
+    r = {n: PR_BASE for n in nodes}
+    for _ in range(2):
+        shares = {
+            n: sum(r[u] // len(adj[u]) for u in adj[n]) for n in nodes
+        }
+        r = {
+            n: PR_TELEPORT + (PR_DAMP_NUM * shares[n]) // PR_DAMP_DEN
+            for n in nodes
+        }
+
+    df = _edges_df(spark, norm)
+    got = {
+        row["part_id"]: row["pr_micro"]
+        for row in pagerank_from_edges(_nodes_df(spark, nodes), df, iters=2).collect()
+    }
+    df.unpersist()
+    assert got == r
