@@ -663,7 +663,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_NN_CELLS = 8  # IVF sub-cells per label block
 
-EMB_NN_ORACLE = f"""
+# Shared oracle CTE prefix: per-dimension explode, deterministic IVF cell
+# assignment (smallest-vec_id seeds per label, exact-decimal argmin), and
+# exact-decimal norms. Consumed by EMB_NN_ORACLE and SEMDEDUP_ORACLE.
+_CELL_CTES = f"""
 WITH x AS (
   SELECT vec_id, label, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS v
   FROM embeddings, range(1, 65) r(i)
@@ -695,7 +698,11 @@ xc AS (
 ),
 norms AS (
   SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,18))) AS n2 FROM x GROUP BY vec_id
-),
+)
+"""
+
+EMB_NN_ORACLE = f"""
+{_CELL_CTES},
 dots AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,
          SUM(CAST(a.v * b.v AS DECIMAL(28,18))) AS dot
@@ -864,6 +871,97 @@ def embedding_nn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vb").alias("nn_vec_id"),
             F.round("c", 6).alias("cosine"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023, public): prune a vector when
+# a same-cell vector with a SMALLER id is cosine-similar above epsilon.
+# The deterministic tie-break (keep the smallest id) is what makes the
+# survivor set — not just the duplicate-pair set — oracle-checkable.
+# --------------------------------------------------------------------------
+
+SEM_EPS = 0.25  # calibrated to the synthetic corpus (random-ish vectors:
+# max within-cell cosine ~0.41, 110 within-cell pairs >= 0.25 at sf0.01)
+# so the prune set is non-trivial; a real corpus runs ~0.95+
+
+SEMDEDUP_ORACLE = f"""
+{_CELL_CTES},
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         SUM(CAST(a.v * b.v AS DECIMAL(28,18))) AS dot
+  FROM xc a JOIN xc b ON a.i = b.i AND a.cell = b.cell AND a.vec_id > b.vec_id
+  GROUP BY 1, 2
+),
+pruned AS (
+  SELECT DISTINCT va AS vec_id
+  FROM dots JOIN norms na ON va = na.vec_id JOIN norms nb ON vb = nb.vec_id
+  WHERE ROUND(CAST(dot AS DOUBLE)
+              / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+              6) >= {SEM_EPS}
+)
+SELECT c.vec_id, c.cell,
+       CAST(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS pruned
+FROM cell c LEFT JOIN pruned p ON c.vec_id = p.vec_id
+"""
+
+
+@query("semantic_dedup", oracle=SEMDEDUP_ORACLE)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding table: deterministic IVF cells
+    (``nn_cells`` — the same cells the NN operator uses) bound the pair
+    join, then a vector is PRUNED when any same-cell vector with a
+    smaller vec_id has cosine >= ``SEM_EPS`` (exact-decimal dot/norms,
+    rounded to 6 places before the threshold compare so both engines
+    make the identical keep/prune decision). Output is the full corpus
+    with its keep/prune verdict — the artifact a curation pipeline
+    writes back.
+
+    Scale: identical shape to ``embedding_nn_cosine`` — work is bounded
+    by cell size, never label-block or corpus size; the prune-set
+    semi-join is doc-id-sized. At 100 TB the cell count scales with the
+    corpus (cells come from k-means centroids instead of smallest-id
+    seeds; the plan shape is unchanged). The smaller-id-wins rule is the
+    paper's 'keep one representative per duplicate neighborhood' made
+    deterministic, so reruns and the oracle agree exactly."""
+    emb = table(spark, sf_dir, "embeddings")
+    cells = nn_cells(spark, sf_dir)
+    ec = emb.join(cells, "vec_id").select(
+        "vec_id",
+        "cell",
+        "embedding",
+        F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
+    )
+    a = ec.alias("a")
+    b = ec.alias("b")
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.round(
+                F.expr(_dec_dot_expr("a.embedding", "b.embedding")).cast(
+                    "double"
+                )
+                / (
+                    F.sqrt(F.col("a.n2").cast("double"))
+                    * F.sqrt(F.col("b.n2").cast("double"))
+                ),
+                6,
+            ).alias("c"),
+        )
+        .where(F.col("c") >= SEM_EPS)
+        .select("vec_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return ec.join(pruned, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(F.col("hit"), F.lit(0)).cast("int").alias("pruned"),
     )
 
 

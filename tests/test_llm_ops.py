@@ -622,3 +622,50 @@ def test_dup_span_detection_random_corpora(spark):
             for r in dup_spans_from_docs(docs).collect()
         }
         assert got == _py_dup_spans(texts), f"trial {trial}"
+
+
+def test_semantic_dedup_matches_brute_force_prune_rule(spark, sf_dir):
+    """semantic_dedup's verdict column obeys its declared law exactly:
+    pruned == 1 iff some same-cell vector with a smaller vec_id has
+    round(cosine, 6) >= SEM_EPS. Brute-forced in Python over the smoke
+    corpus using the operator's own cell assignment (nn_cells is itself
+    oracle-verified through embedding_nn_cosine)."""
+    import math
+
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        SEM_EPS,
+        nn_cells,
+        semantic_dedup,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+
+    emb = {
+        r.vec_id: r.embedding
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    cells = {}
+    for r in nn_cells(spark, sf_dir).collect():
+        cells.setdefault(r.cell, []).append(r.vec_id)
+
+    def cos(u, v):
+        dot = sum(a * b for a, b in zip(u, v))
+        return dot / math.sqrt(
+            sum(a * a for a in u) * sum(b * b for b in v)
+        )
+
+    expect = {}
+    for members in cells.values():
+        for v in members:
+            expect[v] = int(
+                any(
+                    u < v and round(cos(emb[u], emb[v]), 6) >= SEM_EPS
+                    for u in members
+                )
+            )
+
+    got = {r.vec_id: r.pruned for r in semantic_dedup(spark, sf_dir).collect()}
+    assert got == expect
+    # the smallest id in every cell is definitionally a survivor
+    assert all(got[min(m)] == 0 for m in cells.values())
+    # calibration canary: the prune set is non-trivial on this corpus
+    assert 0 < sum(got.values()) < len(got)
