@@ -1,0 +1,172 @@
+"""Lake-format interop: CSV / JSON-lines / ORC round-trips.
+
+The reference engine's own formats are TXT/BIN chunk layouts (read and
+written in place by sources/dfs_chunks.py); real data lakes additionally
+land CSV, JSON-lines and ORC. Each query here writes a table OUT in the
+format, reads it BACK with an explicit schema, and aggregates the re-read
+copy — while the oracle aggregates the ORIGINAL parquet. A green row
+therefore proves byte-fidelity of the whole write+read cycle (value
+formatting, timestamp codecs, quoting/escaping), not merely that a reader
+exists.
+
+Design rules, which are exactly the 100 TB rules:
+- Explicit schemas on every read — schema inference is a second full scan
+  of the data and is nondeterministic under sampling; a production
+  pipeline never pays it.
+- ``mode=FAILFAST`` — silently null-ing malformed rows (the PERMISSIVE
+  default) turns format drift into data corruption downstream.
+- Timestamps cross text formats as explicit microsecond-precision
+  strings: relying on a reader's default timestamp parse is the classic
+  silent-truncation bug (millis vs micros).
+- Doubles survive text round-trips because the JVM writes round-trippable
+  decimal forms (Double.toString contract); aggregation still happens in
+  exact DECIMAL after the round-trip so the gate's hash compare is
+  order-independent.
+- Writes go through the normal distributed writer (one file per
+  partition). The scratch dir is collected-and-dropped per invocation —
+  repeated gate sweeps must not accrete temp data.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+# exact-decimal money sum, rounded and cast like every other oracle pair
+_DSUM = "CAST(ROUND(SUM(CAST({c} AS DECIMAL(28,6))), 2) AS DOUBLE)"
+
+
+def _collected(df: DataFrame, spark: SparkSession, scratch: str) -> DataFrame:
+    """Detach a (result-sized) frame from its scratch directory so the
+    scratch can be removed before returning."""
+    rows = df.collect()
+    schema = df.schema
+    shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+CSV_ORDERS_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+         AS total_price,
+       MIN(CAST(o_orderdate AS TIMESTAMP)) AS first_order,
+       MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_order
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("csv_roundtrip_orders_agg", oracle=CSV_ORDERS_ORACLE)
+def csv_roundtrip_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> CSV (header, quoted) -> explicit-schema FAILFAST read ->
+    per-status totals. The oracle reads the original parquet, so the hash
+    match proves the CSV writer/reader cycle loses nothing: long keys,
+    free-text priorities (quoting), round-trippable doubles, and
+    microsecond timestamps carried as explicit strings."""
+    scratch = tempfile.mkdtemp(prefix="go_dfs_interop_csv_")
+    out = os.path.join(scratch, "orders_csv")
+    table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.date_format("o_orderdate", _TS_FMT)
+    ).write.option("header", True).mode("overwrite").csv(out)
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string, o_orderpriority string"
+        )
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(out)
+        .withColumn("o_orderdate", F.to_timestamp("o_orderdate", _TS_FMT))
+    )
+    agg = back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(_DSUM.format(c="o_totalprice")).alias("total_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    return _collected(agg, spark, scratch)
+
+
+JSON_EVENTS_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+         AS total_value,
+       MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("json_roundtrip_events_agg", oracle=JSON_EVENTS_ORACLE)
+def json_roundtrip_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> JSON lines -> explicit-schema FAILFAST read -> per-type
+    rollup. ``props`` is itself a JSON string, so the round-trip also
+    proves nested-quote escaping; timestamps cross as microsecond
+    strings (see module docstring)."""
+    scratch = tempfile.mkdtemp(prefix="go_dfs_interop_json_")
+    out = os.path.join(scratch, "events_json")
+    table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_format("ts", _TS_FMT)
+    ).write.mode("overwrite").json(out)
+    back = (
+        spark.read.schema(
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("mode", "FAILFAST")
+        .json(out)
+        .withColumn("ts", F.to_timestamp("ts", _TS_FMT))
+    )
+    agg = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.expr(_DSUM.format(c="value")).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+    return _collected(agg, spark, scratch)
+
+
+ORC_LINEITEM_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+         AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("orc_roundtrip_lineitem_agg", oracle=ORC_LINEITEM_ORACLE)
+def orc_roundtrip_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> ORC -> read -> q1-style totals. ORC is typed, so no
+    string carriage is needed; the round-trip proves the engine's second
+    columnar codec end-to-end (a lakehouse migration rarely gets to pick
+    just one). The re-read aggregate benefits from the same column
+    pruning as parquet — only 4 of 11 columns are decoded."""
+    scratch = tempfile.mkdtemp(prefix="go_dfs_interop_orc_")
+    out = os.path.join(scratch, "lineitem_orc")
+    table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(out)
+    agg = (
+        spark.read.orc(out)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr(_DSUM.format(c="l_quantity")).alias("sum_qty"),
+            F.expr(_DSUM.format(c="l_extendedprice")).alias("sum_price"),
+        )
+    )
+    return _collected(agg, spark, scratch)

@@ -262,14 +262,19 @@ def stream_first_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_live(spark: SparkSession, sf_dir: str, builder, prefix: str,
-              shuffle_partitions: int = 8) -> DataFrame:
+              shuffle_partitions: int = 8,
+              output_mode: str = "complete",
+              watermark: str | None = None) -> DataFrame:
     """Run ``builder(stream_events_df)`` through the REAL streaming
     engine: the events parquet is consumed by the file stream source
     (symlinked into a scratch dir, zero-copy — the file source needs a
     base directory and the sf dirs are read-only), and the aggregate is
-    emitted in complete mode to a memory sink under an AvailableNow
-    trigger. Complete mode needs no watermark, so no window is held
-    back at end-of-stream. State-store commit cost is per partition per
+    emitted (complete mode for aggregations, append for stream-stream
+    joins) to a memory sink under an AvailableNow trigger. Complete mode
+    needs no watermark, so no window is held back at end-of-stream;
+    append-mode callers pass the ``watermark`` their operator requires —
+    with a single AvailableNow batch nothing is late, so the watermarked
+    run emits the identical row set the batch twin computes. State-store commit cost is per partition per
     batch, and one AvailableNow batch over a single file does not need
     32 state partitions (measured 32 s -> 17 s on the session query),
     so shuffle partitions are scoped down around start() — the value is
@@ -295,7 +300,7 @@ def _run_live(spark: SparkSession, sf_dir: str, builder, prefix: str,
             os.path.abspath(os.path.join(sf_dir, "events.parquet")),
             os.path.join(node, "events.parquet"),
         )
-        ev = read_events_stream(spark, node, watermark=None)
+        ev = read_events_stream(spark, node, watermark=watermark)
         old_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         try:
@@ -303,7 +308,7 @@ def _run_live(spark: SparkSession, sf_dir: str, builder, prefix: str,
                 builder(ev)
                 .writeStream.format("memory")
                 .queryName(qname)
-                .outputMode("complete")
+                .outputMode(output_mode)
                 .trigger(availableNow=True)
                 .start()
             )
@@ -341,4 +346,27 @@ def stream_session_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence) end-to-end (mechanics in ``_run_live``)."""
     return _run_live(
         spark, sf_dir, lambda ev: session_agg(ev, "30 minutes"), "t_session_live"
+    )
+
+
+@query("stream_interval_join_live", oracle=INTERVAL_JOIN_ORACLE)
+def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-STREAM interval join run through the REAL streaming
+    engine: one watermarked file stream self-joined (purchases to the
+    same user's clicks within a 4-hour lookback), append mode — the
+    hardest streaming shape (symmetric hash join + state eviction by
+    watermark + time bound). Same ``interval_join`` builder and
+    identical oracle SQL as the batch twin ``stream_interval_join``, so
+    the driver's gate hash-checks the engine's join-state machinery
+    end-to-end, not just the shared logical plan. Watermark is required
+    by append-mode stream-stream joins; under one AvailableNow batch no
+    row is late, so the emitted set equals the batch twin exactly
+    (mechanics in ``_run_live``)."""
+    return _run_live(
+        spark,
+        sf_dir,
+        lambda ev: interval_join(ev, ev, "240 minutes"),
+        "t_interval_live",
+        output_mode="append",
+        watermark="10 minutes",
     )

@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "go_dfs_mapreduce_spark.operators.stats",
     "go_dfs_mapreduce_spark.operators.timeseries",
     "go_dfs_mapreduce_spark.operators.incremental",
+    "go_dfs_mapreduce_spark.operators.interop",
     "go_dfs_mapreduce_spark.operators.wordcount",
     "go_dfs_mapreduce_spark.operators.log_analysis",
     "go_dfs_mapreduce_spark.operators.relational",
