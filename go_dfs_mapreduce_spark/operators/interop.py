@@ -170,3 +170,87 @@ def orc_roundtrip_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _collected(agg, spark, scratch)
+
+
+# --------------------------------------------------------------------------
+# Sharded dataset export with a verified manifest — the training-data
+# handoff artifact: N deterministic JSONL shards + per-shard content hash.
+# --------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+# md5-hash sharding: reproducible across engines/reruns and independent of
+# partition order (same contract as corpus_sample_hash); doc_id % N would
+# also work but hash sharding survives non-uniform id spaces.
+_SHARD_SPARK = (
+    "cast(conv(substr(md5(concat('shard:', cast(doc_id as string))), 1, 8),"
+    f" 16, 10) as bigint) % {N_SHARDS}"
+)
+_SHARD_DUCK = (
+    "('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+    f" % {N_SHARDS}"
+)
+
+EXPORT_MANIFEST_ORACLE = f"""
+WITH sharded AS (
+  SELECT doc_id, text, CAST({_SHARD_DUCK} AS BIGINT) AS shard FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       SUM(length(text)) AS total_chars,
+       md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_hash
+FROM sharded
+GROUP BY shard
+"""
+
+
+@query("dataset_export_manifest", oracle=EXPORT_MANIFEST_ORACLE)
+def dataset_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export the document corpus as ``N_SHARDS`` hash-sharded JSONL
+    directories (``partitionBy(shard)`` — the layout a training run
+    consumes), then re-read the export and compute the manifest a
+    dataset handoff publishes: per-shard doc count, char count, and a
+    content hash (md5 over the doc-id-ordered concatenation of per-doc
+    md5s). The oracle computes the same manifest from the ORIGINAL
+    table, so a green row proves the distributed partitioned write and
+    the JSONL text carriage lost nothing — manifest-verified export, not
+    fire-and-forget.
+
+    Scale: the write is one hash-partitioned distributed pass; the
+    manifest aggregate shuffles doc-id-sized digests, never text. The
+    order-sensitive concat inside each shard is bounded by shard size —
+    at 100 TB shard count scales so per-shard digest lists stay
+    memory-safe, or the rollup switches to an order-insensitive XOR of
+    digests (same proof, no sort)."""
+    scratch = tempfile.mkdtemp(prefix="go_dfs_export_")
+    out = os.path.join(scratch, "corpus_jsonl")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.expr(_SHARD_SPARK).alias("shard")
+    )
+    docs.write.partitionBy("shard").mode("overwrite").json(out)
+    back = spark.read.schema("doc_id long, text string, shard long").json(out)
+    manifest = (
+        back.select(
+            "shard",
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.md5(F.col("text").cast("binary")).alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "h"))
+                        ),
+                        lambda s: s.h,
+                    ),
+                ).cast("binary")
+            ).alias("content_hash"),
+        )
+    )
+    return _collected(manifest, spark, scratch)

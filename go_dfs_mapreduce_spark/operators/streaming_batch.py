@@ -370,3 +370,68 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         watermark="10 minutes",
     )
+
+
+@query("stream_sliding_user_value_live", oracle=SLIDING_ORACLE)
+def stream_sliding_user_value_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window aggregation through the REAL streaming engine
+    (every event lands in two overlapping window states), same builder
+    and oracle as the batch twin (mechanics in ``_run_live``)."""
+    return _run_live(
+        spark,
+        sf_dir,
+        lambda ev: sliding_agg(ev, "10 minutes", "5 minutes"),
+        "t_sliding_live",
+    )
+
+
+@query("stream_throttle_dedup_live", oracle=THROTTLE_ORACLE)
+def stream_throttle_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` through the REAL streaming
+    engine: per-key first-arrival dedup state, evicted by watermark.
+    Only key columns are emitted, so streaming first-arrival and the
+    batch DISTINCT oracle agree exactly (mechanics in ``_run_live``)."""
+    return _run_live(
+        spark,
+        sf_dir,
+        throttle_dedup,
+        "t_throttle_live",
+        output_mode="append",
+        watermark="10 minutes",
+    )
+
+
+@query("stream_enrich_dim_live", oracle=ENRICH_ORACLE)
+def stream_enrich_dim_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment through the REAL engine: the
+    event stream joins the static customer dim (broadcast — no stream
+    state at all), append mode, no watermark needed since there is no
+    aggregation (mechanics in ``_run_live``)."""
+    return _run_live(
+        spark,
+        sf_dir,
+        lambda ev: enrich_with_dim(ev, table(spark, sf_dir, "customer")),
+        "t_enrich_live",
+        output_mode="append",
+    )
+
+
+@query("stream_first_occurrences_live", oracle=FIRST_OCCURRENCE_ORACLE)
+def stream_first_occurrences_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL operator through the REAL streaming engine:
+    per-user seen-type state via the arbitrary-state API
+    (``first_occurrences_stream_v1`` on ``applyInPandasWithState`` — the
+    engine path available without protobuf; semantics identical to the
+    transformWithState processor, proven in tests/test_streaming_novelty).
+    Same oracle as the batch twin, so the driver's gate hash-checks a
+    user-defined stateful streaming operator end-to-end — the strongest
+    streaming evidence the registry carries (mechanics in ``_run_live``)."""
+    from ..streaming.novelty import first_occurrences_stream_v1
+
+    return _run_live(
+        spark,
+        sf_dir,
+        first_occurrences_stream_v1,
+        "t_novelty_live",
+        output_mode="append",
+    )

@@ -98,3 +98,41 @@ def test_interval_join_live_equals_batch_twin(spark, sf_dir):
     }
     assert live == batch
     assert batch  # non-trivial on the smoke corpus
+
+
+def test_first_occurrences_live_equals_batch_twin(spark, sf_dir):
+    """The custom stateful operator through the real engine emits exactly
+    the batch twin's rows under one AvailableNow batch."""
+    from go_dfs_mapreduce_spark.operators.streaming_batch import (
+        stream_first_occurrences,
+        stream_first_occurrences_live,
+    )
+
+    batch = {
+        tuple(r) for r in stream_first_occurrences(spark, sf_dir).collect()
+    }
+    live = {
+        tuple(r)
+        for r in stream_first_occurrences_live(spark, sf_dir).collect()
+    }
+    assert live == batch
+    assert batch
+
+
+def test_export_manifest_covers_whole_corpus(spark, sf_dir):
+    """Conservation laws for the sharded export: every document lands in
+    exactly one shard, char totals add up, and shard ids are in range."""
+    from go_dfs_mapreduce_spark.operators.interop import (
+        N_SHARDS,
+        dataset_export_manifest,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_chars = docs.selectExpr("sum(length(text)) s").collect()[0].s
+    rows = dataset_export_manifest(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.total_chars for r in rows) == n_chars
+    assert all(0 <= r.shard < N_SHARDS for r in rows)
+    assert len({r.content_hash for r in rows}) == len(rows)  # all distinct
