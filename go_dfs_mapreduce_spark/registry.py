@@ -136,28 +136,27 @@ _DRIVER_SHOWCASE = (
     "kmeans_embeddings",
     "recursive_compound_balance",
     "token_budget_selection",
-    # Spark-4 SQL surface
+    # Spark-4 SQL surface (collation_showcase yielded its slot to a
+    # session-3 capability — two Spark-4 rows keep the family driver-proven)
     "pipe_syntax_priority_rollup",
     "lateral_topk_per_nation",
-    "collation_showcase",
     # incremental maintenance (round-4 additions; array_hof/regexp
     # showcases yielded their slots — their scalar-function family is
     # already anchored by scalar_function_showcase)
     "merge_upsert_orders",
     "scd2_user_status",
-    # LLM-pipeline operators
+    # LLM-pipeline operators (dedup_containment and incremental_rollup_merge
+    # yielded — their families keep two driver rows each this round)
     "dedup_clusters",
-    "dedup_containment",
     "decontaminate_vs_benchmark",
     "doc_chunking",
-    "incremental_rollup_merge",  # doc_pack_bins yielded (training-prep
-    # family keeps doc_chunking as its anchor this round)
     # scale / sketches / timeseries / multimodal-audio / embeddings
+    # (embedding_quantize_int8 yielded — the embedding family is covered
+    # by kmeans + the ann anchor + semantic_dedup below)
     "salted_join_urgent_lineitems",
     "approx_aggregates_audit",
     "events_locf_resample",
     "multimodal_audio_meta",
-    "embedding_quantize_int8",
     # session-2 additions (all never driver-recorded; the anchors they
     # displace — log_normalize_urls, log_parse_fields,
     # join_orders_per_nation, window_range_frame_trailing,
@@ -170,6 +169,15 @@ _DRIVER_SHOWCASE = (
     "dup_span_detection",
     "stream_session_windows_live",
     "stream_tumbling_counts_live",
+    # session-3 additions (never driver-recorded): embedding-space
+    # SemDeDup, the custom STATEFUL operator through the real streaming
+    # engine, the manifest-verified sharded export, and the lake-format
+    # interop family's CSV representative (JSON/ORC twins + the remaining
+    # live streams stay local-gated for the round-5 rotation)
+    "semantic_dedup",
+    "stream_first_occurrences_live",
+    "dataset_export_manifest",
+    "csv_roundtrip_orders_agg",
 )
 
 
