@@ -136,3 +136,28 @@ def test_export_manifest_covers_whole_corpus(spark, sf_dir):
     assert sum(r.total_chars for r in rows) == n_chars
     assert all(0 <= r.shard < N_SHARDS for r in rows)
     assert len({r.content_hash for r in rows}) == len(rows)  # all distinct
+
+
+def test_jsonl_carriage_survives_adversarial_text(spark, tmp_path):
+    """The JSONL export codec (what dataset_export_manifest ships) must
+    preserve hostile text exactly: embedded newlines, tabs, quotes,
+    backslashes, control chars, non-BMP unicode, and empty strings."""
+    nasty = [
+        (0, ""),
+        (1, 'quote " inside'),
+        (2, "back\\slash and \t tab"),
+        (3, "line\nbreak\r\nand CR"),
+        (4, "unicode: é中\U0001f600 zero-width:​"),
+        (5, "json-ish: {\"k\": [1, null]}"),
+        (6, "trailing space  "),
+        (7, "\x01control\x1f chars"),
+    ]
+    df = spark.createDataFrame(nasty, "doc_id long, text string")
+    out = str(tmp_path / "nasty_jsonl")
+    df.write.mode("overwrite").json(out)
+    back = (
+        spark.read.schema("doc_id long, text string")
+        .option("mode", "FAILFAST")
+        .json(out)
+    )
+    assert {(r.doc_id, r.text) for r in back.collect()} == set(nasty)
