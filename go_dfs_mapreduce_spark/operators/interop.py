@@ -45,13 +45,18 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _DSUM = "CAST(ROUND(SUM(CAST({c} AS DECIMAL(28,6))), 2) AS DOUBLE)"
 
 
-def _collected(df: DataFrame, spark: SparkSession, scratch: str) -> DataFrame:
-    """Detach a (result-sized) frame from its scratch directory so the
-    scratch can be removed before returning."""
-    rows = df.collect()
-    schema = df.schema
-    shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+def _with_scratch(spark: SparkSession, prefix: str, build) -> DataFrame:
+    """Run ``build(scratch_dir) -> DataFrame``, collect the (result-sized)
+    frame, and remove the scratch even when the build/collect fails —
+    repeated gate sweeps must never accrete temp data."""
+    scratch = tempfile.mkdtemp(prefix=prefix)
+    try:
+        df = build(scratch)
+        rows = df.collect()
+        schema = df.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 CSV_ORDERS_ORACLE = """
@@ -73,28 +78,30 @@ def csv_roundtrip_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     match proves the CSV writer/reader cycle loses nothing: long keys,
     free-text priorities (quoting), round-trippable doubles, and
     microsecond timestamps carried as explicit strings."""
-    scratch = tempfile.mkdtemp(prefix="go_dfs_interop_csv_")
-    out = os.path.join(scratch, "orders_csv")
-    table(spark, sf_dir, "orders").withColumn(
-        "o_orderdate", F.date_format("o_orderdate", _TS_FMT)
-    ).write.option("header", True).mode("overwrite").csv(out)
-    back = (
-        spark.read.schema(
-            "o_orderkey long, o_custkey long, o_orderstatus string, "
-            "o_totalprice double, o_orderdate string, o_orderpriority string"
+
+    def build(scratch: str) -> DataFrame:
+        out = os.path.join(scratch, "orders_csv")
+        table(spark, sf_dir, "orders").withColumn(
+            "o_orderdate", F.date_format("o_orderdate", _TS_FMT)
+        ).write.option("header", True).mode("overwrite").csv(out)
+        back = (
+            spark.read.schema(
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate string, o_orderpriority string"
+            )
+            .option("header", True)
+            .option("mode", "FAILFAST")
+            .csv(out)
+            .withColumn("o_orderdate", F.to_timestamp("o_orderdate", _TS_FMT))
         )
-        .option("header", True)
-        .option("mode", "FAILFAST")
-        .csv(out)
-        .withColumn("o_orderdate", F.to_timestamp("o_orderdate", _TS_FMT))
-    )
-    agg = back.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.expr(_DSUM.format(c="o_totalprice")).alias("total_price"),
-        F.min("o_orderdate").alias("first_order"),
-        F.max("o_orderdate").alias("last_order"),
-    )
-    return _collected(agg, spark, scratch)
+        return back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(_DSUM.format(c="o_totalprice")).alias("total_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    return _with_scratch(spark, "go_dfs_interop_csv_", build)
 
 
 JSON_EVENTS_ORACLE = """
@@ -115,27 +122,29 @@ def json_roundtrip_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup. ``props`` is itself a JSON string, so the round-trip also
     proves nested-quote escaping; timestamps cross as microsecond
     strings (see module docstring)."""
-    scratch = tempfile.mkdtemp(prefix="go_dfs_interop_json_")
-    out = os.path.join(scratch, "events_json")
-    table(spark, sf_dir, "events").withColumn(
-        "ts", F.date_format("ts", _TS_FMT)
-    ).write.mode("overwrite").json(out)
-    back = (
-        spark.read.schema(
-            "event_id long, ts string, user_id long, event_type string, "
-            "value double, props string"
+
+    def build(scratch: str) -> DataFrame:
+        out = os.path.join(scratch, "events_json")
+        table(spark, sf_dir, "events").withColumn(
+            "ts", F.date_format("ts", _TS_FMT)
+        ).write.mode("overwrite").json(out)
+        back = (
+            spark.read.schema(
+                "event_id long, ts string, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("mode", "FAILFAST")
+            .json(out)
+            .withColumn("ts", F.to_timestamp("ts", _TS_FMT))
         )
-        .option("mode", "FAILFAST")
-        .json(out)
-        .withColumn("ts", F.to_timestamp("ts", _TS_FMT))
-    )
-    agg = back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.expr(_DSUM.format(c="value")).alias("total_value"),
-        F.max("ts").alias("last_ts"),
-    )
-    return _collected(agg, spark, scratch)
+        return back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr(_DSUM.format(c="value")).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    return _with_scratch(spark, "go_dfs_interop_json_", build)
 
 
 ORC_LINEITEM_ORACLE = """
@@ -157,19 +166,21 @@ def orc_roundtrip_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar codec end-to-end (a lakehouse migration rarely gets to pick
     just one). The re-read aggregate benefits from the same column
     pruning as parquet — only 4 of 11 columns are decoded."""
-    scratch = tempfile.mkdtemp(prefix="go_dfs_interop_orc_")
-    out = os.path.join(scratch, "lineitem_orc")
-    table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(out)
-    agg = (
-        spark.read.orc(out)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.expr(_DSUM.format(c="l_quantity")).alias("sum_qty"),
-            F.expr(_DSUM.format(c="l_extendedprice")).alias("sum_price"),
+
+    def build(scratch: str) -> DataFrame:
+        out = os.path.join(scratch, "lineitem_orc")
+        table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(out)
+        return (
+            spark.read.orc(out)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.expr(_DSUM.format(c="l_quantity")).alias("sum_qty"),
+                F.expr(_DSUM.format(c="l_extendedprice")).alias("sum_price"),
+            )
         )
-    )
-    return _collected(agg, spark, scratch)
+
+    return _with_scratch(spark, "go_dfs_interop_orc_", build)
 
 
 # --------------------------------------------------------------------------
@@ -222,35 +233,39 @@ def dataset_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB shard count scales so per-shard digest lists stay
     memory-safe, or the rollup switches to an order-insensitive XOR of
     digests (same proof, no sort)."""
-    scratch = tempfile.mkdtemp(prefix="go_dfs_export_")
-    out = os.path.join(scratch, "corpus_jsonl")
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.expr(_SHARD_SPARK).alias("shard")
-    )
-    docs.write.partitionBy("shard").mode("overwrite").json(out)
-    back = spark.read.schema("doc_id long, text string, shard long").json(out)
-    manifest = (
-        back.select(
-            "shard",
-            "doc_id",
-            F.length("text").alias("n_chars"),
-            F.md5(F.col("text").cast("binary")).alias("h"),
+
+    def build(scratch: str) -> DataFrame:
+        out = os.path.join(scratch, "corpus_jsonl")
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", F.expr(_SHARD_SPARK).alias("shard")
         )
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("doc_id", "h"))
+        docs.write.partitionBy("shard").mode("overwrite").json(out)
+        back = spark.read.schema(
+            "doc_id long, text string, shard long"
+        ).json(out)
+        return (
+            back.select(
+                "shard",
+                "doc_id",
+                F.length("text").alias("n_chars"),
+                F.md5(F.col("text").cast("binary")).alias("h"),
+            )
+            .groupBy("shard")
+                .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("doc_id", "h"))
+                            ),
+                            lambda s: s.h,
                         ),
-                        lambda s: s.h,
-                    ),
-                ).cast("binary")
-            ).alias("content_hash"),
+                    ).cast("binary")
+                ).alias("content_hash"),
+            )
         )
-    )
-    return _collected(manifest, spark, scratch)
+
+    return _with_scratch(spark, "go_dfs_export_", build)
