@@ -435,3 +435,74 @@ def stream_first_occurrences_live(spark: SparkSession, sf_dir: str) -> DataFrame
         "t_novelty_live",
         output_mode="append",
     )
+
+
+CHUNK_SINK_ORACLE = """
+SELECT CAST(doc_id AS VARCHAR) || chr(9) || md5(text) AS line
+FROM documents
+"""
+
+
+@query("stream_into_dfs_chunks", oracle=CHUNK_SINK_ORACLE)
+def stream_into_dfs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reverse of ``stream_dfs_chunk_tail``: a REAL streaming query
+    whose SINK is the reference chunk layout
+    (sources/dfs_chunks.py::_TextStreamWriter). The documents table is
+    consumed as a file stream, rendered to '<doc_id>\\t<md5(text)>'
+    lines, and written via ``writeStream.format("go_dfs_text")`` —
+    micro-batches append newline-aligned TXT chunks with md5 sidecars
+    and contiguous indices, exactly as the reference's storage node
+    writes them. The emitted chunk directory is then read back with the
+    batch chunk reader and the LINES are returned; the oracle reproduces
+    them from the original table, so a green row proves the full
+    stream-produce -> chunk-commit -> verified-read cycle lost nothing.
+    Chunk/line assignment is engine-scheduling-dependent, so the result
+    is the line multiset (order-insensitive, like the gate's compare);
+    chunk structure itself is pinned by the writer/reader unit tests."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources import register_dfs_sources
+
+    register_dfs_sources(spark)
+    scratch = tempfile.mkdtemp(prefix="go_dfs_sink_")
+    try:
+        src = os.path.join(scratch, "src")
+        node = os.path.join(scratch, "node")
+        ckpt = os.path.join(scratch, "ckpt")
+        os.makedirs(src)
+        os.makedirs(node)
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
+            os.path.join(src, "documents.parquet"),
+        )
+        schema = spark.read.parquet(src).schema
+        lines = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .select(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("\t"),
+                    F.md5(F.col("text").cast("binary")),
+                ).alias("line")
+            )
+        )
+        q = (
+            lines.writeStream.format("go_dfs_text")
+            .option("checkpointLocation", ckpt)
+            .option("file", "docs")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start(node)
+        )
+        q.awaitTermination()
+        back = spark.read.format("go_dfs_text").load(node).select("line")
+        rows = back.collect()  # id+hash lines — metadata-sized at any SF
+        out_schema = back.schema
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -37,6 +37,7 @@ and verification is streamed per-task, never on the driver.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import re
 import uuid
@@ -46,6 +47,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -272,6 +274,73 @@ class _TextWriter(DataSourceWriter):
                     os.remove(p)
 
 
+class _TextStreamWriter(_TextWriter, DataSourceStreamWriter):
+    """Streaming SINK into the reference chunk layout — the producer twin
+    of ``_TextStreamReader``'s tail: each micro-batch appends
+    newline-aligned TXT chunks (md5 sidecars, ``chunks_tmp`` two-phase
+    commit, ``sn/dfs_actions.go:34-112`` protocol) CONTINUING the file's
+    contiguous index sequence, so reference consumers (and our own tail
+    reader) see the file grow exactly as if the reference's storage node
+    were writing it.
+
+    Exactly-once: Spark replays a micro-batch when a crash lands between
+    sink commit and checkpoint offset commit. A batch high-water-mark
+    sidecar (``.stream_state_<file>``, atomically replaced) detects the
+    replay and drops its tmp files instead of appending duplicates — the
+    growing-file analogue of the batch writer's duplicate-store
+    rejection (a tail producer cannot reject by name). A corrupt state
+    sidecar fails the commit loudly: guessing would risk silent chunk
+    duplication, the one thing this protocol exists to prevent."""
+
+    def __init__(self, options) -> None:
+        super().__init__(options, overwrite=False)
+
+    def _state_path(self) -> str:
+        return os.path.join(self._dir, f".stream_state_{self._file}")
+
+    def _next_idx(self) -> int:
+        mx = -1
+        for e in self._existing():
+            m = _CHUNK_RE.match(e)
+            if m.group("tchar") == "t":
+                mx = max(mx, int(m.group("idx")))
+        return mx + 1
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        sp = self._state_path()
+        last = -1
+        if os.path.exists(sp):
+            try:
+                with open(sp, "r", encoding="utf-8") as fh:
+                    last = int(json.load(fh)["last_batch"])
+            except (ValueError, KeyError, OSError, TypeError) as exc:
+                raise RuntimeError(
+                    f"corrupt stream-sink state {sp!r}; refusing to commit "
+                    "batch (risk of duplicate chunks) — repair or remove the "
+                    "state file after checking the chunk inventory"
+                ) from exc
+        if batchId <= last:
+            # replayed batch: its chunks are already on disk; drop tmps
+            self.abort(messages, batchId)
+            return
+        tmp_dir = os.path.join(self._dir, "chunks_tmp")
+        idx = self._next_idx()
+        for m in sorted(
+            (m for m in messages if m and m.tmp_name), key=lambda m: m.pid
+        ):
+            final = os.path.join(self._dir, chunk_name(self._file, "TXT", idx))
+            os.rename(os.path.join(tmp_dir, m.tmp_name), final)
+            os.rename(os.path.join(tmp_dir, m.tmp_name + "h"), final + "h")
+            idx += 1
+        tmp_state = sp + f".tmp_{self._job}"
+        with open(tmp_state, "w", encoding="utf-8") as fh:
+            json.dump({"last_batch": batchId}, fh)
+        os.replace(tmp_state, sp)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        _TextWriter.abort(self, messages)
+
+
 class _TextStreamReader(DataSourceStreamReader):
     """Streaming tail of a growing chunk directory set.
 
@@ -370,6 +439,14 @@ class GoDfsTextDataSource(DataSource):
                 f" got {schema.simpleString()}"
             )
         return _TextWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        if len(schema.fields) != 1 or schema.fields[0].dataType.typeName() != "string":
+            raise ValueError(
+                "go_dfs_text stream write expects exactly one string column "
+                f"of lines, got {schema.simpleString()}"
+            )
+        return _TextStreamWriter(self.options)
 
 
 class _BinWriter(_TextWriter):

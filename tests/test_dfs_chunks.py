@@ -667,3 +667,129 @@ def test_fsck_verify_runs_as_spark_tasks(spark, nodes):
     jobs = sc.statusTracker().getJobIdsForGroup("fsck-verify-test")
     assert jobs, "fsck(spark=...) must run the verify phase as a Spark job"
     assert with_spark == fsck([n1, n2])
+
+
+def test_stream_sink_appends_chunks_across_runs(spark, tmp_path):
+    """writeStream into the chunk layout: run 1 appends chunks for the
+    initial source files; new source data lands; run 2 on the same
+    checkpoint appends ONLY the new lines as NEW chunks with CONTINUING
+    indices — no rewrite, no duplication, sidecars verify, and the batch
+    chunk reader sees one coherent growing file (what a reference
+    consumer tailing the directory observes)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    register_dfs_sources(spark)
+    src = str(tmp_path / "src")
+    node = str(tmp_path / "node")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.makedirs(node)
+
+    def _produce(path_name, lines):
+        spark.createDataFrame(
+            [(ln,) for ln in lines], "line string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, path_name)
+        )
+
+    def _drain():
+        q = (
+            spark.readStream.schema("line string")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src + "/*")
+            .writeStream.format("go_dfs_text")
+            .option("checkpointLocation", ckpt)
+            .option("file", "doc.txt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start(node)
+        )
+        q.awaitTermination()
+
+    _produce("a", ["a1", "a2"])
+    _drain()
+    first = sorted(
+        (r.chunk_idx, r.line)
+        for r in spark.read.format("go_dfs_text").load(node).collect()
+    )
+    assert [ln for _, ln in first] == ["a1", "a2"]
+    n_chunks_1 = 1 + max(ci for ci, _ in first)
+
+    _produce("b", ["b1"])
+    _drain()  # same checkpoint: only file b is new
+    second = sorted(
+        (r.chunk_idx, r.line)
+        for r in spark.read.format("go_dfs_text").load(node).collect()
+    )
+    assert sorted(ln for _, ln in second) == ["a1", "a2", "b1"]
+    # the new line landed in a NEW chunk index past run 1's chunks
+    b_chunks = {ci for ci, ln in second if ln == "b1"}
+    assert all(ci >= n_chunks_1 for ci in b_chunks)
+    # contiguous indices overall
+    assert {ci for ci, _ in second} == set(range(1 + max(ci for ci, _ in second)))
+    # every chunk has a verifying sidecar (reader already verified; check disk)
+    names = [e for e in os.listdir(node) if e.startswith("doc.txt_t") and not e.endswith("h")]
+    assert names and all(os.path.exists(os.path.join(node, e + "h")) for e in names)
+
+
+def test_stream_sink_replayed_batch_not_duplicated(spark, tmp_path):
+    """A replayed micro-batch (same batchId re-committed after a crash
+    between sink commit and offset commit) must not append its chunks
+    twice: the state high-water-mark drops the replay's tmp files."""
+    import os
+
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import (
+        _ChunkCommit,
+        _TextStreamWriter,
+    )
+
+    node = str(tmp_path / "node")
+    os.makedirs(node)
+    w = _TextStreamWriter({"path": node, "file": "doc.txt"})
+
+    def _fake_batch(lines, pid=0):
+        # simulate the executor-side write() without a TaskContext
+        import hashlib
+
+        tmp_dir = os.path.join(node, "chunks_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp_name = f"{w._job}_p{pid}"
+        data = "".join(ln + "\n" for ln in lines).encode()
+        with open(os.path.join(tmp_dir, tmp_name), "wb") as fh:
+            fh.write(data)
+        with open(os.path.join(tmp_dir, tmp_name + "h"), "wb") as fh:
+            fh.write(hashlib.md5(data).digest())
+        return _ChunkCommit(pid=pid, tmp_name=tmp_name)
+
+    w.commit([_fake_batch(["x1"])], batchId=0)
+    w.commit([_fake_batch(["y1"])], batchId=1)
+    # replay of batch 1 (crash before offset commit): must be dropped
+    w.commit([_fake_batch(["y1"])], batchId=1)
+    register_dfs_sources(spark)
+    rows = sorted(
+        (r.chunk_idx, r.line)
+        for r in spark.read.format("go_dfs_text").load(node).collect()
+    )
+    assert rows == [(0, "x1"), (1, "y1")]
+    # tmp dir holds no leftovers from the dropped replay
+    assert os.listdir(os.path.join(node, "chunks_tmp")) == []
+
+
+def test_stream_sink_corrupt_state_fails_loudly(spark, tmp_path):
+    """A corrupt batch high-water-mark must abort the commit (silent
+    guessing could duplicate chunks) with an actionable message."""
+    import os
+
+    import pytest as _pytest
+
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import _TextStreamWriter
+
+    node = str(tmp_path / "node")
+    os.makedirs(node)
+    w = _TextStreamWriter({"path": node, "file": "doc.txt"})
+    with open(w._state_path(), "w") as fh:
+        fh.write("not json {")
+    with _pytest.raises(RuntimeError, match="corrupt stream-sink state"):
+        w.commit([], batchId=5)
