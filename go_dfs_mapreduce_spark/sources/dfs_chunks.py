@@ -292,8 +292,14 @@ class _TextStreamWriter(_TextWriter, DataSourceStreamWriter):
     sidecar fails the commit loudly: guessing would risk silent chunk
     duplication, the one thing this protocol exists to prevent."""
 
+    _ftype = "TXT"
+
     def __init__(self, options) -> None:
         super().__init__(options, overwrite=False)
+
+    @staticmethod
+    def _tmp_names(message) -> list[str]:
+        return [message.tmp_name]
 
     def _state_path(self) -> str:
         return os.path.join(self._dir, f".stream_state_{self._file}")
@@ -302,7 +308,7 @@ class _TextStreamWriter(_TextWriter, DataSourceStreamWriter):
         mx = -1
         for e in self._existing():
             m = _CHUNK_RE.match(e)
-            if m.group("tchar") == "t":
+            if m.group("tchar") == _CHAR_OF[self._ftype]:
                 mx = max(mx, int(m.group("idx")))
         return mx + 1
 
@@ -328,10 +334,13 @@ class _TextStreamWriter(_TextWriter, DataSourceStreamWriter):
         for m in sorted(
             (m for m in messages if m and m.tmp_name), key=lambda m: m.pid
         ):
-            final = os.path.join(self._dir, chunk_name(self._file, "TXT", idx))
-            os.rename(os.path.join(tmp_dir, m.tmp_name), final)
-            os.rename(os.path.join(tmp_dir, m.tmp_name + "h"), final + "h")
-            idx += 1
+            for tmp_name in self._tmp_names(m):
+                final = os.path.join(
+                    self._dir, chunk_name(self._file, self._ftype, idx)
+                )
+                os.rename(os.path.join(tmp_dir, tmp_name), final)
+                os.rename(os.path.join(tmp_dir, tmp_name + "h"), final + "h")
+                idx += 1
         tmp_state = sp + f".tmp_{self._job}"
         with open(tmp_state, "w", encoding="utf-8") as fh:
             json.dump({"last_batch": batchId}, fh)
@@ -508,6 +517,22 @@ class _BinWriter(_TextWriter):
                         os.remove(p)
 
 
+class _BinStreamWriter(_TextStreamWriter):
+    """BIN twin of the text stream sink: each micro-batch row's bytes
+    become one appended chunk (row -> chunk, like the batch BIN writer),
+    with the same continuing-index commit and replay protection."""
+
+    _ftype = "BIN"
+    write = _BinWriter.write
+
+    @staticmethod
+    def _tmp_names(message) -> list[str]:
+        return message.tmp_name.split(",")
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        _BinWriter.abort(self, messages)
+
+
 class _BinStreamReader(_TextStreamReader):
     """BIN twin of the streaming tail: one (file, chunk_idx, content)
     row per newly-visible chunk, same per-file contiguous offsets."""
@@ -545,6 +570,14 @@ class GoDfsBinDataSource(DataSource):
                 f" chunk contents, got {schema.simpleString()}"
             )
         return _BinWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        if len(schema.fields) != 1 or schema.fields[0].dataType.typeName() != "binary":
+            raise ValueError(
+                "go_dfs_bin stream write expects exactly one binary column"
+                f" of chunk contents, got {schema.simpleString()}"
+            )
+        return _BinStreamWriter(self.options)
 
 
 def register(spark) -> None:

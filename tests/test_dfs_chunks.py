@@ -793,3 +793,51 @@ def test_stream_sink_corrupt_state_fails_loudly(spark, tmp_path):
         fh.write("not json {")
     with _pytest.raises(RuntimeError, match="corrupt stream-sink state"):
         w.commit([], batchId=5)
+
+
+def test_bin_stream_sink_appends_chunks_across_runs(spark, tmp_path):
+    """BIN writeStream twin: each streamed row becomes one appended chunk
+    with a continuing index; a second run on the same checkpoint appends
+    only the new rows' chunks."""
+    import os
+
+    register_dfs_sources(spark)
+    src = str(tmp_path / "src")
+    node = str(tmp_path / "node")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.makedirs(node)
+
+    def _produce(name, blobs):
+        spark.createDataFrame(
+            [(bytearray(b),) for b in blobs], "content binary"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    def _drain():
+        q = (
+            spark.readStream.schema("content binary")
+            .parquet(src + "/*")
+            .writeStream.format("go_dfs_bin")
+            .option("checkpointLocation", ckpt)
+            .option("file", "blob.bin")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start(node)
+        )
+        q.awaitTermination()
+
+    _produce("a", [b"\x00\x01", b"\xff" * 5])
+    _drain()
+    first = sorted(
+        bytes(r.content)
+        for r in spark.read.format("go_dfs_bin").load(node).collect()
+    )
+    assert first == sorted([b"\x00\x01", b"\xff" * 5])
+
+    _produce("b", [b"new-bytes"])
+    _drain()
+    rows = spark.read.format("go_dfs_bin").load(node).collect()
+    assert sorted(bytes(r.content) for r in rows) == sorted(
+        [b"\x00\x01", b"\xff" * 5, b"new-bytes"]
+    )
+    assert {r.chunk_idx for r in rows} == {0, 1, 2}  # contiguous, no rewrite
