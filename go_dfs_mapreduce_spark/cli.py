@@ -116,6 +116,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--overwrite", action="store_true")
 
     p = sub.add_parser(
+        "dfs-drain",
+        help="incrementally drain a landing directory of text files into"
+        " the reference chunk layout: each invocation appends ONLY"
+        " not-yet-drained files as NEW chunks (checkpointed stream,"
+        " AvailableNow) — the catch-up twin of dfs-export's one-shot",
+    )
+    p.add_argument("src", help="landing directory of text files")
+    p.add_argument("node", help="target storage-node directory")
+    p.add_argument("--file", required=True, help="chunk-layout file name")
+    p.add_argument(
+        "--checkpoint",
+        help="stream checkpoint dir (default: <node>/.drain_ckpt_<file>)",
+    )
+
+    p = sub.add_parser(
         "dfs-fsck",
         help="verify every chunk replica across storage-node dirs against"
         " its md5 sidecar; --repair deletes corrupt replicas and"
@@ -206,6 +221,8 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         )
+    elif args.cmd == "dfs-drain":
+        print(_dfs_drain(spark, args))
     elif args.cmd == "dfs-import":
         print(_dfs_import(spark, wh, args))
     elif args.cmd == "dfs-export":
@@ -348,6 +365,39 @@ def _load_plugin_file(path: str):
     if not callable(mod.f_map) or not callable(mod.f_reduce):
         raise ValueError("plugin f_map and f_reduce must be callable")
     return mod.f_map, mod.f_reduce, r
+
+
+def _dfs_drain(spark: SparkSession, args) -> str:
+    """The `dfs-drain` verb: catch-up ingestion from a landing directory
+    into the chunk layout via the go_dfs_text STREAM SINK. The file
+    stream source's checkpoint remembers which landing files were already
+    drained, so repeated invocations append only new data as new chunks
+    with continuing indices (sources/dfs_chunks.py::_TextStreamWriter) —
+    run it from cron and reference consumers see one coherent growing
+    file. AvailableNow makes each run a bounded batch; at deployment the
+    same pipeline runs continuously with a processing-time trigger."""
+    from .sources import register_dfs_sources
+    from .sources.dfs_chunks import _inventory
+
+    register_dfs_sources(spark)
+    ckpt = args.checkpoint or os.path.join(
+        args.node, f".drain_ckpt_{args.file}"
+    )
+    q = (
+        spark.readStream.text(args.src)
+        .select(F.col("value").alias("line"))
+        .writeStream.format("go_dfs_text")
+        .option("checkpointLocation", ckpt)
+        .option("file", args.file)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(args.node)
+    )
+    q.awaitTermination()
+    chunks = {c for (_f, c) in _inventory([args.node], "TXT", args.file)}
+    return json.dumps(
+        {"file": args.file, "node": args.node, "chunks": len(chunks)}
+    )
 
 
 def _dfs_import(spark: SparkSession, wh, args) -> str:

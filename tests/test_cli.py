@@ -328,3 +328,43 @@ def test_cli_query_explain(spark, wh_root, capsys, sf_dir):
     assert rc == 0
     assert "== Physical Plan ==" in out
     assert "Scan parquet" in out
+
+
+def test_cli_dfs_drain_incremental(spark, tmp_path, wh_root, capsys):
+    """dfs-drain: first run drains the landing dir into chunks; new
+    landing files arrive; second run appends ONLY the new lines as new
+    chunks (checkpointed), and the chunk reader sees one coherent file."""
+    import os as _os
+
+    landing = tmp_path / "landing"
+    node = tmp_path / "node"
+    landing.mkdir()
+    node.mkdir()
+    (landing / "a.txt").write_text("alpha\nbeta\n")
+
+    rc, out = _run(
+        capsys, "--warehouse", wh_root, "dfs-drain", str(landing), str(node),
+        "--file", "feed.txt",
+    )
+    assert rc == 0
+    rep1 = json.loads(out.strip().splitlines()[-1])
+    assert rep1["file"] == "feed.txt" and rep1["chunks"] >= 1
+
+    (landing / "b.txt").write_text("gamma\n")
+    rc, out = _run(
+        capsys, "--warehouse", wh_root, "dfs-drain", str(landing), str(node),
+        "--file", "feed.txt",
+    )
+    assert rc == 0
+    rep2 = json.loads(out.strip().splitlines()[-1])
+    assert rep2["chunks"] > rep1["chunks"]
+
+    from go_dfs_mapreduce_spark.sources import register_dfs_sources
+
+    register_dfs_sources(spark)
+    rows = spark.read.format("go_dfs_text").load(str(node)).collect()
+    assert sorted(r.line for r in rows) == ["alpha", "beta", "gamma"]
+    # indices are contiguous — a tailing consumer never sees a gap
+    idxs = {r.chunk_idx for r in rows}
+    assert idxs == set(range(1 + max(idxs)))
+    assert _os.path.isdir(str(node / ".drain_ckpt_feed.txt"))
