@@ -36,6 +36,8 @@ corpus so results are non-trivial.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -755,6 +757,9 @@ def _dec_sqdist_expr(a: str, b: str) -> str:
     )
 
 
+_CELLS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def nn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame[vec_id, cell] — deterministic IVF-style sub-cell per
     vector: seeds are the ``N_NN_CELLS`` smallest vec_ids per label, every
@@ -763,7 +768,20 @@ def nn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical partition. At 100 TB the cell count scales with block size,
     bounding the within-cell pair join that a raw per-label block leaves
     quadratic. Distances are array expressions (``_dec_sqdist_expr``) —
-    one broadcast join row per (vector, seed), no per-dimension explode."""
+    one broadcast join row per (vector, seed), no per-dimension explode.
+
+    Memoized per (session, sf dir) like graph's ``_edges``: both
+    embedding_nn_cosine and semantic_dedup consume the cells, and an
+    un-memoized persist per call would accrete cached frames across
+    repeated gate sweeps. clearCache() is detected via the storage-level
+    probe and the frame rebuilt."""
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _CELLS_MEMO if k[0] != app]:
+        del _CELLS_MEMO[stale]
+    key = (app, os.path.abspath(sf_dir))
+    memo = _CELLS_MEMO.get(key)
+    if memo is not None and memo.storageLevel.useMemory:
+        return memo
     emb = table(spark, sf_dir, "embeddings")
     wseed = Window.partitionBy("label").orderBy("vec_id")
     seeds = (
@@ -798,6 +816,7 @@ def nn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min_by(seed_id, struct(d2, seed_id))").alias("cell")
     ).persist()
     cells.count()
+    _CELLS_MEMO[key] = cells
     return cells
 
 

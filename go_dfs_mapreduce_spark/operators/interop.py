@@ -240,9 +240,11 @@ def dataset_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "text", F.expr(_SHARD_SPARK).alias("shard")
         )
         docs.write.partitionBy("shard").mode("overwrite").json(out)
-        back = spark.read.schema(
-            "doc_id long, text string, shard long"
-        ).json(out)
+        back = (
+            spark.read.schema("doc_id long, text string, shard long")
+            .option("mode", "FAILFAST")
+            .json(out)
+        )
         return (
             back.select(
                 "shard",

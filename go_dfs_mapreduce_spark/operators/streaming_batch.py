@@ -460,16 +460,15 @@ def stream_into_dfs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the line multiset (order-insensitive, like the gate's compare);
     chunk structure itself is pinned by the writer/reader unit tests."""
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from ..sources import register_dfs_sources
+    from .interop import _with_scratch
 
     register_dfs_sources(spark)
-    scratch = tempfile.mkdtemp(prefix="go_dfs_sink_")
-    try:
+
+    def build(scratch: str) -> DataFrame:
         src = os.path.join(scratch, "src")
         node = os.path.join(scratch, "node")
         ckpt = os.path.join(scratch, "ckpt")
@@ -500,9 +499,7 @@ def stream_into_dfs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start(node)
         )
         q.awaitTermination()
-        back = spark.read.format("go_dfs_text").load(node).select("line")
-        rows = back.collect()  # id+hash lines — metadata-sized at any SF
-        out_schema = back.schema
-        return spark.createDataFrame(rows, out_schema)
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+        # read-back rows are id+hash lines — metadata-sized at any SF
+        return spark.read.format("go_dfs_text").load(node).select("line")
+
+    return _with_scratch(spark, "go_dfs_sink_", build)

@@ -285,24 +285,43 @@ class _TextStreamWriter(_TextWriter, DataSourceStreamWriter):
 
     Exactly-once: Spark replays a micro-batch when a crash lands between
     sink commit and checkpoint offset commit. A batch high-water-mark
-    sidecar (``.stream_state_<file>``, atomically replaced) detects the
-    replay and drops its tmp files instead of appending duplicates — the
-    growing-file analogue of the batch writer's duplicate-store
-    rejection (a tail producer cannot reject by name). A corrupt state
-    sidecar fails the commit loudly: guessing would risk silent chunk
-    duplication, the one thing this protocol exists to prevent."""
+    sidecar (``.stream_state_<file>_<ckpt-hash>``, atomically replaced)
+    detects the replay and drops its tmp files instead of appending
+    duplicates — the growing-file analogue of the batch writer's
+    duplicate-store rejection (a tail producer cannot reject by name).
+    The state is keyed by the query's checkpointLocation, so a DIFFERENT
+    stream (fresh checkpoint) writing the same file starts its own batch
+    numbering without colliding; reusing a checkpoint PATH after deleting
+    its contents requires removing the state sidecar too (documented
+    failure mode — the sink cannot distinguish that from a replay).
+    Crash-safety inside commit: the planned renames are journaled
+    atomically BEFORE any rename, so a crash mid-commit rolls forward
+    from the journal on replay instead of appending the batch twice. A
+    corrupt state or journal sidecar fails the commit loudly: guessing
+    would risk silent chunk duplication, the one thing this protocol
+    exists to prevent."""
 
     _ftype = "TXT"
 
     def __init__(self, options) -> None:
         super().__init__(options, overwrite=False)
+        ck = options.get("checkpointlocation") or options.get(
+            "checkpointLocation"
+        )
+        self._ckpt_key = (
+            hashlib.md5(os.path.abspath(ck).encode("utf-8")).hexdigest()[:8]
+            if ck
+            else "global"
+        )
 
     @staticmethod
     def _tmp_names(message) -> list[str]:
         return [message.tmp_name]
 
     def _state_path(self) -> str:
-        return os.path.join(self._dir, f".stream_state_{self._file}")
+        return os.path.join(
+            self._dir, f".stream_state_{self._file}_{self._ckpt_key}"
+        )
 
     def _next_idx(self) -> int:
         mx = -1
@@ -312,39 +331,78 @@ class _TextStreamWriter(_TextWriter, DataSourceStreamWriter):
                 mx = max(mx, int(m.group("idx")))
         return mx + 1
 
+    def _load_sidecar(self, path: str, what: str):
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path, "r", encoding="utf-8") as fh:
+                return json.load(fh)
+        except (ValueError, OSError) as exc:
+            raise RuntimeError(
+                f"corrupt stream-sink {what} {path!r}; refusing to commit "
+                "(risk of duplicate chunks) — repair or remove it after "
+                "checking the chunk inventory"
+            ) from exc
+
+    def _replace_json(self, path: str, payload) -> None:
+        tmp = path + f".tmp_{self._job}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, path)
+
+    def _roll_forward(self, renames) -> None:
+        """Execute (or complete) the journaled tmp->final renames; safe to
+        re-run from any crash point, including a half-renamed pair (data
+        in place, sidecar still in chunks_tmp)."""
+        tmp_dir = os.path.join(self._dir, "chunks_tmp")
+        for tmp_name, final_name in renames:
+            final = os.path.join(self._dir, final_name)
+            src = os.path.join(tmp_dir, tmp_name)
+            if os.path.exists(src):
+                os.rename(src, final)
+            side = os.path.join(tmp_dir, tmp_name + "h")
+            if os.path.exists(side):
+                os.rename(side, final + "h")
+
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
         sp = self._state_path()
-        last = -1
-        if os.path.exists(sp):
-            try:
-                with open(sp, "r", encoding="utf-8") as fh:
-                    last = int(json.load(fh)["last_batch"])
-            except (ValueError, KeyError, OSError, TypeError) as exc:
-                raise RuntimeError(
-                    f"corrupt stream-sink state {sp!r}; refusing to commit "
-                    "batch (risk of duplicate chunks) — repair or remove the "
-                    "state file after checking the chunk inventory"
-                ) from exc
-        if batchId <= last:
-            # replayed batch: its chunks are already on disk; drop tmps
+        jp = sp + ".journal"
+        state = self._load_sidecar(sp, "state") or {}
+        try:
+            last = int(state.get("last_batch", -1))
+        except (ValueError, TypeError) as exc:
+            raise RuntimeError(
+                f"corrupt stream-sink state {sp!r}; refusing to commit"
+            ) from exc
+        journal = self._load_sidecar(jp, "journal")
+        if journal is not None and journal.get("batch") == batchId:
+            # crash landed inside THIS batch's earlier commit attempt:
+            # complete the journaled renames, then drop the replay's tmps
+            self._roll_forward(journal["renames"])
+            self._replace_json(sp, {"last_batch": batchId})
+            os.remove(jp)
             self.abort(messages, batchId)
             return
-        tmp_dir = os.path.join(self._dir, "chunks_tmp")
+        if batchId <= last:
+            # replayed, fully committed batch: chunks already on disk
+            self.abort(messages, batchId)
+            return
         idx = self._next_idx()
+        renames = []
         for m in sorted(
             (m for m in messages if m and m.tmp_name), key=lambda m: m.pid
         ):
             for tmp_name in self._tmp_names(m):
-                final = os.path.join(
-                    self._dir, chunk_name(self._file, self._ftype, idx)
+                renames.append(
+                    [tmp_name, chunk_name(self._file, self._ftype, idx)]
                 )
-                os.rename(os.path.join(tmp_dir, tmp_name), final)
-                os.rename(os.path.join(tmp_dir, tmp_name + "h"), final + "h")
                 idx += 1
-        tmp_state = sp + f".tmp_{self._job}"
-        with open(tmp_state, "w", encoding="utf-8") as fh:
-            json.dump({"last_batch": batchId}, fh)
-        os.replace(tmp_state, sp)
+        # journal first (atomic), then rename: a crash anywhere below is
+        # rolled forward — never re-planned — on the replay
+        self._replace_json(jp, {"batch": batchId, "renames": renames})
+        self._roll_forward(renames)
+        self._replace_json(sp, {"last_batch": batchId})
+        os.remove(jp)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
         _TextWriter.abort(self, messages)
@@ -450,6 +508,12 @@ class GoDfsTextDataSource(DataSource):
         return _TextWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "go_dfs_text stream sink only supports append output mode "
+                "(chunks accrete with continuing indices); complete/update "
+                "would re-emit state snapshots as extra chunks"
+            )
         if len(schema.fields) != 1 or schema.fields[0].dataType.typeName() != "string":
             raise ValueError(
                 "go_dfs_text stream write expects exactly one string column "
@@ -572,6 +636,12 @@ class GoDfsBinDataSource(DataSource):
         return _BinWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "go_dfs_bin stream sink only supports append output mode "
+                "(chunks accrete with continuing indices); complete/update "
+                "would re-emit state snapshots as extra chunks"
+            )
         if len(schema.fields) != 1 or schema.fields[0].dataType.typeName() != "binary":
             raise ValueError(
                 "go_dfs_bin stream write expects exactly one binary column"

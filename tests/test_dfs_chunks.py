@@ -841,3 +841,146 @@ def test_bin_stream_sink_appends_chunks_across_runs(spark, tmp_path):
         [b"\x00\x01", b"\xff" * 5, b"new-bytes"]
     )
     assert {r.chunk_idx for r in rows} == {0, 1, 2}  # contiguous, no rewrite
+
+
+def test_stream_sink_fresh_checkpoint_not_mistaken_for_replay(spark, tmp_path):
+    """A DIFFERENT stream (its own checkpoint) writing the same node/file
+    restarts batch numbering at 0 — its data must append, not be dropped
+    as a 'replay' of the first stream's batch 0 (state is keyed by
+    checkpointLocation)."""
+    import os
+
+    register_dfs_sources(spark)
+    node = str(tmp_path / "node")
+    os.makedirs(node)
+
+    def _run_one(tag, lines):
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src)
+        spark.createDataFrame(
+            [(ln,) for ln in lines], "line string"
+        ).coalesce(1).write.parquet(os.path.join(src, "d"))
+        q = (
+            spark.readStream.schema("line string")
+            .parquet(src + "/*")
+            .writeStream.format("go_dfs_text")
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .option("file", "feed.txt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start(node)
+        )
+        q.awaitTermination()
+
+    _run_one("a", ["first"])
+    _run_one("b", ["second"])  # fresh checkpoint, batch 0 again
+    rows = spark.read.format("go_dfs_text").load(node).collect()
+    assert sorted(r.line for r in rows) == ["first", "second"]
+
+
+def test_stream_sink_mid_commit_crash_rolls_forward(spark, tmp_path):
+    """A crash INSIDE commit (after the journal, after some renames, but
+    before the state update) must not duplicate the batch: the replay
+    completes the journaled renames and drops its own tmp files."""
+    import hashlib
+    import json as _json
+    import os
+
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import (
+        _ChunkCommit,
+        _TextStreamWriter,
+        chunk_name,
+    )
+
+    node = str(tmp_path / "node")
+    os.makedirs(node)
+    w = _TextStreamWriter({"path": node, "file": "doc.txt"})
+    tmp_dir = os.path.join(node, "chunks_tmp")
+    os.makedirs(tmp_dir)
+
+    def _tmp(name, lines):
+        data = "".join(ln + "\n" for ln in lines).encode()
+        with open(os.path.join(tmp_dir, name), "wb") as fh:
+            fh.write(data)
+        with open(os.path.join(tmp_dir, name + "h"), "wb") as fh:
+            fh.write(hashlib.md5(data).digest())
+
+    # batch 0 committed normally
+    _tmp("job0_p0", ["a"])
+    w.commit([_ChunkCommit(pid=0, tmp_name="job0_p0")], batchId=0)
+
+    # simulate batch 1 crashing mid-commit: journal written, first of two
+    # chunks renamed (data only — sidecar still pending), then crash
+    _tmp("job1_p0", ["b"])
+    _tmp("job1_p1", ["c"])
+    _json.dump(
+        {
+            "batch": 1,
+            "renames": [
+                ["job1_p0", chunk_name("doc.txt", "TXT", 1)],
+                ["job1_p1", chunk_name("doc.txt", "TXT", 2)],
+            ],
+        },
+        open(w._state_path() + ".journal", "w"),
+    )
+    os.rename(
+        os.path.join(tmp_dir, "job1_p0"),
+        os.path.join(node, chunk_name("doc.txt", "TXT", 1)),
+    )
+
+    # replay of batch 1 arrives with ITS OWN fresh tmp files
+    w2 = _TextStreamWriter({"path": node, "file": "doc.txt"})
+    _tmp("job2_p0", ["b"])
+    _tmp("job2_p1", ["c"])
+    w2.commit(
+        [
+            _ChunkCommit(pid=0, tmp_name="job2_p0"),
+            _ChunkCommit(pid=1, tmp_name="job2_p1"),
+        ],
+        batchId=1,
+    )
+
+    rows = sorted(
+        (r.chunk_idx, r.line)
+        for r in spark.read.format("go_dfs_text").load(node).collect()
+    )
+    assert rows == [(0, "a"), (1, "b"), (2, "c")]  # no duplication
+    assert os.listdir(tmp_dir) == []  # replay tmps dropped
+    assert not os.path.exists(w._state_path() + ".journal")
+    # and a further replay of batch 1 is now an ordinary no-op
+    _tmp("job3_p0", ["b"])
+    w2.commit([_ChunkCommit(pid=0, tmp_name="job3_p0")], batchId=1)
+    assert len(spark.read.format("go_dfs_text").load(node).collect()) == 3
+
+
+def test_stream_sink_rejects_truncate_modes(spark, tmp_path):
+    """complete/update output modes (truncate semantics) must fail loudly
+    instead of silently appending every state snapshot."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    register_dfs_sources(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame([("x",)], "line string").write.parquet(
+        os.path.join(src, "d")
+    )
+    agg = (
+        spark.readStream.schema("line string")
+        .parquet(src + "/*")
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).cast("string").alias("n"))
+        .select("n")
+    )
+    with _pytest.raises(Exception, match="append output mode"):
+        q = (
+            agg.writeStream.format("go_dfs_text")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .option("file", "feed.txt")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start(str(tmp_path / "node"))
+        )
+        q.awaitTermination()
