@@ -388,3 +388,64 @@ def skyline_2d_from_parts(part: DataFrame) -> DataFrame:
             F.col("p_size").alias("size"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Datasketches HLL distinct-count audit — the sketch-summary path a
+# 100 TB cardinality pass actually ships, checked against ground truth.
+# --------------------------------------------------------------------------
+
+HLL_LG_K = 14  # 2^14 buckets -> ~0.8% rsd; audit allows 5x that
+
+HLL_AUDIT_ORACLE = """
+WITH toks AS (
+  SELECT d.source, t.tk AS token FROM (
+    SELECT source,
+           string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+      AS toks FROM documents) d,
+    unnest(toks) t(tk)
+  WHERE t.tk <> ''
+)
+SELECT source,
+       COUNT(DISTINCT token) AS exact_distinct,
+       TRUE AS hll_ok
+FROM toks GROUP BY source
+"""
+
+
+@query("distinct_sketch_audit", oracle=HLL_AUDIT_ORACLE)
+def distinct_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality via the Datasketches HLL
+    functions (Spark 4: ``hll_sketch_agg`` -> ``hll_sketch_estimate``),
+    audited next to the exact distinct count in ONE aggregate pass. The
+    emitted ``hll_ok`` flag asserts the estimate landed within 5x the
+    sketch's stated rsd at lgK=14 (~0.8%); the oracle states the exact
+    counts plus literal TRUE, so a sketch regression fails the hash
+    compare. HLL is hash-deterministic (no RNG), so the audit is stable
+    across runs and partitionings. At 100 TB this is the load-bearing
+    shape: per-partition sketches merge associatively (map-side
+    combine), the shuffle carries kilobytes per group, and the same
+    sketch column can be rolled up across sources without re-reading
+    the corpus — exactly what COUNT(DISTINCT) cannot do twice."""
+    docs = table(spark, sf_dir, "documents")
+    norm = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.expr(f"filter(split({norm}, ' '), x -> x <> '')")
+        ).alias("token"),
+    )
+    agg = toks.groupBy("source").agg(
+        F.countDistinct("token").alias("exact_distinct"),
+        F.expr(
+            f"hll_sketch_estimate(hll_sketch_agg(token, {HLL_LG_K}))"
+        ).alias("ap"),
+    )
+    return agg.select(
+        "source",
+        "exact_distinct",
+        (
+            F.abs(F.col("ap") - F.col("exact_distinct"))
+            <= 0.04 * F.col("exact_distinct")
+        ).alias("hll_ok"),
+    )
