@@ -449,3 +449,99 @@ def distinct_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.04 * F.col("exact_distinct")
         ).alias("hll_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theta-sketch set operations: audience overlap between event types.
+# --------------------------------------------------------------------------
+
+THETA_OVERLAP_ORACLE = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT x.event_type AS type_a, y.event_type AS type_b,
+       COALESCE(p.n, 0) AS users_both
+FROM types x JOIN types y ON x.event_type < y.event_type
+LEFT JOIN pairs p ON p.ta = x.event_type AND p.tb = y.event_type
+"""
+
+
+@query("audience_overlap_theta", oracle=THETA_OVERLAP_ORACLE)
+def audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap (how many users did BOTH event types)
+    via Datasketches THETA set sketches: one pass folds distinct user
+    ids into a sketch per event type, then every pair intersects two
+    KILOBYTE sketches (``theta_intersection`` — the scalar two-sketch
+    form; the aggregate form crashes on empty partitions under partial
+    aggregation, probed and avoided). This is the 100 TB overlap shape:
+    the exact formulation below (the oracle) joins the full distinct
+    (type, user) set against itself — quadratic in types x users — while
+    the sketch pass reads the corpus once and does set algebra on
+    summaries. At gate scale (150 users/type << the sketch's 4096
+    retained-hash threshold) theta operates in EXACT mode, so the
+    estimates equal the oracle's true counts deterministically; at
+    estimation scale the same plan returns within the sketch's published
+    rsd. The from-the-driver contract stays declarative: sketches never
+    leave the JVM."""
+    ev = table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.expr(
+                "cast(round(theta_sketch_estimate("
+                "theta_intersection(a.sk, b.sk))) as bigint)"
+            ).alias("users_both"),
+        )
+    )
+
+
+HLL_ROLLUP_ORACLE = """
+SELECT 'distinct_parts_global' AS metric,
+       COUNT(DISTINCT l_partkey) AS exact_distinct,
+       TRUE AS rollup_ok
+FROM lineitem
+"""
+
+
+@query("distinct_sketch_rollup_audit", oracle=HLL_ROLLUP_ORACLE)
+def distinct_sketch_rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches the 100 TB cardinality answer:
+    RE-AGGREGABILITY. Per-returnflag HLL sketches of distinct part keys
+    are rolled up with ``hll_union_agg`` into a global estimate WITHOUT
+    re-reading the fact table — the two-level aggregation a cube of
+    distinct counts needs and COUNT(DISTINCT) fundamentally cannot do
+    (distinctness does not sum). The audit runs the rollup next to the
+    exact global distinct and gates the estimate within 5x the lgK=14
+    rsd (~0.8%); the oracle's literal TRUE makes sketch accuracy a
+    hash-gated property, as in ``distinct_sketch_audit``."""
+    li = table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.expr(f"hll_sketch_agg(l_partkey, {HLL_LG_K})").alias("sk")
+    )
+    rolled = per_flag.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+            "ap"
+        )
+    )
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return exact.crossJoin(rolled).select(
+        F.lit("distinct_parts_global").alias("metric"),
+        "exact_distinct",
+        (
+            F.abs(F.col("ap") - F.col("exact_distinct"))
+            <= 0.04 * F.col("exact_distinct")
+        ).alias("rollup_ok"),
+    )
