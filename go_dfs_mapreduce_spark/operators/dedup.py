@@ -36,8 +36,6 @@ corpus so results are non-trivial.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -770,18 +768,18 @@ def nn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic. Distances are array expressions (``_dec_sqdist_expr``) —
     one broadcast join row per (vector, seed), no per-dimension explode.
 
-    Memoized per (session, sf dir) like graph's ``_edges``: both
-    embedding_nn_cosine and semantic_dedup consume the cells, and an
-    un-memoized persist per call would accrete cached frames across
-    repeated gate sweeps. clearCache() is detected via the storage-level
-    probe and the frame rebuilt."""
-    app = spark.sparkContext.applicationId
-    for stale in [k for k in _CELLS_MEMO if k[0] != app]:
-        del _CELLS_MEMO[stale]
-    key = (app, os.path.abspath(sf_dir))
-    memo = _CELLS_MEMO.get(key)
-    if memo is not None and memo.storageLevel.useMemory:
-        return memo
+    Memoized per (session, sf dir) via ``memo.session_memo`` (shared
+    with graph's ``_edges``): both embedding_nn_cosine and semantic_dedup
+    consume the cells, and an un-memoized persist per call would accrete
+    cached frames across repeated gate sweeps."""
+    from ..memo import session_memo
+
+    return session_memo(
+        _CELLS_MEMO, spark, sf_dir, lambda: _build_nn_cells(spark, sf_dir)
+    )
+
+
+def _build_nn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     wseed = Window.partitionBy("label").orderBy("vec_id")
     seeds = (
@@ -807,17 +805,14 @@ def nn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Uniqueness of the ordering struct makes the result deterministic and
     # identical to the oracle's row_number-over-(d2, seed_id) formulation.
     #
-    # PERSISTED + eager like _shingle_arrays: both sides of the
-    # within-cell pair self-join consume this frame, and without the
-    # persist each side re-runs the seeds + decimal-distance + argmin
-    # pipeline (no ReuseExchange across the differently-pruned copies).
-    # The cached frame is two scalars per vector — near-free to hold.
-    cells = d2.groupBy("vec_id").agg(
+    # PERSISTED + eager (by session_memo): both sides of the within-cell
+    # pair self-join consume this frame, and without the persist each
+    # side re-runs the seeds + decimal-distance + argmin pipeline (no
+    # ReuseExchange across the differently-pruned copies). The cached
+    # frame is two scalars per vector — near-free to hold.
+    return d2.groupBy("vec_id").agg(
         F.expr("min_by(seed_id, struct(d2, seed_id))").alias("cell")
-    ).persist()
-    cells.count()
-    _CELLS_MEMO[key] = cells
-    return cells
+    )
 
 
 @query("embedding_nn_cosine", oracle=EMB_NN_ORACLE)

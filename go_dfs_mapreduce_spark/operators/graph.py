@@ -31,7 +31,6 @@ hash-partitioned, AQE-skew-splittable, no driver-side state.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,36 +63,31 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization per sweep. The edge list is 2 longs per edge
     (orders of magnitude smaller than the fact table), which is exactly
     the frame a 100 TB deployment would materialize once before any
-    graph pass."""
-    app = spark.sparkContext.applicationId
-    # evict entries from other (stopped) applications: their DataFrame
-    # wrappers point into dead JVM contexts and would otherwise accrete
-    # across session restarts within one Python process
-    for stale in [k for k in _EDGES_MEMO if k[0] != app]:
-        del _EDGES_MEMO[stale]
-    key = (app, os.path.abspath(sf_dir))
-    memo = _EDGES_MEMO.get(key)
-    # clearCache() (bench reps, tests) unpersists behind our back; the
-    # storage-level probe detects that and rebuilds instead of silently
-    # recomputing the subtree on every consumer
-    if memo is not None and memo.storageLevel.useMemory:
-        return memo
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .distinct()
-        .persist()
-    )
-    edges.count()  # populate NOW (concurrent AQE stages racing an
-    # unpopulated cache each recompute the subtree)
-    _EDGES_MEMO[key] = edges
-    return edges
+    graph pass. Memoization mechanics (stale-app eviction, clearCache
+    detection, eager populate) live in ``memo.session_memo``, shared
+    with dedup's ``nn_cells``."""
+    from ..memo import session_memo
+
+    def build() -> DataFrame:
+        li = (
+            table(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+            )
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.ok") == F.col("b.ok"))
+                & (F.col("a.pk") < F.col("b.pk")),
+            )
+            .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+            .distinct()
+        )
+
+    return session_memo(_EDGES_MEMO, spark, sf_dir, build)
 
 
 def _degrees(edges: DataFrame) -> DataFrame:

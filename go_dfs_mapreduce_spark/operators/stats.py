@@ -395,7 +395,8 @@ def skyline_2d_from_parts(part: DataFrame) -> DataFrame:
 # 100 TB cardinality pass actually ships, checked against ground truth.
 # --------------------------------------------------------------------------
 
-HLL_LG_K = 14  # 2^14 buckets -> ~0.8% rsd; audit allows 5x that
+HLL_LG_K = 14  # 2^14 buckets -> ~0.8% rsd
+HLL_TOL = 0.04  # audit tolerance: 5x the lgK=14 rsd — retune if HLL_LG_K changes
 
 HLL_AUDIT_ORACLE = """
 WITH toks AS (
@@ -446,7 +447,7 @@ def distinct_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
         (
             F.abs(F.col("ap") - F.col("exact_distinct"))
-            <= 0.04 * F.col("exact_distinct")
+            <= HLL_TOL * F.col("exact_distinct")
         ).alias("hll_ok"),
     )
 
@@ -542,6 +543,6 @@ def distinct_sketch_rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
         (
             F.abs(F.col("ap") - F.col("exact_distinct"))
-            <= 0.04 * F.col("exact_distinct")
+            <= HLL_TOL * F.col("exact_distinct")
         ).alias("rollup_ok"),
     )

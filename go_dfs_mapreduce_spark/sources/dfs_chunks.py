@@ -289,14 +289,22 @@ class _TextStreamWriter(_TextWriter, DataSourceStreamWriter):
     detects the replay and drops its tmp files instead of appending
     duplicates — the growing-file analogue of the batch writer's
     duplicate-store rejection (a tail producer cannot reject by name).
-    The state is keyed by the query's checkpointLocation, so a DIFFERENT
-    stream (fresh checkpoint) writing the same file starts its own batch
-    numbering without colliding; reusing a checkpoint PATH after deleting
-    its contents requires removing the state sidecar too (documented
-    failure mode — the sink cannot distinguish that from a replay).
+    The state is keyed by the query's checkpointLocation (REQUIRED as an
+    explicit ``.option`` — a conf-default or Spark-managed temp
+    checkpoint is invisible to the sink and would collapse every stream
+    onto one shared key, silently dropping a second stream's first
+    batches as 'replays'), so a DIFFERENT stream (fresh checkpoint)
+    writing the same file starts its own batch numbering without
+    colliding; reusing a checkpoint PATH after deleting its contents
+    requires removing the state sidecar too (documented failure mode —
+    the sink cannot distinguish that from a replay).
     Crash-safety inside commit: the planned renames are journaled
     atomically BEFORE any rename, so a crash mid-commit rolls forward
-    from the journal on replay instead of appending the batch twice. A
+    from the journal on replay instead of appending the batch twice, and
+    every rename refuses to clobber an existing chunk — two live
+    producers on the same (node, file) fail loudly at the index
+    collision instead of silently overwriting each other (the layout is
+    single-producer-per-file, like the reference's storage node). A
     corrupt state or journal sidecar fails the commit loudly: guessing
     would risk silent chunk duplication, the one thing this protocol
     exists to prevent."""
@@ -308,19 +316,32 @@ class _TextStreamWriter(_TextWriter, DataSourceStreamWriter):
         ck = options.get("checkpointlocation") or options.get(
             "checkpointLocation"
         )
-        self._ckpt_key = (
-            hashlib.md5(os.path.abspath(ck).encode("utf-8")).hexdigest()[:8]
-            if ck
-            else "global"
-        )
+        if not ck:
+            raise ValueError(
+                f"go_dfs_{self._ftype.lower()} stream sink requires an "
+                "explicit .option('checkpointLocation', ...): the replay "
+                "high-water-mark is keyed by it, and a conf-default or "
+                "temp checkpoint would collapse distinct streams onto one "
+                "shared key"
+            )
+        # normalize URI spellings ('file:///x', 'file:/x') to the plain
+        # path so a restart that spells the same checkpoint differently
+        # keeps the same replay-state key
+        ck = re.sub(r"^file:/{0,2}(?=/)", "", ck)
+        self._ckpt_key = hashlib.md5(
+            os.path.abspath(ck).encode("utf-8")
+        ).hexdigest()[:8]
 
     @staticmethod
     def _tmp_names(message) -> list[str]:
         return [message.tmp_name]
 
     def _state_path(self) -> str:
+        # 'ck' prefix keeps the name out of _CHUNK_RE's language: a bare
+        # hex suffix like '_b1234567' would otherwise parse as a BIN
+        # chunk and poison the node's inventory (~0.2% of hashes)
         return os.path.join(
-            self._dir, f".stream_state_{self._file}_{self._ckpt_key}"
+            self._dir, f".stream_state_{self._file}_ck{self._ckpt_key}"
         )
 
     def _next_idx(self) -> int:
@@ -331,18 +352,46 @@ class _TextStreamWriter(_TextWriter, DataSourceStreamWriter):
                 mx = max(mx, int(m.group("idx")))
         return mx + 1
 
-    def _load_sidecar(self, path: str, what: str):
+    @staticmethod
+    def _corrupt(what: str, path: str, cause=None) -> RuntimeError:
+        return RuntimeError(
+            f"corrupt stream-sink {what} {path!r}; refusing to commit "
+            "(risk of duplicate chunks) — repair or remove it after "
+            "checking the chunk inventory"
+        ) if cause is None else RuntimeError(
+            f"corrupt stream-sink {what} {path!r}; refusing to commit "
+            "(risk of duplicate chunks) — repair or remove it after "
+            f"checking the chunk inventory ({cause})"
+        )
+
+    def _load_state(self, path: str) -> int:
+        """The committed high-water batch id, or -1. Anything short of a
+        well-formed {'last_batch': int} refuses loudly — a damaged state
+        treated as fresh would replay-append duplicate chunks."""
+        if not os.path.exists(path):
+            return -1
+        try:
+            with open(path, "r", encoding="utf-8") as fh:
+                payload = json.load(fh)
+            return int(payload["last_batch"])
+        except (ValueError, OSError, KeyError, TypeError) as exc:
+            raise self._corrupt("state", path, exc) from exc
+
+    def _load_journal(self, path: str):
+        """The in-flight commit journal {'batch': int, 'renames': [...]},
+        or None; malformed shapes refuse loudly like _load_state."""
         if not os.path.exists(path):
             return None
         try:
             with open(path, "r", encoding="utf-8") as fh:
-                return json.load(fh)
-        except (ValueError, OSError) as exc:
-            raise RuntimeError(
-                f"corrupt stream-sink {what} {path!r}; refusing to commit "
-                "(risk of duplicate chunks) — repair or remove it after "
-                "checking the chunk inventory"
-            ) from exc
+                payload = json.load(fh)
+            batch = int(payload["batch"])
+            renames = [
+                (str(t), str(f)) for t, f in payload["renames"]
+            ]
+            return {"batch": batch, "renames": renames}
+        except (ValueError, OSError, KeyError, TypeError) as exc:
+            raise self._corrupt("journal", path, exc) from exc
 
     def _replace_json(self, path: str, payload) -> None:
         tmp = path + f".tmp_{self._job}"
@@ -350,35 +399,47 @@ class _TextStreamWriter(_TextWriter, DataSourceStreamWriter):
             json.dump(payload, fh)
         os.replace(tmp, path)
 
-    def _roll_forward(self, renames) -> None:
+    def _roll_forward(self, renames, resuming: bool) -> None:
         """Execute (or complete) the journaled tmp->final renames; safe to
         re-run from any crash point, including a half-renamed pair (data
-        in place, sidecar still in chunks_tmp)."""
+        in place, sidecar still in chunks_tmp). Renames never clobber: a
+        final name that already exists while its tmp is ALSO still
+        present means another producer took the index (two live streams
+        on one (node, file)) — refuse loudly rather than silently
+        overwrite. When ``resuming`` a journaled commit, a final that
+        exists with its tmp gone is our own completed rename and is
+        skipped."""
         tmp_dir = os.path.join(self._dir, "chunks_tmp")
         for tmp_name, final_name in renames:
             final = os.path.join(self._dir, final_name)
             src = os.path.join(tmp_dir, tmp_name)
             if os.path.exists(src):
+                if os.path.exists(final):
+                    raise RuntimeError(
+                        f"chunk {final!r} already exists while committing "
+                        f"{tmp_name!r}: another producer is writing this "
+                        "(node, file) — the chunk layout is single-"
+                        "producer-per-file; refusing to overwrite"
+                    )
                 os.rename(src, final)
+            elif not resuming and not os.path.exists(final):
+                raise RuntimeError(
+                    f"stream-sink tmp chunk {tmp_name!r} vanished before "
+                    f"commit of {final_name!r}; aborting the batch"
+                )
             side = os.path.join(tmp_dir, tmp_name + "h")
             if os.path.exists(side):
-                os.rename(side, final + "h")
+                os.replace(side, final + "h")
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
         sp = self._state_path()
         jp = sp + ".journal"
-        state = self._load_sidecar(sp, "state") or {}
-        try:
-            last = int(state.get("last_batch", -1))
-        except (ValueError, TypeError) as exc:
-            raise RuntimeError(
-                f"corrupt stream-sink state {sp!r}; refusing to commit"
-            ) from exc
-        journal = self._load_sidecar(jp, "journal")
-        if journal is not None and journal.get("batch") == batchId:
+        last = self._load_state(sp)
+        journal = self._load_journal(jp)
+        if journal is not None and journal["batch"] == batchId:
             # crash landed inside THIS batch's earlier commit attempt:
             # complete the journaled renames, then drop the replay's tmps
-            self._roll_forward(journal["renames"])
+            self._roll_forward(journal["renames"], resuming=True)
             self._replace_json(sp, {"last_batch": batchId})
             os.remove(jp)
             self.abort(messages, batchId)
@@ -400,7 +461,7 @@ class _TextStreamWriter(_TextWriter, DataSourceStreamWriter):
         # journal first (atomic), then rename: a crash anywhere below is
         # rolled forward — never re-planned — on the replay
         self._replace_json(jp, {"batch": batchId, "renames": renames})
-        self._roll_forward(renames)
+        self._roll_forward(renames, resuming=False)
         self._replace_json(sp, {"last_batch": batchId})
         os.remove(jp)
 

@@ -747,7 +747,7 @@ def test_stream_sink_replayed_batch_not_duplicated(spark, tmp_path):
 
     node = str(tmp_path / "node")
     os.makedirs(node)
-    w = _TextStreamWriter({"path": node, "file": "doc.txt"})
+    w = _TextStreamWriter({"path": node, "file": "doc.txt", "checkpointlocation": str(tmp_path / "ck")})
 
     def _fake_batch(lines, pid=0):
         # simulate the executor-side write() without a TaskContext
@@ -788,7 +788,7 @@ def test_stream_sink_corrupt_state_fails_loudly(spark, tmp_path):
 
     node = str(tmp_path / "node")
     os.makedirs(node)
-    w = _TextStreamWriter({"path": node, "file": "doc.txt"})
+    w = _TextStreamWriter({"path": node, "file": "doc.txt", "checkpointlocation": str(tmp_path / "ck")})
     with open(w._state_path(), "w") as fh:
         fh.write("not json {")
     with _pytest.raises(RuntimeError, match="corrupt stream-sink state"):
@@ -894,7 +894,7 @@ def test_stream_sink_mid_commit_crash_rolls_forward(spark, tmp_path):
 
     node = str(tmp_path / "node")
     os.makedirs(node)
-    w = _TextStreamWriter({"path": node, "file": "doc.txt"})
+    w = _TextStreamWriter({"path": node, "file": "doc.txt", "checkpointlocation": str(tmp_path / "ck")})
     tmp_dir = os.path.join(node, "chunks_tmp")
     os.makedirs(tmp_dir)
 
@@ -929,7 +929,7 @@ def test_stream_sink_mid_commit_crash_rolls_forward(spark, tmp_path):
     )
 
     # replay of batch 1 arrives with ITS OWN fresh tmp files
-    w2 = _TextStreamWriter({"path": node, "file": "doc.txt"})
+    w2 = _TextStreamWriter({"path": node, "file": "doc.txt", "checkpointlocation": str(tmp_path / "ck")})
     _tmp("job2_p0", ["b"])
     _tmp("job2_p1", ["c"])
     w2.commit(
@@ -984,3 +984,85 @@ def test_stream_sink_rejects_truncate_modes(spark, tmp_path):
             .start(str(tmp_path / "node"))
         )
         q.awaitTermination()
+
+
+def test_stream_sink_requires_checkpoint_option(tmp_path):
+    """Without an explicit checkpointLocation option the replay state
+    would collapse onto a shared key across streams — the sink refuses
+    up front."""
+    import os
+
+    import pytest as _pytest
+
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import _TextStreamWriter
+
+    node = str(tmp_path / "node")
+    os.makedirs(node)
+    with _pytest.raises(ValueError, match="checkpointLocation"):
+        _TextStreamWriter({"path": node, "file": "doc.txt"})
+
+
+def test_stream_sink_detects_concurrent_producer(spark, tmp_path):
+    """Two live producers on one (node, file) must fail loudly at the
+    index collision, never silently overwrite each other's chunks."""
+    import hashlib
+    import os
+
+    import pytest as _pytest
+
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import (
+        _ChunkCommit,
+        _TextStreamWriter,
+        chunk_name,
+    )
+
+    node = str(tmp_path / "node")
+    os.makedirs(node)
+    tmp_dir = os.path.join(node, "chunks_tmp")
+    os.makedirs(tmp_dir)
+
+    def _writer(tag):
+        return _TextStreamWriter(
+            {
+                "path": node,
+                "file": "doc.txt",
+                "checkpointlocation": str(tmp_path / f"ck_{tag}"),
+            }
+        )
+
+    def _tmp(name, line):
+        data = (line + "\n").encode()
+        with open(os.path.join(tmp_dir, name), "wb") as fh:
+            fh.write(data)
+        with open(os.path.join(tmp_dir, name + "h"), "wb") as fh:
+            fh.write(hashlib.md5(data).digest())
+
+    a, b = _writer("a"), _writer("b")
+    # sequential producers are SAFE: B plans after A's commit and lands
+    # on the next free index
+    _tmp("a_p0", "from-a")
+    _tmp("b_p0", "from-b")
+    a.commit([_ChunkCommit(pid=0, tmp_name="a_p0")], batchId=0)
+    b.commit([_ChunkCommit(pid=0, tmp_name="b_p0")], batchId=0)
+    rows = sorted(
+        (r.chunk_idx, r.line)
+        for r in spark.read.format("go_dfs_text").load(node).collect()
+    )
+    assert rows == [(0, "from-a"), (1, "from-b")]
+
+    # the true race: a third producer JOURNALED index 2 (planned before
+    # another stream landed there), crashed, and now rolls forward — the
+    # taken index must be refused, never overwritten
+    import json as _json
+
+    c = _writer("c")
+    _tmp("c_p0", "from-c")
+    _json.dump(
+        {"batch": 0, "renames": [["c_p0", chunk_name("doc.txt", "TXT", 1)]]},
+        open(c._state_path() + ".journal", "w"),
+    )
+    with _pytest.raises(RuntimeError, match="another producer"):
+        c.commit([], batchId=0)
+    # the incumbent chunk survives untouched
+    with open(os.path.join(node, chunk_name("doc.txt", "TXT", 1)), "rb") as fh:
+        assert fh.read() == b"from-b\n"
