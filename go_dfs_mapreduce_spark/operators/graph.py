@@ -148,14 +148,16 @@ LEFT JOIN pernode ON pernode.pk = n.pk
 """
 
 
-def triangle_counts_from_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Core triangle/clustering computation over ``nodes[pk]`` and
-    u<v-normalized distinct ``edges[u, v]`` (see ``graph_triangle_counts``
-    for the full semantics; split out so tests can drive handcrafted
-    graphs). ``edges`` should be persisted+populated by the caller — it
-    is consumed along several branch-pruned subtrees."""
-    deg = _degrees(edges)
+# (session id, sf_dir) -> persisted oriented-edge frame, memoized for the
+# registered query like _EDGES_MEMO (per-call persist would accrete
+# cached frames across gate sweeps)
+_OE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """DataFrame[s, t, dt] — each edge directed from its (degree, id)-
+    smaller endpoint, carrying the head's degree for wedge ordering."""
+    deg = _degrees(edges)
     e = (
         edges.join(
             F.broadcast(deg.withColumnRenamed("pk", "u").withColumnRenamed("d", "du")),
@@ -168,15 +170,34 @@ def triangle_counts_from_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    # persisted: consumed by all three triangle-join aliases below — the
-    # same branch-pruned-subtree recompute as _edges (degree count rows
-    # broadcast; oe itself is 3 longs per edge)
-    oe = e.select(
+    return e.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-    ).persist()
-    oe.count()
+    )
+
+
+def triangle_counts_from_edges(
+    nodes: DataFrame,
+    edges: DataFrame,
+    oe: DataFrame | None = None,
+) -> DataFrame:
+    """Core triangle/clustering computation over ``nodes[pk]`` and
+    u<v-normalized distinct ``edges[u, v]`` (see ``graph_triangle_counts``
+    for the full semantics; split out so tests can drive handcrafted
+    graphs). ``edges`` should be persisted+populated by the caller — it
+    is consumed along several branch-pruned subtrees. ``oe`` lets the
+    registered query pass a session-memoized oriented-edge frame; direct
+    (test) callers omit it and get a per-call persist, released with
+    their short-lived session."""
+    deg = _degrees(edges)
+
+    if oe is None:
+        # persisted: consumed by all three triangle-join aliases below —
+        # the same branch-pruned-subtree recompute as _edges (degree
+        # count rows broadcast; oe itself is 3 longs per edge)
+        oe = _oriented(edges).persist()
+        oe.count()
 
     a, b, c = oe.alias("a"), oe.alias("b"), oe.alias("c")
     wedge_ord = (F.col("a.dt") < F.col("b.dt")) | (
@@ -222,12 +243,16 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge enumeration at O(m^{3/2}) regardless of hubs. The coefficient
     divides exact integer counts once in IEEE double (portable); nodes
     with degree < 2 report 0.0, not a 0/0."""
+    from ..memo import session_memo
+
     nodes = (
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("pk"))
         .distinct()
     )
-    return triangle_counts_from_edges(nodes, _edges(spark, sf_dir))
+    edges = _edges(spark, sf_dir)
+    oe = session_memo(_OE_MEMO, spark, sf_dir, lambda: _oriented(edges))
+    return triangle_counts_from_edges(nodes, edges, oe=oe)
 
 
 # --------------------------------------------------------------------------
