@@ -88,6 +88,9 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ARRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame[doc_id, shs, sz] — each document's DISTINCT shingle set as
     an array column, built with exactly ONE corpus-sized exchange:
@@ -117,22 +120,28 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEMORY_AND_DISK storage of the per-doc arrays (compact vs raw text;
     Spark evicts LRU under pressure) held per distinct input for the
     session — the same deliberate trade as mr_log_analyzer's tally
-    cache (SCALE.md)."""
-    docs = table(spark, sf_dir, "documents")
-    arrs = (
-        docs.select(
-            "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+    cache (SCALE.md). Memoized per (session, sf dir) via
+    ``memo.session_memo`` so the three LSH-family consumers share ONE
+    materialization per sweep instead of accreting a persisted copy per
+    query invocation."""
+    from ..memo import session_memo
+
+    def build() -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        return (
+            docs.select(
+                "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+            )
+            .select(
+                "doc_id",
+                F.explode(F.expr(ngram_expr("toks", 3))).alias("shingle"),
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("shs"))
+            .withColumn("sz", F.expr("size(shs)"))
         )
-        .select("doc_id", F.explode(F.expr(ngram_expr("toks", 3))).alias("shingle"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("shs"))
-        .withColumn("sz", F.expr("size(shs)"))
-        .persist()
-    )
-    # populate NOW: concurrent AQE stages racing an unpopulated cache
-    # each recompute the subtree (see mr_log_analyzer, plugins.py)
-    arrs.count()
-    return arrs
+
+    return session_memo(_ARRS_MEMO, spark, sf_dir, build)
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
