@@ -261,7 +261,7 @@ canon AS (
 )
 SELECT k.source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN k.doc_id <> c.canonical_doc THEN 1 ELSE 0 END) AS n_dropped,
+       CAST(SUM(CASE WHEN k.doc_id <> c.canonical_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
        CAST(SUM(CASE WHEN k.doc_id <> c.canonical_doc THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*) AS drop_rate
 FROM keyed k JOIN canon c ON k.content_key = c.content_key

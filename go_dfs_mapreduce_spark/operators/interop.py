@@ -208,7 +208,7 @@ WITH sharded AS (
 )
 SELECT shard,
        COUNT(*) AS n_docs,
-       SUM(length(text)) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
        md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_hash
 FROM sharded
 GROUP BY shard

@@ -110,8 +110,12 @@ WHERE rn <= {BIGRAM_K}
 def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-preserving bigram counts (LM statistics). Unlike the dedup
     shingle builder this keeps duplicates — frequency is the signal. The
-    global top-k is a single-partition window over the already-aggregated
-    count table (tiny), never over raw bigrams."""
+    count table is vocabulary-sized (billions of distinct bigrams at
+    100 TB), so the top-k is taken with ``orderBy().limit(k)`` —
+    TakeOrderedAndProject, per-task k-row heaps, no global sort and no
+    single-partition window over the vocabulary — and only the surviving
+    ≤k rows get the rank window (the ``graph_common_neighbors_topk``
+    pattern)."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         F.expr("split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')").alias("t")
@@ -120,10 +124,10 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bg = toks.select(F.explode(F.expr(ngram_expr("t", 2))).alias("bigram"))
     counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    topk = counts.orderBy(F.desc("cnt"), F.asc("bigram")).limit(BIGRAM_K)
     w = Window.orderBy(F.desc("cnt"), F.asc("bigram"))
     return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= BIGRAM_K)
+        topk.withColumn("rn", F.row_number().over(w))
         .select("bigram", "cnt", F.col("rn").cast("int").alias("rank"))
     )
 

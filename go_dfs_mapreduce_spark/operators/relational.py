@@ -1234,8 +1234,8 @@ WITH w AS (
 )
 SELECT status_np, prio_nm, COUNT(*) AS n,
        COUNT(status_np) AS n_nonnull,
-       SUM(CASE WHEN status_np IS NOT DISTINCT FROM prio_nm THEN 1 ELSE 0 END)
-         AS n_nullsafe_eq
+       CAST(SUM(CASE WHEN status_np IS NOT DISTINCT FROM prio_nm THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_nullsafe_eq
 FROM w
 GROUP BY status_np, prio_nm
 """

@@ -161,7 +161,7 @@ def url_extraction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHAR_PROFILE_ORACLE = """
 SELECT source,
-  SUM(length(text)) AS n_chars_total,
+  CAST(SUM(length(text)) AS BIGINT) AS n_chars_total,
   CAST(ROUND(SUM(length(regexp_replace(text, '[^a-z]', '', 'g'))) * 1.0
              / SUM(length(text)), 6) AS DOUBLE) AS alpha_ratio,
   CAST(ROUND(SUM(length(regexp_replace(text, '[^0-9]', '', 'g'))) * 1.0

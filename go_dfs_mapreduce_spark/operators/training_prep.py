@@ -165,9 +165,9 @@ SELECT CAST((n_tokens - 1) // {BUCKET_W} AS INTEGER) AS bucket,
        CAST(((n_tokens - 1) // {BUCKET_W}) * {BUCKET_W} + 1 AS BIGINT) AS bucket_lo,
        CAST(((n_tokens - 1) // {BUCKET_W} + 1) * {BUCKET_W} AS BIGINT) AS bucket_hi,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       SUM(((n_tokens - 1) // {BUCKET_W} + 1) * {BUCKET_W} - n_tokens)
-         AS padding_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(((n_tokens - 1) // {BUCKET_W} + 1) * {BUCKET_W} - n_tokens)
+         AS BIGINT) AS padding_tokens
 FROM n GROUP BY 1, 2, 3
 """
 
@@ -335,7 +335,7 @@ WITH sh AS (
 df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
 SELECT sh.doc_id,
        COUNT(*) AS n_shingles,
-       SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_novel,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
        CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
          AS novelty_ratio
 FROM sh JOIN df ON sh.shingle = df.shingle

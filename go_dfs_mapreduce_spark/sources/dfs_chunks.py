@@ -422,7 +422,24 @@ class _TextStreamWriter(_TextWriter, DataSourceStreamWriter):
                         "producer-per-file; refusing to overwrite"
                     )
                 os.rename(src, final)
-            elif not resuming and not os.path.exists(final):
+            elif not os.path.exists(final):
+                if resuming:
+                    # Both the tmp and the final are gone: the journaled
+                    # rename never happened and its input no longer exists
+                    # (e.g. a failed commit attempt raised, abort() deleted
+                    # the batch's tmp files, then the restarted query resumed
+                    # this journal). Marking the batch committed here would
+                    # silently lose those chunks — the one failure the
+                    # journal protocol exists to prevent. Fail loudly; only
+                    # a final that exists with its tmp gone is a completed
+                    # rename.
+                    raise RuntimeError(
+                        f"journaled chunk {final_name!r} missing and its tmp "
+                        f"{tmp_name!r} gone while resuming batch commit: the "
+                        "batch data was deleted before the journaled renames "
+                        "completed; refusing to advance the commit "
+                        "high-water mark over lost chunks"
+                    )
                 raise RuntimeError(
                     f"stream-sink tmp chunk {tmp_name!r} vanished before "
                     f"commit of {final_name!r}; aborting the batch"
@@ -466,7 +483,34 @@ class _TextStreamWriter(_TextWriter, DataSourceStreamWriter):
         os.remove(jp)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
-        _TextWriter.abort(self, messages)
+        # A journal on disk means a commit attempt already planned renames
+        # over this batch's tmp files; deleting those here would turn the
+        # restart's journal roll-forward into data loss (both tmp and final
+        # absent — the resuming-mode raise). Preserve journaled tmps so the
+        # resumed commit can complete the renames; everything else (the
+        # replay's own tmps, half-written task output) is dropped as usual.
+        try:
+            journal = self._load_journal(self._state_path() + ".journal")
+        except RuntimeError:
+            # unreadable journal: delete nothing — repair comes first,
+            # and abort must never destroy data a journal may reference
+            return
+        keep = (
+            frozenset(t for t, _ in journal["renames"])
+            if journal is not None
+            else frozenset()
+        )
+        tmp_dir = os.path.join(self._dir, "chunks_tmp")
+        for m in messages:
+            if not (m and m.tmp_name):
+                continue
+            for tmp_name in self._tmp_names(m):
+                if tmp_name in keep:
+                    continue
+                for suffix in ("", "h"):
+                    p = os.path.join(tmp_dir, tmp_name + suffix)
+                    if os.path.exists(p):
+                        os.remove(p)
 
 
 class _TextStreamReader(DataSourceStreamReader):
@@ -653,9 +697,8 @@ class _BinStreamWriter(_TextStreamWriter):
     @staticmethod
     def _tmp_names(message) -> list[str]:
         return message.tmp_name.split(",")
-
-    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
-        _BinWriter.abort(self, messages)
+    # abort: inherited journal-aware variant (_TextStreamWriter.abort uses
+    # the polymorphic _tmp_names, so the comma-joined BIN names work)
 
 
 class _BinStreamReader(_TextStreamReader):

@@ -1,0 +1,91 @@
+"""The local gate replica must see DuckDB results with DRIVER-fidelity
+types. The grading driver fetches oracle results through Arrow, where an
+uncast integer SUM widens to HUGEINT -> decimal128 -> Python Decimal,
+which normalizes as a float repr and hash-diverges from Spark's LongType
+int. Round 4 shipped exactly that bug (``dataset_export_manifest`` went
+driver-red while the fetchall()-based replica stayed green). These tests
+pin the replica's Arrow fetch path so the class can never go blind again.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+
+_TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle", os.path.join(_TOOLS, "check_oracle.py")
+)
+check_oracle = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(check_oracle)
+
+
+def _arrow_rows(rel):
+    """Fetch a DuckDB relation the way the replica (and driver) does."""
+    tbl = rel.arrow()
+    cols = list(tbl.column_names)
+    cells = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    return cols, list(zip(*cells)) if cells else []
+
+
+def test_uncast_integer_sum_normalizes_unequal_to_spark_long():
+    """An oracle SUM over BIGINT without a cast must NOT normalize equal
+    to the int Spark's LongType produces — that inequality is what lets
+    the replica flag the bug before the driver does."""
+    con = duckdb.connect()
+    cols, rows = _arrow_rows(
+        con.sql("SELECT SUM(x) AS s FROM (VALUES (1), (2), (3)) t(x)")
+    )
+    uncast = check_oracle.norm_rows(cols, rows)
+    spark_side = check_oracle.norm_rows(["s"], [(6,)])
+    assert uncast != spark_side, (
+        "Arrow fetch of HUGEINT should yield Decimal -> float repr, "
+        "diverging from Spark's plain int; if these compare equal the "
+        "replica has gone blind to the r4 driver-red class"
+    )
+
+
+def test_cast_bigint_sum_normalizes_equal_to_spark_long():
+    con = duckdb.connect()
+    cols, rows = _arrow_rows(
+        con.sql("SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1), (2), (3)) t(x)")
+    )
+    assert check_oracle.norm_rows(cols, rows) == check_oracle.norm_rows(
+        ["s"], [(6,)]
+    )
+
+
+def test_no_registered_oracle_returns_hugeint_or_decimal_ints():
+    """Sweep EVERY registered oracle's DuckDB result schema at sf0.001:
+    no column may come back as decimal (the HUGEINT widening) unless the
+    Spark twin also produces a decimal. Catches new uncast aggregates at
+    authoring time instead of at driver time."""
+    import pyarrow as pa
+
+    sys.path.insert(0, os.path.dirname(_TOOLS))
+    import __spark_entry__ as mod
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in check_oracle.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    offenders = []
+    for name, sql in sorted(mod.oracle_sql().items()):
+        try:
+            schema = con.sql(sql).arrow().schema
+        except Exception as exc:  # noqa: BLE001 - sf0.001 lacks some data shapes
+            # a handful of oracles need sf0.01-only fixtures; type sweep
+            # still covers them via the full gate run
+            continue
+        for field in schema:
+            if pa.types.is_decimal(field.type):
+                offenders.append(f"{name}.{field.name}: {field.type}")
+    assert not offenders, (
+        "oracle columns widen to decimal under Arrow fetch (driver will "
+        "hash them as float reprs): add explicit CASTs -> " + str(offenders)
+    )

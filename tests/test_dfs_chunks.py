@@ -953,6 +953,123 @@ def test_stream_sink_mid_commit_crash_rolls_forward(spark, tmp_path):
     assert len(spark.read.format("go_dfs_text").load(node).collect()) == 3
 
 
+def test_stream_sink_failed_commit_abort_then_restart_recovers(spark, tmp_path):
+    """A commit attempt that raises AFTER journaling (e.g. a clobber
+    collision) is followed by Spark calling abort() on the same batch.
+    abort must NOT delete tmp files the live journal references —
+    otherwise the restarted query's journal roll-forward would silently
+    lose the batch. With journal-aware abort, the restart completes the
+    renames and the data survives."""
+    import hashlib
+    import json as _json
+    import os
+
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import (
+        _ChunkCommit,
+        _TextStreamWriter,
+        chunk_name,
+    )
+
+    node = str(tmp_path / "node")
+    os.makedirs(node)
+    w = _TextStreamWriter({"path": node, "file": "doc.txt", "checkpointlocation": str(tmp_path / "ck")})
+    tmp_dir = os.path.join(node, "chunks_tmp")
+    os.makedirs(tmp_dir)
+
+    def _tmp(name, lines):
+        data = "".join(ln + "\n" for ln in lines).encode()
+        with open(os.path.join(tmp_dir, name), "wb") as fh:
+            fh.write(data)
+        with open(os.path.join(tmp_dir, name + "h"), "wb") as fh:
+            fh.write(hashlib.md5(data).digest())
+
+    _tmp("job0_p0", ["a"])
+    w.commit([_ChunkCommit(pid=0, tmp_name="job0_p0")], batchId=0)
+
+    # batch 1: journal written, zero renames done, then the commit raises
+    # (simulated by leaving journal + tmps exactly as a raise would)
+    _tmp("job1_p0", ["b"])
+    _tmp("job1_p1", ["c"])
+    msgs = [
+        _ChunkCommit(pid=0, tmp_name="job1_p0"),
+        _ChunkCommit(pid=1, tmp_name="job1_p1"),
+    ]
+    _json.dump(
+        {
+            "batch": 1,
+            "renames": [
+                ["job1_p0", chunk_name("doc.txt", "TXT", 1)],
+                ["job1_p1", chunk_name("doc.txt", "TXT", 2)],
+            ],
+        },
+        open(w._state_path() + ".journal", "w"),
+    )
+    # Spark aborts the failed batch — journaled tmps must survive
+    w.abort(msgs, batchId=1)
+    assert os.path.exists(os.path.join(tmp_dir, "job1_p0"))
+    assert os.path.exists(os.path.join(tmp_dir, "job1_p1h"))
+
+    # restart: replay of batch 1 with fresh tmps resumes the journal
+    w2 = _TextStreamWriter({"path": node, "file": "doc.txt", "checkpointlocation": str(tmp_path / "ck")})
+    _tmp("job2_p0", ["b"])
+    _tmp("job2_p1", ["c"])
+    w2.commit(
+        [
+            _ChunkCommit(pid=0, tmp_name="job2_p0"),
+            _ChunkCommit(pid=1, tmp_name="job2_p1"),
+        ],
+        batchId=1,
+    )
+    rows = sorted(
+        (r.chunk_idx, r.line)
+        for r in spark.read.format("go_dfs_text").load(node).collect()
+    )
+    assert rows == [(0, "a"), (1, "b"), (2, "c")]
+    assert os.listdir(tmp_dir) == []
+    assert not os.path.exists(w._state_path() + ".journal")
+
+
+def test_stream_sink_resume_refuses_over_lost_chunks(spark, tmp_path):
+    """If a journaled rename's tmp AND final are both gone (the batch data
+    was destroyed after journaling), the resumed commit must raise instead
+    of advancing the high-water mark over silently-lost chunks."""
+    import hashlib
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import (
+        _ChunkCommit,
+        _TextStreamWriter,
+        chunk_name,
+    )
+
+    node = str(tmp_path / "node")
+    os.makedirs(node)
+    w = _TextStreamWriter({"path": node, "file": "doc.txt", "checkpointlocation": str(tmp_path / "ck")})
+    tmp_dir = os.path.join(node, "chunks_tmp")
+    os.makedirs(tmp_dir)
+    data = b"a\n"
+    with open(os.path.join(tmp_dir, "job0_p0"), "wb") as fh:
+        fh.write(data)
+    with open(os.path.join(tmp_dir, "job0_p0h"), "wb") as fh:
+        fh.write(hashlib.md5(data).digest())
+    w.commit([_ChunkCommit(pid=0, tmp_name="job0_p0")], batchId=0)
+
+    # journal for batch 1 references a tmp that no longer exists and whose
+    # final was never created — the data is gone
+    _json.dump(
+        {"batch": 1, "renames": [["gone_p0", chunk_name("doc.txt", "TXT", 1)]]},
+        open(w._state_path() + ".journal", "w"),
+    )
+    w2 = _TextStreamWriter({"path": node, "file": "doc.txt", "checkpointlocation": str(tmp_path / "ck")})
+    with _pytest.raises(RuntimeError, match="lost chunks"):
+        w2.commit([_ChunkCommit(pid=0, tmp_name="")], batchId=1)
+    # the high-water mark did NOT advance
+    assert _json.load(open(w._state_path()))["last_batch"] == 0
+
+
 def test_stream_sink_rejects_truncate_modes(spark, tmp_path):
     """complete/update output modes (truncate semantics) must fail loudly
     instead of silently appending every state snapshot."""

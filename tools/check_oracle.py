@@ -115,8 +115,17 @@ def main() -> int:
             continue
         try:
             rel = con.sql(oracles[name])
-            o_cols = rel.columns
-            o_rows = rel.fetchall()
+            # Driver fidelity: the driver fetches DuckDB results through
+            # Arrow, where HUGEINT (e.g. SUM over BIGINT) arrives as
+            # decimal128 -> Python Decimal -> float repr under norm_value,
+            # diverging from Spark's LongType int. fetchall() returns plain
+            # ints and is structurally blind to that class (the
+            # dataset_export_manifest r4 driver-red); fetch via Arrow so the
+            # replica sees the same types the driver hashes.
+            tbl = rel.arrow()
+            o_cols = list(tbl.column_names)
+            o_cells = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            o_rows = list(zip(*o_cells)) if o_cells else []
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
