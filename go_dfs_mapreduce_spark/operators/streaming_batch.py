@@ -264,29 +264,42 @@ def stream_first_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_live(spark: SparkSession, sf_dir: str, builder, prefix: str,
               shuffle_partitions: int = 8,
               output_mode: str = "complete",
-              watermark: str | None = None) -> DataFrame:
+              watermark: str | None = None,
+              n_files: int = 4) -> DataFrame:
     """Run ``builder(stream_events_df)`` through the REAL streaming
-    engine: the events parquet is consumed by the file stream source
-    (symlinked into a scratch dir, zero-copy — the file source needs a
-    base directory and the sf dirs are read-only), and the aggregate is
-    emitted (complete mode for aggregations, append for stream-stream
-    joins) to a memory sink under an AvailableNow trigger. Complete mode
-    needs no watermark, so no window is held back at end-of-stream;
-    append-mode callers pass the ``watermark`` their operator requires —
-    with a single AvailableNow batch nothing is late, so the watermarked
-    run emits the identical row set the batch twin computes. State-store commit cost is per partition per
-    batch, and one AvailableNow batch over a single file does not need
-    32 state partitions (measured 32 s -> 17 s on the session query),
-    so shuffle partitions are scoped down around start() — the value is
-    captured when the streaming query launches — and restored after.
-    The memory-sink view and scratch dir are removed on every path so
-    repeated gate sweeps never accrete sink tables or temp dirs. At
+    engine ACROSS MULTIPLE MICRO-BATCHES: the events parquet is split
+    into ``n_files`` time-ordered files in a scratch landing dir (sorted
+    by (ts, event_id), strictly increasing mtimes) and consumed with
+    ``maxFilesPerTrigger=1`` under an AvailableNow trigger, so
+    cross-batch state (window merge, join buffers, dedup state, custom
+    state) and watermark advancement genuinely execute — not just a
+    single everything-in-one-batch pass. The aggregate is emitted
+    (complete mode for aggregations, append for stream-stream joins) to
+    a memory sink. Time-ordered arrival is what keeps append-mode
+    watermarked queries oracle-equal: the watermark after batch i is
+    max(ts in batches <= i) - delay, and every later file's rows are >=
+    that max, so nothing is ever dropped as late while eviction still
+    runs between batches (late-data DROP behavior is exercised in
+    tests/test_streaming.py, where it is the asserted outcome rather
+    than a gate-red). The run raises if fewer than ``n_files``
+    micro-batches actually executed, so a gate-green row is itself
+    proof of multi-batch execution. State-store commit cost is per
+    partition per batch, so shuffle partitions are scoped down around
+    start() (measured 32 s -> 17 s on the session query) and restored
+    after. The memory-sink view and scratch dir are removed on every
+    path so repeated gate sweeps never accrete sink tables or temp
+    dirs. The driver-side split is test-harness plumbing at gate scale
+    (it stands in for a producer landing files over time); at
     deployment the stream points at the live landing directory and the
     memory sink becomes a real one."""
     import os
     import shutil
     import tempfile
+    import time
     import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     from ..streaming.windows import read_events_stream
 
@@ -294,13 +307,30 @@ def _run_live(spark: SparkSession, sf_dir: str, builder, prefix: str,
     qname = f"{prefix}_{uuid.uuid4().hex[:8]}"
     started = False
     try:
-        # abspath: a relative sf_dir would otherwise store a relative
-        # symlink target that dangles from inside the scratch dir
-        os.symlink(
-            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-            os.path.join(node, "events.parquet"),
+        src = pq.read_table(
+            os.path.abspath(os.path.join(sf_dir, "events.parquet"))
         )
-        ev = read_events_stream(spark, node, watermark=watermark)
+        # event_id tiebreak makes the file split deterministic when many
+        # events share a timestamp (ties may still straddle a boundary —
+        # safe, see the watermark argument above)
+        src = src.take(
+            pc.sort_indices(
+                src, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        n_rows = src.num_rows
+        base_mtime = time.time() - 3600
+        for i in range(n_files):
+            lo, hi = i * n_rows // n_files, (i + 1) * n_rows // n_files
+            part = os.path.join(node, f"part-{i:03d}.parquet")
+            pq.write_table(src.slice(lo, hi - lo), part)
+            # strictly increasing mtimes pin the file source's processing
+            # order to event-time order (it sorts candidates by mtime)
+            os.utime(part, (base_mtime + 2 * i, base_mtime + 2 * i))
+        ev = read_events_stream(
+            spark, node, watermark=watermark,
+            options={"maxFilesPerTrigger": "1", "latestFirst": "false"},
+        )
         old_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         try:
@@ -316,6 +346,18 @@ def _run_live(spark: SparkSession, sf_dir: str, builder, prefix: str,
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         q.awaitTermination()
+        # gate-green implies multi-batch: count batches that read data
+        # (AvailableNow may append a trailing no-data batch; don't count it)
+        n_batches = sum(
+            1 for p in q.recentProgress if p and p["numInputRows"] > 0
+        )
+        if n_rows >= n_files and n_batches < n_files:
+            raise RuntimeError(
+                f"live run executed {n_batches} data micro-batches, "
+                f"expected {n_files} (maxFilesPerTrigger=1 over {n_files} "
+                "files) — multi-batch state execution is the point of the "
+                "*_live queries"
+            )
         tbl = spark.table(qname)
         rows = tbl.collect()  # result-sized (windows/sessions x keys)
         schema = tbl.schema

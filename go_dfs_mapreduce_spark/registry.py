@@ -126,58 +126,48 @@ _DRIVER_SHOWCASE = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_scores",
-    # --- 27 first-time rows (round-4 rotation) ---
-    # TPC-H coverage: multi-join profit, outer-join distribution,
-    # distinct-agg + anti, EXISTS/NOT EXISTS correlation, date filter agg
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    # round-4 novel capabilities (q13/q16/q21 yielded — the TPC-H family
-    # is driver-proven by q1/q3/q6/q9/q18; the full 22 stay local-gated)
-    "kmeans_embeddings",
-    "recursive_compound_balance",
-    "token_budget_selection",
-    # Spark-4 SQL surface (collation_showcase yielded its slot to a
-    # session-3 capability — two Spark-4 rows keep the family driver-proven)
-    "pipe_syntax_priority_rollup",
-    "lateral_topk_per_nation",
-    # incremental maintenance (round-4 additions; array_hof/regexp
-    # showcases yielded their slots — their scalar-function family is
-    # already anchored by scalar_function_showcase)
-    "merge_upsert_orders",
-    "scd2_user_status",
-    # LLM-pipeline operators (dedup_containment and incremental_rollup_merge
-    # yielded — their families keep two driver rows each this round)
-    "dedup_clusters",
-    "decontaminate_vs_benchmark",
-    "doc_chunking",
-    # scale / sketches / timeseries / multimodal-audio / embeddings
-    # (embedding_quantize_int8 yielded — the embedding family is covered
-    # by kmeans + the ann anchor + semantic_dedup below)
-    "salted_join_urgent_lineitems",
-    "approx_aggregates_audit",
-    "events_locf_resample",
-    "multimodal_audio_meta",
-    # session-2 additions (all never driver-recorded; the anchors they
-    # displace — log_normalize_urls, log_parse_fields,
-    # join_orders_per_nation, window_range_frame_trailing,
-    # percentiles_by_returnflag, udaf_customer_stats, and the two
-    # streaming batch twins — all earned driver rows in r1-r3)
-    "graph_triangle_counts",
-    "graph_common_neighbors_topk",
-    "skyline_parts_2d",
-    "pagerank_parts_2iter",
-    "dup_span_detection",
-    "stream_session_windows_live",
-    "stream_tumbling_counts_live",
-    # session-3 additions (never driver-recorded): embedding-space
-    # SemDeDup, the custom STATEFUL operator through the real streaming
-    # engine, the manifest-verified sharded export, and the lake-format
-    # interop family's CSV representative (JSON/ORC twins + the remaining
-    # live streams stay local-gated for the round-5 rotation)
-    "semantic_dedup",
-    "stream_first_occurrences_live",
-    "dataset_export_manifest",
-    "csv_roundtrip_orders_agg",
+    # --- 27 first-time rows (round-5 rotation; every r4 floating row
+    # earned its driver-green and yields its slot — cumulative
+    # driver-verified set reaches 133 after this round) ---
+    # the HUGEINT-oracle class fixed this round: driver-red
+    # dataset_export_manifest's six latent twins, rotated in to prove the
+    # fix with driver rows, plus bigram_topk (plan rewritten to
+    # TakeOrderedAndProject this round)
+    "char_class_profile",
+    "q12_priority_lines",
+    "seq_length_buckets",
+    "doc_novelty_scores",
+    "dedup_rates_by_source",
+    "null_semantics_showcase",
+    "bigram_topk",
+    # lake-format interop twins (CSV representative driver-green r4)
+    "json_roundtrip_events_agg",
+    "orc_roundtrip_lineitem_agg",
+    # sketch family (HLL distinct, HLL mergeable rollup, theta overlap)
+    "distinct_sketch_audit",
+    "distinct_sketch_rollup_audit",
+    "audience_overlap_theta",
+    # timeseries / product analytics
+    "events_time_weighted_avg",
+    "cohort_retention",
+    "funnel_signup_conversion",
+    # the remaining REAL-engine streaming runs (sliding windows,
+    # throttle-dedup, broadcast enrich, interval join), the chunk-layout
+    # streaming source tail and sink through the gate
+    "stream_sliding_user_value_live",
+    "stream_throttle_dedup_live",
+    "stream_enrich_dim_live",
+    "stream_interval_join_live",
+    "stream_dfs_chunk_tail",
+    "stream_into_dfs_chunks",
+    # TPC-H coverage widening (q1/q3/q6/q9/q18 driver-proven r1-r4)
+    "q4_order_priority",
+    "q8_market_share",
+    "q13_order_count_dist",
+    "q21_waiting_suppliers",
+    # scrubbing + window-function coverage
+    "pii_scrub_redact",
+    "window_distinct_count",
 )
 
 

@@ -37,7 +37,8 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, watermark: str | None = "10 minutes"
+    spark: SparkSession, path: str, watermark: str | None = "10 minutes",
+    options: dict | None = None,
 ) -> DataFrame:
     """events parquet as a file-source stream, with ``ts`` normalized to
     TIMESTAMP exactly like tables.table does for batch. The file source
@@ -54,18 +55,24 @@ def read_events_stream(
         probed = dict(spark.read.parquet(path).dtypes).get("ts")
     except Exception:  # empty dir: UNABLE_TO_INFER_SCHEMA until files land
         probed = "timestamp_ntz"
+    opts = options or {}
     if probed == "bigint":
-        raw = spark.readStream.schema(_events_raw_schema(T.LongType())).parquet(path)
+        raw = (
+            spark.readStream.schema(_events_raw_schema(T.LongType()))
+            .options(**opts).parquet(path)
+        )
         df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif probed == "timestamp_ntz":
-        raw = spark.readStream.schema(
-            _events_raw_schema(T.TimestampNTZType())
-        ).parquet(path)
+        raw = (
+            spark.readStream.schema(_events_raw_schema(T.TimestampNTZType()))
+            .options(**opts).parquet(path)
+        )
         df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
-        df = spark.readStream.schema(
-            _events_raw_schema(T.TimestampType())
-        ).parquet(path)
+        df = (
+            spark.readStream.schema(_events_raw_schema(T.TimestampType()))
+            .options(**opts).parquet(path)
+        )
     if watermark:
         df = df.withWatermark("ts", watermark)
     return df
