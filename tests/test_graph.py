@@ -76,13 +76,22 @@ def test_common_neighbors_ranking_and_cap(spark):
     )
 
     edges = _edges_df(spark, [(1, 2), (1, 3), (1, 4), (2, 3)])
-    rows = common_neighbors_topk_from_edges(edges, cap=512, k=10).collect()
+    rows = common_neighbors_topk_from_edges(
+        edges, cap=512, k=10, min_cn=1
+    ).collect()
     got = {(r["part_a"], r["part_b"]): r["common_neighbors"] for r in rows}
     assert got == {(2, 4): 1, (3, 4): 1}
     ranks = {(r["part_a"], r["part_b"]): r["rank"] for r in rows}
     assert ranks == {(2, 4): 1, (3, 4): 2}  # ties broken by pair ids
 
-    capped = common_neighbors_topk_from_edges(edges, cap=2, k=10).collect()
+    # the default candidate floor (min_cn=2) excludes single-shared-
+    # neighbor noise — these cn=1 pairs vanish under it
+    floored = common_neighbors_topk_from_edges(edges, cap=512, k=10).collect()
+    assert floored == []
+
+    capped = common_neighbors_topk_from_edges(
+        edges, cap=2, k=10, min_cn=1
+    ).collect()
     edges.unpersist()
     # hub 1 (degree 3) excluded as apex; remaining apexes 2,3 (degree 2)
     # wedge only adjacent pairs (1,3)/(1,2) — filtered as edges -> empty
