@@ -311,20 +311,39 @@ JOIN sizes sb ON i.doc_b = sb.doc_id
 def _lsh_candidates(arrs: DataFrame) -> DataFrame:
     """DataFrame[doc_a, doc_b] — MinHash band-collision candidate pairs,
     entirely in JVM expressions (md5/conv over array lambdas). Shared by
-    the Jaccard and containment verifiers."""
-    # each doc's 8 minhashes via array_min(transform(shs, ...)) on the
-    # per-doc shingle-set ARRAY — no exchange at all. The earlier exploded
-    # formulation shuffled |shingles| rows of 8 longs into a groupBy just
-    # to take per-doc minima; array_min does that inside the row, so the
-    # first exchange in the whole LSH pipeline is the (band, sig) bucket
-    # join, whose size is |docs| x n_bands, independent of shingle count.
-    # 8 lanes from TWO md5 calls per shingle (the standard multi-lane
-    # trick: one 128-bit digest yields four independent-enough 32-bit
-    # lanes) — the md5 is computed once per (shingle, j) inside the inner
-    # transform's bound variable, so the dominant hashing stage does 2
-    # digests per shingle instead of 8. Lane i = hex window
-    # [1 + 8*(i%4), 8] of md5('<i//4>:' || shingle), which is exactly
-    # what the DuckDB oracles compute.
+    the Jaccard and containment verifiers.
+
+    Bucket expansion instead of a bands self-join: group each (band, sig)
+    bucket's doc list and emit in-bucket pairs row-locally. One tiny
+    exchange of (band, sig, doc_id) rows replaces a self-join that would
+    rebuild the whole upstream pipeline for its second side, and a hot
+    bucket of k docs expands to its k(k-1)/2 pairs inside one task
+    instead of shuffling k x k join probe rows (production LSH also caps
+    bucket size to bound the quadratic tail; the oracle doesn't, so no
+    cap here — sig collisions at 4 bands x 2 rows keep buckets tiny)."""
+    return _expand_buckets(_band_buckets(arrs))
+
+
+def _band_buckets(arrs: DataFrame) -> DataFrame:
+    """DataFrame[band, sig, ds] — each (band, signature) bucket's sorted
+    doc list (only buckets with >= 2 members). This is the LSH INDEX a
+    production pipeline persists between ingests; ``_lsh_candidates``
+    expands every bucket, ``dedup_incremental_new_docs`` prunes to
+    buckets touched by the new batch first.
+
+    Each doc's 8 minhashes come from array_min(transform(shs, ...)) on
+    the per-doc shingle-set ARRAY — no exchange at all. The earlier
+    exploded formulation shuffled |shingles| rows of 8 longs into a
+    groupBy just to take per-doc minima; array_min does that inside the
+    row, so the first exchange in the whole LSH pipeline is the
+    (band, sig) bucket groupBy, whose size is |docs| x n_bands,
+    independent of shingle count. 8 lanes from TWO md5 calls per shingle
+    (the standard multi-lane trick: one 128-bit digest yields four
+    independent-enough 32-bit lanes) — the md5 is computed once per
+    (shingle, j) inside the inner transform's bound variable, so the
+    dominant hashing stage does 2 digests per shingle instead of 8.
+    Lane i = hex window [1 + 8*(i%4), 8] of md5('<i//4>:' || shingle),
+    which is exactly what the DuckDB oracles compute."""
     lanes = F.expr(
         "transform(shs, s -> flatten(transform("
         " array(md5(concat('0:', s)), md5(concat('1:', s))),"
@@ -335,10 +354,8 @@ def _lsh_candidates(arrs: DataFrame) -> DataFrame:
         )
         + "))))"
     ).alias("lanes")
+
     def _lane_min(i: int):
-        # NB: the transform lambda must take exactly ONE parameter —
-        # a second parameter (even a defaulted one) is bound to the
-        # element-index column by arity dispatch
         return F.array_min(
             F.transform(F.col("lanes"), lambda a: F.element_at(a, i + 1))
         ).alias(f"mh{i}")
@@ -346,8 +363,6 @@ def _lsh_candidates(arrs: DataFrame) -> DataFrame:
     mins = arrs.select("doc_id", lanes).select(
         "doc_id", *[_lane_min(i) for i in range(N_HASHES)]
     )
-    # bands of 2 rows each: sig = "mh{2b},mh{2b+1}" — the same band
-    # signature string the oracle's string_agg-ordered-by-i builds
     bands = mins.select(
         "doc_id",
         F.expr(
@@ -360,19 +375,15 @@ def _lsh_candidates(arrs: DataFrame) -> DataFrame:
             + "))"
         ),
     )
-    # bucket expansion instead of a bands self-join: group each (band, sig)
-    # bucket's doc list and emit in-bucket pairs row-locally. One tiny
-    # exchange of (band, sig, doc_id) rows replaces a self-join that would
-    # rebuild the whole upstream pipeline for its second side, and a hot
-    # bucket of k docs expands to its k(k-1)/2 pairs inside one task
-    # instead of shuffling k x k join probe rows (production LSH also caps
-    # bucket size to bound the quadratic tail; the oracle doesn't, so no
-    # cap here — sig collisions at 4 bands x 2 rows keep buckets tiny).
-    buckets = (
+    return (
         bands.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .where(F.expr("size(ds) > 1"))
     )
+
+
+def _expand_buckets(buckets: DataFrame) -> DataFrame:
+    """Row-local in-bucket pair expansion -> distinct [doc_a, doc_b]."""
     return (
         buckets.select(
             F.explode(
@@ -405,6 +416,105 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = _pair_overlap(_lsh_candidates(arrs), arrs)
     jac = F.col("n") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n"))
     return inter.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# incremental dedup: today's ingest batch vs the standing corpus index
+# --------------------------------------------------------------------------
+
+# batch boundary: docs above 80% of max id are "today's ingest" (ids
+# grow over time in a real ingest log); exact same split in the oracle
+INC_SPLIT_NUM, INC_SPLIT_DEN = 8, 10
+
+INCREMENTAL_ORACLE = f"""
+WITH sh AS ({SHINGLES_DUCK}),
+t AS (SELECT CAST((MAX(doc_id) * {INC_SPLIT_NUM}) // {INC_SPLIT_DEN} AS BIGINT) AS t
+      FROM documents),
+hashed AS (
+  SELECT doc_id, r.i AS i,
+    MIN(CAST(('0x' || substr(md5(CAST(r.i // 4 AS VARCHAR) || ':' || shingle), 1 + 8 * (r.i % 4), 8))::UBIGINT AS BIGINT)) AS mh
+  FROM sh, range({N_HASHES}) r(i)
+  GROUP BY doc_id, r.i
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+  FROM hashed GROUP BY doc_id, i // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  WHERE b.doc_id > (SELECT t FROM t)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_b AS new_doc, i.doc_a AS matched_doc,
+       ROUND(i.n * 1.0 / (sa.sz + sb.sz - i.n), 6) AS jaccard,
+       CASE WHEN i.doc_a <= (SELECT t FROM t) THEN 'corpus' ELSE 'batch' END
+         AS matched_in
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+"""
+
+
+@query("dedup_incremental_new_docs", oracle=INCREMENTAL_ORACLE)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion near-dedup: match TODAY'S ingest batch (docs
+    above the id boundary) against the standing corpus WITHOUT re-pairing
+    the corpus with itself — the at-scale pattern for a training corpus
+    that grows daily. The band-signature index (``_band_buckets``) is
+    what production persists between ingests; here it prunes to buckets
+    a new doc actually touches BEFORE any pair expansion, so per-ingest
+    work is proportional to the batch's collisions, not the corpus's.
+    Pairs keep only a new-doc b side (doc_a < doc_b covers both
+    corpus-vs-new and earlier-new-vs-new); the verify stage is the same
+    candidate-restricted array-intersect as ``dedup_minhash_lsh``. Emits
+    (new_doc, matched_doc, jaccard, matched_in corpus|batch) — the drop
+    list plus provenance an ingest audit wants.
+
+    Scale: the threshold is a 1-row aggregate broadcast into the plan
+    (never collected); bucket pruning drops every corpus-only bucket at
+    the index scan, so a 100 TB corpus with a 0.1% daily ingest does
+    ~0.1% of the full-dedup expansion work. The shingle/hash stage still
+    covers the corpus here because the gate recomputes the index per
+    run; production reads it from the persisted index table instead."""
+    arrs = _shingle_arrays(spark, sf_dir)
+    thr = arrs.agg(
+        F.expr(f"(max(doc_id) * {INC_SPLIT_NUM}) div {INC_SPLIT_DEN}").alias("t")
+    )
+    buckets = (
+        _band_buckets(arrs)
+        .join(F.broadcast(thr))
+        # index pruning: a bucket no new doc hashed into cannot name a
+        # new-doc pair — drop it before the quadratic expansion
+        .where(F.expr("exists(ds, d -> d > t)"))
+    )
+    cands = (
+        _expand_buckets(buckets.select("band", "sig", "ds"))
+        .join(F.broadcast(thr))
+        .where(F.col("doc_b") > F.col("t"))
+        .select("doc_a", "doc_b")
+    )
+    inter = _pair_overlap(cands, arrs)
+    jac = F.col("n") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n"))
+    return (
+        inter.join(F.broadcast(thr))
+        .select(
+            F.col("doc_b").alias("new_doc"),
+            F.col("doc_a").alias("matched_doc"),
+            F.round(jac, 6).alias("jaccard"),
+            F.when(F.col("doc_a") <= F.col("t"), F.lit("corpus"))
+            .otherwise(F.lit("batch"))
+            .alias("matched_in"),
+        )
+    )
 
 
 def _pair_overlap(cand: DataFrame, arrs: DataFrame) -> DataFrame:

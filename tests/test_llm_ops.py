@@ -669,3 +669,37 @@ def test_semantic_dedup_matches_brute_force_prune_rule(spark, sf_dir):
     assert all(got[min(m)] == 0 for m in cells.values())
     # calibration canary: the prune set is non-trivial on this corpus
     assert 0 < sum(got.values()) < len(got)
+
+
+def test_incremental_dedup_equals_full_lsh_restricted(spark, sf_dir):
+    """The incremental ingest dedup must emit EXACTLY the full LSH pair
+    set restricted to pairs whose b side is a new-batch doc — index
+    pruning and the new-doc filter may drop corpus-only work, never
+    change results. Also pins the split contract: every new_doc is above
+    the id boundary, every match precedes its new doc, and matched_in
+    says which side of the boundary the survivor sits on."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        INC_SPLIT_DEN,
+        INC_SPLIT_NUM,
+        dedup_incremental_new_docs,
+        dedup_minhash_lsh,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+
+    max_id = table(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    t = (max_id * INC_SPLIT_NUM) // INC_SPLIT_DEN
+
+    inc = dedup_incremental_new_docs(spark, sf_dir).collect()
+    full = dedup_minhash_lsh(spark, sf_dir).collect()
+
+    expected = {
+        (r.doc_b, r.doc_a, r.jaccard) for r in full if r.doc_b > t
+    }
+    got = {(r.new_doc, r.matched_doc, r.jaccard) for r in inc}
+    assert got == expected
+    for r in inc:
+        assert r.new_doc > t
+        assert r.matched_doc < r.new_doc
+        assert r.matched_in == ("corpus" if r.matched_doc <= t else "batch")
