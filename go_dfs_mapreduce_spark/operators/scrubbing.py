@@ -238,3 +238,56 @@ def length_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("outlier_kind"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity release audit
+# --------------------------------------------------------------------------
+
+K_ANON_MIN = 10  # groups smaller than this are re-identification risks
+
+K_ANON_ORACLE = f"""
+WITH sizes AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(FLOOR(value / 50) AS BIGINT) AS value_band,
+         COUNT(*) AS k
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT k AS group_size,
+       COUNT(*) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_rows_at_risk
+FROM sizes WHERE k < {K_ANON_MIN}
+GROUP BY k
+"""
+
+
+@query("k_anonymity_audit", oracle=K_ANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-release governance gate: before events are shared as
+    "anonymized", group by the quasi-identifier tuple a joiner could
+    match on (event type, day, coarse value band) and report the
+    re-identification risk histogram — for each group size below
+    ``K_ANON_MIN``, how many groups and rows sit at that size. A
+    release pipeline blocks (or generalizes the QI further) until this
+    returns empty.
+
+    Scale: one hash aggregate over the corpus to QI-group sizes, then a
+    second aggregate over group-size cardinality (< K_ANON_MIN distinct
+    values — bounded output by construction). No windows, no driver
+    state; the QI aggregate is the same shuffle any release tabulation
+    already pays."""
+    ev = table(spark, sf_dir, "events")
+    sizes = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.floor(F.col("value") / 50).cast("bigint").alias("value_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    return (
+        sizes.where(F.col("k") < K_ANON_MIN)
+        .groupBy(F.col("k").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").cast("long").alias("n_rows_at_risk"),
+        )
+    )
