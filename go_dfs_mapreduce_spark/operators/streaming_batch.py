@@ -376,7 +376,12 @@ def stream_tumbling_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks the streaming ENGINE's stateful aggregation output, not
     just the shared logical plan (mechanics in ``_run_live``)."""
     return _run_live(
-        spark, sf_dir, lambda ev: tumbling_agg(ev, "5 minutes"), "t_tumbling_live"
+        spark, sf_dir, lambda ev: tumbling_agg(ev, "5 minutes"),
+        "t_tumbling_live",
+        # complete mode re-emits the FULL window state to the sink every
+        # batch (no watermark to exercise); 3 batches keep the cross-batch
+        # merge coverage at 3/4 of the sink re-emission cost
+        n_files=3,
     )
 
 
@@ -411,6 +416,11 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_interval_live",
         output_mode="append",
         watermark="10 minutes",
+        # 3 micro-batches, not 4: each batch commits TWO stream-side join
+        # state stores per partition, the priciest state shape under the
+        # gate (31.9 s at 4 batches, and cross-batch join state is fully
+        # exercised from the 2nd batch on)
+        n_files=3,
     )
 
 
