@@ -501,3 +501,35 @@ def test_graph_family_plan_shapes(spark, sf_dir):
     assert not a["has_python_worker"]
     assert a["n_broadcast_joins"] >= 1
     assert set(a["read_columns"]) == {"p_partkey", "p_retailprice", "p_size"}
+
+
+def test_round5_plan_contracts(spark, sf_dir):
+    """Plan shapes round 5 established, pinned against regression:
+    bigram_topk takes its global top-k with TakeOrderedAndProject
+    (per-task heaps) instead of a vocabulary-sized single-partition
+    window; the common-neighbors wedge count carries the packed-pair-key
+    id-width guard in-plan; the incremental dedup and k-anonymity plans
+    stay JVM-side with pruned scans."""
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        dedup_incremental_new_docs,
+    )
+    from go_dfs_mapreduce_spark.operators.graph import (
+        graph_common_neighbors_topk,
+    )
+    from go_dfs_mapreduce_spark.operators.llm_extras import bigram_topk
+    from go_dfs_mapreduce_spark.operators.scrubbing import k_anonymity_audit
+
+    a = audit_plan(bigram_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "TakeOrderedAndProject" in a["plan"]
+
+    a = audit_plan(graph_common_neighbors_topk(spark, sf_dir))
+    assert "raise_error" in a["plan"]  # packed-key id-width guard
+
+    a = audit_plan(dedup_incremental_new_docs(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_broadcast_joins"] >= 2  # threshold broadcasts, never collects
+
+    a = audit_plan(k_anonymity_audit(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert set(a["read_columns"]) == {"event_type", "ts", "value"}
