@@ -261,6 +261,38 @@ def stream_first_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_occurrences_batch(table(spark, sf_dir, "events"))
 
 
+def _split_events(sf_dir: str, node: str, n_files: int) -> int:
+    """Write the events parquet into ``n_files`` time-ordered files under
+    ``node`` (sorted by (ts, event_id) — the event_id tiebreak makes the
+    split deterministic when many events share a timestamp; ties may
+    still straddle a file boundary, which the watermark argument in
+    ``_run_live`` shows is safe) with strictly increasing mtimes, which
+    pin the file stream source's processing order to event-time order
+    (it sorts candidates by modification time). Returns the row count.
+    Driver-side harness plumbing at gate scale — it stands in for a
+    producer landing files over time."""
+    import os
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(os.path.abspath(os.path.join(sf_dir, "events.parquet")))
+    src = src.take(
+        pc.sort_indices(
+            src, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+    )
+    n_rows = src.num_rows
+    base_mtime = time.time() - 3600
+    for i in range(n_files):
+        lo, hi = i * n_rows // n_files, (i + 1) * n_rows // n_files
+        part = os.path.join(node, f"part-{i:03d}.parquet")
+        pq.write_table(src.slice(lo, hi - lo), part)
+        os.utime(part, (base_mtime + 2 * i, base_mtime + 2 * i))
+    return n_rows
+
+
 def _run_live(spark: SparkSession, sf_dir: str, builder, prefix: str,
               shuffle_partitions: int = 8,
               output_mode: str = "complete",
@@ -292,14 +324,9 @@ def _run_live(spark: SparkSession, sf_dir: str, builder, prefix: str,
     (it stands in for a producer landing files over time); at
     deployment the stream points at the live landing directory and the
     memory sink becomes a real one."""
-    import os
     import shutil
     import tempfile
-    import time
     import uuid
-
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from ..streaming.windows import read_events_stream
 
@@ -307,26 +334,7 @@ def _run_live(spark: SparkSession, sf_dir: str, builder, prefix: str,
     qname = f"{prefix}_{uuid.uuid4().hex[:8]}"
     started = False
     try:
-        src = pq.read_table(
-            os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-        )
-        # event_id tiebreak makes the file split deterministic when many
-        # events share a timestamp (ties may still straddle a boundary —
-        # safe, see the watermark argument above)
-        src = src.take(
-            pc.sort_indices(
-                src, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-            )
-        )
-        n_rows = src.num_rows
-        base_mtime = time.time() - 3600
-        for i in range(n_files):
-            lo, hi = i * n_rows // n_files, (i + 1) * n_rows // n_files
-            part = os.path.join(node, f"part-{i:03d}.parquet")
-            pq.write_table(src.slice(lo, hi - lo), part)
-            # strictly increasing mtimes pin the file source's processing
-            # order to event-time order (it sorts candidates by mtime)
-            os.utime(part, (base_mtime + 2 * i, base_mtime + 2 * i))
+        n_rows = _split_events(sf_dir, node, n_files)
         ev = read_events_stream(
             spark, node, watermark=watermark,
             options={"maxFilesPerTrigger": "1", "latestFirst": "false"},
@@ -555,3 +563,129 @@ def stream_into_dfs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.format("go_dfs_text").load(node).select("line")
 
     return _with_scratch(spark, "go_dfs_sink_", build)
+
+
+# --------------------------------------------------------------------------
+# streaming upsert-materialization (foreachBatch ping-pong state table)
+# --------------------------------------------------------------------------
+
+UPSERT_STATE_ORACLE = """
+SELECT user_id, last_ts, last_event_id, last_value, n_events
+FROM (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
+         event_id AS last_event_id, value AS last_value,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("stream_upsert_latest_state", oracle=UPSERT_STATE_ORACLE)
+def stream_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT MATERIALIZATION: the real engine maintains a
+    keyed state TABLE (latest event + running count per user) across
+    micro-batches with ``foreachBatch`` — per batch, aggregate the delta,
+    merge it against the current state table, and write the next state
+    generation to the other of two ping-pong parquet dirs (read-from-A /
+    write-to-B, then flip — the classic pre-lake-format pattern for
+    streaming upserts onto plain parquet, and the documented reason ACID
+    table formats exist: overwrite-in-place of the dir being read is not
+    possible without the A/B swap). The merge is ASSOCIATIVE (max_by on a
+    (ts, event_id) struct + summed counts), so batch boundaries cannot
+    change the result — the oracle is the plain batch window over all
+    events, and a gate-green row proves the engine-maintained table
+    converged to it across >= 4 real micro-batches (in-run assertion, as
+    in ``_run_live``).
+
+    Scale: state generations are |keys|-sized parquet, deltas are
+    batch-sized aggregates; the merge shuffles keys once per batch. At
+    warehouse scale the A/B dirs become an ACID table's MERGE INTO, with
+    identical semantics (merge_upsert_orders is that batch twin)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import read_events_stream
+    from .interop import _with_scratch
+
+    n_files = 4
+
+    def _latest_struct(ts_col: str, id_col: str, val_col: str):
+        return F.max_by(
+            F.struct(
+                F.col(ts_col).alias("last_ts"),
+                F.col(id_col).alias("last_event_id"),
+                F.col(val_col).alias("last_value"),
+            ),
+            F.struct(F.col(ts_col), F.col(id_col)),
+        ).alias("s")
+
+    def build(scratch: str) -> DataFrame:
+        land = os.path.join(scratch, "landing")
+        os.makedirs(land)
+        n_rows = _split_events(sf_dir, land, n_files)
+        state_dirs = [os.path.join(scratch, d) for d in ("state_a", "state_b")]
+        cur = {"i": -1}  # no state generation yet
+
+        def merge(batch_df, batch_id):  # noqa: ARG001 (foreachBatch API)
+            delta = (
+                batch_df.groupBy("user_id")
+                .agg(
+                    _latest_struct("ts", "event_id", "value"),
+                    F.count(F.lit(1)).alias("n_events"),
+                )
+                .select(
+                    "user_id", "s.last_ts", "s.last_event_id",
+                    "s.last_value", "n_events",
+                )
+            )
+            if cur["i"] >= 0:
+                old = batch_df.sparkSession.read.parquet(state_dirs[cur["i"]])
+                delta = (
+                    old.unionByName(delta)
+                    .groupBy("user_id")
+                    .agg(
+                        _latest_struct(
+                            "last_ts", "last_event_id", "last_value"
+                        ),
+                        F.sum("n_events").cast("long").alias("n_events"),
+                    )
+                    .select(
+                        "user_id", "s.last_ts", "s.last_event_id",
+                        "s.last_value", "n_events",
+                    )
+                )
+            nxt = (cur["i"] + 1) % 2
+            delta.write.mode("overwrite").parquet(state_dirs[nxt])
+            cur["i"] = nxt
+
+        ev = read_events_stream(
+            spark, land, watermark=None,
+            options={"maxFilesPerTrigger": "1", "latestFirst": "false"},
+        )
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                ev.writeStream.foreachBatch(merge)
+                .option("checkpointLocation", os.path.join(scratch, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        q.awaitTermination()
+        n_batches = sum(
+            1 for p in q.recentProgress if p and p["numInputRows"] > 0
+        )
+        if n_rows >= n_files and n_batches < n_files:
+            raise RuntimeError(
+                f"upsert run executed {n_batches} data micro-batches, "
+                f"expected {n_files} — multi-batch state maintenance is "
+                "the point of this query"
+            )
+        return spark.read.parquet(state_dirs[cur["i"]])
+
+    return _with_scratch(spark, "go_dfs_upsert_", build)
