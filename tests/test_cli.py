@@ -368,3 +368,44 @@ def test_cli_dfs_drain_incremental(spark, tmp_path, wh_root, capsys):
     idxs = {r.chunk_idx for r in rows}
     assert idxs == set(range(1 + max(idxs)))
     assert _os.path.isdir(str(node / ".drain_ckpt_feed.txt"))
+
+
+def test_cli_mr_dist_grep_example(spark, tmp_path, wh_root, capsys):
+    """The shipped distributed-grep plugin runs through the user-plugin
+    path; mappers emit nothing for non-matching lines and hits come out
+    grouped by matched key in (file, line) order."""
+    import os as _os
+
+    src = tmp_path / "app.log"
+    body = [
+        "boot ok",
+        "disk ERROR on sda",
+        "all good",
+        "request FAILed fast",
+        "panic: out of memory",
+        "still fine",
+        "another error here",
+    ]
+    src.write_text("\n".join(body) + "\n")
+    rc, _ = _run(capsys, "--warehouse", wh_root, "store", str(src))
+    assert rc == 0
+    out_dir = str(tmp_path / "out")
+    rc, _ = _run(
+        capsys, "--warehouse", wh_root, "mr", "examples/dist_grep.py",
+        "-o", out_dir,
+    )
+    assert rc == 0
+    text = "".join(
+        open(_os.path.join(out_dir, f)).read()
+        for f in sorted(_os.listdir(out_dir))
+    )
+    lines = [l for l in text.strip().split("\n") if l]
+    assert "== error ==" in lines
+    assert "app.log:1: disk ERROR on sda" in lines
+    assert "app.log:6: another error here" in lines
+    assert "== fail ==" in lines
+    assert "app.log:3: request FAILed fast" in lines
+    assert "== panic ==" in lines
+    assert "app.log:4: panic: out of memory" in lines
+    # non-matching lines emitted nothing
+    assert not any("boot ok" in l or "all good" in l for l in lines)
