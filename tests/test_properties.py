@@ -332,3 +332,37 @@ def test_stream_offset_is_longest_contiguous_sidecarred_prefix(tmp_path_factory,
         while n in idxs:
             n += 1
         assert got.get(fname, 0) == n
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**31 - 1),
+            st.integers(min_value=0, max_value=2**31 - 1),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_packed_pair_key_roundtrip(spark, pairs):
+    """The common-neighbors packed pair key (p1 << 32 | p2 via the same
+    multiply/shiftright/mod SQL the operator uses) must roundtrip every
+    id pair below 2^31 exactly — the id-width guard's safe region."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "p1 long, p2 long")
+    out = (
+        df.select(
+            "p1", "p2",
+            F.expr("p1 * 4294967296 + p2").alias("pk2"),
+        )
+        .select(
+            "p1", "p2",
+            F.shiftright("pk2", 32).alias("u1"),
+            (F.col("pk2") % F.lit(1 << 32)).alias("u2"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert (r.u1, r.u2) == (r.p1, r.p2)
