@@ -247,3 +247,68 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_stream_dir
     want = enrich_with_dim(table(spark, sf_dir, "events"), dim)
     assert _rows(got) == _rows(want)
     assert want.count() > 0
+
+
+def test_stream_upsert_state_is_arrival_order_independent(spark, monkeypatch):
+    """The foreachBatch upsert merge is associative, so the materialized
+    state table must be IDENTICAL when micro-batches arrive in reverse
+    time order — batch boundaries and arrival order cannot leak into the
+    result (the property that makes the plain batch window its oracle)."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators import streaming_batch as sb
+
+    sf_dir = "/root/testdata/sf0.001"
+    normal = {
+        (r.user_id, r.last_ts, r.last_event_id, r.last_value, r.n_events)
+        for r in sb.stream_upsert_latest_state(spark, sf_dir).collect()
+    }
+
+    real_split = sb._split_events
+
+    def reversed_split(sf, node, n_files):
+        import os
+        import time
+
+        n = real_split(sf, node, n_files)
+        # flip mtimes so the LAST time-slice lands first
+        base = time.time() - 3600
+        parts = sorted(os.listdir(node))
+        for rank, name in enumerate(reversed(parts)):
+            t = base + 2 * rank
+            os.utime(os.path.join(node, name), (t, t))
+        return n
+
+    monkeypatch.setattr(sb, "_split_events", reversed_split)
+    reversed_rows = {
+        (r.user_id, r.last_ts, r.last_event_id, r.last_value, r.n_events)
+        for r in sb.stream_upsert_latest_state(spark, sf_dir).collect()
+    }
+    assert reversed_rows == normal
+
+    # and both equal the batch window the oracle expresses
+    from pyspark.sql.window import Window
+
+    from go_dfs_mapreduce_spark.tables import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    w_rows = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .withColumn(
+            "n_events", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value", "n_events")
+        .collect()
+    )
+    batch = {
+        (r.user_id, r.ts, r.event_id, r.value, r.n_events) for r in w_rows
+    }
+    assert normal == batch
