@@ -332,10 +332,12 @@ def common_neighbors_topk_from_edges(
     # dedup_ngram_jaccard idiom) the moment a graph's id space outgrows
     # it, rather than silently corrupting pairs.
     packed = F.expr(
-        "CASE WHEN a.nb < 2147483648 AND b.nb < 2147483648 "
+        "CASE WHEN a.nb BETWEEN 0 AND 2147483647 "
+        "AND b.nb BETWEEN 0 AND 2147483647 "
         "THEN a.nb * 4294967296 + b.nb "
-        "ELSE raise_error('common_neighbors_topk: node id >= 2^31 breaks "
-        "the packed pair key; widen to a two-column key') END"
+        "ELSE raise_error('common_neighbors_topk: node id outside "
+        "[0, 2^31) breaks the packed pair key (negative ids mispack "
+        "under shiftright/%); widen to a two-column key') END"
     )
     pairs = (
         a.join(b, (F.col("a.apex") == F.col("b.apex")) & (F.col("a.nb") < F.col("b.nb")))

@@ -73,17 +73,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The exactly-50 queries the driver will record. Round-4 rotation
-# (VERDICT r3 #1): 23 anchors keep one representative per SURVEY §2
-# family green in every round's driver file, and 27 slots go to queries
-# that have never earned a driver row (rounds 1-3 recorded 79 distinct
-# names — cumulative driver-verified set reaches 106 after this round;
-# the local gate verifies all registered queries every round, but
-# driver rows are the externally-scored evidence). Future rounds keep
-# rotating the floating slots through the remaining never-recorded
-# set. Order within the list is presentation order only.
+# The exactly-50 queries the driver will record. Round-6 rotation
+# (VERDICT r5 #1-2): 22 anchors keep one representative per SURVEY §2
+# family green in every round's driver file; one slot re-pins
+# dataset_export_manifest (fixed in r5 but its last DRIVER-recorded
+# status is still the r4 hash_match:false — this flips the external
+# record green); the remaining 27 slots go to queries that have never
+# earned a driver row (cumulative driver-verified set reaches 160/175
+# after this round; the local gate verifies all registered queries
+# every round, but driver rows are the externally-scored evidence).
+# Order within the list is presentation order only.
 _DRIVER_SHOWCASE = (
-    # --- 23 family anchors (recorded in every round) ---
+    # --- 22 family anchors (recorded in every round) ---
     # reference parity: wordcount plugin family (Q1-Q6)
     "wordcount",
     # reference parity: log-analysis plugin family (Q7-Q12; the
@@ -114,9 +115,10 @@ _DRIVER_SHOWCASE = (
     "scalar_function_showcase",
     # reshape
     "pivot_event_counts",
-    # UDF / UDAF / UDTF
+    # UDF / UDAF / UDTF (udf_price_tier anchors the family;
+    # udtf_first_tokens earned driver rows in r4-r5 and yields its
+    # anchor slot to the dataset_export_manifest re-pin)
     "udf_price_tier",
-    "udtf_first_tokens",
     # streaming anchor: the transformWithState detector twin (the batch
     # twins stream_session_windows / stream_tumbling_counts were driver-
     # recorded in r1-r3; their REAL-engine runs are first-time rows below)
@@ -126,48 +128,46 @@ _DRIVER_SHOWCASE = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_scores",
-    # --- 27 first-time rows (round-5 rotation; every r4 floating row
+    # --- the standing driver-red re-pin (VERDICT r5 #1): fixed in r5
+    # (BIGINT oracle cast), green on the Arrow-fidelity local replica,
+    # but never rotated back in — the driver's cumulative record still
+    # ends on the r4 hash_match:false until this row lands green ---
+    "dataset_export_manifest",
+    # --- 27 first-time rows (round-6 rotation; every r5 floating row
     # earned its driver-green and yields its slot — cumulative
-    # driver-verified set reaches 133 after this round) ---
-    # the HUGEINT-oracle class fixed this round: driver-red
-    # dataset_export_manifest's six latent twins, rotated in to prove the
-    # fix with driver rows, plus bigram_topk (plan rewritten to
-    # TakeOrderedAndProject this round)
-    "char_class_profile",
-    "q12_priority_lines",
-    "seq_length_buckets",
-    "doc_novelty_scores",
-    "dedup_rates_by_source",
-    "null_semantics_showcase",
-    "bigram_topk",
-    # lake-format interop twins (CSV representative driver-green r4)
-    "json_roundtrip_events_agg",
-    "orc_roundtrip_lineitem_agg",
-    # sketch family (HLL distinct, HLL mergeable rollup, theta overlap)
-    "distinct_sketch_audit",
-    "distinct_sketch_rollup_audit",
-    "audience_overlap_theta",
-    # timeseries / product analytics
-    "events_time_weighted_avg",
-    "cohort_retention",
-    "funnel_signup_conversion",
-    # the remaining REAL-engine streaming runs (sliding windows,
-    # throttle-dedup, broadcast enrich, interval join), the chunk-layout
-    # streaming source tail and sink through the gate
-    "stream_sliding_user_value_live",
-    "stream_throttle_dedup_live",
-    "stream_enrich_dim_live",
-    "stream_interval_join_live",
-    "stream_dfs_chunk_tail",
-    "stream_into_dfs_chunks",
-    # TPC-H coverage widening (q1/q3/q6/q9/q18 driver-proven r1-r4)
-    "q4_order_priority",
-    "q8_market_share",
-    "q13_order_count_dist",
-    "q21_waiting_suppliers",
-    # scrubbing + window-function coverage
-    "pii_scrub_redact",
-    "window_distinct_count",
+    # driver-verified set reaches 160/175 after this round) ---
+    # round-5's own new operators (zero external evidence so far)
+    "stream_upsert_latest_state",
+    "dedup_incremental_new_docs",
+    "k_anonymity_audit",
+    "url_extraction_topk",
+    "length_outlier_docs",
+    # the ten remaining TPC-H shapes (q1/q3/q4/q6/q8/q9/q12/q13/q18/q21
+    # driver-proven r1-r5)
+    "q2_cheapest_part",
+    "q7_volume_shipping",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q19_bracket_revenue",
+    "q20_red_part_shippers",
+    "q22_idle_balances",
+    # window-function + data-quality + stats coverage
+    "window_rank_functions",
+    "dq_audit",
+    "stats_profile_by_flag",
+    "price_histogram",
+    # corpus / training-prep family
+    "clean_corpus_selection",
+    "corpus_sample_hash",
+    "corpus_sample_stratified",
+    "cluster_safe_split",
+    "distinctive_terms",
+    "corpus_vocab_stats",
+    "corpus_overlap_matrix",
+    "doc_repetition_scores",
 )
 
 

@@ -40,6 +40,7 @@ import hashlib
 import json
 import os
 import re
+import sys
 import uuid
 from dataclasses import dataclass
 
@@ -491,9 +492,17 @@ class _TextStreamWriter(_TextWriter, DataSourceStreamWriter):
         # replay's own tmps, half-written task output) is dropped as usual.
         try:
             journal = self._load_journal(self._state_path() + ".journal")
-        except RuntimeError:
+        except RuntimeError as exc:
             # unreadable journal: delete nothing — repair comes first,
-            # and abort must never destroy data a journal may reference
+            # and abort must never destroy data a journal may reference.
+            # Say so: the preserved chunks_tmp litter is intentional
+            # (pending journal repair), not a cleanup bug.
+            print(
+                f"go_dfs abort(batch {batchId}): journal is corrupt "
+                f"({exc}); preserving chunks_tmp contents until the "
+                "journal is repaired",
+                file=sys.stderr,
+            )
             return
         keep = (
             frozenset(t for t, _ in journal["renames"])

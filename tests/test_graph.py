@@ -98,6 +98,24 @@ def test_common_neighbors_ranking_and_cap(spark):
     assert capped == []
 
 
+def test_common_neighbors_negative_id_hits_guard(spark):
+    """A negative node id would mispack silently (negative multiply plus
+    shiftright/% reconstruct the wrong pair) — the id-width guard must
+    raise in-plan, exactly as it does for ids >= 2^31."""
+    import pytest
+
+    from go_dfs_mapreduce_spark.operators.graph import (
+        common_neighbors_topk_from_edges,
+    )
+
+    edges = _edges_df(spark, [(1, -2), (1, 3), (1, 4)])
+    with pytest.raises(Exception, match="packed pair key"):
+        common_neighbors_topk_from_edges(
+            edges, cap=512, k=10, min_cn=1
+        ).collect()
+    edges.unpersist()
+
+
 def test_skyline_domination_law(spark):
     """Against sf0.001 parts: every emitted row is undominated and every
     non-emitted part is dominated by some part (the defining property,
