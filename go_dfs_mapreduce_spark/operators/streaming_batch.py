@@ -189,9 +189,11 @@ def stream_dfs_chunk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_idx, line_number, line) in SQL, so the driver's gate checks
     the streaming source's offsets/partition planning end-to-end — the
     migration story for users whose reference deployment keeps writing
-    chunks while Spark consumes them."""
-    import hashlib
-    import os
+    chunks while Spark consumes them. The fixture itself is laid down by
+    the DISTRIBUTED chunk writer (the go_dfs_text batch sink): executors
+    md5 + bucket the corpus and stream their own chunk bytes — nothing
+    corpus-sized ever reaches the driver, so the layout step holds at
+    any SF (the old driver-side collect here was doc-count-sized)."""
     import tempfile
     import uuid
 
@@ -201,28 +203,49 @@ def stream_dfs_chunk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_dfs_sources(spark)
     docs = table(spark, sf_dir, "documents")
+    # The chunk writer assigns indices contiguously in PARTITION order,
+    # and the oracle pins chunk_idx = doc_id % 4, so bucket b must land
+    # in partition b exactly. Hash partitioning maps values opaquely, so
+    # probe the session's actual placement with a 64-row job and route
+    # each bucket through a constant that lands where it belongs — all
+    # corpus-sized work (md5, concat, sort) stays in codegen.
+    probe = (
+        spark.range(64)
+        .select(F.col("id").cast("int").alias("c"))
+        .repartition(4, "c")
+        .select("c", F.spark_partition_id().alias("p"))
+        .collect()
+    )
+    rep: dict[int, int] = {}
+    for r in probe:
+        rep.setdefault(r.p, r.c)
+    if sorted(rep) != [0, 1, 2, 3]:  # P(miss) ~ 4*(3/4)^64 — belt only
+        raise RuntimeError(f"hash-route probe missed a partition: {rep}")
+    route = F.element_at(
+        F.array(*[F.lit(rep[b]) for b in range(4)]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
     lines = (
         docs.select(
             F.col("doc_id"),
+            route.alias("bucket_route"),
             F.concat(
                 F.col("doc_id").cast("string"),
                 F.lit("\t"),
                 F.md5(F.col("text").cast("binary")),
             ).alias("line"),
         )
-        .orderBy("doc_id")
-        .collect()  # id+hash rows only — metadata-sized at any SF
+        .repartition(4, "bucket_route")
+        .sortWithinPartitions("doc_id")
+        .select("line")
     )
     node = tempfile.mkdtemp(prefix="go_dfs_tail_")
-    for b in range(4):
-        data = "".join(
-            r.line + "\n" for r in lines if r.doc_id % 4 == b
-        ).encode()
-        cfn = os.path.join(node, f"docs_t{b}")
-        with open(cfn, "wb") as fh:
-            fh.write(data)
-        with open(cfn + "h", "wb") as fh:
-            fh.write(hashlib.md5(data).digest())
+    (
+        lines.write.format("go_dfs_text")
+        .option("file", "docs")
+        .mode("overwrite")
+        .save(node)
+    )
     qname = f"t_chunk_tail_{uuid.uuid4().hex[:8]}"
     q = (
         spark.readStream.format("go_dfs_text")
@@ -261,35 +284,72 @@ def stream_first_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_occurrences_batch(table(spark, sf_dir, "events"))
 
 
-def _split_events(sf_dir: str, node: str, n_files: int) -> int:
-    """Write the events parquet into ``n_files`` time-ordered files under
-    ``node`` (sorted by (ts, event_id) — the event_id tiebreak makes the
-    split deterministic when many events share a timestamp; ties may
-    still straddle a file boundary, which the watermark argument in
-    ``_run_live`` shows is safe) with strictly increasing mtimes, which
-    pin the file stream source's processing order to event-time order
-    (it sorts candidates by modification time). Returns the row count.
-    Driver-side harness plumbing at gate scale — it stands in for a
-    producer landing files over time."""
+def _split_events(
+    spark: SparkSession, sf_dir: str, node: str, n_files: int
+) -> int:
+    """Write the events table into ``n_files`` time-ordered parquet files
+    under ``node`` (range-partitioned on (ts, event_id) — the event_id
+    tiebreak makes the ranges disjoint even when many events share a
+    timestamp; ties may still straddle a file boundary, which the
+    watermark argument in ``_run_live`` shows is safe) with strictly
+    increasing mtimes, which pin the file stream source's processing
+    order to event-time order (it sorts candidates by modification
+    time). Returns the row count.
+
+    The split is a DISTRIBUTED ``repartitionByRange`` write — executors
+    each lay down their own time slice; nothing event-sized reaches the
+    driver, so this harness plumbing (it stands in for a producer
+    landing files over time) holds at any SF. Range boundaries come from
+    the partitioner's sampling, so file sizes are approximate rather
+    than exact fractions — the watermark argument only needs range
+    DISJOINTNESS, which the partitioner guarantees. If pathological
+    sampling ever leaves a range empty (unique (ts, event_id) keys make
+    this vanishingly rare), an exact row_number split re-lays the files
+    instead of tripping the multi-batch assertion downstream."""
+    import glob
     import os
+    import shutil
     import time
 
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
-    src = pq.read_table(os.path.abspath(os.path.join(sf_dir, "events.parquet")))
-    src = src.take(
-        pc.sort_indices(
-            src, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
+    ev = table(spark, sf_dir, "events")
+    n_rows = ev.count()
+    tmp = os.path.join(
+        os.path.dirname(node), "split_tmp_" + os.path.basename(node)
     )
-    n_rows = src.num_rows
+    (
+        ev.repartitionByRange(n_files, F.col("ts"), F.col("event_id"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
+    if len(parts) != n_files and n_rows >= n_files:
+        # sampling/skew fallback (never the common path): exact n_files
+        # split by global row number, one small job per slice
+        shutil.rmtree(tmp)
+        rn = ev.withColumn(
+            "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+        )
+        for i in range(n_files):
+            lo, hi = i * n_rows // n_files, (i + 1) * n_rows // n_files
+            (
+                rn.where((F.col("rn") > lo) & (F.col("rn") <= hi))
+                .drop("rn")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, f"slice={i}"))
+            )
+        parts = sorted(
+            glob.glob(os.path.join(tmp, "slice=*", "part-*.parquet"))
+        )
     base_mtime = time.time() - 3600
-    for i in range(n_files):
-        lo, hi = i * n_rows // n_files, (i + 1) * n_rows // n_files
-        part = os.path.join(node, f"part-{i:03d}.parquet")
-        pq.write_table(src.slice(lo, hi - lo), part)
-        os.utime(part, (base_mtime + 2 * i, base_mtime + 2 * i))
+    for i, src in enumerate(parts):
+        dst = os.path.join(node, f"part-{i:03d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (base_mtime + 2 * i, base_mtime + 2 * i))
+    shutil.rmtree(tmp, ignore_errors=True)
     return n_rows
 
 
@@ -334,7 +394,7 @@ def _run_live(spark: SparkSession, sf_dir: str, builder, prefix: str,
     qname = f"{prefix}_{uuid.uuid4().hex[:8]}"
     started = False
     try:
-        n_rows = _split_events(sf_dir, node, n_files)
+        n_rows = _split_events(spark, sf_dir, node, n_files)
         ev = read_events_stream(
             spark, node, watermark=watermark,
             options={"maxFilesPerTrigger": "1", "latestFirst": "false"},
@@ -587,6 +647,100 @@ FROM (
 """
 
 
+def _upsert_hwm(state_dir: str) -> int | None:
+    """Applied-batch high-water mark persisted INSIDE a state generation
+    (``_applied_batch_id`` sidecar — the leading underscore keeps Spark's
+    parquet reader from treating it as data, same convention as
+    ``_SUCCESS``). None = dir holds no committed generation."""
+    import os
+
+    try:
+        with open(os.path.join(state_dir, "_applied_batch_id")) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _upsert_live_dir(state_dirs: list[str]) -> tuple[str | None, int]:
+    """The ping-pong dir holding the newest committed state generation
+    (largest applied-batch mark), or (None, -1) before the first commit.
+    Derived from disk, not driver memory, so a restarted driver resumes
+    from the generation that was actually committed."""
+    live, live_bid = None, -1
+    for d in state_dirs:
+        h = _upsert_hwm(d)
+        if h is not None and h > live_bid:
+            live, live_bid = d, h
+    return live, live_bid
+
+
+def _make_upsert_merge(state_dirs: list[str]):
+    """Build the foreachBatch merge for the streaming upsert table.
+
+    Replay-idempotent under foreachBatch's AT-LEAST-ONCE contract: a
+    batch re-delivered after a crash between the state write and the
+    checkpoint commit must NOT merge twice (n_events is a summed count —
+    the merge is associative but not idempotent). Each generation
+    records the batch_id that produced it; a replayed batch_id <= the
+    live generation's mark is skipped — the same high-water-mark
+    protocol the chunk stream sink journals (sources/dfs_chunks.py).
+    foreachBatch batch ids are monotonically increasing, so one mark
+    suffices. Crash INSIDE the parquet write is also safe: the write
+    lands in the non-live dir and the sidecar is written last, so a
+    torn generation is never the max and gets overwritten on retry."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def _latest_struct(ts_col: str, id_col: str, val_col: str):
+        return F.max_by(
+            F.struct(
+                F.col(ts_col).alias("last_ts"),
+                F.col(id_col).alias("last_event_id"),
+                F.col(val_col).alias("last_value"),
+            ),
+            F.struct(F.col(ts_col), F.col(id_col)),
+        ).alias("s")
+
+    def merge(batch_df, batch_id):
+        live, live_bid = _upsert_live_dir(state_dirs)
+        if batch_id <= live_bid:
+            return  # replayed batch: already folded into the live state
+        delta = (
+            batch_df.groupBy("user_id")
+            .agg(
+                _latest_struct("ts", "event_id", "value"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(
+                "user_id", "s.last_ts", "s.last_event_id",
+                "s.last_value", "n_events",
+            )
+        )
+        if live is not None:
+            old = batch_df.sparkSession.read.parquet(live)
+            delta = (
+                old.unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    _latest_struct(
+                        "last_ts", "last_event_id", "last_value"
+                    ),
+                    F.sum("n_events").cast("long").alias("n_events"),
+                )
+                .select(
+                    "user_id", "s.last_ts", "s.last_event_id",
+                    "s.last_value", "n_events",
+                )
+            )
+        nxt = state_dirs[1] if live == state_dirs[0] else state_dirs[0]
+        delta.write.mode("overwrite").parquet(nxt)
+        with open(os.path.join(nxt, "_applied_batch_id"), "w") as fh:
+            fh.write(str(batch_id))
+
+    return merge
+
+
 @query("stream_upsert_latest_state", oracle=UPSERT_STATE_ORACLE)
 def stream_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming UPSERT MATERIALIZATION: the real engine maintains a
@@ -602,7 +756,11 @@ def stream_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     change the result — the oracle is the plain batch window over all
     events, and a gate-green row proves the engine-maintained table
     converged to it across >= 4 real micro-batches (in-run assertion, as
-    in ``_run_live``).
+    in ``_run_live``). The merge is also REPLAY-IDEMPOTENT (see
+    ``_make_upsert_merge``): each generation carries its applied
+    batch_id, so foreachBatch's at-least-once redelivery cannot
+    double-count — pinned by a crash-replay test in
+    tests/test_streaming.py.
 
     Scale: state generations are |keys|-sized parquet, deltas are
     batch-sized aggregates; the merge shuffles keys once per batch. At
@@ -610,61 +768,17 @@ def stream_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical semantics (merge_upsert_orders is that batch twin)."""
     import os
 
-    from pyspark.sql import functions as F
-
     from ..streaming.windows import read_events_stream
     from .interop import _with_scratch
 
     n_files = 4
 
-    def _latest_struct(ts_col: str, id_col: str, val_col: str):
-        return F.max_by(
-            F.struct(
-                F.col(ts_col).alias("last_ts"),
-                F.col(id_col).alias("last_event_id"),
-                F.col(val_col).alias("last_value"),
-            ),
-            F.struct(F.col(ts_col), F.col(id_col)),
-        ).alias("s")
-
     def build(scratch: str) -> DataFrame:
         land = os.path.join(scratch, "landing")
         os.makedirs(land)
-        n_rows = _split_events(sf_dir, land, n_files)
+        n_rows = _split_events(spark, sf_dir, land, n_files)
         state_dirs = [os.path.join(scratch, d) for d in ("state_a", "state_b")]
-        cur = {"i": -1}  # no state generation yet
-
-        def merge(batch_df, batch_id):  # noqa: ARG001 (foreachBatch API)
-            delta = (
-                batch_df.groupBy("user_id")
-                .agg(
-                    _latest_struct("ts", "event_id", "value"),
-                    F.count(F.lit(1)).alias("n_events"),
-                )
-                .select(
-                    "user_id", "s.last_ts", "s.last_event_id",
-                    "s.last_value", "n_events",
-                )
-            )
-            if cur["i"] >= 0:
-                old = batch_df.sparkSession.read.parquet(state_dirs[cur["i"]])
-                delta = (
-                    old.unionByName(delta)
-                    .groupBy("user_id")
-                    .agg(
-                        _latest_struct(
-                            "last_ts", "last_event_id", "last_value"
-                        ),
-                        F.sum("n_events").cast("long").alias("n_events"),
-                    )
-                    .select(
-                        "user_id", "s.last_ts", "s.last_event_id",
-                        "s.last_value", "n_events",
-                    )
-                )
-            nxt = (cur["i"] + 1) % 2
-            delta.write.mode("overwrite").parquet(state_dirs[nxt])
-            cur["i"] = nxt
+        merge = _make_upsert_merge(state_dirs)
 
         ev = read_events_stream(
             spark, land, watermark=None,
@@ -691,6 +805,7 @@ def stream_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"expected {n_files} — multi-batch state maintenance is "
                 "the point of this query"
             )
-        return spark.read.parquet(state_dirs[cur["i"]])
+        live, _ = _upsert_live_dir(state_dirs)
+        return spark.read.parquet(live)
 
     return _with_scratch(spark, "go_dfs_upsert_", build)

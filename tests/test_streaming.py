@@ -249,6 +249,64 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_stream_dir
     assert want.count() > 0
 
 
+def test_stream_upsert_merge_is_replay_idempotent(spark, tmp_path):
+    """foreachBatch is AT-LEAST-ONCE: a batch re-delivered after its
+    state write succeeded (crash between the write and the checkpoint
+    commit) must not merge twice — n_events is a summed count, so a
+    double merge double-counts. The merge records each generation's
+    applied batch_id and skips replays (the chunk sink's high-water-mark
+    protocol); this replays batches exactly as a restarted engine
+    would."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.streaming_batch import (
+        _make_upsert_merge,
+        _upsert_live_dir,
+    )
+
+    state_dirs = [str(tmp_path / d) for d in ("state_a", "state_b")]
+    merge = _make_upsert_merge(state_dirs)
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00", 5.0),
+            (1, 11, "2024-01-01 00:01:00", 7.0),
+            (2, 12, "2024-01-01 00:02:00", 1.0),
+        ],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch0 = ev.where("event_id <= 11")
+    batch1 = ev.where("event_id = 12")
+    merge(batch0, 0)
+    merge(batch1, 1)
+
+    def snap():
+        live, bid = _upsert_live_dir(state_dirs)
+        rows = {
+            r.user_id: (r.last_event_id, r.last_value, r.n_events)
+            for r in spark.read.parquet(live).collect()
+        }
+        return bid, rows
+
+    bid, rows = snap()
+    assert bid == 1
+    assert rows == {1: (11, 7.0, 2), 2: (12, 1.0, 1)}
+    # crash-replay: the engine re-delivers the just-committed batch
+    merge(batch1, 1)
+    assert snap() == (bid, rows)
+    # replaying an even older batch is equally inert
+    merge(batch0, 0)
+    assert snap() == (bid, rows)
+    # a genuinely new batch still merges on top
+    batch2 = spark.createDataFrame(
+        [(2, 13, "2024-01-01 00:03:00", 9.0)],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    merge(batch2, 2)
+    bid2, rows2 = snap()
+    assert bid2 == 2
+    assert rows2 == {1: (11, 7.0, 2), 2: (13, 9.0, 2)}
+
+
 def test_stream_upsert_state_is_arrival_order_independent(spark, monkeypatch):
     """The foreachBatch upsert merge is associative, so the materialized
     state table must be IDENTICAL when micro-batches arrive in reverse
@@ -266,11 +324,11 @@ def test_stream_upsert_state_is_arrival_order_independent(spark, monkeypatch):
 
     real_split = sb._split_events
 
-    def reversed_split(sf, node, n_files):
+    def reversed_split(spark_, sf, node, n_files):
         import os
         import time
 
-        n = real_split(sf, node, n_files)
+        n = real_split(spark_, sf, node, n_files)
         # flip mtimes so the LAST time-slice lands first
         base = time.time() - 3600
         parts = sorted(os.listdir(node))
