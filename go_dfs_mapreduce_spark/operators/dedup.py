@@ -1367,3 +1367,66 @@ if dup_span_detection.__doc__:  # absent under python -OO
     dup_span_detection.__doc__ = dup_span_detection.__doc__.format(
         SPAN_K=SPAN_K, SPAN_MIN_GRAMS=SPAN_MIN_GRAMS
     )
+
+
+# --------------------------------------------------------------------------
+# LSH self-audit: banding recall against the exact all-pairs baseline
+# --------------------------------------------------------------------------
+
+LSH_RECALL_ORACLE = f"""
+WITH truth AS ({NGRAM_JACCARD_ORACLE}),
+lsh AS ({MINHASH_ORACLE})
+SELECT FLOOR(t.jaccard * 10) / 10 AS jaccard_band,
+       COUNT(*) AS n_true,
+       CAST(SUM(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_caught,
+       ROUND(SUM(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS recall
+FROM truth t
+LEFT JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+GROUP BY 1
+"""
+
+
+@query("lsh_recall_audit", oracle=LSH_RECALL_ORACLE)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH S-curve, measured: per 0.1-wide Jaccard band,
+    what fraction of the TRUE >= threshold pairs (the exact all-pairs
+    baseline) did the banded index surface? Low bands are supposed to
+    leak (that is the point of banding — P(candidate) = 1-(1-s^r)^b);
+    high bands must not. Composes the two registered operators, so the
+    audit measures the code that actually deduplicates, not a
+    reimplementation that could drift. LSH verifies candidates against
+    the same shingle sets, so every lsh pair AT OR ABOVE the threshold
+    is in truth by construction (the lsh output also reports
+    sub-threshold candidate pairs, which the join simply never matches)
+    and a plain left join suffices.
+
+    Scale: the exact baseline is the bounded side (all-pairs by
+    definition, with the in-plan max-doc-freq guard); at 100 TB you run
+    this audit on a hash-sampled stratum (corpus_sample_hash) where
+    exact all-pairs is affordable, exactly how production dedup recall
+    is estimated. Banding arithmetic (floor(j*10)/10) is IEEE-identical
+    on both engines because both start from the same round(j, 6)
+    double."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).alias("t")
+    lsh = dedup_minhash_lsh(spark, sf_dir).alias("l")
+    joined = truth.join(
+        lsh,
+        (F.col("t.doc_a") == F.col("l.doc_a"))
+        & (F.col("t.doc_b") == F.col("l.doc_b")),
+        "left",
+    )
+    caught = F.when(F.col("l.doc_a").isNotNull(), 1).otherwise(0)
+    return (
+        joined.groupBy(
+            (F.floor(F.col("t.jaccard") * 10) / 10).alias("jaccard_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(caught).cast("long").alias("n_caught"),
+            F.round(F.sum(caught) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "recall"
+            ),
+        )
+    )

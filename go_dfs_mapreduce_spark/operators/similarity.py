@@ -460,3 +460,54 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.cluster").alias("cluster"),
         F.col("m.d2").alias("d2_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANN self-audit: IVF recall@k against the exact brute-force baseline
+# --------------------------------------------------------------------------
+
+ANN_RECALL_ORACLE = f"""
+WITH exact AS ({ANN_TOPK_ORACLE}),
+ivf AS ({IVF_ORACLE})
+SELECT e.query_id,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS recall
+FROM exact e
+LEFT JOIN ivf i
+  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@query("ann_recall_audit", oracle=ANN_RECALL_ORACLE)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF scale path against the exact brute-force
+    baseline, per query — the acceptance gate you run before trusting an
+    approximate index with production retrieval (the same exact-vs-sketch
+    twin discipline as distinct_sketch_audit). Composes the two
+    registered operators, so the audit always measures the code that
+    actually serves queries, not a reimplementation that could drift.
+
+    Scale: both inputs end at k rows per query (k=5 here), so the audit
+    itself joins two (|queries| x k)-sized frames — negligible next to
+    the searches it compares. The brute-force side is the expensive one
+    at 100 TB; run the audit on a query SAMPLE there (it is per-query
+    embarrassingly parallel, and a few hundred queries bound recall
+    tightly)."""
+    exact = ann_cosine_topk(spark, sf_dir).alias("e")
+    ivf = ann_ivf_topk(spark, sf_dir).alias("i")
+    joined = exact.join(
+        ivf,
+        (F.col("e.query_id") == F.col("i.query_id"))
+        & (F.col("e.neighbor_id") == F.col("i.neighbor_id")),
+        "left",
+    )
+    hit = F.when(F.col("i.neighbor_id").isNotNull(), 1).otherwise(0)
+    return joined.groupBy(F.col("e.query_id").alias("query_id")).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(hit).cast("long").alias("n_hits"),
+        F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 6).alias("recall"),
+    )

@@ -367,3 +367,56 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+
+# --------------------------------------------------------------------------
+# Dataset mixture plan: temperature weights -> per-source token quotas
+# --------------------------------------------------------------------------
+
+TRAIN_TOKEN_BUDGET = 10_000_000  # tokens in the training mix being planned
+
+MIXTURE_ORACLE = f"""
+WITH w AS ({TEMPERATURE_ORACLE})
+SELECT source, n_tokens, weight,
+       CAST(ROUND({TRAIN_TOKEN_BUDGET} * weight) AS BIGINT) AS target_tokens,
+       ROUND(CAST(ROUND({TRAIN_TOKEN_BUDGET} * weight) AS BIGINT)
+             * 1.0 / n_tokens, 6) AS epochs,
+       CAST(FLOOR(CAST(ROUND({TRAIN_TOKEN_BUDGET} * weight) AS BIGINT)
+                  * 1.0 / n_tokens) AS BIGINT) AS full_repeats,
+       CAST(ROUND({TRAIN_TOKEN_BUDGET} * weight) AS BIGINT)
+         - CAST(FLOOR(CAST(ROUND({TRAIN_TOKEN_BUDGET} * weight) AS BIGINT)
+                      * 1.0 / n_tokens) AS BIGINT) * n_tokens
+         AS tail_tokens
+FROM w
+"""
+
+
+@query("dataset_mixture_plan", oracle=MIXTURE_ORACLE)
+def dataset_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn the alpha=0.5 temperature weights into an executable
+    training-mix plan for a fixed token budget: per source, the token
+    quota, the implied epoch count (quota / corpus tokens — above 1.0
+    means the source is UPSAMPLED and will repeat), the whole-corpus
+    repeat count, and the tokens still needed from a final partial pass
+    (which a deterministic hash sample like corpus_sample_hash then
+    selects). This is the mixture table every large pretraining run is
+    configured from; composing the registered weights operator keeps
+    plan and weights from drifting apart.
+
+    Scale: one aggregation shuffle on source (inside the composed
+    weights query) — the plan itself is |sources|-sized arithmetic.
+    Cross-engine determinism: weight is already a round(x, 6) double;
+    budget*weight, round, floor, and the integer remainders are
+    IEEE/integer-identical on both engines."""
+    w = source_temperature_weights(spark, sf_dir)
+    target = F.round(F.lit(TRAIN_TOKEN_BUDGET) * F.col("weight")).cast("long")
+    full = F.floor(target * 1.0 / F.col("n_tokens")).cast("long")
+    return w.select(
+        "source",
+        "n_tokens",
+        "weight",
+        target.alias("target_tokens"),
+        F.round(target * 1.0 / F.col("n_tokens"), 6).alias("epochs"),
+        full.alias("full_repeats"),
+        (target - full * F.col("n_tokens")).alias("tail_tokens"),
+    )

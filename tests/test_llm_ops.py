@@ -703,3 +703,77 @@ def test_incremental_dedup_equals_full_lsh_restricted(spark, sf_dir):
         assert r.new_doc > t
         assert r.matched_doc < r.new_doc
         assert r.matched_in == ("corpus" if r.matched_doc <= t else "batch")
+
+
+def test_ann_recall_audit_consistent_with_operators(spark, sf_dir):
+    """The audit's per-query recall must equal the overlap of the two
+    operators it composes, with n_exact = TOP_K rows per query."""
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_cosine_topk,
+        ann_ivf_topk,
+        ann_recall_audit,
+    )
+
+    exact = {}
+    for r in ann_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf = {}
+    for r in ann_ivf_topk(spark, sf_dir).collect():
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    rows = ann_recall_audit(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        hits = len(exact[r.query_id] & ivf.get(r.query_id, set()))
+        assert r.n_exact == TOP_K
+        assert r.n_hits == hits
+        assert r.recall == round(hits / TOP_K, 6)
+        assert 0.0 <= r.recall <= 1.0
+
+
+def test_lsh_recall_audit_containment_and_totals(spark, sf_dir):
+    """LSH verifies candidates against the same shingle sets as the
+    exact baseline, so every LSH pair at or above the threshold is in
+    truth: the audit's caught total must equal that count exactly, and
+    every band obeys n_caught <= n_true with recall = n_caught/n_true."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        lsh_recall_audit,
+    )
+
+    n_truth = dedup_ngram_jaccard(spark, sf_dir).count()
+    n_lsh_above = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .count()
+    )
+    rows = lsh_recall_audit(spark, sf_dir).collect()
+    assert sum(r.n_true for r in rows) == n_truth
+    assert sum(r.n_caught for r in rows) == n_lsh_above  # threshold subset
+    for r in rows:
+        assert 0 <= r.n_caught <= r.n_true
+        assert r.recall == round(r.n_caught / r.n_true, 6)
+
+
+def test_dataset_mixture_plan_quota_arithmetic(spark, sf_dir):
+    """Quotas must add back to ~the budget (within per-source rounding)
+    and decompose exactly into full repeats plus a tail pass."""
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        TRAIN_TOKEN_BUDGET,
+        dataset_mixture_plan,
+    )
+
+    rows = dataset_mixture_plan(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.target_tokens for r in rows)
+    assert abs(total - TRAIN_TOKEN_BUDGET) <= len(rows)  # rounding only
+    for r in rows:
+        assert r.full_repeats * r.n_tokens + r.tail_tokens == r.target_tokens
+        assert 0 <= r.tail_tokens < r.n_tokens
+        assert r.epochs == round(r.target_tokens / r.n_tokens, 6)
