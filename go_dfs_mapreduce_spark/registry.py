@@ -159,15 +159,19 @@ _DRIVER_SHOWCASE = (
     "dq_audit",
     "stats_profile_by_flag",
     "price_histogram",
-    # corpus / training-prep family
+    # corpus / training-prep family (the three deferred names —
+    # corpus_sample_stratified, cluster_safe_split,
+    # doc_repetition_scores — stay on the local gate and queue for r7)
     "clean_corpus_selection",
     "corpus_sample_hash",
-    "corpus_sample_stratified",
-    "cluster_safe_split",
     "distinctive_terms",
     "corpus_vocab_stats",
     "corpus_overlap_matrix",
-    "doc_repetition_scores",
+    # round-6's own new operators: the approximation self-audits and
+    # the mixture planner earn driver rows in their own round
+    "ann_recall_audit",
+    "lsh_recall_audit",
+    "dataset_mixture_plan",
 )
 
 
