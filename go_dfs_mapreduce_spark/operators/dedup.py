@@ -1430,3 +1430,57 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-aware survivor selection over near-dup clusters
+# --------------------------------------------------------------------------
+
+def _survivor_oracle() -> str:
+    # deferred import: textstats does not import dedup, so this is the
+    # acyclic direction, but the oracle string needs its QUALITY_ORACLE
+    from .textstats import QUALITY_ORACLE
+
+    return f"""
+SELECT c.doc_id, c.cluster, c.cluster_size, q.quality_score,
+       row_number() OVER (PARTITION BY c.cluster
+                          ORDER BY q.quality_score DESC, c.doc_id) = 1
+         AS is_survivor
+FROM ({DEDUP_CLUSTERS_ORACLE}) c
+JOIN ({QUALITY_ORACLE}) q USING (doc_id)
+"""
+
+
+@query("dedup_survivor_quality", oracle=_survivor_oracle())
+def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection — the step a production dedup
+    pipeline (Dolma / FineWeb style) runs after clustering: within each
+    near-dup cluster KEEP the highest-quality member, not the arbitrary
+    lowest doc_id. Composes the two registered operators it depends on
+    (``dedup_clusters`` for the canonical group assignment,
+    ``textstats.text_quality_scores`` for the ranking signal), so the
+    audit trail covers the code that actually runs.
+
+    Plan shape: the cluster labels (corpus-keyed) join the quality scores
+    on doc_id — both sides are already doc_id-keyed aggregates, so AQE
+    plans a single co-partitioned sort-merge join at scale — then one
+    window per cluster picks the survivor. Clusters are near-dup blobs
+    (bounded fan-in), so the window partitions are tiny; singleton docs
+    are their own cluster and survive trivially. Determinism: ranking is
+    on the ROUNDED quality score (both engines emit round(x, 6)) with a
+    doc_id tiebreak, so the survivor is unique cross-engine.
+    """
+    from .textstats import text_quality_scores
+
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = text_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return clusters.join(quality, "doc_id").select(
+        "doc_id",
+        "cluster",
+        "cluster_size",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )

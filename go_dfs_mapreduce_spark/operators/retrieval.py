@@ -1,0 +1,236 @@
+"""Retrieval and LM-style scoring over the ``documents`` corpus.
+
+The reference demonstrates the classic MapReduce retrieval primitives —
+tokenized word counts and an inverted-index-style shuffle
+(``example_plugins/word_count/word_count.go:1-46``); this module carries
+those primitives to their modern LLM-data-pipeline endpoints:
+
+- ``bm25_search_topk``: BM25 ranked retrieval for a fixed query over the
+  corpus, the scoring function an inverted index exists to serve.
+- ``unigram_freq_scores``: a CCNet-style unigram language-model quality
+  proxy (mean token corpus-frequency + rare-token ratio), the filter a
+  training-data pipeline runs before mixing.
+
+Determinism contract (matches ``corpus_ops.distinctive_terms``): no
+``ln()`` anywhere — Java ``Math.log`` and DuckDB's libm ``log`` can differ
+in the last ulp, so every score is built from exact BIGINT arithmetic with
+IEEE double divisions/multiplications applied in the same textual order on
+both engines. BM25's ``k1 = 1.2, b = 0.75`` are folded into integer
+coefficients (see below) so the only doubles are final casts of exact
+integers; the Robertson idf is kept in its rational pre-log form
+``(N - df + 0.5) / (df + 0.5)`` = ``(2N - 2df + 1) / (2df + 1)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+from .dedup import _NORM_DUCK, _NORM_SPARK
+
+# Clean token arrays, identical artifacts both engines: normalized text is
+# trimmed + single-spaced, then the defensive empty-token filter keeps the
+# empty-document edge case ([''] on both engines) out of dl / tf counts.
+_TOKS_SPARK = f"filter(split({_NORM_SPARK}, ' '), x -> x <> '')"
+_TOKS_DUCK = f"list_filter(string_split({_NORM_DUCK}, ' '), x -> x <> '')"
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval (fixed 3-term query, top-k)
+# --------------------------------------------------------------------------
+#
+# With k1 = 6/5 and b = 3/4, the per-term BM25 score
+#
+#   idf * tf*(k1+1) / (tf + k1*(1 - b) + k1*b*dl/avgdl),   avgdl = T/N
+#
+# multiplied through by 10*T becomes a ratio of exact integers:
+#
+#   tf_part  = 22*T*tf / (10*T*tf + 3*T + 9*dl*N)
+#   idf_part = (2N - 2df + 1) / (2df + 1)
+#
+# (T = total corpus tokens, N = docs, dl = doc length, df = term doc-freq).
+# Both engines evaluate CAST(int)/CAST(int) then one IEEE multiply per
+# term and two fixed-order adds — bit-identical.
+
+BM25_TERMS = ("spark", "hash", "merge")
+BM25_K = 10
+
+
+def _bm25_term_sql(t: str) -> str:
+    """One query term's score; same text is fed to Spark and DuckDB."""
+    return (
+        f"(CAST(2 * n_docs - 2 * df_{t} + 1 AS DOUBLE)"
+        f" / CAST(2 * df_{t} + 1 AS DOUBLE))"
+        f" * (CAST(22 * total_toks * tf_{t} AS DOUBLE)"
+        f" / CAST(10 * total_toks * tf_{t} + 3 * total_toks"
+        f" + 9 * dl * n_docs AS DOUBLE))"
+    )
+
+
+_BM25_SCORE_SQL = " + ".join(_bm25_term_sql(t) for t in BM25_TERMS)
+
+BM25_ORACLE = f"""
+WITH per_doc AS (
+  SELECT doc_id, len(toks) AS dl,
+         {', '.join(f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}"
+                    for t in BM25_TERMS)}
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_toks,
+         {', '.join(f"COUNT(*) FILTER (WHERE tf_{t} > 0) AS df_{t}"
+                    for t in BM25_TERMS)}
+  FROM per_doc
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       {', '.join(f"CAST(tf_{t} AS BIGINT) AS tf_{t}" for t in BM25_TERMS)},
+       ROUND({_BM25_SCORE_SQL}, 6) AS bm25_score
+FROM per_doc CROSS JOIN corpus
+ORDER BY bm25_score DESC, doc_id
+LIMIT {BM25_K}
+"""
+
+
+@query("bm25_search_topk", oracle=BM25_ORACLE)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k for the fixed query ``spark hash merge``.
+
+    Plan shape (the 100 TB story): per-doc tf/dl are in-row codegen array
+    ops — no explode, no corpus-sized shuffle anywhere. The corpus
+    statistics (N, T, one df per query term) are ONE scalar aggregate
+    whose single row broadcasts back via cross join, and the final top-k
+    lowers to TakeOrderedAndProject, so the full job is two scans of a
+    two-column projection plus kilobytes of exchange. Scoring is the
+    exact-rational BM25 derived in the module docstring — zero ``ln()``,
+    every division a single IEEE op over exact BIGINTs, identical textual
+    expression on both engines. Ties break on doc_id.
+
+    Reference parity: the word_count plugin's tokenize-count-shuffle
+    (``example_plugins/word_count/word_count.go:13-27``) is the map side
+    of an inverted index; BM25 is the canonical consumer of that index.
+    """
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        F.expr(f"size({_TOKS_SPARK})").cast("long").alias("dl"),
+        *[
+            F.expr(f"size(filter({_TOKS_SPARK}, x -> x = '{t}'))")
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_toks"),
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    return (
+        per_doc.join(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in BM25_TERMS],
+            F.round(F.expr(_BM25_SCORE_SQL), 6).alias("bm25_score"),
+        )
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM quality proxy (CCNet-style filter, log-free)
+# --------------------------------------------------------------------------
+#
+# CCNet ranks documents by LM perplexity; the cross-engine-deterministic
+# analogue is the mean token corpus-frequency: sum over a doc's tokens of
+# the corpus count c(w) is an exact BIGINT, and avg_rel_freq =
+# sum_freq / (n_tokens * T) is one IEEE division. A token is "rare" when
+# c(w)*200 < T (relative frequency < 0.5%, SF-stable), and a doc is
+# flagged low-quality when rare tokens are >= 1% of it — both exact
+# integer comparisons, no float thresholds.
+
+RARE_DENOM = 200  # rare <=> c(w) * 200 < T
+LOW_Q_PCT = 100  # low quality <=> rare_cnt * 100 >= n_tokens
+
+UNIGRAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, t.tk AS token FROM (
+    SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents) d,
+    unnest(toks) t(tk)
+),
+vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+corpus AS (SELECT CAST(SUM(c) AS BIGINT) AS total_toks FROM vocab)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum_freq AS BIGINT) AS sum_freq,
+       ROUND(CAST(sum_freq AS DOUBLE)
+             / CAST(n_tokens * total_toks AS DOUBLE), 9) AS avg_rel_freq,
+       ROUND(CAST(rare_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS rare_ratio,
+       rare_cnt * {LOW_Q_PCT} >= n_tokens AS low_quality
+FROM (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(v.c) AS BIGINT) AS sum_freq,
+         COUNT(*) FILTER (WHERE v.c * {RARE_DENOM} < c2.total_toks)
+           AS rare_cnt
+  FROM tok t JOIN vocab v USING (token) CROSS JOIN corpus c2
+  GROUP BY t.doc_id
+) CROSS JOIN corpus
+"""
+
+
+@query("unigram_freq_scores", oracle=UNIGRAM_ORACLE)
+def unigram_freq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram-LM quality proxy: mean token corpus-frequency,
+    rare-token ratio, and an exact-integer low-quality flag.
+
+    Plan shape: one corpus-token explode feeding two hash aggregates —
+    the vocabulary count (vocab-sized, broadcast back onto the token
+    stream) and the per-doc rollup. The only corpus-sized exchange is the
+    per-doc aggregate itself; the vocab and the 1-row total broadcast. At
+    100 TB a real vocabulary (1e7-1e8 terms) still broadcasts at tens of
+    MB after the count aggregate; if it ever didn't, the join key is
+    already the shuffle key and AQE picks sort-merge. Determinism: both
+    ratios divide exact BIGINTs once; the flag and the rare predicate
+    compare integers — see the module docstring for why no ``ln()``.
+
+    Empty documents contribute no tokens and are absent from the output
+    on both engines (the group source is the token stream).
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    corpus = vocab.agg(F.sum("c").alias("total_toks"))
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token")
+        .join(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_freq"),
+            F.count_if(
+                F.col("c") * RARE_DENOM < F.col("total_toks")
+            ).alias("rare_cnt"),
+        )
+    )
+    return per_doc.join(F.broadcast(corpus)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        F.round(
+            F.col("sum_freq").cast("double")
+            / (F.col("n_tokens") * F.col("total_toks")).cast("double"),
+            9,
+        ).alias("avg_rel_freq"),
+        F.round(
+            F.col("rare_cnt").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("rare_ratio"),
+        (F.col("rare_cnt") * LOW_Q_PCT >= F.col("n_tokens")).alias("low_quality"),
+    )

@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "go_dfs_mapreduce_spark.operators.dedup",
     "go_dfs_mapreduce_spark.operators.similarity",
     "go_dfs_mapreduce_spark.operators.graph",
+    "go_dfs_mapreduce_spark.operators.retrieval",
 )
 
 

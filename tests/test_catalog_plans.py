@@ -533,3 +533,46 @@ def test_round5_plan_contracts(spark, sf_dir):
     a = audit_plan(k_anonymity_audit(spark, sf_dir))
     assert not a["has_python_worker"]
     assert set(a["read_columns"]) == {"event_type", "ts", "value"}
+
+
+def test_round6_plan_contracts(spark, sf_dir):
+    """Round-6 additions, pinned: BM25 is a scalar-broadcast scoring pass
+    with a TakeOrderedAndProject top-k and zero corpus-sized joins; the
+    unigram LM proxy broadcasts its vocabulary instead of shuffling the
+    token stream twice; both stay fully JVM-side (no ln(), no Python)."""
+    from go_dfs_mapreduce_spark.operators.retrieval import (
+        bm25_search_topk,
+        unigram_freq_scores,
+    )
+
+    a = audit_plan(bm25_search_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "TakeOrderedAndProject" in a["plan"]
+    # only the 1-row corpus-stats aggregate is joined back (nested-loop
+    # broadcast of a single row) — no hash/sort-merge join of doc rows
+    assert a["n_sortmerge_joins"] == 0
+    assert set(a["read_columns"]) == {"doc_id", "text"}
+
+    a = audit_plan(unigram_freq_scores(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_broadcast_joins"] >= 1  # vocab broadcast onto token stream
+    assert a["n_sortmerge_joins"] == 0
+    assert set(a["read_columns"]) == {"doc_id", "text"}
+
+
+def test_dedup_survivor_quality_semantics(spark, sf_dir):
+    """Exactly one survivor per cluster, and it is the member with the
+    (rounded) max quality score, min doc_id on ties."""
+    from go_dfs_mapreduce_spark.operators.dedup import dedup_survivor_quality
+
+    rows = dedup_survivor_quality(spark, sf_dir).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert by_cluster
+    for members in by_cluster.values():
+        survivors = [r for r in members if r["is_survivor"]]
+        assert len(survivors) == 1
+        best = min(members, key=lambda r: (-r["quality_score"], r["doc_id"]))
+        assert survivors[0]["doc_id"] == best["doc_id"]
+        assert all(r["cluster_size"] == len(members) for r in members)
