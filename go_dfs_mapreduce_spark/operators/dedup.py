@@ -127,21 +127,27 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..memo import session_memo
 
     def build() -> DataFrame:
-        docs = table(spark, sf_dir, "documents")
-        return (
-            docs.select(
-                "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
-            )
-            .select(
-                "doc_id",
-                F.explode(F.expr(ngram_expr("toks", 3))).alias("shingle"),
-            )
-            .groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("shs"))
-            .withColumn("sz", F.expr("size(shs)"))
-        )
+        return _doc_shingle_arrays(table(spark, sf_dir, "documents"))
 
     return session_memo(_ARRS_MEMO, spark, sf_dir, build)
+
+
+def _doc_shingle_arrays(docs: DataFrame) -> DataFrame:
+    """``_shingle_arrays`` parameterized over any (doc_id, text) frame —
+    the table-bound memoized wrapper delegates here, and the streaming
+    incremental dedup applies it to each arriving micro-batch."""
+    return (
+        docs.select(
+            "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.explode(F.expr(ngram_expr("toks", 3))).alias("shingle"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shs"))
+        .withColumn("sz", F.expr("size(shs)"))
+    )
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,6 +350,20 @@ def _band_buckets(arrs: DataFrame) -> DataFrame:
     dominant hashing stage does 2 digests per shingle instead of 8.
     Lane i = hex window [1 + 8*(i%4), 8] of md5('<i//4>:' || shingle),
     which is exactly what the DuckDB oracles compute."""
+    return (
+        _doc_band_sigs(arrs)
+        .groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.expr("size(ds) > 1"))
+    )
+
+
+def _doc_band_sigs(arrs: DataFrame) -> DataFrame:
+    """DataFrame[doc_id, band, sig] — each doc's per-band LSH signatures,
+    flat (one row per doc x band). This is the append-unit of the
+    persisted index: incremental ingestion writes each batch's rows as a
+    new generation and re-derives buckets from the union, so the bucket
+    groupBy in ``_band_buckets`` is just this frame aggregated."""
     lanes = F.expr(
         "transform(shs, s -> flatten(transform("
         " array(md5(concat('0:', s)), md5(concat('1:', s))),"
@@ -375,11 +395,7 @@ def _band_buckets(arrs: DataFrame) -> DataFrame:
             + "))"
         ),
     )
-    return (
-        bands.groupBy("band", "sig")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .where(F.expr("size(ds) > 1"))
-    )
+    return bands
 
 
 def _expand_buckets(buckets: DataFrame) -> DataFrame:

@@ -370,3 +370,27 @@ def test_stream_upsert_state_is_arrival_order_independent(spark, monkeypatch):
         (r.user_id, r.ts, r.event_id, r.value, r.n_events) for r in w_rows
     }
     assert normal == batch
+
+
+def test_stream_dedup_incremental_matches_batch(spark):
+    """The streaming incremental near-dedup (foreachBatch over a growing
+    LSH index, doc_id-range micro-batches) must emit EXACTLY the batch
+    incremental operator's rows — the equivalence argument in its
+    docstring, executed: every (new_doc, matched_doc) pair surfaces once,
+    in new_doc's batch, with the same exact-verified jaccard."""
+    from go_dfs_mapreduce_spark.operators import streaming_batch as sb
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        dedup_incremental_new_docs,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = {
+        (r.new_doc, r.matched_doc, r.jaccard, r.matched_in)
+        for r in sb.stream_dedup_incremental_live(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.new_doc, r.matched_doc, r.jaccard, r.matched_in)
+        for r in dedup_incremental_new_docs(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert streamed  # non-vacuous: the fixture corpus has near-dups
