@@ -511,3 +511,124 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("long").alias("n_hits"),
         F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 6).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive training-pair prep)
+# --------------------------------------------------------------------------
+
+N_ANCHORS = 5
+NEG_K = 5
+
+HARD_NEG_ORACLE = f"""
+WITH x AS ({EXPLODED_DUCK}),
+norms AS (
+  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,18))) AS n2 FROM x GROUP BY vec_id
+),
+lab AS (SELECT DISTINCT vec_id, label FROM x),
+q AS (SELECT * FROM x WHERE vec_id < {N_ANCHORS}),
+dots AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         SUM(CAST(q.v * c.v AS DECIMAL(28,18))) AS dot
+  FROM q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT qid, cid, ql.label AS q_label, cl.label AS c_label,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS c
+  FROM dots
+  JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id
+  JOIN lab ql ON qid = ql.vec_id JOIN lab cl ON cid = cl.vec_id
+),
+pos AS (
+  SELECT qid, MAX(c) AS pos_ceiling FROM cos
+  WHERE q_label = c_label GROUP BY qid
+)
+SELECT anchor_id, neighbor_id, rank, cosine,
+       ROUND(pos_ceiling, 6) AS pos_ceiling,
+       raw_c < pos_ceiling AS is_semi_hard
+FROM (
+  SELECT cos.qid AS anchor_id, cos.cid AS neighbor_id,
+         CAST(row_number() OVER (PARTITION BY cos.qid
+                                 ORDER BY cos.c DESC, cos.cid) AS INTEGER)
+           AS rank,
+         ROUND(cos.c, 6) AS cosine, cos.c AS raw_c, pos.pos_ceiling
+  FROM cos JOIN pos ON cos.qid = pos.qid
+  WHERE cos.q_label <> cos.c_label
+)
+WHERE rank <= {NEG_K}
+"""
+
+
+@query("hard_negative_mining", oracle=HARD_NEG_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: per anchor vector, the top-k
+    HIGHEST-cosine candidates with a DIFFERENT label (hard negatives),
+    each tagged with the anchor's same-label positive ceiling and the
+    standard semi-hard flag (negative still below the best positive —
+    the FaceNet semi-hard band a triplet-loss pipeline samples from).
+
+    Plan shape mirrors ``ann_cosine_topk`` (the broadcast-anchor
+    brute-force stage every mining pipeline bottoms out in): ONE
+    broadcast join of the tiny anchor side against the streaming
+    candidate scan, dot/norms as exact-decimal array folds per pair —
+    order-free, so the oracle's explode+SUM agrees bit-for-bit — then
+    one window per anchor over the negative stream and a kilobyte-sized
+    positive-ceiling aggregate joined back broadcast. At 100 TB the
+    candidate side streams; mining batches of anchors is repeated
+    invocations of this same stage (or its IVF-pruned variant,
+    ``ann_ivf_topk``). The semi-hard comparison uses the UNROUNDED
+    doubles on both engines; outputs are rounded for display."""
+    from .dedup import _dec_dot_expr
+
+    emb = table(spark, sf_dir, "embeddings")
+    ed = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
+    )
+    q = ed.where(F.col("vec_id") < N_ANCHORS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("qn2"),
+    )
+    cos = (
+        ed.alias("c")
+        .join(F.broadcast(q), F.col("qid") != F.col("c.vec_id"))
+        .select(
+            "qid",
+            "q_label",
+            F.col("c.vec_id").alias("cid"),
+            F.col("c.label").alias("c_label"),
+            (
+                F.expr(_dec_dot_expr("q_emb", "c.embedding")).cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("c.n2").cast("double"))
+                )
+            ).alias("c"),
+        )
+    )
+    pos = (
+        cos.where(F.col("q_label") == F.col("c_label"))
+        .groupBy("qid")
+        .agg(F.max("c").alias("pos_ceiling"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("cid"))
+    return (
+        cos.where(F.col("q_label") != F.col("c_label"))
+        .join(F.broadcast(pos), "qid")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= NEG_K)
+        .select(
+            F.col("qid").alias("anchor_id"),
+            F.col("cid").alias("neighbor_id"),
+            "rank",
+            F.round("c", 6).alias("cosine"),
+            F.round("pos_ceiling", 6).alias("pos_ceiling"),
+            (F.col("c") < F.col("pos_ceiling")).alias("is_semi_hard"),
+        )
+    )
