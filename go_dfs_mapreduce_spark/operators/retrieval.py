@@ -234,3 +234,59 @@ def unigram_freq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rare_ratio"),
         (F.col("rare_cnt") * LOW_Q_PCT >= F.col("n_tokens")).alias("low_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inverted index (truncated posting lists)
+# --------------------------------------------------------------------------
+
+POSTINGS_HEAD = 32
+
+INVIDX_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tk AS token FROM (
+    SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents) d,
+    unnest(toks) t(tk)
+)
+SELECT token, COUNT(*) AS df,
+       array_to_string(
+         list_transform(
+           list_sort(list(doc_id))[1:{POSTINGS_HEAD}],
+           d -> CAST(d AS VARCHAR)), ',') AS postings_head
+FROM tok GROUP BY token
+"""
+
+
+@query("inverted_index_postings", oracle=INVIDX_ORACLE)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical MapReduce workload as one declarative aggregate:
+    token -> document frequency + the first {POSTINGS_HEAD} doc ids of
+    the sorted posting list (CSV — the gate hashes scalars, and a
+    TRUNCATED head is also the honest at-scale shape: a stopword's full
+    posting list is corpus-sized, which production indexes shard into
+    delta-encoded blocks rather than materializing per row; df stays
+    exact over the full list).
+
+    Plan: explode -> per-(token, doc) distinct -> one vocab-sized hash
+    aggregate; map-side partial collect_set bounds what the exchange
+    carries to per-partition distinct doc lists. Reference parity: this
+    is ``example_plugins/word_count/word_count.go:13-27``'s shuffle with
+    doc ids kept instead of summed away.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("token")
+        )
+        .distinct()
+    )
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.expr(
+                f"transform(slice(array_sort(collect_set(doc_id)), 1, "
+                f"{POSTINGS_HEAD}), d -> cast(d as string))"
+            ),
+            ",",
+        ).alias("postings_head"),
+    )

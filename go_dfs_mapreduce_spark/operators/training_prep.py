@@ -420,3 +420,122 @@ def dataset_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         full.alias("full_repeats"),
         (target - full * F.col("n_tokens")).alias("tail_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end training-data funnel (per-stage retention report)
+# --------------------------------------------------------------------------
+
+FUNNEL_Q_MIN = 0.6
+
+
+def _funnel_oracle() -> str:
+    from .dedup import DEDUP_EXACT_ORACLE, _survivor_oracle
+    from .textstats import QUALITY_ORACLE
+
+    stages = """
+SELECT 0 AS stage_idx, 'raw' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept FROM flags
+UNION ALL
+SELECT 1, 'exact_dedup', CAST(COUNT(*) FILTER (WHERE c1) AS BIGINT),
+       CAST(SUM(n_tokens) FILTER (WHERE c1) AS BIGINT) FROM flags
+UNION ALL
+SELECT 2, 'near_dedup_survivor', CAST(COUNT(*) FILTER (WHERE c2) AS BIGINT),
+       CAST(SUM(n_tokens) FILTER (WHERE c2) AS BIGINT) FROM flags
+UNION ALL
+SELECT 3, 'quality_min', CAST(COUNT(*) FILTER (WHERE c3) AS BIGINT),
+       CAST(SUM(n_tokens) FILTER (WHERE c3) AS BIGINT) FROM flags
+UNION ALL
+SELECT 4, 'lang_en', CAST(COUNT(*) FILTER (WHERE c4) AS BIGINT),
+       CAST(SUM(n_tokens) FILTER (WHERE c4) AS BIGINT) FROM flags
+"""
+    return f"""
+WITH ex AS ({DEDUP_EXACT_ORACLE}),
+ns AS ({_survivor_oracle()}),
+q AS ({QUALITY_ORACLE}),
+flags AS (
+  SELECT d.doc_id, q.n_tokens,
+         d.doc_id IN (SELECT canonical_doc FROM ex) AS c1,
+         (d.doc_id IN (SELECT canonical_doc FROM ex)
+          AND ns.is_survivor) AS c2,
+         (d.doc_id IN (SELECT canonical_doc FROM ex)
+          AND ns.is_survivor
+          AND q.quality_score >= {FUNNEL_Q_MIN}) AS c3,
+         (d.doc_id IN (SELECT canonical_doc FROM ex)
+          AND ns.is_survivor
+          AND q.quality_score >= {FUNNEL_Q_MIN}
+          AND d.lang = 'en') AS c4
+  FROM documents d
+  JOIN q ON d.doc_id = q.doc_id
+  JOIN ns ON d.doc_id = ns.doc_id
+)
+SELECT stage_idx, stage, docs_kept, tokens_kept FROM ({stages})
+"""
+
+
+@query("training_pipeline_funnel", oracle=_funnel_oracle())
+def training_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-to-training-set pipeline as ONE retention report:
+    per stage, how many documents and tokens survive the cumulative
+    filter chain raw -> exact dedup (min-doc_id canonical per normalized
+    text) -> near-dup cluster survivor (quality-ranked,
+    ``dedup_survivor_quality``) -> quality floor (score >= 0.6) ->
+    language gate (lang = 'en'). This is the dashboard row a data team
+    reads before a training run, and it composes the REGISTERED
+    operators (dedup_exact / dedup_survivor_quality /
+    text_quality_scores), so its green row re-certifies the pipeline the
+    way a user actually chains it.
+
+    Plan shape: each flag source is a doc_id-keyed frame (hash aggregate
+    or cluster labels); three joins on doc_id feed ONE scalar aggregate
+    computing every cumulative count/sum with conditional aggregation,
+    and the 5-row report is a row-local ``stack``. Nothing wider than
+    doc_id-keyed exchanges; output is bounded by the stage count.
+    Determinism: the quality threshold compares the ROUNDED score both
+    engines emit identically; token counts are exact BIGINTs."""
+    from .dedup import dedup_exact, dedup_survivor_quality
+    from .textstats import text_quality_scores
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ex = dedup_exact(spark, sf_dir).select(
+        F.col("canonical_doc").alias("doc_id"), F.lit(True).alias("is_canon")
+    )
+    ns = dedup_survivor_quality(spark, sf_dir).select("doc_id", "is_survivor")
+    q = text_quality_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    flags = (
+        docs.join(q, "doc_id")
+        .join(ns, "doc_id")
+        .join(ex, "doc_id", "left")
+        .withColumn("c1", F.coalesce(F.col("is_canon"), F.lit(False)))
+        .withColumn("c2", F.col("c1") & F.col("is_survivor"))
+        .withColumn(
+            "c3", F.col("c2") & (F.col("quality_score") >= FUNNEL_Q_MIN)
+        )
+        .withColumn("c4", F.col("c3") & (F.col("lang") == "en"))
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("n_tokens").alias("t0"),
+        *[
+            x
+            for i in (1, 2, 3, 4)
+            for x in (
+                F.count_if(F.col(f"c{i}")).alias(f"d{i}"),
+                F.sum(F.when(F.col(f"c{i}"), F.col("n_tokens"))).alias(
+                    f"t{i}"
+                ),
+            )
+        ],
+    )
+    names = ["raw", "exact_dedup", "near_dedup_survivor", "quality_min", "lang_en"]
+    stack = ", ".join(
+        f"{i}, '{n}', d{i}, t{i}" for i, n in enumerate(names)
+    )
+    return agg.select(
+        F.expr(
+            f"stack(5, {stack}) AS (stage_idx, stage, docs_kept, tokens_kept)"
+        )
+    )
