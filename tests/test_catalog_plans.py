@@ -559,6 +559,24 @@ def test_round6_plan_contracts(spark, sf_dir):
     assert a["n_sortmerge_joins"] == 0
     assert set(a["read_columns"]) == {"doc_id", "text"}
 
+    from go_dfs_mapreduce_spark.operators.retrieval import (
+        inverted_index_postings,
+    )
+
+    a = audit_plan(inverted_index_postings(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert set(a["read_columns"]) == {"doc_id", "text"}
+
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    a = audit_plan(hard_negative_mining(spark, sf_dir))
+    assert not a["has_python_worker"]
+    # anchors and the positive-ceiling aggregate broadcast; the candidate
+    # scan streams — no sort-merge join of embedding rows
+    assert a["n_sortmerge_joins"] == 0
+
 
 def test_dedup_survivor_quality_semantics(spark, sf_dir):
     """Exactly one survivor per cluster, and it is the member with the
