@@ -84,6 +84,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # after this round; the local gate verifies all registered queries
 # every round, but driver rows are the externally-scored evidence).
 # Order within the list is presentation order only.
+# r7 rotation queue (never driver-recorded): the round-6 late additions
+# bm25_search_topk, unigram_freq_scores, inverted_index_postings,
+# dedup_survivor_quality, hard_negative_mining, training_pipeline_funnel,
+# stream_dedup_incremental_live; the three deferred corpus names noted
+# below; and the remaining pre-r6 never-recorded tail.
 _DRIVER_SHOWCASE = (
     # --- 22 family anchors (recorded in every round) ---
     # reference parity: wordcount plugin family (Q1-Q6)
