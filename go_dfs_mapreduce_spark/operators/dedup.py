@@ -77,14 +77,18 @@ def ngram_expr(arr: str, n: int) -> str:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataFrame[doc_id, shingle] — distinct 3-gram token shingles."""
-    docs = table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
-        )
-        .select("doc_id", F.explode(F.expr(ngram_expr("toks", 3))).alias("shingle"))
-        .distinct()
+    """DataFrame[doc_id, shingle] — distinct 3-gram token shingles.
+
+    Derived by exploding the persisted ``_shingle_arrays`` frame rather
+    than re-tokenizing the corpus: collect_set already made each doc's
+    shingles distinct, so the old standalone formulation's corpus-sized
+    ``.distinct()`` exchange (plus a second tokenize pass) was pure
+    duplication of work the memoized arrays frame has done — the explode
+    here is row-local and exchange-free. Same rows, one fewer corpus
+    shuffle for every consumer (exact-jaccard pair, capped jaccard,
+    novelty df)."""
+    return _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("shs").alias("shingle")
     )
 
 
