@@ -820,6 +820,75 @@ def stream_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .dedup import INCREMENTAL_ORACLE as _INC_ORACLE  # noqa: E402
 
 
+def _make_inc_dedup_proc(spark, sigs_dir: str, arrs_dir: str, out_dir: str, t):
+    """Build the foreachBatch callback for the streaming incremental
+    dedup: match the batch against the index generations STRICTLY OLDER
+    than batch_id (corpus + gen_0..gen_{bid-1}), write the result slice
+    and the batch's own signature/array generations keyed by batch_id.
+    Module-level so the redelivery test can wrap it (calling the real
+    callback twice per batch must change nothing — see the write-path
+    determinism argument in ``stream_dedup_incremental_live``)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .dedup import (
+        _doc_band_sigs,
+        _doc_shingle_arrays,
+        _expand_buckets,
+        _pair_overlap,
+    )
+
+    def proc(batch_df, batch_id: int) -> None:
+        b_arrs = _doc_shingle_arrays(batch_df).localCheckpoint()
+        b_sigs = _doc_band_sigs(b_arrs)
+        prior_sig_paths = [os.path.join(sigs_dir, "corpus")] + [
+            os.path.join(sigs_dir, f"gen_{i}") for i in range(batch_id)
+        ]
+        prior_arr_paths = [os.path.join(arrs_dir, "corpus")] + [
+            os.path.join(arrs_dir, f"gen_{i}") for i in range(batch_id)
+        ]
+        prior_sigs = spark.read.parquet(*prior_sig_paths)
+        # index pruning BEFORE expansion: only buckets this batch
+        # hashed into can name a new pair
+        touched = prior_sigs.join(
+            b_sigs.select("band", "sig").distinct(), ["band", "sig"],
+            "leftsemi",
+        )
+        buckets = (
+            touched.unionByName(b_sigs)
+            .groupBy("band", "sig")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .where(F.expr("size(ds) > 1"))
+        )
+        cands = _expand_buckets(buckets).join(
+            b_arrs.select(F.col("doc_id").alias("doc_b")), "doc_b",
+            "leftsemi",
+        )
+        arrs_all = spark.read.parquet(*prior_arr_paths).unionByName(b_arrs)
+        inter = _pair_overlap(cands, arrs_all)
+        jac = F.col("n") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n"))
+        out = inter.select(
+            F.col("doc_b").alias("new_doc"),
+            F.col("doc_a").alias("matched_doc"),
+            F.round(jac, 6).alias("jaccard"),
+            F.when(F.col("doc_a") <= F.lit(t), F.lit("corpus"))
+            .otherwise(F.lit("batch"))
+            .alias("matched_in"),
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"gen_{batch_id}")
+        )
+        b_sigs.write.mode("overwrite").parquet(
+            os.path.join(sigs_dir, f"gen_{batch_id}")
+        )
+        b_arrs.write.mode("overwrite").parquet(
+            os.path.join(arrs_dir, f"gen_{batch_id}")
+        )
+
+    return proc
+
+
 @query("stream_dedup_incremental_live", oracle=_INC_ORACLE)
 def stream_dedup_incremental_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion near-dedup as a REAL streaming query: the new
@@ -864,8 +933,6 @@ def stream_dedup_incremental_live(spark: SparkSession, sf_dir: str) -> DataFrame
         INC_SPLIT_NUM,
         _doc_band_sigs,
         _doc_shingle_arrays,
-        _expand_buckets,
-        _pair_overlap,
     )
     from .interop import _with_scratch
 
@@ -909,52 +976,7 @@ def stream_dedup_incremental_live(spark: SparkSession, sf_dir: str) -> DataFrame
             os.utime(dst, (now + i, now + i))
 
 
-        def proc(batch_df, batch_id: int) -> None:
-            b_arrs = _doc_shingle_arrays(batch_df).localCheckpoint()
-            b_sigs = _doc_band_sigs(b_arrs)
-            prior_sig_paths = [os.path.join(sigs_dir, "corpus")] + [
-                os.path.join(sigs_dir, f"gen_{i}") for i in range(batch_id)
-            ]
-            prior_arr_paths = [os.path.join(arrs_dir, "corpus")] + [
-                os.path.join(arrs_dir, f"gen_{i}") for i in range(batch_id)
-            ]
-            prior_sigs = spark.read.parquet(*prior_sig_paths)
-            # index pruning BEFORE expansion: only buckets this batch
-            # hashed into can name a new pair
-            touched = prior_sigs.join(
-                b_sigs.select("band", "sig").distinct(), ["band", "sig"],
-                "leftsemi",
-            )
-            buckets = (
-                touched.unionByName(b_sigs)
-                .groupBy("band", "sig")
-                .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-                .where(F.expr("size(ds) > 1"))
-            )
-            cands = _expand_buckets(buckets).join(
-                b_arrs.select(F.col("doc_id").alias("doc_b")), "doc_b",
-                "leftsemi",
-            )
-            arrs_all = spark.read.parquet(*prior_arr_paths).unionByName(b_arrs)
-            inter = _pair_overlap(cands, arrs_all)
-            jac = F.col("n") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n"))
-            out = inter.select(
-                F.col("doc_b").alias("new_doc"),
-                F.col("doc_a").alias("matched_doc"),
-                F.round(jac, 6).alias("jaccard"),
-                F.when(F.col("doc_a") <= F.lit(t), F.lit("corpus"))
-                .otherwise(F.lit("batch"))
-                .alias("matched_in"),
-            )
-            out.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"gen_{batch_id}")
-            )
-            b_sigs.write.mode("overwrite").parquet(
-                os.path.join(sigs_dir, f"gen_{batch_id}")
-            )
-            b_arrs.write.mode("overwrite").parquet(
-                os.path.join(arrs_dir, f"gen_{batch_id}")
-            )
+        proc = _make_inc_dedup_proc(spark, sigs_dir, arrs_dir, out_dir, t)
 
         stream = (
             spark.readStream.schema(nd.schema)

@@ -394,3 +394,38 @@ def test_stream_dedup_incremental_matches_batch(spark):
     }
     assert streamed == batch
     assert streamed  # non-vacuous: the fixture corpus has near-dups
+
+
+def test_stream_dedup_incremental_redelivery_idempotent(spark, monkeypatch):
+    """foreachBatch is at-least-once: delivering every batch TWICE (the
+    crash-between-write-and-checkpoint replay) must change nothing,
+    because each per-batch artifact is an overwrite keyed by batch_id
+    whose content derives only from the batch rows and strictly older
+    generations."""
+    from go_dfs_mapreduce_spark.operators import streaming_batch as sb
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        dedup_incremental_new_docs,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    real_factory = sb._make_inc_dedup_proc
+
+    def doubling_factory(*a, **kw):
+        proc = real_factory(*a, **kw)
+
+        def deliver_twice(batch_df, batch_id):
+            proc(batch_df, batch_id)
+            proc(batch_df, batch_id)  # replay
+
+        return deliver_twice
+
+    monkeypatch.setattr(sb, "_make_inc_dedup_proc", doubling_factory)
+    streamed = {
+        (r.new_doc, r.matched_doc, r.jaccard, r.matched_in)
+        for r in sb.stream_dedup_incremental_live(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.new_doc, r.matched_doc, r.jaccard, r.matched_in)
+        for r in dedup_incremental_new_docs(spark, sf_dir).collect()
+    }
+    assert streamed == batch
