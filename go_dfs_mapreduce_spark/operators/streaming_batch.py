@@ -953,11 +953,11 @@ def stream_dedup_incremental_live(spark: SparkSession, sf_dir: str) -> DataFrame
         # the standing corpus index a production pipeline would already
         # have on disk: per-doc band signatures + shingle arrays
         corpus = docs.where(F.col("doc_id") <= t)
-        corpus_arrs = _doc_shingle_arrays(corpus)
+        corpus_arrs = _doc_shingle_arrays(corpus).localCheckpoint()
         corpus_arrs.write.parquet(os.path.join(arrs_dir, "corpus"))
-        _doc_band_sigs(
-            spark.read.parquet(os.path.join(arrs_dir, "corpus"))
-        ).write.parquet(os.path.join(sigs_dir, "corpus"))
+        _doc_band_sigs(corpus_arrs).write.parquet(
+            os.path.join(sigs_dir, "corpus")
+        )
 
         # new docs land as n_files doc_id-ordered files with increasing
         # mtimes (distributed range write; file order = id order)
