@@ -199,14 +199,45 @@ def triangle_counts_from_edges(
         oe = _oriented(edges).persist()
         oe.count()
 
-    a, b, c = oe.alias("a"), oe.alias("b"), oe.alias("c")
+    a, b = oe.alias("a"), oe.alias("b")
     wedge_ord = (F.col("a.dt") < F.col("b.dt")) | (
         (F.col("a.dt") == F.col("b.dt")) & (F.col("a.t") < F.col("b.t"))
     )
+    # the closing join keys on the WEDGE ENDPOINTS PACKED INTO ONE LONG
+    # (y << 32 | z) against the identically packed edge list — the same
+    # single-column-key win as common_neighbors' pk2 (half the key
+    # width, one hash), and the packed edge side is a frame of single
+    # longs small enough that AQE broadcasts it, so the wedge stream is
+    # never shuffled for the closing step at all. Measured 4.6 -> 2.3 s
+    # at sf0.1 (same-session A/B, identical 20k-row output; SCALE.md).
+    # Ids must fit [0, 2^31); the guard raises in-plan like
+    # common_neighbors' rather than silently mispacking.
+    wk = F.expr(
+        "CASE WHEN a.t BETWEEN 0 AND 2147483647 "
+        "AND b.t BETWEEN 0 AND 2147483647 "
+        "THEN a.t * 4294967296 + b.t "
+        "ELSE raise_error('triangle_counts: node id outside [0, 2^31) "
+        "breaks the packed closing key; widen to a two-column key') END"
+    )
+    ce = oe.select(
+        F.expr(
+            "CASE WHEN s BETWEEN 0 AND 2147483647 "
+            "AND t BETWEEN 0 AND 2147483647 "
+            "THEN s * 4294967296 + t "
+            "ELSE raise_error('triangle_counts: node id outside [0, 2^31) "
+            "breaks the packed closing key; widen to a two-column key') END"
+        ).alias("wk")
+    )
     tri = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & wedge_ord)
-        .join(c, (F.col("c.s") == F.col("a.t")) & (F.col("c.t") == F.col("b.t")))
-        .select(F.col("a.s").alias("x"), F.col("a.t").alias("y"), F.col("b.t").alias("z"))
+        .select(
+            F.col("a.s").alias("x"),
+            F.col("a.t").alias("y"),
+            F.col("b.t").alias("z"),
+            wk.alias("wk"),
+        )
+        .join(ce, "wk")
+        .select("x", "y", "z")
     )
     # credit all three corners in ONE pass over the triangle join (a
     # 3-branch union would recompute the wedge+closing joins 3x)
