@@ -50,21 +50,33 @@ _TOKS_DUCK = f"list_filter(string_split({_NORM_DUCK}, ' '), x -> x <> '')"
 #   idf_part = (2N - 2df + 1) / (2df + 1)
 #
 # (T = total corpus tokens, N = docs, dl = doc length, df = term doc-freq).
-# Both engines evaluate CAST(int)/CAST(int) then one IEEE multiply per
-# term and two fixed-order adds — bit-identical.
+# Coefficient products stay exact BIGINTs; the tf/dl cross terms multiply
+# AFTER the DOUBLE cast (see _bm25_term_sql — int64 would overflow at
+# 100 TB), and both engines evaluate the identical fixed-order IEEE
+# expression — bit-identical at any magnitude.
 
 BM25_TERMS = ("spark", "hash", "merge")
 BM25_K = 10
 
 
 def _bm25_term_sql(t: str) -> str:
-    """One query term's score; same text is fed to Spark and DuckDB."""
+    """One query term's score; same text is fed to Spark and DuckDB.
+
+    The per-coefficient products (22*T, 10*T, 3*T, 9*dl, 2*df...) stay
+    exact BIGINTs (22*T fits int64 for any corpus below ~4*10^17
+    tokens), but the tf/cross multiplications happen AFTER the cast to
+    DOUBLE: at 100 TB, 22*T*tf can exceed 2^63 and integer arithmetic
+    would overflow (DuckDB raises, ANSI Spark throws). IEEE double
+    products round identically on both engines in this fixed textual
+    order, so determinism survives any magnitude; below 2^53 the math
+    is still exact."""
     return (
         f"(CAST(2 * n_docs - 2 * df_{t} + 1 AS DOUBLE)"
         f" / CAST(2 * df_{t} + 1 AS DOUBLE))"
-        f" * (CAST(22 * total_toks * tf_{t} AS DOUBLE)"
-        f" / CAST(10 * total_toks * tf_{t} + 3 * total_toks"
-        f" + 9 * dl * n_docs AS DOUBLE))"
+        f" * ((CAST(22 * total_toks AS DOUBLE) * CAST(tf_{t} AS DOUBLE))"
+        f" / (CAST(10 * total_toks AS DOUBLE) * CAST(tf_{t} AS DOUBLE)"
+        f" + CAST(3 * total_toks AS DOUBLE)"
+        f" + CAST(9 * dl AS DOUBLE) * CAST(n_docs AS DOUBLE)))"
     )
 
 
@@ -192,10 +204,13 @@ def unigram_freq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one corpus-token explode feeding two hash aggregates —
     the vocabulary count (vocab-sized, broadcast back onto the token
     stream) and the per-doc rollup. The only corpus-sized exchange is the
-    per-doc aggregate itself; the vocab and the 1-row total broadcast. At
-    100 TB a real vocabulary (1e7-1e8 terms) still broadcasts at tens of
-    MB after the count aggregate; if it ever didn't, the join key is
-    already the shuffle key and AQE picks sort-merge. Determinism: both
+    per-doc aggregate itself; the vocab and the 1-row total broadcast.
+    The explicit ``broadcast(vocab)`` hint is the gate-scale choice and
+    Spark honors it unconditionally — a deployment whose vocabulary
+    outgrows the broadcast limit (1e8+ terms with counts is GBs) DROPS
+    THE HINT, and since token is already the join key the planner falls
+    back to a plain shuffled join; the hint is a knob, not a structural
+    assumption (the SCALE.md convention). Determinism: both
     ratios divide exact BIGINTs once; the flag and the rare predicate
     compare integers — see the module docstring for why no ``ln()``.
 
@@ -267,12 +282,19 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta-encoded blocks rather than materializing per row; df stays
     exact over the full list).
 
-    Plan: explode -> per-(token, doc) distinct -> one vocab-sized hash
-    aggregate; map-side partial collect_set bounds what the exchange
-    carries to per-partition distinct doc lists. Reference parity: this
-    is ``example_plugins/word_count/word_count.go:13-27``'s shuffle with
-    doc ids kept instead of summed away.
+    Plan: explode -> per-(token, doc) distinct -> ONE window pass over
+    the token-partitioned exchange: df is the partition count and the
+    head is the rows with row_number <= {POSTINGS_HEAD}, FILTERED BEFORE
+    the collect aggregate — so no aggregation buffer ever holds more
+    than {POSTINGS_HEAD} ids, even for a stopword present in every
+    document (a collect_set-then-slice formulation materializes the full
+    corpus-sized posting array in one reduce buffer before truncating —
+    the single-task OOM this shape exists to avoid). Reference parity:
+    this is ``example_plugins/word_count/word_count.go:13-27``'s shuffle
+    with doc ids kept instead of summed away.
     """
+    from pyspark.sql.window import Window
+
     docs = table(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -280,12 +302,19 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return tok.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df"),
+    wt = Window.partitionBy("token")
+    ranked = tok.select(
+        "token",
+        "doc_id",
+        F.count(F.lit(1)).over(wt).alias("df"),
+        F.row_number().over(wt.orderBy("doc_id")).alias("rn"),
+    ).where(F.col("rn") <= POSTINGS_HEAD)
+    return ranked.groupBy("token").agg(
+        F.max("df").alias("df"),
         F.array_join(
             F.expr(
-                f"transform(slice(array_sort(collect_set(doc_id)), 1, "
-                f"{POSTINGS_HEAD}), d -> cast(d as string))"
+                "transform(array_sort(collect_list(doc_id)),"
+                " d -> cast(d as string))"
             ),
             ",",
         ).alias("postings_head"),

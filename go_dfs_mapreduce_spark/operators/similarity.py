@@ -554,7 +554,7 @@ FROM (
                                  ORDER BY cos.c DESC, cos.cid) AS INTEGER)
            AS rank,
          ROUND(cos.c, 6) AS cosine, cos.c AS raw_c, pos.pos_ceiling
-  FROM cos JOIN pos ON cos.qid = pos.qid
+  FROM cos LEFT JOIN pos ON cos.qid = pos.qid
   WHERE cos.q_label <> cos.c_label
 )
 WHERE rank <= {NEG_K}
@@ -579,7 +579,11 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate side streams; mining batches of anchors is repeated
     invocations of this same stage (or its IVF-pruned variant,
     ``ann_ivf_topk``). The semi-hard comparison uses the UNROUNDED
-    doubles on both engines; outputs are rounded for display."""
+    doubles on both engines; outputs are rounded for display. An anchor
+    whose label appears on no other vector has no positive ceiling: the
+    LEFT join keeps its hard negatives with pos_ceiling / is_semi_hard
+    NULL (an inner join would silently drop the anchor's entire row
+    set — the wrong outcome for a mining pipeline)."""
     from .dedup import _dec_dot_expr
 
     emb = table(spark, sf_dir, "embeddings")
@@ -620,7 +624,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("cid"))
     return (
         cos.where(F.col("q_label") != F.col("c_label"))
-        .join(F.broadcast(pos), "qid")
+        .join(F.broadcast(pos), "qid", "left")
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= NEG_K)
         .select(

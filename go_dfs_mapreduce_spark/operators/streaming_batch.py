@@ -170,7 +170,7 @@ FROM (
 
 CHUNK_TAIL_ORACLE = """
 SELECT 'docs' AS file,
-       doc_id % 4 AS chunk_idx,
+       DENSE_RANK() OVER (ORDER BY doc_id % 4) - 1 AS chunk_idx,
        ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1
          AS line_number,
        CAST(doc_id AS VARCHAR) || chr(9) || md5(text) AS line
@@ -193,7 +193,12 @@ def stream_dfs_chunk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DISTRIBUTED chunk writer (the go_dfs_text batch sink): executors
     md5 + bucket the corpus and stream their own chunk bytes — nothing
     corpus-sized ever reaches the driver, so the layout step holds at
-    any SF (the old driver-side collect here was doc-count-sized)."""
+    any SF (the old driver-side collect here was doc-count-sized).
+    The writer skips empty partitions and numbers the remaining chunks
+    contiguously in bucket order, so the oracle's chunk_idx is the DENSE
+    RANK of the doc_id % 4 residue class, not the raw modulus — equal
+    whenever all four classes are populated (every gate SF), and still
+    correct for a corpus that leaves a class empty."""
     import tempfile
     import uuid
 
@@ -204,7 +209,8 @@ def stream_dfs_chunk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_dfs_sources(spark)
     docs = table(spark, sf_dir, "documents")
     # The chunk writer assigns indices contiguously in PARTITION order,
-    # and the oracle pins chunk_idx = doc_id % 4, so bucket b must land
+    # and the oracle expects residue-class buckets in order (dense-ranked
+    # when a class is empty), so bucket b must land
     # in partition b exactly. Hash partitioning maps values opaquely, so
     # probe the session's actual placement with a 64-row job and route
     # each bucket through a constant that lands where it belongs — all
@@ -341,8 +347,13 @@ def _split_events(
                 .write.mode("overwrite")
                 .parquet(os.path.join(tmp, f"slice={i}"))
             )
+        # numeric slice order: a lexicographic sort would put slice=10
+        # before slice=2 and hand later time ranges earlier mtimes
         parts = sorted(
-            glob.glob(os.path.join(tmp, "slice=*", "part-*.parquet"))
+            glob.glob(os.path.join(tmp, "slice=*", "part-*.parquet")),
+            key=lambda p: int(
+                os.path.basename(os.path.dirname(p)).split("=")[1]
+            ),
         )
     base_mtime = time.time() - 3600
     for i, src in enumerate(parts):

@@ -80,9 +80,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # dataset_export_manifest (fixed in r5 but its last DRIVER-recorded
 # status is still the r4 hash_match:false — this flips the external
 # record green); the remaining 27 slots go to queries that have never
-# earned a driver row (cumulative driver-verified set reaches 160/175
-# after this round; the local gate verifies all registered queries
-# every round, but driver rows are the externally-scored evidence).
+# earned a driver row (cumulative driver-verified set reaches ~160 of
+# the 175 queries registered at rotation time — the round-6 late
+# additions below push the registry total higher, so recompute the
+# never-recorded pool from the CORRECTNESS_r0*.json union each round
+# rather than trusting any fixed denominator; the local gate verifies
+# all registered queries every round, but driver rows are the
+# externally-scored evidence).
 # Order within the list is presentation order only.
 # r7 rotation queue (never driver-recorded): the round-6 late additions
 # bm25_search_topk, unigram_freq_scores, inverted_index_postings,

@@ -777,3 +777,44 @@ def test_dataset_mixture_plan_quota_arithmetic(spark, sf_dir):
         assert r.full_repeats * r.n_tokens + r.tail_tokens == r.target_tokens
         assert 0 <= r.tail_tokens < r.n_tokens
         assert r.epochs == round(r.target_tokens / r.n_tokens, 6)
+
+
+def test_hard_negative_mining_keeps_anchor_without_positive(spark, tmp_path):
+    """An anchor whose label appears on no other vector must still emit
+    its hard negatives — with a NULL positive ceiling, not a silently
+    dropped row set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 7),   # anchor, label 7 unique
+        (1, [0.9, 0.1, 0.0, 0.0], 1),
+        (2, [0.8, 0.2, 0.0, 0.0], 1),
+        (3, [0.0, 1.0, 0.0, 0.0], 2),
+        (4, [0.0, 0.9, 0.1, 0.0], 2),
+        (5, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([v[2] for v in vecs], pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    rows = hard_negative_mining(spark, str(tmp_path)).collect()
+    anchor0 = [r for r in rows if r.anchor_id == 0]
+    assert anchor0, "lonely-label anchor must keep its negatives"
+    assert all(r.pos_ceiling is None for r in anchor0)
+    assert all(r.is_semi_hard is None for r in anchor0)
+    # anchors with same-label partners still get a ceiling
+    anchor1 = [r for r in rows if r.anchor_id == 1]
+    assert anchor1 and all(r.pos_ceiling is not None for r in anchor1)

@@ -429,3 +429,45 @@ def test_stream_dedup_incremental_redelivery_idempotent(spark, monkeypatch):
         for r in dedup_incremental_new_docs(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_chunk_tail_empty_residue_class(spark, tmp_path):
+    """A corpus that leaves one doc_id % 4 residue class empty: the chunk
+    writer skips the empty partition and numbers remaining chunks
+    contiguously, and the oracle's DENSE_RANK formulation agrees."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators import streaming_batch as sb
+
+    ids = [0, 1, 3, 4, 5, 7]  # class 2 mod 4 is empty
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": [f"text {i}" for i in ids],
+                "lang": ["en"] * len(ids),
+                "source": ["s"] * len(ids),
+                "n_chars": pa.array([6] * len(ids), pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rows = sorted(
+        (r.chunk_idx, r.line_number, r.line)
+        for r in sb.stream_dfs_chunk_tail(spark, str(tmp_path)).collect()
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    expected = sorted(
+        (r[1], r[2], r[3])
+        for r in con.execute(sb.CHUNK_TAIL_ORACLE).fetchall()
+    )
+    assert rows == expected
+    # classes {0,1,3} dense-rank to chunks 0..2
+    assert {c for c, _, _ in rows} == {0, 1, 2}
