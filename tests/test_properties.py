@@ -366,3 +366,45 @@ def test_packed_pair_key_roundtrip(spark, pairs):
     )
     for r in out:
         assert (r.u1, r.u2) == (r.p1, r.p2)
+
+
+# ---------------------------------------------------------------------------
+# BM25 rational-derivation equivalence (pure formula check, no Spark)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    data=st.lists(  # (dl, tf) per doc
+        st.tuples(
+            st.integers(min_value=1, max_value=500),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bm25_rational_matches_textbook(data):
+    """The exact-rational BM25 in operators/retrieval.py folds
+    k1=1.2, b=0.75 into integer coefficients:
+
+        tf_part = 22*T*tf / (10*T*tf + 3*T + 9*dl*N)
+        idf     = (2N - 2df + 1) / (2df + 1)
+
+    This must equal the textbook pre-log form
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    to float precision on every input — the derivation, executed."""
+    data = [(dl, min(tf, dl)) for dl, tf in data]  # tf <= dl
+    n = len(data)
+    t = sum(dl for dl, _ in data)
+    df = sum(1 for _, tf in data if tf > 0)
+    k1, b = 1.2, 0.75
+    avgdl = t / n
+    for dl, tf in data:
+        rational = ((2 * n - 2 * df + 1) / (2 * df + 1)) * (
+            (22 * t * tf) / (10 * t * tf + 3 * t + 9 * dl * n)
+        )
+        textbook = ((n - df + 0.5) / (df + 0.5)) * (
+            tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        )
+        assert abs(rational - textbook) <= 1e-9 * max(1.0, abs(textbook))
