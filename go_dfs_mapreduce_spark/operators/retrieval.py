@@ -19,6 +19,14 @@ both engines. BM25's ``k1 = 1.2, b = 0.75`` are folded into integer
 coefficients (see below) so the only doubles are final casts of exact
 integers; the Robertson idf is kept in its rational pre-log form
 ``(N - df + 0.5) / (df + 0.5)`` = ``(2N - 2df + 1) / (2df + 1)``.
+
+Ranking caveat: the pre-log rational idf is a monotone transform of
+log-idf PER TERM, so single-term rankings match textbook BM25 exactly —
+but the SUM across query terms is not a monotone transform of the
+log-idf sum, so multi-term rankings can diverge (rare terms weigh more
+than log compression would give them). This is the deliberate price of
+cross-engine bit-determinism; per-term order is preserved, the sum's
+order is not.
 """
 
 from __future__ import annotations
@@ -181,7 +189,8 @@ SELECT doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(sum_freq AS BIGINT) AS sum_freq,
        ROUND(CAST(sum_freq AS DOUBLE)
-             / CAST(n_tokens * total_toks AS DOUBLE), 9) AS avg_rel_freq,
+             / (CAST(n_tokens AS DOUBLE) * CAST(total_toks AS DOUBLE)), 9)
+         AS avg_rel_freq,
        ROUND(CAST(rare_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
          AS rare_ratio,
        rare_cnt * {LOW_Q_PCT} >= n_tokens AS low_quality
@@ -239,9 +248,16 @@ def unigram_freq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "sum_freq",
+        # each factor casts to DOUBLE BEFORE the product (same textual
+        # order as the oracle): n_tokens * total_toks in BIGINT overflows
+        # int64 for a ~4e5-token doc in a ~2.5e13-token (100 TB) corpus —
+        # the same overflow discipline _bm25_term_sql applies to 22*T*tf
         F.round(
             F.col("sum_freq").cast("double")
-            / (F.col("n_tokens") * F.col("total_toks")).cast("double"),
+            / (
+                F.col("n_tokens").cast("double")
+                * F.col("total_toks").cast("double")
+            ),
             9,
         ).alias("avg_rel_freq"),
         F.round(
@@ -256,6 +272,13 @@ def unigram_freq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 POSTINGS_HEAD = 32
+# Phase-1 fan-out of the salted two-phase head (see the operator
+# docstring). At 100 TB the knob is sized so (max term df) / SALT rows
+# fit one task's sort buffer — e.g. a 1e9-doc stopword with a 1e6-row
+# task budget wants SALT ~ 1024; the result is salt-invariant (the
+# per-(token, salt) top-H is a superset of the global top-H), so the
+# knob only moves work, never answers.
+POSTINGS_SALT = 16
 
 INVIDX_ORACLE = f"""
 WITH tok AS (
@@ -282,16 +305,31 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta-encoded blocks rather than materializing per row; df stays
     exact over the full list).
 
-    Plan: explode -> per-(token, doc) distinct -> ONE window pass over
-    the token-partitioned exchange: df is the partition count and the
-    head is the rows with row_number <= {POSTINGS_HEAD}, FILTERED BEFORE
-    the collect aggregate — so no aggregation buffer ever holds more
-    than {POSTINGS_HEAD} ids, even for a stopword present in every
-    document (a collect_set-then-slice formulation materializes the full
-    corpus-sized posting array in one reduce buffer before truncating —
-    the single-task OOM this shape exists to avoid). Reference parity:
-    this is ``example_plugins/word_count/word_count.go:13-27``'s shuffle
-    with doc ids kept instead of summed away.
+    Plan (the round-7 scale reshape — the previous single
+    ``Window.partitionBy(token)`` pass put a stopword's entire
+    corpus-sized posting set into ONE task's sort before the head filter
+    could drop it, a guaranteed skew straggler at 100 TB):
+
+    - ``df`` is a plain ``groupBy(token).count()`` — partial aggregation
+      (map-side combine) fires, so a stopword contributes one partial
+      row per map task instead of billions of rows into one reducer.
+      (The old window count defeated partial aggregation entirely.)
+    - the head is a SALTED TWO-PHASE top-{POSTINGS_HEAD}: phase 1 takes
+      the per-(token, ``pmod(hash(doc_id), SALT)``) smallest
+      {POSTINGS_HEAD} doc ids — every task sorts at most df/SALT rows —
+      and phase 2 takes the global smallest {POSTINGS_HEAD} of the
+      <= {POSTINGS_HEAD}*SALT phase-1 survivors per token, a bounded
+      partition at any corpus size. No aggregation buffer ever holds
+      more than {POSTINGS_HEAD} ids (a collect_set-then-slice
+      formulation materializes the full corpus-sized posting array in
+      one reduce buffer before truncating — the single-task OOM this
+      shape exists to avoid), and no single task ever sorts a full
+      posting list. df and the head are both token-keyed aggregates, so
+      the final join reuses the token hash partitioning.
+
+    Reference parity: this is
+    ``example_plugins/word_count/word_count.go:13-27``'s shuffle with
+    doc ids kept instead of summed away.
     """
     from pyspark.sql.window import Window
 
@@ -302,15 +340,22 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    wt = Window.partitionBy("token")
-    ranked = tok.select(
-        "token",
-        "doc_id",
-        F.count(F.lit(1)).over(wt).alias("df"),
-        F.row_number().over(wt.orderBy("doc_id")).alias("rn"),
-    ).where(F.col("rn") <= POSTINGS_HEAD)
-    return ranked.groupBy("token").agg(
-        F.max("df").alias("df"),
+    df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    salted = tok.withColumn(
+        "salt", F.pmod(F.hash("doc_id"), F.lit(POSTINGS_SALT))
+    )
+    w1 = Window.partitionBy("token", "salt").orderBy("doc_id")
+    survivors = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= POSTINGS_HEAD)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("token").orderBy("doc_id")
+    head = (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= POSTINGS_HEAD)
+    )
+    heads = head.groupBy("token").agg(
         F.array_join(
             F.expr(
                 "transform(array_sort(collect_list(doc_id)),"
@@ -318,4 +363,121 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("postings_head"),
+    )
+    return df_tbl.join(heads, "token").select("token", "df", "postings_head")
+
+
+# --------------------------------------------------------------------------
+# RAG chunk retrieval: BM25 over overlapping token windows
+# --------------------------------------------------------------------------
+#
+# The retrieval stage of a RAG pipeline scores CHUNKS, not documents: the
+# corpus is split into overlapping fixed-width token windows (the same
+# stride layout corpus_ops.doc_chunking feeds a trainer) and the exact-
+# rational BM25 from the module header ranks them, with dl = chunk length
+# and N/T/df computed over the chunk population. All per-chunk work is
+# in-row array arithmetic on the generated chunk structs — the token
+# stream is never exploded.
+
+RAG_WINDOW = 32
+RAG_STRIDE = 16
+RAG_K = 10
+
+RAG_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(r.i AS INTEGER) AS chunk_idx,
+         t[r.i * {RAG_STRIDE} + 1 :
+           least(r.i * {RAG_STRIDE} + {RAG_WINDOW}, len(t))] AS ct
+  FROM toks, unnest(range((len(t) + {RAG_STRIDE} - 1) // {RAG_STRIDE})) r(i)
+),
+per_doc AS (
+  SELECT doc_id, chunk_idx, len(ct) AS dl,
+         {', '.join(f"len(list_filter(ct, x -> x = '{t}')) AS tf_{t}"
+                    for t in BM25_TERMS)}
+  FROM chunks
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_toks,
+         {', '.join(f"COUNT(*) FILTER (WHERE tf_{t} > 0) AS df_{t}"
+                    for t in BM25_TERMS)}
+  FROM per_doc
+)
+SELECT doc_id, chunk_idx, CAST(dl AS BIGINT) AS dl,
+       ROUND({_BM25_SCORE_SQL}, 6) AS bm25_score
+FROM per_doc CROSS JOIN corpus
+ORDER BY bm25_score DESC, doc_id, chunk_idx
+LIMIT {RAG_K}
+"""
+
+
+@query("rag_chunk_topk", oracle=RAG_ORACLE)
+def rag_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{RAG_K} retrieval chunks for the fixed query ``spark hash
+    merge`` — the RAG retrieval stage: ``doc_chunking``'s overlapping
+    window layout scored with ``bm25_search_topk``'s exact-rational BM25,
+    where a "document" is a {RAG_WINDOW}-token chunk (stride
+    {RAG_STRIDE}) and the corpus statistics are chunk-population stats.
+
+    Plan shape: chunks are generated IN-ROW (transform over a sequence +
+    inline) with their dl and per-term tf computed on the sliced array
+    inside the same projection — the map-side row multiply is the
+    operator's purpose and the token stream is never exploded. The chunk
+    stats are ONE scalar aggregate broadcast back, and the top-k lowers
+    to TakeOrderedAndProject — per-task heaps, no global sort. Empty
+    documents generate zero chunk rows on both engines (the dl > 0
+    filter; DuckDB's range() is empty for len 0). Determinism: the
+    identical fixed-order IEEE expression as bm25_search_topk; ties
+    break on (doc_id, chunk_idx).
+
+    Reference parity: the reference's chunked DFS layout feeding the MR
+    scan (``dfs/chunks.go``) is this same corpus-into-windows move;
+    scoring the windows is what a retrieval consumer does with them.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tf_fields = ", ".join(
+        f"size(filter(c.ct, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    per_chunk = docs.select(
+        "doc_id", F.expr(_TOKS_SPARK).alias("t")
+    ).select(
+        "doc_id",
+        # two nested transforms act as a let-binding: the inner one
+        # slices each chunk's token array once (lambdas are pure
+        # expressions — no subquery/let in Spark SQL), the outer one
+        # folds that array into (dl, per-term tf) scalars in-row
+        F.expr(
+            f"""inline(filter(transform(
+  transform(
+    sequence(0, CAST(greatest((size(t) + {RAG_STRIDE} - 1) DIV {RAG_STRIDE} - 1,
+                              0) AS INT)),
+    i -> struct(CAST(i AS INT) AS chunk_idx,
+                slice(t, i * {RAG_STRIDE} + 1, {RAG_WINDOW}) AS ct)),
+  c -> struct(c.chunk_idx AS chunk_idx, size(c.ct) AS dl,
+              {tf_fields})),
+  s -> s.dl > 0))"""
+        ),
+    )
+    corpus = per_chunk.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_toks"),
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    return (
+        per_chunk.join(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("dl").cast("long").alias("dl"),
+            F.round(F.expr(_BM25_SCORE_SQL), 6).alias("bm25_score"),
+        )
+        .orderBy(
+            F.desc("bm25_score"), F.asc("doc_id"), F.asc("chunk_idx")
+        )
+        .limit(RAG_K)
     )

@@ -519,14 +519,20 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_ANCHORS = 5
 NEG_K = 5
+# the batched variant mines anchors [0, HN_BATCHED_ANCHORS) in
+# HN_BATCH_SIZE-sized invocations of the same stage
+HN_BATCHED_ANCHORS = 10
+HN_BATCH_SIZE = 4
 
-HARD_NEG_ORACLE = f"""
+
+def _hard_neg_oracle(n_anchors: int) -> str:
+    return f"""
 WITH x AS ({EXPLODED_DUCK}),
 norms AS (
   SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,18))) AS n2 FROM x GROUP BY vec_id
 ),
 lab AS (SELECT DISTINCT vec_id, label FROM x),
-q AS (SELECT * FROM x WHERE vec_id < {N_ANCHORS}),
+q AS (SELECT * FROM x WHERE vec_id < {n_anchors}),
 dots AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
          SUM(CAST(q.v * c.v AS DECIMAL(28,18))) AS dot
@@ -561,29 +567,18 @@ WHERE rank <= {NEG_K}
 """
 
 
-@query("hard_negative_mining", oracle=HARD_NEG_ORACLE)
-def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive training-pair mining: per anchor vector, the top-k
-    HIGHEST-cosine candidates with a DIFFERENT label (hard negatives),
-    each tagged with the anchor's same-label positive ceiling and the
-    standard semi-hard flag (negative still below the best positive —
-    the FaceNet semi-hard band a triplet-loss pipeline samples from).
+HARD_NEG_ORACLE = _hard_neg_oracle(N_ANCHORS)
 
-    Plan shape mirrors ``ann_cosine_topk`` (the broadcast-anchor
-    brute-force stage every mining pipeline bottoms out in): ONE
-    broadcast join of the tiny anchor side against the streaming
-    candidate scan, dot/norms as exact-decimal array folds per pair —
-    order-free, so the oracle's explode+SUM agrees bit-for-bit — then
-    one window per anchor over the negative stream and a kilobyte-sized
-    positive-ceiling aggregate joined back broadcast. At 100 TB the
-    candidate side streams; mining batches of anchors is repeated
-    invocations of this same stage (or its IVF-pruned variant,
-    ``ann_ivf_topk``). The semi-hard comparison uses the UNROUNDED
-    doubles on both engines; outputs are rounded for display. An anchor
-    whose label appears on no other vector has no positive ceiling: the
-    LEFT join keeps its hard negatives with pos_ceiling / is_semi_hard
-    NULL (an inner join would silently drop the anchor's entire row
-    set — the wrong outcome for a mining pipeline)."""
+
+def _mine_hard_negatives(
+    spark: SparkSession, sf_dir: str, lo: int, hi: int
+) -> DataFrame:
+    """One anchor-batch invocation of the mining stage: anchors with
+    ``lo <= vec_id < hi`` against the full candidate scan. Every
+    per-anchor quantity (positive ceiling, negative ranking) is
+    independent across anchors, so a union of batch invocations is
+    row-identical to one big invocation — the property
+    tests/test_catalog_plans.py pins differentially."""
     from .dedup import _dec_dot_expr
 
     emb = table(spark, sf_dir, "embeddings")
@@ -593,7 +588,9 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
     )
-    q = ed.where(F.col("vec_id") < N_ANCHORS).select(
+    q = ed.where(
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
@@ -636,3 +633,65 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c") < F.col("pos_ceiling")).alias("is_semi_hard"),
         )
     )
+
+
+@query("hard_negative_mining", oracle=HARD_NEG_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: per anchor vector, the top-k
+    HIGHEST-cosine candidates with a DIFFERENT label (hard negatives),
+    each tagged with the anchor's same-label positive ceiling and the
+    standard semi-hard flag (negative still below the best positive —
+    the FaceNet semi-hard band a triplet-loss pipeline samples from).
+
+    Plan shape mirrors ``ann_cosine_topk`` (the broadcast-anchor
+    brute-force stage every mining pipeline bottoms out in): ONE
+    broadcast join of the tiny anchor side against the streaming
+    candidate scan, dot/norms as exact-decimal array folds per pair —
+    order-free, so the oracle's explode+SUM agrees bit-for-bit — then
+    one window per anchor over the negative stream and a kilobyte-sized
+    positive-ceiling aggregate joined back broadcast. At 100 TB the
+    candidate side streams; mining batches of anchors is repeated
+    invocations of this same stage (or its IVF-pruned variant,
+    ``ann_ivf_topk``). The semi-hard comparison uses the UNROUNDED
+    doubles on both engines; outputs are rounded for display. An anchor
+    whose label appears on no other vector has no positive ceiling: the
+    LEFT join keeps its hard negatives with pos_ceiling / is_semi_hard
+    NULL (an inner join would silently drop the anchor's entire row
+    set — the wrong outcome for a mining pipeline)."""
+    return _mine_hard_negatives(spark, sf_dir, 0, N_ANCHORS)
+
+
+@query(
+    "hard_negative_mining_batched",
+    oracle=_hard_neg_oracle(HN_BATCHED_ANCHORS),
+)
+def hard_negative_mining_batched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The anchor-batched invocation path ``hard_negative_mining``'s
+    contract promises, made executable: anchors [0, {HN_BATCHED_ANCHORS})
+    are mined as a loop of {HN_BATCH_SIZE}-anchor invocations of the SAME
+    broadcast-join stage, results unioned.
+
+    This is the 100 TB shape of mining: each invocation broadcasts one
+    small anchor batch against the streaming candidate scan, so (a) the
+    broadcast side stays kilobytes no matter how many total anchors the
+    pipeline mines, and (b) the per-anchor ranking window fans the
+    candidate stream across only batch_size partitions per invocation —
+    the per-invocation skew bound the base operator's docstring declares.
+    Each batch is an independent Spark job in production (they can run
+    concurrently or checkpoint between batches); here the union IS the
+    loop, and the driver gate proves the union is row-identical to one
+    monolithic pass (the oracle scores all {HN_BATCHED_ANCHORS} anchors
+    in one query). Per-anchor quantities (positive ceiling, negative
+    rank) are anchor-local, so batching can never change a row."""
+    batches = [
+        _mine_hard_negatives(
+            spark, sf_dir, lo, min(lo + HN_BATCH_SIZE, HN_BATCHED_ANCHORS)
+        )
+        for lo in range(0, HN_BATCHED_ANCHORS, HN_BATCH_SIZE)
+    ]
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.unionByName(b)
+    return out

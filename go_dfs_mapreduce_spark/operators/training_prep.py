@@ -539,3 +539,117 @@ def training_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack(5, {stack}) AS (stage_idx, stage, docs_kept, tokens_kept)"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic training shuffle: shard assignment + global in-shard order
+# --------------------------------------------------------------------------
+#
+# A pretraining export needs the corpus SHUFFLED — reproducibly, across
+# engines and reruns, with no driver-side state. The portable primitive is
+# the same md5-threshold machinery as corpus_sample_hash: shuffle_key =
+# first 8 hex digits of md5('shuffle:' || doc_id) as an integer (uniform
+# in [0, 2^32)), shard = key % SHUFFLE_SHARDS, and the position within a
+# shard is the rank by (key, doc_id).
+
+SHUFFLE_SHARDS = 8
+# Sub-buckets for the distributed ranking (see docstring). Order-aligned
+# with the key: sub = key * SUB // 2^32 is monotone in key, so ranking by
+# (sub, key) == ranking by key. At 100 TB the knob is sized so
+# corpus / (SHARDS * SUB) rows fit one task's sort buffer.
+SHUFFLE_SUB = 16
+
+SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::UBIGINT AS shuffle_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(shuffle_key AS BIGINT) AS shuffle_key,
+       CAST(shuffle_key % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY shuffle_key % {SHUFFLE_SHARDS}
+              ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard
+FROM keyed
+"""
+
+
+@query("training_shuffle_shards", oracle=SHUFFLE_ORACLE)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for a training export: every document
+    gets a shard (hash-uniform across {SHUFFLE_SHARDS}) and an exact
+    1-based position within its shard — the (shard, pos) order IS the
+    reproducible shuffled read order, stable across engines, reruns, and
+    cluster sizes (unlike df.sample / repartition-by-random, which are
+    partition-order dependent).
+
+    The in-shard rank is computed with the two-level DISTRIBUTED ranking
+    a 100 TB export needs — a naive ``row_number() OVER (PARTITION BY
+    shard)`` sorts corpus/{SHUFFLE_SHARDS} rows in ONE task per shard
+    (the same single-task straggler the round-7 inverted-index fix
+    removed). Instead: (1) each key maps to an order-aligned sub-bucket
+    (key * {SHUFFLE_SUB} // 2^32, monotone in key); (2) a tiny
+    ({SHUFFLE_SHARDS} x {SHUFFLE_SUB}-row) count table prefix-sums into
+    per-(shard, sub) offsets; (3) rank-within-sub windows sort only
+    corpus/({SHUFFLE_SHARDS}*{SHUFFLE_SUB}) rows per task, and
+    pos = offset + rank. The offset table broadcasts; no task ever
+    sorts a full shard. The oracle computes the same positions with the
+    naive single-window formulation — equality of the two IS the
+    correctness proof of the decomposition.
+
+    Reference parity: the reference shuffles its MR map output into R
+    reducer partitions by key hash (``mapred/partition.go``); this is
+    that same move made deterministic end-to-end and given a total
+    order."""
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("shuffle:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("shuffle_key"),
+    ).select(
+        "doc_id",
+        "shuffle_key",
+        (F.col("shuffle_key") % SHUFFLE_SHARDS).alias("shard"),
+        # key < 2^32 so key * SUB fits a long with room to spare;
+        # integer DIV keeps the bucketing exact at any width
+        F.expr(f"(shuffle_key * {SHUFFLE_SUB}) DIV 4294967296").alias("sub"),
+    )
+    counts = keyed.groupBy("shard", "sub").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "shard", "sub", (F.sum("n").over(w_off) - F.col("n")).alias("off")
+    )
+    w_rank = Window.partitionBy("shard", "sub").orderBy(
+        "shuffle_key", "doc_id"
+    )
+    return (
+        keyed.withColumn("rank_in_sub", F.row_number().over(w_rank))
+        .join(F.broadcast(offsets), ["shard", "sub"])
+        .select(
+            "doc_id",
+            "shuffle_key",
+            "shard",
+            (F.col("off") + F.col("rank_in_sub")).alias("pos_in_shard"),
+        )
+    )

@@ -74,25 +74,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The exactly-50 queries the driver will record. Round-6 rotation
-# (VERDICT r5 #1-2): 22 anchors keep one representative per SURVEY §2
-# family green in every round's driver file; one slot re-pins
-# dataset_export_manifest (fixed in r5 but its last DRIVER-recorded
-# status is still the r4 hash_match:false — this flips the external
-# record green); the remaining 27 slots go to queries that have never
-# earned a driver row (cumulative driver-verified set reaches ~160 of
-# the 175 queries registered at rotation time — the round-6 late
-# additions below push the registry total higher, so recompute the
-# never-recorded pool from the CORRECTNESS_r0*.json union each round
-# rather than trusting any fixed denominator; the local gate verifies
-# all registered queries every round, but driver rows are the
-# externally-scored evidence).
-# Order within the list is presentation order only.
-# r7 rotation queue (never driver-recorded): the round-6 late additions
-# bm25_search_topk, unigram_freq_scores, inverted_index_postings,
-# dedup_survivor_quality, hard_negative_mining, training_pipeline_funnel,
-# stream_dedup_incremental_live; the three deferred corpus names noted
-# below; and the remaining pre-r6 never-recorded tail.
+# The exactly-50 queries the driver will record. Round-7 rotation
+# (VERDICT r6 #1): 22 anchors keep one representative per SURVEY §2
+# family green in every round's driver file; the other 28 slots carry
+# (a) ALL 25 names that have never earned a driver row — the union of
+# CORRECTNESS_r01..r06 covers every other registered name, so this
+# round's file completes cumulative driver verification of the entire
+# registry as it stood at r6 — and (b) the three round-7-new operators,
+# which earn their rows in their own round per the standing pattern.
+# The never-recorded pool is recomputed each round from the
+# CORRECTNESS_r0*.json union (tests/test_rotation_ledger.py pins that
+# nothing silently falls out); the local gate still verifies every
+# registered query every round — driver rows are the externally-scored
+# evidence. Order within the list is presentation order only.
 _DRIVER_SHOWCASE = (
     # --- 22 family anchors (recorded in every round) ---
     # reference parity: wordcount plugin family (Q1-Q6)
@@ -125,63 +119,53 @@ _DRIVER_SHOWCASE = (
     "scalar_function_showcase",
     # reshape
     "pivot_event_counts",
-    # UDF / UDAF / UDTF (udf_price_tier anchors the family;
-    # udtf_first_tokens earned driver rows in r4-r5 and yields its
-    # anchor slot to the dataset_export_manifest re-pin)
+    # UDF / UDAF / UDTF
     "udf_price_tier",
-    # streaming anchor: the transformWithState detector twin (the batch
-    # twins stream_session_windows / stream_tumbling_counts were driver-
-    # recorded in r1-r3; their REAL-engine runs are first-time rows below)
+    # streaming anchor: the transformWithState detector twin
     "stream_first_occurrences",
     # deduplication + similarity + text + multimodal anchors
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_scores",
-    # --- the standing driver-red re-pin (VERDICT r5 #1): fixed in r5
-    # (BIGINT oracle cast), green on the Arrow-fidelity local replica,
-    # but never rotated back in — the driver's cumulative record still
-    # ends on the r4 hash_match:false until this row lands green ---
-    "dataset_export_manifest",
-    # --- 27 first-time rows (round-6 rotation; every r5 floating row
-    # earned its driver-green and yields its slot — cumulative
-    # driver-verified set reaches 160/175 after this round) ---
-    # round-5's own new operators (zero external evidence so far)
-    "stream_upsert_latest_state",
-    "dedup_incremental_new_docs",
-    "k_anonymity_audit",
-    "url_extraction_topk",
-    "length_outlier_docs",
-    # the ten remaining TPC-H shapes (q1/q3/q4/q6/q8/q9/q12/q13/q18/q21
-    # driver-proven r1-r5)
-    "q2_cheapest_part",
-    "q7_volume_shipping",
-    "q11_important_stock",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q19_bracket_revenue",
-    "q20_red_part_shippers",
-    "q22_idle_balances",
-    # window-function + data-quality + stats coverage
-    "window_rank_functions",
-    "dq_audit",
-    "stats_profile_by_flag",
-    "price_histogram",
-    # corpus / training-prep family (the three deferred names —
-    # corpus_sample_stratified, cluster_safe_split,
-    # doc_repetition_scores — stay on the local gate and queue for r7)
-    "clean_corpus_selection",
-    "corpus_sample_hash",
-    "distinctive_terms",
-    "corpus_vocab_stats",
-    "corpus_overlap_matrix",
-    # round-6's own new operators: the approximation self-audits and
-    # the mixture planner earn driver rows in their own round
-    "ann_recall_audit",
-    "lsh_recall_audit",
-    "dataset_mixture_plan",
+    # --- the 25 never-driver-recorded names (VERDICT r6 #1: this
+    # rotation reaches cumulative driver verification of every name
+    # registered through round 6) ---
+    # round-6's late additions — the r6 flagship work, zero external
+    # evidence until this round (inverted_index_postings rotates in
+    # AFTER its round-7 skew-fix re-plan, per VERDICT r6 #2)
+    "bm25_search_topk",
+    "unigram_freq_scores",
+    "inverted_index_postings",
+    "dedup_survivor_quality",
+    "hard_negative_mining",
+    "training_pipeline_funnel",
+    "stream_dedup_incremental_live",
+    # the pre-r6 never-recorded tail: scalar/array/regexp/interval
+    # showcases, temporal + incremental rollups, corpus/training prep,
+    # embeddings, vocab
+    "array_hof_showcase",
+    "cluster_safe_split",
+    "collation_showcase",
+    "conditional_agg_showcase",
+    "corpus_sample_stratified",
+    "date_spine_order_counts",
+    "dedup_containment",
+    "doc_pack_bins",
+    "doc_repetition_scores",
+    "embedding_label_centroids",
+    "embedding_quantize_int8",
+    "events_hier_rollup",
+    "events_linear_resample",
+    "incremental_rollup_merge",
+    "interval_arithmetic_showcase",
+    "regexp_functions_showcase",
+    "source_temperature_weights",
+    "vocab_fuzzy_variants",
+    # --- round-7's own new operators earn driver rows in their round ---
+    "hard_negative_mining_batched",
+    "rag_chunk_topk",
+    "training_shuffle_shards",
 )
 
 

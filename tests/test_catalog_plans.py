@@ -566,6 +566,13 @@ def test_round6_plan_contracts(spark, sf_dir):
     a = audit_plan(inverted_index_postings(spark, sf_dir))
     assert not a["has_python_worker"]
     assert set(a["read_columns"]) == {"doc_id", "text"}
+    # round-7 skew fix: df comes from a partial-agg-friendly
+    # groupBy(token).count() (map-side combine fires), and the head is a
+    # salted two-phase top-k — two Window nodes, the first keyed on
+    # (token, salt) so no single task ever sorts a full posting list
+    assert "partial_count" in a["plan"]
+    assert a["plan"].count("Window") >= 2
+    assert "salt" in a["plan"]
 
     from go_dfs_mapreduce_spark.operators.similarity import (
         hard_negative_mining,
@@ -594,3 +601,49 @@ def test_dedup_survivor_quality_semantics(spark, sf_dir):
         best = min(members, key=lambda r: (-r["quality_score"], r["doc_id"]))
         assert survivors[0]["doc_id"] == best["doc_id"]
         assert all(r["cluster_size"] == len(members) for r in members)
+
+
+def test_round7_plan_contracts(spark, sf_dir):
+    """Round-7 additions, pinned: the RAG chunk scorer is an in-row
+    chunk generator + scalar-broadcast stats + TakeOrderedAndProject
+    (no token explode, no corpus-sized join); the training shuffle
+    ranks with the two-level offset decomposition (bounded rank windows
+    over (shard, sub) plus a tiny broadcast offset table), never a
+    whole-shard single-task window."""
+    from go_dfs_mapreduce_spark.operators.retrieval import rag_chunk_topk
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        training_shuffle_shards,
+    )
+
+    a = audit_plan(rag_chunk_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "TakeOrderedAndProject" in a["plan"]
+    assert a["n_sortmerge_joins"] == 0
+    assert set(a["read_columns"]) == {"doc_id", "text"}
+    assert "Generate explode" not in a["plan"]  # chunks inline, no explode
+
+    a = audit_plan(training_shuffle_shards(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert set(a["read_columns"]) == {"doc_id"}
+    assert "partial_count" in a["plan"]  # offset counts combine map-side
+    assert a["plan"].count("Window") >= 2  # offsets + rank-in-sub
+    assert a["n_broadcast_joins"] >= 1  # offset table broadcasts
+
+
+def test_batched_mining_matches_monolithic(spark, sf_dir):
+    """The anchor-batched mining loop is row-identical to one monolithic
+    invocation over the same anchors — the executable proof of the
+    batching contract hard_negative_mining's docstring declares (the
+    batched query's ORACLE covers 10 anchors in one SQL pass; this
+    differential additionally pins the Spark-side union against the
+    Spark-side monolith, batch boundaries chosen to split unevenly)."""
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        _mine_hard_negatives,
+    )
+
+    mono = _mine_hard_negatives(spark, sf_dir, 0, 7)
+    b = _mine_hard_negatives(spark, sf_dir, 0, 3).unionByName(
+        _mine_hard_negatives(spark, sf_dir, 3, 7)
+    )
+    key = lambda r: (r["anchor_id"], r["rank"])
+    assert sorted(mono.collect(), key=key) == sorted(b.collect(), key=key)
