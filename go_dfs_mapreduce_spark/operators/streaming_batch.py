@@ -831,10 +831,70 @@ def stream_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .dedup import INCREMENTAL_ORACLE as _INC_ORACLE  # noqa: E402
 
 
+# Generation-compaction knobs for the streaming incremental dedup.
+# Without compaction the per-batch read set is corpus + gen_0..gen_{bid-1}
+# — O(batches) parquet dirs, thousands of file listings after a month of
+# micro-batches. Compaction folds generations older than the KEEP most
+# recent into a VERSIONED corpus index (corpus_v{c} includes gen_0..gen_c),
+# bounding every batch's read set at KEEP + 1 dirs. STEP is the
+# amortization knob: folds happen every STEP batches and ingest STEP
+# generations each (at gate scale STEP=1 so the 3-batch run exercises a
+# fold; production raises it — each fold rewrites the corpus index once,
+# so the amortized cost per generation is corpus/STEP; a multi-level LSM
+# is the further extension if even that is too hot).
+INC_COMPACT_KEEP = 1
+INC_COMPACT_STEP = 1
+
+
+def _inc_compact_target(batch_id: int) -> int:
+    """Highest corpus version (= highest folded generation) batch
+    ``batch_id`` reads: the largest c <= batch_id - 1 - KEEP on the STEP
+    grid ((c + 1) % STEP == 0), or -1 for the unfolded base corpus.
+    A pure function of batch_id — replay recomputes the same version, so
+    a re-delivered batch can never see content younger than itself."""
+    c = batch_id - 1 - INC_COMPACT_KEEP
+    if c < 0:
+        return -1
+    return c - ((c + 1) % INC_COMPACT_STEP)
+
+
+def _corpus_version_dir(base: str, c: int) -> str:
+    import os
+
+    return os.path.join(base, "corpus" if c < 0 else f"corpus_v{c}")
+
+
+def _ensure_fold_chain(spark, base: str, c_target: int) -> None:
+    """Materialize every corpus version on the STEP grid up to c_target.
+    Idempotent and replay-safe: a version dir is keyed by the generation
+    range it folds, its content derives only from the previous version
+    and generations <= c (all strictly older than any batch that reads
+    it), and existence is checked on DISK (the _applied_batch_id sidecar
+    pattern) — a crashed-and-replayed fold rewrites byte-identical data.
+    Folded gen_* dirs are kept: at-least-once replay only ever redelivers
+    the newest uncommitted batch, but retaining them keeps every older
+    batch trivially re-runnable (production GC ties their deletion to
+    checkpoint retention)."""
+    import os
+
+    c = INC_COMPACT_STEP - 1
+    while c <= c_target:
+        dst = _corpus_version_dir(base, c)
+        if not os.path.exists(dst):
+            prev = c - INC_COMPACT_STEP
+            srcs = [_corpus_version_dir(base, prev if prev >= 0 else -1)] + [
+                os.path.join(base, f"gen_{i}")
+                for i in range(max(prev + 1, 0), c + 1)
+            ]
+            spark.read.parquet(*srcs).write.parquet(dst)
+        c += INC_COMPACT_STEP
+
+
 def _make_inc_dedup_proc(spark, sigs_dir: str, arrs_dir: str, out_dir: str, t):
     """Build the foreachBatch callback for the streaming incremental
     dedup: match the batch against the index generations STRICTLY OLDER
-    than batch_id (corpus + gen_0..gen_{bid-1}), write the result slice
+    than batch_id — the compacted corpus version ``_inc_compact_target``
+    names plus the un-folded tail generations — write the result slice
     and the batch's own signature/array generations keyed by batch_id.
     Module-level so the redelivery test can wrap it (calling the real
     callback twice per batch must change nothing — see the write-path
@@ -853,11 +913,16 @@ def _make_inc_dedup_proc(spark, sigs_dir: str, arrs_dir: str, out_dir: str, t):
     def proc(batch_df, batch_id: int) -> None:
         b_arrs = _doc_shingle_arrays(batch_df).localCheckpoint()
         b_sigs = _doc_band_sigs(b_arrs)
-        prior_sig_paths = [os.path.join(sigs_dir, "corpus")] + [
-            os.path.join(sigs_dir, f"gen_{i}") for i in range(batch_id)
+        c_prior = _inc_compact_target(batch_id)
+        _ensure_fold_chain(spark, sigs_dir, c_prior)
+        _ensure_fold_chain(spark, arrs_dir, c_prior)
+        prior_sig_paths = [_corpus_version_dir(sigs_dir, c_prior)] + [
+            os.path.join(sigs_dir, f"gen_{i}")
+            for i in range(c_prior + 1, batch_id)
         ]
-        prior_arr_paths = [os.path.join(arrs_dir, "corpus")] + [
-            os.path.join(arrs_dir, f"gen_{i}") for i in range(batch_id)
+        prior_arr_paths = [_corpus_version_dir(arrs_dir, c_prior)] + [
+            os.path.join(arrs_dir, f"gen_{i}")
+            for i in range(c_prior + 1, batch_id)
         ]
         prior_sigs = spark.read.parquet(*prior_sig_paths)
         # index pruning BEFORE expansion: only buckets this batch
@@ -931,8 +996,13 @@ def stream_dedup_incremental_live(spark: SparkSession, sf_dir: str) -> DataFrame
     prior index rows are semi-joined down to buckets the batch touches
     before any expansion; index generations are |batch| x n_bands rows of
     parquet; the one scalar collected on the driver is the split
-    boundary (1 row, fixture plumbing). The in-run assertion requires
-    >= 3 data micro-batches, as for every *_live query."""
+    boundary (1 row, fixture plumbing). The per-batch READ SET is
+    bounded by generation compaction (``_inc_compact_target`` /
+    ``_ensure_fold_chain``): generations older than INC_COMPACT_KEEP
+    fold into a versioned corpus index, so a month of micro-batches
+    still lists KEEP + STEP + 1 directories per batch, not thousands.
+    The in-run assertion requires >= 3 data micro-batches, as for every
+    *_live query."""
     import glob
     import os
     import time

@@ -401,21 +401,35 @@ def test_stream_dedup_incremental_redelivery_idempotent(spark, monkeypatch):
     crash-between-write-and-checkpoint replay) must change nothing,
     because each per-batch artifact is an overwrite keyed by batch_id
     whose content derives only from the batch rows and strictly older
-    generations."""
+    generations. With INC_COMPACT_KEEP=1/STEP=1 the later batches
+    COMPACT (fold gen_{bid-2} into a corpus version) before matching, so
+    the double delivery here replays ACROSS a compaction boundary — the
+    replayed batch must skip the already-materialized fold and still
+    write byte-identical artifacts."""
+    import os
+
     from go_dfs_mapreduce_spark.operators import streaming_batch as sb
     from go_dfs_mapreduce_spark.operators.dedup import (
         dedup_incremental_new_docs,
     )
 
+    # the compaction grid is a pure function of batch_id (replay-safe):
+    # KEEP=1, STEP=1 -> batch b reads corpus_v{b-2} + gen_{b-1}
+    assert [sb._inc_compact_target(b) for b in range(5)] == [-1, -1, 0, 1, 2]
+
     sf_dir = "/root/testdata/sf0.001"
     real_factory = sb._make_inc_dedup_proc
+    corpus_dirs_after: dict[int, list[str]] = {}
 
-    def doubling_factory(*a, **kw):
-        proc = real_factory(*a, **kw)
+    def doubling_factory(spark_, sigs_dir, arrs_dir, out_dir, t):
+        proc = real_factory(spark_, sigs_dir, arrs_dir, out_dir, t)
 
         def deliver_twice(batch_df, batch_id):
             proc(batch_df, batch_id)
-            proc(batch_df, batch_id)  # replay
+            proc(batch_df, batch_id)  # replay (crosses the fold for b>=2)
+            corpus_dirs_after[batch_id] = sorted(
+                d for d in os.listdir(sigs_dir) if d.startswith("corpus")
+            )
 
         return deliver_twice
 
@@ -429,6 +443,10 @@ def test_stream_dedup_incremental_redelivery_idempotent(spark, monkeypatch):
         for r in dedup_incremental_new_docs(spark, sf_dir).collect()
     }
     assert streamed == batch
+    # the fold actually happened: batch 2 materialized corpus_v0
+    last = max(corpus_dirs_after)
+    assert last >= 2
+    assert f"corpus_v{last - 2}" in corpus_dirs_after[last]
 
 
 def test_chunk_tail_empty_residue_class(spark, tmp_path):
