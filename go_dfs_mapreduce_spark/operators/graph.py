@@ -65,10 +65,19 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame a 100 TB deployment would materialize once before any
     graph pass. Memoization mechanics (stale-app eviction, clearCache
     detection, eager populate) live in ``memo.session_memo``, shared
-    with dedup's ``nn_cells``."""
+    with dedup's ``nn_cells``.
+
+    Round 7: the edge list is additionally a PERSISTED DERIVED TABLE
+    (``derived.derived_table``, content-fingerprinted against lineitem)
+    — the lineitem self-join + distinct runs once per corpus version and
+    cold invocations re-read 8.1 MB of parquet instead (2.71 s -> 0.31 s
+    at sf0.1, SCALE.md round-7). This is the curated feature-table
+    pattern a 100 TB deployment uses for any graph built from a fact
+    table."""
+    from ..derived import derived_table
     from ..memo import session_memo
 
-    def build() -> DataFrame:
+    def build_edges() -> DataFrame:
         li = (
             table(spark, sf_dir, "lineitem")
             .select(
@@ -85,6 +94,11 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
             .distinct()
+        )
+
+    def build() -> DataFrame:
+        return derived_table(
+            spark, sf_dir, "copurchase_edges", ("lineitem",), build_edges
         )
 
     return session_memo(_EDGES_MEMO, spark, sf_dir, build)
