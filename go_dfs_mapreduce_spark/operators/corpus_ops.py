@@ -343,3 +343,99 @@ def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer-design table: vocabulary coverage at count floors
+# --------------------------------------------------------------------------
+#
+# "How much of the corpus does a vocabulary keep if it only admits tokens
+# seen >= T times?" — the table a tokenizer/vocab designer reads before
+# fixing a vocab size, and the dual of top-N coverage that stays
+# aggregation-only at any scale: a top-N formulation needs a global rank
+# over the vocabulary (a distributed-sort problem), while count floors
+# need ONE conditional aggregate per floor over the vocab counts.
+
+COVERAGE_FLOORS = (1, 10, 100, 1000)
+
+_COV_CONDS_DUCK = ", ".join(
+    f"COUNT(*) FILTER (WHERE c >= {t}) AS kv{t}, "
+    f"CAST(SUM(c) FILTER (WHERE c >= {t}) AS BIGINT) AS cv{t}"
+    for t in COVERAGE_FLOORS
+)
+_COV_UNION_DUCK = " UNION ALL ".join(
+    f"SELECT {t} AS count_floor, CAST(kv{t} AS BIGINT) AS kept_vocab, "
+    f"COALESCE(cv{t}, 0) AS covered_tokens, total FROM agg"
+    for t in COVERAGE_FLOORS
+)
+
+VOCAB_COVERAGE_ORACLE = f"""
+WITH tok AS (
+  SELECT t.tk AS token FROM (
+    SELECT string_split({_NORM_DUCK}, ' ') AS toks FROM documents) d,
+    unnest(toks) t(tk)
+  WHERE t.tk <> ''
+),
+vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+agg AS (SELECT CAST(SUM(c) AS BIGINT) AS total, {_COV_CONDS_DUCK} FROM vocab)
+SELECT count_floor, kept_vocab, covered_tokens,
+       ROUND(CAST(covered_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS coverage
+FROM ({_COV_UNION_DUCK})
+"""
+
+
+@query("vocab_coverage_thresholds", oracle=VOCAB_COVERAGE_ORACLE)
+def vocab_coverage_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per count floor T: how many vocabulary types survive (c >= T) and
+    what fraction of all corpus tokens they cover. coverage(T) is the
+    retention a T-floored vocab buys; 1 - coverage is the OOV mass the
+    tokenizer must byte-fall-back on.
+
+    Plan: one token explode into a partial-aggregated vocab count, then
+    ONE scalar aggregate computing every floor's (kept types, covered
+    tokens) as conditional aggregates in a single pass — a |floors|-way
+    ``stack`` unpivots the scalar row. No ranking, no second corpus
+    pass, bounded output; the only corpus-sized exchange is the vocab
+    count itself (shared shape with ``corpus_vocab_stats``). The ratio
+    is one IEEE division of exact BIGINTs per row."""
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            F.explode(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token")
+        )
+        .where(F.col("token") != "")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    agg = vocab.agg(
+        F.sum("c").alias("total"),
+        *[
+            e
+            for t in COVERAGE_FLOORS
+            for e in (
+                F.count_if(F.col("c") >= t).alias(f"kv{t}"),
+                F.coalesce(
+                    F.sum(F.when(F.col("c") >= t, F.col("c"))), F.lit(0)
+                ).alias(f"cv{t}"),
+            )
+        ],
+    )
+    stack = ", ".join(
+        f"CAST({t} AS INT), kv{t}, cv{t}" for t in COVERAGE_FLOORS
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(COVERAGE_FLOORS)}, {stack}) AS "
+            "(count_floor, kept_vocab, covered_tokens)"
+        ),
+        "total",
+    ).select(
+        "count_floor",
+        "kept_vocab",
+        "covered_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("coverage"),
+    )

@@ -185,3 +185,50 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         digest.alias("content_md5"),
         F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("fingerprint60"),
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix of labels vs heuristic predictions
+# --------------------------------------------------------------------------
+
+CONFUSION_ORACLE = f"""
+SELECT labeled_lang, predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(COUNT(*) * 1.0 /
+             SUM(COUNT(*)) OVER (PARTITION BY labeled_lang), 6) AS row_ratio
+FROM ({LANG_ID_ORACLE})
+GROUP BY labeled_lang, predicted_lang
+"""
+
+
+@query("lang_id_confusion_matrix", oracle=CONFUSION_ORACLE)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation table for the language-ID stage: (labeled,
+    predicted) document counts plus each cell's share of its labeled-lang
+    row — the classifier-audit dashboard a pipeline reads before trusting
+    the lang gate in ``clean_corpus_selection`` / the training funnel.
+    Composes the REGISTERED ``lang_id_heuristic`` (shared code, so the
+    audit can never drift from the operator it audits — the
+    ann/lsh_recall_audit convention).
+
+    Scale: one corpus scan inside the composed query, one aggregation
+    shuffle on the (labeled, predicted) pair, then a window over the
+    <= |langs|+1 squared confusion cells — bounded output regardless of
+    corpus size. The ratio is ONE IEEE division per cell over exact
+    counts."""
+    from pyspark.sql.window import Window
+
+    cm = (
+        lang_id_heuristic(spark, sf_dir)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cm.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 6
+        ).alias("row_ratio"),
+    )

@@ -653,3 +653,56 @@ def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off") + F.col("rank_in_sub")).alias("pos_in_shard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space drift monitoring: per-dimension distribution stats
+# --------------------------------------------------------------------------
+
+DIM_STATS_ORACLE = """
+WITH x AS (
+  SELECT r.i - 1 AS dim, CAST(embedding[r.i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) r(i)
+)
+SELECT dim, COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_v,
+       ROUND((CAST(SUM(CAST(v * v AS DECIMAL(28,18))) AS DOUBLE)
+              - CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE)
+                * CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*))
+             / COUNT(*), 6) AS var_v,
+       ROUND(MIN(v), 6) AS min_v,
+       ROUND(MAX(v), 6) AS max_v
+FROM x GROUP BY dim
+"""
+
+
+@query("embedding_dim_stats", oracle=DIM_STATS_ORACLE)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance/min/max over the whole embedding
+    table — the drift dashboard an embedding pipeline monitors between
+    model versions (a dimension whose variance collapses or whose range
+    explodes signals a degenerate encoder or a preprocessing bug), and
+    the normalization table a quantizer (``embedding_quantize_int8``)
+    calibrates from.
+
+    Plan: posexplode -> one shuffle on the 64-value dim key with
+    map-side partial aggregation — the 64x inflation collapses to 64
+    output rows. Determinism: both moment sums are exact DECIMAL (order-
+    free), and the variance is the fixed textual expression
+    (ss - s*s/n)/n evaluated in IEEE doubles identically on both
+    engines; min/max of doubles are order-free by definition."""
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("dim", "vf")).select(
+        "dim", F.col("vf").cast("double").alias("v")
+    )
+    n = F.count(F.lit(1))
+    s = F.sum(F.col("v").cast("decimal(28,18)")).cast("double")
+    ss = F.sum((F.col("v") * F.col("v")).cast("decimal(28,18)")).cast("double")
+    return x.groupBy("dim").agg(
+        n.alias("n_vecs"),
+        F.round(s / n, 6).alias("mean_v"),
+        F.round((ss - s * s / n) / n, 6).alias("var_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )

@@ -168,6 +168,18 @@ _DRIVER_SHOWCASE = (
     "training_shuffle_shards",
 )
 
+# Registered queries whose driver evidence is scheduled for the NEXT
+# round's rotation (the showcase is full at exactly 50). Every name here
+# must be green on the local Arrow-fidelity gate; tests/
+# test_rotation_ledger.py fails if a registered name is in neither a
+# CORRECTNESS_r*.json nor the showcase nor this queue, so nothing can
+# silently lose its path to external evidence.
+_NEXT_ROTATION_QUEUE = (
+    "lang_id_confusion_matrix",
+    "vocab_coverage_thresholds",
+    "embedding_dim_stats",
+)
+
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import all operator modules (idempotent) and return the registry:

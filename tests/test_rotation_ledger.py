@@ -32,12 +32,20 @@ def test_every_registered_name_has_or_is_queued_for_driver_evidence():
     queries, _ = registry.collect()
     recorded = _driver_recorded_names()
     showcase = set(registry._DRIVER_SHOWCASE)
-    orphans = sorted(set(queries) - recorded - showcase)
+    queued = set(registry._NEXT_ROTATION_QUEUE)
+    orphans = sorted(set(queries) - recorded - showcase - queued)
     assert not orphans, (
         "registered queries with no driver row and no slot in the current "
-        f"rotation (add them to _DRIVER_SHOWCASE or a declared queue): "
+        f"rotation (add them to _DRIVER_SHOWCASE or _NEXT_ROTATION_QUEUE): "
         f"{orphans}"
     )
+    # the queue is for names that genuinely lack evidence AND a slot —
+    # anything already recorded or showcased should not linger in it
+    stale = sorted(queued & (recorded | showcase))
+    assert not stale, f"queued names already have evidence or a slot: {stale}"
+    # queued names must actually be registered (typo guard)
+    ghosts = sorted(queued - set(queries))
+    assert not ghosts, f"queued names not registered: {ghosts}"
 
 
 def test_showcase_is_exactly_the_driver_prefix():
