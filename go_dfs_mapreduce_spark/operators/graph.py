@@ -531,3 +531,104 @@ def pagerank_parts_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank_from_edges(nodes, _edges(spark, sf_dir), iters=2)
+
+
+# --------------------------------------------------------------------------
+# Connected-component labels, 2 unrolled min-propagation iterations
+# --------------------------------------------------------------------------
+
+CC_ITERS = 2
+
+CC_ORACLE = f"""
+WITH {_TRI_EDGE_CTE},
+adj AS (
+  SELECT u AS src, v AS dst FROM e
+  UNION ALL
+  SELECT v AS src, u AS dst FROM e
+),
+nodes AS (SELECT DISTINCT pk FROM li),
+l0 AS (SELECT pk, pk AS lbl FROM nodes),
+l1 AS (
+  SELECT n.pk, least(p.lbl, COALESCE(s.mn, p.lbl)) AS lbl
+  FROM nodes n JOIN l0 p ON p.pk = n.pk
+  LEFT JOIN (
+    SELECT adj.dst AS pk, MIN(l0.lbl) AS mn
+    FROM adj JOIN l0 ON l0.pk = adj.src GROUP BY adj.dst
+  ) s ON s.pk = n.pk
+),
+l2 AS (
+  SELECT n.pk, least(p.lbl, COALESCE(s.mn, p.lbl)) AS lbl
+  FROM nodes n JOIN l1 p ON p.pk = n.pk
+  LEFT JOIN (
+    SELECT adj.dst AS pk, MIN(l1.lbl) AS mn
+    FROM adj JOIN l1 ON l1.pk = adj.src GROUP BY adj.dst
+  ) s ON s.pk = n.pk
+)
+SELECT pk AS part_id, CAST(lbl AS BIGINT) AS cc_label FROM l2
+"""
+
+
+def _cc_iteration(nodes: DataFrame, adj: DataFrame, lbl: DataFrame) -> DataFrame:
+    """One min-label propagation step: a node's next label is the min of
+    its own and its neighbors' current labels. MIN is order-free, so the
+    result is deterministic under any partitioning."""
+    mins = (
+        adj.join(lbl, adj.src == lbl.pk)
+        .groupBy("dst")
+        .agg(F.min("lbl").alias("mn"))
+    )
+    own = nodes.join(lbl, "pk")
+    return own.join(mins, own.pk == mins.dst, "left").select(
+        own.pk,
+        F.least(F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))).alias(
+            "lbl"
+        ),
+    )
+
+
+def cc_labels_from_edges(
+    nodes: DataFrame, edges: DataFrame, iters: int = CC_ITERS
+) -> DataFrame:
+    """Core label propagation over ``nodes[pk]`` and u<v-normalized
+    ``edges[u, v]`` (split out so tests can drive handcrafted graphs)."""
+    adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    lbl = nodes.select("pk", F.col("pk").alias("lbl"))
+    for _ in range(iters):
+        lbl = _cc_iteration(nodes, adj, lbl)
+    return lbl.select(
+        F.col("pk").alias("part_id"), F.col("lbl").cast("long").alias("cc_label")
+    )
+
+
+@query("graph_cc_labels_2iter", oracle=CC_ORACLE)
+def graph_cc_labels_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component label propagation over the co-purchase graph,
+    two unrolled iterations — the iterative-algorithm pattern
+    (``pagerank_parts_2iter``'s sibling) with MIN instead of a damped
+    sum: after k iterations every node carries the smallest node id
+    within k hops, so labels are exact component ids for components of
+    diameter <= k and a monotone over-approximation otherwise (the
+    fixed-iteration contract, identical in the oracle; production runs
+    the same step to a convergence check — large-star/small-star for
+    O(log n) rounds).
+
+    Scale: each iteration is one adjacency join + a MIN aggregate keyed
+    by node id (map-side combine; MIN is order-free so determinism never
+    depends on partitioning); the label frame is |nodes| rows of two
+    longs. Unlike PageRank there is no per-edge division — the join
+    carries only the neighbor label.
+
+    Reference parity: iterative label spreading is the canonical
+    "MapReduce round per superstep" workload
+    (``mapred/mapred.go:24-58``'s job loop); here each superstep is a
+    declarative join the optimizer plans, not hand-written mapper
+    plumbing."""
+    edges = _edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("u").alias("pk"))
+        .unionAll(edges.select(F.col("v").alias("pk")))
+        .distinct()
+    )
+    return cc_labels_from_edges(nodes, edges)

@@ -178,6 +178,7 @@ _NEXT_ROTATION_QUEUE = (
     "lang_id_confusion_matrix",
     "vocab_coverage_thresholds",
     "embedding_dim_stats",
+    "graph_cc_labels_2iter",
 )
 
 

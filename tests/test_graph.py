@@ -306,3 +306,31 @@ def test_pagerank_matches_python_recurrence(spark, edges):
     }
     df.unpersist()
     assert got == r
+
+
+def test_cc_labels_handcrafted(spark):
+    """Path 1-2-3-4-5 plus isolated-pair 10-11: after 2 min-propagation
+    iterations every node holds the smallest id within 2 hops (exact
+    component ids where diameter <= 2, over-approximation beyond)."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.graph import cc_labels_from_edges
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "u long, v long"
+    )
+    nodes = (
+        edges.select(F.col("u").alias("pk"))
+        .unionAll(edges.select(F.col("v").alias("pk")))
+        .distinct()
+    )
+    got = {r.part_id: r.cc_label for r in cc_labels_from_edges(nodes, edges).collect()}
+    # 2 hops of min: node 4 sees 2 (via 3), node 5 sees 3 (via 4)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 3, 10: 10, 11: 10}
+
+    # one more iteration tightens monotonically toward the true component id
+    got3 = {
+        r.part_id: r.cc_label
+        for r in cc_labels_from_edges(nodes, edges, iters=4).collect()
+    }
+    assert got3 == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
