@@ -647,3 +647,33 @@ def test_batched_mining_matches_monolithic(spark, sf_dir):
     )
     key = lambda r: (r["anchor_id"], r["rank"])
     assert sorted(mono.collect(), key=key) == sorted(b.collect(), key=key)
+
+
+def test_round7_queue_plan_contracts(spark, sf_dir):
+    """Round-7 queue additions: all JVM-side, partial-agg-friendly, with
+    scans pruned to exactly the consumed columns."""
+    from go_dfs_mapreduce_spark.operators.corpus_ops import (
+        vocab_coverage_thresholds,
+    )
+    from go_dfs_mapreduce_spark.operators.textstats import (
+        lang_id_confusion_matrix,
+    )
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        embedding_dim_stats,
+    )
+
+    a = audit_plan(vocab_coverage_thresholds(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "partial_count" in a["plan"]  # vocab count combines map-side
+    assert set(a["read_columns"]) == {"text"}
+
+    # doc_id is pruned away: the composed lang_id_heuristic's per-doc id
+    # never survives the aggregate, so the scan reads only (lang, text)
+    a = audit_plan(lang_id_confusion_matrix(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert set(a["read_columns"]) == {"lang", "text"}
+
+    a = audit_plan(embedding_dim_stats(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "partial_count" in a["plan"]  # dim moments combine map-side
+    assert set(a["read_columns"]) == {"embedding"}
