@@ -408,3 +408,120 @@ def test_bm25_rational_matches_textbook(data):
             tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
         )
         assert abs(rational - textbook) <= 1e-9 * max(1.0, abs(textbook))
+
+
+# --- round-7 decomposition laws ------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 500)),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_salted_two_phase_head_matches_naive(spark, pairs):
+    """inverted_index_postings' salted two-phase top-H equals the naive
+    single-window top-H for ANY data and any salt assignment — the
+    per-(token, salt) top-H is a superset of the global top-H."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from go_dfs_mapreduce_spark.operators.retrieval import (
+        POSTINGS_HEAD,
+        POSTINGS_SALT,
+    )
+
+    tok = spark.createDataFrame(
+        sorted(set(pairs)), "token string, doc_id long"
+    )
+    H = min(POSTINGS_HEAD, 7)  # small head so the law is exercised
+    naive = (
+        tok.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("token").orderBy("doc_id")),
+        )
+        .where(F.col("rn") <= H)
+        .drop("rn")
+    )
+    salted = tok.withColumn(
+        "salt", F.pmod(F.hash("doc_id"), F.lit(POSTINGS_SALT))
+    )
+    w1 = Window.partitionBy("token", "salt").orderBy("doc_id")
+    surv = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= H)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("token").orderBy("doc_id")
+    two_phase = (
+        surv.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= H)
+        .drop("rn")
+    )
+    assert sorted(map(tuple, naive.collect())) == sorted(
+        map(tuple, two_phase.collect())
+    )
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=150, unique=True))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_offset_rank_decomposition_matches_naive_window(spark, ids):
+    """training_shuffle_shards' two-level (offset + rank-in-sub) position
+    equals the naive whole-shard row_number for any doc_id population."""
+    import duckdb
+    import pyarrow as pa
+
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        SHUFFLE_SHARDS,
+        training_shuffle_shards,
+    )
+
+    # drive the REGISTERED operator over a scratch documents table
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": ["x"] * len(ids)}),
+            os.path.join(d, "documents.parquet"),
+        )
+        rows = training_shuffle_shards(spark, d).collect()
+    got = {(r.doc_id): (r.shard, r.pos_in_shard) for r in rows}
+    # naive reference: rank by (shuffle_key, doc_id) within shard
+    by_key = sorted(
+        ((r.shard, r.shuffle_key, r.doc_id) for r in rows),
+    )
+    want: dict[int, tuple[int, int]] = {}
+    counters: dict[int, int] = {}
+    for shard, _, doc in by_key:
+        counters[shard] = counters.get(shard, 0) + 1
+        want[doc] = (shard, counters[shard])
+    assert got == want
+    assert {s for s, _ in got.values()} <= set(range(SHUFFLE_SHARDS))
+
+
+def test_compaction_grid_laws():
+    """_inc_compact_target: always strictly older than the batch minus
+    KEEP, on the STEP grid, monotone in batch_id, and -1 before anything
+    can fold — for every (KEEP, STEP) combination."""
+    import go_dfs_mapreduce_spark.operators.streaming_batch as sb
+
+    orig = (sb.INC_COMPACT_KEEP, sb.INC_COMPACT_STEP)
+    try:
+        for keep in (0, 1, 2, 3):
+            for step in (1, 2, 3, 5):
+                sb.INC_COMPACT_KEEP, sb.INC_COMPACT_STEP = keep, step
+                prev = -1
+                for bid in range(0, 40):
+                    c = sb._inc_compact_target(bid)
+                    assert c <= bid - 1 - keep or c == -1
+                    assert c == -1 or (c + 1) % step == 0
+                    assert c >= prev  # monotone: replay never sees younger
+                    prev = c
+    finally:
+        sb.INC_COMPACT_KEEP, sb.INC_COMPACT_STEP = orig
