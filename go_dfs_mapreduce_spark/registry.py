@@ -179,6 +179,7 @@ _NEXT_ROTATION_QUEUE = (
     "vocab_coverage_thresholds",
     "embedding_dim_stats",
     "graph_cc_labels_2iter",
+    "event_path_conversion",
 )
 
 

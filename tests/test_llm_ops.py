@@ -818,3 +818,55 @@ def test_hard_negative_mining_keeps_anchor_without_positive(spark, tmp_path):
     # anchors with same-label partners still get a ceiling
     anchor1 = [r for r in rows if r.anchor_id == 1]
     assert anchor1 and all(r.pos_ceiling is not None for r in anchor1)
+
+
+def test_event_path_greedy_vs_first_touch(spark, tmp_path):
+    """The greedy matcher advances through the path: a click BEFORE the
+    first signup is ignored, a later one still matches — the case where
+    first-touch funnel semantics (t_click <= t_signup => stage 1) and
+    sequential matching disagree."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.timeseries import (
+        event_path_conversion,
+    )
+
+    rows = [
+        # user 1: click, THEN signup, then click, then purchase -> converts
+        (1, "2024-01-01 00:00:00", 1, "click"),
+        (2, "2024-01-01 01:00:00", 1, "signup"),
+        (3, "2024-01-01 02:00:00", 1, "click"),
+        (4, "2024-01-01 03:00:00", 1, "purchase"),
+        # user 2: purchase before the click -> stuck at 2 steps
+        (5, "2024-01-01 00:00:00", 2, "signup"),
+        (6, "2024-01-01 01:00:00", 2, "purchase"),
+        (7, "2024-01-01 02:00:00", 2, "click"),
+        # user 3: never signs up
+        (8, "2024-01-01 00:00:00", 3, "click"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [datetime.fromisoformat(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": [r[3] for r in rows],
+                "value": pa.array([0.0] * len(rows)),
+                "props": ["{}"] * len(rows),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = {
+        r.user_id: (r.steps_matched, r.converted, r.micros_to_convert)
+        for r in event_path_conversion(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (3, True, 2 * 3600 * 1_000_000)  # signup@1h -> purchase@3h
+    assert got[2] == (2, False, None)
+    assert got[3] == (0, False, None)
