@@ -173,7 +173,31 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("-n", "--limit", type=int, default=20)
 
+    p = sub.add_parser(
+        "derived", help="inspect / clean the derived-table warehouse"
+    )
+    p.add_argument("action", choices=["ls", "gc"])
+    p.add_argument(
+        "--all",
+        action="store_true",
+        dest="drop_all",
+        help="gc: drop every published table (they rebuild on next use), "
+        "not just orphaned .tmp build dirs",
+    )
+
     args = ap.parse_args(argv)
+
+    # warehouse-inventory verb needs no SparkSession at all
+    if args.cmd == "derived":
+        from . import derived
+
+        if args.action == "ls":
+            for entry in derived.list_tables():
+                print(json.dumps(entry))
+        else:
+            for name in derived.gc(drop_all=args.drop_all):
+                print(f"removed {name}")
+        return 0
 
     from .sources.warehouse import Warehouse
 

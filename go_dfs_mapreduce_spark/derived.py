@@ -116,3 +116,51 @@ def derived_table(
     return spark.read.parquet(dst).repartition(
         max(spark.sparkContext.defaultParallelism, 1)
     )
+
+
+def list_tables() -> list[dict]:
+    """Inventory of the derived warehouse: one dict per published table
+    version (name, fingerprint, bytes, part files, mtime) plus any
+    orphaned .tmp dirs from crashed builders."""
+    base = _default_base()
+    out: list[dict] = []
+    if not os.path.isdir(base):
+        return out
+    for d in sorted(os.listdir(base)):
+        p = os.path.join(base, d)
+        if not os.path.isdir(p):
+            continue
+        files = [
+            os.path.join(r, f) for r, _, fs in os.walk(p) for f in fs
+        ]
+        name, _, fp = d.rpartition("-")
+        out.append(
+            {
+                "name": name if ".tmp-" not in d else d,
+                "fingerprint": fp if ".tmp-" not in d else None,
+                "orphan_tmp": ".tmp-" in d,
+                "bytes": sum(os.path.getsize(f) for f in files),
+                "n_files": len(files),
+                "mtime": int(os.path.getmtime(p)),
+            }
+        )
+    return out
+
+
+def gc(drop_all: bool = False) -> list[str]:
+    """Remove orphaned .tmp build dirs (always safe: a live builder
+    publishes via rename, so anything still named .tmp-* after its
+    process exits is litter); with ``drop_all``, drop every published
+    table too — they rebuild from source on next use."""
+    base = _default_base()
+    removed: list[str] = []
+    if not os.path.isdir(base):
+        return removed
+    for d in sorted(os.listdir(base)):
+        p = os.path.join(base, d)
+        if not os.path.isdir(p):
+            continue
+        if ".tmp-" in d or drop_all:
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(d)
+    return removed

@@ -87,3 +87,30 @@ def test_edges_roundtrip_matches_direct_build(spark, tmp_path, monkeypatch):
         .collect()
     }
     assert via_wh == direct and via_wh
+
+
+def test_cli_derived_ls_and_gc(tmp_path, monkeypatch, capsys):
+    """`derived ls` inventories published tables and orphan tmp dirs
+    without starting Spark; `derived gc` removes tmp litter only, and
+    `--all` drops everything."""
+    import json
+
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(tmp_path / "wh"))
+    base = tmp_path / "wh"
+    (base / "edges-abc123").mkdir(parents=True)
+    (base / "edges-abc123" / "part-0.parquet").write_bytes(b"x" * 10)
+    (base / "edges-dead.tmp-999").mkdir()
+
+    from go_dfs_mapreduce_spark.cli import main
+
+    assert main(["derived", "ls"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert {r["name"] for r in rows} == {"edges", "edges-dead.tmp-999"}
+    assert any(r["orphan_tmp"] for r in rows)
+
+    assert main(["derived", "gc"]) == 0
+    assert not (base / "edges-dead.tmp-999").exists()
+    assert (base / "edges-abc123").exists()  # published table survives
+
+    assert main(["derived", "gc", "--all"]) == 0
+    assert not (base / "edges-abc123").exists()
