@@ -573,6 +573,39 @@ def stream_first_occurrences_live(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _path_live_oracle() -> str:
+    from .timeseries import PATH_ORACLE
+
+    return (
+        f"SELECT user_id, micros_to_convert FROM ({PATH_ORACLE}) "
+        "WHERE converted"
+    )
+
+
+@query("stream_path_conversions_live", oracle=_path_live_oracle())
+def stream_path_conversions_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The greedy funnel automaton (``event_path_conversion``) as a
+    CUSTOM STATEFUL STREAMING operator on the real engine: per-user
+    (k, t0, t2) automaton state advanced across >= 4 genuine
+    micro-batches, emitting an append-only row with the exact
+    microsecond latency the moment a user completes
+    signup -> click -> purchase (``streaming/funnel.py``; emission is
+    append-safe because the greedy embedding is prefix-stable — see the
+    module docstring). The oracle is the batch operator's conversions
+    slice, so the gate hash-checks a second user-defined stateful
+    operator end-to-end alongside the first-occurrence detector
+    (mechanics in ``_run_live``)."""
+    from ..streaming.funnel import path_conversions_stream_v1
+
+    return _run_live(
+        spark,
+        sf_dir,
+        path_conversions_stream_v1,
+        "t_path_live",
+        output_mode="append",
+    )
+
+
 CHUNK_SINK_ORACLE = """
 SELECT CAST(doc_id AS VARCHAR) || chr(9) || md5(text) AS line
 FROM documents

@@ -180,6 +180,7 @@ _NEXT_ROTATION_QUEUE = (
     "embedding_dim_stats",
     "graph_cc_labels_2iter",
     "event_path_conversion",
+    "stream_path_conversions_live",
 )
 
 

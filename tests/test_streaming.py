@@ -489,3 +489,56 @@ def test_chunk_tail_empty_residue_class(spark, tmp_path):
     assert rows == expected
     # classes {0,1,3} dense-rank to chunks 0..2
     assert {c for c, _, _ in rows} == {0, 1, 2}
+
+
+def test_path_automaton_emits_once_across_batches():
+    """The funnel automaton kernel emits exactly one conversion row, in
+    the micro-batch where the pattern completes, and never again on
+    later batches — driven through the v1 kernel with a scripted state
+    object across three invocations (signup+click | purchase | extras)."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from go_dfs_mapreduce_spark.streaming.funnel import _path_v1_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    def batch(rows):
+        return pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type"]
+        ).astype({"ts": "datetime64[ns]"})
+
+    st = FakeState()
+    t = lambda h: datetime(2024, 1, 1, h)
+    out1 = list(
+        _path_v1_fn(
+            (7,),
+            iter([batch([(1, t(0), 7, "click"), (2, t(1), 7, "signup"),
+                         (3, t(2), 7, "click")])]),
+            st,
+        )
+    )
+    assert out1 == [] and st.get[0] == 2  # signup+click matched, no emit
+    out2 = list(
+        _path_v1_fn((7,), iter([batch([(4, t(5), 7, "purchase")])]), st)
+    )
+    assert len(out2) == 1
+    row = out2[0].iloc[0]
+    # latency: matched signup@1h -> purchase@5h = 4h of microseconds
+    assert (row["user_id"], row["micros_to_convert"]) == (7, 4 * 3600 * 10**6)
+    out3 = list(
+        _path_v1_fn((7,), iter([batch([(5, t(6), 7, "purchase")])]), st)
+    )
+    assert out3 == [] and st.get[0] == 3  # done state frozen, no re-emit
