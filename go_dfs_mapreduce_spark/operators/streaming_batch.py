@@ -904,11 +904,18 @@ def _ensure_fold_chain(spark, base: str, c_target: int) -> None:
     and generations <= c (all strictly older than any batch that reads
     it), and existence is checked on DISK (the _applied_batch_id sidecar
     pattern) — a crashed-and-replayed fold rewrites byte-identical data.
-    Folded gen_* dirs are kept: at-least-once replay only ever redelivers
-    the newest uncommitted batch, but retaining them keeps every older
-    batch trivially re-runnable (production GC ties their deletion to
-    checkpoint retention)."""
+    Bounded DISK, not just bounded listings: superseded corpus versions
+    and the generations folded into them are garbage-collected with a
+    one-STEP safety margin. The margin is sufficient because streaming
+    commits batches sequentially: the only batch that can ever replay is
+    the newest uncommitted one, which reads c_target(bid) (just ensured)
+    and the un-folded gen tail (> c_target); nothing older is ever read
+    again. Without this GC, STEP=1 would retain a FULL copy of the
+    corpus index per batch, the opposite scale failure of the
+    directory-listing problem compaction exists to fix."""
     import os
+    import re
+    import shutil
 
     c = INC_COMPACT_STEP - 1
     while c <= c_target:
@@ -921,6 +928,15 @@ def _ensure_fold_chain(spark, base: str, c_target: int) -> None:
             ]
             spark.read.parquet(*srcs).write.parquet(dst)
         c += INC_COMPACT_STEP
+    horizon = c_target - INC_COMPACT_STEP
+    if horizon >= 0 and os.path.isdir(base):
+        for d in os.listdir(base):
+            m = re.fullmatch(r"corpus_v(\d+)", d)
+            g = re.fullmatch(r"gen_(\d+)", d)
+            if (m and int(m.group(1)) < horizon) or (
+                g and int(g.group(1)) <= horizon
+            ):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
 
 def _make_inc_dedup_proc(spark, sigs_dir: str, arrs_dir: str, out_dir: str, t):

@@ -542,3 +542,29 @@ def test_path_automaton_emits_once_across_batches():
         _path_v1_fn((7,), iter([batch([(5, t(6), 7, "purchase")])]), st)
     )
     assert out3 == [] and st.get[0] == 3  # done state frozen, no re-emit
+
+
+def test_fold_chain_gc_bounds_disk(spark, tmp_path, monkeypatch):
+    """_ensure_fold_chain keeps only the newest corpus version, its
+    predecessor, and the un-folded generation tail — superseded versions
+    and folded generations are removed (bounded DISK, not just bounded
+    listings)."""
+    import os
+
+    from go_dfs_mapreduce_spark.operators import streaming_batch as sb
+
+    base = str(tmp_path / "sigs")
+    spark.range(3).write.parquet(os.path.join(base, "corpus"))
+    for i in range(5):
+        spark.range(i, i + 2).write.parquet(os.path.join(base, f"gen_{i}"))
+
+    monkeypatch.setattr(sb, "INC_COMPACT_KEEP", 1)
+    monkeypatch.setattr(sb, "INC_COMPACT_STEP", 1)
+    sb._ensure_fold_chain(spark, base, 4)
+
+    have = sorted(d for d in os.listdir(base) if not d.startswith("."))
+    # horizon = 4 - STEP = 3: corpus_v0..2 and gen_0..3 are gone
+    assert have == ["corpus", "corpus_v3", "corpus_v4", "gen_4"]
+    # the surviving newest version holds the full folded content
+    rows = {r.id for r in spark.read.parquet(os.path.join(base, "corpus_v4")).collect()}
+    assert rows == {0, 1, 2, 3, 4, 5}  # corpus {0,1,2} + gens 0..4 pairs
