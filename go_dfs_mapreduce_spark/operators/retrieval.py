@@ -31,7 +31,7 @@ order is not.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -480,4 +480,124 @@ def rag_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc("bm25_score"), F.asc("doc_id"), F.asc("chunk_idx")
         )
         .limit(RAG_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (adjacent-pair pointwise mutual information)
+# --------------------------------------------------------------------------
+#
+# The collocation extractor every vocabulary/tokenizer pipeline runs:
+# which adjacent token pairs co-occur far more often than chance? PMI =
+# log[ p(xy) / (p(x) p(y)) ] with p(xy) = c(xy)/B, p(x) = c(x)/N; the
+# score is kept in its PRE-LOG rational form
+#
+#   ratio = c(xy) * N * N / (B * c(x) * c(y))
+#
+# which ranks identically to PMI (log is monotone and this is a single
+# ratio per pair, not a cross-term sum — unlike BM25 above, ranking is
+# EXACTLY textbook here). Every factor casts to DOUBLE before any
+# multiplication (int64 would overflow at 100 TB: N^2 alone is ~6e26 for
+# a 2.5e13-token corpus), in the same textual order on both engines.
+#
+# Scale: two vocabulary-sized groupBys (pair counts, unigram counts) —
+# both partial-aggregated; the unigram join is key-shuffled on the token
+# (vocab-sized, NOT broadcast: a 100 TB corpus has hundreds of millions
+# of distinct tokens); the two corpus scalars ride a 1-row broadcast
+# cross join; the final top-k is TakeOrderedAndProject.
+
+PMI_MIN_COUNT = 5  # ignore pairs seen fewer than this many times
+PMI_K = 20
+
+_PMI_RATIO_SQL = (
+    "(CAST(cxy AS DOUBLE) * CAST(n_toks AS DOUBLE) * CAST(n_toks AS DOUBLE))"
+    " / (CAST(n_bigrams AS DOUBLE) * CAST(cx AS DOUBLE)"
+    " * CAST(cy AS DOUBLE))"
+)
+
+PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS t FROM documents
+),
+uni AS (
+  SELECT u.tk AS token, COUNT(*) AS c
+  FROM toks, unnest(t) u(tk) GROUP BY u.tk
+),
+pairs AS (
+  SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS cxy
+  FROM toks, unnest(range(1, greatest(len(t), 1))) r(i)
+  GROUP BY t[i], t[i+1]
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_toks,
+         (SELECT CAST(SUM(cxy) AS BIGINT) FROM pairs) AS n_bigrams
+),
+scored AS (
+  SELECT p.w1, p.w2, p.cxy, {_PMI_RATIO_SQL} AS ratio
+  FROM pairs p
+  JOIN uni u1 ON p.w1 = u1.token
+  JOIN uni u2 ON p.w2 = u2.token
+  CROSS JOIN tot,
+  LATERAL (SELECT u1.c AS cx, u2.c AS cy) _
+  WHERE p.cxy >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, cxy AS pair_count,
+       ROUND(ratio, 6) AS pmi_ratio,
+       CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY ratio DESC, w1, w2) AS rn
+  FROM scored)
+WHERE rn <= {PMI_K}
+"""
+
+
+@query("pmi_collocations", oracle=PMI_ORACLE)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent-token collocations by (pre-log rational) PMI.
+    Pairs below ``PMI_MIN_COUNT`` occurrences are excluded — the standard
+    guard against PMI's low-count explosion."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.expr(_TOKS_SPARK).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 1, 0)),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= PMI_MIN_COUNT)
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n_toks")).crossJoin(
+        # n_bigrams must count ALL pairs, not just those past the guard
+        toks.select(
+            F.explode(F.expr("sequence(1, greatest(size(t) - 1, 0))")).alias(
+                "i"
+            )
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"))
+    )
+    scored = (
+        pairs.join(uni.withColumnRenamed("token", "w1").withColumnRenamed("c", "cx"), "w1")
+        .join(uni.withColumnRenamed("token", "w2").withColumnRenamed("c", "cy"), "w2")
+        .join(F.broadcast(tot))
+        .select("w1", "w2", "cxy", F.expr(_PMI_RATIO_SQL).alias("ratio"))
+    )
+    topk = scored.orderBy(
+        F.desc("ratio"), F.asc("w1"), F.asc("w2")
+    ).limit(PMI_K)
+    w = Window.orderBy(F.desc("ratio"), F.asc("w1"), F.asc("w2"))
+    return topk.withColumn("rn", F.row_number().over(w)).select(
+        "w1",
+        "w2",
+        F.col("cxy").alias("pair_count"),
+        F.round("ratio", 6).alias("pmi_ratio"),
+        F.col("rn").cast("int").alias("rank"),
     )

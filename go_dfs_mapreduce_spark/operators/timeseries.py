@@ -581,3 +581,93 @@ def event_path_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("m.t2") - F.unix_micros("m.t0"),
         ).alias("micros_to_convert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (gap-based). The streaming twin
+# (`stream_session_windows`) uses Spark's session_window; the batch shape
+# every warehouse needs is the classic lag + cumulative-sum-of-flags
+# rewrite, which works over historical data with no watermark and lets the
+# gap threshold be revisited after the fact. Reference parity note: the
+# reference's log analyzer tallies per-crawler activity
+# (example_plugins/log_analyzer/log_analyzer.go:60-101) but has no notion
+# of time at all — sessions are the first thing a modern pipeline adds.
+#
+# Determinism: event order within a user is (ts, event_id) — event_id
+# breaks timestamp ties identically on both engines. The gap test is done
+# in exact integer microseconds (unix_micros / epoch_us), never interval
+# arithmetic, and the session value total is an exact DECIMAL sum cast to
+# DOUBLE at the end.
+#
+# Scale: two window passes over the same (user_id, ts, event_id) sort
+# order — Catalyst runs both in ONE exchange + sort (same partitioning
+# key), then a partial-aggregated groupBy on (user_id, session_idx),
+# which is a prefix of the window key so no second exchange is needed.
+# Per-user data is bounded by user activity, not corpus size.
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_US}
+              OR LAG(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, value,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+         AS duration_us,
+       CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS session_value
+FROM sess
+GROUP BY user_id, session_idx
+"""
+
+
+@query("event_sessionize_stats", oracle=SESSIONIZE_ORACLE)
+def event_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >30 min of
+    user inactivity; emit per-session event count, start, exact duration
+    in microseconds, and the DECIMAL-exact value total."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            (us - F.lag(us).over(w) > F.lit(SESSION_GAP_US))
+            | F.lag(us).over(w).isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("session_idx", F.sum("new_sess").over(cum))
+    return sess.groupBy("user_id", F.col("session_idx").cast("bigint").alias("session_idx")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("session_value"),
+    )
