@@ -622,7 +622,7 @@ def graph_cc_labels_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: iterative label spreading is the canonical
     "MapReduce round per superstep" workload
-    (``mapred/mapred.go:24-58``'s job loop); here each superstep is a
+    (``cn/mr_actions.go:54-291``'s Map_reduce job loop); here each superstep is a
     declarative join the optimizer plans, not hand-written mapper
     plumbing."""
     edges = _edges(spark, sf_dir)

@@ -433,7 +433,8 @@ def rag_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     break on (doc_id, chunk_idx).
 
     Reference parity: the reference's chunked DFS layout feeding the MR
-    scan (``dfs/chunks.go``) is this same corpus-into-windows move;
+    scan (``cl/dfs_actions.go:27-215``'s Store chunker) is this same
+    corpus-into-windows move;
     scoring the windows is what a retrieval consumer does with them.
     """
     docs = table(spark, sf_dir, "documents")
@@ -566,8 +567,11 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         toks.select(
             F.explode(
+                # NB: sequence(1, 0) is the DESCENDING [1, 0] in Spark, not
+                # empty — a 0/1-token doc must short-circuit to array()
+                # before indexing t[i] (ANSI mode throws on t[1] otherwise)
                 F.expr(
-                    "transform(sequence(1, greatest(size(t) - 1, 0)),"
+                    "transform(if(size(t) < 2, array(), sequence(1, size(t) - 1)),"
                     " i -> struct(t[i-1] AS w1, t[i] AS w2))"
                 )
             ).alias("p")
@@ -577,12 +581,14 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cxy") >= PMI_MIN_COUNT)
     )
     tot = uni.agg(F.sum("c").cast("long").alias("n_toks")).crossJoin(
-        # n_bigrams must count ALL pairs, not just those past the guard
-        toks.select(
-            F.explode(F.expr("sequence(1, greatest(size(t) - 1, 0))")).alias(
-                "i"
-            )
-        ).agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"))
+        # n_bigrams must count ALL pairs, not just those past the guard;
+        # sum(max(|t|-1, 0)) == the bigram-position count with no explode
+        # (and no sequence(1, 0) = [1, 0] descending-range trap)
+        toks.agg(
+            F.sum(F.expr("greatest(size(t) - 1, 0)"))
+            .cast("long")
+            .alias("n_bigrams")
+        )
     )
     scored = (
         pairs.join(uni.withColumnRenamed("token", "w1").withColumnRenamed("c", "cx"), "w1")
@@ -590,14 +596,27 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot))
         .select("w1", "w2", "cxy", F.expr(_PMI_RATIO_SQL).alias("ratio"))
     )
+    # top-k lowers to TakeOrderedAndProject (per-task heaps, no global
+    # sort); rank is then derived by re-sorting only the K survivors as
+    # one in-row array — no second unpartitioned window exchange
     topk = scored.orderBy(
         F.desc("ratio"), F.asc("w1"), F.asc("w2")
     ).limit(PMI_K)
-    w = Window.orderBy(F.desc("ratio"), F.asc("w1"), F.asc("w2"))
-    return topk.withColumn("rn", F.row_number().over(w)).select(
-        "w1",
-        "w2",
-        F.col("cxy").alias("pair_count"),
-        F.round("ratio", 6).alias("pmi_ratio"),
-        F.col("rn").cast("int").alias("rank"),
+    packed = topk.agg(
+        F.expr(
+            "array_sort(collect_list(struct(ratio, w1, w2, cxy)),"
+            " (a, b) -> case"
+            "   when a.ratio > b.ratio then -1 when a.ratio < b.ratio then 1"
+            "   when a.w1 < b.w1 then -1 when a.w1 > b.w1 then 1"
+            "   when a.w2 < b.w2 then -1 when a.w2 > b.w2 then 1 else 0 end)"
+        ).alias("rows")
+    )
+    return packed.select(
+        F.posexplode("rows").alias("pos", "r")
+    ).select(
+        F.col("r.w1").alias("w1"),
+        F.col("r.w2").alias("w2"),
+        F.col("r.cxy").alias("pair_count"),
+        F.round("r.ratio", 6).alias("pmi_ratio"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
     )

@@ -600,7 +600,12 @@ def stream_path_conversions_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_live(
         spark,
         sf_dir,
-        path_conversions_stream_v1,
+        # TTL off: _run_live drains with AvailableNow, which never
+        # terminates while processing-time timers are pending (the
+        # engine keeps scheduling no-data batches until they fire —
+        # funnel module docstring). Continuous deployments keep the
+        # default CONVERTED_STATE_TTL_MS.
+        lambda ev: path_conversions_stream_v1(ev, state_ttl_ms=None),
         "t_path_live",
         output_mode="append",
     )

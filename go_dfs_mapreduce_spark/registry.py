@@ -74,19 +74,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The exactly-50 queries the driver will record. Round-7 rotation
-# (VERDICT r6 #1): 22 anchors keep one representative per SURVEY §2
-# family green in every round's driver file; the other 28 slots carry
-# (a) ALL 25 names that have never earned a driver row — the union of
-# CORRECTNESS_r01..r06 covers every other registered name, so this
-# round's file completes cumulative driver verification of the entire
-# registry as it stood at r6 — and (b) the three round-7-new operators,
-# which earn their rows in their own round per the standing pattern.
-# The never-recorded pool is recomputed each round from the
-# CORRECTNESS_r0*.json union (tests/test_rotation_ledger.py pins that
-# nothing silently falls out); the local gate still verifies every
-# registered query every round — driver rows are the externally-scored
-# evidence. Order within the list is presentation order only.
+# The exactly-50 queries the driver will record. Round-8 rotation
+# (VERDICT r7 "What's missing" #1): 22 anchors keep one representative
+# per SURVEY §2 family green in every round's driver file; the other 28
+# slots carry (a) the 8 names with no driver row after r7 — the round-7
+# rotation queue plus the two late-r7 ledger orphans — which completes
+# cumulative driver verification of every name registered through
+# round 7 (196/196), and (b) round-8's own new operators, which earn
+# their rows in their round per the standing pattern, with the balance
+# filled by recently-recorded names staying warm. The never-recorded
+# pool is recomputed each round from the CORRECTNESS_r0*.json union
+# (tests/test_rotation_ledger.py pins that nothing silently falls out);
+# the local gate still verifies every registered query every round —
+# driver rows are the externally-scored evidence. Order within the list
+# is presentation order only.
 _DRIVER_SHOWCASE = (
     # --- 22 family anchors (recorded in every round) ---
     # reference parity: wordcount plugin family (Q1-Q6)
@@ -128,12 +129,19 @@ _DRIVER_SHOWCASE = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_scores",
-    # --- the 25 never-driver-recorded names (VERDICT r6 #1: this
-    # rotation reaches cumulative driver verification of every name
-    # registered through round 6) ---
-    # round-6's late additions — the r6 flagship work, zero external
-    # evidence until this round (inverted_index_postings rotates in
-    # AFTER its round-7 skew-fix re-plan, per VERDICT r6 #2)
+    # --- the 8 names with no driver row after r7: the r7 rotation queue
+    # (6) plus the two late-r7 ledger orphans — this rotation reaches
+    # cumulative driver verification of the full 196-name registry ---
+    "lang_id_confusion_matrix",
+    "vocab_coverage_thresholds",
+    "embedding_dim_stats",
+    "graph_cc_labels_2iter",
+    "event_path_conversion",
+    "stream_path_conversions_live",
+    "event_sessionize_stats",
+    "pmi_collocations",
+    # --- 20 floating slots: recently-recorded names staying warm;
+    # round-8 new operators swap in here as they land ---
     "bm25_search_topk",
     "unigram_freq_scores",
     "inverted_index_postings",
@@ -141,31 +149,19 @@ _DRIVER_SHOWCASE = (
     "hard_negative_mining",
     "training_pipeline_funnel",
     "stream_dedup_incremental_live",
-    # the pre-r6 never-recorded tail: scalar/array/regexp/interval
-    # showcases, temporal + incremental rollups, corpus/training prep,
-    # embeddings, vocab
-    "array_hof_showcase",
-    "cluster_safe_split",
-    "collation_showcase",
-    "conditional_agg_showcase",
-    "corpus_sample_stratified",
-    "date_spine_order_counts",
-    "dedup_containment",
-    "doc_pack_bins",
-    "doc_repetition_scores",
-    "embedding_label_centroids",
-    "embedding_quantize_int8",
-    "events_hier_rollup",
-    "events_linear_resample",
-    "incremental_rollup_merge",
-    "interval_arithmetic_showcase",
-    "regexp_functions_showcase",
-    "source_temperature_weights",
-    "vocab_fuzzy_variants",
-    # --- round-7's own new operators earn driver rows in their round ---
     "hard_negative_mining_batched",
     "rag_chunk_topk",
     "training_shuffle_shards",
+    "array_hof_showcase",
+    "collation_showcase",
+    "regexp_functions_showcase",
+    "interval_arithmetic_showcase",
+    "dedup_containment",
+    "doc_pack_bins",
+    "embedding_quantize_int8",
+    "events_hier_rollup",
+    "incremental_rollup_merge",
+    "corpus_sample_stratified",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT
@@ -174,14 +170,7 @@ _DRIVER_SHOWCASE = (
 # test_rotation_ledger.py fails if a registered name is in neither a
 # CORRECTNESS_r*.json nor the showcase nor this queue, so nothing can
 # silently lose its path to external evidence.
-_NEXT_ROTATION_QUEUE = (
-    "lang_id_confusion_matrix",
-    "vocab_coverage_thresholds",
-    "embedding_dim_stats",
-    "graph_cc_labels_2iter",
-    "event_path_conversion",
-    "stream_path_conversions_live",
-)
+_NEXT_ROTATION_QUEUE: tuple[str, ...] = ()
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -870,3 +870,49 @@ def test_event_path_greedy_vs_first_touch(spark, tmp_path):
     assert got[1] == (3, True, 2 * 3600 * 1_000_000)  # signup@1h -> purchase@3h
     assert got[2] == (2, False, None)
     assert got[3] == (0, False, None)
+
+
+def test_pmi_survives_degenerate_short_documents(spark, tmp_path):
+    """0- and 1-token documents must contribute zero bigrams. Spark's
+    sequence(1, 0) is the DESCENDING [1, 0], not empty — unguarded, a
+    1-token doc indexes t[1] out of bounds (ANSI throw) and inflates
+    n_bigrams. ADVICE r7 (high): guard verified on a corpus whose short
+    docs would trip both failure modes, cross-checked against the DuckDB
+    oracle whose range(1, 1) is correctly empty."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators import retrieval as rt
+
+    # 6 copies of a two-token doc (pair count >= PMI_MIN_COUNT=5), plus
+    # the degenerate tail: empty, whitespace-only, and 1-token docs
+    texts = ["alpha beta"] * 6 + ["", "   ", "solo", "gamma"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = [
+        (r.w1, r.w2, r.pair_count, r.pmi_ratio, r.rank)
+        for r in rt.pmi_collocations(spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(rt.PMI_ORACLE).fetchall()]
+    assert got == want
+    # the one surviving pair: 6 alpha-beta bigrams out of exactly 6
+    # corpus bigram positions (degenerate docs contribute none)
+    assert len(got) == 1 and got[0][:3] == ("alpha", "beta", 6)

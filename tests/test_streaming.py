@@ -505,6 +505,8 @@ def test_path_automaton_emits_once_across_batches():
     class FakeState:
         def __init__(self):
             self.exists = False
+            self.hasTimedOut = False
+            self.timeout_ms = None
             self._v = None
 
         @property
@@ -514,6 +516,13 @@ def test_path_automaton_emits_once_across_batches():
         def update(self, v):
             self._v = tuple(v)
             self.exists = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+        def remove(self):
+            self._v = None
+            self.exists = False
 
     def batch(rows):
         return pd.DataFrame(
@@ -542,6 +551,16 @@ def test_path_automaton_emits_once_across_batches():
         _path_v1_fn((7,), iter([batch([(5, t(6), 7, "purchase")])]), st)
     )
     assert out3 == [] and st.get[0] == 3  # done state frozen, no re-emit
+    # converted key armed the processing-time TTL on conversion AND on
+    # the later touch (idle-time semantics)
+    from go_dfs_mapreduce_spark.streaming import funnel
+
+    assert st.timeout_ms == funnel.CONVERTED_STATE_TTL_MS
+    # TTL expiry invocation: empty input, hasTimedOut — state is removed
+    # and nothing is emitted
+    st.hasTimedOut = True
+    out4 = list(_path_v1_fn((7,), iter([]), st))
+    assert out4 == [] and not st.exists
 
 
 def test_fold_chain_gc_bounds_disk(spark, tmp_path, monkeypatch):
@@ -568,3 +587,91 @@ def test_fold_chain_gc_bounds_disk(spark, tmp_path, monkeypatch):
     # the surviving newest version holds the full folded content
     rows = {r.id for r in spark.read.parquet(os.path.join(base, "corpus_v4")).collect()}
     assert rows == {0, 1, 2, 3, 4, 5}  # corpus {0,1,2} + gens 0..4 pairs
+
+
+
+def test_path_conversion_ttl_evicts_converted_state(spark, tmp_path):
+    """REAL-ENGINE proof of the converted-key TTL under the trigger mode
+    it targets (continuous processing-time — AvailableNow never
+    terminates while any processing-time timer exists, fired or not;
+    funnel module docstring). With a 1 s TTL: user 1 converts and emits,
+    user 2 stays in-progress; within a few empty batches the timer fires
+    and the timeout branch evicts user 1's row, observable as the state
+    store dropping from 2 rows to 1 — the in-progress key survives, the
+    frozen converted key does not."""
+    import glob
+    import shutil
+    import time as _time
+
+    from go_dfs_mapreduce_spark.streaming.funnel import (
+        path_conversions_stream_v1,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            [(i, ts, uid, et, 1.0, "{}") for i, ts, uid, et in rows],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        return str(tmp_path / name)
+
+    t = lambda m: base + dt.timedelta(minutes=m)
+    batches = [
+        # user 1 completes the funnel in batch 1; user 2 stays in-progress
+        write_batch(
+            "b1",
+            [(1, t(0), 1, "signup"), (2, t(1), 1, "click"),
+             (3, t(2), 1, "purchase"), (4, t(3), 2, "signup")],
+        ),
+        write_batch("b2", [(5, t(10), 2, "click")]),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    now = _time.time()
+    for i, d in enumerate(batches):
+        for f in glob.glob(d + "/*.parquet"):
+            dst = f"{src}/{i}_{os.path.basename(f)}"
+            shutil.copy(f, dst)
+            os.utime(dst, (now + 100 * i, now + 100 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        path_conversions_stream_v1(stream, state_ttl_ms=1000)
+        .writeStream.format("memory")
+        .queryName("t_path_ttl")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        totals: list[int] = []
+        while _time.time() < deadline:
+            _time.sleep(2)
+            totals = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in q.recentProgress
+                if p["stateOperators"]
+            ]
+            if totals and 2 in totals and totals[-1] == 1:
+                break
+        # both keys held state, then the TTL evicted the converted one
+        assert 2 in totals, f"never saw both state rows: {totals}"
+        assert totals[-1] == 1, f"converted key never evicted: {totals}"
+        rows = spark.table("t_path_ttl").collect()
+        assert [(r.user_id, r.micros_to_convert) for r in rows] == [
+            (1, 2 * 60 * 10**6)
+        ]
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("t_path_ttl")
