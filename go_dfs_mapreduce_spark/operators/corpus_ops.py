@@ -439,3 +439,108 @@ def vocab_coverage_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift: exact two-sample Kolmogorov-Smirnov between sources
+# --------------------------------------------------------------------------
+
+KS_DRIFT_ORACLE = """
+WITH counts AS (
+  SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+totals AS (SELECT source, SUM(c) AS n FROM counts GROUP BY 1),
+vals AS (SELECT DISTINCT v FROM counts),
+grid AS (
+  SELECT t.source, vals.v, COALESCE(c.c, 0) AS c
+  FROM totals t CROSS JOIN vals
+  LEFT JOIN counts c ON c.source = t.source AND c.v = vals.v
+),
+cum AS (
+  SELECT source, v,
+         SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum
+  FROM grid
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.v,
+         ABS(a.cum * tb.n - b.cum * ta.n) AS num
+  FROM cum a
+  JOIN cum b ON a.v = b.v AND a.source < b.source
+  JOIN totals ta ON ta.source = a.source
+  JOIN totals tb ON tb.source = b.source
+)
+SELECT source_a, source_b,
+       CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+       CAST(MAX(num) AS BIGINT) AS ks_num,
+       ROUND(MAX(num) * 1.0 / (ta.n * tb.n), 6) AS ks_stat
+FROM pairs
+JOIN totals ta ON ta.source = pairs.source_a
+JOIN totals tb ON tb.source = pairs.source_b
+GROUP BY 1, 2, ta.n, tb.n
+"""
+
+
+@query("doc_length_ks_drift", oracle=KS_DRIFT_ORACLE)
+def doc_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between every pair
+    of sources' doc-length distributions — the drift monitor a training
+    pipeline runs when a crawl snapshot or new source lands (KS over
+    lengths is the cheap first-line distribution check before anything
+    content-aware). The KS sup runs over INTEGER ECDF numerators:
+    |cum_a * n_b - cum_b * n_a| is exact integer arithmetic, so the max
+    is unambiguous and the single final division is the only IEEE op —
+    no float-comparison tie hazards at the sup (the
+    pmi/simpson rational-form discipline).
+
+    Scale: one corpus scan collapses to a (source, length) histogram via
+    a partial-aggregated groupBy — the ONLY corpus-sized stage. The
+    ECDF grid is |sources| x |distinct lengths| rows and the pair sweep
+    |pairs| x |lengths|; at 100 TB the same operator runs on a QUANTIZED
+    length grid (floor(len/width)) to bound |lengths| — the statistic
+    degrades gracefully to the binned KS every production drift monitor
+    uses. The per-source cumulative window partitions by source (no
+    global single-partition sort)."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    vals = counts.select("v").distinct()
+    grid = (
+        totals.crossJoin(F.broadcast(vals))
+        .join(counts, ["source", "v"], "left")
+        .select("source", "n", "v", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy("v")
+    cum = grid.select(
+        "source", "n", "v", F.sum("c").over(w).alias("cum")
+    )
+    a, b = cum.alias("a"), cum.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.v") == F.col("b.v"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.abs(
+            F.col("a.cum") * F.col("b.n") - F.col("b.cum") * F.col("a.n")
+        ).alias("num"),
+    )
+    return (
+        pairs.groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(F.max("num").alias("ks_num"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("ks_num").cast("long").alias("ks_num"),
+            F.round(
+                F.col("ks_num") * 1.0 / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("ks_stat"),
+        )
+    )

@@ -568,18 +568,22 @@ SELECT pk AS part_id, CAST(lbl AS BIGINT) AS cc_label FROM l2
 """
 
 
-def _cc_iteration(nodes: DataFrame, adj: DataFrame, lbl: DataFrame) -> DataFrame:
+def _cc_iteration(adj: DataFrame, lbl: DataFrame) -> DataFrame:
     """One min-label propagation step: a node's next label is the min of
     its own and its neighbors' current labels. MIN is order-free, so the
-    result is deterministic under any partitioning."""
+    result is deterministic under any partitioning. ``lbl`` carries
+    exactly one row per node (it starts as the node list and a left join
+    preserves the key set), so no separate node-list join is needed —
+    round-8 re-plan dropped the per-iteration ``nodes`` shuffle join the
+    r7 version carried (one exchange fewer per superstep; labels are
+    row-identical because the dropped join was key-preserving)."""
     mins = (
         adj.join(lbl, adj.src == lbl.pk)
         .groupBy("dst")
         .agg(F.min("lbl").alias("mn"))
     )
-    own = nodes.join(lbl, "pk")
-    return own.join(mins, own.pk == mins.dst, "left").select(
-        own.pk,
+    return lbl.join(mins, lbl.pk == mins.dst, "left").select(
+        lbl.pk,
         F.least(F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))).alias(
             "lbl"
         ),
@@ -590,13 +594,27 @@ def cc_labels_from_edges(
     nodes: DataFrame, edges: DataFrame, iters: int = CC_ITERS
 ) -> DataFrame:
     """Core label propagation over ``nodes[pk]`` and u<v-normalized
-    ``edges[u, v]`` (split out so tests can drive handcrafted graphs)."""
+    ``edges[u, v]`` (split out so tests can drive handcrafted graphs —
+    ``nodes`` may include isolated nodes absent from ``edges``; they
+    keep their own id as label through every iteration)."""
     adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     lbl = nodes.select("pk", F.col("pk").alias("lbl"))
-    for _ in range(iters):
-        lbl = _cc_iteration(nodes, adj, lbl)
+    if iters >= 1:
+        # iteration 1 shortcut: under the identity labeling, the min of
+        # the neighbors' labels IS min(src) — a bare partial-aggregated
+        # groupBy, no label join (round-8 re-plan: halves the join count
+        # of the 2-iteration operator)
+        mins0 = adj.groupBy("dst").agg(F.min("src").alias("mn"))
+        lbl = lbl.join(mins0, lbl.pk == mins0.dst, "left").select(
+            lbl.pk,
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+    for _ in range(iters - 1):
+        lbl = _cc_iteration(adj, lbl)
     return lbl.select(
         F.col("pk").alias("part_id"), F.col("lbl").cast("long").alias("cc_label")
     )

@@ -257,6 +257,173 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LSH: signed-random-projection bucketing, OR of LSH_TABLES bands ------
+
+LSH_TABLES = 8  # hash tables OR'd for candidates
+LSH_BITS = 6    # bits per table -> 2^6 = 64 buckets/table
+EMB_DIM = 64
+
+# Deterministic Rademacher-style hyperplane entry for (table t, bit j,
+# dim d): +1 / -1 from pure integer arithmetic both engines compute
+# identically — each (t, j) gets its own multiplicative-hash multiplier
+# so bit patterns are decorrelated (a plain linear d*p1+j*p2+t*p3 form
+# makes bits cyclic shifts of one sequence; measured recall 0.32 vs
+# 0.40 for this form at sf0.01, with TRUE Gaussian planes at 0.32 —
+# i.e. this integer family is not the bottleneck, the corpus is).
+# Production would draw seeded Gaussian planes; the gate needs plane
+# entries the DuckDB oracle can reproduce exactly, and +/-1 signed
+# projections are the standard SimHash/SRP family anyway.
+_LSH_SIGN = (
+    "(CASE WHEN (({d}) * ((7919 + 104729 * ({j}) + 1299709 * ({t})) % 9973))"
+    " % 9973 < 4986 THEN 1.0 ELSE -1.0 END)"
+)
+
+
+def _lsh_sigs_expr(emb: str) -> str:
+    """Spark SQL expression: array of LSH_TABLES integer signatures for
+    ``emb``. Per (t, j) the projection is an exact-decimal signed sum
+    (the ``_dec_dot_expr`` discipline — order-free, so the sign the
+    oracle sees is bit-identical); bit j of table t's signature is
+    proj >= 0."""
+    d = _LSH_SIGN.format(d="i + 1", j="j", t="t")
+    proj = (
+        f"aggregate(transform(sequence(0, {EMB_DIM - 1}), i -> "
+        f"CAST({d} * CAST({emb}[i] AS DOUBLE) AS DECIMAL(28,18))), "
+        "CAST(0 AS DECIMAL(30,18)), (pacc, e) -> CAST(pacc + e AS DECIMAL(30,18)))"
+    )
+    sig = (
+        f"aggregate(sequence(0, {LSH_BITS - 1}), 0L, (acc, j) -> "
+        f"acc + IF({proj} >= 0, shiftleft(1L, j), 0L))"
+    )
+    return f"transform(sequence(0, {LSH_TABLES - 1}), t -> {sig})"
+
+
+LSH_ORACLE = f"""
+WITH x AS ({EXPLODED_DUCK}),
+norms AS (
+  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,18))) AS n2 FROM x GROUP BY vec_id
+),
+projs AS (  -- signed projection per (vector, table, bit), exact decimal
+  SELECT x.vec_id, t.t AS t, b.j AS j,
+         SUM(CAST((CASE WHEN (x.i * ((7919 + 104729 * b.j + 1299709 * t.t) % 9973)) % 9973 < 4986
+                        THEN 1.0 ELSE -1.0 END) * x.v AS DECIMAL(28,18))) AS proj
+  FROM x, range(0, {LSH_TABLES}) t(t), range(0, {LSH_BITS}) b(j)
+  GROUP BY 1, 2, 3
+),
+sigs AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN proj >= 0 THEN (1 << j) ELSE 0 END) AS sig
+  FROM projs GROUP BY 1, 2
+),
+cand AS (  -- bucket-join candidates: same (table, signature), OR over tables
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+dots AS (
+  SELECT cand.qid, cand.cid,
+         SUM(CAST(q.v * c.v AS DECIMAL(28,18))) AS dot
+  FROM cand
+  JOIN x q ON q.vec_id = cand.qid
+  JOIN x c ON c.vec_id = cand.cid AND c.i = q.i
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT qid, cid,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS c
+  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id
+)
+SELECT qid AS query_id, cid AS neighbor_id,
+       CAST(rn AS INTEGER) AS rank, ROUND(c, 6) AS cosine
+FROM (SELECT qid, cid, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rn
+      FROM cos)
+WHERE rn <= {TOP_K}
+"""
+
+
+@query("ann_lsh_topk", oracle=LSH_ORACLE)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via signed-random-projection LSH — the bucket-join
+    scale path that needs NO per-label clustering (``ann_ivf_topk``'s
+    sibling; together they are the brief's IVF-or-LSH pair). Every
+    vector computes ``LSH_TABLES`` b-bit signatures IN-ROW (one array
+    expression, no explode for hashing); candidates are pairs sharing a
+    (table, signature) bucket in ANY table; only candidates are scored,
+    with the same exact-decimal cosine and (cosine desc, cid) tie rule
+    as the brute-force baseline. Recall vs that baseline is asserted in
+    tests/test_llm_ops.py — with an honest floor: the synthetic corpus's
+    true top-5 neighbors sit at cosine ~0.35 (near-isotropic vectors),
+    where SRP's per-table collision probability (1 - theta/pi)^b is
+    ~0.06, so measured recall ~0.4 at (8 tables, 6 bits) is the DATA's
+    ceiling, not the operator's — true seeded Gaussian planes measure
+    0.32 on the same corpus. On a real embedding corpus with neighbors
+    at cosine 0.9 (theta ~26 deg, p ~0.86) the identical params give
+    ~0.4 per table and ~98% over 8 tables. Multiprobe (also probing
+    Hamming-1 signatures) is the standard recall lever when tables are
+    memory-bound.
+
+    Scale: the signature step is embarrassingly parallel map work; the
+    bucket join shuffles |vectors| x LSH_TABLES signature rows — NOT the
+    all-pairs grid — and per-bucket width is tunable by LSH_BITS, the
+    same knob production SRP systems use. Hot buckets (vectors piling
+    into one signature) would skew the join; the standard fix is
+    salting the bucket id by a candidate-side shard, the same pattern as
+    ``inverted_index_postings``' salted head."""
+    from .dedup import _dec_dot_expr
+
+    emb = table(spark, sf_dir, "embeddings")
+    ed = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
+        F.expr(_lsh_sigs_expr("embedding")).alias("sigs"),
+    )
+    sigs = ed.select(
+        "vec_id", F.posexplode("sigs").alias("t", "sig")
+    )
+    qsigs = sigs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "t", "sig"
+    )
+    cand = (
+        sigs.join(F.broadcast(qsigs), ["t", "sig"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"))
+        .distinct()
+    )
+    q = ed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("qn2"),
+    )
+    cos = (
+        cand.join(ed.alias("c"), cand.cid == F.col("c.vec_id"))
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "cid",
+            (
+                F.expr(_dec_dot_expr("q_emb", "c.embedding")).cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("c.n2").cast("double"))
+                )
+            ).alias("c"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("cid"))
+    return (
+        cos.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.round("c", 6).alias("cosine"),
+        )
+    )
+
+
 # --- fast path: per-block numpy matmul (no oracle — BLAS summation order
 # differs from exact decimal at the last ulp; equivalence to the exact
 # operator is asserted in tests/test_llm_ops.py instead) ------------------

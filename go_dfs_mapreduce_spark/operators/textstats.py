@@ -232,3 +232,79 @@ def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 6
         ).alias("row_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lexical diversity: type-token ratio + Gini-Simpson, rational-exact
+# --------------------------------------------------------------------------
+
+DIVERSITY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS u, SUM(c * c) AS sumsq
+  FROM cnt GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(a.u, 0) AS BIGINT) AS n_types,
+  ROUND(a.u * 1.0 / NULLIF(a.n, 0), 6) AS type_token_ratio,
+  ROUND((a.n * a.n - a.sumsq) * 1.0 / NULLIF(a.n * a.n, 0), 6)
+    AS simpson_diversity
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("token_diversity_scores", oracle=DIVERSITY_ORACLE)
+def token_diversity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and Gini-Simpson
+    diversity 1 - sum(c_w^2)/n^2 — the repetition-collapse signal a
+    training-data quality gate thresholds on (a doc whose tokens are one
+    phrase looping scores near its TTR floor; natural prose sits near
+    1). Deliberately Simpson rather than Shannon entropy: the statistic
+    is a RATIONAL function of exact integer counts (one IEEE division at
+    the end), so it is bit-identical across engines — entropy's
+    sum-of-c*log2(c) terms would hang determinism on libm log2 agreeing
+    between DuckDB and the JVM, the same trap ``pmi_collocations``
+    dodges with its pre-log rational form.
+
+    Scale: everything is IN-ROW on the token array (split, distinct,
+    count-fold) — zero explode, zero shuffle; the whole operator is one
+    codegen'd projection over the corpus scan. The count fold is
+    O(types x tokens) per doc, the price of staying shuffle-free; the
+    exploded groupBy twin (the oracle's shape) becomes preferable only
+    when single docs are huge enough to dominate a task."""
+    docs = table(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '\\\\s+'), x -> x <> '')"
+        ).alias("t"),
+    )
+    sumsq = (
+        "aggregate(transform(array_distinct(t),"
+        " d -> CAST(size(filter(t, x -> x = d)) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, c) -> acc + c * c)"
+    )
+    return with_toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_types"),
+        F.round(
+            F.size(F.array_distinct("t"))
+            * 1.0
+            / F.nullif(F.size("t"), F.lit(0)),
+            6,
+        ).alias("type_token_ratio"),
+        F.round(
+            (F.size("t").cast("long") * F.size("t") - F.expr(sumsq))
+            * 1.0
+            / F.nullif(F.size("t").cast("long") * F.size("t"), F.lit(0)),
+            6,
+        ).alias("simpson_diversity"),
+    )

@@ -140,8 +140,12 @@ _DRIVER_SHOWCASE = (
     "stream_path_conversions_live",
     "event_sessionize_stats",
     "pmi_collocations",
-    # --- 20 floating slots: recently-recorded names staying warm;
-    # round-8 new operators swap in here as they land ---
+    # --- 20 floating slots: round-8 new operators first (they earn
+    # driver rows in their round), balance filled by recently-recorded
+    # names staying warm ---
+    "ann_lsh_topk",
+    "token_diversity_scores",
+    "doc_length_ks_drift",
     "bm25_search_topk",
     "unigram_freq_scores",
     "inverted_index_postings",
@@ -159,9 +163,6 @@ _DRIVER_SHOWCASE = (
     "dedup_containment",
     "doc_pack_bins",
     "embedding_quantize_int8",
-    "events_hier_rollup",
-    "incremental_rollup_merge",
-    "corpus_sample_stratified",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT

@@ -916,3 +916,113 @@ def test_pmi_survives_degenerate_short_documents(spark, tmp_path):
     # the one surviving pair: 6 alpha-beta bigrams out of exactly 6
     # corpus bigram positions (degenerate docs contribute none)
     assert len(got) == 1 and got[0][:3] == ("alpha", "beta", 6)
+
+
+def test_lsh_topk_recall_and_candidate_discipline(spark, sf_dir):
+    """ann_lsh_topk vs the brute-force baseline: (a) recall clears the
+    floor the operator docstring derives for this corpus's weak
+    (cosine ~0.35) neighbors, (b) where LSH returns a pair the exact
+    operator also returned, the cosine agrees exactly (same scoring
+    expression), and (c) the per-query top-k cap holds."""
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        TOP_K,
+        ann_cosine_topk,
+        ann_lsh_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    lsh_rows = ann_lsh_topk(spark, sf_dir).collect()
+    lsh = {(r.query_id, r.neighbor_id): r.cosine for r in lsh_rows}
+    hit = set(exact) & set(lsh)
+    recall = len(hit) / len(exact)
+    assert recall >= 0.3, f"recall {recall} below the documented floor"
+    for k in hit:
+        assert lsh[k] == exact[k]  # identical exact-decimal scoring
+    # per-query row cap holds
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in lsh)
+    assert all(v <= TOP_K for v in per_q.values())
+
+
+def test_token_diversity_handcrafted(spark, tmp_path):
+    """Simpson diversity and TTR against hand-computed values: a looped
+    phrase scores low, all-distinct prose scores the maximum 1 - 1/n,
+    and empty/whitespace docs yield 0 tokens with NULL ratios."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.textstats import (
+        token_diversity_scores,
+    )
+
+    texts = [
+        "spam spam spam spam",          # n=4, u=1, sumsq=16 -> simpson 0
+        "a b c d",                      # n=4, u=4, sumsq=4 -> 1 - 4/16
+        "x x y y",                      # n=4, u=2, sumsq=8 -> 1 - 8/16
+        "",                             # degenerate: no tokens
+        "   ",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_types, r.type_token_ratio,
+                   r.simpson_diversity)
+        for r in token_diversity_scores(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (4, 1, 0.25, 0.0)
+    assert got[1] == (4, 4, 1.0, 0.75)
+    assert got[2] == (4, 2, 0.5, 0.5)
+    assert got[3] == (0, 0, None, None)
+    assert got[4] == (0, 0, None, None)
+
+
+def test_ks_drift_handcrafted(spark, tmp_path):
+    """KS statistic against a hand-computed two-sample case: lengths
+    {1,2,3,4} vs {3,4,5,6} -> ECDFs diverge most at value 2 (or 3-)
+    where |2/4 - 0/4| = 0.5; and identical distributions -> KS 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.corpus_ops import (
+        doc_length_ks_drift,
+    )
+
+    rows = (
+        [("a", n) for n in (1, 2, 3, 4)]
+        + [("b", n) for n in (3, 4, 5, 6)]
+        + [("c", n) for n in (1, 2, 3, 4)]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array(["x" * n for _, n in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array([s for s, _ in rows], pa.string()),
+                "n_chars": pa.array([n for _, n in rows], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = {
+        (r.source_a, r.source_b): (r.n_a, r.n_b, r.ks_num, r.ks_stat)
+        for r in doc_length_ks_drift(spark, str(tmp_path)).collect()
+    }
+    assert got[("a", "b")] == (4, 4, 8, 0.5)   # sup at v=2: |2*4 - 0*4|
+    assert got[("a", "c")] == (4, 4, 0, 0.0)   # identical -> 0
+    assert got[("b", "c")] == (4, 4, 8, 0.5)
+    assert len(got) == 3
