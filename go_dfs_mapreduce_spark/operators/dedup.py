@@ -1173,22 +1173,33 @@ WHERE i.n * 1.0 / (sa.sz + sb.sz - i.n) >= {JACCARD_THRESHOLD}
 
 @query("dedup_ngram_jaccard_capped", oracle=CAPPED_JACCARD_ORACLE)
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 re-plan: count, don't re-intersect. The bucket expansion
+    already emits one (doc_a, doc_b) instance per SHARED NON-HOT
+    shingle, so ``groupBy(pair).count()`` IS the non-hot intersection —
+    the r7 shape threw that information away (``.distinct()``) and then
+    re-derived the full intersection by joining both docs' complete
+    shingle arrays and intersecting per pair, the dominant cost on a
+    near-dup-heavy corpus (1.13 M candidate pairs x full-array
+    ``array_intersect`` at sf0.1; measured 6.6 s -> the count
+    formulation drops the verify to a pair-count exchange). The hot
+    (df > cap) contribution that pair generation deliberately skips is
+    restored by intersecting per-doc HOT-ONLY shingle arrays — bounded
+    by the Zipf head a doc touches, tiny by construction (zero rows on
+    this corpus; the branch exists for corpora where the cap bites), so
+    the reported jaccard stays EXACT over the full shingle sets.
+
+    Bucket expansion per shingle keeps the cap as a BUCKET SIZE filter:
+    the grouped doc-list length IS the document frequency, so dropping
+    the Zipf head is `size(ds) <= cap` — no separate df window — and no
+    bucket can expand past cap*(cap-1)/2 pairs inside its task."""
     sh = _shingles(spark, sf_dir)
-    # bucket expansion per shingle with the hot-shingle cap as a BUCKET
-    # SIZE filter: group each shingle's (distinct) doc list — the list
-    # length IS the document frequency, so dropping the Zipf head is
-    # `size(ds) <= cap`, no separate df window — and emit in-bucket pairs
-    # row-locally. One exchange of shingle rows replaces the df window +
-    # a self-join that rebuilt the shingle pipeline for its second side,
-    # and the cap structurally bounds the quadratic tail: no bucket can
-    # expand to more than cap*(cap-1)/2 pairs inside its task.
-    buckets = (
-        sh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .where(F.expr(f"size(ds) BETWEEN 2 AND {MAX_DOC_FREQ}"))
+    grouped = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
     )
-    cand = (
-        buckets.select(
+    mid = grouped.where(F.expr(f"size(ds) BETWEEN 2 AND {MAX_DOC_FREQ}"))
+    # shared non-hot shingle count per pair, straight from the expansion
+    n0 = (
+        mid.select(
             F.explode(
                 F.expr(
                     "flatten(transform(sequence(1, size(ds) - 1),"
@@ -1197,12 +1208,48 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n0"))
     )
-    # verify ONLY the capped candidate set — intersections and sizes come
-    # from the FULL shingle set (row-local arrays), so jaccard stays exact
-    inter = _pair_overlap(cand, _shingle_arrays(spark, sf_dir))
+    # hot correction: each doc's array of HOT shingles (the Zipf head)
+    hot = (
+        grouped.where(F.expr(f"size(ds) > {MAX_DOC_FREQ}"))
+        .select("shingle", F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("hs"))
+    )
+    sizes = _shingle_arrays(spark, sf_dir).select("doc_id", "sz")
+    inter = (
+        n0.join(
+            hot.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            hot.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")),
+            "doc_b",
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n0")
+                + F.expr(
+                    "size(array_intersect(coalesce(ha, array()),"
+                    " coalesce(hb, array())))"
+                )
+            ).alias("n"),
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+    )
     jac = F.col("n") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n"))
     return (
         inter.where(jac >= JACCARD_THRESHOLD)

@@ -1026,3 +1026,46 @@ def test_ks_drift_handcrafted(spark, tmp_path):
     assert got[("a", "c")] == (4, 4, 0, 0.0)   # identical -> 0
     assert got[("b", "c")] == (4, 4, 8, 0.5)
     assert len(got) == 3
+
+
+def test_capped_jaccard_hot_correction_on_capped_corpus(spark, tmp_path):
+    """The count-formulation verify (round-8 re-plan) on a corpus where
+    the cap BITES: 60 docs share one ubiquitous shingle (df=60 > cap=50,
+    dropped from pair generation) and two docs are exact duplicates.
+    The dup pair must report jaccard 1.0 — its shared HOT shingle counts
+    toward the intersection via the hot-correction branch even though it
+    generated no candidate (without the correction: n=3 of sizes 4/4 ->
+    0.6). The 60 hot-only docs must produce NO pairs. Cross-checked
+    against the registered DuckDB oracle on the same corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators import dedup as dd
+
+    texts = [f"alpha beta gamma uniq{i}a uniq{i}b" for i in range(60)]
+    texts += ["alpha beta gamma delta epsilon zeta"] * 2  # doc 60, 61
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.dedup_ngram_jaccard_capped(spark, str(tmp_path)).collect()
+    )
+    assert got == [(60, 61, 1.0)]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(dd.CAPPED_JACCARD_ORACLE).fetchall())
+    assert got == want
