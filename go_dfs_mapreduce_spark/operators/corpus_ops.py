@@ -544,3 +544,104 @@ def doc_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift #2: per-source chi-square vs the pooled histogram
+# --------------------------------------------------------------------------
+
+CHI2_BINS = 10
+
+CHI2_DRIFT_ORACLE = f"""
+WITH b AS (
+  SELECT source,
+         (n_chars - mn) * {CHI2_BINS} // (mx - mn + 1) AS bin
+  FROM documents
+  CROSS JOIN (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents)
+),
+obs AS (SELECT source, bin, COUNT(*) AS o FROM b GROUP BY 1, 2),
+pooled AS (SELECT bin, COUNT(*) AS p FROM b GROUP BY 1),
+srcn AS (SELECT source, COUNT(*) AS ns FROM b GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM b),
+grid AS (
+  SELECT s.source, s.ns, p.bin, p.p, t.n, COALESCE(o.o, 0) AS o
+  FROM srcn s CROSS JOIN pooled p CROSS JOIN tot t
+  LEFT JOIN obs o ON o.source = s.source AND o.bin = p.bin
+),
+terms AS (
+  SELECT source, ns,
+         CAST(
+           (o - CAST(ns AS DOUBLE) * p / n) * (o - CAST(ns AS DOUBLE) * p / n)
+           / (CAST(ns AS DOUBLE) * p / n)
+         AS DECIMAL(28,18)) AS term
+  FROM grid
+)
+SELECT source,
+       CAST(ns AS BIGINT) AS n_docs,
+       CAST({CHI2_BINS} AS INTEGER) AS n_bins,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+FROM terms GROUP BY source, ns
+"""
+
+
+@query("chi_square_source_drift", oracle=CHI2_DRIFT_ORACLE)
+def chi_square_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square of each source's doc-length histogram against
+    the pooled corpus expectation — the binned drift scan that pairs
+    with ``doc_length_ks_drift``: KS ranks source PAIRS, chi-square
+    flags each source against the whole (the per-source anomaly score a
+    mixture rebalance reads). Bins are equal-width integer arithmetic
+    ((len - min) * B // (max - min + 1)) so both engines bin
+    identically; each (o - e)^2 / e term is a fixed sequence of IEEE
+    ops on exact integers (deterministic on both engines) CAST to
+    DECIMAL(28,18) before the SUM, so the per-source total is order-free
+    — the ``_dec_dot_expr`` discipline applied to a statistic whose
+    naive double SUM would hang on aggregation order.
+
+    Scale: the corpus collapses to (source, bin) counts in one
+    partial-aggregated groupBy — the only corpus-sized stage (the
+    min/max scalar subquery broadcasts). The grid is |sources| x B rows.
+    The in-filled LEFT JOIN matters for correctness at any scale: a
+    source missing a populated bin still owes that bin's full expected
+    count."""
+    docs = table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    b = docs.crossJoin(F.broadcast(bounds)).select(
+        "source",
+        F.expr(
+            f"(n_chars - mn) * {CHI2_BINS} div (mx - mn + 1)"
+        ).alias("bin"),
+    )
+    obs = b.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("o"))
+    pooled = b.groupBy("bin").agg(F.count(F.lit(1)).alias("p"))
+    srcn = b.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    tot = b.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        srcn.crossJoin(F.broadcast(pooled))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["source", "bin"], "left")
+        .select(
+            "source",
+            "ns",
+            "p",
+            "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    term = (
+        "CAST((o - CAST(ns AS DOUBLE) * p / n) * (o - CAST(ns AS DOUBLE) * p / n)"
+        " / (CAST(ns AS DOUBLE) * p / n) AS DECIMAL(28,18))"
+    )
+    return (
+        grid.select("source", "ns", F.expr(term).alias("term"))
+        .groupBy("source", "ns")
+        .agg(F.sum("term").alias("chi2d"))
+        .select(
+            "source",
+            F.col("ns").cast("long").alias("n_docs"),
+            F.lit(CHI2_BINS).cast("int").alias("n_bins"),
+            F.round(F.col("chi2d").cast("double"), 6).alias("chi2"),
+        )
+    )

@@ -146,6 +146,7 @@ _DRIVER_SHOWCASE = (
     "ann_lsh_topk",
     "token_diversity_scores",
     "doc_length_ks_drift",
+    "chi_square_source_drift",
     "bm25_search_topk",
     "unigram_freq_scores",
     "inverted_index_postings",
@@ -162,7 +163,6 @@ _DRIVER_SHOWCASE = (
     "interval_arithmetic_showcase",
     "dedup_containment",
     "doc_pack_bins",
-    "embedding_quantize_int8",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT

@@ -677,3 +677,65 @@ def test_round7_queue_plan_contracts(spark, sf_dir):
     assert not a["has_python_worker"]
     assert "partial_count" in a["plan"]  # dim moments combine map-side
     assert set(a["read_columns"]) == {"embedding"}
+
+
+def test_round8_operator_plan_contracts(spark, sf_dir):
+    """Plan pins for the round-8 operators: each stays JVM-side and keeps
+    the structural property its docstring claims."""
+    from go_dfs_mapreduce_spark.plans.audit import audit_plan
+
+    # ann_lsh_topk: signatures in-row, query side broadcast, ranking via
+    # the family's per-query window (partitioned by qid — never a global
+    # single-partition sort), never a cartesian/sort-merge of vectors
+    from go_dfs_mapreduce_spark.operators.similarity import ann_lsh_topk
+
+    a = audit_plan(ann_lsh_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "Window" in a["plan"]
+    assert a["n_sortmerge_joins"] == 0
+    assert a["n_broadcast_joins"] >= 2  # qsigs onto sigs; q onto candidates
+    assert "CartesianProduct" not in a["plan"]
+    assert "Exchange SinglePartition" not in a["plan"]
+
+    # token_diversity_scores: one projection over the scan — no explode,
+    # no aggregate exchange, no join
+    from go_dfs_mapreduce_spark.operators.textstats import (
+        token_diversity_scores,
+    )
+
+    a = audit_plan(token_diversity_scores(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_exchanges"] == 0
+    assert "Generate" not in a["plan"]  # Spark's explode node
+    assert set(a["read_columns"]) == {"doc_id", "text"}
+
+    # doc_length_ks_drift: the corpus reaches one partial-aggregated
+    # histogram groupBy; the scan reads only (source, n_chars)
+    from go_dfs_mapreduce_spark.operators.corpus_ops import (
+        chi_square_source_drift,
+        doc_length_ks_drift,
+    )
+
+    a = audit_plan(doc_length_ks_drift(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert set(a["read_columns"]) == {"n_chars", "source"}
+    assert "partial_count" in a["plan"]  # map-side combine on the histogram
+
+    # chi_square_source_drift: same scan discipline; the only joins are
+    # broadcasts of the bin/total scalars and the in-filled grid
+    a = audit_plan(chi_square_source_drift(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert set(a["read_columns"]) == {"n_chars", "source"}
+    assert a["n_sortmerge_joins"] == 0
+
+    # capped jaccard (round-8 verify re-plan): the pair verify is a
+    # COUNT aggregate, not a full-array re-intersection — the plan must
+    # carry the pair-count partial aggregate and join only the narrow
+    # sz / hot-array sides
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        dedup_ngram_jaccard_capped,
+    )
+
+    a = audit_plan(dedup_ngram_jaccard_capped(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "partial_count" in a["plan"]

@@ -1069,3 +1069,55 @@ def test_capped_jaccard_hot_correction_on_capped_corpus(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.execute(dd.CAPPED_JACCARD_ORACLE).fetchall())
     assert got == want
+
+
+def test_chi_square_drift_handcrafted(spark, tmp_path):
+    """Hand-computed chi-square: two disjoint length distributions over a
+    grid where every expected count is exactly 1 -> each source owes
+    (2-1)^2 x2 + (0-1)^2 x2 = 4.0; and a source matching the pooled
+    distribution scores 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.corpus_ops import (
+        chi_square_source_drift,
+    )
+
+    rows = [("a", n) for n in (1, 1, 2, 2)] + [("b", n) for n in (3, 3, 4, 4)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array(["x" * n for _, n in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array([s for s, _ in rows], pa.string()),
+                "n_chars": pa.array([n for _, n in rows], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = {
+        r.source: (r.n_docs, r.chi2)
+        for r in chi_square_source_drift(spark, str(tmp_path)).collect()
+    }
+    assert got == {"a": (4, 4.0), "b": (4, 4.0)}
+
+    # a source whose histogram equals the pooled shape scores exactly 0
+    rows2 = [(s, n) for s in ("c", "d") for n in (1, 2, 3, 4)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows2)), pa.int64()),
+                "text": pa.array(["x" * n for _, n in rows2], pa.string()),
+                "lang": pa.array(["en"] * len(rows2), pa.string()),
+                "source": pa.array([s for s, _ in rows2], pa.string()),
+                "n_chars": pa.array([n for _, n in rows2], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got2 = {
+        r.source: r.chi2
+        for r in chi_square_source_drift(spark, str(tmp_path)).collect()
+    }
+    assert got2 == {"c": 0.0, "d": 0.0}
