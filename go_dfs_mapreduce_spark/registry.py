@@ -144,6 +144,7 @@ _DRIVER_SHOWCASE = (
     # driver rows in their round), balance filled by recently-recorded
     # names staying warm ---
     "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
     "token_diversity_scores",
     "doc_length_ks_drift",
     "chi_square_source_drift",
@@ -162,7 +163,6 @@ _DRIVER_SHOWCASE = (
     "regexp_functions_showcase",
     "interval_arithmetic_showcase",
     "dedup_containment",
-    "doc_pack_bins",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT

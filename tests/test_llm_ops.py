@@ -1121,3 +1121,35 @@ def test_chi_square_drift_handcrafted(spark, tmp_path):
         for r in chi_square_source_drift(spark, str(tmp_path)).collect()
     }
     assert got2 == {"c": 0.0, "d": 0.0}
+
+
+def test_lsh_multiprobe_recall_dominates_plain(spark, sf_dir):
+    """Hamming-1 multiprobe must strictly widen the candidate reach:
+    recall vs brute force rises from ~0.4 to >= 0.6 on this corpus (the
+    docstring's measured 0.76 with margin), the plain variant's result
+    set is a SUBSET of the multiprobe top-k union per query only in
+    score terms — every pair both return scores identically."""
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_lsh_multiprobe_topk,
+        ann_lsh_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_lsh_topk(spark, sf_dir).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_lsh_multiprobe_topk(spark, sf_dir).collect()
+    }
+    r_plain = len(set(exact) & set(plain)) / len(exact)
+    r_multi = len(set(exact) & set(multi)) / len(exact)
+    assert r_multi >= 0.6, r_multi
+    assert r_multi >= r_plain, (r_multi, r_plain)
+    for k in set(multi) & set(exact):
+        assert multi[k] == exact[k]
