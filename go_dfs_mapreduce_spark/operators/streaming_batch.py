@@ -883,6 +883,13 @@ from .dedup import INCREMENTAL_ORACLE as _INC_ORACLE  # noqa: E402
 INC_COMPACT_KEEP = 1
 INC_COMPACT_STEP = 1
 
+# How many doc_id-ordered ingest files (= data micro-batches) the live
+# incremental-dedup query splits the new-document slice into. 3 at gate
+# scale (each batch still crosses a fold with KEEP=STEP=1); the
+# production-grid compaction test raises it to run many batches across
+# several folds at STEP>1.
+INC_STREAM_N_FILES = 3
+
 
 def _inc_compact_target(batch_id: int) -> int:
     """Highest corpus version (= highest folded generation) batch
@@ -1071,7 +1078,7 @@ def stream_dedup_incremental_live(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from .interop import _with_scratch
 
-    n_files = 3
+    n_files = INC_STREAM_N_FILES
 
     def build(scratch: str) -> DataFrame:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")

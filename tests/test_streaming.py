@@ -589,6 +589,117 @@ def test_fold_chain_gc_bounds_disk(spark, tmp_path, monkeypatch):
     assert rows == {0, 1, 2, 3, 4, 5}  # corpus {0,1,2} + gens 0..4 pairs
 
 
+def test_stream_dedup_compaction_production_grid(spark, tmp_path, monkeypatch):
+    """Compaction at a PRODUCTION grid (KEEP=2, STEP=3), driven through
+    the real streaming query: 9 data micro-batches cross TWO fold points
+    (corpus_v2 materializes for batch 5, corpus_v5 for batch 8), the
+    per-batch read set stays within the documented KEEP + STEP + 1
+    bound, the GC horizon leaves exactly one superseded version (the
+    one-STEP safety margin) while dropping the folded generation tail,
+    and double-delivering each FOLD batch (the non-trivial grid points)
+    changes nothing. Result equivalence vs the batch operator closes the
+    loop: many folds later, no pair is lost or duplicated."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators import streaming_batch as sb
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        dedup_incremental_new_docs,
+    )
+
+    # 130 docs, ids 0..129 -> incremental boundary t = 129*8 div 10 = 103,
+    # 26 new docs over 9 doc_id-range files (all non-empty). Docs are
+    # token-disjoint (jaccard 0) except two exact-dup pairs: a new doc
+    # matching the corpus (110==10) and a new doc matching an EARLIER
+    # batch's doc (125==105) — the second lands 6+ batches after the
+    # first, so its index row has been swept through a fold by match time.
+    def text(i: int) -> str:
+        j = {110: 10, 125: 105}.get(i, i)
+        return f"doc{j} w{j}a w{j}b w{j}c w{j}d w{j}e w{j}f"
+
+    ids = list(range(130))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": [text(i) for i in ids],
+                "lang": ["en"] * len(ids),
+                "source": ["s"] * len(ids),
+                "n_chars": pa.array([len(text(i)) for i in ids], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+
+    monkeypatch.setattr(sb, "INC_COMPACT_KEEP", 2)
+    monkeypatch.setattr(sb, "INC_COMPACT_STEP", 3)
+    monkeypatch.setattr(sb, "INC_STREAM_N_FILES", 9)
+
+    # the pure grid at KEEP=2/STEP=3: first fold visible to batch 5,
+    # second to batch 8
+    assert [sb._inc_compact_target(b) for b in range(9)] == [
+        -1, -1, -1, -1, -1, 2, 2, 2, 5,
+    ]
+
+    real_factory = sb._make_inc_dedup_proc
+    listing_after: dict[int, list[str]] = {}
+    read_set_sizes: dict[int, int] = {}
+
+    def auditing_factory(spark_, sigs_dir, arrs_dir, out_dir, t):
+        proc = real_factory(spark_, sigs_dir, arrs_dir, out_dir, t)
+
+        def audited(batch_df, batch_id):
+            proc(batch_df, batch_id)
+            if batch_id in (5, 8):  # replay across each fold boundary
+                proc(batch_df, batch_id)
+            c = sb._inc_compact_target(batch_id)
+            read_set_sizes[batch_id] = 1 + (batch_id - 1 - c) if batch_id else 1
+            listing_after[batch_id] = sorted(
+                d
+                for d in os.listdir(sigs_dir)
+                if d.startswith(("corpus", "gen_"))
+            )
+
+        return audited
+
+    monkeypatch.setattr(sb, "_make_inc_dedup_proc", auditing_factory)
+    streamed = {
+        (r.new_doc, r.matched_doc, r.jaccard, r.matched_in)
+        for r in sb.stream_dedup_incremental_live(
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    # read-set bound holds at every batch (the successful run itself
+    # proves every listed dir existed when read — GC never outran a reader)
+    bound = 1 + sb.INC_COMPACT_KEEP + sb.INC_COMPACT_STEP
+    assert set(read_set_sizes) == set(range(9))
+    assert all(n <= bound for n in read_set_sizes.values())
+    assert read_set_sizes[7] == 5  # widest point of the KEEP+STEP sawtooth
+
+    # after the second fold + GC: v5 live, v2 kept as the one-STEP
+    # margin, gen_0..2 (folded into v2, now past the horizon) gone
+    assert listing_after[8] == [
+        "corpus", "corpus_v2", "corpus_v5",
+        "gen_3", "gen_4", "gen_5", "gen_6", "gen_7", "gen_8",
+    ]
+    # the first fold really happened when batch 5 ran (not lazily later)
+    assert "corpus_v2" in listing_after[5]
+    assert "corpus_v5" not in listing_after[5]
+
+    batch_rows = {
+        (r.new_doc, r.matched_doc, r.jaccard, r.matched_in)
+        for r in dedup_incremental_new_docs(spark, str(tmp_path)).collect()
+    }
+    assert streamed == batch_rows
+    # non-vacuous: one corpus match, one cross-batch match that crossed
+    # a fold between index write and match
+    assert (110, 10, 1.0, "corpus") in streamed
+    assert (125, 105, 1.0, "batch") in streamed
+
+
 
 def test_path_conversion_ttl_evicts_converted_state(spark, tmp_path):
     """REAL-ENGINE proof of the converted-key TTL under the trigger mode
