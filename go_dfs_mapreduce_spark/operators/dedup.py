@@ -1565,3 +1565,96 @@ def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         (F.row_number().over(w) == 1).alias("is_survivor"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy dedup via blocked edit distance (record-linkage style): prefix
+# blocking bounds the pair join, a provable length-gap prune skips the
+# quadratic levenshtein for pairs that cannot reach the threshold, and the
+# surviving pairs report exact edit distance + normalized similarity.
+# --------------------------------------------------------------------------
+
+LEV_PREFIX = 24  # normalized-prefix blocking key length
+LEV_SIM_MIN = 0.80  # keep pairs at or above this normalized similarity
+
+FUZZY_LEV_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.t AS ta, b.t AS tb,
+         greatest(length(a.t), length(b.t)) AS mx
+  FROM n a JOIN n b
+    ON substr(a.t, 1, {LEV_PREFIX}) = substr(b.t, 1, {LEV_PREFIX})
+   AND a.doc_id < b.doc_id
+   AND abs(length(a.t) - length(b.t))
+       <= greatest(length(a.t), length(b.t)) * (1.0 - {LEV_SIM_MIN})
+)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
+       ROUND(1.0 - levenshtein(ta, tb) * 1.0 / mx, 6) AS edit_sim
+FROM cand
+WHERE ROUND(1.0 - levenshtein(ta, tb) * 1.0 / mx, 6) >= {LEV_SIM_MIN}
+"""
+
+
+@query("dedup_fuzzy_levenshtein", oracle=FUZZY_LEV_ORACLE)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup detection — the record-linkage
+    classic for catching small in-place edits (typo fixes, boilerplate
+    swaps) that shingle-based Jaccard treats as noise and exact hashing
+    misses entirely. Normalize whitespace/case, block on the first
+    ``LEV_PREFIX`` normalized chars, then score in-block pairs by
+    normalized similarity ``1 - lev/max(len)`` and keep those at or above
+    ``LEV_SIM_MIN``.
+
+    Two scale guards make this deployable:
+
+    - The blocking join is a plain EQUI-join on the prefix expression —
+      key-shuffled, never cartesian; work is bounded by block size (the
+      standard blocking trade: edits inside the first ``LEV_PREFIX``
+      chars move a doc to another block, the miss rate every blocked
+      linker accepts; production stacks a second key, e.g. a suffix or
+      length bucket, and unions candidates).
+    - Levenshtein is O(len_a * len_b) per pair, the most expensive
+      verify in the dedup suite — so pairs that PROVABLY cannot reach
+      the threshold are pruned before it runs: ``lev >= |len_a -
+      len_b|``, hence ``sim <= 1 - |len_a - len_b| / mx``, and any pair
+      whose length gap exceeds ``mx * (1 - LEV_SIM_MIN)`` is dropped in
+      the join condition, exactly (no recall loss).
+
+    Determinism: edit distance and lengths are exact integers (verified:
+    Spark ``levenshtein`` == DuckDB ``levenshtein`` on every blocked
+    pair of this corpus), and the similarity is ONE IEEE division of
+    exact integers rounded to 6 places before the threshold compare, so
+    both engines keep the identical pair set."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("t"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    la, lb = F.length("a.t"), F.length("b.t")
+    mx = F.greatest(la, lb)
+    cand = a.join(
+        b,
+        (
+            F.substring(F.col("a.t"), 1, LEV_PREFIX)
+            == F.substring(F.col("b.t"), 1, LEV_PREFIX)
+        )
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(la - lb) <= mx * (1.0 - LEV_SIM_MIN)),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.t"), F.col("b.t")).cast("long").alias(
+            "edit_dist"
+        ),
+        mx.alias("mx"),
+    )
+    sim = F.round(1.0 - F.col("edit_dist") * 1.0 / F.col("mx"), 6)
+    return (
+        cand.select("doc_a", "doc_b", "edit_dist", sim.alias("edit_sim"))
+        .where(F.col("edit_sim") >= LEV_SIM_MIN)
+    )

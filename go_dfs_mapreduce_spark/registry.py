@@ -158,7 +158,7 @@ _DRIVER_SHOWCASE = (
     "hard_negative_mining_batched",
     "rag_chunk_topk",
     "training_shuffle_shards",
-    "array_hof_showcase",
+    "dedup_fuzzy_levenshtein",
     "collation_showcase",
     "regexp_functions_showcase",
     "interval_arithmetic_showcase",

@@ -739,3 +739,17 @@ def test_round8_operator_plan_contracts(spark, sf_dir):
     a = audit_plan(dedup_ngram_jaccard_capped(spark, sf_dir))
     assert not a["has_python_worker"]
     assert "partial_count" in a["plan"]
+
+    # fuzzy levenshtein dedup: the blocking join is a true EQUI-join on
+    # the prefix key (never a nested-loop/cartesian pair grid), the
+    # length-gap prune rides the join, and the scan reads only
+    # (doc_id, text)
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        dedup_fuzzy_levenshtein,
+    )
+
+    a = audit_plan(dedup_fuzzy_levenshtein(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "CartesianProduct" not in a["plan"]
+    assert "BroadcastNestedLoopJoin" not in a["plan"]
+    assert set(a["read_columns"]) == {"doc_id", "text"}

@@ -1153,3 +1153,57 @@ def test_lsh_multiprobe_recall_dominates_plain(spark, sf_dir):
     assert r_multi >= r_plain, (r_multi, r_plain)
     for k in set(multi) & set(exact):
         assert multi[k] == exact[k]
+
+
+def test_fuzzy_levenshtein_handcrafted(spark, tmp_path):
+    """Blocked edit-distance dedup semantics on a handcrafted corpus:
+    a one-edit pair is caught with the exact distance, a same-prefix but
+    heavily-rewritten pair falls below the threshold, a near-dup whose
+    edit sits inside the blocking prefix is missed BY DESIGN (blocking
+    contract), and the length-gap prune drops a same-prefix pair whose
+    sizes cannot reach the threshold. Cross-checked against the DuckDB
+    oracle on the same corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = [
+        base,                                    # 0
+        base.replace("lazy", "hazy"),            # 1: one edit, caught
+        base[:24] + " completely different tail with other words etc",  # 2
+        "xhe" + base[3:],                        # 3: edit INSIDE prefix -> other block
+        base[:24] + " x",                        # 4: same prefix, tiny doc -> length-gap pruned
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rows = dd.dedup_fuzzy_levenshtein(spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b): (r.edit_dist, r.edit_sim) for r in rows}
+    # the one-edit pair is the only survivor: doc 2 shares the block but
+    # scores far below LEV_SIM_MIN; doc 3 landed in another block; doc 4
+    # was pruned by the length gap before levenshtein ran
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)][0] == 1
+    assert got[(0, 1)][1] == round(1.0 - 1.0 / len(base), 6)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = {
+        (a, b): (d, s)
+        for a, b, d, s in con.execute(dd.FUZZY_LEV_ORACLE).fetchall()
+    }
+    assert got == want
