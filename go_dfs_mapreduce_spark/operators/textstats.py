@@ -308,3 +308,63 @@ def token_diversity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("simpson_diversity"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge candidates: the first iteration of byte-pair-encoding training
+# --------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+BPE_MERGE_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                            t -> length(t) >= 2)) AS t
+  FROM documents
+),
+pairs AS (
+  SELECT substr(t, CAST(i AS INT), 2) AS pair
+  FROM tok, UNNEST(range(1, length(t))) AS u(i)
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+@query("bpe_merge_candidates", oracle=BPE_MERGE_ORACLE)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: count every adjacent
+    character pair inside letter-run words across the corpus and rank the
+    top merge candidates (highest count wins; ties break lexically so the
+    merge choice is deterministic). Full BPE training iterates this step
+    applying the winning merge each round — one iteration is the corpus-
+    scan primitive the loop repeats, and the expensive part at scale.
+
+    Scale design: the explode emits one row per character position, but
+    the groupBy's MAP-SIDE partial hash aggregate combines them into the
+    alphabet^2-bounded keyspace (<= 676 keys for [a-z]) before anything
+    moves: the shuffle carries <= 676 rows per map partition regardless
+    of corpus size, and the final top-K is a TakeOrderedAndProject over
+    <= 676 totals. A 100 TB corpus pays one scan and a constant-width
+    exchange. (The tempting alternative — folding each doc to distinct
+    (pair, count) structs IN-ROW before exploding — is 60x SLOWER,
+    measured: the fold is O(distinct x positions) string compares per
+    document, re-doing exactly the combine the hash aggregate performs
+    at codegen speed; A/B in SCALE.md round 8.)"""
+    docs = table(spark, sf_dir, "documents")
+    ps = (
+        "flatten(transform("
+        "filter(regexp_extract_all(lower(text), '[a-z]+', 0),"
+        " t -> length(t) >= 2),"
+        " t -> transform(sequence(1, length(t) - 1),"
+        " i -> substring(t, i, 2))))"
+    )
+    return (
+        docs.select(F.explode(F.expr(ps)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -159,7 +159,7 @@ _DRIVER_SHOWCASE = (
     "rag_chunk_topk",
     "training_shuffle_shards",
     "dedup_fuzzy_levenshtein",
-    "collation_showcase",
+    "bpe_merge_candidates",
     "regexp_functions_showcase",
     "interval_arithmetic_showcase",
     "dedup_containment",

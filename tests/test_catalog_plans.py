@@ -753,3 +753,16 @@ def test_round8_operator_plan_contracts(spark, sf_dir):
     assert "CartesianProduct" not in a["plan"]
     assert "BroadcastNestedLoopJoin" not in a["plan"]
     assert set(a["read_columns"]) == {"doc_id", "text"}
+
+    # bpe_merge_candidates: corpus positions collapse in the map-side
+    # partial aggregate (alphabet^2-bounded shuffle), top-K is a
+    # TakeOrderedAndProject, scan reads only text
+    from go_dfs_mapreduce_spark.operators.textstats import (
+        bpe_merge_candidates,
+    )
+
+    a = audit_plan(bpe_merge_candidates(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "partial_count" in a["plan"]
+    assert "TakeOrderedAndProject" in a["plan"]
+    assert set(a["read_columns"]) == {"text"}

@@ -1207,3 +1207,43 @@ def test_fuzzy_levenshtein_handcrafted(spark, tmp_path):
         for a, b, d, s in con.execute(dd.FUZZY_LEV_ORACLE).fetchall()
     }
     assert got == want
+
+
+def test_bpe_merge_candidates_handcrafted(spark, tmp_path):
+    """BPE first-merge counts against hand-tallied values: 'banana banana
+    band' yields an:5, na:4, ba:3, nd:1; single-letter runs contribute
+    nothing; ranking is count-desc then pair-asc. Cross-checked against
+    the DuckDB oracle on the same corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.textstats import (
+        BPE_MERGE_ORACLE,
+        bpe_merge_candidates,
+    )
+
+    texts = ["banana banana band", "a b c", ""]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = [
+        (r.pair, r.pair_count)
+        for r in bpe_merge_candidates(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("an", 5), ("na", 4), ("ba", 3), ("nd", 1)]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    assert got == [tuple(r) for r in con.execute(BPE_MERGE_ORACLE).fetchall()]
