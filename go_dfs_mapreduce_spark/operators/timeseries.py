@@ -671,3 +671,111 @@ def event_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("session_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly detection: each event scored against the SAME
+# user's trailing history — exact integer window sums, one IEEE tail.
+# --------------------------------------------------------------------------
+
+ZS_WINDOW = 20  # trailing history rows (current row excluded)
+ZS_MIN_HIST = 10  # minimum history before a score is emitted
+ZS_THRESHOLD = 2.5  # |z| at or above this flags an anomaly
+
+ZSCORE_ORACLE = f"""
+WITH m AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, ts, value, vm,
+         COUNT(*) OVER tw AS n,
+         SUM(vm) OVER tw AS s,
+         SUM(CAST(vm AS DECIMAL(38,0)) * vm) OVER tw AS ss
+  FROM m
+  WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN {ZS_WINDOW} PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_id, user_id, ts, value,
+         ROUND((n * vm - s) * 1.0
+               / (n * sqrt((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s)
+                           / (n * (n - 1.0)))), 4) AS z_score
+  FROM w
+  WHERE n >= {ZS_MIN_HIST}
+    AND n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s > 0
+)
+SELECT event_id, user_id, ts, value, z_score
+FROM z WHERE abs(z_score) >= {ZS_THRESHOLD}
+"""
+
+
+@query("events_user_zscore_anomalies", oracle=ZSCORE_ORACLE)
+def events_user_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's ``value`` is scored
+    against the SAME user's trailing ``ZS_WINDOW`` events (current row
+    excluded — the score must not contaminate its own baseline), and rows
+    at or beyond ``ZS_THRESHOLD`` sample standard deviations are flagged.
+    Scores start once ``ZS_MIN_HIST`` history rows exist and zero-variance
+    baselines emit nothing (no 0/0 verdicts).
+
+    Determinism: values quantize to exact integer micro-units
+    (``timeseries``'s time-weighted-average convention), the window's
+    count/sum/sum-of-squares are exact INTEGER/DECIMAL aggregates — no
+    floating-point accumulation order anywhere — and the z statistic
+    z = (n*vm - s) / (n * sqrt((n*ss - s^2) / (n*(n-1)))) is evaluated in
+    the same textual order on both engines over those exact inputs, so
+    every IEEE step (one subtract chain, one sqrt, one divide) is
+    correctly-rounded-identical. The compare happens on the ROUNDED
+    score.
+
+    Scale: one window, partitioned by user_id — cardinality grows with
+    the corpus, so partitions stay bounded (the per-user event stream)
+    and skew is per-user volume, not corpus/|event_type|. A trailing
+    ROWS frame is incrementally maintained by both engines: O(1) state
+    per row, never a per-row rescan. 100 TB deployment notes: a single
+    monster user still serializes within its own ordered stream (cap
+    per-user history or sessionize first); the streaming twin of this
+    exact statistic is per-key state carrying (count, sum, sumsq) ring
+    buffers."""
+    events = table(spark, sf_dir, "events")
+    m = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("vm"),
+    )
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZS_WINDOW, -1)
+    )
+    w = m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "vm",
+        F.count(F.lit(1)).over(tw).alias("n"),
+        F.sum("vm").over(tw).alias("s"),
+        F.sum(F.col("vm").cast("decimal(38,0)") * F.col("vm")).over(tw).alias("ss"),
+    )
+    var_num = F.col("n") * F.col("ss").cast("double") - F.col("s").cast(
+        "double"
+    ) * F.col("s")
+    z = F.round(
+        (F.col("n") * F.col("vm") - F.col("s"))
+        * 1.0
+        / (
+            F.col("n")
+            * F.sqrt(var_num / (F.col("n") * (F.col("n") - 1.0)))
+        ),
+        4,
+    )
+    return (
+        w.where((F.col("n") >= ZS_MIN_HIST) & (var_num > 0))
+        .select("event_id", "user_id", "ts", "value", z.alias("z_score"))
+        .where(F.abs(F.col("z_score")) >= ZS_THRESHOLD)
+    )

@@ -160,7 +160,7 @@ _DRIVER_SHOWCASE = (
     "training_shuffle_shards",
     "dedup_fuzzy_levenshtein",
     "bpe_merge_candidates",
-    "regexp_functions_showcase",
+    "events_user_zscore_anomalies",
     "interval_arithmetic_showcase",
     "dedup_containment",
 )

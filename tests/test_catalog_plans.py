@@ -766,3 +766,19 @@ def test_round8_operator_plan_contracts(spark, sf_dir):
     assert "partial_count" in a["plan"]
     assert "TakeOrderedAndProject" in a["plan"]
     assert set(a["read_columns"]) == {"text"}
+
+    # events_user_zscore_anomalies: one user-partitioned window (no
+    # global sort, no join), exact integer/decimal window aggregates,
+    # scan reads only the four columns used
+    from go_dfs_mapreduce_spark.operators.timeseries import (
+        events_user_zscore_anomalies,
+    )
+
+    a = audit_plan(events_user_zscore_anomalies(spark, sf_dir))
+    assert not a["has_python_worker"]
+    # exactly one physical Window node (the formatted plan names each
+    # node twice: once in the tree, once in the detail section)
+    assert a["plan"].count(") Window") == 1
+    assert "Exchange SinglePartition" not in a["plan"]
+    assert "Join" not in a["plan"]
+    assert set(a["read_columns"]) == {"event_id", "ts", "user_id", "value"}

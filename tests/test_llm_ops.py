@@ -1247,3 +1247,73 @@ def test_bpe_merge_candidates_handcrafted(spark, tmp_path):
         f"read_parquet('{tmp_path}/documents.parquet')"
     )
     assert got == [tuple(r) for r in con.execute(BPE_MERGE_ORACLE).fetchall()]
+
+
+def test_zscore_anomalies_handcrafted(spark, tmp_path):
+    """Rolling z-score semantics on a handcrafted stream: a spike after a
+    12-row alternating baseline is flagged with the hand-derived score, a
+    user with too little history is never scored, and a zero-variance
+    baseline emits nothing (no 0/0 verdict). Cross-checked against the
+    DuckDB oracle on the same corpus."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.timeseries import (
+        ZSCORE_ORACLE,
+        events_user_zscore_anomalies,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []  # (event_id, ts, user_id, value)
+    eid = 0
+    # user 1: alternating 10/12 baseline (variance > 0), then a 100 spike
+    for i in range(12):
+        rows.append((eid, t0 + timedelta(hours=eid), 1, 10.0 if i % 2 == 0 else 12.0))
+        eid += 1
+    rows.append((eid, t0 + timedelta(hours=eid), 1, 100.0)); eid += 1
+    # user 2: only 5 rows of history before its spike -> below ZS_MIN_HIST
+    for i in range(5):
+        rows.append((eid, t0 + timedelta(hours=eid), 2, 10.0 if i % 2 == 0 else 12.0))
+        eid += 1
+    rows.append((eid, t0 + timedelta(hours=eid), 2, 100.0)); eid += 1
+    # user 3: constant baseline (variance 0), then a spike -> no verdict
+    for i in range(12):
+        rows.append((eid, t0 + timedelta(hours=eid), 3, 10.0)); eid += 1
+    rows.append((eid, t0 + timedelta(hours=eid), 3, 100.0)); eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": ["view"] * len(rows),
+                "value": pa.array([r[3] for r in rows]),
+                "props": ["{}"] * len(rows),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = {
+        r.event_id: r.z_score
+        for r in events_user_zscore_anomalies(spark, str(tmp_path)).collect()
+    }
+    # only user 1's spike is flagged
+    assert set(got) == {12}
+    # hand-derived: n=12, mean=11e6, sample var=12*(1e6)^2/11 (micro-units)
+    import math
+
+    n, vm = 12, 100_000_000
+    s = 6 * 10_000_000 + 6 * 12_000_000
+    ss = 6 * 10_000_000**2 + 6 * 12_000_000**2
+    z = (n * vm - s) / (n * math.sqrt((n * ss - s * s) / (n * (n - 1.0))))
+    assert got[12] == round(z, 4)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = {r[0]: r[4] for r in con.execute(ZSCORE_ORACLE).fetchall()}
+    assert got == want
