@@ -611,6 +611,39 @@ def stream_path_conversions_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zscore_live_oracle() -> str:
+    from .timeseries import ZSCORE_ORACLE
+
+    return ZSCORE_ORACLE
+
+
+@query("stream_zscore_anomalies_live", oracle=_zscore_live_oracle())
+def stream_zscore_anomalies_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rolling z-score detector (``events_user_zscore_anomalies``)
+    as a THIRD custom stateful streaming operator on the real engine:
+    per-user ring-buffer state (the trailing ROWS frame made literal)
+    advanced across >= 4 genuine micro-batches via
+    ``streaming/anomaly.py``. The kernel emits exact integer baselines
+    only; the IEEE z tail is the SAME Spark column expression the batch
+    operator runs (``timeseries.zscore_tail``), applied after the
+    memory sink — so the float path the oracle hash-checks is
+    JVM-vs-DuckDB, never Python. Emission is append-only because each
+    event's verdict depends only on its user's strictly-earlier events
+    (prefix-stable; anomaly module docstring). Same oracle as the batch
+    twin (mechanics in ``_run_live``)."""
+    from ..streaming.anomaly import zscore_stream_v1
+    from .timeseries import zscore_tail
+
+    scored = _run_live(
+        spark,
+        sf_dir,
+        zscore_stream_v1,
+        "t_zscore_live",
+        output_mode="append",
+    )
+    return zscore_tail(scored)
+
+
 CHUNK_SINK_ORACLE = """
 SELECT CAST(doc_id AS VARCHAR) || chr(9) || md5(text) AS line
 FROM documents

@@ -762,6 +762,25 @@ def events_user_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vm").over(tw).alias("s"),
         F.sum(F.col("vm").cast("decimal(38,0)") * F.col("vm")).over(tw).alias("ss"),
     )
+    return zscore_tail(
+        w.where(
+            (F.col("n") >= ZS_MIN_HIST)
+            & (
+                F.col("n") * F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s")
+                > 0
+            )
+        )
+    )
+
+
+def zscore_tail(scored: DataFrame) -> DataFrame:
+    """The IEEE tail of the rolling z-score, shared verbatim by the
+    batch operator and the streaming twin's post-sink projection: given
+    rows carrying exact integer (vm, n, s, ss) baselines (n >=
+    ``ZS_MIN_HIST``, positive variance already guaranteed), evaluate
+    z = (n*vm - s) / (n * sqrt((n*ss - s^2) / (n*(n-1)))) in the fixed
+    textual order, round to 4, and keep |z| >= ``ZS_THRESHOLD``."""
     var_num = F.col("n") * F.col("ss").cast("double") - F.col("s").cast(
         "double"
     ) * F.col("s")
@@ -774,8 +793,6 @@ def events_user_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         4,
     )
-    return (
-        w.where((F.col("n") >= ZS_MIN_HIST) & (var_num > 0))
-        .select("event_id", "user_id", "ts", "value", z.alias("z_score"))
-        .where(F.abs(F.col("z_score")) >= ZS_THRESHOLD)
-    )
+    return scored.select(
+        "event_id", "user_id", "ts", "value", z.alias("z_score")
+    ).where(F.abs(F.col("z_score")) >= ZS_THRESHOLD)

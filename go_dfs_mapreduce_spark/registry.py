@@ -161,7 +161,7 @@ _DRIVER_SHOWCASE = (
     "dedup_fuzzy_levenshtein",
     "bpe_merge_candidates",
     "events_user_zscore_anomalies",
-    "interval_arithmetic_showcase",
+    "stream_zscore_anomalies_live",
     "dedup_containment",
 )
 

@@ -786,3 +786,60 @@ def test_path_conversion_ttl_evicts_converted_state(spark, tmp_path):
     finally:
         q.stop()
         spark.catalog.dropTempView("t_path_ttl")
+
+
+def test_zscore_kernel_batching_invariant_and_matches_bruteforce():
+    """The z-score ring kernel's scored rows are identical whether a
+    user's events arrive as one chunk, two micro-batches, or one row per
+    batch — and equal a brute-force trailing-window recomputation. Pure
+    kernel test (no engine): drives _fold_zscore directly."""
+    import math
+    import random
+
+    import pandas as pd
+
+    from go_dfs_mapreduce_spark.operators.timeseries import (
+        ZS_MIN_HIST,
+        ZS_WINDOW,
+    )
+    from go_dfs_mapreduce_spark.streaming.anomaly import _fold_zscore
+
+    rng = random.Random(8)
+    rows = [
+        (i, pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=i),
+         round(rng.expovariate(1 / 50.0), 2))
+        for i in range(60)
+    ]
+
+    def chunked(splits):
+        pdfs = [
+            pd.DataFrame(
+                part, columns=["event_id", "ts", "value"]
+            )
+            for part in splits
+            if part
+        ]
+        hist, out = [], []
+        for pdf in pdfs:
+            hist, o = _fold_zscore(hist, [pdf])
+            out.extend(o)
+        return hist, out
+
+    one_hist, one_out = chunked([rows])
+    two_hist, two_out = chunked([rows[:17], rows[17:]])
+    rowwise_hist, rowwise_out = chunked([[r] for r in rows])
+    assert one_out == two_out == rowwise_out
+    assert one_hist == two_hist == rowwise_hist
+    assert len(one_hist) == ZS_WINDOW  # ring stays bounded
+
+    # brute force: trailing <=ZS_WINDOW previous values per event
+    vms = [int(math.floor(v * 1_000_000 + 0.5)) for _, _, v in rows]
+    expect = []
+    for i, (eid, ts, val) in enumerate(rows):
+        hist = vms[max(0, i - ZS_WINDOW):i]
+        n = len(hist)
+        if n >= ZS_MIN_HIST:
+            s, ss = sum(hist), sum(v * v for v in hist)
+            if n * float(ss) - float(s) * float(s) > 0:
+                expect.append((eid, ts, val, n, vms[i], s, ss))
+    assert one_out == expect
