@@ -1637,6 +1637,19 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = n.alias("a"), n.alias("b")
     la, lb = F.length("a.t"), F.length("b.t")
     mx = F.greatest(la, lb)
+    raw_sim = F.round(
+        1.0
+        - F.levenshtein(F.col("a.t"), F.col("b.t")).cast("long") * 1.0 / mx,
+        6,
+    )
+    # the WHOLE conjunction rides the join condition, cheap tests first:
+    # codegen evaluates ANDs left-to-right, so the O(len^2) levenshtein
+    # only runs on pairs that already passed the id-order and length-gap
+    # prunes. Leaving the threshold as a post-join .where instead lets
+    # Catalyst push it back into the join condition AHEAD of the cheap
+    # predicates — measured: the DP then runs on every prefix-colliding
+    # probe INCLUDING the |corpus| self-pairs (doc_id< had not filtered
+    # them yet), 5.1 s -> 1.1 s at sf0.1 for the same 256 rows.
     cand = a.join(
         b,
         (
@@ -1644,17 +1657,14 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.substring(F.col("b.t"), 1, LEV_PREFIX)
         )
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.abs(la - lb) <= mx * (1.0 - LEV_SIM_MIN)),
-    ).select(
+        & (F.abs(la - lb) <= mx * (1.0 - LEV_SIM_MIN))
+        & (raw_sim >= LEV_SIM_MIN),
+    )
+    return cand.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         F.levenshtein(F.col("a.t"), F.col("b.t")).cast("long").alias(
             "edit_dist"
         ),
-        mx.alias("mx"),
-    )
-    sim = F.round(1.0 - F.col("edit_dist") * 1.0 / F.col("mx"), 6)
-    return (
-        cand.select("doc_a", "doc_b", "edit_dist", sim.alias("edit_sim"))
-        .where(F.col("edit_sim") >= LEV_SIM_MIN)
+        raw_sim.alias("edit_sim"),
     )
