@@ -368,3 +368,175 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# --------------------------------------------------------------------------
+# BPE training, three merges deep: count -> merge -> recount on the
+# word-frequency table (the way real BPE trainers iterate)
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 3
+
+# adjacent symbol pairs of one word, weighted later by word frequency;
+# CASE guards fully-merged 1-symbol words (sequence(1, 0) is DESCENDING
+# in Spark — the pmi_collocations trap)
+_BPE_PAIRS = (
+    "CASE WHEN size(syms) < 2 THEN array() ELSE "
+    "transform(sequence(1, size(syms) - 1),"
+    " i -> struct(element_at(syms, i) AS s1, element_at(syms, i + 1) AS s2))"
+    " END"
+)
+
+# greedy left-to-right merge application: fold the symbol array, merging
+# (prev, cur) == (s1, s2) as we go — the fold handles shared-symbol runs
+# ('a a a a' under winner (a,a) -> 'aa aa') correctly because a merged
+# symbol no longer equals s1
+_BPE_FOLD = (
+    "aggregate(slice(syms, 2, size(syms) - 1), array(element_at(syms, 1)),"
+    " (acc, x) -> IF(element_at(acc, -1) = s1 AND x = s2,"
+    " concat(slice(acc, 1, size(acc) - 1), array(concat(s1, s2))),"
+    " concat(acc, array(x))))"
+)
+
+
+def _bpe_oracle() -> str:
+    # the DuckDB twin: same vocab weighting; the greedy fold is a
+    # recursive CTE advancing one symbol per step (list-accumulator
+    # fold), the winner a 1-row CTE the next stage cross-joins
+    def pairs(wtab: str) -> str:
+        return f"""
+  SELECT syms[CAST(i AS INT)] AS s1, syms[CAST(i AS INT) + 1] AS s2,
+         SUM(wcount) AS cnt
+  FROM {wtab}, UNNEST(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2"""
+
+    def fold(src: str, win: str, out: str) -> str:
+        return f"""
+f_{out} AS (
+  SELECT wid, wcount, syms, 1 AS i, [syms[1]] AS acc FROM {src}
+  UNION ALL
+  SELECT f.wid, f.wcount, f.syms, f.i + 1,
+    CASE WHEN f.acc[-1] = {win}.s1 AND f.syms[f.i + 1] = {win}.s2
+         THEN list_append(f.acc[1:len(f.acc) - 1], {win}.s1 || {win}.s2)
+         ELSE list_append(f.acc, f.syms[f.i + 1]) END
+  FROM f_{out} f, {win} WHERE f.i < len(f.syms)
+),
+{out} AS (SELECT wid, wcount, acc AS syms FROM f_{out} WHERE i = len(syms))"""
+
+    return f"""
+WITH RECURSIVE
+w0 AS (
+  SELECT row_number() OVER () AS wid, COUNT(*) AS wcount,
+         regexp_extract_all(w, '.') AS syms
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w
+),
+p1 AS ({pairs('w0')}),
+win1 AS (SELECT s1, s2, cnt FROM p1 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+{fold('w0', 'win1', 'w1')},
+p2 AS ({pairs('w1')}),
+win2 AS (SELECT s1, s2, cnt FROM p2 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+{fold('w1', 'win2', 'w2')},
+p3 AS ({pairs('w2')}),
+win3 AS (SELECT s1, s2, cnt FROM p3 ORDER BY cnt DESC, s1, s2 LIMIT 1)
+SELECT 1 AS merge_step, s1 AS left_sym, s2 AS right_sym,
+       CAST(cnt AS BIGINT) AS pair_count FROM win1
+UNION ALL
+SELECT 2, s1, s2, CAST(cnt AS BIGINT) FROM win2
+UNION ALL
+SELECT 3, s1, s2, CAST(cnt AS BIGINT) FROM win3
+"""
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, THREE merge iterations deep — the full
+    count -> pick winner -> greedily re-merge -> recount loop (Sennrich
+    et al. 2016), not just the first candidate table
+    (``bpe_merge_candidates``). Each row is one learned merge rule with
+    its corpus pair count at the time it was chosen; ties break
+    lexically so the learned vocabulary is deterministic.
+
+    Scale design — the three decisions that make this the 100 TB shape:
+
+    - **Iterate on the word-frequency table, not the corpus**: the one
+      corpus-sized stage is the initial ``groupBy(word).count()``
+      (map-side combined); every merge iteration folds the DISTINCT
+      vocabulary (pair counts weighted by word frequency — identical
+      totals, |vocab|-sized work). Real BPE trainers do exactly this.
+    - **Fully declarative loop**: winners are 1-row frames broadcast
+      into the next iteration's fold (``crossJoin(broadcast(...))``) —
+      no driver-side ``collect`` anywhere, so the whole 3-iteration
+      train is ONE Spark job the scheduler pipelines.
+    - **Per-iteration exchanges are alphabet-bounded**: pair-count
+      groupBys partial-aggregate into the (current) symbol-pair
+      keyspace; the greedy merge application is an in-row array fold
+      (O(len^2) array copies on <= word-length arrays).
+
+    The vocab frames feeding two consumers (winner + next fold) are
+    persisted eagerly — ReuseExchange does not fire across
+    differently-pruned subtrees (SCALE.md). More merges = the same plan
+    repeated (the ``pagerank_parts_2iter`` fixed-iteration convention);
+    a production trainer loops with a checkpoint every ~50 merges.
+
+    Greedy-run correctness: folding left-to-right merges 'a a a a'
+    under winner (a, a) into 'aa aa' (the merged symbol no longer
+    equals s1), matching reference BPE; the DuckDB oracle replays the
+    identical fold as a recursive CTE, so the gate hash-checks all
+    three learned rules and their counts."""
+    docs = table(spark, sf_dir, "documents")
+    w0 = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .select(
+            "wcount", F.expr("regexp_extract_all(w, '.', 0)").alias("syms")
+        )
+    )
+
+    def top_pair(wdf: DataFrame) -> DataFrame:
+        return (
+            wdf.select(
+                "wcount", F.explode(F.expr(_BPE_PAIRS)).alias("p")
+            )
+            .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+            .agg(F.sum("wcount").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("s1"), F.asc("s2"))
+            .limit(1)
+        )
+
+    def apply_merge(wdf: DataFrame, win: DataFrame) -> DataFrame:
+        return wdf.crossJoin(F.broadcast(win.select("s1", "s2"))).select(
+            "wcount", F.expr(_BPE_FOLD).alias("syms")
+        )
+
+    out = []
+    w = w0
+    for step in range(1, BPE_MERGES + 1):
+        # each vocab frame feeds two consumers (its winner aggregate and
+        # the next fold); persist + eager count per the kmeans /
+        # SCALE.md branch-race convention — the frames are vocab-sized
+        w = w.persist()
+        w.count()
+        win = top_pair(w)
+        out.append(
+            win.select(
+                F.lit(step).alias("merge_step"),
+                F.col("s1").alias("left_sym"),
+                F.col("s2").alias("right_sym"),
+                "pair_count",
+            )
+        )
+        if step < BPE_MERGES:
+            w = apply_merge(w, win)
+    res = out[0]
+    for nxt in out[1:]:
+        res = res.unionAll(nxt)
+    return res

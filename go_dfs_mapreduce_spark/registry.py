@@ -162,7 +162,7 @@ _DRIVER_SHOWCASE = (
     "bpe_merge_candidates",
     "events_user_zscore_anomalies",
     "stream_zscore_anomalies_live",
-    "dedup_containment",
+    "bpe_train_merges",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT

@@ -1317,3 +1317,54 @@ def test_zscore_anomalies_handcrafted(spark, tmp_path):
     )
     want = {r[0]: r[4] for r in con.execute(ZSCORE_ORACLE).fetchall()}
     assert got == want
+
+
+def test_bpe_train_merges_greedy_run_semantics(spark, tmp_path):
+    """Three BPE merges on a corpus engineered around the shared-symbol
+    run case: under winner (a, a), 'aaaa' must re-tokenize to [aa, aa]
+    (greedy left-to-right — NOT three overlapping merges), making
+    (aa, aa) the second learned rule. Cross-checked against the DuckDB
+    recursive-CTE oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.textstats import (
+        _bpe_oracle,
+        bpe_train_merges,
+    )
+
+    texts = ["aaaa aaaa ab", "x"]  # 'x' is a 1-letter run: contributes nothing
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = [
+        (r.merge_step, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train_merges(spark, str(tmp_path))
+        .orderBy("merge_step")
+        .collect()
+    ]
+    # step 1: (a,a) x3 per 'aaaa' x2 occurrences = 6, beats (a,b)=1
+    # step 2: 'aaaa' -> [aa, aa], so (aa,aa)=2 beats (a,b)=1
+    # step 3: 'aaaa' -> [aaaa]; only (a,b)=1 remains
+    assert got == [
+        (1, "a", "a", 6),
+        (2, "aa", "aa", 2),
+        (3, "a", "b", 1),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(_bpe_oracle()).fetchall())
+    assert got == want
