@@ -782,3 +782,18 @@ def test_round8_operator_plan_contracts(spark, sf_dir):
     assert "Exchange SinglePartition" not in a["plan"]
     assert "Join" not in a["plan"]
     assert set(a["read_columns"]) == {"event_id", "ts", "user_id", "value"}
+
+    # bpe_train_merges: declarative 3-iteration loop — winners enter the
+    # next fold as broadcast joins (never a shuffled join of the vocab),
+    # pair counts partial-aggregate, no python worker, text-only scan
+    from go_dfs_mapreduce_spark.operators.textstats import bpe_train_merges
+
+    a = audit_plan(bpe_train_merges(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_sortmerge_joins"] == 0
+    # the 1-row winners enter the next fold as BROADCAST nested-loop
+    # cross joins (no equi-key exists on a literal cross of 1 row);
+    # never a driver collect, never an un-broadcast CartesianProduct
+    assert a["plan"].count("BroadcastNestedLoopJoin Cross BuildRight") >= 2
+    assert "CartesianProduct" not in a["plan"]
+    assert set(a["read_columns"]) == {"text"}
