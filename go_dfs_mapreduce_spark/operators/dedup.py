@@ -1668,3 +1668,117 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         raw_sim.alias("edit_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003, "Winnowing: Local
+# Algorithms for Document Fingerprinting"): char-gram rolling hashes,
+# per-window minima, bucket join on the selected fingerprints.
+# --------------------------------------------------------------------------
+
+WIN_K = 24  # char-gram length (hash unit)
+WIN_W = 8  # winnowing window: one fingerprint per W consecutive grams
+WIN_MAX_DOC_FREQ = 50  # hot-fingerprint cap on pair generation
+WIN_MIN_SHARED = 5  # candidate pairs must share at least this many fps
+
+WINNOW_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         CAST(('0x' || substr(md5(substr(norm, CAST(i AS INT), {WIN_K})),
+                              1, 15))::UBIGINT AS BIGINT) AS h
+  FROM n, UNNEST(range(1, length(norm) - {WIN_K - 2})) AS u(i)
+),
+wnd AS (
+  SELECT doc_id, CAST(j AS INT) AS j
+  FROM n, UNNEST(range(1, length(norm) - {WIN_K - 2} - {WIN_W - 1})) AS u(j)
+),
+fp AS (
+  SELECT DISTINCT t.doc_id, t.fp FROM (
+    SELECT g.doc_id, wnd.j, MIN(h) AS fp
+    FROM g JOIN wnd
+      ON g.doc_id = wnd.doc_id AND g.i BETWEEN wnd.j AND wnd.j + {WIN_W - 1}
+    GROUP BY g.doc_id, wnd.j
+  ) t
+),
+cold AS (
+  SELECT fp, list(doc_id) AS docs FROM fp
+  GROUP BY fp HAVING COUNT(*) <= {WIN_MAX_DOC_FREQ}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM (SELECT unnest(docs) AS doc_id, fp FROM cold) a
+JOIN (SELECT unnest(docs) AS doc_id, fp FROM cold) b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WIN_MIN_SHARED}
+"""
+
+
+@query("winnow_candidate_pairs", oracle=WINNOW_ORACLE)
+def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003) as a near-dup
+    candidate generator: hash every ``WIN_K``-char gram of the
+    normalized text, keep the MINIMUM hash of each ``WIN_W``-gram
+    window, and pair documents sharing >= ``WIN_MIN_SHARED`` selected
+    fingerprints. The winnowing guarantee: any substring match of
+    length >= WIN_K + WIN_W - 1 chars yields at least one SHARED
+    fingerprint, with selection density <= 2/(WIN_W+1) — position-robust
+    (an edit shifts gram positions but window minima re-align), which
+    MinHash's whole-document signatures are not.
+
+    Scale design: gram hashing AND window-minimum selection run IN-ROW
+    (one transform over the gram sequence, one array_min per window —
+    no explode of gram rows, no per-window shuffle; the DuckDB oracle's
+    gram x window range JOIN is the shape this avoids). Only the
+    DISTINCT selected fingerprints leave the row (~2/(W+1) of grams),
+    into the standard bucket pipeline: hot-fingerprint cap
+    (> ``WIN_MAX_DOC_FREQ`` docs = boilerplate, generates O(n^2) pairs
+    with no signal — the ngram_jaccard cap rationale), then in-bucket
+    pair expansion + a partial-aggregated shared count. All hashing is
+    md5-derived 60-bit ints (the engine-portable hash family)."""
+    docs = table(spark, sf_dir, "documents")
+    grams = (
+        f"CASE WHEN length(norm) < {WIN_K} THEN array() ELSE "
+        f"transform(sequence(1, length(norm) - {WIN_K - 1}),"
+        f" i -> CAST(conv(substr(md5(substr(norm, i, {WIN_K})), 1, 15),"
+        f" 16, 10) AS BIGINT)) END"
+    )
+    fps = (
+        f"CASE WHEN size(h) < {WIN_W} THEN array() ELSE "
+        f"array_distinct(transform(sequence(1, size(h) - {WIN_W - 1}),"
+        f" j -> array_min(slice(h, j, {WIN_W})))) END"
+    )
+    sel = (
+        docs.select(
+            "doc_id",
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias(
+                "norm"
+            ),
+        )
+        .select("doc_id", F.expr(grams).alias("h"))
+        .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+    )
+    cold = (
+        sel.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .where(F.size("docs") <= WIN_MAX_DOC_FREQ)
+        .select("fp", F.explode("docs").alias("doc_id"))
+    )
+    a, b = cold.alias("a"), cold.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= WIN_MIN_SHARED)
+    )

@@ -149,7 +149,7 @@ _DRIVER_SHOWCASE = (
     "doc_length_ks_drift",
     "chi_square_source_drift",
     "bm25_search_topk",
-    "unigram_freq_scores",
+    "winnow_candidate_pairs",
     "inverted_index_postings",
     "dedup_survivor_quality",
     "hard_negative_mining",

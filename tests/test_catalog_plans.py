@@ -797,3 +797,17 @@ def test_round8_operator_plan_contracts(spark, sf_dir):
     assert a["plan"].count("BroadcastNestedLoopJoin Cross BuildRight") >= 2
     assert "CartesianProduct" not in a["plan"]
     assert set(a["read_columns"]) == {"text"}
+
+    # winnow_candidate_pairs: gram hashing + window minima are IN-ROW
+    # (no Generate until the distinct-fingerprint explode), the pair
+    # join is an equi-join on fp, shared counts partial-aggregate
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        winnow_candidate_pairs,
+    )
+
+    a = audit_plan(winnow_candidate_pairs(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "CartesianProduct" not in a["plan"]
+    assert "BroadcastNestedLoopJoin" not in a["plan"]
+    assert "partial_count" in a["plan"]
+    assert set(a["read_columns"]) == {"doc_id", "text"}

@@ -1368,3 +1368,56 @@ def test_bpe_train_merges_greedy_run_semantics(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.execute(_bpe_oracle()).fetchall())
     assert got == want
+
+
+def test_winnow_candidate_pairs_handcrafted(spark, tmp_path):
+    """Winnowing semantics: a one-word edit between two long docs leaves
+    their window minima mostly aligned (pair found, position-robust), an
+    unrelated doc pairs with nothing, and a doc shorter than the gram
+    length emits no fingerprints at all. Cross-checked against the
+    DuckDB oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        WINNOW_ORACLE,
+        winnow_candidate_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz under the harvest moon and the river carries small "
+        "boats toward the old stone bridge at the edge of town"
+    )
+    texts = [
+        base,
+        base.replace("waltz", "polka"),  # one mid-doc edit
+        "completely different content about spark shuffles and parquet "
+        "row groups and adaptive query execution and broadcast joins in "
+        "a long enough paragraph to generate plenty of fingerprints",
+        "too short",  # < WIN_K chars: no grams, no fingerprints
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rows = winnow_candidate_pairs(spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b): r.shared_fps for r in rows}
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] >= 5
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = {(a, b): s for a, b, s in con.execute(WINNOW_ORACLE).fetchall()}
+    assert got == want
