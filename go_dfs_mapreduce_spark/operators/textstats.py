@@ -540,3 +540,127 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in out[1:]:
         res = res.unionAll(nxt)
     return res
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, appendix A1.1): the classic
+# rule-based document gate, every statistic rational-exact
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOP_DISTINCT = 2
+
+GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0
+          / NULLIF(len(toks), 0), 6) AS mean_word_len,
+    ROUND(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) * 1.0
+          / NULLIF(len(toks), 0), 6) AS alpha_word_ratio,
+    CAST(len(list_distinct(list_filter(toks,
+         x -> x IN ({STOPWORDS})))) AS BIGINT) AS n_stop_distinct
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, n_stop_distinct,
+  n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+    AS rule_word_count,
+  COALESCE(mean_word_len >= {GOPHER_MIN_MEAN_WLEN}
+           AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN}, FALSE)
+    AS rule_mean_word_len,
+  COALESCE(alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO}, FALSE)
+    AS rule_alpha_words,
+  n_stop_distinct >= {GOPHER_MIN_STOP_DISTINCT} AS rule_stopwords,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+  AND COALESCE(mean_word_len >= {GOPHER_MIN_MEAN_WLEN}
+               AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN}, FALSE)
+  AND COALESCE(alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO}, FALSE)
+  AND n_stop_distinct >= {GOPHER_MIN_STOP_DISTINCT} AS passes_all
+FROM s
+"""
+
+
+@query("gopher_quality_rules", oracle=GOPHER_ORACLE)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-based quality gate (Rae et al. 2021, A1.1),
+    adapted to the corpus's whitespace tokenization: word-count bounds,
+    mean-word-length band, minimum fraction of purely-alphabetic words,
+    and a minimum number of DISTINCT stopwords present (the
+     'natural-language evidence' rule). Emits each statistic, each
+    rule's verdict, and the conjunction — the audit table a curation
+    pipeline thresholds and debugs against, complementing the scored
+    (not ruled) ``text_quality_scores``.
+
+    Determinism: every statistic is a rational of exact integer counts
+    with ONE IEEE division rounded to 6 before any compare; rule
+    verdicts compare the rounded values, so both engines gate
+    identically (empty docs: NULL-ratio rules coalesce to FALSE).
+
+    Scale: one corpus scan, everything in-row (token filter, length
+    fold, distinct-stopword count over a <= 8-element intersection) —
+    zero shuffles, zero joins; the operator is a single codegen'd
+    projection like ``token_diversity_scores``."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '\\\\s+'), x -> x <> '')"
+        ).alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.round(
+            F.expr(
+                "aggregate(toks, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+            )
+            * 1.0
+            / F.nullif(F.size("toks"), F.lit(0)),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.expr("filter(toks, x -> x rlike '^[a-z]+$')"))
+            * 1.0
+            / F.nullif(F.size("toks"), F.lit(0)),
+            6,
+        ).alias("alpha_word_ratio"),
+        F.size(
+            F.array_distinct(
+                F.expr(f"filter(toks, x -> x IN ({STOPWORDS}))")
+            )
+        )
+        .cast("long")
+        .alias("n_stop_distinct"),
+    )
+    r_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    r_mwl = F.coalesce(
+        (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WLEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WLEN),
+        F.lit(False),
+    )
+    r_alpha = F.coalesce(
+        F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_RATIO, F.lit(False)
+    )
+    r_stop = F.col("n_stop_distinct") >= GOPHER_MIN_STOP_DISTINCT
+    return s.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_ratio",
+        "n_stop_distinct",
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_mwl & r_alpha & r_stop).alias("passes_all"),
+    )

@@ -151,7 +151,7 @@ _DRIVER_SHOWCASE = (
     "bm25_search_topk",
     "winnow_candidate_pairs",
     "inverted_index_postings",
-    "dedup_survivor_quality",
+    "gopher_quality_rules",
     "hard_negative_mining",
     "training_pipeline_funnel",
     "stream_dedup_incremental_live",

@@ -811,3 +811,15 @@ def test_round8_operator_plan_contracts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in a["plan"]
     assert "partial_count" in a["plan"]
     assert set(a["read_columns"]) == {"doc_id", "text"}
+
+    # gopher_quality_rules: one codegen'd projection over the scan —
+    # zero exchanges, no explode, 2-col read (the diversity contract)
+    from go_dfs_mapreduce_spark.operators.textstats import (
+        gopher_quality_rules,
+    )
+
+    a = audit_plan(gopher_quality_rules(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_exchanges"] == 0
+    assert "Generate" not in a["plan"]
+    assert set(a["read_columns"]) == {"doc_id", "text"}

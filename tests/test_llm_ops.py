@@ -1421,3 +1421,66 @@ def test_winnow_candidate_pairs_handcrafted(spark, tmp_path):
     )
     want = {(a, b): s for a, b, s in con.execute(WINNOW_ORACLE).fetchall()}
     assert got == want
+
+
+def test_gopher_rules_handcrafted(spark, tmp_path):
+    """Gopher gate verdicts on engineered docs: a 60-word natural doc
+    passes all rules; a 10-word doc fails only word-count; a doc of
+    numeric tokens fails alpha-ratio (and stopwords); an empty doc fails
+    everything with NULL ratios coalesced to FALSE. Cross-checked
+    against the DuckDB oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.textstats import (
+        GOPHER_ORACLE,
+        gopher_quality_rules,
+    )
+
+    good = " ".join(
+        ["the quick brown fox and the lazy dog walk to market"] * 6
+    )  # 66 words, stopwords the/and/to/a... distinct >= 2
+    texts = [
+        good,
+        "the cat sat on a mat with the red hat now",  # 11 words < 50
+        " ".join(["12345 67890"] * 30),  # 60 numeric words: alpha=0, no stops
+        "",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rows = {
+        r.doc_id: r
+        for r in gopher_quality_rules(spark, str(tmp_path)).collect()
+    }
+    assert rows[0].passes_all
+    assert not rows[1].rule_word_count and rows[1].rule_stopwords
+    assert not rows[2].rule_alpha_words and not rows[2].rule_stopwords
+    assert rows[2].rule_word_count  # 60 words is in range
+    assert rows[3].n_words == 0 and not rows[3].passes_all
+    assert rows[3].mean_word_len is None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = {r[0]: tuple(r) for r in con.execute(GOPHER_ORACLE).fetchall()}
+    got = {
+        d: (
+            d, r.n_words, r.mean_word_len, r.alpha_word_ratio,
+            r.n_stop_distinct, r.rule_word_count, r.rule_mean_word_len,
+            r.rule_alpha_words, r.rule_stopwords, r.passes_all,
+        )
+        for d, r in rows.items()
+    }
+    assert got == want
