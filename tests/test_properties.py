@@ -525,3 +525,92 @@ def test_compaction_grid_laws():
                     prev = c
     finally:
         sb.INC_COMPACT_KEEP, sb.INC_COMPACT_STEP = orig
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=2, max_size=8), min_size=1, max_size=12
+    ),
+    merges=st.integers(1, 3),
+)
+@settings(
+    max_examples=6,  # each example is `merges` sequential Spark jobs
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_fold_matches_reference_greedy(spark, words, merges):
+    """The in-row BPE merge fold (_BPE_FOLD) must equal reference greedy
+    left-to-right merge application for ANY symbol sequence and winner —
+    including shared-symbol runs ('aaaa' + (a,a) -> [aa, aa]) — across
+    successive merges whose winners are recomputed the way the operator
+    picks them (count desc, pair asc). Two-letter alphabet maximizes
+    run/overlap collisions."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.textstats import _BPE_FOLD
+
+    def ref_apply(syms, s1, s2):
+        out = []
+        for x in syms:
+            if out and out[-1] == s1 and x == s2:
+                out[-1] = s1 + s2
+            else:
+                out.append(x)
+        return out
+
+    state = [list(w) for w in words]
+    for _ in range(merges):
+        cnt = Counter(
+            (s[i], s[i + 1]) for s in state for i in range(len(s) - 1)
+        )
+        if not cnt:
+            break
+        (s1, s2), _ = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        want = [ref_apply(s, s1, s2) for s in state]
+        df = spark.createDataFrame(
+            [(s,) for s in state], "syms array<string>"
+        ).crossJoin(
+            spark.createDataFrame([(s1, s2)], "s1 string, s2 string")
+        )
+        got = [r.m for r in df.select(F.expr(_BPE_FOLD).alias("m")).collect()]
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        state = want
+
+
+@given(
+    ctx_a=st.text(alphabet="qwzx", min_size=0, max_size=40),
+    ctx_b=st.text(alphabet="jkvf", min_size=0, max_size=40),
+    core=st.text(alphabet="abcdefgh", min_size=31, max_size=60),
+)
+@SET
+def test_winnowing_guarantee_shared_substring(ctx_a, ctx_b, core):
+    """The winnowing theorem (Schleimer et al.): two documents sharing a
+    substring of length >= WIN_K + WIN_W - 1 share at least one selected
+    fingerprint, regardless of surrounding context. Exercised through
+    the operator's own oracle SQL (DuckDB) on adversarial planted-core
+    corpora — disjoint context alphabets ensure the shared content is
+    only the core."""
+    import duckdb
+
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        WIN_K,
+        WIN_W,
+        WINNOW_ORACLE,
+    )
+
+    assert len(core) >= WIN_K + WIN_W - 1
+    fp_sql = WINNOW_ORACLE.split("cold AS")[0].rstrip().rstrip(",")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.execute(
+        "INSERT INTO documents VALUES (0, ?), (1, ?)",
+        [ctx_a + core, core + ctx_b],
+    )
+    fps = con.execute(
+        f"WITH {fp_sql.split('WITH', 1)[1]} SELECT doc_id, fp FROM fp"
+    ).fetchall()
+    a = {f for d, f in fps if d == 0}
+    b = {f for d, f in fps if d == 1}
+    assert a & b, "winnowing guarantee violated: no shared fingerprint"
