@@ -546,3 +546,113 @@ def distinct_sketch_rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= HLL_TOL * F.col("exact_distinct")
         ).alias("rollup_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min-sketch heavy hitters — the third sketch family (HLL counts
+# distincts, theta intersects sets, CMS estimates FREQUENCIES), with the
+# overestimate guarantee audited in-query against exact truth.
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 512  # buckets per row
+CMS_TOP = 32  # heavy hitters audited
+
+_CMS_TOKS_DUCK = """
+  SELECT t.tk AS token FROM (
+    SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+      AS toks FROM documents) d,
+    unnest(toks) t(tk)
+  WHERE t.tk <> ''
+"""
+
+CMS_AUDIT_ORACLE = f"""
+WITH toks AS ({_CMS_TOKS_DUCK}),
+cells AS (
+  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 15))
+             ::UBIGINT % {CMS_WIDTH} AS bucket,
+         COUNT(*) AS c
+  FROM toks, UNNEST(range(0, {CMS_DEPTH})) AS u(r)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT token, COUNT(*) AS exact_count FROM toks GROUP BY token
+  ORDER BY exact_count DESC, token LIMIT {CMS_TOP}
+),
+est AS (
+  SELECT e.token, e.exact_count, MIN(c.c) AS cms_estimate
+  FROM exact e, UNNEST(range(0, {CMS_DEPTH})) AS u(r)
+  JOIN cells c
+    ON c.r = u.r
+   AND c.bucket = ('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' || e.token),
+                   1, 15))::UBIGINT % {CMS_WIDTH}
+  GROUP BY 1, 2
+)
+SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       cms_estimate >= exact_count AS never_underestimates
+FROM est
+"""
+
+
+@query("heavy_hitters_cms_audit", oracle=CMS_AUDIT_ORACLE)
+def heavy_hitters_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimation for the corpus's top-``CMS_TOP`` tokens, audited in-query
+    against exact truth: each token is counted into ``CMS_DEPTH``
+    md5-derived buckets of ``CMS_WIDTH``, its estimate is the MIN across
+    rows, and the emitted ``never_underestimates`` flag pins the CMS
+    one-sided error guarantee (estimate >= truth, always — collisions
+    only inflate). The hash family is md5-derived, so both engines build
+    the IDENTICAL sketch and the gate hash-checks estimates exactly, not
+    just the flag.
+
+    Scale: the sketch build is one scan + a groupBy whose keyspace is
+    fixed at DEPTH x WIDTH = 2048 cells — map-side combine bounds the
+    shuffle at 2048 rows per partition no matter the corpus (the same
+    argument as ``bpe_merge_candidates``); the sketch itself is ~16 KB
+    and mergeable across partitions/days by cell-wise addition, which is
+    why CMS is the 100 TB heavy-hitters shape (exact top-k needs the
+    full token keyspace shuffled). The exact side here is the AUDIT, at
+    gate scale only — production queries the sketch alone."""
+    from ..functions.text import exploded_words
+
+    docs = table(spark, sf_dir, "documents")
+    toks = exploded_words(docs, "text").select(F.col("word").alias("token"))
+    bucket = (
+        f"CAST(conv(substr(md5(concat(CAST(r AS STRING), ':', token)),"
+        f" 1, 15), 16, 10) AS BIGINT) % {CMS_WIDTH}"
+    )
+    cells = (
+        toks.select(
+            "token",
+            F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("r"),
+        )
+        .select("r", F.expr(bucket).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(CMS_TOP)
+    )
+    probes = exact.select(
+        "token",
+        "exact_count",
+        F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("r"),
+    ).select("token", "exact_count", "r", F.expr(bucket).alias("bucket"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+        .select(
+            "token",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_count")).alias(
+                "never_underestimates"
+            ),
+        )
+    )

@@ -152,7 +152,7 @@ _DRIVER_SHOWCASE = (
     "winnow_candidate_pairs",
     "inverted_index_postings",
     "gopher_quality_rules",
-    "hard_negative_mining",
+    "heavy_hitters_cms_audit",
     "training_pipeline_funnel",
     "stream_dedup_incremental_live",
     "hard_negative_mining_batched",

@@ -823,3 +823,18 @@ def test_round8_operator_plan_contracts(spark, sf_dir):
     assert a["n_exchanges"] == 0
     assert "Generate" not in a["plan"]
     assert set(a["read_columns"]) == {"doc_id", "text"}
+
+    # heavy_hitters_cms_audit: the sketch build's keyspace is fixed at
+    # DEPTH x WIDTH cells (map-side combine bounds the shuffle), the
+    # probe joins the broadcast sketch, exact top-K is a
+    # TakeOrderedAndProject
+    from go_dfs_mapreduce_spark.operators.stats import (
+        heavy_hitters_cms_audit,
+    )
+
+    a = audit_plan(heavy_hitters_cms_audit(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "partial_count" in a["plan"]
+    assert "TakeOrderedAndProject" in a["plan"]
+    assert a["n_broadcast_joins"] >= 1
+    assert set(a["read_columns"]) == {"text"}

@@ -1484,3 +1484,47 @@ def test_gopher_rules_handcrafted(spark, tmp_path):
         for d, r in rows.items()
     }
     assert got == want
+
+
+def test_cms_audit_guarantee_and_exactness(spark, tmp_path):
+    """CMS audit on a hand-counted corpus: the top tokens carry their
+    exact counts, every estimate satisfies the one-sided guarantee
+    (estimate >= truth), and with far fewer tokens than buckets the
+    estimates are collision-free and EQUAL truth. Cross-checked against
+    the DuckDB oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.stats import (
+        CMS_AUDIT_ORACLE,
+        heavy_hitters_cms_audit,
+    )
+
+    texts = ["alpha alpha alpha beta beta gamma", "alpha beta delta"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rows = heavy_hitters_cms_audit(spark, str(tmp_path)).collect()
+    got = {r.token: (r.exact_count, r.cms_estimate, r.never_underestimates) for r in rows}
+    assert got["alpha"][0] == 4 and got["beta"][0] == 3
+    assert got["gamma"][0] == 1 and got["delta"][0] == 1
+    assert all(v[2] for v in got.values())
+    # 4 tokens into 512 buckets x 4 rows: no collisions, estimates exact
+    assert all(v[1] == v[0] for v in got.values())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(CMS_AUDIT_ORACLE).fetchall()}
+    assert got == want
