@@ -796,3 +796,104 @@ def zscore_tail(scored: DataFrame) -> DataFrame:
     return scored.select(
         "event_id", "user_id", "ts", "value", z.alias("z_score")
     ).where(F.abs(F.col("z_score")) >= ZS_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint alarms (Page 1954) via the prefix-min identity —
+# the sequential recursion made window-native, exact integers throughout
+# --------------------------------------------------------------------------
+
+CUSUM_TARGET_MICRO = 75_000_000  # reference level k (micro value units)
+CUSUM_ALARM_MICRO = 300_000_000  # alarm threshold h (micro value units)
+
+CUSUM_ORACLE = f"""
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) - {CUSUM_TARGET_MICRO} AS d
+  FROM events
+),
+p AS (
+  SELECT user_id, ts, event_id,
+    SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+  FROM m
+),
+s0 AS (
+  SELECT user_id, ts, event_id, pre,
+    MIN(pre) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+  FROM p
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         pre - LEAST(mn, 0) AS cusum_micro,
+         LAG(pre - LEAST(mn, 0), 1, 0) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_micro
+  FROM s0
+)
+SELECT user_id, ts, event_id, CAST(cusum_micro AS BIGINT) AS cusum_micro
+FROM s
+WHERE prev_micro <= {CUSUM_ALARM_MICRO} AND cusum_micro > {CUSUM_ALARM_MICRO}
+"""
+
+
+@query("events_cusum_alarms", oracle=CUSUM_ORACLE)
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint alarms (Page 1954) per user: the
+    classic sequential statistic S_i = max(0, S_{i-1} + (x_i - k)) looks
+    window-hostile (a recursion over the partition), but the identity
+    S_i = P_i - min(0, min_{j<=i} P_j) — P the running sum of
+    deviations — turns it into two stock running-window aggregates plus
+    a lag, all incrementally maintained. An alarm row is emitted at each
+    upward crossing of threshold h (no post-alarm reset: Page's
+    reset-to-zero would reintroduce the recursion; each excursion above
+    h alarms once per crossing, the monitoring-feed semantics).
+
+    Determinism: values quantize to integer micro-units and EVERY step —
+    running sum, running min, subtraction, lag, threshold compare — is
+    exact 64-bit integer arithmetic. This operator has no IEEE tail at
+    all (unlike the z-score's one sqrt), so cross-engine agreement is
+    unconditional.
+
+    Scale: mirrors ``events_user_zscore_anomalies`` — user-partitioned
+    running windows, O(1) state per row, cardinality grows with the
+    corpus; the streaming twin is a trivial 2-long ValueState (P, min P)
+    per key. CUSUM detects sustained small shifts the rolling z-score's
+    per-point outlier test misses — the complementary half of a
+    monitoring pair."""
+    events = table(spark, sf_dir, "events")
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.expr("CAST(ROUND(value * 1000000) AS BIGINT)")
+            - F.lit(CUSUM_TARGET_MICRO)
+        ).alias("d"),
+    )
+    p = m.select(
+        "user_id", "ts", "event_id", F.sum("d").over(cum).alias("pre")
+    )
+    s0 = p.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "pre",
+        F.min("pre").over(cum).alias("mn"),
+    )
+    cusum = F.col("pre") - F.least(F.col("mn"), F.lit(0))
+    s = s0.select(
+        "user_id",
+        "ts",
+        "event_id",
+        cusum.alias("cusum_micro"),
+        F.lag(cusum, 1, 0).over(ordered).alias("prev_micro"),
+    )
+    return s.where(
+        (F.col("prev_micro") <= CUSUM_ALARM_MICRO)
+        & (F.col("cusum_micro") > CUSUM_ALARM_MICRO)
+    ).select(
+        "user_id", "ts", "event_id", F.col("cusum_micro").cast("long")
+    )

@@ -153,7 +153,7 @@ _DRIVER_SHOWCASE = (
     "inverted_index_postings",
     "gopher_quality_rules",
     "heavy_hitters_cms_audit",
-    "training_pipeline_funnel",
+    "events_cusum_alarms",
     "stream_dedup_incremental_live",
     "hard_negative_mining_batched",
     "rag_chunk_topk",

@@ -838,3 +838,15 @@ def test_round8_operator_plan_contracts(spark, sf_dir):
     assert "TakeOrderedAndProject" in a["plan"]
     assert a["n_broadcast_joins"] >= 1
     assert set(a["read_columns"]) == {"text"}
+
+    # events_cusum_alarms: pure integer pipeline — user-partitioned
+    # running windows only, no join, no python, 4-col scan
+    from go_dfs_mapreduce_spark.operators.timeseries import (
+        events_cusum_alarms,
+    )
+
+    a = audit_plan(events_cusum_alarms(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "Join" not in a["plan"]
+    assert "Exchange SinglePartition" not in a["plan"]
+    assert set(a["read_columns"]) == {"event_id", "ts", "user_id", "value"}

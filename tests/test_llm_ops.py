@@ -1528,3 +1528,80 @@ def test_cms_audit_guarantee_and_exactness(spark, tmp_path):
     )
     want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(CMS_AUDIT_ORACLE).fetchall()}
     assert got == want
+
+
+def test_cusum_alarms_match_sequential_reference(spark, tmp_path):
+    """The window-native CUSUM (prefix-min identity) must equal the
+    textbook sequential recursion S_i = max(0, S_{i-1} + (x_i - k)):
+    a sustained shift alarms exactly at the reference's crossing row, a
+    user below target never alarms, and a brief spike below h stays
+    silent. Cross-checked against the DuckDB oracle."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.timeseries import (
+        CUSUM_ALARM_MICRO,
+        CUSUM_ORACLE,
+        CUSUM_TARGET_MICRO,
+        events_cusum_alarms,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # user 1: 5 quiet rows (value 10), then a sustained 200-run
+    for v in [10.0] * 5 + [200.0] * 6:
+        rows.append((eid, t0 + timedelta(hours=eid), 1, v)); eid += 1
+    # user 2: always below target
+    for v in [10.0] * 8:
+        rows.append((eid, t0 + timedelta(hours=eid), 2, v)); eid += 1
+    # user 3: one 200-spike (single excursion below h), then quiet
+    for v in [10.0] * 3 + [200.0] + [10.0] * 4:
+        rows.append((eid, t0 + timedelta(hours=eid), 3, v)); eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": ["view"] * len(rows),
+                "value": pa.array([r[3] for r in rows]),
+                "props": ["{}"] * len(rows),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = {
+        (r.user_id, r.event_id): r.cusum_micro
+        for r in events_cusum_alarms(spark, str(tmp_path)).collect()
+    }
+
+    # textbook sequential reference
+    def ref(stream):
+        alarms, s, prev = {}, 0, 0
+        for eid_, v in stream:
+            s = max(0, s + int(round(v * 1_000_000)) - CUSUM_TARGET_MICRO)
+            if prev <= CUSUM_ALARM_MICRO < s:
+                alarms[eid_] = s
+            prev = s
+        return alarms
+
+    by_user = {}
+    for e, _, u, v in rows:
+        by_user.setdefault(u, []).append((e, v))
+    want = {
+        (u, e): s for u, st in by_user.items() for e, s in ref(st).items()
+    }
+    assert got == want
+    assert {u for u, _ in got} == {1}  # only the sustained shift alarms
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = {
+        (r[0], r[2]): r[3] for r in con.execute(CUSUM_ORACLE).fetchall()
+    }
+    assert got == oracle
