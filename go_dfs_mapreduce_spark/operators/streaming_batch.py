@@ -644,6 +644,35 @@ def stream_zscore_anomalies_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_tail(scored)
 
 
+def _cusum_live_oracle() -> str:
+    from .timeseries import CUSUM_ORACLE
+
+    return CUSUM_ORACLE
+
+
+@query("stream_cusum_alarms_live", oracle=_cusum_live_oracle())
+def stream_cusum_alarms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM (``events_cusum_alarms``) as a FOURTH custom stateful
+    streaming operator on the real engine: the textbook sequential
+    recursion S = max(0, S + (x - k)) as ONE long of per-user state
+    (``streaming/cusum.py``), alarm rows emitted append-only at upward
+    threshold crossings (prefix-stable verdicts, like the funnel and the
+    z-score twins). The batch operator computes the same statistic
+    through the prefix-min window identity, so this row hash-checks the
+    recursion-vs-identity equivalence THROUGH the streaming engine —
+    and the whole path is exact integer arithmetic, no float anywhere
+    (mechanics in ``_run_live``)."""
+    from ..streaming.cusum import cusum_stream_v1
+
+    return _run_live(
+        spark,
+        sf_dir,
+        cusum_stream_v1,
+        "t_cusum_live",
+        output_mode="append",
+    )
+
+
 CHUNK_SINK_ORACLE = """
 SELECT CAST(doc_id AS VARCHAR) || chr(9) || md5(text) AS line
 FROM documents

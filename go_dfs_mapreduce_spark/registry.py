@@ -156,7 +156,7 @@ _DRIVER_SHOWCASE = (
     "events_cusum_alarms",
     "stream_dedup_incremental_live",
     "hard_negative_mining_batched",
-    "rag_chunk_topk",
+    "stream_cusum_alarms_live",
     "training_shuffle_shards",
     "dedup_fuzzy_levenshtein",
     "bpe_merge_candidates",

@@ -843,3 +843,50 @@ def test_zscore_kernel_batching_invariant_and_matches_bruteforce():
             if n * float(ss) - float(s) * float(s) > 0:
                 expect.append((eid, ts, val, n, vms[i], s, ss))
     assert one_out == expect
+
+
+def test_cusum_kernel_batching_invariant_and_matches_reference():
+    """The streaming CUSUM kernel emits identical alarm rows whether a
+    user's events arrive as one chunk, two batches, or row-per-batch,
+    and equals the textbook sequential recursion. Pure kernel test."""
+    import random
+
+    import pandas as pd
+
+    from go_dfs_mapreduce_spark.operators.timeseries import (
+        CUSUM_ALARM_MICRO,
+        CUSUM_TARGET_MICRO,
+    )
+    from go_dfs_mapreduce_spark.streaming.cusum import _fold_cusum
+
+    rng = random.Random(88)
+    rows = [
+        (i, pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=i),
+         round(rng.expovariate(1 / 90.0), 2))  # hot stream: crossings occur
+        for i in range(80)
+    ]
+
+    def chunked(splits):
+        s, out = 0, []
+        for part in splits:
+            if not part:
+                continue
+            pdf = pd.DataFrame(part, columns=["event_id", "ts", "value"])
+            s, o = _fold_cusum(s, [pdf], user_id=7)
+            out.extend(o)
+        return s, out
+
+    one = chunked([rows])
+    two = chunked([rows[:33], rows[33:]])
+    rowwise = chunked([[r] for r in rows])
+    assert one == two == rowwise
+
+    # textbook reference
+    s, prev, want = 0, 0, []
+    for eid, ts, v in rows:
+        s = max(0, s + round(v * 1_000_000) - CUSUM_TARGET_MICRO)
+        if prev <= CUSUM_ALARM_MICRO < s:
+            want.append((7, ts, eid, s))
+        prev = s
+    assert one[1] == want
+    assert len(want) >= 1  # the stream actually alarms
