@@ -890,3 +890,90 @@ def test_cusum_kernel_batching_invariant_and_matches_reference():
         prev = s
     assert one[1] == want
     assert len(want) >= 1  # the stream actually alarms
+
+
+def test_tws_processors_match_v1_kernels_locally():
+    """The transformWithState wrappers (ZScoreProcessor, CusumProcessor)
+    must emit exactly what their applyInPandasWithState twins emit for
+    the same 3-batch, worst-case-chunked stream — pinning the ValueState
+    get/update plumbing around the shared folds (the novelty/funnel
+    local-harness convention, extended to value state)."""
+    import random
+
+    import pandas as pd
+
+    from go_dfs_mapreduce_spark.streaming import anomaly, cusum
+
+    class _VState:
+        def __init__(self):
+            self._v = None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def clear(self):
+            self._v = None
+
+    class _Handle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, _VState())
+
+    class _FakeGroupState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    rng = random.Random(9)
+    rows = [
+        (i, pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=i),
+         1 + (i % 3), round(rng.expovariate(1 / 80.0), 2))
+        for i in range(90)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    cut = [0, 30, 60, 90]
+    batches = [pdf.iloc[cut[i]:cut[i + 1]] for i in range(3)]
+
+    def drive(proc_cls, v1_fn):
+        procs, gstates, tws_out, v1_out = {}, {}, [], []
+        for batch in batches:
+            for uid, grp in batch.groupby("user_id"):
+                chunks = [
+                    grp.iloc[[i]].reset_index(drop=True)
+                    for i in range(len(grp) - 1, -1, -1)
+                ]
+                if uid not in procs:
+                    p = proc_cls()
+                    p.init(_Handle())
+                    procs[uid] = p
+                    gstates[uid] = _FakeGroupState()
+                tws_out.extend(
+                    procs[uid].handleInputRows((uid,), iter(chunks), None)
+                )
+                v1_out.extend(
+                    v1_fn((uid,), iter([c.copy() for c in chunks]),
+                          gstates[uid])
+                )
+        key = lambda f: sorted(map(tuple, pd.concat(f).itertuples(False)))  # noqa: E731
+        return (key(tws_out) if tws_out else []), (
+            key(v1_out) if v1_out else []
+        )
+
+    z_tws, z_v1 = drive(anomaly.ZScoreProcessor, anomaly._zscore_v1_fn)
+    assert z_tws == z_v1 and z_tws  # non-empty and identical
+    c_tws, c_v1 = drive(cusum.CusumProcessor, cusum._cusum_v1_fn)
+    assert c_tws == c_v1 and c_tws
