@@ -1576,6 +1576,14 @@ def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LEV_PREFIX = 24  # normalized-prefix blocking key length
 LEV_SIM_MIN = 0.80  # keep pairs at or above this normalized similarity
+# The length-gap prune `gap <= mx * (1 - LEV_SIM_MIN)` is evaluated in
+# EXACT INTEGER arithmetic on both engines: 1 - 0.8 = 1/5 exactly, so the
+# test is `gap * LEV_GAP_DEN <= mx * LEV_GAP_NUM`. A float form would
+# compute (1.0 - 0.8) = 0.19999999999999996 in Python but 0.2 in DuckDB
+# decimals and prune a pair sitting exactly on the boundary (an 80-char
+# doc and its 100-char pure-append extension: sim exactly 0.80).
+LEV_GAP_NUM = 1  # numerator of (1 - LEV_SIM_MIN) as an exact rational
+LEV_GAP_DEN = 5  # denominator of (1 - LEV_SIM_MIN)
 
 FUZZY_LEV_ORACLE = f"""
 WITH n AS (
@@ -1588,8 +1596,8 @@ cand AS (
   FROM n a JOIN n b
     ON substr(a.t, 1, {LEV_PREFIX}) = substr(b.t, 1, {LEV_PREFIX})
    AND a.doc_id < b.doc_id
-   AND abs(length(a.t) - length(b.t))
-       <= greatest(length(a.t), length(b.t)) * (1.0 - {LEV_SIM_MIN})
+   AND abs(length(a.t) - length(b.t)) * {LEV_GAP_DEN}
+       <= greatest(length(a.t), length(b.t)) * {LEV_GAP_NUM}
 )
 SELECT doc_a, doc_b,
        CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
@@ -1622,7 +1630,10 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
       the threshold are pruned before it runs: ``lev >= |len_a -
       len_b|``, hence ``sim <= 1 - |len_a - len_b| / mx``, and any pair
       whose length gap exceeds ``mx * (1 - LEV_SIM_MIN)`` is dropped in
-      the join condition, exactly (no recall loss).
+      the join condition. The test runs as exact integer arithmetic
+      (``gap * LEV_GAP_DEN <= mx * LEV_GAP_NUM``) on BOTH engines so a
+      pair sitting exactly on the similarity boundary is kept by both —
+      genuinely no recall loss, including at the boundary.
 
     Determinism: edit distance and lengths are exact integers (verified:
     Spark ``levenshtein`` == DuckDB ``levenshtein`` on every blocked
@@ -1657,7 +1668,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.substring(F.col("b.t"), 1, LEV_PREFIX)
         )
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.abs(la - lb) <= mx * (1.0 - LEV_SIM_MIN))
+        & (F.abs(la - lb) * LEV_GAP_DEN <= mx * LEV_GAP_NUM)
         & (raw_sim >= LEV_SIM_MIN),
     )
     return cand.select(

@@ -21,8 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import words_sql
 from ..registry import query
 from ..tables import table
+
+_words_frag = words_sql("documents", "text")
 
 STATS_PROFILE_ORACLE = """
 WITH m AS (
@@ -558,12 +561,14 @@ CMS_DEPTH = 4  # independent hash rows
 CMS_WIDTH = 512  # buckets per row
 CMS_TOP = 32  # heavy hitters audited
 
-_CMS_TOKS_DUCK = """
-  SELECT t.tk AS token FROM (
-    SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
-      AS toks FROM documents) d,
-    unnest(toks) t(tk)
-  WHERE t.tk <> ''
+# Oracle token stream built from the SAME tokenizer fragment the Spark
+# side uses (functions.text.words_sql is the stated DuckDB twin of
+# exploded_words): lowercase, whitespace-split, strip [^a-zA-Z0-9],
+# drop empties. An ad-hoc whitespace-only split here would diverge on
+# punctuated tokens ('dog.' vs 'dog') and the gate would only pass by
+# luck of the corpus.
+_CMS_TOKS_DUCK = f"""
+  SELECT word AS token FROM ({_words_frag})
 """
 
 CMS_AUDIT_ORACLE = f"""

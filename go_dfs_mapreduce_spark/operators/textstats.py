@@ -468,8 +468,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       totals, |vocab|-sized work). Real BPE trainers do exactly this.
     - **Fully declarative loop**: winners are 1-row frames broadcast
       into the next iteration's fold (``crossJoin(broadcast(...))``) —
-      no driver-side ``collect`` anywhere, so the whole 3-iteration
-      train is ONE Spark job the scheduler pipelines.
+      no driver-side ``collect`` anywhere; winners materialize JVM-side
+      (eager ``localCheckpoint`` of a 1-row frame), which also lets each
+      vocab frame unpersist as soon as its two consumers are done.
     - **Per-iteration exchanges are alphabet-bounded**: pair-count
       groupBys partial-aggregate into the (current) symbol-pair
       keyspace; the greedy merge application is an in-row array fold
@@ -518,14 +519,24 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = []
-    w = w0
+    w, prev = w0, None
     for step in range(1, BPE_MERGES + 1):
         # each vocab frame feeds two consumers (its winner aggregate and
         # the next fold); persist + eager count per the kmeans /
-        # SCALE.md branch-race convention — the frames are vocab-sized
+        # SCALE.md branch-race convention — the frames are vocab-sized.
+        # Once this frame is materialized, the PREVIOUS one has no live
+        # consumers left (its winner is checkpointed below, its fold is
+        # this frame) — unpersist it so repeated invocations in a
+        # long-lived session don't accrete cached vocab blocks.
         w = w.persist()
         w.count()
-        win = top_pair(w)
+        if prev is not None:
+            prev.unpersist()
+        # the winner is a 1-ROW frame: materialize it JVM-side and cut
+        # its lineage (localCheckpoint, not a driver collect) so the
+        # final union and the next fold stop referencing the persisted
+        # vocab frame — that's what makes the unpersist above safe
+        win = top_pair(w).localCheckpoint(eager=True)
         out.append(
             win.select(
                 F.lit(step).alias("merge_step"),
@@ -535,7 +546,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if step < BPE_MERGES:
+            prev = w
             w = apply_merge(w, win)
+    w.unpersist()  # last frame: winner checkpointed, no successor fold
     res = out[0]
     for nxt in out[1:]:
         res = res.unionAll(nxt)

@@ -40,7 +40,6 @@ through the shared ``_fold_zscore``.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -51,6 +50,7 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from ..operators.timeseries import ZS_MIN_HIST, ZS_WINDOW
+from .stateful import round_half_up_micro
 
 OUTPUT_SCHEMA = (
     "event_id long, user_id long, ts timestamp, value double, "
@@ -71,9 +71,10 @@ def _fold_zscore(hist: list[int], chunks: list[pd.DataFrame]):
             ["ts", "event_id"]
         )
         for _, row in pdf.iterrows():
-            # ROUND(value * 1e6): values are non-negative, so
-            # floor(x + 0.5) is SQL's half-away-from-zero rounding
-            vm = int(math.floor(float(row["value"]) * 1_000_000 + 0.5))
+            # ROUND(value * 1e6): exact half-away-from-zero twin of the
+            # engines' rounding (no lossy +0.5 addition — see
+            # stateful.round_half_up_micro)
+            vm = round_half_up_micro(float(row["value"]))
             n = len(hist)
             if n >= ZS_MIN_HIST:
                 s = sum(hist)

@@ -33,7 +33,6 @@ fold through the shared ``_fold_cusum``.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -44,6 +43,7 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from ..operators.timeseries import CUSUM_ALARM_MICRO, CUSUM_TARGET_MICRO
+from .stateful import round_half_up_micro
 
 OUTPUT_SCHEMA = "user_id long, ts timestamp, event_id long, cusum_micro long"
 STATE_SCHEMA = "s long"
@@ -60,9 +60,10 @@ def _fold_cusum(s: int, chunks: list[pd.DataFrame], user_id: int):
             ["ts", "event_id"]
         )
         for _, row in pdf.iterrows():
-            # ROUND(value * 1e6): non-negative values, so floor(x + 0.5)
-            # is SQL's half-away-from-zero (the z-score kernel's note)
-            vm = int(math.floor(float(row["value"]) * 1_000_000 + 0.5))
+            # ROUND(value * 1e6): exact half-away-from-zero twin of the
+            # engines' rounding (stateful.round_half_up_micro — no lossy
+            # +0.5 addition)
+            vm = round_half_up_micro(float(row["value"]))
             prev = s
             s = max(0, s + vm - CUSUM_TARGET_MICRO)
             if prev <= CUSUM_ALARM_MICRO < s:
