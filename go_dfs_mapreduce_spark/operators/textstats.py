@@ -399,6 +399,30 @@ _BPE_FOLD = (
 )
 
 
+def _bpe_top_pair(wdf: DataFrame) -> DataFrame:
+    """Highest-count adjacent symbol pair of a (wcount, syms) vocab frame
+    (ties break lexically — the deterministic-merge rule both BPE
+    operators and their oracles share)."""
+    return (
+        wdf.select("wcount", F.explode(F.expr(_BPE_PAIRS)).alias("p"))
+        .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        .agg(F.sum("wcount").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("s1"), F.asc("s2"))
+        .limit(1)
+    )
+
+
+def _bpe_apply_merge(
+    wdf: DataFrame, win: DataFrame, keep: tuple[str, ...] = ("wcount",)
+) -> DataFrame:
+    """Greedy left-to-right application of ONE winning merge to every
+    word's symbol array (in-row fold; the 1-row winner rides in as a
+    broadcast crossJoin — declarative, no driver collect)."""
+    return wdf.crossJoin(F.broadcast(win.select("s1", "s2"))).select(
+        *keep, F.expr(_BPE_FOLD).alias("syms")
+    )
+
+
 def _bpe_oracle() -> str:
     # the DuckDB twin: same vocab weighting; the greedy fold is a
     # recursive CTE advancing one symbol per step (list-accumulator
@@ -502,21 +526,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def top_pair(wdf: DataFrame) -> DataFrame:
-        return (
-            wdf.select(
-                "wcount", F.explode(F.expr(_BPE_PAIRS)).alias("p")
-            )
-            .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
-            .agg(F.sum("wcount").cast("long").alias("pair_count"))
-            .orderBy(F.desc("pair_count"), F.asc("s1"), F.asc("s2"))
-            .limit(1)
-        )
-
-    def apply_merge(wdf: DataFrame, win: DataFrame) -> DataFrame:
-        return wdf.crossJoin(F.broadcast(win.select("s1", "s2"))).select(
-            "wcount", F.expr(_BPE_FOLD).alias("syms")
-        )
+    top_pair, apply_merge = _bpe_top_pair, _bpe_apply_merge
 
     out = []
     w, prev = w0, None
@@ -553,6 +563,181 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in out[1:]:
         res = res.unionAll(nxt)
     return res
+
+
+# --------------------------------------------------------------------------
+# BPE encode: apply the trained merges to tokenize the corpus — the
+# missing half of the tokenizer pipeline (train half above)
+# --------------------------------------------------------------------------
+
+
+def _bpe_enc_ctes() -> str:
+    """DuckDB CTE body (to follow ``WITH RECURSIVE``) that trains
+    ``BPE_MERGES`` merges on the corpus vocabulary and encodes every
+    distinct word with them: ends with ``dw`` (doc_id, w, c) and ``enc``
+    (w, n_toks). Shared by the ``bpe_encode_corpus`` oracle and the
+    BPE-token packing oracle in ``training_prep``.
+
+    Training here runs on the FULL word vocabulary (no length >= 2
+    filter, unlike ``bpe_train_merges``'s w0) — the learned merges are
+    provably identical because 1-symbol words contribute ZERO adjacent
+    pairs to every count."""
+
+    def fold(src: str, win: str, out: str) -> str:
+        # recursive greedy fold, carrying the word itself as the key so
+        # the encoded symbol count joins back to dw
+        return f"""
+f_{out} AS (
+  SELECT w, wcount, syms, 1 AS i, [syms[1]] AS acc FROM {src}
+  UNION ALL
+  SELECT f.w, f.wcount, f.syms, f.i + 1,
+    CASE WHEN f.acc[-1] = {win}.s1 AND f.syms[f.i + 1] = {win}.s2
+         THEN list_append(f.acc[1:len(f.acc) - 1], {win}.s1 || {win}.s2)
+         ELSE list_append(f.acc, f.syms[f.i + 1]) END
+  FROM f_{out} f, {win} WHERE f.i < len(f.syms)
+),
+{out} AS (SELECT w, wcount, acc AS syms FROM f_{out} WHERE i = len(syms))"""
+
+    def pairs(wtab: str) -> str:
+        return f"""
+  SELECT syms[CAST(i AS INT)] AS s1, syms[CAST(i AS INT) + 1] AS s2,
+         SUM(wcount) AS cnt
+  FROM {wtab}, UNNEST(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2"""
+
+    return f"""
+dw AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY doc_id, w
+),
+v0 AS (
+  SELECT w, SUM(c) AS wcount, regexp_extract_all(w, '.') AS syms
+  FROM dw GROUP BY w
+),
+pe1 AS ({pairs('v0')}),
+wine1 AS (SELECT s1, s2 FROM pe1 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+{fold('v0', 'wine1', 'v1')},
+pe2 AS ({pairs('v1')}),
+wine2 AS (SELECT s1, s2 FROM pe2 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+{fold('v1', 'wine2', 'v2')},
+pe3 AS ({pairs('v2')}),
+wine3 AS (SELECT s1, s2 FROM pe3 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+{fold('v2', 'wine3', 'v3')},
+enc AS (SELECT w, len(syms) AS n_toks FROM v3)"""
+
+
+BPE_ENCODE_ORACLE = f"""
+WITH RECURSIVE
+{_bpe_enc_ctes()}
+SELECT dw.doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_words,
+  CAST(SUM(c * length(w)) AS BIGINT) AS n_chars,
+  CAST(SUM(c * n_toks) AS BIGINT) AS n_bpe_tokens,
+  ROUND(SUM(c * length(w)) * 1.0 / SUM(c * n_toks), 6) AS chars_per_token
+FROM dw JOIN enc USING (w)
+GROUP BY dw.doc_id
+"""
+
+
+def _bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train ``BPE_MERGES`` merges on the corpus and encode every
+    document with them: (doc_id, n_words, n_chars, n_bpe_tokens).
+    Shared by ``bpe_encode_corpus`` and the BPE-token packing variant in
+    ``training_prep``.
+
+    The encode path never touches the corpus rows per merge: merges are
+    learned AND applied on the DISTINCT word vocabulary (the
+    ``bpe_train_merges`` iteration shape — persist / eager count /
+    unpersist churn per step, winners as eager 1-row localCheckpoints),
+    and the per-doc totals come from ONE equi-join of the per-doc word
+    counts against the |vocab|-sized encode table. Training uses the
+    full vocabulary including 1-char words — identical merges (1-symbol
+    words have no adjacent pairs), and those words still need encoding."""
+    docs = table(spark, sf_dir, "documents")
+    docw = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab0 = (
+        docw.groupBy("w")
+        .agg(F.sum("c").alias("wcount"))
+        .select(
+            "w", "wcount", F.expr("regexp_extract_all(w, '.', 0)").alias("syms")
+        )
+    )
+    winners = []
+    w, prev = vocab0, None
+    for _step in range(BPE_MERGES):
+        w = w.persist()
+        w.count()
+        if prev is not None:
+            prev.unpersist()
+        win = _bpe_top_pair(w).localCheckpoint(eager=True)
+        winners.append(win)
+        prev = w
+        w = _bpe_apply_merge(w, win, keep=("w", "wcount"))
+    prev.unpersist()  # final fold re-derives lazily from vocab0 lineage
+    # re-apply the (now literal, checkpointed) winners lazily so the
+    # returned plan depends on NO persisted frame — one vocab rebuild +
+    # three in-row folds at evaluation time, nothing cached behind
+    enc = vocab0
+    for win in winners:
+        enc = _bpe_apply_merge(enc, win, keep=("w", "wcount"))
+    enc = enc.select("w", F.size("syms").alias("n_toks"))
+    return docw.join(enc, "w").groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.col("c") * F.length("w")).cast("long").alias("n_chars"),
+        F.sum(F.col("c") * F.col("n_toks")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@query("bpe_encode_corpus", oracle=BPE_ENCODE_ORACLE)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus WITH the trained BPE vocabulary — the apply
+    half of the tokenizer pipeline (``bpe_train_merges`` is the train
+    half): learn ``BPE_MERGES`` merges, greedily apply them to every
+    word, and emit per-document token accounting (word count, char
+    count, BPE token count, chars-per-token compression) — the numbers
+    a training-data pipeline bills against its real vocabulary instead
+    of whitespace proxies.
+
+    Scale design — why this encodes 100 TB without touching corpus rows
+    per merge:
+
+    - **Encode the vocabulary, not the corpus**: merges are learned and
+      applied on the DISTINCT word table (|vocab| ~ millions, vs
+      trillions of corpus positions); documents get their token counts
+      through ONE equi-join of per-doc word counts against the encoded
+      vocab — the aggregate-join shape, not a per-doc re-tokenize.
+    - **Same alphabet-bounded exchanges as training**: each merge step's
+      pair count partial-aggregates into the symbol-pair keyspace; the
+      greedy application is an in-row array fold.
+    - **Winners are literals at evaluation time** (eager 1-row
+      localCheckpoints), so the returned plan is vocab scan -> 3 folds
+      -> join -> aggregate with no persisted state left behind.
+
+    Determinism: all counts are exact integers; ``chars_per_token`` is
+    ONE IEEE division rounded to 6. The DuckDB oracle replays training
+    (recursive-CTE folds) and encoding over the identical vocabulary,
+    so the gate hash-checks every per-document count."""
+    t = _bpe_doc_tokens(spark, sf_dir)
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_chars") * 1.0 / F.col("n_bpe_tokens"), 6
+        ).alias("chars_per_token"),
+    )
 
 
 # --------------------------------------------------------------------------

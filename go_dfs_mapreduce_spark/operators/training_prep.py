@@ -321,6 +321,72 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_bpe_oracle() -> str:
+    from .textstats import _bpe_enc_ctes
+
+    return f"""
+WITH RECURSIVE
+{_bpe_enc_ctes()},
+tok AS (
+  SELECT dw.doc_id, SUM(c * n_toks) AS n_tokens
+  FROM dw JOIN enc USING (w) GROUP BY dw.doc_id
+),
+sh AS (
+  SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM tok
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS bin_id,
+       CAST((cum - n_tokens) - ((cum - n_tokens) // {PACK_CAPACITY}) * {PACK_CAPACITY}
+            AS BIGINT) AS bin_offset
+FROM sh
+"""
+
+
+@query("doc_pack_bins_bpe", oracle=_pack_bpe_oracle())
+def doc_pack_bins_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_pack_bins`` billed in REAL tokenizer units: documents pack
+    into fixed-capacity bins by their trained-BPE token counts
+    (``textstats.bpe_encode_corpus``) instead of the whitespace proxy —
+    the packing a pipeline actually ships once a vocabulary exists,
+    since whitespace counts misprice docs by the compression ratio and
+    overflow/underfill the bins.
+
+    Plan: the BPE accounting sub-plan (vocab-sized train + encode, one
+    corpus equi-join) feeds the same per-shard cumulative-sum window as
+    the whitespace packer — the window still parallelizes across
+    ``PACK_SHARDS`` hash shards. Documents with zero letter-run words
+    have no BPE tokens and drop out on BOTH engines (inner join against
+    the encoded vocab)."""
+    from .textstats import _bpe_doc_tokens
+
+    tok = _bpe_doc_tokens(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    n = tok.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+        F.col("n_bpe_tokens").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = n.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    bin_id = F.expr(f"(cum - n_tokens) DIV {PACK_CAPACITY}")
+    return c.select(
+        "doc_id",
+        "shard",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        bin_id.cast("long").alias("bin_id"),
+        (start - bin_id * PACK_CAPACITY).cast("long").alias("bin_offset"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Novelty scoring: how much of a document is unique to it corpus-wide
 # --------------------------------------------------------------------------

@@ -171,7 +171,12 @@ _DRIVER_SHOWCASE = (
 # test_rotation_ledger.py fails if a registered name is in neither a
 # CORRECTNESS_r*.json nor the showcase nor this queue, so nothing can
 # silently lose its path to external evidence.
-_NEXT_ROTATION_QUEUE: tuple[str, ...] = ()
+_NEXT_ROTATION_QUEUE: tuple[str, ...] = (
+    # round-9 additions, staged here until the round-9 showcase is
+    # finalized at session close (they then move into the 50)
+    "bpe_encode_corpus",
+    "doc_pack_bins_bpe",
+)
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

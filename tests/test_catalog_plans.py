@@ -783,20 +783,36 @@ def test_round8_operator_plan_contracts(spark, sf_dir):
     assert "Join" not in a["plan"]
     assert set(a["read_columns"]) == {"event_id", "ts", "user_id", "value"}
 
-    # bpe_train_merges: declarative 3-iteration loop — winners enter the
-    # next fold as broadcast joins (never a shuffled join of the vocab),
-    # pair counts partial-aggregate, no python worker, text-only scan
+    # bpe_train_merges: declarative 3-iteration loop — winners are
+    # eagerly checkpointed 1-ROW frames (lineage cut so vocab frames can
+    # unpersist), so the RETURNED plan is just the union of three
+    # checkpointed scans; the fold crossJoin/broadcast structure runs in
+    # the construction-time jobs and is pinned on the encode twin below,
+    # whose returned plan still contains the lazily re-applied folds
     from go_dfs_mapreduce_spark.operators.textstats import bpe_train_merges
 
     a = audit_plan(bpe_train_merges(spark, sf_dir))
     assert not a["has_python_worker"]
     assert a["n_sortmerge_joins"] == 0
-    # the 1-row winners enter the next fold as BROADCAST nested-loop
-    # cross joins (no equi-key exists on a literal cross of 1 row);
-    # never a driver collect, never an un-broadcast CartesianProduct
-    assert a["plan"].count("BroadcastNestedLoopJoin Cross BuildRight") >= 2
+    # 3 checkpointed winners (formatted plans print each node twice:
+    # tree + detail section)
+    assert a["plan"].count("Scan ExistingRDD") == 6
+    assert "Union" in a["plan"]
     assert "CartesianProduct" not in a["plan"]
-    assert set(a["read_columns"]) == {"text"}
+
+    # bpe_encode_corpus: the returned plan re-applies the (literal,
+    # checkpointed) winners to the vocab as BROADCAST nested-loop cross
+    # joins (1-row broadcast per merge — no equi-key exists on a literal
+    # cross), the doc join is an equi-join on the word, pair counts and
+    # per-doc sums partial-aggregate, no python worker, pruned scan
+    from go_dfs_mapreduce_spark.operators.textstats import bpe_encode_corpus
+
+    a = audit_plan(bpe_encode_corpus(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["plan"].count("BroadcastNestedLoopJoin Cross BuildRight") >= 3
+    assert "CartesianProduct" not in a["plan"]
+    assert "Exchange SinglePartition" not in a["plan"]
+    assert set(a["read_columns"]) == {"doc_id", "text"}
 
     # winnow_candidate_pairs: gram hashing + window minima are IN-ROW
     # (no Generate until the distinct-fingerprint explode), the pair

@@ -1370,6 +1370,65 @@ def test_bpe_train_merges_greedy_run_semantics(spark, tmp_path):
     assert got == want
 
 
+def test_bpe_encode_corpus_handcrafted(spark, tmp_path):
+    """Encoding with the trained merges, hand-derived on the greedy-run
+    corpus: after merges (a,a), (aa,aa), (a,b) the word 'aaaa' encodes
+    to ONE token (two stacked merges), 'ab' to one, 'x' to one — so
+    doc0 ('aaaa aaaa ab') bills 3 BPE tokens for 10 chars and doc1
+    ('x') 1 for 1. The BPE packing variant then bins by those real
+    counts. Both cross-checked against their DuckDB oracles."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.textstats import (
+        BPE_ENCODE_ORACLE,
+        bpe_encode_corpus,
+    )
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        _pack_bpe_oracle,
+        doc_pack_bins_bpe,
+    )
+
+    texts = ["aaaa aaaa ab", "x"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = sorted(
+        tuple(r)
+        for r in bpe_encode_corpus(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        (0, 3, 10, 3, round(10 / 3, 6)),
+        (1, 1, 1, 1, 1.0),
+    ]
+    pk = sorted(
+        tuple(r) for r in doc_pack_bins_bpe(spark, str(tmp_path)).collect()
+    )
+    # shards 0 and 1, each starting its own bin at offset 0
+    assert pk == [(0, 0, 3, 0, 0), (1, 1, 1, 0, 0)]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    assert got == sorted(
+        tuple(r) for r in con.execute(BPE_ENCODE_ORACLE).fetchall()
+    )
+    assert pk == sorted(
+        tuple(r) for r in con.execute(_pack_bpe_oracle()).fetchall()
+    )
+
+
 def test_winnow_candidate_pairs_handcrafted(spark, tmp_path):
     """Winnowing semantics: a one-word edit between two long docs leaves
     their window minima mostly aligned (pair found, position-robust), an
