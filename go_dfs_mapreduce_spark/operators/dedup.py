@@ -1773,6 +1773,15 @@ def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(grams).alias("h"))
         .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
     )
+    return _winnow_pairs_from_fps(sel)
+
+
+def _winnow_pairs_from_fps(sel: DataFrame) -> DataFrame:
+    """Shared tail of the winnowing pipeline: (doc_id, fp) selected
+    fingerprints -> hot-fp cap -> in-bucket pair expansion ->
+    partial-aggregated shared count -> ``WIN_MIN_SHARED`` gate. Both the
+    md5 (oracle-portable) and the rolling-polynomial (production) front
+    ends feed this identical plan."""
     cold = (
         sel.groupBy("fp")
         .agg(F.collect_list("doc_id").alias("docs"))
@@ -1793,3 +1802,132 @@ def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .where(F.col("shared_fps") >= WIN_MIN_SHARED)
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing, production hash path: rolling-polynomial gram hashes in an
+# Arrow-batched numpy kernel instead of per-gram md5 — same selection
+# plan, same bucket tail, ~Kx less hashing work per char
+# --------------------------------------------------------------------------
+
+WIN_B = 1_000_003  # polynomial base (prime)
+WIN_M = (1 << 31) - 1  # Mersenne modulus: every intermediate fits int64
+_WIN_POW = [pow(WIN_B, WIN_K - 1 - k, WIN_M) for k in range(WIN_K)]
+
+WINNOW_FAST_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         list_sum(list_transform(range(0, {WIN_K}),
+           k -> CAST(unicode(substr(norm, CAST(i + k AS INT), 1)) AS BIGINT)
+                * [{','.join(str(p) for p in _WIN_POW)}][CAST(k AS INT) + 1]
+         )) % {WIN_M} AS h
+  FROM n, UNNEST(range(1, length(norm) - {WIN_K - 2})) AS u(i)
+),
+wnd AS (
+  SELECT doc_id, CAST(j AS INT) AS j
+  FROM n, UNNEST(range(1, length(norm) - {WIN_K - 2} - {WIN_W - 1})) AS u(j)
+),
+fp AS (
+  SELECT DISTINCT t.doc_id, t.fp FROM (
+    SELECT g.doc_id, wnd.j, MIN(h) AS fp
+    FROM g JOIN wnd
+      ON g.doc_id = wnd.doc_id AND g.i BETWEEN wnd.j AND wnd.j + {WIN_W - 1}
+    GROUP BY g.doc_id, wnd.j
+  ) t
+),
+cold AS (
+  SELECT fp, list(doc_id) AS docs FROM fp
+  GROUP BY fp HAVING COUNT(*) <= {WIN_MAX_DOC_FREQ}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM (SELECT unnest(docs) AS doc_id, fp FROM cold) a
+JOIN (SELECT unnest(docs) AS doc_id, fp FROM cold) b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WIN_MIN_SHARED}
+"""
+
+
+def _winnow_fast_kernel(batches):
+    """Arrow-batched fingerprint selector: per document, codepoint array
+    -> polynomial gram hashes (vectorized sliding-window dot product mod
+    ``WIN_M``) -> window minima -> distinct fingerprints. All exact
+    int64 integer arithmetic (codepoints < 2^21 times powers < 2^31,
+    summed over ``WIN_K`` terms < 2^57), so the DuckDB oracle computes
+    the IDENTICAL values with list arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    pow_vec = np.array(_WIN_POW, dtype=np.int64)
+    for pdf in batches:
+        ids, fps = [], []
+        for doc_id, norm in zip(pdf["doc_id"], pdf["norm"]):
+            if norm is None or len(norm) < WIN_K:
+                continue
+            cp = np.frombuffer(
+                norm.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            wins = np.lib.stride_tricks.sliding_window_view(cp, WIN_K)
+            h = (wins @ pow_vec) % WIN_M
+            if h.size < WIN_W:
+                continue
+            sel = np.unique(
+                np.lib.stride_tricks.sliding_window_view(h, WIN_W).min(axis=1)
+            )
+            ids.append(np.full(sel.size, doc_id, dtype=np.int64))
+            fps.append(sel)
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "fp": np.concatenate(fps),
+                }
+            )
+
+
+@query("winnow_candidate_pairs_fast", oracle=WINNOW_FAST_ORACLE)
+def winnow_candidate_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``winnow_candidate_pairs`` with the hashing constant factor paid
+    down: the md5 twin spends ~280 JVM digest calls per document (the
+    measured dominant stage — 5.0 s of the 5.4 s wall at sf0.1) solely
+    because md5 is the engine-portable hash family. This variant hashes
+    grams with a rolling-polynomial family instead — codepoints times
+    precomputed base powers mod a Mersenne prime — in ONE Arrow-batched
+    numpy kernel (``mapInPandas``): a vectorized sliding-window dot
+    product replaces per-gram digests, and window minima + distinct
+    selection stay inside the same batch. This is the deliberate
+    exception to the UDFs-are-the-slow-path rule: the JVM expression
+    cannot express an O(1)-per-char rolling computation without O(n^2)
+    array building, and the numpy kernel is measured faster than the
+    in-row md5 fold it replaces (SCALE.md round 9).
+
+    Selection semantics are IDENTICAL to the md5 twin (same K/W/caps,
+    same winnowing guarantee); only the hash family differs, so the two
+    operators' candidate sets agree except where hash ties/collisions
+    perturb a window minimum (2^31 fp space; tested equal on the
+    fixture corpus AND at gate scale). Polynomial mod arithmetic is
+    exact integer math, so unlike most production hash choices it stays
+    ORACLE-PORTABLE: the DuckDB twin recomputes the identical
+    fingerprints with list arithmetic and the gate hash-checks the full
+    pair set — not just a rows-only count.
+
+    Scale: the kernel is per-document (embarrassingly parallel, no
+    state), emits only the selected ~2/(W+1) fingerprint fraction
+    across the Arrow boundary, and feeds the same capped-bucket
+    equi-join tail as the md5 twin (``_winnow_pairs_from_fps``)."""
+    docs = table(spark, sf_dir, "documents")
+    sel = (
+        docs.select(
+            "doc_id",
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias(
+                "norm"
+            ),
+        )
+        .mapInPandas(_winnow_fast_kernel, "doc_id long, fp long")
+    )
+    return _winnow_pairs_from_fps(sel)

@@ -1482,6 +1482,57 @@ def test_winnow_candidate_pairs_handcrafted(spark, tmp_path):
     assert got == want
 
 
+def test_winnow_fast_matches_md5_twin(spark, tmp_path, sf_dir):
+    """The rolling-polynomial production path selects with the SAME
+    winnowing plan as the md5 gate twin — only the hash family differs.
+    Pin equal candidate-pair sets on the handcrafted near-dup fixture
+    (including the shared-fp count for the planted edit pair) and on the
+    smoke corpus; at larger scale the sets may differ by boundary pairs
+    where a different hash perturbs a window minimum (measured: 254 vs
+    253 of 253 at sf0.1 — SCALE.md round 9)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        winnow_candidate_pairs,
+        winnow_candidate_pairs_fast,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz under the harvest moon and the river carries small "
+        "boats toward the old stone bridge at the edge of town"
+    )
+    texts = [base, base.replace("waltz", "polka"), "too short"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    fast = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_candidate_pairs_fast(spark, str(tmp_path)).collect()
+    }
+    assert fast == {(0, 1)}
+    smoke_md5 = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_candidate_pairs(spark, sf_dir).collect()
+    }
+    smoke_fast = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_candidate_pairs_fast(spark, sf_dir).collect()
+    }
+    assert smoke_md5 == smoke_fast
+    assert len(smoke_md5) > 0
+
+
 def test_gopher_rules_handcrafted(spark, tmp_path):
     """Gopher gate verdicts on engineered docs: a 60-word natural doc
     passes all rules; a 10-word doc fails only word-count; a doc of
