@@ -176,6 +176,7 @@ _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     # finalized at session close (they then move into the 50)
     "bpe_encode_corpus",
     "doc_pack_bins_bpe",
+    "winnow_candidate_pairs_fast",
 )
 
 
