@@ -177,6 +177,7 @@ _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     "bpe_encode_corpus",
     "doc_pack_bins_bpe",
     "winnow_candidate_pairs_fast",
+    "multimodal_pixels_bmp",
 )
 
 

@@ -192,6 +192,42 @@ def test_image_header_roundtrip_and_garbage():
     assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x01" + b"\x00" * 8) is None
 
 
+def test_bmp_pixel_decode_roundtrip():
+    """The numpy BMP pixel decoder recovers the exact pixel grid from
+    BOTH legal row orders (bottom-up positive height, top-down negative
+    height) with stride padding in play, and degrades to None on
+    truncated / unsupported payloads instead of raising."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp_pixel_bytes,
+    )
+
+    for top_down in (False, True):
+        # w=3 -> 9-byte rows padded to 12: padding + row order both live
+        b = make_bmp_pixel_bytes(7, 3, 2, top_down)
+        w, h, px = decode_bmp_pixels(b)
+        assert (w, h) == (3, 2)
+        for y in range(2):
+            for x in range(3):
+                assert tuple(int(v) for v in px[y, x]) == (
+                    (7 + 2 * x + 3 * y) % 256,
+                    (7 + 5 * x + 7 * y) % 256,
+                    (7 + 11 * x + 13 * y) % 256,
+                ), (top_down, x, y)
+        assert px.dtype == np.uint8
+    assert decode_bmp_pixels(b"BM" + bytes(20)) is None  # truncated
+    assert decode_bmp_pixels(b"not a bmp") is None
+    # 8-bpp and RLE-compressed BMPs are out of scope -> None, not garbage
+    bad_bpp = bytearray(make_bmp_pixel_bytes(1, 2, 2, False))
+    bad_bpp[28:30] = (8).to_bytes(2, "little")
+    assert decode_bmp_pixels(bytes(bad_bpp)) is None
+    bad_comp = bytearray(make_bmp_pixel_bytes(1, 2, 2, False))
+    bad_comp[30:34] = (1).to_bytes(4, "little")
+    assert decode_bmp_pixels(bytes(bad_comp)) is None
+
+
 def test_doc_chunking_reconstructs_token_stream(spark, sf_dir):
     """Concatenating each chunk's leading STRIDE tokens (all tokens for the
     final chunk) rebuilds every document's token stream exactly."""
