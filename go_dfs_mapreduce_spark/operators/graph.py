@@ -495,14 +495,20 @@ def _pr_iteration(nodes: DataFrame, adj_d: DataFrame, r: DataFrame) -> DataFrame
 
 
 def pagerank_from_edges(
-    nodes: DataFrame, edges: DataFrame, iters: int = 2
+    nodes: DataFrame, edges: DataFrame, iters: int = 2,
+    adj: DataFrame | None = None,
 ) -> DataFrame:
     """Core PageRank over ``nodes[pk]`` and u<v-normalized distinct
-    ``edges[u, v]`` (split out so tests can drive handcrafted graphs)."""
+    ``edges[u, v]`` (split out so tests can drive handcrafted graphs).
+    ``adj`` optionally supplies a prebuilt bidirectional adjacency (the
+    shared-adjacency convention of ``cc_labels_from_edges``)."""
     deg = _degrees(edges)
-    adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
+    if adj is None:
+        adj = edges.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
     adj_d = adj.join(F.broadcast(deg), adj.src == deg.pk).select("src", "dst", "d")
 
     r = nodes.select("pk", F.lit(PR_BASE).cast("long").alias("r"))
@@ -591,15 +597,23 @@ def _cc_iteration(adj: DataFrame, lbl: DataFrame) -> DataFrame:
 
 
 def cc_labels_from_edges(
-    nodes: DataFrame, edges: DataFrame, iters: int = CC_ITERS
+    nodes: DataFrame, edges: DataFrame, iters: int = CC_ITERS,
+    adj: DataFrame | None = None,
 ) -> DataFrame:
     """Core label propagation over ``nodes[pk]`` and u<v-normalized
     ``edges[u, v]`` (split out so tests can drive handcrafted graphs —
     ``nodes`` may include isolated nodes absent from ``edges``; they
-    keep their own id as label through every iteration)."""
-    adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
+    keep their own id as label through every iteration). ``adj``
+    optionally supplies a prebuilt bidirectional adjacency frame (e.g.
+    pre-partitioned by src and persisted) so a caller sweeping several
+    graph queries can share one materialization — the round-9 shared-
+    adjacency A/B (SCALE.md) measures that trade."""
+    if adj is None:
+        adj = edges.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
     lbl = nodes.select("pk", F.col("pk").alias("lbl"))
     if iters >= 1:
         # iteration 1 shortcut: under the identity labeling, the min of

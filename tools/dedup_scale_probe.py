@@ -8,7 +8,13 @@ corpus — then times dedup_minhash_lsh end-to-end (warm codegen, noop
 sink, best of N) and reports docs / candidate-verified pairs / wall
 seconds as one JSON line per K.
 
-Usage: python tools/dedup_scale_probe.py [K ...]   (default: 1 4 10)
+Usage: python tools/dedup_scale_probe.py [--ops minhash,fuzzy,winnow,winnow_fast] [K ...]
+       (defaults: --ops minhash, K = 1 4 10)
+
+For fuzzy/winnow the line also carries the operator's skew diagnostics:
+fuzzy -> prefix-block size distribution (the pair join is quadratic per
+block), winnow -> fingerprint bucket fan-out and how many hot buckets
+the WIN_MAX_DOC_FREQ cap drops (capped buckets generate zero pairs).
 """
 
 from __future__ import annotations
@@ -71,33 +77,110 @@ def build_corpus(spark, k: int) -> str:
     return out
 
 
-def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
-    spark = get_spark("dedup-scale-probe")
-    from go_dfs_mapreduce_spark.operators.dedup import dedup_minhash_lsh
+def _norm_col():
+    return F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
 
+
+def _fuzzy_diag(spark, d: str) -> dict:
+    """Prefix-block size distribution: the blocked join does |block|^2
+    candidate work per block, so the max block is the skew lever."""
+    from go_dfs_mapreduce_spark.operators.dedup import LEV_PREFIX
+
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    sizes = (
+        docs.select(F.substring(_norm_col(), 1, LEV_PREFIX).alias("k"))
+        .groupBy("k")
+        .count()
+    )
+    r = sizes.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("count").alias("max_block"),
+        F.round(F.avg("count"), 2).alias("mean_block"),
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("cand_pairs"),
+    ).collect()[0]
+    return {
+        "n_blocks": r["n_blocks"],
+        "max_block": r["max_block"],
+        "mean_block": float(r["mean_block"]),
+        "cand_pairs": int(r["cand_pairs"]),
+    }
+
+
+def _winnow_diag(spark, d: str) -> dict:
+    """Fingerprint bucket fan-out (poly selection — same distribution as
+    md5 up to hash ties): max/mean docs per bucket and how many hot
+    buckets the WIN_MAX_DOC_FREQ cap drops."""
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        WIN_MAX_DOC_FREQ,
+        _winnow_fast_kernel,
+    )
+
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    sel = docs.select("doc_id", _norm_col().alias("norm")).mapInPandas(
+        _winnow_fast_kernel, "doc_id long, fp long"
+    )
+    sizes = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    r = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.round(F.avg("n"), 2).alias("mean_bucket"),
+        F.sum((F.col("n") > WIN_MAX_DOC_FREQ).cast("long")).alias("capped"),
+    ).collect()[0]
+    return {
+        "n_buckets": r["n_buckets"],
+        "max_bucket": r["max_bucket"],
+        "mean_bucket": float(r["mean_bucket"]),
+        "capped_buckets": int(r["capped"]),
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    ops = ["minhash"]
+    if args and args[0] == "--ops":
+        ops = args[1].split(",")
+        args = args[2:]
+    ks = [int(a) for a in args] or [1, 4, 10]
+    spark = get_spark("dedup-scale-probe")
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        dedup_fuzzy_levenshtein,
+        dedup_minhash_lsh,
+        winnow_candidate_pairs,
+        winnow_candidate_pairs_fast,
+    )
+
+    op_fns = {
+        "minhash": (dedup_minhash_lsh, None),
+        "fuzzy": (dedup_fuzzy_levenshtein, _fuzzy_diag),
+        "winnow": (winnow_candidate_pairs, _winnow_diag),
+        "winnow_fast": (winnow_candidate_pairs_fast, None),
+    }
     # codegen warmup on the smallest fixture
-    dedup_minhash_lsh(spark, "/root/testdata/sf0.001").write.mode(
-        "overwrite"
-    ).format("noop").save()
+    for op in ops:
+        op_fns[op][0](spark, "/root/testdata/sf0.001").write.mode(
+            "overwrite"
+        ).format("noop").save()
     for k in ks:
         d = build_corpus(spark, k)
         n_docs = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
-        pairs = dedup_minhash_lsh(spark, d).count()
+        for op in ops:
+            fn, diag = op_fns[op]
+            pairs = fn(spark, d).count()
 
-        def _cold_run():
-            # the pipeline persists its shingle arrays (dedup.py); drop
-            # them so every timed rep pays the corpus stage end-to-end —
-            # otherwise the walls here measure warm-cache work and the
-            # corpus-bound stage silently leaves the timed region
-            spark.catalog.clearCache()
-            dedup_minhash_lsh(spark, d).write.mode("overwrite").format(
-                "noop"
-            ).save()
+            def _cold_run():
+                # some pipelines persist intermediates (dedup.py); drop
+                # them so every timed rep pays the corpus stage
+                # end-to-end — otherwise the walls measure warm-cache
+                # work and the corpus-bound stage leaves the timed region
+                spark.catalog.clearCache()
+                fn(spark, d).write.mode("overwrite").format("noop").save()
 
-        wall = min(_timed(_cold_run) for _ in range(REPS))
-        print(json.dumps({"k": k, "docs": n_docs, "pairs": pairs,
-                          "wall_sec": round(wall, 2)}), flush=True)
+            wall = min(_timed(_cold_run) for _ in range(REPS))
+            line = {"op": op, "k": k, "docs": n_docs, "pairs": pairs,
+                    "wall_sec": round(wall, 2)}
+            if diag is not None:
+                line.update(diag(spark, d))
+            print(json.dumps(line), flush=True)
     spark.stop()
 
 
