@@ -977,3 +977,110 @@ def test_tws_processors_match_v1_kernels_locally():
     assert z_tws == z_v1 and z_tws  # non-empty and identical
     c_tws, c_v1 = drive(cusum.CusumProcessor, cusum._cusum_v1_fn)
     assert c_tws == c_v1 and c_tws
+
+
+@pytest.mark.parametrize("kernel", ["zscore", "cusum", "funnel"])
+def test_state_bounds_under_processing_time_soak(spark, tmp_path, kernel):
+    """REAL-ENGINE soak of the stateful kernels under a processing-time
+    trigger (not an AvailableNow drain) with churning user ids across
+    micro-batches, closing VERDICT r8 #6: state row counts must stay
+    bounded by each kernel's documented policy — exactly ONE state row
+    per seen user for the z-score ring buffer and the CUSUM long (no
+    leak, no duplicate keys), and for the funnel the converted keys'
+    TTL must shrink the store down to only the in-progress users."""
+    import glob
+    import shutil
+    import time as _time
+
+    from go_dfs_mapreduce_spark.streaming.anomaly import zscore_stream_v1
+    from go_dfs_mapreduce_spark.streaming.cusum import cusum_stream_v1
+    from go_dfs_mapreduce_spark.streaming.funnel import (
+        path_conversions_stream_v1,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    t = lambda m: base + dt.timedelta(minutes=m)
+    n_batches, users_per = 3, 6
+    rows_by_batch: list[list[tuple]] = []
+    eid = 0
+    for b in range(n_batches):
+        rows = []
+        cohort = range(b * users_per, (b + 1) * users_per)
+        for u in cohort:
+            if kernel == "funnel":
+                # even users convert (full pattern), odd stay in-progress
+                steps = (
+                    ("signup", "click", "purchase")
+                    if u % 2 == 0
+                    else ("signup",)
+                )
+                for s, et in enumerate(steps):
+                    rows.append((eid, t(b * 100 + s), u, et, 1.0))
+                    eid += 1
+            else:
+                for s in range(4):  # a few value points per user
+                    rows.append(
+                        (eid, t(b * 100 + s), u, "view", float(10 + s))
+                    )
+                    eid += 1
+        rows_by_batch.append(rows)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    now = _time.time()
+    for i, rows in enumerate(rows_by_batch):
+        d = str(tmp_path / f"b{i}")
+        spark.createDataFrame(
+            [(e, ts, u, et, v, "{}") for e, ts, u, et, v in rows], schema
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        for f in glob.glob(d + "/*.parquet"):
+            dst = f"{src}/{i}_{os.path.basename(f)}"
+            shutil.copy(f, dst)
+            os.utime(dst, (now + 100 * i, now + 100 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    n_users = n_batches * users_per
+    if kernel == "zscore":
+        out, expect_final, expect_peak = zscore_stream_v1(stream), n_users, n_users
+    elif kernel == "cusum":
+        out, expect_final, expect_peak = cusum_stream_v1(stream), n_users, n_users
+    else:
+        # converted keys (half of each cohort) must be TTL-evicted;
+        # in-progress keys stay live for the key's lifetime
+        out = path_conversions_stream_v1(stream, state_ttl_ms=1000)
+        expect_final, expect_peak = n_users // 2, n_users
+    name = f"t_soak_{kernel}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        totals: list[int] = []
+        while _time.time() < deadline:
+            _time.sleep(2)
+            totals = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in q.recentProgress
+                if p["stateOperators"]
+            ]
+            if totals and totals[-1] == expect_final and len(totals) >= 4:
+                break
+        assert totals, "no state metrics observed"
+        # the bound: never more than one state row per seen user
+        assert max(totals) <= expect_peak, totals
+        assert totals[-1] == expect_final, totals
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
