@@ -1,0 +1,191 @@
+"""Pattern-mining operators: sequential patterns over event paths and
+association rules over order baskets — the two classic mining families a
+warehouse-side analytics engine ships next to plain aggregation.
+
+Reference parity: the reference's plugin model computes per-key tallies
+over scanned records (``example_plugins/log_analyzer/log_analyzer.go:1-136``
+tallies crawler/domain combinations); these operators are the same
+"count structured co-occurrences" workload lifted to sequences and
+baskets, expressed as declarative plans instead of mapper plumbing.
+
+Determinism: every statistic is an exact integer count; confidence and
+lift are ONE IEEE division of exact integers rounded to 6 before any
+ordering/compare, and all top-k orderings carry a lexical tiebreak — so
+both engines emit the identical row multiset under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# --------------------------------------------------------------------------
+# Sequential pattern mining: contiguous event-type k-grams per user path
+# --------------------------------------------------------------------------
+
+SEQ_K = 3  # contiguous subsequence length
+SEQ_TOPK = 20
+
+FREQ_SEQ_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS evs
+  FROM events GROUP BY user_id
+),
+tri AS (
+  SELECT evs[CAST(i AS INT)] || '>' || evs[CAST(i AS INT) + 1]
+         || '>' || evs[CAST(i AS INT) + 2] AS seq
+  FROM s, UNNEST(range(1, len(evs) - 1)) AS u(i)
+  WHERE len(evs) >= {SEQ_K}
+)
+SELECT seq, CAST(COUNT(*) AS BIGINT) AS seq_count
+FROM tri GROUP BY seq
+ORDER BY seq_count DESC, seq
+LIMIT {SEQ_TOPK}
+"""
+
+
+@query("frequent_event_sequences", oracle=FREQ_SEQ_ORACLE)
+def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``SEQ_TOPK`` most frequent CONTIGUOUS ``SEQ_K``-step event-type
+    sequences across all user paths — the sequential-pattern primitive
+    behind next-action models and funnel discovery (which ordered
+    behaviors actually recur?), complementing the fixed-pattern matcher
+    (``event_path_conversion``) that asks about ONE known funnel.
+
+    Plan: each user's chronological path is assembled once in-row (the
+    ``event_path_conversion`` convention — collect + array_sort by the
+    unique (ts, event_id) key, so ordering is deterministic on both
+    engines), k-grams unfold in-row, and only the exploded k-gram rows
+    reach the count shuffle, which partial-aggregates into the
+    |event_type|^k keyspace (tiny: type alphabets are small) before the
+    constant-size top-k.
+
+    Scale: the per-user collect is bounded by per-user event volume (the
+    sessionize/funnel bound this surface already documents); the k-gram
+    count exchange carries at most |alphabet|^k rows per map partition —
+    the ``bpe_merge_candidates`` argument. 100 TB of events pays one
+    scan, one user-keyed exchange, one alphabet-bounded exchange."""
+    ev = table(spark, sf_dir, "events")
+    paths = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    grams = (
+        f"CASE WHEN size(evs) < {SEQ_K} THEN array() ELSE "
+        f"transform(sequence(1, size(evs) - {SEQ_K - 1}), i -> "
+        f"concat_ws('>', element_at(evs, i).event_type,"
+        f" element_at(evs, i + 1).event_type,"
+        f" element_at(evs, i + 2).event_type)) END"
+    )
+    return (
+        paths.select(F.explode(F.expr(grams)).alias("seq"))
+        .groupBy("seq")
+        .agg(F.count(F.lit(1)).cast("long").alias("seq_count"))
+        .orderBy(F.desc("seq_count"), F.asc("seq"))
+        .limit(SEQ_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Association rules over order baskets (market-basket analysis)
+# --------------------------------------------------------------------------
+
+AR_MIN_SUPPORT = 3  # pair must co-occur in at least this many orders
+AR_TOPK = 100
+
+ASSOC_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+item AS (SELECT pk, COUNT(*) AS cnt FROM li GROUP BY pk),
+pair AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS support
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING COUNT(*) >= {AR_MIN_SUPPORT}
+)
+SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+  CAST(ia.cnt AS BIGINT) AS orders_a,
+  CAST(ib.cnt AS BIGINT) AS orders_b,
+  ROUND(support * 1.0 / ia.cnt, 6) AS conf_a_to_b,
+  ROUND(support * 1.0 / ib.cnt, 6) AS conf_b_to_a,
+  ROUND(support * n.n_orders * 1.0 / (ia.cnt * ib.cnt), 6) AS lift
+FROM pair
+JOIN item ia ON ia.pk = part_a
+JOIN item ib ON ib.pk = part_b
+CROSS JOIN n
+ORDER BY support DESC, part_a, part_b
+LIMIT {AR_TOPK}
+"""
+
+
+@query("assoc_rules_copurchase", oracle=ASSOC_ORACLE)
+def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: part pairs
+    co-purchased in >= ``AR_MIN_SUPPORT`` orders, with both directed
+    confidences and the lift — the Apriori/FP-growth first step
+    expressed as the one declarative plan it actually is (pair support =
+    an in-basket self-join + count; everything else is arithmetic on the
+    supports). The co-purchase GRAPH family (``operators.graph``) builds
+    on the same edges; this emits the RULE view with the statistics a
+    recommender thresholds.
+
+    Scale: the self-join expands each basket quadratically — bounded by
+    basket size (TPC-H baskets are <= 7 lines; a retail-scale deployment
+    caps or samples mega-baskets exactly like the dedup family caps hot
+    buckets, because a 10^4-item basket generates 10^8 zero-signal
+    pairs). Pair counts partial-aggregate; item counts partial-aggregate
+    into |parts|; the scalar order count rides in as a broadcast 1-row
+    frame (no driver collect). Confidence/lift are single IEEE divisions
+    of exact integer counts rounded to 6 (the repo-wide determinism
+    rule).
+
+    Reference parity: per-combination tallying is the log_analyzer
+    plugin's workload (``example_plugins/log_analyzer/log_analyzer.go:
+    68-111`` tallies crawler x domain co-occurrences); the basket
+    self-join is the same tally over an order-scoped pairing."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("ok").alias("n_orders"))
+    item = li.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= AR_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("cnt").alias("orders_a"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("cnt").alias("orders_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            F.col("orders_a").cast("long").alias("orders_a"),
+            F.col("orders_b").cast("long").alias("orders_b"),
+            F.round(F.col("support") * 1.0 / F.col("orders_a"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("support") * 1.0 / F.col("orders_b"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                F.col("support")
+                * F.col("n_orders")
+                * 1.0
+                / (F.col("orders_a") * F.col("orders_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(AR_TOPK)
+    )

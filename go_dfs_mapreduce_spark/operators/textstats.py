@@ -566,6 +566,86 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus-LM fluency proxy: per-doc mean corpus frequency of its bigrams
+# --------------------------------------------------------------------------
+
+BIGRAM_FLUENCY_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split_regex(lower(text), '\\s+'),
+                x -> regexp_replace(x, '[^a-z0-9]+', '', 'g')),
+                x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bigram
+  FROM t, UNNEST(range(1, len(toks))) AS u(i)
+),
+g AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram)
+SELECT bg.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(g.cnt) AS BIGINT) AS sum_bigram_count,
+  ROUND(SUM(g.cnt) * 1.0 / COUNT(*), 6) AS mean_bigram_count
+FROM bg JOIN g USING (bigram)
+GROUP BY bg.doc_id
+"""
+
+
+@query("bigram_fluency_scores", oracle=BIGRAM_FLUENCY_ORACLE)
+def bigram_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM fluency proxy per document: the mean CORPUS
+    frequency of the document's adjacent word bigrams. Natural prose
+    reuses the corpus's common word transitions (high mean); gibberish,
+    word salad, and heavily templated boilerplate sit at the
+    distribution's tails — the signal a KenLM perplexity filter
+    captures, reduced to exact integer statistics so the gate can
+    hash-check it (log-space perplexity would accumulate engine-specific
+    float error across every bigram; the mean-count form does ONE IEEE
+    division per document).
+
+    Plan: bigrams unfold in-row from the cleaned token array (the
+    ``clean_tokens`` tokenizer, lowercased so the strip class is
+    [^a-z0-9]); the global bigram table partial-aggregates into the
+    bigram vocabulary; the doc join is an equi-join on the bigram key
+    and the per-doc aggregate partial-aggregates again. Two
+    vocabulary-bounded exchanges + one corpus-sized equi-join — the
+    ``bpe_encode_corpus`` aggregate-join shape. Docs with < 2 tokens
+    have no bigrams and drop on BOTH engines."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        "filter(transform(split(lower(text), '\\\\s+'),"
+        " x -> regexp_replace(x, '[^a-z0-9]+', '')), x -> x != '')"
+    )
+    grams = (
+        "CASE WHEN size(t) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END"
+    )
+    bg = (
+        docs.select("doc_id", F.expr(toks).alias("t"))
+        .select("doc_id", F.explode(F.expr(grams)).alias("bigram"))
+    )
+    g = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        bg.join(g, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("cnt").cast("long").alias("sum_bigram_count"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_bigram_count",
+            F.round(
+                F.col("sum_bigram_count") * 1.0 / F.col("n_bigrams"), 6
+            ).alias("mean_bigram_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # BPE encode: apply the trained merges to tokenize the corpus — the
 # missing half of the tokenizer pipeline (train half above)
 # --------------------------------------------------------------------------

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "go_dfs_mapreduce_spark.operators.training_prep",
     "go_dfs_mapreduce_spark.operators.stats",
     "go_dfs_mapreduce_spark.operators.timeseries",
+    "go_dfs_mapreduce_spark.operators.mining",
     "go_dfs_mapreduce_spark.operators.incremental",
     "go_dfs_mapreduce_spark.operators.interop",
     "go_dfs_mapreduce_spark.operators.wordcount",
@@ -178,6 +179,9 @@ _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     "doc_pack_bins_bpe",
     "winnow_candidate_pairs_fast",
     "multimodal_pixels_bmp",
+    "frequent_event_sequences",
+    "assoc_rules_copurchase",
+    "bigram_fluency_scores",
 )
 
 

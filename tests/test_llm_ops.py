@@ -1751,3 +1751,145 @@ def test_cusum_alarms_match_sequential_reference(spark, tmp_path):
         (r[0], r[2]): r[3] for r in con.execute(CUSUM_ORACLE).fetchall()
     }
     assert got == oracle
+
+
+def test_frequent_event_sequences_handcrafted(spark, tmp_path):
+    """Sequence mining semantics: user 1's path A,B,C,A,B,C yields
+    trigrams A>B>C (x2), B>C>A, C>A>B; user 2's 2-event path yields
+    none; ties break lexically. Cross-checked against the DuckDB
+    oracle."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.mining import (
+        FREQ_SEQ_ORACLE,
+        frequent_event_sequences,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, et in enumerate(["A", "B", "C", "A", "B", "C"]):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, et, 1.0, "{}"))
+    rows += [
+        (10, base, 2, "A", 1.0, "{}"),
+        (11, base + dt.timedelta(minutes=1), 2, "B", 1.0, "{}"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = [
+        (r.seq, r.seq_count)
+        for r in frequent_event_sequences(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("A>B>C", 2), ("B>C>A", 1), ("C>A>B", 1)]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    assert got == [tuple(r) for r in con.execute(FREQ_SEQ_ORACLE).fetchall()]
+
+
+def test_assoc_rules_handcrafted(spark, tmp_path):
+    """Association-rule arithmetic, hand-derived: parts 1 and 2 co-occur
+    in 3 of 5 baskets (support 3), part 1 appears in 4 and part 2 in 3,
+    so conf(1->2)=0.75, conf(2->1)=1.0, lift=3*5/(4*3)=1.25; the (1,3)
+    pair sits below MIN_SUPPORT and is dropped. Cross-checked against
+    the DuckDB oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.mining import (
+        ASSOC_ORACLE,
+        assoc_rules_copurchase,
+    )
+
+    baskets = {
+        1: [1, 2],
+        2: [1, 2],
+        3: [1, 2],
+        4: [1, 3],
+        5: [3, 4],
+    }
+    oks, pks = [], []
+    for ok, items in baskets.items():
+        for pk in items:
+            oks.append(ok)
+            pks.append(pk)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(oks, pa.int64()),
+                "l_partkey": pa.array(pks, pa.int64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    got = [
+        tuple(r) for r in assoc_rules_copurchase(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 2, 3, 4, 3, 0.75, 1.0, 1.25)]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    assert got == [tuple(r) for r in con.execute(ASSOC_ORACLE).fetchall()]
+
+
+def test_bigram_fluency_handcrafted(spark, tmp_path):
+    """Fluency-score arithmetic, hand-derived: doc0 'a b a b' has
+    bigrams [a b, b a, a b] with global counts {a b: 2, b a: 1, x y: 1}
+    so sum=5, mean=5/3; doc1 'x y' scores 1.0; a 1-token doc drops out.
+    Cross-checked against the DuckDB oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.textstats import (
+        BIGRAM_FLUENCY_ORACLE,
+        bigram_fluency_scores,
+    )
+
+    texts = ["a b a b", "x y", "solo"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = sorted(
+        tuple(r) for r in bigram_fluency_scores(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        (0, 3, 5, round(5 / 3, 6)),
+        (1, 1, 1, 1.0),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    assert got == sorted(
+        tuple(r) for r in con.execute(BIGRAM_FLUENCY_ORACLE).fetchall()
+    )
