@@ -866,3 +866,90 @@ def test_round8_operator_plan_contracts(spark, sf_dir):
     assert "Join" not in a["plan"]
     assert "Exchange SinglePartition" not in a["plan"]
     assert set(a["read_columns"]) == {"event_id", "ts", "user_id", "value"}
+
+
+def test_round9_operator_plan_contracts(spark, sf_dir):
+    """Plan pins for the round-9 operators: each keeps the structural
+    property its docstring claims."""
+    from go_dfs_mapreduce_spark.plans.audit import audit_plan
+
+    # frequent_event_sequences: k-grams unfold IN-ROW after the per-user
+    # path assembly; the count tops out in a TakeOrderedAndProject (never
+    # a global sort of all k-grams); everything JVM-side; pruned scan
+    from go_dfs_mapreduce_spark.operators.mining import (
+        assoc_rules_copurchase,
+        frequent_event_sequences,
+    )
+
+    a = audit_plan(frequent_event_sequences(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "TakeOrderedAndProject" in a["plan"]
+    assert "partial_count" in a["plan"]  # map-side combine on k-grams
+    assert set(a["read_columns"]) == {"event_id", "event_type", "ts", "user_id"}
+    assert "CartesianProduct" not in a["plan"]
+
+    # assoc_rules_copurchase: the basket self-join and the item-count
+    # joins are EQUI-joins; the only cross is the broadcast 1-row scalar
+    # frame; counts partial-aggregate; 2-column scan
+    a = audit_plan(assoc_rules_copurchase(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "CartesianProduct" not in a["plan"]
+    assert a["plan"].count("BroadcastNestedLoopJoin Cross BuildRight") >= 1
+    assert "partial_count" in a["plan"]
+    assert set(a["read_columns"]) == {"l_orderkey", "l_partkey"}
+    assert "TakeOrderedAndProject" in a["plan"]
+
+    # bigram_fluency_scores: bigrams unfold in-row, the doc join is an
+    # equi-join on the bigram key, JVM-only, 2-column scan
+    from go_dfs_mapreduce_spark.operators.textstats import (
+        bigram_fluency_scores,
+    )
+
+    a = audit_plan(bigram_fluency_scores(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_sortmerge_joins"] + a["n_broadcast_joins"] + a[
+        "plan"
+    ].count("ShuffledHashJoin") >= 1
+    assert "CartesianProduct" not in a["plan"]
+    assert set(a["read_columns"]) == {"doc_id", "text"}
+
+    # winnow_candidate_pairs_fast: the Arrow kernel IS the point (the
+    # deliberate UDF exception) — python worker present, but the pair
+    # tail stays the md5 twin's equi-join shape: no cartesian, no
+    # single-partition exchange, 2-column scan
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        winnow_candidate_pairs_fast,
+    )
+
+    a = audit_plan(winnow_candidate_pairs_fast(spark, sf_dir))
+    assert a["has_python_worker"]
+    assert "MapInPandas" in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+    assert "Exchange SinglePartition" not in a["plan"]
+    assert set(a["read_columns"]) == {"doc_id", "text"}
+
+    # multimodal_pixels_bmp: synth + decode are BOTH Arrow stages over a
+    # doc_id-only scan; no joins, no extra exchanges beyond none at all
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_pixels_bmp,
+    )
+
+    a = audit_plan(multimodal_pixels_bmp(spark, sf_dir))
+    assert a["plan"].count("MapInPandas") >= 2
+    assert a["n_exchanges"] == 0
+    assert "Join" not in a["plan"]
+    assert set(a["read_columns"]) == {"doc_id"}
+
+    # doc_pack_bins_bpe: the BPE accounting sub-plan feeds the same
+    # per-shard cumulative window as the whitespace packer — Window
+    # present, no cartesian beyond the 1-row merge broadcasts
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        doc_pack_bins_bpe,
+    )
+
+    a = audit_plan(doc_pack_bins_bpe(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "Window" in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+    assert "Exchange SinglePartition" not in a["plan"]
+    assert set(a["read_columns"]) == {"doc_id", "text"}
