@@ -673,6 +673,51 @@ def stream_cusum_alarms_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_OCCURRENCE_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id) AS evs,
+         list(ts ORDER BY ts, event_id) AS tss,
+         list(event_id ORDER BY ts, event_id) AS eids
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       tss[CAST(i AS INT) + 2] AS ts,
+       CAST(eids[CAST(i AS INT) + 2] AS BIGINT) AS event_id,
+       evs[CAST(i AS INT)] || '>' || evs[CAST(i AS INT) + 1]
+         || '>' || evs[CAST(i AS INT) + 2] AS seq
+FROM s, UNNEST(range(1, len(evs) - 1)) AS u(i)
+WHERE len(evs) >= 3
+"""
+
+
+@query("stream_event_sequences_live", oracle=SEQ_OCCURRENCE_ORACLE)
+def stream_event_sequences_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sequential-pattern primitive (``mining.frequent_event_
+    sequences``) as a FIFTH custom stateful streaming operator on the
+    real engine: per-user trailing-type state (exactly SEQ_K - 1 = 2
+    strings) advanced across >= 4 genuine micro-batches
+    (``streaming/sequences.py``), emitting each completed contiguous
+    trigram the moment its final event arrives — the live feed whose
+    downstream count IS the batch top-k. Emission is append-only
+    because a k-gram's identity depends only on its user's
+    strictly-earlier events (prefix-stable, the funnel/z-score/CUSUM
+    argument). The oracle recomputes every occurrence row from the
+    batch-side ordered paths, so the gate hash-checks the full
+    occurrence multiset — user, final-event timestamp and id, and the
+    sequence string — through the streaming engine (mechanics in
+    ``_run_live``)."""
+    from ..streaming.sequences import event_sequences_stream_v1
+
+    return _run_live(
+        spark,
+        sf_dir,
+        event_sequences_stream_v1,
+        "t_seq_live",
+        output_mode="append",
+    )
+
+
 CHUNK_SINK_ORACLE = """
 SELECT CAST(doc_id AS VARCHAR) || chr(9) || md5(text) AS line
 FROM documents

@@ -182,6 +182,7 @@ _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     "frequent_event_sequences",
     "assoc_rules_copurchase",
     "bigram_fluency_scores",
+    "stream_event_sequences_live",
 )
 
 

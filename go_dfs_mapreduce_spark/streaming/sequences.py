@@ -1,0 +1,122 @@
+"""Stateful streaming k-gram emitter: the sequential-pattern primitive
+(``operators.mining.frequent_event_sequences``) as per-user streaming
+state — each completed contiguous ``SEQ_K``-step event-type sequence is
+emitted the moment its final event arrives, giving the live feed a
+pattern-count dashboard aggregates downstream.
+
+Semantics: per user, keep the last ``SEQ_K - 1`` event types; on each
+event (in (ts, event_id) order — the unique total order every kernel in
+this package sorts by) emit (user_id, ts, event_id, seq) once the
+window is full. Emission is append-only BY CONSTRUCTION: a k-gram's
+identity depends only on the SAME user's strictly-earlier events, so it
+is prefix-stable and never revised — the funnel/z-score/CUSUM argument.
+
+State: exactly ``SEQ_K - 1`` strings per user (two, for trigrams) —
+bounded regardless of stream length, no floats anywhere, and useful for
+the key's whole lifetime (no dead state to TTL; the z-score module's
+eviction-policy note applies).
+
+Ships on both arbitrary-state APIs (the repo convention):
+``event_sequences_stream_v1`` (``applyInPandasWithState`` — the
+registered gate path) and ``SequenceProcessor``
+(``transformWithStateInPandas``); both fold through ``_fold_seq``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+from ..operators.mining import SEQ_K
+
+OUTPUT_SCHEMA = "user_id long, ts timestamp, event_id long, seq string"
+STATE_SCHEMA = "p1 string, p2 string"  # SEQ_K - 1 most recent types
+
+
+def _fold_seq(p1, p2, chunks: list[pd.DataFrame], user_id: int):
+    """Advance one key's trailing-type window over its micro-batch slice
+    (concat before the (ts, event_id) sort — the shared
+    batching-invariance guard) and collect completed k-gram rows."""
+    assert SEQ_K == 3, "state layout is sized for trigrams"
+    out = []
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for _, row in pdf.iterrows():
+            et = str(row["event_type"])
+            if p1 is not None and p2 is not None:
+                out.append(
+                    (
+                        int(user_id),
+                        row["ts"],
+                        int(row["event_id"]),
+                        f"{p1}>{p2}>{et}",
+                    )
+                )
+            p1, p2 = p2, et
+    return p1, p2, out
+
+
+def _emit(out: list[tuple]):
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "ts", "event_id", "seq"])
+
+
+def _seq_v1_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel; state = two strings."""
+    (user_id,) = key
+    (p1, p2) = state.get if state.exists else (None, None)
+    p1, p2, out = _fold_seq(p1, p2, list(pdf_iter), user_id)
+    state.update((p1, p2))
+    yield from _emit(out)
+
+
+def event_sequences_stream_v1(events: DataFrame) -> DataFrame:
+    """events (streaming) -> append-only completed-k-gram rows (v1 API)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _seq_v1_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class SequenceProcessor(StatefulProcessor):
+    """transformWithStateInPandas variant: same two-string state; both
+    paths call ``_fold_seq`` (equality by shared construction)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState("seq_tail", STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cur = self._st.get()
+        p1, p2 = (cur[0], cur[1]) if cur is not None else (None, None)
+        p1, p2, out = _fold_seq(p1, p2, list(rows), user_id)
+        self._st.update((p1, p2))
+        yield from _emit(out)
+
+    def close(self) -> None:
+        pass
+
+
+def event_sequences_stream(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas wiring of :class:`SequenceProcessor`."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        SequenceProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )

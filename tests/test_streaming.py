@@ -1084,3 +1084,86 @@ def test_state_bounds_under_processing_time_soak(spark, tmp_path, kernel):
     finally:
         q.stop()
         spark.catalog.dropTempView(name)
+
+
+def test_sequences_tws_matches_v1_and_batch_truth():
+    """The streaming trigram emitter: the transformWithState wrapper
+    must emit exactly what the v1 kernel emits for a worst-case-chunked
+    3-batch stream, and both must equal the batch-side ground truth
+    (every contiguous trigram of each user's chronological path)."""
+    import pandas as pd
+
+    from go_dfs_mapreduce_spark.streaming import sequences
+
+    class _VState:
+        def __init__(self):
+            self._v = None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class _Handle:
+        def getValueState(self, name, schema):
+            self._s = getattr(self, "_s", _VState())
+            return self._s
+
+    class _FakeGroupState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    types = ["A", "B", "C", "A", "B", "C", "D", "A", "B"]
+    rows = [
+        (i, pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=i),
+         1 + (i % 2), types[i % len(types)])
+        for i in range(36)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    cut = [0, 12, 24, 36]
+    batches = [pdf.iloc[cut[i]:cut[i + 1]] for i in range(3)]
+    procs, gstates, tws_out, v1_out = {}, {}, [], []
+    for batch in batches:
+        for uid, grp in batch.groupby("user_id"):
+            chunks = [
+                grp.iloc[[i]].reset_index(drop=True)
+                for i in range(len(grp) - 1, -1, -1)
+            ]
+            if uid not in procs:
+                p = sequences.SequenceProcessor()
+                p.init(_Handle())
+                procs[uid] = p
+                gstates[uid] = _FakeGroupState()
+            tws_out.extend(
+                procs[uid].handleInputRows((uid,), iter(chunks), None)
+            )
+            v1_out.extend(
+                sequences._seq_v1_fn(
+                    (uid,), iter([c.copy() for c in chunks]), gstates[uid]
+                )
+            )
+    key = lambda f: sorted(map(tuple, pd.concat(f).itertuples(False)))  # noqa: E731
+    got_tws, got_v1 = key(tws_out), key(v1_out)
+    assert got_tws == got_v1 and got_tws
+    # batch ground truth: contiguous trigrams of each user's ts-ordered path
+    want = []
+    for uid, grp in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        ets = list(grp["event_type"])
+        for i in range(len(ets) - 2):
+            r = grp.iloc[i + 2]
+            want.append(
+                (uid, r["ts"], r["event_id"], ">".join(ets[i : i + 3]))
+            )
+    assert got_tws == sorted(want)
