@@ -952,3 +952,88 @@ def hard_negative_mining_batched(
     for b in batches[1:]:
         out = out.unionByName(b)
     return out
+
+
+# --------------------------------------------------------------------------
+# Embedding-space outlier detection: distance to the label centroid
+# --------------------------------------------------------------------------
+
+OUTLIER_TOPK = 10
+
+EMB_OUTLIER_ORACLE = f"""
+WITH x AS ({EXPLODED_DUCK}),
+s AS (
+  SELECT label, i, SUM(CAST(v AS DECIMAL(28,18))) AS sv, COUNT(*) AS n
+  FROM x GROUP BY label, i
+),
+m AS (SELECT label, i, CAST(sv AS DOUBLE) / n AS mu FROM s),
+d AS (
+  SELECT x.vec_id, x.label,
+         SUM(CAST((x.v - m.mu) * (x.v - m.mu) AS DECIMAL(28,18))) AS d2
+  FROM x JOIN m ON x.label = m.label AND x.i = m.i
+  GROUP BY 1, 2
+)
+SELECT label, vec_id, CAST(rn AS INTEGER) AS rank,
+       ROUND(CAST(d2 AS DOUBLE), 6) AS dist2
+FROM (SELECT label, vec_id, d2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY d2 DESC, vec_id) AS rn
+      FROM d)
+WHERE rn <= {OUTLIER_TOPK}
+"""
+
+
+@query("embedding_outlier_topk", oracle=EMB_OUTLIER_ORACLE)
+def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier mining: the ``OUTLIER_TOPK`` vectors
+    FARTHEST from their label's centroid, per label — the curation
+    primitive behind mislabel detection and embedding-drift triage
+    (a point far from its own class center is a labeling error, an
+    ambiguous document, or genuinely novel content worth human review).
+
+    Determinism (the ann-family decimal discipline): per-dim centroid
+    sums accumulate as exact DECIMAL(28,18) casts of identical doubles
+    (order-free), the mean is ONE IEEE division per (label, dim), and
+    each vector's squared distance folds IN-ROW over the broadcast
+    centroid array as exact decimal addition of identical double
+    products — ranked on the EXACT decimal before the final
+    round-to-6 display cast, so both engines emit the identical top-k.
+
+    Scale: one per-dim exchange bounded by |labels| x dims builds the
+    centroids; the distance pass is a BROADCAST join (centroid table is
+    |labels| rows) + an in-row fold — no per-dimension explode of the
+    big side, no all-pairs anything; the ranking window partitions by
+    label. 100 TB of vectors pays one scan and a labels-x-dims-sized
+    exchange."""
+    exp = _exploded(spark, sf_dir)
+    s = exp.groupBy("label", "i").agg(
+        F.sum(F.expr("CAST(v AS DECIMAL(28,18))")).alias("sv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = s.select(
+        "label", "i", (F.col("sv").cast("double") / F.col("n")).alias("mu")
+    )
+    cent = (
+        m.groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "mu"))).alias("cm"))
+        .select("label", F.expr("transform(cm, s -> s.mu)").alias("cent"))
+    )
+    from .dedup import _dec_sqdist_expr
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.expr(_dec_sqdist_expr("embedding", "cent")).alias("d2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), F.asc("vec_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= OUTLIER_TOPK)
+        .select(
+            "label",
+            "vec_id",
+            F.col("rn").cast("int").alias("rank"),
+            F.round(F.col("d2").cast("double"), 6).alias("dist2"),
+        )
+    )

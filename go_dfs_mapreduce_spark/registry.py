@@ -183,6 +183,7 @@ _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     "assoc_rules_copurchase",
     "bigram_fluency_scores",
     "stream_event_sequences_live",
+    "embedding_outlier_topk",
 )
 
 

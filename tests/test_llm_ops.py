@@ -1893,3 +1893,52 @@ def test_bigram_fluency_handcrafted(spark, tmp_path):
     assert got == sorted(
         tuple(r) for r in con.execute(BIGRAM_FLUENCY_ORACLE).fetchall()
     )
+
+
+def test_embedding_outlier_topk_handcrafted(spark, tmp_path):
+    """Outlier arithmetic, hand-derived on a 2-dim fixture: label 0's
+    centroid of [0,0], [0,0], [3,4] is (1, 4/3); the [3,4] vector's
+    squared distance 4 + (8/3)^2 = 100/9 ranks it first, the two
+    origin vectors tie at 1 + 16/9 with the id tiebreak. (The DuckDB
+    oracle is 64-dim-corpus-specific; the sf gate covers it — this
+    pins the Spark arithmetic itself.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        embedding_outlier_topk,
+    )
+
+    vecs = [
+        (0, [0.0, 0.0], 0),
+        (1, [0.0, 0.0], 0),
+        (2, [3.0, 4.0], 0),
+        (3, [1.0, 1.0], 1),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([v[2] for v in vecs], pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    got = [
+        (r.label, r.vec_id, r.rank, r.dist2)
+        for r in embedding_outlier_topk(spark, str(tmp_path))
+        .orderBy("label", "rank")
+        .collect()
+    ]
+    mu0, mu1 = 1.0, 4.0 / 3.0
+    d_far = round((3 - mu0) ** 2 + (4 - mu1) ** 2, 6)
+    d_origin = round(mu0**2 + mu1**2, 6)
+    assert got == [
+        (0, 2, 1, d_far),
+        (0, 0, 2, d_origin),
+        (0, 1, 3, d_origin),
+        (1, 3, 1, 0.0),
+    ]
