@@ -620,3 +620,165 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r.ratio", 6).alias("pmi_ratio"),
         (F.col("pos") + 1).cast("int").alias("rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# semantic (embedding-cosine) top-k lists
+# --------------------------------------------------------------------------
+
+RRF_C = 60  # the standard RRF constant (Cormack et al. 2009)
+FUSE_CAND = 50  # per-system candidate list length
+FUSION_TOPK = 10
+
+RRF_ORACLE = f"""
+WITH per_doc AS (
+  SELECT doc_id, len(toks) AS dl,
+         {', '.join(f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}"
+                    for t in BM25_TERMS)}
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_toks,
+         {', '.join(f"COUNT(*) FILTER (WHERE tf_{t} > 0) AS df_{t}"
+                    for t in BM25_TERMS)}
+  FROM per_doc
+),
+lex AS (
+  SELECT doc_id, {_BM25_SCORE_SQL} AS s
+  FROM per_doc CROSS JOIN corpus
+  ORDER BY s DESC, doc_id LIMIT {FUSE_CAND}
+),
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r_lex
+  FROM lex
+),
+x AS (
+  SELECT vec_id, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) r(i)
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,18))) AS n2 FROM x GROUP BY 1
+),
+dots AS (
+  SELECT c.vec_id, SUM(CAST(q.v * c.v AS DECIMAL(28,18))) AS dot
+  FROM x q JOIN x c ON q.i = c.i AND q.vec_id = 0
+  GROUP BY 1
+),
+cosv AS (
+  SELECT d.vec_id,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS c
+  FROM dots d
+  JOIN norms cn ON cn.vec_id = d.vec_id
+  JOIN norms qn ON qn.vec_id = 0
+),
+sem AS (SELECT vec_id, c FROM cosv ORDER BY c DESC, vec_id LIMIT {FUSE_CAND}),
+semr AS (
+  SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS r_sem
+  FROM sem
+)
+SELECT COALESCE(lexr.doc_id, semr.vec_id) AS doc_id,
+       CAST(r_lex AS BIGINT) AS r_lex,
+       CAST(r_sem AS BIGINT) AS r_sem,
+       ROUND(COALESCE(1.0 / ({RRF_C} + r_lex), 0.0)
+             + COALESCE(1.0 / ({RRF_C} + r_sem), 0.0), 6) AS rrf_score
+FROM lexr FULL JOIN semr ON lexr.doc_id = semr.vec_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {FUSION_TOPK}
+"""
+
+
+@query("rrf_fusion_topk", oracle=RRF_ORACLE)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): fuse the lexical BM25 top-``FUSE_CAND`` list with the
+    semantic embedding-cosine top-``FUSE_CAND`` list (query = vector 0,
+    document embeddings keyed by doc_id) through the standard
+    ``1/(C + rank)`` sum — the way production RAG stacks combine a
+    keyword index with a vector index, fused over the CANDIDATE LISTS
+    rather than full-corpus rankings (full ranks would force a global
+    single-partition sort; list fusion is how RRF is actually deployed,
+    and it keeps every global structure result-sized).
+
+    Plan: each system's candidate list lowers to a
+    TakeOrderedAndProject (corpus-sized scans, constant-size output);
+    ranks come from windows over the 50-row lists (result-sized — the
+    one acceptable single-partition spot); the fusion is a full outer
+    join of two 50-row frames. Determinism: ranks are exact ints off
+    bit-identical IEEE scores (both scoring expressions are the
+    registered BM25/cosine forms, textually identical on both engines);
+    the RRF score is two IEEE divisions + one add in fixed order,
+    rounded to 6; every ordering carries an id tiebreak. A list-absent
+    system contributes 0 (its rank column stays NULL — emitted so the
+    consumer can see which system found each doc)."""
+    from .dedup import _dec_dot_expr
+
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        F.expr(f"size({_TOKS_SPARK})").cast("long").alias("dl"),
+        *[
+            F.expr(f"size(filter({_TOKS_SPARK}, x -> x = '{t}'))")
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_toks"),
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    lex = (
+        per_doc.join(F.broadcast(corpus))
+        .select("doc_id", F.expr(_BM25_SCORE_SQL).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(FUSE_CAND)
+    )
+    wl = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).alias("r_lex")
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    ed = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
+    )
+    q = ed.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("n2").alias("qn2")
+    )
+    cos = ed.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        (
+            F.expr(_dec_dot_expr("q_emb", "embedding")).cast("double")
+            / (
+                F.sqrt(F.col("qn2").cast("double"))
+                * F.sqrt(F.col("n2").cast("double"))
+            )
+        ).alias("c"),
+    )
+    sem = cos.orderBy(F.desc("c"), F.asc("vec_id")).limit(FUSE_CAND)
+    ws = Window.orderBy(F.desc("c"), F.asc("vec_id"))
+    semr = sem.select(
+        "vec_id", F.row_number().over(ws).alias("r_sem")
+    )
+    fused = lexr.join(
+        semr, lexr.doc_id == semr.vec_id, "full"
+    ).select(
+        F.coalesce(lexr.doc_id, semr.vec_id).alias("doc_id"),
+        F.col("r_lex").cast("long").alias("r_lex"),
+        F.col("r_sem").cast("long").alias("r_sem"),
+        F.round(
+            F.coalesce(1.0 / (RRF_C + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_C + F.col("r_sem")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(
+        FUSION_TOPK
+    )

@@ -184,6 +184,7 @@ _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     "bigram_fluency_scores",
     "stream_event_sequences_live",
     "embedding_outlier_topk",
+    "rrf_fusion_topk",
 )
 
 
