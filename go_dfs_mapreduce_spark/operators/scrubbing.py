@@ -291,3 +291,102 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("n_rows_at_risk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup: surface-form variants of the same resource
+# --------------------------------------------------------------------------
+#
+# Web corpora cite the same resource under many surface forms — case
+# variants, default ports, tracking parameters, fragments, trailing
+# slashes. The fixture synthesizes one of four surface variants of a
+# deterministic logical URL per document (pure function of doc_id, the
+# scrubbing-module injection convention); the CANONICALIZER is the real
+# logic: lowercase, strip fragment, strip utm_* tracking params, drop the
+# https default port, drop the trailing slash. Same regex chain on both
+# engines.
+
+_RAW_URL_SPARK = """
+CASE doc_id % 4
+  WHEN 0 THEN concat('https://site', CAST(doc_id % 7 AS STRING),
+              '.example.org/p/', CAST(doc_id % 25 AS STRING))
+  WHEN 1 THEN concat('HTTPS://SITE', CAST(doc_id % 7 AS STRING),
+              '.EXAMPLE.ORG:443/p/', CAST(doc_id % 25 AS STRING), '/')
+  WHEN 2 THEN concat('https://site', CAST(doc_id % 7 AS STRING),
+              '.example.org/p/', CAST(doc_id % 25 AS STRING),
+              '?utm_source=feed&utm_campaign=x')
+  ELSE concat('https://site', CAST(doc_id % 7 AS STRING),
+              '.example.org/p/', CAST(doc_id % 25 AS STRING), '#section-2')
+END
+"""
+
+_RAW_URL_DUCK = """
+CASE doc_id % 4
+  WHEN 0 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.org/p/' || CAST(doc_id % 25 AS VARCHAR)
+  WHEN 1 THEN 'HTTPS://SITE' || CAST(doc_id % 7 AS VARCHAR)
+              || '.EXAMPLE.ORG:443/p/' || CAST(doc_id % 25 AS VARCHAR) || '/'
+  WHEN 2 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.org/p/' || CAST(doc_id % 25 AS VARCHAR)
+              || '?utm_source=feed&utm_campaign=x'
+  ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+       || '.example.org/p/' || CAST(doc_id % 25 AS VARCHAR) || '#section-2'
+END
+"""
+
+
+def _canon_spark(url_expr: str) -> str:
+    c = f"lower({url_expr})"
+    c = f"regexp_replace({c}, '#.*$', '')"  # fragment
+    c = f"regexp_replace({c}, '\\\\?utm_[^#]*$', '')"  # tracking params
+    c = f"regexp_replace({c}, ':443/', '/')"  # https default port
+    return f"regexp_replace({c}, '/$', '')"  # trailing slash
+
+
+def _canon_duck(url_expr: str) -> str:
+    c = f"lower({url_expr})"
+    c = f"regexp_replace({c}, '#.*$', '')"
+    c = f"regexp_replace({c}, '\\?utm_[^#]*$', '')"
+    c = f"regexp_replace({c}, ':443/', '/')"
+    return f"regexp_replace({c}, '/$', '')"
+
+
+URL_CANON_ORACLE = f"""
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_surface_forms
+FROM (SELECT {_canon_duck(_RAW_URL_DUCK)} AS canonical_url,
+             ({_RAW_URL_DUCK}) AS raw_url
+      FROM documents)
+GROUP BY canonical_url
+"""
+
+
+@query("url_canonical_dedup", oracle=URL_CANON_ORACLE)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier / citation-dedup
+    primitive: collapse surface-form variants (case, https default
+    port, utm_* tracking parameters, fragments, trailing slashes) to
+    one canonical URL and report how many documents and DISTINCT
+    surface forms each canonical resource carried. In a crawl pipeline
+    this table drives refetch suppression and citation counting;
+    feeding ``n_surface_forms > 1`` groups into the text-dedup family
+    catches mirrored content the URL alone proves duplicated.
+
+    Plan: the canonicalizer is a fixed regex chain in whole-stage
+    codegen (one scan, embarrassingly parallel); the aggregate is one
+    exchange keyed by canonical URL with map-side combine, and the
+    distinct-surface-form count partial-aggregates the same way. All
+    counts exact integers."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.expr(_canon_spark(_RAW_URL_SPARK)).alias("canonical_url"),
+            F.expr(_RAW_URL_SPARK).alias("raw_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("raw_url").cast("long").alias("n_surface_forms"),
+        )
+    )

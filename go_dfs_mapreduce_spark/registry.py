@@ -185,6 +185,7 @@ _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     "stream_event_sequences_live",
     "embedding_outlier_topk",
     "rrf_fusion_topk",
+    "url_canonical_dedup",
 )
 
 
