@@ -953,3 +953,43 @@ def test_round9_operator_plan_contracts(spark, sf_dir):
     assert "CartesianProduct" not in a["plan"]
     assert "Exchange SinglePartition" not in a["plan"]
     assert set(a["read_columns"]) == {"doc_id", "text"}
+
+
+def test_round9_late_operator_plan_contracts(spark, sf_dir):
+    """Plan pins for the later round-9 additions."""
+    from go_dfs_mapreduce_spark.plans.audit import audit_plan
+
+    # embedding_outlier_topk: centroid table rides in as a BROADCAST
+    # join (never a shuffled join of the vector table against per-dim
+    # rows), distance is an in-row fold, JVM-only
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        embedding_outlier_topk,
+    )
+
+    a = audit_plan(embedding_outlier_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_broadcast_joins"] >= 1
+    assert a["n_sortmerge_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+
+    # rrf_fusion_topk: both candidate lists lower to
+    # TakeOrderedAndProject (never a global sort of the corpus); the
+    # only cross is the broadcast 1-row query vector; JVM-only
+    from go_dfs_mapreduce_spark.operators.retrieval import rrf_fusion_topk
+
+    a = audit_plan(rrf_fusion_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["plan"].count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in a["plan"]
+
+    # url_canonical_dedup: one scan, regex chain in codegen, one
+    # map-side-combined exchange; no joins, no python
+    from go_dfs_mapreduce_spark.operators.scrubbing import (
+        url_canonical_dedup,
+    )
+
+    a = audit_plan(url_canonical_dedup(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "Join" not in a["plan"]
+    assert set(a["read_columns"]) == {"doc_id"}
+    assert "CartesianProduct" not in a["plan"]
