@@ -231,9 +231,13 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         "multimodal_audio_meta",
         "multimodal_frame_sample",
         "multimodal_resize_nn",
+        "multimodal_pixels_bmp",
         "udf_price_tier",
         "udaf_customer_stats",
         "udtf_first_tokens",
+        # round 9: the winnowing production twin's rolling-polynomial
+        # numpy kernel is the documented deliberate UDF exception
+        "winnow_candidate_pairs_fast",
     }
     qs, _ = registry.collect()
     offenders, python_leaks = [], []
