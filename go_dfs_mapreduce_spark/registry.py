@@ -75,16 +75,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The exactly-50 queries the driver will record. Round-8 rotation
-# (VERDICT r7 "What's missing" #1): 22 anchors keep one representative
-# per SURVEY §2 family green in every round's driver file; the other 28
-# slots carry (a) the 8 names with no driver row after r7 — the round-7
-# rotation queue plus the two late-r7 ledger orphans — which completes
-# cumulative driver verification of every name registered through
-# round 7 (196/196), and (b) round-8's own new operators, which earn
-# their rows in their round per the standing pattern, with the balance
-# filled by recently-recorded names staying warm. The never-recorded
-# pool is recomputed each round from the CORRECTNESS_r0*.json union
+# The exactly-50 queries the driver will record. Round-9 rotation
+# (the established pattern): 22 anchors keep one representative per
+# SURVEY §2 family green in every round's driver file; round 8 reached
+# TOTAL cumulative driver verification (211/211 registered names had a
+# passing row in the CORRECTNESS_r01-r08 union), so the floating slots
+# now carry (a) round-9's own new operators — every operator earns its
+# driver row in the round it lands, the standing invariant — and (b)
+# recently-recorded names staying warm. The never-recorded pool is
+# recomputed each round from the CORRECTNESS_r0*.json union
 # (tests/test_rotation_ledger.py pins that nothing silently falls out);
 # the local gate still verifies every registered query every round —
 # driver rows are the externally-scored evidence. Order within the list
@@ -130,20 +129,21 @@ _DRIVER_SHOWCASE = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_scores",
-    # --- the 8 names with no driver row after r7: the r7 rotation queue
-    # (6) plus the two late-r7 ledger orphans — this rotation reaches
-    # cumulative driver verification of the full 196-name registry ---
-    "lang_id_confusion_matrix",
-    "vocab_coverage_thresholds",
-    "embedding_dim_stats",
-    "graph_cc_labels_2iter",
-    "event_path_conversion",
-    "stream_path_conversions_live",
-    "event_sessionize_stats",
-    "pmi_collocations",
-    # --- 20 floating slots: round-8 new operators first (they earn
-    # driver rows in their round), balance filled by recently-recorded
-    # names staying warm ---
+    # --- round-9 new operators: each earns its driver row in its round
+    # (the standing invariant; all are green on the local gate) ---
+    "bpe_encode_corpus",
+    "doc_pack_bins_bpe",
+    "winnow_candidate_pairs_fast",
+    "multimodal_pixels_bmp",
+    "frequent_event_sequences",
+    "assoc_rules_copurchase",
+    "bigram_fluency_scores",
+    "stream_event_sequences_live",
+    "embedding_outlier_topk",
+    "rrf_fusion_topk",
+    "url_canonical_dedup",
+    # --- 17 floating slots: recently-recorded (r8) names staying warm;
+    # every name rotated OUT this round retains its r1-r8 driver rows ---
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
     "token_diversity_scores",
@@ -151,14 +151,11 @@ _DRIVER_SHOWCASE = (
     "chi_square_source_drift",
     "bm25_search_topk",
     "winnow_candidate_pairs",
-    "inverted_index_postings",
     "gopher_quality_rules",
     "heavy_hitters_cms_audit",
     "events_cusum_alarms",
     "stream_dedup_incremental_live",
-    "hard_negative_mining_batched",
     "stream_cusum_alarms_live",
-    "training_shuffle_shards",
     "dedup_fuzzy_levenshtein",
     "bpe_merge_candidates",
     "events_user_zscore_anomalies",
@@ -172,21 +169,7 @@ _DRIVER_SHOWCASE = (
 # test_rotation_ledger.py fails if a registered name is in neither a
 # CORRECTNESS_r*.json nor the showcase nor this queue, so nothing can
 # silently lose its path to external evidence.
-_NEXT_ROTATION_QUEUE: tuple[str, ...] = (
-    # round-9 additions, staged here until the round-9 showcase is
-    # finalized at session close (they then move into the 50)
-    "bpe_encode_corpus",
-    "doc_pack_bins_bpe",
-    "winnow_candidate_pairs_fast",
-    "multimodal_pixels_bmp",
-    "frequent_event_sequences",
-    "assoc_rules_copurchase",
-    "bigram_fluency_scores",
-    "stream_event_sequences_live",
-    "embedding_outlier_topk",
-    "rrf_fusion_topk",
-    "url_canonical_dedup",
-)
+_NEXT_ROTATION_QUEUE: tuple[str, ...] = ()
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
