@@ -614,3 +614,126 @@ def test_winnowing_guarantee_shared_substring(ctx_a, ctx_b, core):
     a = {f for d, f in fps if d == 0}
     b = {f for d, f in fps if d == 1}
     assert a & b, "winnowing guarantee violated: no shared fingerprint"
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abcdef é ",  # incl. space runs + a non-ASCII char
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_winnow_poly_kernel_matches_pure_python_reference(texts):
+    """The vectorized numpy rolling-hash kernel must select EXACTLY the
+    fingerprints a transparent pure-Python implementation of the same
+    polynomial/window-min definition selects, for arbitrary text
+    (including shorter-than-K docs, sub-W gram counts, non-ASCII
+    codepoints) — pinning the sliding-window matmul, the utf-32
+    codepoint extraction, and the edge guards."""
+    import re
+
+    import pandas as pd
+
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        WIN_B,
+        WIN_K,
+        WIN_M,
+        WIN_W,
+        _winnow_fast_kernel,
+    )
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t).strip().lower()
+
+    def ref(doc):
+        n = norm(doc)
+        if len(n) < WIN_K:
+            return set()
+        hs = []
+        for i in range(len(n) - WIN_K + 1):
+            h = 0
+            for ch in n[i : i + WIN_K]:
+                h = (h * WIN_B + ord(ch)) % WIN_M
+            hs.append(h)
+        if len(hs) < WIN_W:
+            return set()
+        return {
+            min(hs[j : j + WIN_W]) for j in range(len(hs) - WIN_W + 1)
+        }
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "norm": [norm(t) for t in texts],
+        }
+    )
+    got: dict[int, set] = {i: set() for i in range(len(texts))}
+    for out in _winnow_fast_kernel([pdf]):
+        for d, fp in zip(out["doc_id"], out["fp"]):
+            got[int(d)].add(int(fp))
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (i, t)
+
+
+@given(
+    n_events=st.integers(0, 30),
+    n_types=st.integers(1, 4),
+    cuts=st.lists(st.integers(0, 30), max_size=4),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_seq_fold_batching_invariant_vs_naive(n_events, n_types, cuts, seed):
+    """The vectorized trigram fold must emit the identical row multiset
+    whether the stream arrives as one batch or any partition into
+    micro-batches, and equal the naive per-event recurrence — pinning
+    the state-prefix slicing math (k = live state size) across every
+    state fill level."""
+    import random
+
+    import pandas as pd
+
+    from go_dfs_mapreduce_spark.streaming.sequences import _fold_seq
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=i),
+            f"T{rng.randrange(n_types)}",
+        )
+        for i in range(n_events)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+
+    def naive():
+        p1 = p2 = None
+        out = []
+        for eid, ts, et in rows:
+            if p1 is not None and p2 is not None:
+                out.append((7, ts, eid, f"{p1}>{p2}>{et}"))
+            p1, p2 = p2, et
+        return sorted(out)
+
+    def run(bounds):
+        p1 = p2 = None
+        outs = []
+        prev = 0
+        for b in sorted(set(bounds + [n_events])):
+            b = min(b, n_events)
+            chunk = pdf.iloc[prev:b]
+            prev = b
+            p1, p2, out = _fold_seq(p1, p2, [chunk] if len(chunk) else [], 7)
+            if out is not None:
+                outs.extend(
+                    (int(u), t, int(e), s)
+                    for u, t, e, s in out.itertuples(False)
+                )
+        return sorted(outs)
+
+    assert run([]) == naive()
+    assert run(cuts) == naive()
