@@ -44,6 +44,7 @@ from ..registry import query
 from ..tables import table
 from .dedup import _NORM_DUCK, _NORM_SPARK, ngram_expr
 
+
 # --------------------------------------------------------------------------
 # Repetition quality gates (within-document duplicate structure)
 # --------------------------------------------------------------------------
@@ -771,4 +772,129 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ss - s * s / n) / n, 6).alias("var_v"),
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T5/UL2-style span-corruption planning: deterministic mask layout
+# --------------------------------------------------------------------------
+
+SPAN_START_MOD = 20  # a position starts a span iff hash % 20 == 0 (~5%)
+SPAN_LEN_BASE = 2  # span length = 2 + hash % 3, i.e. {2,3,4}, mean 3
+
+_SPAN_H_SPARK = (
+    "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':{salt}:',"
+    " CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+)
+_SPAN_H_DUCK = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{salt}:'"
+    " || CAST(i AS VARCHAR)), 1, 15))::UBIGINT"
+)
+
+SPAN_PLAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split({_NORM_DUCK}, ' '), x -> x <> ''))
+           AS n
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n,
+    list_transform(range(1, n + 1),
+      i -> {_SPAN_H_DUCK.format(salt='S')} % {SPAN_START_MOD} = 0) AS s,
+    list_transform(range(1, n + 1),
+      i -> {SPAN_LEN_BASE} + CAST({_SPAN_H_DUCK.format(salt='L')} % 3
+                                  AS BIGINT)) AS l
+  FROM t
+),
+mk AS (
+  SELECT doc_id, n,
+    list_transform(range(1, n + 1), i ->
+      len(list_filter(range(greatest(1, i - {SPAN_LEN_BASE + 1}), i + 1),
+          j -> s[CAST(j AS INT)]
+               AND j + l[CAST(j AS INT)] - 1 >= i)) > 0) AS masked
+  FROM m
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(masked, x -> x)) AS BIGINT) AS n_masked,
+  CAST(len(list_filter(range(1, n + 1),
+       i -> masked[CAST(i AS INT)]
+            AND (i = 1 OR NOT masked[CAST(i AS INT) - 1])))
+       AS BIGINT) AS n_spans,
+  ROUND(len(list_filter(masked, x -> x)) * 1.0 / NULLIF(n, 0), 6)
+    AS mask_ratio
+FROM mk
+"""
+
+
+@query("span_corruption_plan", oracle=SPAN_PLAN_ORACLE)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption PLANNING: decide, deterministically
+    and reproducibly, which token spans of each document a denoising
+    pretrain run will mask — ~5% of positions start a span (md5-hash
+    gate), span lengths in {{2,3,4}} (mean 3, so ~15% of tokens mask),
+    overlapping spans merge. Emits per-doc token count, masked-token
+    count, MERGED span count, and the realized mask ratio — the audit
+    table that budgets denoising targets before any tensor is built,
+    and (because the layout is a pure hash of (doc_id, position)) the
+    same plan every epoch/restart reproduces without storing masks.
+
+    All layout decisions are md5-derived integers (the engine-portable
+    hash family), span membership is a bounded in-row window test
+    (each position checks at most SPAN_LEN_BASE+2 predecessors), and
+    the merged-span count is a boundary count — zero shuffles, zero
+    joins, exact integers plus one rounded division. The corruption
+    RATE is tuned by SPAN_START_MOD exactly like production span
+    samplers tune their Poisson rate."""
+    docs = table(spark, sf_dir, "documents")
+    hs = _SPAN_H_SPARK.format(salt="S")
+    hl = _SPAN_H_SPARK.format(salt="L")
+    t = docs.select(
+        "doc_id",
+        F.expr(
+            f"size(filter(split({_NORM_SPARK}, ' '), x -> x <> ''))"
+        ).alias("n"),
+    )
+    # every sequence(1, n) is guarded for n = 0: Spark's sequence(1, 0)
+    # is DESCENDING [1, 0] (the documented pmi_collocations trap), so an
+    # empty document would probe element_at(..., 0) and throw under ANSI
+    m = t.select(
+        "doc_id",
+        "n",
+        F.expr(
+            f"IF(n < 1, array(), "
+            f"transform(sequence(1, n), i -> {hs} % {SPAN_START_MOD} = 0))"
+        ).alias("s"),
+        F.expr(
+            f"IF(n < 1, array(), "
+            f"transform(sequence(1, n), i -> {SPAN_LEN_BASE} + {hl} % 3))"
+        ).alias("l"),
+    )
+    mk = m.select(
+        "doc_id",
+        "n",
+        F.expr(
+            f"IF(n < 1, array(), transform(sequence(1, n), i -> "
+            f"exists(sequence(greatest(1, i - {SPAN_LEN_BASE + 1}), i), j -> "
+            f"element_at(s, j) AND j + element_at(l, j) - 1 >= i)))"
+        ).alias("masked"),
+    )
+    return mk.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.expr("size(filter(masked, x -> x))").cast("long").alias("n_masked"),
+        F.expr(
+            "IF(n < 1, 0, size(filter(sequence(1, n), i ->"
+            " element_at(masked, i)"
+            " AND (i = 1 OR NOT element_at(masked, i - 1)))))"
+        )
+        .cast("long")
+        .alias("n_spans"),
+        F.round(
+            F.expr("size(filter(masked, x -> x))")
+            * 1.0
+            / F.nullif(F.col("n"), F.lit(0)),
+            6,
+        ).alias("mask_ratio"),
     )

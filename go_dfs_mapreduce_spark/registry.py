@@ -132,6 +132,7 @@ _DRIVER_SHOWCASE = (
     # --- round-9 new operators: each earns its driver row in its round
     # (the standing invariant; all are green on the local gate) ---
     "bpe_encode_corpus",
+    "span_corruption_plan",
     "doc_pack_bins_bpe",
     "winnow_candidate_pairs_fast",
     "multimodal_pixels_bmp",
@@ -142,7 +143,7 @@ _DRIVER_SHOWCASE = (
     "embedding_outlier_topk",
     "rrf_fusion_topk",
     "url_canonical_dedup",
-    # --- 17 floating slots: recently-recorded (r8) names staying warm;
+    # --- 16 floating slots: recently-recorded (r8) names staying warm;
     # every name rotated OUT this round retains its r1-r8 driver rows ---
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
@@ -160,7 +161,6 @@ _DRIVER_SHOWCASE = (
     "bpe_merge_candidates",
     "events_user_zscore_anomalies",
     "stream_zscore_anomalies_live",
-    "bpe_train_merges",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT

@@ -1942,3 +1942,75 @@ def test_embedding_outlier_topk_handcrafted(spark, tmp_path):
         (0, 1, 3, d_origin),
         (1, 3, 1, 0.0),
     ]
+
+
+def test_span_corruption_plan_handcrafted(spark, tmp_path):
+    """Span-plan semantics pinned against a transparent pure-Python
+    replay of the same md5 layout (start gate, length draw, overlap
+    merge) on a small corpus — including the empty doc (NULL ratio) and
+    a 1-token doc."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        SPAN_LEN_BASE,
+        SPAN_PLAN_ORACLE,
+        SPAN_START_MOD,
+        span_corruption_plan,
+    )
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 8, "one", ""]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+
+    def h(doc_id, salt, i):
+        m = hashlib.md5(f"{doc_id}:{salt}:{i}".encode()).hexdigest()
+        return int(m[:15], 16)
+
+    def ref(doc_id, text):
+        toks = [t for t in " ".join(text.split()).lower().split(" ") if t]
+        n = len(toks)
+        starts = [h(doc_id, "S", i) % SPAN_START_MOD == 0 for i in range(1, n + 1)]
+        lens = [SPAN_LEN_BASE + h(doc_id, "L", i) % 3 for i in range(1, n + 1)]
+        masked = [
+            any(
+                starts[j - 1] and j + lens[j - 1] - 1 >= i
+                for j in range(max(1, i - (SPAN_LEN_BASE + 1)), i + 1)
+            )
+            for i in range(1, n + 1)
+        ]
+        n_masked = sum(masked)
+        n_spans = sum(
+            1 for i in range(n) if masked[i] and (i == 0 or not masked[i - 1])
+        )
+        ratio = round(n_masked / n, 6) if n else None
+        return (doc_id, n, n_masked, n_spans, ratio)
+
+    got = sorted(
+        tuple(r) for r in span_corruption_plan(spark, str(tmp_path)).collect()
+    )
+    want = sorted(ref(i, t) for i, t in enumerate(texts))
+    assert got == want
+    # real masking happened on the long doc
+    assert got[0][2] > 0 and got[0][3] > 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    assert got == sorted(
+        tuple(r) for r in con.execute(SPAN_PLAN_ORACLE).fetchall()
+    )
