@@ -997,3 +997,18 @@ def test_round9_late_operator_plan_contracts(spark, sf_dir):
     assert "Join" not in a["plan"]
     assert set(a["read_columns"]) == {"doc_id"}
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_span_corruption_plan_contract(spark, sf_dir):
+    """span_corruption_plan: pure in-row layout — zero exchanges, no
+    joins, no python worker, 2-column scan."""
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        span_corruption_plan,
+    )
+    from go_dfs_mapreduce_spark.plans.audit import audit_plan
+
+    a = audit_plan(span_corruption_plan(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_exchanges"] == 0
+    assert "Join" not in a["plan"]
+    assert set(a["read_columns"]) == {"doc_id", "text"}
