@@ -445,3 +445,114 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         "doc_id", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# Curation verdicts: the keep/drop table composing the quality signals
+# --------------------------------------------------------------------------
+
+CURATE_MIN_QUALITY = 0.5  # compares the ROUNDED quality_score column
+CURATE_MAX_DUP_TRI = 0.05
+CURATE_MIN_FLUENCY = 29.0
+
+
+def _curation_oracle() -> str:
+    from .textstats import (
+        BIGRAM_FLUENCY_ORACLE,
+        GOPHER_ORACLE,
+        QUALITY_ORACLE,
+    )
+    from .training_prep import REPETITION_ORACLE
+
+    return f"""
+WITH q AS ({QUALITY_ORACLE}),
+g AS ({GOPHER_ORACLE}),
+r AS ({REPETITION_ORACLE}),
+f AS ({BIGRAM_FLUENCY_ORACLE})
+SELECT q.doc_id,
+  q.quality_score,
+  g.passes_all AS gopher_pass,
+  r.dup_trigram_ratio,
+  f.mean_bigram_count,
+  q.quality_score >= {CURATE_MIN_QUALITY} AS rule_quality,
+  g.passes_all AS rule_gopher,
+  COALESCE(r.dup_trigram_ratio <= {CURATE_MAX_DUP_TRI}, TRUE)
+    AS rule_repetition,
+  COALESCE(f.mean_bigram_count >= {CURATE_MIN_FLUENCY}, FALSE)
+    AS rule_fluency,
+  q.quality_score >= {CURATE_MIN_QUALITY}
+  AND g.passes_all
+  AND COALESCE(r.dup_trigram_ratio <= {CURATE_MAX_DUP_TRI}, TRUE)
+  AND COALESCE(f.mean_bigram_count >= {CURATE_MIN_FLUENCY}, FALSE)
+    AS keep
+FROM q
+JOIN g ON g.doc_id = q.doc_id
+LEFT JOIN r ON r.doc_id = q.doc_id
+LEFT JOIN f ON f.doc_id = q.doc_id
+"""
+
+
+@query("curation_verdicts", oracle=_curation_oracle())
+def curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final artifact of a curation pipeline: one keep/drop verdict
+    per document with the PER-RULE breakdown, composing four registered
+    quality signals — the heuristic score (``text_quality_scores``),
+    the Gopher rule gate (``gopher_quality_rules``), within-doc
+    repetition (``doc_repetition_scores``), and the corpus-LM fluency
+    proxy (``bigram_fluency_scores``). Each rule thresholds an
+    already-ROUNDED registered column (exact compares — no fresh float
+    path), so the composite inherits the constituents' cross-engine
+    determinism; the oracle literally composes their oracle SQL as
+    CTEs, pinning the composition itself. Docs too short to score a
+    signal default per the rule's semantics (no trigrams -> repetition
+    passes; no bigrams -> fluency fails — absence of fluency EVIDENCE
+    is a drop, absence of repetition evidence is not).
+
+    Scale: four corpus-scan sub-plans joined on doc_id — each
+    constituent is the registered operator's own plan (in-row
+    projections plus the fluency pipeline's vocabulary exchanges); the
+    verdict joins shuffle doc-keyed score rows, not corpus text. A
+    deployment materializes this table per corpus version and every
+    downstream sampler filters on ``keep``."""
+    from .textstats import (
+        bigram_fluency_scores,
+        gopher_quality_rules,
+        text_quality_scores,
+    )
+    from .training_prep import doc_repetition_scores
+
+    q = text_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    g = gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes_all").alias("gopher_pass")
+    )
+    r = doc_repetition_scores(spark, sf_dir).select(
+        "doc_id", "dup_trigram_ratio"
+    )
+    f = bigram_fluency_scores(spark, sf_dir).select(
+        "doc_id", "mean_bigram_count"
+    )
+    j = (
+        q.join(g, "doc_id")
+        .join(r, "doc_id", "left")
+        .join(f, "doc_id", "left")
+    )
+    rule_q = F.col("quality_score") >= CURATE_MIN_QUALITY
+    rule_g = F.col("gopher_pass")
+    rule_r = F.coalesce(
+        F.col("dup_trigram_ratio") <= CURATE_MAX_DUP_TRI, F.lit(True)
+    )
+    rule_f = F.coalesce(
+        F.col("mean_bigram_count") >= CURATE_MIN_FLUENCY, F.lit(False)
+    )
+    return j.select(
+        "doc_id",
+        "quality_score",
+        "gopher_pass",
+        "dup_trigram_ratio",
+        "mean_bigram_count",
+        rule_q.alias("rule_quality"),
+        rule_g.alias("rule_gopher"),
+        rule_r.alias("rule_repetition"),
+        rule_f.alias("rule_fluency"),
+        (rule_q & rule_g & rule_r & rule_f).alias("keep"),
+    )

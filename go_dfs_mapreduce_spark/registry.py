@@ -143,7 +143,8 @@ _DRIVER_SHOWCASE = (
     "embedding_outlier_topk",
     "rrf_fusion_topk",
     "url_canonical_dedup",
-    # --- 16 floating slots: recently-recorded (r8) names staying warm;
+    "curation_verdicts",
+    # --- 15 floating slots: recently-recorded (r8) names staying warm;
     # every name rotated OUT this round retains its r1-r8 driver rows ---
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
@@ -160,7 +161,6 @@ _DRIVER_SHOWCASE = (
     "dedup_fuzzy_levenshtein",
     "bpe_merge_candidates",
     "events_user_zscore_anomalies",
-    "stream_zscore_anomalies_live",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT
