@@ -2014,3 +2014,40 @@ def test_span_corruption_plan_handcrafted(spark, tmp_path):
     assert got == sorted(
         tuple(r) for r in con.execute(SPAN_PLAN_ORACLE).fetchall()
     )
+
+
+def test_rrf_score_parity_exhaustive_over_rank_domain(spark):
+    """The RRF score's input domain is FINITE (ranks 1..FUSE_CAND or
+    list-absent), so cross-engine float safety is provable by
+    exhaustion: every (r_lex, r_sem) combination's rounded
+    1/(C+r)-sum must be identical on Spark and DuckDB — including the
+    NULL (single-list) cells. 2,600 cells, zero tolerance."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from go_dfs_mapreduce_spark.operators.retrieval import FUSE_CAND, RRF_C
+
+    ranks = list(range(1, FUSE_CAND + 1)) + [None]
+    rows = [(a, b) for a in ranks for b in ranks if not (a is None and b is None)]
+    got = (
+        spark.createDataFrame(rows, "r_lex long, r_sem long")
+        .select(
+            "r_lex",
+            "r_sem",
+            F.round(
+                F.coalesce(1.0 / (RRF_C + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_C + F.col("r_sem")), F.lit(0.0)),
+                6,
+            ).alias("s"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in got:
+        a = "NULL" if r.r_lex is None else r.r_lex
+        b = "NULL" if r.r_sem is None else r.r_sem
+        d = con.execute(
+            f"SELECT ROUND(COALESCE(1.0/({RRF_C}+{a}),0.0)"
+            f"+COALESCE(1.0/({RRF_C}+{b}),0.0),6)"
+        ).fetchone()[0]
+        assert float(d) == r.s, (r.r_lex, r.r_sem, float(d), r.s)
