@@ -898,3 +898,82 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mask_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Shard integrity manifest: the checksum table a trainer verifies on load
+# --------------------------------------------------------------------------
+
+MANIFEST_MOD = (1 << 61) - 1  # order-free checksum modulus
+
+SHARD_MANIFEST_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::UBIGINT % {SHUFFLE_SHARDS} AS shard,
+         length(text) AS n_chars,
+         len(list_filter(string_split({_NORM_DUCK}, ' '), x -> x <> ''))
+           AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))
+           ::UBIGINT % {MANIFEST_MOD} AS row_digest
+  FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(row_digest) % {MANIFEST_MOD} AS BIGINT) AS content_checksum
+FROM keyed
+GROUP BY shard
+"""
+
+
+@query("training_shard_manifest", oracle=SHARD_MANIFEST_ORACLE)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity manifest for the training shards
+    (``training_shuffle_shards``' assignment): per shard, document and
+    token totals plus an ORDER-FREE content checksum — the sum mod a
+    Mersenne prime of per-row (doc_id, text) digests. A trainer (or a
+    re-run of the sharding job) recomputes the same five numbers per
+    shard and any dropped, duplicated, truncated, or corrupted document
+    flips the checksum — the distributed analogue of the reference's
+    per-chunk md5 sidecars (``sn/dfs_actions.go`` verifies chunk
+    digests at read; here the unit is the logical shard, the 100 TB
+    artifact a data-loading fleet actually validates against).
+
+    Determinism + scale: the checksum must be ORDER-FREE because shard
+    contents have no canonical order until the trainer sorts — modular
+    addition of md5-derived integers is commutative and partial-
+    aggregates (map-side combine), so the manifest costs one scan and
+    one |shards|-keyed exchange. All exact integer arithmetic."""
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        (
+            F.expr(
+                "CAST(conv(substr(md5(concat('shuffle:',"
+                " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % SHUFFLE_SHARDS
+        ).alias("shard"),
+        F.length("text").alias("n_chars"),
+        F.expr(
+            f"size(filter(split({_NORM_SPARK}, ' '), x -> x <> ''))"
+        ).alias("n_tokens"),
+        (
+            F.expr(
+                "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',"
+                " text)), 1, 15), 16, 10) AS BIGINT)"
+            )
+            % MANIFEST_MOD
+        ).alias("row_digest"),
+    )
+    return keyed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        # the digest sum exceeds int64 (n_docs x 2^61): accumulate in
+        # DECIMAL(38,0) (exact, order-free) and reduce mod once at emit
+        (F.sum(F.col("row_digest").cast("decimal(38,0)")) % MANIFEST_MOD)
+        .cast("long")
+        .alias("content_checksum"),
+    )

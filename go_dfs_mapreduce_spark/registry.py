@@ -144,7 +144,8 @@ _DRIVER_SHOWCASE = (
     "rrf_fusion_topk",
     "url_canonical_dedup",
     "curation_verdicts",
-    # --- 15 floating slots: recently-recorded (r8) names staying warm;
+    "training_shard_manifest",
+    # --- 14 floating slots: recently-recorded (r8) names staying warm;
     # every name rotated OUT this round retains its r1-r8 driver rows ---
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
@@ -160,7 +161,6 @@ _DRIVER_SHOWCASE = (
     "stream_cusum_alarms_live",
     "dedup_fuzzy_levenshtein",
     "bpe_merge_candidates",
-    "events_user_zscore_anomalies",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT

@@ -2051,3 +2051,54 @@ def test_rrf_score_parity_exhaustive_over_rank_domain(spark):
             f"+COALESCE(1.0/({RRF_C}+{b}),0.0),6)"
         ).fetchone()[0]
         assert float(d) == r.s, (r.r_lex, r.r_sem, float(d), r.s)
+
+
+def test_shard_manifest_detects_corruption(spark, tmp_path):
+    """The manifest's reason for existing: byte-identical corpora agree
+    on every (count, total, checksum) row, and ANY single-document
+    mutation — text corruption, a dropped doc, a duplicated doc —
+    flips at least the affected shard's checksum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        training_shard_manifest,
+    )
+
+    def write(dirname, texts, ids=None):
+        d = tmp_path / dirname
+        d.mkdir()
+        ids = list(range(len(texts))) if ids is None else ids
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * len(texts), pa.string()),
+                    "source": pa.array(["t"] * len(texts), pa.string()),
+                    "n_chars": pa.array(
+                        [len(t) for t in texts], pa.int64()
+                    ),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    texts = [f"document number {i} with some words" for i in range(40)]
+
+    def manifest(d):
+        return sorted(
+            tuple(r) for r in training_shard_manifest(spark, d).collect()
+        )
+
+    base = manifest(write("a", texts))
+    assert base == manifest(write("b", texts))  # identical corpora agree
+    # same lengths, one flipped character -> only the checksum changes
+    corrupt = texts.copy()
+    corrupt[7] = corrupt[7].replace("number", "numbex")
+    got = manifest(write("c", corrupt))
+    assert got != base
+    assert [r[:4] for r in got] == [r[:4] for r in base]  # counts equal
+    # dropped doc -> count and checksum change
+    assert manifest(write("d", texts[:-1])) != base
