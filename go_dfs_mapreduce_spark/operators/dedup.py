@@ -1869,8 +1869,12 @@ def _winnow_fast_kernel(batches):
         for doc_id, norm in zip(pdf["doc_id"], pdf["norm"]):
             if norm is None or len(norm) < WIN_K:
                 continue
+            # Explicit little-endian dtype ('<u4', not np.uint32): the
+            # bytes are utf-32-LE, so a native-order dtype would decode
+            # garbage codepoints on a big-endian host and silently
+            # diverge from the DuckDB oracle / md5 twin.
             cp = np.frombuffer(
-                norm.encode("utf-32-le"), dtype=np.uint32
+                norm.encode("utf-32-le"), dtype="<u4"
             ).astype(np.int64)
             wins = np.lib.stride_tricks.sliding_window_view(cp, WIN_K)
             h = (wins @ pow_vec) % WIN_M

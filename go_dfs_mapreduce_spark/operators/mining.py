@@ -32,7 +32,7 @@ SEQ_TOPK = 20
 FREQ_SEQ_ORACLE = f"""
 WITH s AS (
   SELECT user_id, list(event_type ORDER BY ts, event_id) AS evs
-  FROM events GROUP BY user_id
+  FROM events WHERE event_type IS NOT NULL GROUP BY user_id
 ),
 tri AS (
   SELECT evs[CAST(i AS INT)] || '>' || evs[CAST(i AS INT) + 1]
@@ -68,7 +68,13 @@ def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     count exchange carries at most |alphabet|^k rows per map partition —
     the ``bpe_merge_candidates`` argument. 100 TB of events pays one
     scan, one user-keyed exchange, one alphabet-bounded exchange."""
-    ev = table(spark, sf_dir, "events")
+    # NULL event_type rows are dropped at the SOURCE of all three
+    # sequence paths (this batch plan, the DuckDB oracle's s CTE, and
+    # the streaming fold) — otherwise the engines diverge three ways:
+    # Spark concat_ws silently skips nulls (a 2-part 'A>B' string),
+    # DuckDB's || chain yields NULL, and a naive str() fold emits the
+    # literal 'None'.
+    ev = table(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
     paths = ev.groupBy("user_id").agg(
         F.array_sort(
             F.collect_list(F.struct("ts", "event_id", "event_type"))

@@ -339,7 +339,11 @@ def _canon_spark(url_expr: str) -> str:
     c = f"lower({url_expr})"
     c = f"regexp_replace({c}, '#.*$', '')"  # fragment
     c = f"regexp_replace({c}, '\\\\?utm_[^#]*$', '')"  # tracking params
-    c = f"regexp_replace({c}, ':443/', '/')"  # https default port
+    # https default port: anchored to the AUTHORITY so ':443/' inside a
+    # path segment is never rewritten, and so both engines replace the
+    # same single match (DuckDB without 'g' replaces only the first
+    # occurrence; with the ^ anchor there IS at most one).
+    c = f"regexp_replace({c}, '^(https://[^/]+):443/', '$1/')"
     return f"regexp_replace({c}, '/$', '')"  # trailing slash
 
 
@@ -347,7 +351,7 @@ def _canon_duck(url_expr: str) -> str:
     c = f"lower({url_expr})"
     c = f"regexp_replace({c}, '#.*$', '')"
     c = f"regexp_replace({c}, '\\?utm_[^#]*$', '')"
-    c = f"regexp_replace({c}, ':443/', '/')"
+    c = f"regexp_replace({c}, '^(https://[^/]+):443/', '\\1/')"
     return f"regexp_replace({c}, '/$', '')"
 
 

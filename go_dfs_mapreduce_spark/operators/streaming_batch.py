@@ -679,7 +679,7 @@ WITH s AS (
          list(event_type ORDER BY ts, event_id) AS evs,
          list(ts ORDER BY ts, event_id) AS tss,
          list(event_id ORDER BY ts, event_id) AS eids
-  FROM events GROUP BY user_id
+  FROM events WHERE event_type IS NOT NULL GROUP BY user_id
 )
 SELECT user_id,
        tss[CAST(i AS INT) + 2] AS ts,

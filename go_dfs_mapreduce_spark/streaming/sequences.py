@@ -55,9 +55,12 @@ def _fold_seq(p1, p2, chunks: list[pd.DataFrame], user_id: int):
     assert SEQ_K == 3, "state layout is sized for trigrams"
     out = None
     if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(
-            ["ts", "event_id"]
-        )
+        pdf = pd.concat(chunks, ignore_index=True)
+        # Drop NULL event_type rows BEFORE folding — the shared rule of
+        # all three sequence paths (batch plan, oracle CTE, this fold).
+        # A naive str() would otherwise emit the literal 'None' where
+        # the batch twin skips and the oracle NULLs.
+        pdf = pdf[pdf["event_type"].notna()].sort_values(["ts", "event_id"])
         ets = [str(t) for t in pdf["event_type"]]
         pre = [p for p in (p1, p2) if p is not None]
         ext = pre + ets

@@ -118,6 +118,44 @@ def test_pii_scrub_actually_detects_and_redacts(spark, sf_dir):
     assert ips and all(r.n_ips >= 1 for r in ips)
 
 
+def test_url_canonicalizer_parity_on_adversarial_urls(spark):
+    """The port-strip step is anchored to the AUTHORITY — pin engine
+    parity on exactly the URLs the fixture never generates: ':443/'
+    inside a path segment (must survive), multiple ':443/' occurrences
+    (DuckDB without 'g' replaces only the first match — the anchor
+    guarantees there IS at most one), and the plain happy path."""
+    import duckdb
+
+    from go_dfs_mapreduce_spark.operators.scrubbing import (
+        _canon_duck,
+        _canon_spark,
+    )
+
+    cases = {
+        # authority port stripped, path ':443/' untouched
+        "https://a.example.org:443/x/:443/y/": "https://a.example.org/x/:443/y",
+        # ':443/' ONLY inside the path: nothing stripped
+        "https://b.example.org/p/:443/q": "https://b.example.org/p/:443/q",
+        # happy path: case + port + trailing slash
+        "HTTPS://C.EXAMPLE.ORG:443/p/7/": "https://c.example.org/p/7",
+        # non-443 port survives
+        "https://d.example.org:8443/p": "https://d.example.org:8443/p",
+    }
+    raws = list(cases)
+    got_spark = [
+        r[0]
+        for r in spark.createDataFrame(
+            [(u,) for u in raws], "u string"
+        ).selectExpr(_canon_spark("u")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {_canon_duck('?')}", [u]).fetchone()[0]
+        for u in raws
+    ]
+    assert got_spark == got_duck == [cases[u] for u in raws]
+
+
 def test_url_extraction_finds_injected_domains(spark, sf_dir):
     from go_dfs_mapreduce_spark.operators.scrubbing import url_extraction_topk
 
@@ -1757,7 +1795,10 @@ def test_frequent_event_sequences_handcrafted(spark, tmp_path):
     """Sequence mining semantics: user 1's path A,B,C,A,B,C yields
     trigrams A>B>C (x2), B>C>A, C>A>B; user 2's 2-event path yields
     none; ties break lexically. Cross-checked against the DuckDB
-    oracle."""
+    oracle. A NULL event_type row sits mid-path to pin the shared
+    drop-nulls-at-source rule: without the filter Spark's concat_ws
+    would skip the null (2-part 'B>C' string), DuckDB's || chain would
+    emit NULL, and the engines would diverge."""
     import datetime as dt
 
     import duckdb
@@ -1773,6 +1814,9 @@ def test_frequent_event_sequences_handcrafted(spark, tmp_path):
     rows = []
     for i, et in enumerate(["A", "B", "C", "A", "B", "C"]):
         rows.append((i, base + dt.timedelta(minutes=i), 1, et, 1.0, "{}"))
+    rows.append(  # NULL event_type mid-path: must be invisible
+        (20, base + dt.timedelta(minutes=2, seconds=30), 1, None, 1.0, "{}")
+    )
     rows += [
         (10, base, 2, "A", 1.0, "{}"),
         (11, base + dt.timedelta(minutes=1), 2, "B", 1.0, "{}"),

@@ -737,3 +737,34 @@ def test_seq_fold_batching_invariant_vs_naive(n_events, n_types, cuts, seed):
 
     assert run([]) == naive()
     assert run(cuts) == naive()
+
+
+def test_seq_fold_drops_null_event_types():
+    """NULL event_type rows must be invisible to the streaming fold —
+    the shared drop-nulls-at-source rule of all three sequence paths
+    (batch plan, oracle CTE, this kernel). A naive str() fold would
+    emit the literal 'None' where the batch twin skips the row."""
+    import pandas as pd
+
+    from go_dfs_mapreduce_spark.streaming.sequences import _fold_seq
+
+    def mk(rows):
+        return pd.DataFrame(
+            [
+                (i, pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=i), et)
+                for i, et in rows
+            ],
+            columns=["event_id", "ts", "event_type"],
+        )
+
+    with_null = mk([(0, "A"), (1, "B"), (2, None), (3, "C"), (4, "D")])
+    without = mk([(0, "A"), (1, "B"), (3, "C"), (4, "D")])
+    outs = []
+    for pdf in (with_null, without):
+        p1, p2, out = _fold_seq(None, None, [pdf], 7)
+        assert (p1, p2) == ("C", "D")
+        outs.append(
+            sorted((int(e), s) for _, _, e, s in out.itertuples(False))
+        )
+    assert outs[0] == outs[1] == [(3, "A>B>C"), (4, "B>C>D")]
+    assert not any("None" in s for _, s in outs[0])
