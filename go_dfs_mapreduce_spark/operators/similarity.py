@@ -45,12 +45,13 @@ EXPLODED_DUCK = """
   FROM embeddings, range(1, 65) r(i)
 """
 
-ANN_TOPK_ORACLE = f"""
+def _brute_oracle(n_queries: int) -> str:
+    return f"""
 WITH x AS ({EXPLODED_DUCK}),
 norms AS (
   SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,18))) AS n2 FROM x GROUP BY vec_id
 ),
-q AS (SELECT * FROM x WHERE vec_id < {N_QUERIES}),
+q AS (SELECT * FROM x WHERE vec_id < {n_queries}),
 dots AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
          SUM(CAST(q.v * c.v AS DECIMAL(28,18))) AS dot
@@ -71,6 +72,9 @@ WHERE rn <= {TOP_K}
 """
 
 
+ANN_TOPK_ORACLE = _brute_oracle(N_QUERIES)
+
+
 @query("ann_cosine_topk", oracle=ANN_TOPK_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k, array-fold formulation (round 2):
@@ -79,6 +83,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds per pair — no per-dimension explode, no aggregation exchange
     before the ranking window. Equals the oracle's explode+SUM because
     decimal addition is order-free."""
+    return _brute_topk_impl(spark, sf_dir, N_QUERIES)
+
+
+def _brute_topk_impl(
+    spark: SparkSession, sf_dir: str, n_queries: int
+) -> DataFrame:
     from .dedup import _dec_dot_expr
 
     emb = table(spark, sf_dir, "embeddings")
@@ -87,7 +97,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
     )
-    q = ed.where(F.col("vec_id") < N_QUERIES).select(
+    q = ed.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),
         F.col("n2").alias("qn2"),
@@ -279,7 +289,7 @@ _LSH_SIGN = (
 )
 
 
-def _lsh_sigs_expr(emb: str) -> str:
+def _lsh_sigs_expr(emb: str, bits: int = LSH_BITS) -> str:
     """Spark SQL expression: array of LSH_TABLES integer signatures for
     ``emb``. Per (t, j) the projection is an exact-decimal signed sum
     (the ``_dec_dot_expr`` discipline — order-free, so the sign the
@@ -292,10 +302,48 @@ def _lsh_sigs_expr(emb: str) -> str:
         "CAST(0 AS DECIMAL(30,18)), (pacc, e) -> CAST(pacc + e AS DECIMAL(30,18)))"
     )
     sig = (
-        f"aggregate(sequence(0, {LSH_BITS - 1}), 0L, (acc, j) -> "
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> "
         f"acc + IF({proj} >= 0, shiftleft(1L, j), 0L))"
     )
     return f"transform(sequence(0, {LSH_TABLES - 1}), t -> {sig})"
+
+
+# --- calibrated signature width: bits as a function of corpus size -------
+#
+# The r9 ANN probe measured the fixed 6-bit family saturating at 50k
+# vectors (64 buckets/table -> ~780 vectors per bucket -> pruning
+# collapses toward all-pairs, multiprobe superlinear). The production
+# rule SCALE.md recorded — bits ~ log2(n / target_bucket) — is applied
+# here with PURE INTEGER threshold compares (no float log2: an
+# exact-power-of-2 corpus would make ceil(log2(x)) engine-dependent at
+# the last ulp). Both engines walk the identical precomputed integer
+# thresholds: bits is the smallest b in [MIN, MAX] with
+# n <= TARGET_BUCKET * 2^b, i.e. expected bucket width <= TARGET_BUCKET.
+
+ANN_CAL_TARGET_BUCKET = 32  # target expected vectors per (table, bucket)
+ANN_CAL_MIN_BITS = 4        # recall floor: never fewer than 16 buckets
+ANN_CAL_MAX_BITS = 20       # 2^20 buckets/table ~ 33M-vector corpora
+
+
+def calibrated_lsh_bits(n: int) -> int:
+    """Smallest b in [ANN_CAL_MIN_BITS, ANN_CAL_MAX_BITS] such that
+    n <= ANN_CAL_TARGET_BUCKET << b (expected bucket width <= target).
+    500 vectors -> 4 bits, 2000 -> 6, 50k -> 11, 1M -> 15."""
+    b = ANN_CAL_MIN_BITS
+    while b < ANN_CAL_MAX_BITS and n > ANN_CAL_TARGET_BUCKET << b:
+        b += 1
+    return b
+
+
+def _cal_bits_sql_case(n_expr: str) -> str:
+    """DuckDB expression replaying ``calibrated_lsh_bits`` over the SAME
+    integer thresholds (generated from the same constants, so the two
+    derivations cannot drift apart)."""
+    arms = " ".join(
+        f"WHEN ({n_expr}) <= {ANN_CAL_TARGET_BUCKET << b} THEN {b}"
+        for b in range(ANN_CAL_MIN_BITS, ANN_CAL_MAX_BITS)
+    )
+    return f"(CASE {arms} ELSE {ANN_CAL_MAX_BITS} END)"
 
 
 def _lsh_oracle(multiprobe: bool) -> str:
@@ -367,9 +415,12 @@ LSH_MULTIPROBE_ORACLE = _lsh_oracle(multiprobe=True)
 
 
 _SIGS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_CAL_SIGS_MEMOS: dict[int, dict[tuple[str, str], DataFrame]] = {}
 
 
-def lsh_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_sig_table(
+    spark: SparkSession, sf_dir: str, bits: int | None = None
+) -> DataFrame:
     """DataFrame[vec_id, sigs] — the persisted LSH INDEX: every vector's
     ``LSH_TABLES`` signatures as a content-fingerprinted derived table
     (``derived.derived_table``, keyed to the embeddings table), the same
@@ -379,23 +430,31 @@ def lsh_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector, BigDecimal-backed on the JVM), and it is a pure function of
     the corpus — exactly what a production SRP deployment materializes
     once per corpus version and serves lookups from. Memoized per
-    (session, sf dir) so one gate sweep builds it at most once."""
+    (session, sf dir) so one gate sweep builds it at most once.
+
+    ``bits=None`` is the legacy fixed-width (LSH_BITS) index; an
+    explicit ``bits`` builds the calibrated-width index under its own
+    derived-table name (widths are different physical indexes — the
+    same way a production SRP deployment versions its index by its
+    hyperparameters)."""
     from ..derived import derived_table
     from ..memo import session_memo
+
+    b = LSH_BITS if bits is None else bits
+    name = "embedding_lsh_sigs" if bits is None else f"embedding_lsh_sigs_cal{b}"
+    memo = _SIGS_MEMO if bits is None else _CAL_SIGS_MEMOS.setdefault(b, {})
 
     def build() -> DataFrame:
         emb = table(spark, sf_dir, "embeddings")
         return emb.select(
-            "vec_id", F.expr(_lsh_sigs_expr("embedding")).alias("sigs")
+            "vec_id", F.expr(_lsh_sigs_expr("embedding", b)).alias("sigs")
         )
 
     return session_memo(
-        _SIGS_MEMO,
+        memo,
         spark,
         sf_dir,
-        lambda: derived_table(
-            spark, sf_dir, "embedding_lsh_sigs", ("embeddings",), build
-        ),
+        lambda: derived_table(spark, sf_dir, name, ("embeddings",), build),
     )
 
 
@@ -448,11 +507,165 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_topk_impl(spark, sf_dir, multiprobe=True)
 
 
+# --- calibrated-width LSH: the r9 saturation finding, closed in code -----
+
+
+def _lsh_cal_oracle(n_queries: int) -> str:
+    """DuckDB oracle for the calibrated-width LSH family: the signature
+    width is DERIVED IN SQL from the corpus row count via the same
+    integer thresholds ``calibrated_lsh_bits`` walks (``_cal_bits_sql_
+    case``), and emitted as the ``sig_bits`` column so the gate
+    hash-checks the derivation itself. Projections materialize for all
+    ANN_CAL_MAX_BITS bit positions and are masked to j < b — the
+    oracle-side cost of keeping the SQL static while the width is
+    dynamic."""
+    case = _cal_bits_sql_case("(SELECT COUNT(*) FROM embeddings)")
+    return f"""
+WITH x AS ({EXPLODED_DUCK}),
+nb AS (SELECT {case} AS b),
+norms AS (
+  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,18))) AS n2 FROM x GROUP BY vec_id
+),
+projs AS (
+  SELECT x.vec_id, t.t AS t, bb.j AS j,
+         SUM(CAST((CASE WHEN (x.i * ((7919 + 104729 * bb.j + 1299709 * t.t) % 9973)) % 9973 < 4986
+                        THEN 1.0 ELSE -1.0 END) * x.v AS DECIMAL(28,18))) AS proj
+  FROM x, range(0, {LSH_TABLES}) t(t), range(0, {ANN_CAL_MAX_BITS}) bb(j), nb
+  WHERE bb.j < nb.b
+  GROUP BY 1, 2, 3
+),
+sigs AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN proj >= 0 THEN (1 << j) ELSE 0 END) AS sig
+  FROM projs GROUP BY 1, 2
+),
+qsig AS (SELECT vec_id AS qid, t, sig FROM sigs WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT qid, t,
+         CASE WHEN k.k = 0 THEN sig ELSE xor(sig, 1 << (k.k - 1)) END AS psig
+  FROM qsig, range(0, {ANN_CAL_MAX_BITS} + 1) k(k), nb
+  WHERE k.k <= nb.b
+),
+cand AS (
+  SELECT DISTINCT p.qid, c.vec_id AS cid
+  FROM probes p JOIN sigs c ON c.t = p.t AND c.sig = p.psig
+  WHERE c.vec_id <> p.qid
+),
+dots AS (
+  SELECT cand.qid, cand.cid,
+         SUM(CAST(q.v * c.v AS DECIMAL(28,18))) AS dot
+  FROM cand
+  JOIN x q ON q.vec_id = cand.qid
+  JOIN x c ON c.vec_id = cand.cid AND c.i = q.i
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT qid, cid,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS c
+  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id
+)
+SELECT qid AS query_id, cid AS neighbor_id,
+       CAST(rn AS INTEGER) AS rank, ROUND(c, 6) AS cosine,
+       (SELECT CAST(b AS INTEGER) FROM nb) AS sig_bits
+FROM (SELECT qid, cid, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rn
+      FROM cos)
+WHERE rn <= {TOP_K}
+"""
+
+
+LSH_CALIBRATED_ORACLE = _lsh_cal_oracle(N_QUERIES)
+
+N_BATCH_QUERIES = 64  # the index's crossover regime (r9 probe finding)
+
+LSH_CAL_BATCH_ORACLE = _lsh_cal_oracle(N_BATCH_QUERIES)
+
+
+def _calibrated_bits_for(spark: SparkSession, sf_dir: str) -> int:
+    """The one calibration scalar: corpus row count -> signature width.
+    A production deployment computes this once per corpus version when
+    it materializes the signature index; the count is a metadata-cheap
+    parquet scan, and the derivation is the same integer-threshold walk
+    the oracle replays in SQL."""
+    n = table(spark, sf_dir, "embeddings").count()
+    return calibrated_lsh_bits(n)
+
+
+@query("ann_lsh_calibrated_topk", oracle=LSH_CALIBRATED_ORACLE)
+def ann_lsh_calibrated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_lsh_multiprobe_topk`` with the signature width CALIBRATED to
+    the corpus instead of pinned: bits = smallest b with expected bucket
+    width n / 2^b <= ANN_CAL_TARGET_BUCKET (clamped to [4, 20]) — the
+    log2(n/target_bucket) rule the r9 ANN probe recorded after measuring
+    the fixed 6-bit family saturate at 50k vectors (64 buckets/table ->
+    ~780 vectors/bucket -> candidate pruning collapses toward all-pairs
+    and Hamming-1 multiprobe turns superlinear). Keeping bucket width
+    constant as the corpus grows keeps the per-query candidate set
+    O(tables x (bits+1) x target_bucket) — the index property that
+    actually survives a 100x scale-up, at the standard SRP recall trade
+    (more bits -> lower per-table collision probability, compensated by
+    the Hamming-1 probes; tables are the orthogonal recall knob).
+
+    The derivation is pure integer threshold compares on BOTH engines
+    (no float log2 — an exact power-of-2 corpus would make ceil(log2(n))
+    engine-dependent), the width used is emitted as ``sig_bits`` so the
+    gate checks the derivation itself, and the calibrated signature
+    index persists under a width-versioned derived-table name exactly
+    like a production index versioned by its hyperparameters.
+
+    Reference anchor: capacity-aware planning is the reference
+    controller's chunk-placement rule (``cn/dfs_actions.go:41-93`` sizes
+    placement to node capacity); this is the same rule applied to index
+    geometry."""
+    bits = _calibrated_bits_for(spark, sf_dir)
+    return _lsh_topk_impl(
+        spark, sf_dir, multiprobe=True, bits=bits, tag_bits=True
+    )
+
+
+@query("ann_lsh_batch_topk", oracle=LSH_CAL_BATCH_ORACLE)
+def ann_lsh_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calibrated LSH index serving a 64-QUERY BATCH (vec_id < 64) —
+    the regime where an ANN index earns its keep. The r9 probe measured
+    brute-force flat winning at 5-query batches (index overhead ~fixed,
+    brute cost ~linear in queries); the crossover arrives as the batch
+    grows because the index pays its signature/bucket cost ONCE per
+    corpus version (persisted derived table) while brute re-scans all
+    vectors per query. Same calibrated width, same Hamming-1 multiprobe,
+    same exact-decimal scoring and (cosine desc, cid) tie rule; the A/B
+    against ``ann_cosine_batch_topk`` at the same batch size is recorded
+    in SCALE.md (tools/ann_scale_probe.py)."""
+    bits = _calibrated_bits_for(spark, sf_dir)
+    return _lsh_topk_impl(
+        spark,
+        sf_dir,
+        multiprobe=True,
+        bits=bits,
+        n_queries=N_BATCH_QUERIES,
+        tag_bits=True,
+    )
+
+
+@query("ann_cosine_batch_topk", oracle=_brute_oracle(N_BATCH_QUERIES))
+def ann_cosine_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_cosine_topk`` at the 64-query batch size — the exact
+    brute-force A/B partner of ``ann_lsh_batch_topk`` (same queries,
+    same tie rule, exhaustive scoring). Registered so the crossover
+    experiment's BOTH arms are gate-verified, not just timed."""
+    return _brute_topk_impl(spark, sf_dir, N_BATCH_QUERIES)
+
+
 def _lsh_topk_impl(
-    spark: SparkSession, sf_dir: str, multiprobe: bool
+    spark: SparkSession,
+    sf_dir: str,
+    multiprobe: bool,
+    bits: int | None = None,
+    n_queries: int = N_QUERIES,
+    tag_bits: bool = False,
 ) -> DataFrame:
     from .dedup import _dec_dot_expr
 
+    b = LSH_BITS if bits is None else bits
     emb = table(spark, sf_dir, "embeddings")
     ed = emb.select(
         "vec_id",
@@ -460,14 +673,14 @@ def _lsh_topk_impl(
         F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
     )
     # signatures come from the persisted index table, not an inline fold
-    sigs = lsh_sig_table(spark, sf_dir).select(
+    sigs = lsh_sig_table(spark, sf_dir, bits).select(
         "vec_id", F.posexplode("sigs").alias("t", "sig")
     )
-    qside = sigs.where(F.col("vec_id") < N_QUERIES)
+    qside = sigs.where(F.col("vec_id") < n_queries)
     if multiprobe:
         # probe the exact bucket plus every Hamming-1 bucket — the
         # expansion happens on the tiny broadcast side only
-        flips = ", ".join(f"sig ^ {1 << j}" for j in range(LSH_BITS))
+        flips = ", ".join(f"sig ^ {1 << j}" for j in range(b))
         qsigs = qside.select(
             F.col("vec_id").alias("qid"),
             "t",
@@ -481,7 +694,7 @@ def _lsh_topk_impl(
         .select("qid", F.col("vec_id").alias("cid"))
         .distinct()
     )
-    q = ed.where(F.col("vec_id") < N_QUERIES).select(
+    q = ed.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),
         F.col("n2").alias("qn2"),
@@ -502,7 +715,7 @@ def _lsh_topk_impl(
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("cid"))
-    return (
+    out = (
         cos.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TOP_K)
         .select(
@@ -512,6 +725,11 @@ def _lsh_topk_impl(
             F.round("c", 6).alias("cosine"),
         )
     )
+    if tag_bits:
+        # emit the width actually used so the gate hash-checks the
+        # CALIBRATION DERIVATION itself, not just the neighbor sets
+        out = out.withColumn("sig_bits", F.lit(b).cast("int"))
+    return out
 
 
 # --- fast path: per-block numpy matmul (no oracle — BLAS summation order

@@ -445,7 +445,7 @@ f_{out} AS (
          ELSE list_append(f.acc, f.syms[f.i + 1]) END
   FROM f_{out} f, {win} WHERE f.i < len(f.syms)
 ),
-{out} AS (SELECT wid, wcount, acc AS syms FROM f_{out} WHERE i = len(syms))"""
+{out} AS MATERIALIZED (SELECT wid, wcount, acc AS syms FROM f_{out} WHERE i = len(syms))"""
 
     return f"""
 WITH RECURSIVE
@@ -511,8 +511,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals s1), matching reference BPE; the DuckDB oracle replays the
     identical fold as a recursive CTE, so the gate hash-checks all
     three learned rules and their counts."""
+    return _bpe_train_loop(spark, sf_dir, BPE_MERGES)
+
+
+def _bpe_vocab_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(wcount, syms) word-frequency vocabulary — the frame every BPE
+    iteration folds (the corpus is scanned exactly once)."""
     docs = table(spark, sf_dir, "documents")
-    w0 = (
+    return (
         docs.select(
             F.explode(
                 F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
@@ -526,11 +532,32 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+BPE_CKPT_EVERY = 10  # cut vocab-frame lineage every this many merges
+
+
+def _bpe_train_loop(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> DataFrame:
+    """The sequential count -> winner -> re-merge loop, parameterized by
+    merge count so tools/bpe_scale_probe.py can measure the per-merge
+    overhead curve (VERDICT r9 #2) on the exact production code path.
+
+    Every ``BPE_CKPT_EVERY`` merges the vocab frame is localCheckpointed
+    instead of persisted — the 'checkpoint every ~N merges' production
+    rule the docstring promised, now load-bearing: persist caches DATA
+    but the logical plan still nests one ``_BPE_FOLD`` lambda per merge,
+    and the r10 probe measured the un-cut chain OOM-ing the driver
+    during plan processing near 30 merges. Checkpointed frames stay
+    resident (vocab-sized, one per BPE_CKPT_EVERY merges) because later
+    cached frames recompute through them on eviction."""
+    w0 = _bpe_vocab_frame(spark, sf_dir)
     top_pair, apply_merge = _bpe_top_pair, _bpe_apply_merge
 
     out = []
     w, prev = w0, None
-    for step in range(1, BPE_MERGES + 1):
+    prev_is_ckpt = False
+    for step in range(1, n_merges + 1):
         # each vocab frame feeds two consumers (its winner aggregate and
         # the next fold); persist + eager count per the kmeans /
         # SCALE.md branch-race convention — the frames are vocab-sized.
@@ -538,10 +565,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumers left (its winner is checkpointed below, its fold is
         # this frame) — unpersist it so repeated invocations in a
         # long-lived session don't accrete cached vocab blocks.
-        w = w.persist()
-        w.count()
-        if prev is not None:
+        is_ckpt = step % BPE_CKPT_EVERY == 0
+        if is_ckpt:
+            w = w.localCheckpoint(eager=True)  # materialize + CUT lineage
+        else:
+            w = w.persist()
+            w.count()
+        if prev is not None and not prev_is_ckpt:
             prev.unpersist()
+        prev_is_ckpt = is_ckpt
         # the winner is a 1-ROW frame: materialize it JVM-side and cut
         # its lineage (localCheckpoint, not a driver collect) so the
         # final union and the next fold stop referencing the persisted
@@ -555,10 +587,220 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pair_count",
             )
         )
-        if step < BPE_MERGES:
+        if step < n_merges:
             prev = w
             w = apply_merge(w, win)
-    w.unpersist()  # last frame: winner checkpointed, no successor fold
+    if not prev_is_ckpt:
+        w.unpersist()  # last frame: winner checkpointed, no successor fold
+    res = out[0]
+    for nxt in out[1:]:
+        res = res.unionAll(nxt)
+    return res
+
+
+# --------------------------------------------------------------------------
+# Batched BPE training: top-m pairwise-disjoint merges per round — the
+# standard trick that collapses a 30k-merge vocabulary from 30k sequential
+# Spark jobs to ~30k/m rounds (VERDICT r9 #2)
+# --------------------------------------------------------------------------
+
+BPE_BATCH_M = 4       # merges accepted per round (pairwise-disjoint)
+BPE_BATCH_ROUNDS = 3  # rounds trained -> up to M x ROUNDS learned rules
+BPE_BATCH_CANDS = 16  # ranked candidates the greedy selector examines
+
+# In-row greedy disjoint selection over the rank-ordered candidate head:
+# a candidate is accepted iff none of its three symbols (s1, s2, and the
+# merged s1||s2) collides with any accepted pair's three symbols — the
+# conservative rule that makes simultaneous application order-independent
+# (no accepted pair can produce, consume, or equal a symbol another
+# accepted pair touches).
+_BPE_GREEDY_SELECT = f"""
+aggregate(cands, CAST(array() AS array<struct<s1:string,s2:string,cnt:bigint>>),
+ (acc, c) -> IF(size(acc) >= {BPE_BATCH_M} OR exists(acc, a ->
+      a.s1 IN (c.s1, c.s2, concat(c.s1, c.s2)) OR
+      a.s2 IN (c.s1, c.s2, concat(c.s1, c.s2)) OR
+      concat(a.s1, a.s2) IN (c.s1, c.s2, concat(c.s1, c.s2))),
+   acc,
+   concat(acc, array(named_struct('s1', c.s1, 's2', c.s2, 'cnt', c.cnt)))))
+"""
+
+# One greedy left-to-right pass applying the WHOLE accepted batch: at most
+# one pair can match any (prev, cur) position because accepted pairs are
+# symbol-disjoint, so the single fold equals applying the m merges in any
+# order.
+_BPE_BATCH_FOLD = (
+    "aggregate(slice(syms, 2, size(syms) - 1), array(element_at(syms, 1)),"
+    " (acc, x) -> IF(exists(mp, p -> element_at(acc, -1) = p.s1 AND x = p.s2),"
+    " concat(slice(acc, 1, size(acc) - 1),"
+    " array(concat(element_at(acc, -1), x))),"
+    " concat(acc, array(x))))"
+)
+
+
+def _bpe_batched_oracle() -> str:
+    """DuckDB twin of the batched trainer: per round, the same ranked
+    candidate head, the same greedy disjoint selection (a recursive CTE
+    walking ranks with a list-of-structs accumulator), and the same
+    one-pass batch fold (recursive CTE matching the accepted list)."""
+
+    def pairs(wtab: str, out: str) -> str:
+        return f"""
+{out} AS MATERIALIZED (
+  SELECT s1, s2, cnt, row_number() OVER (ORDER BY cnt DESC, s1, s2) AS rk
+  FROM (SELECT syms[CAST(i AS INT)] AS s1, syms[CAST(i AS INT) + 1] AS s2,
+               SUM(wcount) AS cnt
+        FROM {wtab}, UNNEST(range(1, len(syms))) AS u(i)
+        GROUP BY 1, 2)
+)"""
+
+    def select(cand: str, out: str) -> str:
+        return f"""
+sel_{out} AS (
+  SELECT 0 AS i, CAST([] AS STRUCT(s1 VARCHAR, s2 VARCHAR, cnt BIGINT)[]) AS picks
+  UNION ALL
+  SELECT s.i + 1,
+    CASE WHEN len(s.picks) >= {BPE_BATCH_M} THEN s.picks
+         WHEN len(list_filter(s.picks, a ->
+              a.s1 IN (c.s1, c.s2, c.s1 || c.s2) OR
+              a.s2 IN (c.s1, c.s2, c.s1 || c.s2) OR
+              (a.s1 || a.s2) IN (c.s1, c.s2, c.s1 || c.s2))) > 0 THEN s.picks
+         ELSE list_append(s.picks, {{'s1': c.s1, 's2': c.s2,
+                                     'cnt': CAST(c.cnt AS BIGINT)}}) END
+  FROM sel_{out} s JOIN {cand} c ON c.rk = s.i + 1
+  WHERE s.i < {BPE_BATCH_CANDS}
+),
+{out} AS MATERIALIZED (SELECT picks FROM sel_{out} ORDER BY i DESC LIMIT 1)"""
+
+    def fold(src: str, picks: str, out: str) -> str:
+        return f"""
+f_{out} AS (
+  SELECT wid, wcount, syms, 1 AS i, [syms[1]] AS acc FROM {src}
+  UNION ALL
+  SELECT f.wid, f.wcount, f.syms, f.i + 1,
+    CASE WHEN len(list_filter(p.picks, q ->
+              f.acc[-1] = q.s1 AND f.syms[f.i + 1] = q.s2)) > 0
+         THEN list_append(f.acc[1:len(f.acc) - 1],
+                          f.acc[-1] || f.syms[f.i + 1])
+         ELSE list_append(f.acc, f.syms[f.i + 1]) END
+  FROM f_{out} f, {picks} p WHERE f.i < len(f.syms)
+),
+{out} AS MATERIALIZED (SELECT wid, wcount, acc AS syms FROM f_{out} WHERE i = len(syms))"""
+
+    body = ["""
+w0 AS MATERIALIZED (
+  SELECT row_number() OVER () AS wid, COUNT(*) AS wcount,
+         regexp_extract_all(w, '.') AS syms
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w
+)"""]
+    finals = []
+    for r in range(1, BPE_BATCH_ROUNDS + 1):
+        body.append(pairs(f"w{r - 1}", f"p{r}"))
+        body.append(select(f"p{r}", f"picks{r}"))
+        if r < BPE_BATCH_ROUNDS:
+            body.append(fold(f"w{r - 1}", f"picks{r}", f"w{r}"))
+        finals.append(
+            f"SELECT {r} AS merge_round, q.s1 AS left_sym,"
+            f" q.s2 AS right_sym, CAST(q.cnt AS BIGINT) AS pair_count"
+            f" FROM picks{r}, UNNEST(picks{r}.picks) AS u(q)"
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",".join(body)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+
+
+@query("bpe_train_merges_batched", oracle=_bpe_batched_oracle())
+def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training with BATCHED merge acceptance — the standard trick
+    that makes a production-size vocabulary trainable on Spark: per
+    round, rank the adjacent-pair counts once, then accept the top
+    ``BPE_BATCH_M`` PAIRWISE-DISJOINT pairs (greedy down the rank order,
+    skipping any candidate that shares a symbol — produced, consumed, or
+    merged — with an already-accepted pair) and apply them all in ONE
+    fold pass. Disjointness makes the simultaneous application
+    order-independent, so the batch is semantically a sequence of m
+    ordinary BPE merges whose counts were read at round start; a 30k-
+    merge vocabulary costs ~30k/m rounds instead of 30k sequential
+    count->winner->fold job pairs (the r9 verdict's measured scale
+    ceiling on the sequential loop — tools/bpe_scale_probe.py records
+    both curves).
+
+    Plan: identical skeleton to ``bpe_train_merges`` (iterate the
+    DISTINCT-word vocab, alphabet-bounded pair exchanges, winners as
+    eagerly-checkpointed tiny frames broadcast into the next fold, zero
+    driver collects); the only new machinery is in-row — the greedy
+    selection folds the constant-size ranked candidate head
+    (``BPE_BATCH_CANDS`` rows) inside one row, and the batch fold
+    matches (prev, cur) against the accepted array instead of one pair.
+    The DuckDB oracle replays the selection AND the fold as recursive
+    CTEs, so the gate hash-checks every accepted rule of every round."""
+    return _bpe_batched_loop(spark, sf_dir, BPE_BATCH_ROUNDS)
+
+
+def _bpe_batched_loop(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> DataFrame:
+    w0 = _bpe_vocab_frame(spark, sf_dir)
+
+    out = []
+    w, prev = w0, None
+    prev_is_ckpt = False
+    for rnd in range(1, rounds + 1):
+        # same periodic lineage cut as the sequential loop (one batch
+        # fold nests per round; see _bpe_train_loop's docstring)
+        is_ckpt = rnd % BPE_CKPT_EVERY == 0
+        if is_ckpt:
+            w = w.localCheckpoint(eager=True)
+        else:
+            w = w.persist()
+            w.count()
+        if prev is not None and not prev_is_ckpt:
+            prev.unpersist()
+        prev_is_ckpt = is_ckpt
+        # ranked candidate head -> ONE ROW (negcnt makes array_sort's
+        # ascending field order equal the (cnt desc, s1, s2) rank order)
+        cands = (
+            w.select("wcount", F.explode(F.expr(_BPE_PAIRS)).alias("p"))
+            .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+            .agg(F.sum("wcount").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("s1"), F.asc("s2"))
+            .limit(BPE_BATCH_CANDS)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cnt")).alias("negcnt"),
+                            "s1",
+                            "s2",
+                            "cnt",
+                        )
+                    )
+                ).alias("cands")
+            )
+        )
+        picks = cands.select(
+            F.expr(_BPE_GREEDY_SELECT).alias("mp")
+        ).localCheckpoint(eager=True)
+        out.append(
+            picks.select(F.explode("mp").alias("q")).select(
+                F.lit(rnd).alias("merge_round"),
+                F.col("q.s1").alias("left_sym"),
+                F.col("q.s2").alias("right_sym"),
+                F.col("q.cnt").alias("pair_count"),
+            )
+        )
+        if rnd < rounds:
+            prev = w
+            w = w.crossJoin(F.broadcast(picks)).select(
+                "wcount", F.expr(_BPE_BATCH_FOLD).alias("syms")
+            )
+    if not prev_is_ckpt:
+        w.unpersist()
     res = out[0]
     for nxt in out[1:]:
         res = res.unionAll(nxt)

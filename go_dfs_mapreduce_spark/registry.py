@@ -169,7 +169,15 @@ _DRIVER_SHOWCASE = (
 # test_rotation_ledger.py fails if a registered name is in neither a
 # CORRECTNESS_r*.json nor the showcase nor this queue, so nothing can
 # silently lose its path to external evidence.
-_NEXT_ROTATION_QUEUE: tuple[str, ...] = ()
+_NEXT_ROTATION_QUEUE: tuple[str, ...] = (
+    # round-10 operators accumulate here until the session-close
+    # showcase rotation moves them into the 50-slot driver file
+    "ann_lsh_calibrated_topk",
+    "ann_lsh_batch_topk",
+    "ann_cosine_batch_topk",
+    "bpe_train_merges_batched",
+    "multimodal_pixels_png",
+)
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -266,6 +266,82 @@ def test_bmp_pixel_decode_roundtrip():
     assert decode_bmp_pixels(bytes(bad_comp)) is None
 
 
+def test_png_pixel_decode_roundtrip_and_quarantine():
+    """The stdlib PNG decoder recovers the exact pixel grid across all
+    five filter types (the synthesizer rotates filter by row), and
+    degrades to None on interlaced / truncated / CRC-corrupted /
+    unsupported payloads instead of raising."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_png_pixels,
+        make_png_bytes,
+    )
+
+    # h=7, doc_id=3 -> row filters (3+y) % 5 cover all five types
+    b = make_png_bytes(3, 4, 7)
+    w, h, px = decode_png_pixels(b)
+    assert (w, h) == (4, 7)
+    for y in range(7):
+        for x in range(4):
+            assert tuple(int(v) for v in px[y, x]) == (
+                (3 + 2 * x + 3 * y) % 256,
+                (3 + 5 * x + 7 * y) % 256,
+                (3 + 11 * x + 13 * y) % 256,
+            ), (x, y)
+    assert px.dtype == np.uint8
+    # Adam7 interlace -> quarantine, not garbage
+    assert decode_png_pixels(make_png_bytes(3, 4, 7, interlaced=True)) is None
+    # malformed payloads -> None
+    assert decode_png_pixels(b"not a png") is None
+    assert decode_png_pixels(b[:30]) is None  # truncated mid-chunk
+    corrupt = bytearray(b)
+    corrupt[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    assert decode_png_pixels(bytes(corrupt)) is None
+    idat_corrupt = bytearray(b)
+    idat_corrupt[45] ^= 0xFF  # flip a byte inside IDAT (CRC now wrong)
+    assert decode_png_pixels(bytes(idat_corrupt)) is None
+
+
+def test_png_decoder_against_hand_filtered_bytes():
+    """Decoder independence from the synthesizer: a 2x2 PNG is built BY
+    HAND — known raw pixels, row 0 Sub-filtered and row 1 Up-filtered
+    with hand-computed filter bytes — so a symmetric encoder/decoder
+    bug cannot cancel out. The decoded grid must equal the stated
+    pixels byte-for-byte."""
+    import zlib
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png_pixels,
+    )
+
+    # raw scanlines (RGB): row0 = (10,20,30),(40,60,80)
+    #                      row1 = (1,2,3),(5,7,9)
+    # Sub on row0: [10,20,30, 40-10, 60-20, 80-30] = [10,20,30,30,40,50]
+    # Up on row1:  [1-10, 2-20, 3-30, 5-40, 7-60, 9-80] mod 256
+    row0 = bytes([1, 10, 20, 30, 30, 40, 50])
+    row1 = bytes([2, 247, 238, 229, 221, 203, 185])
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+        [8, 2, 0, 0, 0]
+    )
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(row0 + row1))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, px = decode_png_pixels(png)
+    assert (w, h) == (2, 2)
+    assert [tuple(int(v) for v in px[y, x]) for y in range(2) for x in range(2)] == [
+        (10, 20, 30),
+        (40, 60, 80),
+        (1, 2, 3),
+        (5, 7, 9),
+    ]
+
+
 def test_doc_chunking_reconstructs_token_stream(spark, sf_dir):
     """Concatenating each chunk's leading STRIDE tokens (all tokens for the
     final chunk) rebuilds every document's token stream exactly."""
@@ -1022,6 +1098,98 @@ def test_lsh_topk_recall_and_candidate_discipline(spark, sf_dir):
     assert all(v <= TOP_K for v in per_q.values())
 
 
+def test_calibrated_lsh_bits_derivation_parity():
+    """The Python derivation and the generated SQL CASE must agree on
+    EVERY corpus size that can cross a threshold — proven by exhaustion
+    over all boundary neighborhoods plus a coarse sweep (finite-domain
+    rule: the thresholds are the whole behavior)."""
+    import duckdb
+
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        ANN_CAL_MAX_BITS,
+        ANN_CAL_MIN_BITS,
+        ANN_CAL_TARGET_BUCKET,
+        _cal_bits_sql_case,
+        calibrated_lsh_bits,
+    )
+
+    ns = {1, 2, 500, 2000, 50_000, 10**9}
+    for b in range(ANN_CAL_MIN_BITS, ANN_CAL_MAX_BITS + 1):
+        t = ANN_CAL_TARGET_BUCKET << b
+        ns.update({t - 1, t, t + 1})
+    con = duckdb.connect()
+    case = _cal_bits_sql_case("n")
+    got = dict(
+        con.execute(
+            f"SELECT n, {case} FROM (SELECT UNNEST(?) AS n)",
+            [sorted(ns)],
+        ).fetchall()
+    )
+    for n in sorted(ns):
+        py = calibrated_lsh_bits(n)
+        assert py == got[n], (n, py, got[n])
+        assert ANN_CAL_MIN_BITS <= py <= ANN_CAL_MAX_BITS
+        if py < ANN_CAL_MAX_BITS:  # the defining property of "smallest b"
+            assert n <= ANN_CAL_TARGET_BUCKET << py
+            if py > ANN_CAL_MIN_BITS:
+                assert n > ANN_CAL_TARGET_BUCKET << (py - 1)
+    # the documented anchor points
+    assert calibrated_lsh_bits(500) == 4
+    assert calibrated_lsh_bits(2000) == 6
+    assert calibrated_lsh_bits(50_000) == 11
+
+
+def test_calibrated_lsh_recall_and_batch_ab_consistency(spark, sf_dir):
+    """(a) calibrated-width multiprobe recall vs brute clears the floor
+    the multiprobe docstring measured for the fixed width (calibration
+    targets BUCKET WIDTH, not recall — at sf0.01 bits drops 6 -> 4, so
+    buckets are wider and recall can only rise); (b) where it returns a
+    pair brute also returned, the cosine agrees exactly; (c) sig_bits is
+    the documented derivation of the corpus size; (d) the 64-query batch
+    pair agree with each other the same way."""
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        TOP_K,
+        ann_cosine_batch_topk,
+        ann_cosine_topk,
+        ann_lsh_batch_topk,
+        ann_lsh_calibrated_topk,
+        calibrated_lsh_bits,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+
+    n = table(spark, sf_dir, "embeddings").count()
+    want_bits = calibrated_lsh_bits(n)
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    cal_rows = ann_lsh_calibrated_topk(spark, sf_dir).collect()
+    assert {r.sig_bits for r in cal_rows} == {want_bits}
+    cal = {(r.query_id, r.neighbor_id): r.cosine for r in cal_rows}
+    hit = set(exact) & set(cal)
+    assert len(hit) / len(exact) >= 0.4, "calibrated recall below floor"
+    for k in hit:
+        assert cal[k] == exact[k]
+    from collections import Counter
+
+    assert all(
+        v <= TOP_K for v in Counter(q for q, _ in cal).values()
+    )
+    # batch A/B arms: same queries, same tie rule, index vs exhaustive
+    bex = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_cosine_batch_topk(spark, sf_dir).collect()
+    }
+    blsh_rows = ann_lsh_batch_topk(spark, sf_dir).collect()
+    assert {r.sig_bits for r in blsh_rows} == {want_bits}
+    blsh = {(r.query_id, r.neighbor_id): r.cosine for r in blsh_rows}
+    assert len(set(bex) & set(blsh)) / len(bex) >= 0.4
+    for k in set(bex) & set(blsh):
+        assert blsh[k] == bex[k]
+    assert len({q for q, _ in bex}) == 64
+
+
 def test_token_diversity_handcrafted(spark, tmp_path):
     """Simpson diversity and TTR against hand-computed values: a looped
     phrase scores low, all-distinct prose scores the maximum 1 - 1/n,
@@ -1441,6 +1609,64 @@ def test_bpe_train_merges_greedy_run_semantics(spark, tmp_path):
         f"read_parquet('{tmp_path}/documents.parquet')"
     )
     want = sorted(tuple(r) for r in con.execute(_bpe_oracle()).fetchall())
+    assert got == want
+
+
+def test_bpe_train_merges_batched_handcrafted(spark, tmp_path):
+    """Batched BPE on a corpus engineered around every selection rule:
+    round 1 must accept (a,b), SKIP (b,c) (shares b with an accepted
+    pair), accept (c,d), SKIP (a,e) (shares a), then fill to M=4 with
+    (f,g) and (h,i); round 2 accepts the two survivors — counts as of
+    ROUND START (the batched rule); round 3 has no pairs left and emits
+    ZERO rows (empty-round path). Cross-checked against the recursive-
+    CTE oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.textstats import (
+        _bpe_batched_oracle,
+        bpe_train_merges_batched,
+    )
+
+    texts = [
+        " ".join(
+            ["ab"] * 10 + ["bc"] * 9 + ["cd"] * 8 + ["ae"] * 7
+            + ["fg"] * 6 + ["hi"] * 5
+        )
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = sorted(
+        (r.merge_round, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train_merges_batched(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        (1, "a", "b", 10),
+        (1, "c", "d", 8),
+        (1, "f", "g", 6),
+        (1, "h", "i", 5),
+        (2, "a", "e", 7),
+        (2, "b", "c", 9),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(_bpe_batched_oracle()).fetchall()
+    )
     assert got == want
 
 
@@ -1893,6 +2119,125 @@ def test_assoc_rules_handcrafted(spark, tmp_path):
         f"read_parquet('{tmp_path}/lineitem.parquet')"
     )
     assert got == [tuple(r) for r in con.execute(ASSOC_ORACLE).fetchall()]
+
+
+def test_assoc_rules_mega_basket_cap(spark, tmp_path):
+    """The mega-basket cap drops oversized baskets BEFORE the self-join
+    (VERDICT r9 #4): with cap=8, a synthesized 20-item basket
+    contributes ZERO pairs and leaves the n_orders/lift universe, while
+    the small baskets' rule is unchanged — pair volume stays bounded by
+    |baskets| x cap^2 instead of the mega-basket's quadratic blowup.
+    The oracle replays the identical cap."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.mining import (
+        _assoc_oracle,
+        assoc_rules_copurchase,
+    )
+
+    baskets = {
+        1: [1, 2],
+        2: [1, 2],
+        3: [1, 2],
+        4: [1, 2],
+        # the mega basket: 20 distinct parts incl. 1 and 2 — above cap 8
+        5: list(range(1, 21)),
+    }
+    oks, pks = [], []
+    for ok, items in baskets.items():
+        for pk in items:
+            oks.append(ok)
+            pks.append(pk)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(oks, pa.int64()),
+                "l_partkey": pa.array(pks, pa.int64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    got = [
+        tuple(r)
+        for r in assoc_rules_copurchase(
+            spark, str(tmp_path), max_basket=8
+        ).collect()
+    ]
+    # mega basket gone: support 4 (not 5), n_orders 4 (not 5), no pair
+    # involving parts 3..20 anywhere; lift = 4 * 4 / (4 * 4) = 1.0
+    assert got == [(1, 2, 4, 4, 4, 1.0, 1.0, 1.0)]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    assert got == [tuple(r) for r in con.execute(_assoc_oracle(8)).fetchall()]
+    # uncapped twin sees the mega basket: 1-2 support back to 5 with
+    # n_orders 5 — pinning that the cap is what changed the universe
+    unc = assoc_rules_copurchase(spark, str(tmp_path), max_basket=10**9)
+    rows = {(r.part_a, r.part_b): tuple(r) for r in unc.collect()}
+    assert rows[(1, 2)] == (1, 2, 5, 5, 5, 1.0, 1.0, 1.0)
+
+
+def test_frequent_event_sequences_hot_user_cap(spark, tmp_path):
+    """The hot-user cap drops a bot's path BEFORE collect_list builds
+    its array (VERDICT r9 #5): with cap=6, a 12-event bot user's
+    k-grams vanish while a normal user's survive; the oracle replays
+    the identical cap via its HAVING filter."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.mining import (
+        _freq_seq_oracle,
+        frequent_event_sequences,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # normal user 1: path A,B,C,A -> trigrams A>B>C, B>C>A
+    for i, et in enumerate(["A", "B", "C", "A"]):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, et, 1.0, "{}"))
+    # bot user 2: 12 events looping X,Y -> would dominate the counts
+    for i in range(12):
+        rows.append(
+            (100 + i, base + dt.timedelta(minutes=i), 2,
+             "X" if i % 2 == 0 else "Y", 1.0, "{}")
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = [
+        (r.seq, r.seq_count)
+        for r in frequent_event_sequences(
+            spark, str(tmp_path), max_user_events=6
+        ).collect()
+    ]
+    assert got == [("A>B>C", 1), ("B>C>A", 1)]  # bot excluded entirely
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    assert got == [tuple(r) for r in con.execute(_freq_seq_oracle(6)).fetchall()]
+    # uncapped twin is dominated by the bot's loop — the cap is load-
+    # bearing, not decorative
+    unc = frequent_event_sequences(spark, str(tmp_path)).collect()
+    assert ("X>Y>X" in {r.seq for r in unc})
 
 
 def test_bigram_fluency_handcrafted(spark, tmp_path):

@@ -66,8 +66,11 @@ def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
     spark = get_spark("ann-scale-probe")
     from go_dfs_mapreduce_spark.operators.similarity import (
+        ann_cosine_batch_topk,
         ann_cosine_topk,
         ann_ivf_topk,
+        ann_lsh_batch_topk,
+        ann_lsh_calibrated_topk,
         ann_lsh_multiprobe_topk,
         ann_lsh_topk,
     )
@@ -77,6 +80,12 @@ def main() -> None:
         "ivf": ann_ivf_topk,
         "lsh": ann_lsh_topk,
         "lsh_multiprobe": ann_lsh_multiprobe_topk,
+        # r10: width calibrated to the corpus (bits ~ log2(n/32)) — the
+        # r9 saturation finding closed in code
+        "lsh_calibrated": ann_lsh_calibrated_topk,
+        # r10 crossover A/B: 64-query batch, index vs exhaustive
+        "lsh_batch64": ann_lsh_batch_topk,
+        "brute_batch64": ann_cosine_batch_topk,
     }
     for fn in ops.values():  # codegen warm-up
         fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format(
