@@ -1012,3 +1012,62 @@ def test_span_corruption_plan_contract(spark, sf_dir):
     assert a["n_exchanges"] == 0
     assert "Join" not in a["plan"]
     assert set(a["read_columns"]) == {"doc_id", "text"}
+
+
+def test_round10_operator_plan_contracts(spark, sf_dir):
+    """Plan pins for the round-10 operators: each keeps the structural
+    property its docstring claims."""
+    from go_dfs_mapreduce_spark.plans.audit import audit_plan
+
+    # ann_lsh_calibrated_topk: signatures read from the persisted index,
+    # query side broadcast (both the probe fan-out and the query
+    # vectors), candidates-only scoring; JVM-only, no cartesian
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        ann_cosine_batch_topk,
+        ann_lsh_batch_topk,
+        ann_lsh_calibrated_topk,
+    )
+
+    a = audit_plan(ann_lsh_calibrated_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_broadcast_joins"] >= 2
+    assert "CartesianProduct" not in a["plan"]
+    assert "Window" in a["plan"]  # per-query rank, never a global sort
+
+    # batch twin keeps the identical shape at 64 queries
+    a = audit_plan(ann_lsh_batch_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_broadcast_joins"] >= 2
+    assert "CartesianProduct" not in a["plan"]
+
+    # brute batch arm: the non-equi (qid != vec_id) broadcast join is
+    # the ONE nested-loop, with the tiny query side as the build side
+    a = audit_plan(ann_cosine_batch_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "BroadcastNestedLoopJoin" in a["plan"]
+    assert "BuildRight" in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+    # bpe_train_merges_batched: winners are checkpointed tiny frames —
+    # the returned plan unions scans of materialized RDDs (lineage CUT:
+    # no corpus scan, no python, no join in the result plan)
+    from go_dfs_mapreduce_spark.operators.textstats import (
+        bpe_train_merges_batched,
+    )
+
+    a = audit_plan(bpe_train_merges_batched(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "CartesianProduct" not in a["plan"]
+    assert "Scan parquet" not in a["plan"]  # lineage ends at checkpoints
+
+    # multimodal_pixels_png: the two Arrow stages ARE the point
+    # (synthesize + decode), fed by a 1-column scan
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_pixels_png,
+    )
+
+    a = audit_plan(multimodal_pixels_png(spark, sf_dir))
+    # two Arrow stages, each named twice (tree + detail section)
+    assert a["plan"].count("MapInPandas") == 4
+    assert set(a["read_columns"]) == {"doc_id"}
+    assert "Exchange" not in a["plan"]  # embarrassingly parallel
