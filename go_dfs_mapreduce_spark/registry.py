@@ -177,6 +177,7 @@ _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     "ann_cosine_batch_topk",
     "bpe_train_merges_batched",
     "multimodal_pixels_png",
+    "multimodal_pixels_gif",
 )
 
 

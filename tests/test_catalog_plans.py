@@ -1071,3 +1071,13 @@ def test_round10_operator_plan_contracts(spark, sf_dir):
     assert a["plan"].count("MapInPandas") == 4
     assert set(a["read_columns"]) == {"doc_id"}
     assert "Exchange" not in a["plan"]  # embarrassingly parallel
+
+    # multimodal_pixels_gif: identical shape to the PNG twin
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_pixels_gif,
+    )
+
+    a = audit_plan(multimodal_pixels_gif(spark, sf_dir))
+    assert a["plan"].count("MapInPandas") == 4
+    assert set(a["read_columns"]) == {"doc_id"}
+    assert "Exchange" not in a["plan"]

@@ -342,6 +342,72 @@ def test_png_decoder_against_hand_filtered_bytes():
     ]
 
 
+def test_gif_lzw_roundtrip_and_quarantine():
+    """The pure-Python LZW codec roundtrips streams that exercise every
+    code path — deep dictionary growth, KwKwK chains, width bumps, and
+    the 4096 dictionary reset — and the GIF container decode recovers
+    the exact palette-mapped pixel grid, quarantining interlaced and
+    malformed payloads as None."""
+    import random
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif_pixels,
+        make_gif_bytes,
+    )
+
+    for trial in range(60):
+        rng = random.Random(trial)
+        n = rng.randrange(0, 1500)
+        idx = (
+            [rng.randrange(4) for _ in range(n)]
+            if trial % 2
+            else [7] * n  # maximal KwKwK chains
+        )
+        assert _lzw_decode(_lzw_encode(idx)) == idx, trial
+    # force width growth through 9->12 bits and a 4096 table reset
+    big = [(i * i) % 251 for i in range(60000)]
+    assert _lzw_decode(_lzw_encode(big)) == big
+    w, h, px = decode_gif_pixels(make_gif_bytes(9, 5, 4))
+    assert (w, h) == (5, 4)
+    for y in range(4):
+        for x in range(5):
+            i = (9 + 2 * x + 3 * y) % 256
+            assert tuple(int(v) for v in px[y, x]) == (
+                i,
+                (7 * i) % 256,
+                (13 * i) % 256,
+            )
+    assert decode_gif_pixels(make_gif_bytes(9, 5, 4, interlaced=True)) is None
+    assert decode_gif_pixels(b"nope") is None
+    assert decode_gif_pixels(make_gif_bytes(9, 5, 4)[:40]) is None
+
+
+def test_gif_lzw_decoder_against_hand_derived_codes():
+    """Decoder independence from the compressor: the code stream for
+    indices [1, 1, 1, 1] at min-code-size 2 is derived BY HAND —
+    CLEAR(4), 1, then 6 == next_code (the KwKwK case, decoding to
+    '1 1'), then 1 (whose table-add fills code 7, nc=8=2^3, bumping the
+    width to 4 bits), then END(5) read at the bumped width. A decoder
+    with the wrong KwKwK rule or the wrong bump point cannot read this
+    stream."""
+    from go_dfs_mapreduce_spark.operators.multimodal import _lzw_decode
+
+    codes = [(4, 3), (1, 3), (6, 3), (1, 3), (5, 4)]
+    acc, nbits, buf = 0, 0, bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    assert _lzw_decode(bytes(buf), min_code=2) == [1, 1, 1, 1]
+
+
 def test_doc_chunking_reconstructs_token_stream(spark, sf_dir):
     """Concatenating each chunk's leading STRIDE tokens (all tokens for the
     final chunk) rebuilds every document's token stream exactly."""
