@@ -1255,3 +1255,252 @@ def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("d2").cast("double"), 6).alias("dist2"),
         )
     )
+
+
+# --- calibrated IVF: cells ~ sqrt(n), the partition-count twin of the
+# calibrated LSH width ------------------------------------------------------
+
+IVF_CAL_MIN_EXP = 3   # >= 8 cells
+IVF_CAL_MAX_EXP = 12  # <= 4096 cells
+IVF_CAL_NPROBE = 4
+
+
+def calibrated_ivf_cells(n: int) -> int:
+    """Smallest power-of-two cell count k = 2^j in [8, 4096] with
+    k^2 >= n — the classic IVF rule (cells ~ sqrt(n)) that keeps the
+    per-query scored candidate set ~ n_probe * sqrt(n): 500 vectors ->
+    32 cells, 2000 -> 64, 50k -> 256, 1M -> 1024."""
+    j = IVF_CAL_MIN_EXP
+    while j < IVF_CAL_MAX_EXP and (1 << (2 * j)) < n:
+        j += 1
+    return 1 << j
+
+
+def _ivf_cells_sql_case(n_expr: str) -> str:
+    """DuckDB twin of ``calibrated_ivf_cells`` over the same integer
+    thresholds (n <= 4^j -> 2^j cells)."""
+    arms = " ".join(
+        f"WHEN ({n_expr}) <= {1 << (2 * j)} THEN {1 << j}"
+        for j in range(IVF_CAL_MIN_EXP, IVF_CAL_MAX_EXP)
+    )
+    return f"(CASE {arms} ELSE {1 << IVF_CAL_MAX_EXP} END)"
+
+
+IVF_CAL_ORACLE = f"""
+WITH xm AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+  FROM embeddings
+),
+ncells AS (SELECT {_ivf_cells_sql_case("(SELECT COUNT(*) FROM embeddings)")} AS k),
+seeds AS MATERIALIZED (
+  SELECT vec_id AS seed_id, xm AS sm
+  FROM (SELECT vec_id, xm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+        FROM xm) t, ncells
+  WHERE rk <= ncells.k
+),
+d1 AS (
+  SELECT x.vec_id, s.seed_id,
+         CAST(list_sum(list_transform(range(1, len(x.xm) + 1),
+              i -> (x.xm[i] - s.sm[i]) * (x.xm[i] - s.sm[i]))) AS BIGINT) AS d2
+  FROM xm x CROSS JOIN seeds s
+),
+a1 AS MATERIALIZED (
+  SELECT vec_id, seed_id AS cluster FROM (
+    SELECT vec_id, seed_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+    FROM d1) t WHERE rn = 1
+),
+psum AS (
+  SELECT a.cluster, r.i AS pos, SUM(x.xm[r.i]) AS s, COUNT(*) AS n
+  FROM a1 a JOIN xm x USING (vec_id), range(1, 65) r(i)
+  GROUP BY 1, 2
+),
+carr AS MATERIALIZED (
+  SELECT cluster, list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT)
+                       ORDER BY pos) AS cm
+  FROM psum GROUP BY cluster
+),
+d2_ AS (
+  SELECT x.vec_id, c.cluster,
+         CAST(list_sum(list_transform(range(1, len(x.xm) + 1),
+              i -> (x.xm[i] - c.cm[i]) * (x.xm[i] - c.cm[i]))) AS BIGINT) AS d2
+  FROM xm x CROSS JOIN carr c
+),
+a2 AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM d2_) t WHERE rn = 1
+),
+probe AS MATERIALIZED (
+  SELECT qid, cluster FROM (
+    SELECT q.vec_id AS qid, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             CAST(list_sum(list_transform(range(1, len(q.xm) + 1),
+                  i -> (q.xm[i] - c.cm[i]) * (q.xm[i] - c.cm[i]))) AS BIGINT),
+             c.cluster) AS rn
+    FROM (SELECT * FROM xm WHERE vec_id < {N_QUERIES}) q
+    CROSS JOIN carr c) t
+  WHERE rn <= {IVF_CAL_NPROBE}
+),
+x AS MATERIALIZED ({EXPLODED_DUCK}),
+norms AS MATERIALIZED (
+  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,18))) AS n2 FROM x GROUP BY vec_id
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS cid
+  FROM probe p JOIN a2 a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.qid
+),
+dots AS (
+  SELECT cand.qid, cand.cid,
+         SUM(CAST(qx.v * cx.v AS DECIMAL(28,18))) AS dot
+  FROM cand
+  JOIN x qx ON qx.vec_id = cand.qid
+  JOIN x cx ON cx.vec_id = cand.cid AND cx.i = qx.i
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT qid, cid,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS c
+  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id
+)
+SELECT qid AS query_id, cid AS neighbor_id,
+       CAST(rn AS INTEGER) AS rank, ROUND(c, 6) AS cosine,
+       (SELECT CAST(k AS INTEGER) FROM ncells) AS n_cells
+FROM (SELECT qid, cid, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rn
+      FROM cos)
+WHERE rn <= {TOP_K}
+"""
+
+
+@query("ann_ivf_calibrated_topk", oracle=IVF_CAL_ORACLE)
+def ann_ivf_calibrated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the CELL COUNT calibrated to the corpus — the
+    partition-geometry twin of ``ann_lsh_calibrated_topk``: k = smallest
+    power-of-two with k^2 >= n (cells ~ sqrt(n), clamped [8, 4096]), so
+    the per-query scored candidate set stays ~ n_probe * n / k =
+    n_probe * sqrt(n) as the corpus grows, where the label-based
+    ``ann_ivf_topk`` is pinned to 10 fixed cells (its per-query work is
+    n/5 — linear in n). Cells come from two deterministic Lloyd
+    iterations (the ``kmeans_embeddings`` recipe verbatim: smallest-k
+    vec_id seeds, micro-unit integer distances, ties to the smaller
+    cluster id), queries probe their ``IVF_CAL_NPROBE`` nearest
+    centroids, and only vectors assigned to probed cells are scored —
+    with the same exact-decimal cosine and tie rule as every ANN twin.
+    The derived cell count is emitted as ``n_cells`` so the gate
+    hash-checks the calibration (the sig_bits convention).
+
+    Plan: centroids and probe lists are K-row broadcasts; the candidate
+    join is an equi-join on cluster id; the one corpus-sized exchange is
+    the assignment argmin's partial aggregate. 100x the vectors: k and
+    n_probe absorb it as sqrt factors on both the assignment aggregate
+    width and the scored candidate count."""
+    from .dedup import _dec_dot_expr
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = calibrated_ivf_cells(n)
+    xm = emb.select("vec_id", F.expr(_MICRO_ARR).alias("xm"))
+    seeds = (
+        xm.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("seed_id"), F.col("xm").alias("sm"))
+    )
+    d1 = xm.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "xm",
+        "seed_id",
+        F.expr(_sqd_micro("xm", "sm")).alias("d2"),
+    )
+    a1 = (
+        d1.groupBy("vec_id")
+        .agg(
+            F.expr("min_by(seed_id, struct(d2, seed_id))").alias("cluster"),
+            F.first("xm").alias("xm"),
+        )
+        .persist()
+    )
+    a1.count()  # populate before the branches race (SCALE.md)
+    cent = (
+        a1.select("cluster", F.posexplode("xm").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cluster",
+            "pos",
+            F.expr("cast(round(cast(s as double) / n) as bigint)").alias("cm"),
+        )
+    )
+    carr = cent.groupBy("cluster").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, cm))), x -> x.cm)"
+        ).alias("cm")
+    )
+    d2 = a1.select("vec_id", "xm").crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "cluster",
+        F.expr(_sqd_micro("xm", "cm")).alias("d2"),
+    )
+    a2 = d2.groupBy("vec_id").agg(
+        F.expr("min_by(cluster, struct(d2, cluster))").alias("cluster")
+    )
+    qprobe_d = (
+        xm.where(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(carr))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "cluster",
+            F.expr(_sqd_micro("xm", "cm")).alias("d2"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cluster"))
+    probe = (
+        qprobe_d.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= IVF_CAL_NPROBE)
+        .select("qid", "cluster")
+    )
+    ed = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
+    )
+    q = ed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("qn2"),
+    )
+    cand = (
+        a2.join(F.broadcast(probe), "cluster")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"))
+    )
+    cos = (
+        cand.join(ed.alias("c"), cand.cid == F.col("c.vec_id"))
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "cid",
+            (
+                F.expr(_dec_dot_expr("q_emb", "c.embedding")).cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("c.n2").cast("double"))
+                )
+            ).alias("c"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("cid"))
+    return (
+        cos.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.round("c", 6).alias("cosine"),
+            F.lit(k).cast("int").alias("n_cells"),
+        )
+    )

@@ -178,6 +178,7 @@ _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     "bpe_train_merges_batched",
     "multimodal_pixels_png",
     "multimodal_pixels_gif",
+    "ann_ivf_calibrated_topk",
 )
 
 

@@ -1081,3 +1081,14 @@ def test_round10_operator_plan_contracts(spark, sf_dir):
     assert a["plan"].count("MapInPandas") == 4
     assert set(a["read_columns"]) == {"doc_id"}
     assert "Exchange" not in a["plan"]
+
+    # ann_ivf_calibrated_topk: centroids/probe lists ride as broadcasts,
+    # the candidate join is an equi-join on the cluster id, JVM-only
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        ann_ivf_calibrated_topk,
+    )
+
+    a = audit_plan(ann_ivf_calibrated_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_broadcast_joins"] >= 2
+    assert "CartesianProduct" not in a["plan"]

@@ -1256,6 +1256,56 @@ def test_calibrated_lsh_recall_and_batch_ab_consistency(spark, sf_dir):
     assert len({q for q, _ in bex}) == 64
 
 
+def test_calibrated_ivf_consistency(spark, sf_dir):
+    """ann_ivf_calibrated_topk: (a) n_cells is the documented sqrt-rule
+    derivation of the corpus size; (b) where it returns a pair brute
+    also returned, the cosine agrees exactly (same scoring expression);
+    (c) per-query caps hold; (d) the cell-count rule's anchor points
+    hold by exhaustive threshold check against the SQL CASE."""
+    import duckdb
+
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        TOP_K,
+        _ivf_cells_sql_case,
+        ann_cosine_topk,
+        ann_ivf_calibrated_topk,
+        calibrated_ivf_cells,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+
+    n = table(spark, sf_dir, "embeddings").count()
+    want_k = calibrated_ivf_cells(n)
+    rows = ann_ivf_calibrated_topk(spark, sf_dir).collect()
+    assert {r.n_cells for r in rows} == {want_k}
+    got = {(r.query_id, r.neighbor_id): r.cosine for r in rows}
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    for k_ in set(got) & set(exact):
+        assert got[k_] == exact[k_]
+    from collections import Counter
+
+    assert all(v <= TOP_K for v in Counter(q for q, _ in got).values())
+    # derivation parity by exhaustion over all threshold neighborhoods
+    con = duckdb.connect()
+    case = _ivf_cells_sql_case("n")
+    ns = {1, 500, 2000, 50_000, 10**9}
+    for j in range(3, 13):
+        t = 1 << (2 * j)
+        ns.update({t - 1, t, t + 1})
+    sql = dict(
+        con.execute(
+            f"SELECT n, {case} FROM (SELECT UNNEST(?) AS n)", [sorted(ns)]
+        ).fetchall()
+    )
+    for m in sorted(ns):
+        assert calibrated_ivf_cells(m) == sql[m], m
+    assert calibrated_ivf_cells(500) == 32
+    assert calibrated_ivf_cells(2000) == 64
+    assert calibrated_ivf_cells(50_000) == 256
+
+
 def test_token_diversity_handcrafted(spark, tmp_path):
     """Simpson diversity and TTR against hand-computed values: a looped
     phrase scores low, all-distinct prose scores the maximum 1 - 1/n,

@@ -68,6 +68,7 @@ def main() -> None:
     from go_dfs_mapreduce_spark.operators.similarity import (
         ann_cosine_batch_topk,
         ann_cosine_topk,
+        ann_ivf_calibrated_topk,
         ann_ivf_topk,
         ann_lsh_batch_topk,
         ann_lsh_calibrated_topk,
@@ -83,10 +84,16 @@ def main() -> None:
         # r10: width calibrated to the corpus (bits ~ log2(n/32)) — the
         # r9 saturation finding closed in code
         "lsh_calibrated": ann_lsh_calibrated_topk,
+        # r10: cell count calibrated to the corpus (cells ~ sqrt(n))
+        "ivf_calibrated": ann_ivf_calibrated_topk,
         # r10 crossover A/B: 64-query batch, index vs exhaustive
         "lsh_batch64": ann_lsh_batch_topk,
         "brute_batch64": ann_cosine_batch_topk,
     }
+    only = os.environ.get("SPARK_GRAFT_ANN_OPS")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        ops = {k: v for k, v in ops.items() if k in keep}
     for fn in ops.values():  # codegen warm-up
         fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format(
             "noop"
