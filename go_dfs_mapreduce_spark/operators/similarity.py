@@ -1376,6 +1376,96 @@ WHERE rn <= {TOP_K}
 """
 
 
+_IVF_CENT_MEMOS: dict[int, dict[tuple[str, str], DataFrame]] = {}
+_IVF_CELL_MEMOS: dict[int, dict[tuple[str, str], DataFrame]] = {}
+
+
+def ivf_centroid_table(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """DataFrame[cluster, cm] — the calibrated IVF index's iter-2
+    centroid arrays as a k-versioned persisted derived table (the
+    ``lsh_sig_table`` pattern: the O(n * k) Lloyd build is offline
+    index-build work, paid once per corpus version, never on the warm
+    query path)."""
+    from ..derived import derived_table
+    from ..memo import session_memo
+
+    def build() -> DataFrame:
+        emb = table(spark, sf_dir, "embeddings")
+        xm = emb.select("vec_id", F.expr(_MICRO_ARR).alias("xm"))
+        seeds = (
+            xm.orderBy("vec_id")
+            .limit(k)
+            .select(F.col("vec_id").alias("seed_id"), F.col("xm").alias("sm"))
+        )
+        d1 = xm.crossJoin(F.broadcast(seeds)).select(
+            "vec_id",
+            "xm",
+            "seed_id",
+            F.expr(_sqd_micro("xm", "sm")).alias("d2"),
+        )
+        a1 = d1.groupBy("vec_id").agg(
+            F.expr("min_by(seed_id, struct(d2, seed_id))").alias("cluster"),
+            F.first("xm").alias("xm"),
+        )
+        cent = (
+            a1.select("cluster", F.posexplode("xm").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cluster",
+                "pos",
+                F.expr(
+                    "cast(round(cast(s as double) / n) as bigint)"
+                ).alias("cm"),
+            )
+        )
+        return cent.groupBy("cluster").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cm))),"
+                " x -> x.cm)"
+            ).alias("cm")
+        )
+
+    return session_memo(
+        _IVF_CENT_MEMOS.setdefault(k, {}),
+        spark,
+        sf_dir,
+        lambda: derived_table(
+            spark, sf_dir, f"embedding_ivf_cents_k{k}", ("embeddings",), build
+        ),
+    )
+
+
+def ivf_cell_table(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """DataFrame[vec_id, cluster] — every vector's iter-2 cell
+    assignment against ``ivf_centroid_table``, as its own k-versioned
+    persisted derived table."""
+    from ..derived import derived_table
+    from ..memo import session_memo
+
+    def build() -> DataFrame:
+        emb = table(spark, sf_dir, "embeddings")
+        xm = emb.select("vec_id", F.expr(_MICRO_ARR).alias("xm"))
+        carr = ivf_centroid_table(spark, sf_dir, k)
+        d2 = xm.crossJoin(F.broadcast(carr)).select(
+            "vec_id",
+            "cluster",
+            F.expr(_sqd_micro("xm", "cm")).alias("d2"),
+        )
+        return d2.groupBy("vec_id").agg(
+            F.expr("min_by(cluster, struct(d2, cluster))").alias("cluster")
+        )
+
+    return session_memo(
+        _IVF_CELL_MEMOS.setdefault(k, {}),
+        spark,
+        sf_dir,
+        lambda: derived_table(
+            spark, sf_dir, f"embedding_ivf_cells_k{k}", ("embeddings",), build
+        ),
+    )
+
+
 @query("ann_ivf_calibrated_topk", oracle=IVF_CAL_ORACLE)
 def ann_ivf_calibrated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with the CELL COUNT calibrated to the corpus — the
@@ -1393,60 +1483,23 @@ def ann_ivf_calibrated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The derived cell count is emitted as ``n_cells`` so the gate
     hash-checks the calibration (the sig_bits convention).
 
-    Plan: centroids and probe lists are K-row broadcasts; the candidate
-    join is an equi-join on cluster id; the one corpus-sized exchange is
-    the assignment argmin's partial aggregate. 100x the vectors: k and
-    n_probe absorb it as sqrt factors on both the assignment aggregate
-    width and the scored candidate count."""
+    Plan: the index (iter-2 centroids + cell assignment) is built ONCE
+    per corpus version as persisted derived tables — the production
+    offline-index pattern ``lsh_sig_table`` set; the O(n * k) = O(n^1.5)
+    Lloyd build never rides on the query path warm (the r10 probe
+    measured the inlined build growing 5.5 -> 22 s across a 25x
+    corpus scale-up before this split). At query time: centroids and
+    probe lists are K-row broadcasts; the candidate join is an
+    equi-join on cluster id. 100x the vectors: k and n_probe absorb it
+    as sqrt factors on the scored candidate count."""
     from .dedup import _dec_dot_expr
 
     emb = table(spark, sf_dir, "embeddings")
     n = emb.count()
     k = calibrated_ivf_cells(n)
+    carr = ivf_centroid_table(spark, sf_dir, k)
+    a2 = ivf_cell_table(spark, sf_dir, k)
     xm = emb.select("vec_id", F.expr(_MICRO_ARR).alias("xm"))
-    seeds = (
-        xm.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").alias("seed_id"), F.col("xm").alias("sm"))
-    )
-    d1 = xm.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "xm",
-        "seed_id",
-        F.expr(_sqd_micro("xm", "sm")).alias("d2"),
-    )
-    a1 = (
-        d1.groupBy("vec_id")
-        .agg(
-            F.expr("min_by(seed_id, struct(d2, seed_id))").alias("cluster"),
-            F.first("xm").alias("xm"),
-        )
-        .persist()
-    )
-    a1.count()  # populate before the branches race (SCALE.md)
-    cent = (
-        a1.select("cluster", F.posexplode("xm").alias("pos", "v"))
-        .groupBy("cluster", "pos")
-        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "cluster",
-            "pos",
-            F.expr("cast(round(cast(s as double) / n) as bigint)").alias("cm"),
-        )
-    )
-    carr = cent.groupBy("cluster").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(pos, cm))), x -> x.cm)"
-        ).alias("cm")
-    )
-    d2 = a1.select("vec_id", "xm").crossJoin(F.broadcast(carr)).select(
-        "vec_id",
-        "cluster",
-        F.expr(_sqd_micro("xm", "cm")).alias("d2"),
-    )
-    a2 = d2.groupBy("vec_id").agg(
-        F.expr("min_by(cluster, struct(d2, cluster))").alias("cluster")
-    )
     qprobe_d = (
         xm.where(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(carr))

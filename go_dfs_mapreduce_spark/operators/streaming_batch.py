@@ -718,6 +718,38 @@ def stream_event_sequences_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ratelimit_live_oracle() -> str:
+    from .timeseries import _ratelimit_oracle
+
+    return _ratelimit_oracle()
+
+
+@query("stream_rate_limit_live", oracle=_ratelimit_live_oracle())
+def stream_rate_limit_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-bucket rate limiter (``events_rate_limit``) as a SIXTH
+    custom stateful streaming operator on the real engine: per-user
+    (balance, last-second) state — two longs — advanced across >= 4
+    genuine micro-batches (``streaming/ratelimit.py``), emitting an
+    admission verdict per event the moment it arrives. This is the op a
+    streaming deployment actually runs at the ingestion edge; the batch
+    twin is the replay/audit view. Emission is append-only because a
+    verdict depends only on the user's strictly-earlier events
+    (prefix-stable — the funnel/z-score/CUSUM/sequences argument), the
+    whole fold is int64 (no float anywhere), and BOTH twins run the one
+    shared kernel, so the identical recursive-CTE oracle hash-checks
+    every verdict through the streaming engine (mechanics in
+    ``_run_live``)."""
+    from ..streaming.ratelimit import ratelimit_stream_v1
+
+    return _run_live(
+        spark,
+        sf_dir,
+        ratelimit_stream_v1,
+        "t_ratelimit_live",
+        output_mode="append",
+    )
+
+
 CHUNK_SINK_ORACLE = """
 SELECT CAST(doc_id AS VARCHAR) || chr(9) || md5(text) AS line
 FROM documents

@@ -897,3 +897,97 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "ts", "event_id", F.col("cusum_micro").cast("long")
     )
+
+
+# --------------------------------------------------------------------------
+# Token-bucket rate limiting (admission control) — the clamped-counter
+# recursion that has NO window identity, shared-kernel batch twin
+# --------------------------------------------------------------------------
+
+RATELIMIT_ORACLE = """
+WITH RECURSIVE e AS MATERIALIZED (
+  -- FLOOR to whole seconds: the kernel floors (ns // 1e9), and DuckDB's
+  -- ::BIGINT cast on the fractional epoch() double ROUNDS half-to-even
+  -- (a real engine trap: verdicts shifted on every event in the later
+  -- half-second)
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events
+),
+f AS (
+  SELECT user_id, i, t, ts, event_id,
+         CAST({cap} AS BIGINT) AS avail
+  FROM e WHERE i = 1
+  UNION ALL
+  SELECT e.user_id, e.i, e.t, e.ts, e.event_id,
+         LEAST(CAST({cap} AS BIGINT),
+               (f.avail - CASE WHEN f.avail >= {cost} THEN {cost} ELSE 0 END)
+               + (e.t - f.t) * {rate})
+  FROM f JOIN e ON e.user_id = f.user_id AND e.i = f.i + 1
+)
+SELECT user_id, ts, event_id,
+       avail >= {cost} AS allowed,
+       CAST(avail - CASE WHEN avail >= {cost} THEN {cost} ELSE 0 END
+            AS BIGINT) AS tokens_micro_after
+FROM f
+"""
+
+
+def _ratelimit_oracle() -> str:
+    from ..streaming.ratelimit import (
+        RL_CAP_MICRO,
+        RL_COST_MICRO,
+        RL_RATE_MICRO_PER_SEC,
+    )
+
+    return RATELIMIT_ORACLE.format(
+        cap=RL_CAP_MICRO, cost=RL_COST_MICRO, rate=RL_RATE_MICRO_PER_SEC
+    )
+
+
+@query("events_rate_limit", oracle=_ratelimit_oracle())
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user token-bucket admission verdicts over the whole event
+    history — the ingestion-edge primitive (API rate limiting, crawler
+    politeness, abuse throttling) as a batch replay: bucket capacity 3
+    tokens, refill 1 token / 10^4 s, cost 1 token per event, ALLOWED iff
+    the refilled balance covers the cost. The recursion's min() clamp
+    couples every step to the last, and unlike CUSUM's one-sided
+    max(0, .) (linearized by the prefix-min identity) it has NO window
+    identity — so this batch twin runs the SAME int64 Arrow kernel the
+    streaming operator folds incrementally
+    (``streaming/ratelimit.py::_fold_bucket``; the declared Python-path
+    exception, like ``winnow_candidate_pairs_fast``), and the DuckDB
+    oracle replays the recursion as a per-user recursive CTE — every
+    verdict of every event is hash-checked through both engines.
+
+    Scale: one user-keyed exchange; per-group work is a single linear
+    int64 pass over that user's events (Arrow-batched); state the
+    streaming twin carries is two longs per user. Hot users are bounded
+    by their own event volume — and the operator IS the tool that caps
+    hot users upstream."""
+    from ..streaming.ratelimit import OUTPUT_SCHEMA, _emit, _fold_bucket
+
+    def fold_group(pdf) -> "pd.DataFrame":  # noqa: F821
+        import pandas as pd
+
+        uid = int(pdf["user_id"].iloc[0])
+        _, _, out = _fold_bucket(None, None, [pdf], uid)
+        frames = list(_emit(out))
+        return (
+            frames[0]
+            if frames
+            else pd.DataFrame(
+                columns=[
+                    "user_id",
+                    "ts",
+                    "event_id",
+                    "allowed",
+                    "tokens_micro_after",
+                ]
+            )
+        )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return ev.groupBy("user_id").applyInPandas(fold_group, OUTPUT_SCHEMA)

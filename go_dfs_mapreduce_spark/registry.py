@@ -179,6 +179,8 @@ _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     "multimodal_pixels_png",
     "multimodal_pixels_gif",
     "ann_ivf_calibrated_topk",
+    "events_rate_limit",
+    "stream_rate_limit_live",
 )
 
 

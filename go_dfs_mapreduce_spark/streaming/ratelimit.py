@@ -1,0 +1,158 @@
+"""Stateful streaming token-bucket rate limiter — admission control at
+the ingestion edge (``operators.timeseries.events_rate_limit``'s
+streaming twin): per user, a bucket of capacity ``RL_CAP_MICRO``
+micro-tokens refills at ``RL_RATE_MICRO_PER_SEC`` per elapsed second;
+each event costs ``RL_COST_MICRO`` and is ALLOWED iff the refilled
+balance covers the cost. The classic clamped-counter recursion
+
+    avail_i = min(CAP, after_{i-1} + (t_i - t_{i-1}) * RATE)
+    after_i = avail_i - COST if avail_i >= COST else avail_i
+
+has NO window identity (the min() clamp couples every step — unlike
+CUSUM's one-sided max(0, .), which the prefix-min identity linearizes),
+so BOTH twins run the same Arrow kernel: the batch operator folds each
+user's whole history in one ``applyInPandas`` group pass (the declared
+Python-path exception, like ``winnow_candidate_pairs_fast``), the
+streaming operator folds incrementally with TWO LONGS of state
+(balance, last event's epoch second). The DuckDB oracle replays the
+recursion as a per-user recursive CTE, so the gate hash-checks every
+verdict of every event through either engine.
+
+Emission is append-only BY CONSTRUCTION: an event's verdict depends only
+on its user's strictly-earlier events (prefix-stable, never revised) —
+the funnel/z-score/CUSUM argument.
+
+Numeric story: NO float path. Timestamps quantize to whole epoch
+seconds, balances are micro-token int64, every step (multiply, add, min,
+compare, subtract) is 64-bit integer arithmetic — cross-engine agreement
+is unconditional.
+
+Ships on both arbitrary-state APIs (the repo convention):
+``ratelimit_stream_v1`` (``applyInPandasWithState`` — the registered
+gate path) and ``RateLimitProcessor`` (``transformWithStateInPandas``);
+both fold through the shared ``_fold_bucket``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+RL_CAP_MICRO = 3_000_000        # bucket capacity: 3 tokens
+RL_RATE_MICRO_PER_SEC = 100     # refill: 1 token per 10^4 seconds
+RL_COST_MICRO = 1_000_000       # every event costs 1 token
+
+OUTPUT_SCHEMA = (
+    "user_id long, ts timestamp, event_id long, allowed boolean,"
+    " tokens_micro_after long"
+)
+STATE_SCHEMA = "bal long, last_t long"  # balance after, last epoch second
+
+
+def _fold_bucket(bal, last_t, chunks: list[pd.DataFrame], user_id: int):
+    """Advance one key's bucket over its micro-batch slice (concat
+    before the (ts, event_id) sort — the shared batching-invariance
+    guard) and collect one verdict row per event. Pure int64 throughout;
+    ``bal``/``last_t`` of None mean 'first event starts a full bucket'."""
+    out = []
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for _, row in pdf.iterrows():
+            t = int(pd.Timestamp(row["ts"]).value // 1_000_000_000)
+            if last_t is None:
+                avail = RL_CAP_MICRO
+            else:
+                avail = min(
+                    RL_CAP_MICRO,
+                    bal + (t - last_t) * RL_RATE_MICRO_PER_SEC,
+                )
+            allowed = avail >= RL_COST_MICRO
+            bal = avail - RL_COST_MICRO if allowed else avail
+            last_t = t
+            out.append(
+                (int(user_id), row["ts"], int(row["event_id"]), allowed, bal)
+            )
+    return bal, last_t, out
+
+
+def _emit(out: list[tuple]):
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "ts",
+                "event_id",
+                "allowed",
+                "tokens_micro_after",
+            ],
+        )
+
+
+def _ratelimit_v1_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel; state = (balance, last second)."""
+    (user_id,) = key
+    bal, last_t = state.get if state.exists else (None, None)
+    bal, last_t, out = _fold_bucket(
+        None if bal is None else int(bal),
+        None if last_t is None else int(last_t),
+        list(pdf_iter),
+        user_id,
+    )
+    if last_t is not None:
+        state.update((int(bal), int(last_t)))
+    yield from _emit(out)
+
+
+def ratelimit_stream_v1(events: DataFrame) -> DataFrame:
+    """events (streaming) -> append-only admission verdicts (v1 API)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ratelimit_v1_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class RateLimitProcessor(StatefulProcessor):
+    """transformWithStateInPandas variant: same two-long state; both
+    paths call ``_fold_bucket`` (equality by shared construction)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState("bucket", STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cur = self._st.get()
+        bal = int(cur[0]) if cur is not None else None
+        last_t = int(cur[1]) if cur is not None else None
+        bal, last_t, out = _fold_bucket(bal, last_t, list(rows), user_id)
+        if last_t is not None:
+            self._st.update((int(bal), int(last_t)))
+        yield from _emit(out)
+
+    def close(self) -> None:
+        pass
+
+
+def ratelimit_stream(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas wiring of :class:`RateLimitProcessor`."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RateLimitProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )

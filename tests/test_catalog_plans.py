@@ -232,12 +232,20 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         "multimodal_frame_sample",
         "multimodal_resize_nn",
         "multimodal_pixels_bmp",
+        # round 10: the PNG (zlib + filters) and GIF (LZW) pixel
+        # decoders — Arrow decode stages like the BMP twin
+        "multimodal_pixels_png",
+        "multimodal_pixels_gif",
         "udf_price_tier",
         "udaf_customer_stats",
         "udtf_first_tokens",
         # round 9: the winnowing production twin's rolling-polynomial
         # numpy kernel is the documented deliberate UDF exception
         "winnow_candidate_pairs_fast",
+        # round 10: the token-bucket rate limiter's batch twin shares
+        # the streaming kernel via applyInPandas (clamped-counter
+        # recursion — no window identity exists; the declared exception)
+        "events_rate_limit",
     }
     qs, _ = registry.collect()
     offenders, python_leaks = [], []
@@ -1092,3 +1100,14 @@ def test_round10_operator_plan_contracts(spark, sf_dir):
     assert not a["has_python_worker"]
     assert a["n_broadcast_joins"] >= 2
     assert "CartesianProduct" not in a["plan"]
+
+    # events_rate_limit: ONE user-keyed exchange feeding the declared
+    # Arrow group fold; 3-column scan
+    from go_dfs_mapreduce_spark.operators.timeseries import (
+        events_rate_limit,
+    )
+
+    a = audit_plan(events_rate_limit(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in a["plan"]
+    assert set(a["read_columns"]) == {"event_id", "ts", "user_id"}
+    assert "Join" not in a["plan"]

@@ -1167,3 +1167,131 @@ def test_sequences_tws_matches_v1_and_batch_truth():
                 (uid, r["ts"], r["event_id"], ">".join(ets[i : i + 3]))
             )
     assert got_tws == sorted(want)
+
+
+def test_ratelimit_kernel_batching_invariant_and_matches_reference():
+    """The token-bucket kernel emits identical verdict rows whether a
+    user's events arrive as one chunk, two batches, or row-per-batch,
+    and equals the textbook clamped recursion — including bursts inside
+    one second (elapsed 0), exact-boundary refills, and the cap clamp.
+    Pure kernel test."""
+    import random
+
+    import pandas as pd
+
+    from go_dfs_mapreduce_spark.streaming.ratelimit import (
+        RL_CAP_MICRO,
+        RL_COST_MICRO,
+        RL_RATE_MICRO_PER_SEC,
+        _fold_bucket,
+    )
+
+    rng = random.Random(41)
+    t, rows = 0, []
+    for i in range(120):
+        # mix same-second bursts, short gaps, and cap-clamping long gaps
+        t += rng.choice([0, 0, 1, 300, 5_000, 10_000, 60_000])
+        rows.append(
+            (i, pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=t))
+        )
+
+    def chunked(splits):
+        bal, last, out = None, None, []
+        for part in splits:
+            if not part:
+                continue
+            pdf = pd.DataFrame(part, columns=["event_id", "ts"])
+            bal, last, o = _fold_bucket(bal, last, [pdf], user_id=7)
+            out.extend(o)
+        return bal, last, out
+
+    one = chunked([rows])
+    two = chunked([rows[:47], rows[47:]])
+    rowwise = chunked([[r] for r in rows])
+    assert one == two == rowwise
+
+    # textbook reference recursion
+    bal, last, want = None, None, []
+    for eid, ts in rows:
+        sec = int(ts.value // 1_000_000_000)
+        if last is None:
+            avail = RL_CAP_MICRO
+        else:
+            avail = min(
+                RL_CAP_MICRO, bal + (sec - last) * RL_RATE_MICRO_PER_SEC
+            )
+        allowed = avail >= RL_COST_MICRO
+        bal = avail - RL_COST_MICRO if allowed else avail
+        last = sec
+        want.append((7, ts, eid, allowed, bal))
+    assert one[2] == want
+    # the stream exercises BOTH verdicts and the clamp
+    assert any(not a for _, _, _, a, _ in want)
+    assert any(a for _, _, _, a, _ in want)
+    assert any(b == RL_CAP_MICRO - RL_COST_MICRO for *_, b in want)
+
+
+def test_ratelimit_tws_matches_v1_and_batch_truth():
+    """The transformWithState wrapper must emit exactly what the
+    applyInPandasWithState twin emits for the same worst-case-chunked
+    3-batch stream, and both must equal the single-fold batch truth —
+    pinning the two-long ValueState plumbing around the shared fold."""
+    import pandas as pd
+
+    from go_dfs_mapreduce_spark.streaming import ratelimit as rl
+
+    rows = [
+        (i, pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=s))
+        for i, s in enumerate([0, 0, 1, 4_000, 4_001, 30_000, 30_000, 99_000])
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts"])
+    batches = [pdf.iloc[:3], pdf.iloc[3:4], pdf.iloc[4:]]
+
+    # batch truth: one fold over everything
+    _, _, truth = rl._fold_bucket(None, None, [pdf], 7)
+
+    # v1 kernel across batches via a fake GroupState
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    v1_out = []
+    for b in batches:
+        for f in rl._ratelimit_v1_fn((7,), iter([b]), st):
+            v1_out.extend(f.itertuples(index=False, name=None))
+
+    # tws processor across the same batches via a fake handle
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            return FakeValueState()
+
+    proc = rl.RateLimitProcessor()
+    proc.init(FakeHandle())
+    tws_out = []
+    for b in batches:
+        for f in proc.handleInputRows((7,), iter([b]), None):
+            tws_out.extend(f.itertuples(index=False, name=None))
+
+    want = [(u, ts, e, a, bal) for (u, ts, e, a, bal) in truth]
+    assert v1_out == want
+    assert tws_out == want
