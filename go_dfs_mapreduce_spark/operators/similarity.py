@@ -1557,3 +1557,74 @@ def ann_ivf_calibrated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(k).cast("int").alias("n_cells"),
         )
     )
+
+
+# --- recall audit for the CALIBRATED index family (r10) -------------------
+
+CAL_RECALL_ORACLE = f"""
+WITH exact AS ({_brute_oracle(N_QUERIES)}),
+lshc AS ({LSH_CALIBRATED_ORACLE}),
+ivfc AS ({IVF_CAL_ORACLE})
+SELECT e.query_id,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS lsh_cal_hits,
+       ROUND(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS lsh_cal_recall,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS ivf_cal_hits,
+       ROUND(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS ivf_cal_recall
+FROM exact e
+LEFT JOIN lshc l
+  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+LEFT JOIN ivfc i
+  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@query("ann_calibrated_recall_audit", oracle=CAL_RECALL_ORACLE)
+def ann_calibrated_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of BOTH calibrated index paths (width-calibrated
+    multiprobe LSH, sqrt-cell IVF) against the exact brute-force
+    baseline in one per-query row — the acceptance gate for the r10
+    index family, extending ``ann_recall_audit``'s exact-vs-approx twin
+    discipline. Composes the three registered operators, so the audit
+    measures the code that serves queries; the oracle composes their
+    oracle SQL as CTEs, so the composition itself is gate-checked.
+
+    Scale: all three inputs end at k rows per query; the audit joins
+    (|queries| x k)-sized frames — negligible next to the searches. At
+    100 TB run it on a query sample; per-query rows mean a recall
+    regression localizes to the queries it hurt."""
+    exact = ann_cosine_topk(spark, sf_dir).alias("e")
+    lshc = ann_lsh_calibrated_topk(spark, sf_dir).alias("l")
+    ivfc = ann_ivf_calibrated_topk(spark, sf_dir).alias("i")
+    joined = (
+        exact.join(
+            lshc,
+            (F.col("e.query_id") == F.col("l.query_id"))
+            & (F.col("e.neighbor_id") == F.col("l.neighbor_id")),
+            "left",
+        )
+        .join(
+            ivfc,
+            (F.col("e.query_id") == F.col("i.query_id"))
+            & (F.col("e.neighbor_id") == F.col("i.neighbor_id")),
+            "left",
+        )
+    )
+    lhit = F.when(F.col("l.neighbor_id").isNotNull(), 1).otherwise(0)
+    ihit = F.when(F.col("i.neighbor_id").isNotNull(), 1).otherwise(0)
+    return joined.groupBy(F.col("e.query_id").alias("query_id")).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(lhit).cast("long").alias("lsh_cal_hits"),
+        F.round(F.sum(lhit) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "lsh_cal_recall"
+        ),
+        F.sum(ihit).cast("long").alias("ivf_cal_hits"),
+        F.round(F.sum(ihit) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "ivf_cal_recall"
+        ),
+    )

@@ -614,15 +614,19 @@ BPE_BATCH_CANDS = 16  # ranked candidates the greedy selector examines
 # conservative rule that makes simultaneous application order-independent
 # (no accepted pair can produce, consume, or equal a symbol another
 # accepted pair touches).
-_BPE_GREEDY_SELECT = f"""
+def _bpe_greedy_select(m: int) -> str:
+    return f"""
 aggregate(cands, CAST(array() AS array<struct<s1:string,s2:string,cnt:bigint>>),
- (acc, c) -> IF(size(acc) >= {BPE_BATCH_M} OR exists(acc, a ->
+ (acc, c) -> IF(size(acc) >= {m} OR exists(acc, a ->
       a.s1 IN (c.s1, c.s2, concat(c.s1, c.s2)) OR
       a.s2 IN (c.s1, c.s2, concat(c.s1, c.s2)) OR
       concat(a.s1, a.s2) IN (c.s1, c.s2, concat(c.s1, c.s2))),
    acc,
    concat(acc, array(named_struct('s1', c.s1, 's2', c.s2, 'cnt', c.cnt)))))
 """
+
+
+_BPE_GREEDY_SELECT = _bpe_greedy_select(BPE_BATCH_M)
 
 # One greedy left-to-right pass applying the WHOLE accepted batch: at most
 # one pair can match any (prev, cur) position because accepted pairs are
@@ -743,8 +747,11 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_batched_loop(
-    spark: SparkSession, sf_dir: str, rounds: int
+    spark: SparkSession, sf_dir: str, rounds: int, m: int = BPE_BATCH_M
 ) -> DataFrame:
+    select_expr = (
+        _BPE_GREEDY_SELECT if m == BPE_BATCH_M else _bpe_greedy_select(m)
+    )
     w0 = _bpe_vocab_frame(spark, sf_dir)
 
     out = []
@@ -769,7 +776,7 @@ def _bpe_batched_loop(
             .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
             .agg(F.sum("wcount").cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("s1"), F.asc("s2"))
-            .limit(BPE_BATCH_CANDS)
+            .limit(max(BPE_BATCH_CANDS, 4 * m))
             .agg(
                 F.array_sort(
                     F.collect_list(
@@ -784,7 +791,7 @@ def _bpe_batched_loop(
             )
         )
         picks = cands.select(
-            F.expr(_BPE_GREEDY_SELECT).alias("mp")
+            F.expr(select_expr).alias("mp")
         ).localCheckpoint(eager=True)
         out.append(
             picks.select(F.explode("mp").alias("q")).select(

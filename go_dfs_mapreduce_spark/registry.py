@@ -181,6 +181,7 @@ _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     "ann_ivf_calibrated_topk",
     "events_rate_limit",
     "stream_rate_limit_live",
+    "ann_calibrated_recall_audit",
 )
 
 
