@@ -129,38 +129,45 @@ _DRIVER_SHOWCASE = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_scores",
-    # --- round-9 new operators: each earns its driver row in its round
+    # --- round-10 new operators: each earns its driver row in its round
     # (the standing invariant; all are green on the local gate) ---
-    "bpe_encode_corpus",
-    "span_corruption_plan",
-    "doc_pack_bins_bpe",
-    "winnow_candidate_pairs_fast",
-    "multimodal_pixels_bmp",
+    "ann_lsh_calibrated_topk",
+    "ann_lsh_batch_topk",
+    "ann_cosine_batch_topk",
+    "ann_ivf_calibrated_topk",
+    "ann_calibrated_recall_audit",
+    "bpe_train_merges_batched",
+    "multimodal_pixels_png",
+    "multimodal_pixels_gif",
+    "events_rate_limit",
+    "stream_rate_limit_live",
+    # --- round-10 SEMANTICS CHANGES: these queries' results changed
+    # this round (null-event filtering at source; hot-user / mega-basket
+    # caps; authority-anchored URL port strip), so they must RE-earn
+    # driver rows on the new semantics, not coast on r9 evidence ---
     "frequent_event_sequences",
     "assoc_rules_copurchase",
-    "bigram_fluency_scores",
     "stream_event_sequences_live",
-    "embedding_outlier_topk",
-    "rrf_fusion_topk",
     "url_canonical_dedup",
+    # --- 14 floating slots: recently-recorded names staying warm
+    # (every name rotated OUT retains its r1-r9 driver rows); priority
+    # to operators whose code was touched this round without semantic
+    # change (lineage cut, endianness dtype) and the new ops' direct
+    # foundations ---
+    "bpe_train_merges",
+    "winnow_candidate_pairs_fast",
+    "kmeans_embeddings",
+    "ann_recall_audit",
+    "ann_lsh_multiprobe_topk",
+    "ann_ivf_topk",
+    "bpe_encode_corpus",
+    "doc_pack_bins_bpe",
+    "multimodal_pixels_bmp",
+    "span_corruption_plan",
+    "rrf_fusion_topk",
     "curation_verdicts",
     "training_shard_manifest",
-    # --- 14 floating slots: recently-recorded (r8) names staying warm;
-    # every name rotated OUT this round retains its r1-r8 driver rows ---
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe_topk",
-    "token_diversity_scores",
-    "doc_length_ks_drift",
-    "chi_square_source_drift",
-    "bm25_search_topk",
-    "winnow_candidate_pairs",
-    "gopher_quality_rules",
-    "heavy_hitters_cms_audit",
-    "events_cusum_alarms",
-    "stream_dedup_incremental_live",
     "stream_cusum_alarms_live",
-    "dedup_fuzzy_levenshtein",
-    "bpe_merge_candidates",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT
@@ -169,20 +176,7 @@ _DRIVER_SHOWCASE = (
 # test_rotation_ledger.py fails if a registered name is in neither a
 # CORRECTNESS_r*.json nor the showcase nor this queue, so nothing can
 # silently lose its path to external evidence.
-_NEXT_ROTATION_QUEUE: tuple[str, ...] = (
-    # round-10 operators accumulate here until the session-close
-    # showcase rotation moves them into the 50-slot driver file
-    "ann_lsh_calibrated_topk",
-    "ann_lsh_batch_topk",
-    "ann_cosine_batch_topk",
-    "bpe_train_merges_batched",
-    "multimodal_pixels_png",
-    "multimodal_pixels_gif",
-    "ann_ivf_calibrated_topk",
-    "events_rate_limit",
-    "stream_rate_limit_live",
-    "ann_calibrated_recall_audit",
-)
+_NEXT_ROTATION_QUEUE: tuple[str, ...] = ()
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
