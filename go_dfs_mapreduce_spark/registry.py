@@ -75,19 +75,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The exactly-50 queries the driver will record. Round-9 rotation
+# The exactly-50 queries the driver will record. Round-10 rotation
 # (the established pattern): 22 anchors keep one representative per
-# SURVEY §2 family green in every round's driver file; round 8 reached
-# TOTAL cumulative driver verification (211/211 registered names had a
-# passing row in the CORRECTNESS_r01-r08 union), so the floating slots
-# now carry (a) round-9's own new operators — every operator earns its
-# driver row in the round it lands, the standing invariant — and (b)
-# recently-recorded names staying warm. The never-recorded pool is
-# recomputed each round from the CORRECTNESS_r0*.json union
-# (tests/test_rotation_ledger.py pins that nothing silently falls out);
-# the local gate still verifies every registered query every round —
-# driver rows are the externally-scored evidence. Order within the list
-# is presentation order only.
+# SURVEY §2 family green in every round's driver file; cumulative
+# driver verification has been TOTAL since round 8 (every registered
+# name has a passing row in the CORRECTNESS_r01-r09 union), so the
+# floating slots carry (a) round-10's own new operators — every
+# operator earns its driver row in the round it lands, the standing
+# invariant; (b) queries whose SEMANTICS changed this round and must
+# re-earn rows on the new behavior; and (c) recently-recorded names
+# staying warm. tests/test_rotation_ledger.py pins that nothing
+# silently falls out; the local gate still verifies every registered
+# query every round — driver rows are the externally-scored evidence.
+# Order within the list is presentation order only.
 _DRIVER_SHOWCASE = (
     # --- 22 family anchors (recorded in every round) ---
     # reference parity: wordcount plugin family (Q1-Q6)
