@@ -655,6 +655,179 @@ def ann_cosine_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _brute_topk_impl(spark, sf_dir, N_BATCH_QUERIES)
 
 
+def ann_lsh_batch_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_lsh_batch_topk`` with the candidate SCORING swapped from
+    the exact-decimal fold to a per-query numpy kernel — the
+    ``embedding_nn_cosine_fast`` convention (no oracle: BLAS summation
+    order differs from exact decimal at the last ulp; equivalence to
+    the gate-verified exact twin is asserted in tests/test_llm_ops.py).
+    Candidate generation is byte-identical (shared
+    ``_lsh_candidates``): calibrated width, Hamming-1 multiprobe, the
+    persisted signature index. This is the production arm of the
+    crossover A/B — the decimal fold exists for oracle portability, not
+    for throughput, and the probe separates the index's pruning value
+    from the scoring arithmetic's cost."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bits = _calibrated_bits_for(spark, sf_dir)
+    cand = _lsh_candidates(
+        spark, sf_dir, multiprobe=True, bits=bits, n_queries=N_BATCH_QUERIES
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    ed = emb.select("vec_id", "embedding")
+    q = ed.where(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    rows = cand.join(ed, cand.cid == ed.vec_id).join(F.broadcast(q), "qid")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["qid"].iloc[0])
+        ids = pdf["cid"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        qv = np.asarray(pdf["q_emb"].iloc[0], dtype=np.float64)
+        cos = (mat @ qv) / (
+            np.linalg.norm(mat, axis=1) * np.linalg.norm(qv)
+        )
+        # (cosine desc, cid asc) — sort by cid first, stable-sort by -cos
+        o = np.argsort(ids, kind="stable")
+        o = o[np.argsort(-cos[o], kind="stable")][:TOP_K]
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "neighbor_id": ids[o].astype("int64"),
+                "rank": np.arange(1, len(o) + 1, dtype="int32"),
+                "cosine": np.round(cos[o], 6),
+            }
+        )
+
+    return rows.groupBy("qid").applyInPandas(topk, out_schema)
+
+
+def ann_cosine_batch_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_cosine_batch_topk`` as the production brute arm: one
+    embeddings scan, each Arrow batch scored against the whole query
+    matrix with ONE numpy matmul, per-batch partial top-k emitted
+    (TOP_K x |queries| rows per batch), exact global top-k re-ranked
+    JVM-side over the tiny partials — the map-side-combine shape for
+    exhaustive scoring. The 64 x 64 query matrix rides into the kernel
+    as a closure over a bounded 64-row collect (a constant-size scalar
+    boundary, documented like the 1-row winner checkpoints — NOT a
+    corpus-sized collect). No oracle (BLAS ulp); equivalence to the
+    gate-verified exact twin is asserted in tests/test_llm_ops.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.where(F.col("vec_id") < N_BATCH_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    part_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("cid", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def partial(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cos = (mat @ qmat.T) / np.outer(
+                np.linalg.norm(mat, axis=1), qnorm
+            )
+            outs = []
+            for j in range(len(qids)):
+                col = cos[:, j]
+                mask = ids != qids[j]
+                cids, cj = ids[mask], col[mask]
+                if not len(cids):
+                    continue
+                o = np.argsort(cids, kind="stable")
+                o = o[np.argsort(-cj[o], kind="stable")][:TOP_K]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qids[j],
+                            "cid": cids[o].astype("int64"),
+                            "cosine": cj[o],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    partials = emb.select("vec_id", "embedding").mapInPandas(
+        partial, part_schema
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("cid")
+    )
+    return (
+        partials.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def _lsh_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    multiprobe: bool,
+    bits: int | None,
+    n_queries: int,
+) -> DataFrame:
+    """DataFrame[qid, cid] — the DISTINCT bucket-join candidate pairs,
+    shared by the exact-decimal rank path and the numpy fast scorer.
+    Signatures come from the persisted index table, not an inline
+    fold; the probe fan-out happens on the tiny broadcast query side."""
+    b = LSH_BITS if bits is None else bits
+    sigs = lsh_sig_table(spark, sf_dir, bits).select(
+        "vec_id", F.posexplode("sigs").alias("t", "sig")
+    )
+    qside = sigs.where(F.col("vec_id") < n_queries)
+    if multiprobe:
+        # probe the exact bucket plus every Hamming-1 bucket — the
+        # expansion happens on the tiny broadcast side only
+        flips = ", ".join(f"sig ^ {1 << j}" for j in range(b))
+        qsigs = qside.select(
+            F.col("vec_id").alias("qid"),
+            "t",
+            F.explode(F.expr(f"array(sig, {flips})")).alias("sig"),
+        )
+    else:
+        qsigs = qside.select(F.col("vec_id").alias("qid"), "t", "sig")
+    return (
+        sigs.join(F.broadcast(qsigs), ["t", "sig"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"))
+        .distinct()
+    )
+
+
 def _lsh_topk_impl(
     spark: SparkSession,
     sf_dir: str,
@@ -672,28 +845,7 @@ def _lsh_topk_impl(
         "embedding",
         F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
     )
-    # signatures come from the persisted index table, not an inline fold
-    sigs = lsh_sig_table(spark, sf_dir, bits).select(
-        "vec_id", F.posexplode("sigs").alias("t", "sig")
-    )
-    qside = sigs.where(F.col("vec_id") < n_queries)
-    if multiprobe:
-        # probe the exact bucket plus every Hamming-1 bucket — the
-        # expansion happens on the tiny broadcast side only
-        flips = ", ".join(f"sig ^ {1 << j}" for j in range(b))
-        qsigs = qside.select(
-            F.col("vec_id").alias("qid"),
-            "t",
-            F.explode(F.expr(f"array(sig, {flips})")).alias("sig"),
-        )
-    else:
-        qsigs = qside.select(F.col("vec_id").alias("qid"), "t", "sig")
-    cand = (
-        sigs.join(F.broadcast(qsigs), ["t", "sig"])
-        .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("cid"))
-        .distinct()
-    )
+    cand = _lsh_candidates(spark, sf_dir, multiprobe, bits, n_queries)
     q = ed.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),

@@ -1306,6 +1306,56 @@ def test_calibrated_ivf_consistency(spark, sf_dir):
     assert calibrated_ivf_cells(50_000) == 256
 
 
+def test_ann_lsh_batch_fast_equivalent_to_exact_twin(spark, sf_dir):
+    """The numpy fast scorer must return the same (query, neighbor)
+    top-k sets as the gate-verified exact-decimal twin, with cosines
+    agreeing to the shared 6-decimal rounding (the
+    embedding_nn_cosine_fast equivalence convention). Ranks may permute
+    only within ties on the rounded cosine."""
+    from collections import defaultdict
+
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        ann_lsh_batch_fast,
+        ann_lsh_batch_topk,
+    )
+
+    exact = defaultdict(dict)
+    for r in ann_lsh_batch_topk(spark, sf_dir).collect():
+        exact[r.query_id][r.neighbor_id] = r.cosine
+    fast = defaultdict(dict)
+    for r in ann_lsh_batch_fast(spark, sf_dir).collect():
+        fast[r.query_id][r.neighbor_id] = r.cosine
+    assert set(exact) == set(fast)
+    for qid in exact:
+        assert set(exact[qid]) == set(fast[qid]), qid
+        for nid, c in exact[qid].items():
+            assert abs(fast[qid][nid] - c) <= 1e-6, (qid, nid)
+
+
+def test_ann_cosine_batch_fast_equivalent_to_exact_twin(spark, sf_dir):
+    """The partial-top-k numpy brute arm must match the gate-verified
+    exact batch brute: same neighbor sets per query, cosines within the
+    shared 6-decimal rounding."""
+    from collections import defaultdict
+
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        ann_cosine_batch_fast,
+        ann_cosine_batch_topk,
+    )
+
+    exact = defaultdict(dict)
+    for r in ann_cosine_batch_topk(spark, sf_dir).collect():
+        exact[r.query_id][r.neighbor_id] = r.cosine
+    fast = defaultdict(dict)
+    for r in ann_cosine_batch_fast(spark, sf_dir).collect():
+        fast[r.query_id][r.neighbor_id] = r.cosine
+    assert set(exact) == set(fast)
+    for qid in exact:
+        assert set(exact[qid]) == set(fast[qid]), qid
+        for nid, c in exact[qid].items():
+            assert abs(fast[qid][nid] - c) <= 1e-6, (qid, nid)
+
+
 def test_token_diversity_handcrafted(spark, tmp_path):
     """Simpson diversity and TTR against hand-computed values: a looped
     phrase scores low, all-distinct prose scores the maximum 1 - 1/n,

@@ -90,6 +90,15 @@ def main() -> None:
         "lsh_batch64": ann_lsh_batch_topk,
         "brute_batch64": ann_cosine_batch_topk,
     }
+    from go_dfs_mapreduce_spark.operators.similarity import (  # noqa: E402
+        ann_cosine_batch_fast,
+        ann_lsh_batch_fast,
+    )
+
+    # production arms: numpy scoring (equivalence-tested against the
+    # exact twins; no oracle — BLAS ulp)
+    ops["lsh_batch64_fast"] = ann_lsh_batch_fast
+    ops["brute_batch64_fast"] = ann_cosine_batch_fast
     only = os.environ.get("SPARK_GRAFT_ANN_OPS")
     if only:
         keep = {s.strip() for s in only.split(",")}
