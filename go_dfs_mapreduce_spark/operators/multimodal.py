@@ -663,6 +663,84 @@ BMP_PIXELS_SCHEMA = T.StructType(
     ]
 )
 
+
+def _pixel_feature_pipeline(docs, make_payload, decode_fn, chan_cols):
+    """Shared synth -> decode -> features plumbing of the three pixel
+    decoders (BMP/PNG/GIF): two Arrow stages over a 1-column scan,
+    quarantine as the all -1 row, per-channel sums in STORAGE order
+    (``chan_cols`` names channel 0/1/2 — BGR for BMP, RGB for PNG/GIF),
+    and the position-weighted checksum over channel 2. One copy of the
+    loop means a feature-row change cannot silently diverge one
+    format's gate row (the r10 review's triplication finding)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [make_payload(int(i)) for i in ids],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                dec = decode_fn(bytes(b))
+                if dec is None:
+                    rows.append((int(doc_id), -1, -1, -1, -1, -1, -1, -1))
+                    continue
+                w, h, px = dec
+                p = px.astype(np.int64)
+                wgt = (
+                    np.arange(w * h, dtype=np.int64).reshape(h, w) + 1
+                )  # x + w*y + 1 over the top-down grid
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        w * h,
+                        int(p[:, :, 0].sum()),
+                        int(p[:, :, 1].sum()),
+                        int(p[:, :, 2].sum()),
+                        int((p[:, :, 2] * wgt).sum() % BMP_CHECK_MOD),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    *chan_cols,
+                    "pos_checksum",
+                ],
+            )
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_pixels", T.LongType()),
+            *(T.StructField(c, T.LongType()) for c in chan_cols),
+            T.StructField("pos_checksum", T.LongType()),
+        ]
+    )
+    payloads = docs.select("doc_id").mapInPandas(synth, payload_schema)
+    return payloads.mapInPandas(decode, out_schema)
+
 _BMP_SUM = (
     "list_sum(flatten(list_transform(range(0, h), y -> "
     "list_transform(range(0, w), x -> (doc_id + {cx} * x + {cy} * y) % 256))))"
@@ -707,74 +785,12 @@ def multimodal_pixels_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode inside Arrow batches, embarrassingly parallel, features-only
     across the boundary."""
     docs = table(spark, sf_dir, "documents")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "payload": [
-                        make_bmp_pixel_bytes(
-                            int(i),
-                            int(i) % 13 + 1,
-                            int(i) % 11 + 1,
-                            int(i) % 5 == 0,
-                        )
-                        for i in ids
-                    ],
-                }
-            )
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            rows = []
-            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                dec = decode_bmp_pixels(bytes(b))
-                if dec is None:
-                    rows.append((int(doc_id), -1, -1, -1, -1, -1, -1, -1))
-                    continue
-                w, h, px = dec
-                p = px.astype(np.int64)
-                wgt = (
-                    np.arange(w * h, dtype=np.int64).reshape(h, w) + 1
-                )  # x + w*y + 1 over the top-down grid
-                rows.append(
-                    (
-                        int(doc_id),
-                        w,
-                        h,
-                        w * h,
-                        int(p[:, :, 0].sum()),
-                        int(p[:, :, 1].sum()),
-                        int(p[:, :, 2].sum()),
-                        int((p[:, :, 2] * wgt).sum() % BMP_CHECK_MOD),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "width",
-                    "height",
-                    "n_pixels",
-                    "sum_b",
-                    "sum_g",
-                    "sum_r",
-                    "pos_checksum",
-                ],
-            )
-
-    payload_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
+    return _pixel_feature_pipeline(
+        docs,
+        lambda i: make_bmp_pixel_bytes(i, i % 13 + 1, i % 11 + 1, i % 5 == 0),
+        decode_bmp_pixels,
+        ("sum_b", "sum_g", "sum_r"),
     )
-    payloads = docs.select("doc_id").mapInPandas(synth, payload_schema)
-    return payloads.mapInPandas(decode, BMP_PIXELS_SCHEMA)
 
 
 # --- PNG pixel decode: stdlib zlib + the five scanline filters -----------
@@ -901,9 +917,14 @@ def decode_png_pixels(b: bytes):
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
+            saw_iend = True
             break
         pos += 12 + ln
-    if ihdr is None or len(ihdr) != 13 or not idat:
+    else:
+        saw_iend = False  # chunk walk ran out of bytes before IEND
+    # a stream cut before (or inside) IEND is malformed even when every
+    # IDAT byte arrived — the quarantine contract the BMP/GIF twins keep
+    if not saw_iend or ihdr is None or len(ihdr) != 13 or not idat:
         return None
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
@@ -997,86 +1018,14 @@ def multimodal_pixels_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel, features-only across the boundary — the
     identical shape a pillow/GPU decoder would slot into."""
     docs = table(spark, sf_dir, "documents")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "payload": [
-                        make_png_bytes(
-                            int(i),
-                            int(i) % 13 + 1,
-                            int(i) % 11 + 1,
-                            interlaced=int(i) % 7 == 0,
-                        )
-                        for i in ids
-                    ],
-                }
-            )
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            rows = []
-            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                dec = decode_png_pixels(bytes(b))
-                if dec is None:
-                    rows.append((int(doc_id), -1, -1, -1, -1, -1, -1, -1))
-                    continue
-                w, h, px = dec
-                p = px.astype(np.int64)
-                wgt = (
-                    np.arange(w * h, dtype=np.int64).reshape(h, w) + 1
-                )  # x + w*y + 1 over the top-down grid
-                rows.append(
-                    (
-                        int(doc_id),
-                        w,
-                        h,
-                        w * h,
-                        int(p[:, :, 0].sum()),
-                        int(p[:, :, 1].sum()),
-                        int(p[:, :, 2].sum()),
-                        int((p[:, :, 2] * wgt).sum() % BMP_CHECK_MOD),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "width",
-                    "height",
-                    "n_pixels",
-                    "sum_r",
-                    "sum_g",
-                    "sum_b",
-                    "pos_checksum",
-                ],
-            )
-
-    payload_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
+    return _pixel_feature_pipeline(
+        docs,
+        lambda i: make_png_bytes(
+            i, i % 13 + 1, i % 11 + 1, interlaced=i % 7 == 0
+        ),
+        decode_png_pixels,
+        ("sum_r", "sum_g", "sum_b"),
     )
-    PNG_SCHEMA = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("n_pixels", T.LongType()),
-            T.StructField("sum_r", T.LongType()),
-            T.StructField("sum_g", T.LongType()),
-            T.StructField("sum_b", T.LongType()),
-            T.StructField("pos_checksum", T.LongType()),
-        ]
-    )
-    payloads = docs.select("doc_id").mapInPandas(synth, payload_schema)
-    return payloads.mapInPandas(decode, PNG_SCHEMA)
 
 
 # --- GIF pixel decode: a real LZW codec in pure Python -------------------
@@ -1252,11 +1201,10 @@ def decode_gif_pixels(b: bytes):
     palette = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
-        palette = np.frombuffer(
-            b[pos : pos + 3 * n], dtype=np.uint8
-        ).reshape(-1, 3)
-        if palette.shape[0] != n:
+        raw_pal = b[pos : pos + 3 * n]
+        if len(raw_pal) != 3 * n:  # truncated table: quarantine, never raise
             return None
+        palette = np.frombuffer(raw_pal, dtype=np.uint8).reshape(-1, 3)
         pos += 3 * n
     while pos < len(b):
         marker = b[pos]
@@ -1276,9 +1224,12 @@ def decode_gif_pixels(b: bytes):
                 return None
             if img_packed & 0x80:  # local color table overrides
                 n = 2 << (img_packed & 0x07)
-                palette = np.frombuffer(
-                    b[pos : pos + 3 * n], dtype=np.uint8
-                ).reshape(-1, 3)
+                raw_pal = b[pos : pos + 3 * n]
+                if len(raw_pal) != 3 * n:
+                    return None
+                palette = np.frombuffer(raw_pal, dtype=np.uint8).reshape(
+                    -1, 3
+                )
                 pos += 3 * n
             if palette is None or pos >= len(b):
                 return None
@@ -1291,6 +1242,20 @@ def decode_gif_pixels(b: bytes):
                 ln = b[pos]
                 data += b[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            # strict container contract (the PNG IEND rule): the
+            # sub-block TERMINATOR and the 0x3B trailer must both be
+            # present — a stream cut after the last data byte is
+            # malformed even though every pixel arrived
+            if pos >= len(b) or b[pos] != 0:
+                return None
+            pos += 1
+            while pos < len(b) and b[pos] == 0x21:  # trailing extensions
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            if pos >= len(b) or b[pos] != 0x3B:
+                return None
             idx = _lzw_decode(bytes(data), min_code)
             if idx is None or len(idx) != w * h or w <= 0 or h <= 0:
                 return None
@@ -1352,83 +1317,11 @@ def multimodal_pixels_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical to the BMP/PNG twins — synthesize + decode inside
     Arrow batches, features-only across the boundary, no exchange."""
     docs = table(spark, sf_dir, "documents")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "payload": [
-                        make_gif_bytes(
-                            int(i),
-                            int(i) % 13 + 1,
-                            int(i) % 11 + 1,
-                            interlaced=int(i) % 7 == 0,
-                        )
-                        for i in ids
-                    ],
-                }
-            )
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            rows = []
-            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                dec = decode_gif_pixels(bytes(b))
-                if dec is None:
-                    rows.append((int(doc_id), -1, -1, -1, -1, -1, -1, -1))
-                    continue
-                w, h, px = dec
-                p = px.astype(np.int64)
-                wgt = (
-                    np.arange(w * h, dtype=np.int64).reshape(h, w) + 1
-                )
-                rows.append(
-                    (
-                        int(doc_id),
-                        w,
-                        h,
-                        w * h,
-                        int(p[:, :, 0].sum()),
-                        int(p[:, :, 1].sum()),
-                        int(p[:, :, 2].sum()),
-                        int((p[:, :, 2] * wgt).sum() % BMP_CHECK_MOD),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "width",
-                    "height",
-                    "n_pixels",
-                    "sum_r",
-                    "sum_g",
-                    "sum_b",
-                    "pos_checksum",
-                ],
-            )
-
-    payload_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
+    return _pixel_feature_pipeline(
+        docs,
+        lambda i: make_gif_bytes(
+            i, i % 13 + 1, i % 11 + 1, interlaced=i % 7 == 0
+        ),
+        decode_gif_pixels,
+        ("sum_r", "sum_g", "sum_b"),
     )
-    GIF_SCHEMA = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("n_pixels", T.LongType()),
-            T.StructField("sum_r", T.LongType()),
-            T.StructField("sum_g", T.LongType()),
-            T.StructField("sum_b", T.LongType()),
-            T.StructField("pos_checksum", T.LongType()),
-        ]
-    )
-    payloads = docs.select("doc_id").mapInPandas(synth, payload_schema)
-    return payloads.mapInPandas(decode, GIF_SCHEMA)

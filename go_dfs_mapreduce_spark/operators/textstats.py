@@ -641,11 +641,17 @@ _BPE_BATCH_FOLD = (
 )
 
 
-def _bpe_batched_oracle() -> str:
+def _bpe_batched_oracle(m: int = BPE_BATCH_M) -> str:
     """DuckDB twin of the batched trainer: per round, the same ranked
     candidate head, the same greedy disjoint selection (a recursive CTE
     walking ranks with a list-of-structs accumulator), and the same
-    one-pass batch fold (recursive CTE matching the accepted list)."""
+    one-pass batch fold (recursive CTE matching the accepted list).
+
+    Parameterized by the SAME ``m`` as ``_bpe_batched_loop`` with the
+    SAME head-size formula (max(BPE_BATCH_CANDS, 4m)), so the twins
+    stay derivationally aligned for any batch width — not just the
+    registered default (the r10 review's latent-divergence finding)."""
+    head = max(BPE_BATCH_CANDS, 4 * m)
 
     def pairs(wtab: str, out: str) -> str:
         return f"""
@@ -663,7 +669,7 @@ sel_{out} AS (
   SELECT 0 AS i, CAST([] AS STRUCT(s1 VARCHAR, s2 VARCHAR, cnt BIGINT)[]) AS picks
   UNION ALL
   SELECT s.i + 1,
-    CASE WHEN len(s.picks) >= {BPE_BATCH_M} THEN s.picks
+    CASE WHEN len(s.picks) >= {m} THEN s.picks
          WHEN len(list_filter(s.picks, a ->
               a.s1 IN (c.s1, c.s2, c.s1 || c.s2) OR
               a.s2 IN (c.s1, c.s2, c.s1 || c.s2) OR
@@ -671,7 +677,7 @@ sel_{out} AS (
          ELSE list_append(s.picks, {{'s1': c.s1, 's2': c.s2,
                                      'cnt': CAST(c.cnt AS BIGINT)}}) END
   FROM sel_{out} s JOIN {cand} c ON c.rk = s.i + 1
-  WHERE s.i < {BPE_BATCH_CANDS}
+  WHERE s.i < {head}
 ),
 {out} AS MATERIALIZED (SELECT picks FROM sel_{out} ORDER BY i DESC LIMIT 1)"""
 

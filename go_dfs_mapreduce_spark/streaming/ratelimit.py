@@ -65,8 +65,17 @@ def _fold_bucket(bal, last_t, chunks: list[pd.DataFrame], user_id: int):
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
-        for _, row in pdf.iterrows():
-            t = int(pd.Timestamp(row["ts"]).value // 1_000_000_000)
+        # vectorize the column extraction once (no iterrows, no per-row
+        # Timestamp wrapping); only the inherently sequential bucket
+        # recursion runs per event
+        tss = list(pdf["ts"])
+        secs = (
+            pdf["ts"].to_numpy("datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        )
+        eids = pdf["event_id"].to_numpy()
+        uid = int(user_id)
+        for ts, t, eid in zip(tss, secs.tolist(), eids.tolist()):
             if last_t is None:
                 avail = RL_CAP_MICRO
             else:
@@ -77,9 +86,7 @@ def _fold_bucket(bal, last_t, chunks: list[pd.DataFrame], user_id: int):
             allowed = avail >= RL_COST_MICRO
             bal = avail - RL_COST_MICRO if allowed else avail
             last_t = t
-            out.append(
-                (int(user_id), row["ts"], int(row["event_id"]), allowed, bal)
-            )
+            out.append((uid, ts, int(eid), allowed, bal))
     return bal, last_t, out
 
 

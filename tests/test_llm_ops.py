@@ -384,6 +384,33 @@ def test_gif_lzw_roundtrip_and_quarantine():
     assert decode_gif_pixels(make_gif_bytes(9, 5, 4)[:40]) is None
 
 
+def test_pixel_decoders_quarantine_every_truncation_point():
+    """EVERY prefix of a valid payload must decode to None or the full
+    image — never raise (the r10 review reproduced a ValueError from a
+    non-3-aligned GIF color-table cut, and PNG accepting streams cut
+    before IEND). Exhaustive sweep over all truncation points of one
+    representative file per format."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_gif_pixels,
+        decode_png_pixels,
+        make_bmp_pixel_bytes,
+        make_gif_bytes,
+        make_png_bytes,
+    )
+
+    cases = [
+        (make_bmp_pixel_bytes(9, 5, 4, False), decode_bmp_pixels),
+        (make_png_bytes(9, 5, 4), decode_png_pixels),
+        (make_gif_bytes(9, 5, 4), decode_gif_pixels),
+    ]
+    for full, dec in cases:
+        assert dec(full) is not None
+        for cut in range(len(full)):
+            got = dec(full[:cut])  # must not raise
+            assert got is None, (dec.__name__, cut)
+
+
 def test_gif_lzw_decoder_against_hand_derived_codes():
     """Decoder independence from the compressor: the code stream for
     indices [1, 1, 1, 1] at min-code-size 2 is derived BY HAND —
