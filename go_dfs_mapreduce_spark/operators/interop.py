@@ -271,3 +271,49 @@ def dataset_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_scratch(spark, "go_dfs_export_", build)
+
+
+XML_EVENTS_ORACLE = JSON_EVENTS_ORACLE  # same rollup, different wire format
+
+
+@query("xml_roundtrip_events_agg", oracle=XML_EVENTS_ORACLE)
+def xml_roundtrip_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> XML (Spark 4's NATIVE xml source — no spark-xml jar) ->
+    explicit-schema FAILFAST read -> the JSON twin's per-type rollup.
+    ``props`` is a JSON string full of quotes and braces, so the
+    round-trip proves XML entity escaping both directions on hostile
+    payload characters; timestamps cross as microsecond strings (module
+    docstring). Fourth interchange format after CSV/JSON/ORC — the
+    enterprise-integration wire format a migration off the reference's
+    TXT chunks is most likely to meet next.
+
+    Scale: identical shape to the JSON twin — write and read are both
+    embarrassingly parallel over row groups, and the rollup re-read
+    carries only the aggregation's columns."""
+
+    def build(scratch: str) -> DataFrame:
+        out = os.path.join(scratch, "events_xml")
+        table(spark, sf_dir, "events").withColumn(
+            "ts", F.date_format("ts", _TS_FMT)
+        ).write.format("xml").option("rootTag", "events").option(
+            "rowTag", "event"
+        ).mode("overwrite").save(out)
+        back = (
+            spark.read.schema(
+                "event_id long, ts string, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .format("xml")
+            .option("rowTag", "event")
+            .option("mode", "FAILFAST")
+            .load(out)
+            .withColumn("ts", F.to_timestamp("ts", _TS_FMT))
+        )
+        return back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr(_DSUM.format(c="value")).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    return _with_scratch(spark, "go_dfs_interop_xml_", build)
