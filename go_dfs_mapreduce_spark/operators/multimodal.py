@@ -1325,3 +1325,209 @@ def multimodal_pixels_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_gif_pixels,
         ("sum_r", "sum_g", "sum_b"),
     )
+
+# --- WAV PCM sample decode: the audio twin of the pixel decoders ---------
+#
+# parse_wav_header reads the envelope; this decodes the actual PCM
+# payload — 16-bit little-endian signed samples, interleaved by frame —
+# completing the audio path the way BMP/PNG/GIF completed images. PCM is
+# uncompressed, so like BMP this needs no codec library, only the real
+# byte layout (chunk walk to the data offset, frame interleaving,
+# signed-sample decode).
+
+PCM_FMT_CODE = 1  # canonical integer PCM
+
+
+def make_wav_pcm_bytes(
+    doc_id: int, channels: int, n_samples: int, fmt_code: int = PCM_FMT_CODE
+) -> bytes:
+    """Synthesize a REAL 16-bit PCM WAV: canonical header + actual
+    interleaved samples. Sample for (channel c, frame i):
+    ((doc_id + 5i + 11c) % 4001) - 2000 — signed, the formula the
+    oracle restates. ``fmt_code != 1`` (e.g. 3 = IEEE float) keeps the
+    same byte layout but marks a format the decoder quarantines."""
+    bits = 16
+    block_align = channels * bits // 8
+    data = bytearray()
+    for i in range(n_samples):
+        for c in range(channels):
+            s = ((doc_id + 5 * i + 11 * c) % 4001) - 2000
+            data += s.to_bytes(2, "little", signed=True)
+    sample_rate = 16000
+    return (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + fmt_code.to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little")
+        + bytes(data)
+    )
+
+
+def decode_wav_pcm(b: bytes):
+    """Decode 16-bit integer-PCM samples from a WAV byte stream: walk
+    the RIFF chunks to the fmt AND the data chunk's OFFSET, require
+    integer PCM at 16 bits (float/ADPCM/8-bit -> None, the quarantine
+    convention), then de-interleave frames. Returns (channels,
+    n_samples, samples[frame][channel] int16-valued int64 array) or
+    None on anything malformed or truncated."""
+    import numpy as np
+
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data_off = data_size = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= len(b):
+            fmt = {
+                "code": int.from_bytes(b[i + 8 : i + 10], "little"),
+                "channels": int.from_bytes(b[i + 10 : i + 12], "little"),
+                "block_align": int.from_bytes(b[i + 20 : i + 22], "little"),
+                "bits": int.from_bytes(b[i + 22 : i + 24], "little"),
+            }
+        elif cid == b"data":
+            data_off, data_size = i + 8, size
+        i += 8 + size + (size & 1)
+    if fmt is None or data_off is None:
+        return None
+    ch, bits = fmt["channels"], fmt["bits"]
+    if fmt["code"] != PCM_FMT_CODE or bits != 16 or ch < 1:
+        return None
+    if fmt["block_align"] != ch * 2:
+        return None
+    if data_off + data_size > len(b) or data_size % (ch * 2) != 0:
+        return None
+    n = data_size // (ch * 2)
+    samples = (
+        np.frombuffer(b, dtype="<i2", count=n * ch, offset=data_off)
+        .astype(np.int64)
+        .reshape(n, ch)
+    )
+    return ch, n, samples
+
+
+AUDIO_PCM_ORACLE = """
+SELECT doc_id,
+  CAST(CASE WHEN q THEN -1 ELSE ch END AS INTEGER) AS channels,
+  CAST(CASE WHEN q THEN -1 ELSE n END AS BIGINT) AS n_samples,
+  CAST(CASE WHEN q THEN -1 ELSE
+    list_sum(flatten(list_transform(range(0, n), i ->
+      list_transform(range(0, ch), c ->
+        (doc_id + 5 * i + 11 * c) % 4001 - 2000)))) END AS BIGINT) AS sum_pcm,
+  CAST(CASE WHEN q THEN -1 ELSE
+    list_sum(flatten(list_transform(range(0, n), i ->
+      list_transform(range(0, ch), c ->
+        ((doc_id + 5 * i + 11 * c) % 4001 - 2000)
+        * ((doc_id + 5 * i + 11 * c) % 4001 - 2000))))) END AS BIGINT) AS energy,
+  CAST(CASE WHEN q THEN -1 ELSE
+    list_sum(flatten(list_transform(range(0, n), i ->
+      list_transform(range(0, ch), c ->
+        ((doc_id + 5 * i + 11 * c) % 4001 - 2000)
+        * (i * ch + c + 1))))) END AS BIGINT) AS pos_checksum
+FROM (SELECT doc_id, doc_id % 2 + 1 AS ch, doc_id % 200 + 1 AS n,
+             doc_id % 7 = 0 AS q
+      FROM documents)
+"""
+
+
+@query("multimodal_audio_pcm", oracle=AUDIO_PCM_ORACLE)
+def multimodal_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL PCM sample decode end-to-end — the audio twin of the pixel
+    decoders: REAL 16-bit WAVs with actual interleaved signed samples
+    are synthesized per doc (1-2 channels, up to 200 frames, sample
+    formula from doc_id), decoded back through the chunk walk (data
+    OFFSET, frame de-interleave, signed '<i2' decode — explicit
+    little-endian, the winnow endianness rule), and reduced to exact
+    integer features: sample sum, energy (sum of squares — the RMS
+    numerator), and a position-weighted checksum that catches
+    interleaving or offset mistakes the plain sum would forgive. Every
+    7th doc is synthesized as IEEE-FLOAT format (code 3) and must come
+    back as the -1 quarantine row — stated in the oracle. No mod on the
+    checksum: magnitudes stay well inside int64, and DuckDB's truncated
+    %-on-negatives vs numpy's floor-mod is exactly the trap avoiding it
+    sidesteps.
+
+    Scale: synthesize + decode inside Arrow batches, features-only
+    across the boundary, no exchange — the pixel-pipeline shape."""
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents")
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sum_pcm", T.LongType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("pos_checksum", T.LongType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        make_wav_pcm_bytes(
+                            int(i),
+                            int(i) % 2 + 1,
+                            int(i) % 200 + 1,
+                            fmt_code=3 if int(i) % 7 == 0 else PCM_FMT_CODE,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                dec = decode_wav_pcm(bytes(b))
+                if dec is None:
+                    rows.append((int(doc_id), -1, -1, -1, -1, -1))
+                    continue
+                ch, n, s = dec
+                wgt = np.arange(1, n * ch + 1, dtype=np.int64).reshape(
+                    n, ch
+                )  # i * ch + c + 1 over the frame-major grid
+                rows.append(
+                    (
+                        int(doc_id),
+                        ch,
+                        n,
+                        int(s.sum()),
+                        int((s * s).sum()),
+                        int((s * wgt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "channels",
+                    "n_samples",
+                    "sum_pcm",
+                    "energy",
+                    "pos_checksum",
+                ],
+            )
+
+    payloads = docs.select("doc_id").mapInPandas(synth, payload_schema)
+    return payloads.mapInPandas(decode, out_schema)

@@ -180,7 +180,10 @@ _DRIVER_SHOWCASE = (
 # test_rotation_ledger.py fails if a registered name is in neither a
 # CORRECTNESS_r*.json nor the showcase nor this queue, so nothing can
 # silently lose its path to external evidence.
-_NEXT_ROTATION_QUEUE: tuple[str, ...] = ("xml_roundtrip_events_agg",)
+_NEXT_ROTATION_QUEUE: tuple[str, ...] = (
+    "xml_roundtrip_events_agg",
+    "multimodal_audio_pcm",
+)
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

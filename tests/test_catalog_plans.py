@@ -233,9 +233,11 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         "multimodal_resize_nn",
         "multimodal_pixels_bmp",
         # round 10: the PNG (zlib + filters) and GIF (LZW) pixel
-        # decoders — Arrow decode stages like the BMP twin
+        # decoders and the WAV PCM sample decoder — Arrow decode stages
+        # like the BMP twin
         "multimodal_pixels_png",
         "multimodal_pixels_gif",
+        "multimodal_audio_pcm",
         "udf_price_tier",
         "udaf_customer_stats",
         "udtf_first_tokens",

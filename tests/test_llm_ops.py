@@ -411,6 +411,33 @@ def test_pixel_decoders_quarantine_every_truncation_point():
             assert got is None, (dec.__name__, cut)
 
 
+def test_wav_pcm_decode_roundtrip_quarantine_and_truncation():
+    """The PCM decoder recovers the exact signed interleaved samples
+    (both channel counts), quarantines non-integer-PCM format codes,
+    and returns None (never raises) at EVERY truncation point."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_wav_pcm,
+        make_wav_pcm_bytes,
+    )
+
+    for channels in (1, 2):
+        b = make_wav_pcm_bytes(9, channels, 7)
+        ch, n, s = decode_wav_pcm(b)
+        assert (ch, n) == (channels, 7)
+        for i in range(7):
+            for c in range(channels):
+                assert int(s[i, c]) == ((9 + 5 * i + 11 * c) % 4001) - 2000
+        assert s.dtype == np.int64
+    # IEEE-float format code -> quarantine
+    assert decode_wav_pcm(make_wav_pcm_bytes(9, 2, 7, fmt_code=3)) is None
+    full = make_wav_pcm_bytes(9, 2, 7)
+    for cut in range(len(full)):
+        assert decode_wav_pcm(full[:cut]) is None, cut
+    assert decode_wav_pcm(b"RIFFxxxxWAVE") is None
+
+
 def test_gif_lzw_decoder_against_hand_derived_codes():
     """Decoder independence from the compressor: the code stream for
     indices [1, 1, 1, 1] at min-code-size 2 is derived BY HAND —
