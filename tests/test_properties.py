@@ -768,3 +768,69 @@ def test_seq_fold_drops_null_event_types():
         )
     assert outs[0] == outs[1] == [(3, "A>B>C"), (4, "B>C>D")]
     assert not any("None" in s for _, s in outs[0])
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    doc_id=st.integers(0, 10**6),
+    w=st.integers(1, 16),
+    h=st.integers(1, 12),
+)
+def test_png_and_gif_pixel_roundtrip_property(doc_id, w, h):
+    """Every (doc_id, w, h) combination must roundtrip byte-exactly
+    through both compressed-image codecs — doc_id rotates the PNG
+    filter phase and the pixel/palette values, so the sweep exercises
+    every filter alignment and LZW dictionary shape, not just the
+    fixture's residue classes."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_png_pixels,
+        make_gif_bytes,
+        make_png_bytes,
+    )
+
+    pw, ph, px = decode_png_pixels(make_png_bytes(doc_id, w, h))
+    assert (pw, ph) == (w, h)
+    gw, gh, gx = decode_gif_pixels(make_gif_bytes(doc_id, w, h))
+    assert (gw, gh) == (w, h)
+    xs = np.arange(w).reshape(1, w)
+    ys = np.arange(h).reshape(h, 1)
+    assert np.array_equal(
+        px[:, :, 0], (doc_id + 2 * xs + 3 * ys) % 256
+    )
+    assert np.array_equal(
+        px[:, :, 1], (doc_id + 5 * xs + 7 * ys) % 256
+    )
+    assert np.array_equal(
+        px[:, :, 2], (doc_id + 11 * xs + 13 * ys) % 256
+    )
+    idx = (doc_id + 2 * xs + 3 * ys) % 256
+    assert np.array_equal(gx[:, :, 0], idx)
+    assert np.array_equal(gx[:, :, 1], (7 * idx) % 256)
+    assert np.array_equal(gx[:, :, 2], (13 * idx) % 256)
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    doc_id=st.integers(0, 10**6),
+    channels=st.integers(1, 4),
+    n=st.integers(1, 300),
+)
+def test_wav_pcm_roundtrip_property(doc_id, channels, n):
+    """Every (doc_id, channels, frames) combination must roundtrip
+    sample-exactly through the PCM codec, including channel counts the
+    fixture never generates (3- and 4-channel interleaving)."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_wav_pcm,
+        make_wav_pcm_bytes,
+    )
+
+    ch, got_n, s = decode_wav_pcm(make_wav_pcm_bytes(doc_id, channels, n))
+    assert (ch, got_n) == (channels, n)
+    fs = np.arange(n).reshape(n, 1)
+    cs = np.arange(channels).reshape(1, channels)
+    assert np.array_equal(s, (doc_id + 5 * fs + 11 * cs) % 4001 - 2000)
