@@ -273,23 +273,43 @@ def dataset_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_scratch(spark, "go_dfs_export_", build)
 
 
-XML_EVENTS_ORACLE = JSON_EVENTS_ORACLE  # same rollup, different wire format
+# md5-prefix checksum of every props payload, summed per group: 60-bit
+# prefixes reduced mod a prime so the int64 sum is exact on both engines
+# (all operands non-negative — no %-on-negatives trap). Any reader/writer
+# corruption of ANY props byte changes the group sum.
+_PROPS_CK_MOD = 1_000_000_007
+
+XML_EVENTS_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+         AS total_value,
+       MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+       CAST(SUM(('0x' || substr(md5(props), 1, 15))::UBIGINT
+                % {_PROPS_CK_MOD}) AS BIGINT) AS props_checksum
+FROM events
+GROUP BY event_type
+"""
 
 
 @query("xml_roundtrip_events_agg", oracle=XML_EVENTS_ORACLE)
 def xml_roundtrip_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> XML (Spark 4's NATIVE xml source — no spark-xml jar) ->
-    explicit-schema FAILFAST read -> the JSON twin's per-type rollup.
-    ``props`` is a JSON string full of quotes and braces, so the
-    round-trip proves XML entity escaping both directions on hostile
-    payload characters; timestamps cross as microsecond strings (module
-    docstring). Fourth interchange format after CSV/JSON/ORC — the
-    enterprise-integration wire format a migration off the reference's
-    TXT chunks is most likely to meet next.
+    explicit-schema FAILFAST read -> the JSON twin's rollup PLUS a
+    per-group md5 checksum over every round-tripped ``props`` payload —
+    the column the aggregate itself doesn't consume, so a reader/writer
+    that mangles payload bytes (mis-unescaped entity, trimmed value)
+    fails the gate instead of hiding behind an unchanged rollup (the
+    r10 follow-up review's overstated-proof finding). The reader pins
+    ``ignoreSurroundingSpaces=false``: the XML source's trim-by-default
+    would silently alter whitespace-padded strings the oracle reads
+    verbatim from parquet — the 'passes only by corpus luck' trap
+    class. Timestamps cross as microsecond strings (module docstring).
+    Fourth interchange format after CSV/JSON/ORC.
 
     Scale: identical shape to the JSON twin — write and read are both
-    embarrassingly parallel over row groups, and the rollup re-read
-    carries only the aggregation's columns."""
+    embarrassingly parallel over row groups."""
 
     def build(scratch: str) -> DataFrame:
         out = os.path.join(scratch, "events_xml")
@@ -306,6 +326,7 @@ def xml_roundtrip_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("xml")
             .option("rowTag", "event")
             .option("mode", "FAILFAST")
+            .option("ignoreSurroundingSpaces", "false")
             .load(out)
             .withColumn("ts", F.to_timestamp("ts", _TS_FMT))
         )
@@ -314,6 +335,14 @@ def xml_roundtrip_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             F.expr(_DSUM.format(c="value")).alias("total_value"),
             F.max("ts").alias("last_ts"),
+            F.sum(
+                F.conv(F.substring(F.md5("props"), 1, 15), 16, 10).cast(
+                    "long"
+                )
+                % _PROPS_CK_MOD
+            )
+            .cast("long")
+            .alias("props_checksum"),
         )
 
     return _with_scratch(spark, "go_dfs_interop_xml_", build)

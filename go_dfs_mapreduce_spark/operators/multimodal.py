@@ -302,29 +302,46 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- real audio (WAV/RIFF) header decode ----------------------------------
 
 
-def parse_wav_header(b: bytes) -> dict | None:
-    """Pure-Python RIFF/WAVE header parse: walk chunks, read the fmt
-    chunk's channels/sample_rate/bits and the data chunk's byte size.
-    Returns None on anything that is not a well-formed WAV prefix."""
+def _walk_riff_chunks(b: bytes):
+    """Shared RIFF/WAVE chunk walk (header parser AND sample decoder —
+    one copy so a chunk-rule fix cannot drift them apart): returns
+    (fmt dict incl. the format code, data offset, data size) or None.
+    A fmt chunk must DECLARE at least the 16 canonical bytes — reading
+    a following chunk's bytes through an undersized fmt is the
+    adversarial-input gap the r10 follow-up review flagged."""
     if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     i = 12
     fmt = None
-    data_size = None
+    data_off = data_size = None
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         size = int.from_bytes(b[i + 4 : i + 8], "little")
-        if cid == b"fmt " and i + 8 + 16 <= len(b):
+        if cid == b"fmt " and size >= 16 and i + 8 + 16 <= len(b):
             fmt = {
+                "code": int.from_bytes(b[i + 8 : i + 10], "little"),
                 "channels": int.from_bytes(b[i + 10 : i + 12], "little"),
                 "sample_rate": int.from_bytes(b[i + 12 : i + 16], "little"),
                 "block_align": int.from_bytes(b[i + 20 : i + 22], "little"),
                 "bits": int.from_bytes(b[i + 22 : i + 24], "little"),
             }
         elif cid == b"data":
-            data_size = size
+            data_off, data_size = i + 8, size
         i += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
-    if fmt is None or data_size is None or fmt["block_align"] == 0:
+    if fmt is None or data_size is None:
+        return None
+    return fmt, data_off, data_size
+
+
+def parse_wav_header(b: bytes) -> dict | None:
+    """Pure-Python RIFF/WAVE header parse: walk chunks, read the fmt
+    chunk's channels/sample_rate/bits and the data chunk's byte size.
+    Returns None on anything that is not a well-formed WAV prefix."""
+    walked = _walk_riff_chunks(b)
+    if walked is None:
+        return None
+    fmt, _, data_size = walked
+    if fmt["block_align"] == 0:
         return None
     return {
         "channels": fmt["channels"],
@@ -334,23 +351,34 @@ def parse_wav_header(b: bytes) -> dict | None:
     }
 
 
-def make_wav_bytes(channels: int, sample_rate: int, bits: int, n_samples: int) -> bytes:
+def make_wav_bytes(
+    channels: int,
+    sample_rate: int,
+    bits: int,
+    n_samples: int,
+    data: bytes | None = None,
+    fmt_code: int = 1,
+) -> bytes:
     """Synthesize a REAL minimal WAV file (canonical 44-byte header +
-    zeroed PCM data) that any standards-following parser reads back."""
+    PCM data — zeroed unless ``data`` supplies real samples) that any
+    standards-following parser reads back. ONE copy of the header
+    builder serves both the header-decode fixture and the PCM decoder's
+    sample fixtures."""
     block_align = channels * bits // 8
-    data_size = n_samples * block_align
+    if data is None:
+        data = bytes(n_samples * block_align)
     byte_rate = sample_rate * block_align
     return (
-        b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
         + b"fmt " + (16).to_bytes(4, "little")
-        + (1).to_bytes(2, "little")            # PCM
+        + fmt_code.to_bytes(2, "little")
         + channels.to_bytes(2, "little")
         + sample_rate.to_bytes(4, "little")
         + byte_rate.to_bytes(4, "little")
         + block_align.to_bytes(2, "little")
         + bits.to_bytes(2, "little")
-        + b"data" + data_size.to_bytes(4, "little")
-        + bytes(data_size)
+        + b"data" + len(data).to_bytes(4, "little")
+        + data
     )
 
 
@@ -664,14 +692,15 @@ BMP_PIXELS_SCHEMA = T.StructType(
 )
 
 
-def _pixel_feature_pipeline(docs, make_payload, decode_fn, chan_cols):
-    """Shared synth -> decode -> features plumbing of the three pixel
-    decoders (BMP/PNG/GIF): two Arrow stages over a 1-column scan,
-    quarantine as the all -1 row, per-channel sums in STORAGE order
-    (``chan_cols`` names channel 0/1/2 — BGR for BMP, RGB for PNG/GIF),
-    and the position-weighted checksum over channel 2. One copy of the
-    loop means a feature-row change cannot silently diverge one
-    format's gate row (the r10 review's triplication finding)."""
+def _payload_feature_pipeline(docs, make_payload, row_fn, out_fields):
+    """Shared synth -> decode -> features plumbing of ALL the binary
+    decoders (BMP/PNG/GIF pixels, WAV PCM samples): two Arrow stages
+    over a 1-column scan, quarantine as the all -1 row. ``row_fn``
+    maps payload bytes to the feature tuple (without doc_id) or None;
+    ``out_fields`` names the feature columns with their Spark types.
+    One copy of the loop means a feature-row change cannot silently
+    diverge one format's gate row (the r10 review's triplication
+    finding, generalized to audio by its follow-up)."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -683,43 +712,19 @@ def _pixel_feature_pipeline(docs, make_payload, decode_fn, chan_cols):
                 }
             )
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
+    n_out = len(out_fields)
 
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                dec = decode_fn(bytes(b))
-                if dec is None:
-                    rows.append((int(doc_id), -1, -1, -1, -1, -1, -1, -1))
-                    continue
-                w, h, px = dec
-                p = px.astype(np.int64)
-                wgt = (
-                    np.arange(w * h, dtype=np.int64).reshape(h, w) + 1
-                )  # x + w*y + 1 over the top-down grid
-                rows.append(
-                    (
-                        int(doc_id),
-                        w,
-                        h,
-                        w * h,
-                        int(p[:, :, 0].sum()),
-                        int(p[:, :, 1].sum()),
-                        int(p[:, :, 2].sum()),
-                        int((p[:, :, 2] * wgt).sum() % BMP_CHECK_MOD),
-                    )
-                )
+                feats = row_fn(bytes(b))
+                if feats is None:
+                    rows.append((int(doc_id),) + (-1,) * n_out)
+                else:
+                    rows.append((int(doc_id),) + tuple(feats))
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "width",
-                    "height",
-                    "n_pixels",
-                    *chan_cols,
-                    "pos_checksum",
-                ],
+                rows, columns=["doc_id", *(n for n, _ in out_fields)]
             )
 
     payload_schema = T.StructType(
@@ -731,15 +736,51 @@ def _pixel_feature_pipeline(docs, make_payload, decode_fn, chan_cols):
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("n_pixels", T.LongType()),
-            *(T.StructField(c, T.LongType()) for c in chan_cols),
-            T.StructField("pos_checksum", T.LongType()),
+            *(T.StructField(n, t) for n, t in out_fields),
         ]
     )
     payloads = docs.select("doc_id").mapInPandas(synth, payload_schema)
     return payloads.mapInPandas(decode, out_schema)
+
+
+def _pixel_feature_pipeline(docs, make_payload, decode_fn, chan_cols):
+    """The pixel-decoder instantiation of ``_payload_feature_pipeline``:
+    per-channel sums in STORAGE order (``chan_cols`` names channel
+    0/1/2 — BGR for BMP, RGB for PNG/GIF) and the position-weighted
+    checksum over channel 2."""
+    import numpy as np
+
+    def row_fn(b: bytes):
+        dec = decode_fn(b)
+        if dec is None:
+            return None
+        w, h, px = dec
+        p = px.astype(np.int64)
+        wgt = (
+            np.arange(w * h, dtype=np.int64).reshape(h, w) + 1
+        )  # x + w*y + 1 over the top-down grid
+        return (
+            w,
+            h,
+            w * h,
+            int(p[:, :, 0].sum()),
+            int(p[:, :, 1].sum()),
+            int(p[:, :, 2].sum()),
+            int((p[:, :, 2] * wgt).sum() % BMP_CHECK_MOD),
+        )
+
+    return _payload_feature_pipeline(
+        docs,
+        make_payload,
+        row_fn,
+        [
+            ("width", T.IntegerType()),
+            ("height", T.IntegerType()),
+            ("n_pixels", T.LongType()),
+            *((c, T.LongType()) for c in chan_cols),
+            ("pos_checksum", T.LongType()),
+        ],
+    )
 
 _BMP_SUM = (
     "list_sum(flatten(list_transform(range(0, h), y -> "
@@ -1341,30 +1382,25 @@ PCM_FMT_CODE = 1  # canonical integer PCM
 def make_wav_pcm_bytes(
     doc_id: int, channels: int, n_samples: int, fmt_code: int = PCM_FMT_CODE
 ) -> bytes:
-    """Synthesize a REAL 16-bit PCM WAV: canonical header + actual
-    interleaved samples. Sample for (channel c, frame i):
-    ((doc_id + 5i + 11c) % 4001) - 2000 — signed, the formula the
-    oracle restates. ``fmt_code != 1`` (e.g. 3 = IEEE float) keeps the
-    same byte layout but marks a format the decoder quarantines."""
-    bits = 16
-    block_align = channels * bits // 8
-    data = bytearray()
-    for i in range(n_samples):
-        for c in range(channels):
-            s = ((doc_id + 5 * i + 11 * c) % 4001) - 2000
-            data += s.to_bytes(2, "little", signed=True)
-    sample_rate = 16000
-    return (
-        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
-        + b"fmt " + (16).to_bytes(4, "little")
-        + fmt_code.to_bytes(2, "little")
-        + channels.to_bytes(2, "little")
-        + sample_rate.to_bytes(4, "little")
-        + (sample_rate * block_align).to_bytes(4, "little")
-        + block_align.to_bytes(2, "little")
-        + bits.to_bytes(2, "little")
-        + b"data" + len(data).to_bytes(4, "little")
-        + bytes(data)
+    """Synthesize a REAL 16-bit PCM WAV: the shared canonical header
+    (``make_wav_bytes``) + actual interleaved samples. Sample for
+    (channel c, frame i): ((doc_id + 5i + 11c) % 4001) - 2000 — signed,
+    the formula the oracle restates, generated as ONE vectorized numpy
+    expression (this runs per document inside the registered query's
+    Arrow stage; the original per-sample Python loop was ~100x the
+    cost). ``fmt_code != 1`` (e.g. 3 = IEEE float) keeps the same byte
+    layout but marks a format the decoder quarantines."""
+    import numpy as np
+
+    fs = np.arange(n_samples, dtype=np.int64).reshape(-1, 1)
+    cs = np.arange(channels, dtype=np.int64).reshape(1, -1)
+    data = (
+        ((doc_id + 5 * fs + 11 * cs) % 4001 - 2000)
+        .astype("<i2")
+        .tobytes()
+    )
+    return make_wav_bytes(
+        channels, 16000, 16, n_samples, data=data, fmt_code=fmt_code
     )
 
 
@@ -1377,26 +1413,10 @@ def decode_wav_pcm(b: bytes):
     None on anything malformed or truncated."""
     import numpy as np
 
-    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+    walked = _walk_riff_chunks(b)
+    if walked is None:
         return None
-    i = 12
-    fmt = None
-    data_off = data_size = None
-    while i + 8 <= len(b):
-        cid = b[i : i + 4]
-        size = int.from_bytes(b[i + 4 : i + 8], "little")
-        if cid == b"fmt " and i + 8 + 16 <= len(b):
-            fmt = {
-                "code": int.from_bytes(b[i + 8 : i + 10], "little"),
-                "channels": int.from_bytes(b[i + 10 : i + 12], "little"),
-                "block_align": int.from_bytes(b[i + 20 : i + 22], "little"),
-                "bits": int.from_bytes(b[i + 22 : i + 24], "little"),
-            }
-        elif cid == b"data":
-            data_off, data_size = i + 8, size
-        i += 8 + size + (size & 1)
-    if fmt is None or data_off is None:
-        return None
+    fmt, data_off, data_size = walked
     ch, bits = fmt["channels"], fmt["bits"]
     if fmt["code"] != PCM_FMT_CODE or bits != 16 or ch < 1:
         return None
@@ -1460,74 +1480,34 @@ def multimodal_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
 
-    payload_schema = T.StructType(
+    def row_fn(b: bytes):
+        dec = decode_wav_pcm(b)
+        if dec is None:
+            return None
+        ch, n, s = dec
+        wgt = np.arange(1, n * ch + 1, dtype=np.int64).reshape(
+            n, ch
+        )  # i * ch + c + 1 over the frame-major grid
+        return (
+            ch,
+            n,
+            int(s.sum()),
+            int((s * s).sum()),
+            int((s * wgt).sum()),
+        )
+
+    return _payload_feature_pipeline(
+        docs,
+        lambda i: make_wav_pcm_bytes(
+            i, i % 2 + 1, i % 200 + 1,
+            fmt_code=3 if i % 7 == 0 else PCM_FMT_CODE,
+        ),
+        row_fn,
         [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
+            ("channels", T.IntegerType()),
+            ("n_samples", T.LongType()),
+            ("sum_pcm", T.LongType()),
+            ("energy", T.LongType()),
+            ("pos_checksum", T.LongType()),
+        ],
     )
-    out_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("channels", T.IntegerType()),
-            T.StructField("n_samples", T.LongType()),
-            T.StructField("sum_pcm", T.LongType()),
-            T.StructField("energy", T.LongType()),
-            T.StructField("pos_checksum", T.LongType()),
-        ]
-    )
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "payload": [
-                        make_wav_pcm_bytes(
-                            int(i),
-                            int(i) % 2 + 1,
-                            int(i) % 200 + 1,
-                            fmt_code=3 if int(i) % 7 == 0 else PCM_FMT_CODE,
-                        )
-                        for i in ids
-                    ],
-                }
-            )
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                dec = decode_wav_pcm(bytes(b))
-                if dec is None:
-                    rows.append((int(doc_id), -1, -1, -1, -1, -1))
-                    continue
-                ch, n, s = dec
-                wgt = np.arange(1, n * ch + 1, dtype=np.int64).reshape(
-                    n, ch
-                )  # i * ch + c + 1 over the frame-major grid
-                rows.append(
-                    (
-                        int(doc_id),
-                        ch,
-                        n,
-                        int(s.sum()),
-                        int((s * s).sum()),
-                        int((s * wgt).sum()),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "channels",
-                    "n_samples",
-                    "sum_pcm",
-                    "energy",
-                    "pos_checksum",
-                ],
-            )
-
-    payloads = docs.select("doc_id").mapInPandas(synth, payload_schema)
-    return payloads.mapInPandas(decode, out_schema)

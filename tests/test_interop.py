@@ -161,3 +161,35 @@ def test_jsonl_carriage_survives_adversarial_text(spark, tmp_path):
         .json(out)
     )
     assert {(r.doc_id, r.text) for r in back.collect()} == set(nasty)
+
+
+def test_xml_carriage_survives_adversarial_text(spark, tmp_path):
+    """The native XML source must round-trip hostile payloads
+    byte-exactly with ignoreSurroundingSpaces pinned off: XML-special
+    characters (& < > \" '), CDATA-looking text, whitespace padding
+    (the reader's trim-by-default would eat it), unicode, and JSON-ish
+    braces. Empty strings are excluded: the XML wire format cannot
+    distinguish an empty element from null — the documented format
+    boundary (JSON carries them; the jsonl twin covers that case)."""
+    nasty = [
+        (1, "amp & lt < gt > quot \" apos '"),
+        (2, "<![CDATA[ not actually cdata ]]>"),
+        (3, "  leading and trailing  "),
+        (4, "unicode: é中\U0001f600"),
+        (5, 'json-ish: {"k": [1, null], "s": "v"}'),
+        (6, "tab\tand spaces   inside"),
+    ]
+    df = spark.createDataFrame(nasty, "doc_id long, text string")
+    out = str(tmp_path / "nasty_xml")
+    df.write.format("xml").option("rootTag", "rows").option(
+        "rowTag", "row"
+    ).mode("overwrite").save(out)
+    back = (
+        spark.read.schema("doc_id long, text string")
+        .format("xml")
+        .option("rowTag", "row")
+        .option("mode", "FAILFAST")
+        .option("ignoreSurroundingSpaces", "false")
+        .load(out)
+    )
+    assert {(r.doc_id, r.text) for r in back.collect()} == set(nasty)
