@@ -305,8 +305,13 @@ def xml_roundtrip_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ignoreSurroundingSpaces=false``: the XML source's trim-by-default
     would silently alter whitespace-padded strings the oracle reads
     verbatim from parquet — the 'passes only by corpus luck' trap
-    class. Timestamps cross as microsecond strings (module docstring).
-    Fourth interchange format after CSV/JSON/ORC.
+    class. That same pin also makes EMPTY-STRING props round-trip
+    byte-exactly (``<props></props>`` reads back as ``''``, not NULL —
+    probed and pinned by
+    ``test_xml_props_checksum_empty_string_parity``), so the checksum
+    needs no NULLIF normalization: both engines hash md5('') for empty
+    payloads. Timestamps cross as microsecond strings (module
+    docstring). Fourth interchange format after CSV/JSON/ORC.
 
     Scale: identical shape to the JSON twin — write and read are both
     embarrassingly parallel over row groups."""

@@ -1132,11 +1132,21 @@ def _lzw_encode(indices: list[int], min_code: int = _GIF_MIN_CODE) -> bytes:
     return bytes(buf)
 
 
-def _lzw_decode(data: bytes, min_code: int = _GIF_MIN_CODE):
+def _lzw_decode(
+    data: bytes, min_code: int = _GIF_MIN_CODE, max_out: int | None = None
+):
     """Spec-faithful GIF LZW decompression: CLEAR resets the table, END
     stops, the KwKwK case (code == next_code) reconstructs from the
     previous entry, width bumps when next_code reaches 2^width (cap
-    12). Returns the index list or None on any malformed stream."""
+    12), and per the spec the table stops growing at code 4096 (the
+    encoder must emit CLEAR to continue — a stream that keeps coding
+    past a full table just reuses existing entries). ``max_out`` is the
+    expected pixel count from the image descriptor: a crafted stream
+    whose output exceeds it is rejected AS SOON as it overflows, so a
+    kilobyte of sub-blocks can't expand quadratically in executor
+    memory before the caller's ``len(idx) == w*h`` check (round-10
+    ADVICE finding). Returns the index list or None on any malformed
+    stream."""
     clear, end = 1 << min_code, (1 << min_code) + 1
     table: dict[int, tuple[int, ...]] = {}
     next_code, width = end + 1, min_code + 1
@@ -1164,12 +1174,14 @@ def _lzw_decode(data: bytes, min_code: int = _GIF_MIN_CODE):
             return None  # stream must open with CLEAR
         if code in table:
             entry = table[code]
-        elif code == next_code and prev is not None:
+        elif code == next_code and prev is not None and next_code < 4096:
             entry = prev + prev[:1]  # KwKwK
         else:
             return None
         out.extend(entry)
-        if prev is not None:
+        if max_out is not None and len(out) > max_out:
+            return None  # oversized stream: quarantine before it balloons
+        if prev is not None and next_code < 4096:
             table[next_code] = prev + entry[:1]
             next_code += 1
             if next_code == (1 << width) and width < 12:
@@ -1297,8 +1309,10 @@ def decode_gif_pixels(b: bytes):
                 pos += 1
             if pos >= len(b) or b[pos] != 0x3B:
                 return None
-            idx = _lzw_decode(bytes(data), min_code)
-            if idx is None or len(idx) != w * h or w <= 0 or h <= 0:
+            if w <= 0 or h <= 0:
+                return None
+            idx = _lzw_decode(bytes(data), min_code, max_out=w * h)
+            if idx is None or len(idx) != w * h:
                 return None
             arr = np.asarray(idx, dtype=np.int64)
             if arr.max() >= palette.shape[0]:

@@ -167,11 +167,12 @@ def test_xml_carriage_survives_adversarial_text(spark, tmp_path):
     """The native XML source must round-trip hostile payloads
     byte-exactly with ignoreSurroundingSpaces pinned off: XML-special
     characters (& < > \" '), CDATA-looking text, whitespace padding
-    (the reader's trim-by-default would eat it), unicode, and JSON-ish
-    braces. Empty strings are excluded: the XML wire format cannot
-    distinguish an empty element from null — the documented format
-    boundary (JSON carries them; the jsonl twin covers that case)."""
+    (the reader's trim-by-default would eat it), unicode, JSON-ish
+    braces, AND the empty string: with ignoreSurroundingSpaces=false
+    an empty element reads back as '' (only the DEFAULT trim collapses
+    it to null — the r11 ADVICE probe)."""
     nasty = [
+        (0, ""),
         (1, "amp & lt < gt > quot \" apos '"),
         (2, "<![CDATA[ not actually cdata ]]>"),
         (3, "  leading and trailing  "),
@@ -193,3 +194,118 @@ def test_xml_carriage_survives_adversarial_text(spark, tmp_path):
         .load(out)
     )
     assert {(r.doc_id, r.text) for r in back.collect()} == set(nasty)
+
+
+def test_xml_props_checksum_empty_string_parity(spark, tmp_path):
+    """Round-11 ADVICE probe: the finding assumed '' reads back as NULL
+    across the XML boundary, which holds only under the reader's
+    DEFAULT whitespace trim. The registered query pins
+    ``ignoreSurroundingSpaces=false``, and under that option
+    ``<props></props>`` reads back as '' byte-exactly (probed: the
+    writer emits an empty element, the non-trimming reader keeps it).
+    So the checksum is computed over md5('') on BOTH engines with no
+    normalization — this test pins that with a corpus that HAS
+    empty-string props, which the driver tables may not."""
+    import hashlib
+
+    import duckdb
+
+    from go_dfs_mapreduce_spark.operators.interop import (
+        _PROPS_CK_MOD,
+        _TS_FMT,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00.000000", 10, "click", 1.0, ""),
+        (2, "2024-01-01 00:00:01.000000", 11, "click", 2.0, "a=1"),
+        (3, "2024-01-01 00:00:02.000000", 12, "click", 3.0, None),
+        (4, "2024-01-01 00:00:03.000000", 13, "view", 4.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = str(tmp_path / "events_xml_empty")
+    df.write.format("xml").option("rootTag", "events").option(
+        "rowTag", "event"
+    ).mode("overwrite").save(out)
+    back = (
+        spark.read.schema(
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .format("xml")
+        .option("rowTag", "event")
+        .option("mode", "FAILFAST")
+        .option("ignoreSurroundingSpaces", "false")
+        .load(out)
+    )
+    got = {
+        r.event_type: r.ck
+        for r in back.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.conv(F.substring(F.md5("props"), 1, 15), 16, 10).cast(
+                    "long"
+                )
+                % 1_000_000_007
+            )
+            .cast("long")
+            .alias("ck")
+        )
+        .collect()
+    }
+    # the oracle's plain md5(props) over the ORIGINAL (pre-XML) rows —
+    # no NULLIF: '' survives the carriage under the pinned option
+    con = duckdb.connect()
+    oracle = {
+        et: ck
+        for et, ck in con.execute(
+            "SELECT event_type, CAST(SUM(('0x' || substr("
+            "md5(props), 1, 15))::UBIGINT % 1000000007) "
+            "AS BIGINT) FROM (SELECT * FROM (VALUES "
+            + ", ".join(
+                "(%r, %s)" % (et, "NULL" if p is None else repr(p))
+                for (_, _, _, et, _, p) in rows
+            )
+            + ") t(event_type, props)) GROUP BY event_type"
+        ).fetchall()
+    }
+    assert got == oracle
+
+    def ck(*payloads: bytes) -> int:
+        return sum(
+            int(hashlib.md5(p).hexdigest()[:15], 16) % _PROPS_CK_MOD
+            for p in payloads
+        )
+
+    # 'click' checksums BOTH its empty-string and real payload (the
+    # None row is skipped by SUM on both engines)
+    assert got["click"] == ck(b"", b"a=1")
+    # the all-empty-string 'view' group checksums md5('') — not NULL
+    assert got["view"] == ck(b"")
+
+
+def test_gif_lzw_oversized_stream_quarantined():
+    """A crafted GIF whose LZW stream expands far past w*h must be
+    rejected without materializing the blowup (round-11 ADVICE fix):
+    _lzw_decode stops the moment output exceeds max_out, and the table
+    stops growing at code 4096 per the spec."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif_pixels,
+        make_gif_bytes,
+    )
+
+    # honest image decodes
+    ok = make_gif_bytes(5, 4, 7)
+    assert decode_gif_pixels(ok) is not None
+
+    # encode far more indices than the 2x2 descriptor claims
+    big = _lzw_encode([1, 2, 3, 0] * 5000)
+    assert _lzw_decode(big, max_out=4) is None
+    # and the unbounded call still works for honest streams
+    small = _lzw_encode([1, 2, 3, 0])
+    assert _lzw_decode(small, max_out=4) == [1, 2, 3, 0]
