@@ -23,6 +23,14 @@ does perform (positive-variance guard) textually mirrors the SQL's
 ``n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s > 0`` so the emitted
 row set is decided by the identical correctly-rounded IEEE ops.
 
+Out-of-order policy (round-11 audit, with the rate limiter's fix): the
+kernel has NO elapsed-time term — the ring buffer appends quantized
+VALUES, never timestamp deltas — so cross-micro-batch reorder cannot
+drain or mint anything (contrast ``ratelimit.py``). A late event simply
+scores against the baseline as of its ARRIVAL; equality with the batch
+trailing-ROWS frame holds on event-time-nondecreasing feeds, which the
+drain tests use.
+
 State size: exactly one array of at most ``ZS_WINDOW`` longs per user —
 bounded regardless of stream length, and USEFUL for the key's whole
 lifetime (every future event of the user consumes it), so unlike the
@@ -70,29 +78,25 @@ def _fold_zscore(hist: list[int], chunks: list[pd.DataFrame]):
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
-        for _, row in pdf.iterrows():
+        # vectorize the column extraction once (the ratelimit/sequences
+        # pattern — no iterrows, no per-row Series construction); only
+        # the inherently sequential ring-buffer recursion runs per event
+        tss = list(pdf["ts"])
+        vals = pdf["value"].to_numpy("float64").tolist()
+        eids = pdf["event_id"].astype("int64").tolist()
+        for ts, v, eid in zip(tss, vals, eids):
             # ROUND(value * 1e6): exact half-away-from-zero twin of the
             # engines' rounding (no lossy +0.5 addition — see
             # stateful.round_half_up_micro)
-            vm = round_half_up_micro(float(row["value"]))
+            vm = round_half_up_micro(v)
             n = len(hist)
             if n >= ZS_MIN_HIST:
                 s = sum(hist)
-                ss = sum(v * v for v in hist)
+                ss = sum(h * h for h in hist)
                 # the SQL guard, in its exact IEEE op order:
                 # n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s > 0
                 if n * float(ss) - float(s) * float(s) > 0:
-                    out.append(
-                        (
-                            int(row["event_id"]),
-                            row["ts"],
-                            float(row["value"]),
-                            n,
-                            vm,
-                            s,
-                            ss,
-                        )
-                    )
+                    out.append((eid, ts, v, n, vm, s, ss))
             hist.append(vm)
             if len(hist) > ZS_WINDOW:
                 del hist[: len(hist) - ZS_WINDOW]

@@ -21,6 +21,14 @@ integer arithmetic, so Python / JVM / DuckDB agreement is unconditional
 — strictly simpler than the z-score twin, which still had one IEEE tail
 to keep JVM-side.
 
+Out-of-order policy (round-11 audit, with the rate limiter's fix): the
+recursion has NO elapsed-time term — it folds VALUES, not timestamp
+deltas — so a late event cannot drain or mint anything (contrast
+``ratelimit.py``'s negative-dt exposure). Cross-micro-batch reorder
+just folds the late value at its arrival position; equality with the
+prefix-min batch identity holds on event-time-nondecreasing feeds,
+which the drain tests use.
+
 State: ONE long (the running statistic) per user — smaller than the
 funnel's 3 longs — and useful for the key's whole lifetime (no dead
 state to TTL; the z-score module's eviction-policy note applies).
@@ -59,17 +67,22 @@ def _fold_cusum(s: int, chunks: list[pd.DataFrame], user_id: int):
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
-        for _, row in pdf.iterrows():
+        # vectorize the column extraction once (the ratelimit/sequences
+        # pattern — no iterrows, no per-row Series construction); only
+        # the inherently sequential CUSUM recursion runs per event
+        tss = list(pdf["ts"])
+        vals = pdf["value"].to_numpy("float64").tolist()
+        eids = pdf["event_id"].astype("int64").tolist()
+        uid = int(user_id)
+        for ts, v, eid in zip(tss, vals, eids):
             # ROUND(value * 1e6): exact half-away-from-zero twin of the
             # engines' rounding (stateful.round_half_up_micro — no lossy
             # +0.5 addition)
-            vm = round_half_up_micro(float(row["value"]))
+            vm = round_half_up_micro(v)
             prev = s
             s = max(0, s + vm - CUSUM_TARGET_MICRO)
             if prev <= CUSUM_ALARM_MICRO < s:
-                out.append(
-                    (int(user_id), row["ts"], int(row["event_id"]), s)
-                )
+                out.append((uid, ts, eid, s))
     return s, out
 
 

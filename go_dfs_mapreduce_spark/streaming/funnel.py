@@ -26,6 +26,17 @@ re-emits one row; the TTL is sized so that only pathologically-late
 replays can do so. Unconverted in-progress keys keep their state with
 no timer — evicting those would silently drop genuine conversions.
 
+Out-of-order policy (round-11 audit, with the rate limiter's fix): the
+automaton advances in ARRIVAL order (event-time-sorted within each
+micro-batch) and has no refill-style term that reorder could drain
+(contrast ``ratelimit.py``). Two documented effects of a cross-batch
+late event: a stage arriving after its successor was rejected stays
+unmatched (the greedy embedding is arrival-greedy), and a late tail
+event can complete the pattern with ``t2us < t0us`` — the emitted
+negative latency is the honest event-time record of an out-of-order
+observation, deliberately NOT masked. Batch-twin equality holds on
+event-time-nondecreasing feeds, which the drain tests use.
+
 TTL applies to CONTINUOUS deployments (processing-time triggers). Pass
 ``state_ttl_ms=None`` for drain-style runs: ``Trigger.AvailableNow``
 with pending processing-time timers never terminates — after the input
@@ -88,10 +99,15 @@ def _fold_chunks(k, t0us, t2us, chunks):
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
-        for _, row in pdf.iterrows():
-            k, t0us, t2us = _advance(
-                k, t0us, t2us, str(row["event_type"]), row["ts"].value // 1000
-            )
+        # vectorize the column extraction once (the ratelimit/sequences
+        # pattern — no iterrows, no per-row Timestamp wrapping); only
+        # the inherently sequential automaton runs per event
+        ets = [str(t) for t in pdf["event_type"]]
+        ts_us = (
+            pdf["ts"].to_numpy("datetime64[ns]").astype("int64") // 1_000
+        ).tolist()
+        for et, tus in zip(ets, ts_us):
+            k, t0us, t2us = _advance(k, t0us, t2us, et, tus)
             if k == _DONE:
                 break
     return k, t0us, t2us

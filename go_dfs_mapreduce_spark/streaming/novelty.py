@@ -16,6 +16,15 @@ which tests/test_streaming_novelty.py asserts through the real streaming
 engine. Within a micro-batch, ties on ts break by event_id, matching the
 twin's deterministic argmin.
 
+Out-of-order policy (round-11 audit, with the rate limiter's fix): the
+seen-set is ORDER-INSENSITIVE — a type is new exactly once no matter
+how arrival interleaves — so cross-micro-batch reorder has no numeric
+pathology (nothing drains or mints; contrast ``ratelimit.py``). The
+only effect is attribution: first = first-by-ARRIVAL (event-time-sorted
+within each batch), so a late-arriving earlier-ts event loses to the
+already-emitted row; equality with the batch twin's min-ts argmin holds
+on event-time-nondecreasing feeds, which the drain tests use.
+
 Scale: state is one small list per user (bounded by the event-type
 vocabulary, NOT the stream length), partitioned by user_id in the state
 store; at 100 TB the state store shuffles once on user_id and each list
@@ -50,6 +59,36 @@ OUTPUT_SCHEMA = (
 )
 
 
+def _fold_first(seen: set, chunks: list[pd.DataFrame], user_id: int):
+    """Advance one key's seen-type set over its micro-batch slice
+    (concat before the (ts, event_id) sort — the shared
+    batching-invariance guard; a key's micro-batch arrives as MULTIPLE
+    Arrow chunks when it exceeds maxRecordsPerBatch, and a later-ts row
+    in an earlier chunk would otherwise win and break equality with the
+    batch twin). Column extraction is vectorized once (the
+    ratelimit/sequences pattern — no iterrows, no per-row Series
+    construction); only the inherently sequential membership fold runs
+    per event. Returns (newly seen types in first-seen order, verdict
+    rows)."""
+    new_types: list[str] = []
+    out = []
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        ets = [str(t) for t in pdf["event_type"]]
+        eids = pdf["event_id"].astype("int64").tolist()
+        tss = list(pdf["ts"])
+        uid = int(user_id)
+        for et, eid, ts in zip(ets, eids, tss):
+            if et in seen:
+                continue
+            seen.add(et)
+            new_types.append(et)
+            out.append((uid, et, eid, ts))
+    return new_types, out
+
+
 class FirstOccurrenceProcessor(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._seen = handle.getListState("seen_types", "event_type string")
@@ -59,25 +98,9 @@ class FirstOccurrenceProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         seen = {r[0] for r in self._seen.get()}
-        out = []
-        # a key's micro-batch arrives as MULTIPLE Arrow chunks when it
-        # exceeds maxRecordsPerBatch — concat before the (ts, event_id)
-        # sort, else a later-ts row in an earlier chunk would win and
-        # break the batching-invariance equality with the batch twin
-        chunks = list(rows)
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                ["ts", "event_id"]
-            )
-            for _, row in pdf.iterrows():
-                et = str(row["event_type"])
-                if et in seen:
-                    continue
-                seen.add(et)
-                self._seen.appendValue((et,))
-                out.append(
-                    (int(user_id), et, int(row["event_id"]), row["ts"])
-                )
+        new_types, out = _fold_first(seen, list(rows), user_id)
+        for et in new_types:
+            self._seen.appendValue((et,))
         if out:
             yield pd.DataFrame(
                 out,
@@ -104,16 +127,7 @@ def _first_occurrences_v1_fn(key, pdf_iter, state):
     (array<string>) instead of ListState appends."""
     (user_id,) = key
     seen = set((state.get)[0]) if state.exists else set()
-    chunks = list(pdf_iter)
-    out = []
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
-        for _, row in pdf.iterrows():
-            et = str(row["event_type"])
-            if et in seen:
-                continue
-            seen.add(et)
-            out.append((int(user_id), et, int(row["event_id"]), row["ts"]))
+    _, out = _fold_first(seen, list(pdf_iter), user_id)
     state.update((sorted(seen),))
     if out:
         yield pd.DataFrame(

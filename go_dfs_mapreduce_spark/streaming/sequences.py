@@ -11,6 +11,14 @@ window is full. Emission is append-only BY CONSTRUCTION: a k-gram's
 identity depends only on the SAME user's strictly-earlier events, so it
 is prefix-stable and never revised — the funnel/z-score/CUSUM argument.
 
+Out-of-order policy (round-11 audit, with the rate limiter's fix): the
+trailing-type window folds in ARRIVAL order (event-time-sorted within
+each micro-batch) and carries no time-delta term reorder could corrupt
+(contrast ``ratelimit.py``). A cross-batch late event contributes
+k-grams at its arrival position — adjacency means arrival-adjacency
+there; batch-twin equality holds on event-time-nondecreasing feeds,
+which the drain tests use.
+
 State: exactly ``SEQ_K - 1`` strings per user (two, for trigrams) —
 bounded regardless of stream length, no floats anywhere, and useful for
 the key's whole lifetime (no dead state to TTL; the z-score module's
@@ -44,10 +52,11 @@ def _fold_seq(p1, p2, chunks: list[pd.DataFrame], user_id: int):
     (concat before the (ts, event_id) sort — the shared
     batching-invariance guard) and collect completed k-gram rows.
 
-    Vectorized (unlike the numeric kernels, which carry per-row integer
-    recursions): the k-gram at each row is a pure slice of the state-
-    prefixed type sequence, so the whole batch folds as one list
-    comprehension over the extended sequence instead of an iterrows loop
+    Vectorized (as of r11, EVERY kernel in this package extracts
+    columns once — the numeric ones keep only their inherently
+    sequential per-event recursion): the k-gram at each row is a pure
+    slice of the state-prefixed type sequence, so the whole batch folds
+    as one list comprehension instead of an iterrows loop
     (measured ~20% on the gate drain — the micro-batch/state-commit
     overhead dominates there, but the fold itself scales to large
     per-key batches where iterrows would not), and the per-row

@@ -1295,3 +1295,66 @@ def test_ratelimit_tws_matches_v1_and_batch_truth():
     want = [(u, ts, e, a, bal) for (u, ts, e, a, bal) in truth]
     assert v1_out == want
     assert tws_out == want
+
+
+def test_ratelimit_out_of_order_late_event_no_refund():
+    """The pinned out-of-order policy (r11): a late event — micro-batch
+    k+1 carrying ts EARLIER than batch k's max — earns zero refill and
+    does not rewind the monotone bucket clock. Without the dt clamp a
+    single late event's negative elapsed silently DRAINS the bucket
+    (the r10 verdict finding); without the monotone clock the next
+    on-time event would double-refill from the stale timestamp."""
+    import pandas as pd
+
+    from go_dfs_mapreduce_spark.streaming import ratelimit as rl
+
+    def b(rows):
+        return pd.DataFrame(rows, columns=["event_id", "ts"])
+
+    ts = lambda s: pd.Timestamp(s, unit="s")  # noqa: E731
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    out = []
+    batches = [
+        # batch 1: burst drains the full bucket (3 tokens), then a
+        # 10_000 s gap refills exactly one token which e3 spends
+        b([(0, ts(100_000)), (1, ts(100_000)), (2, ts(100_000)),
+           (3, ts(110_000))]),
+        # batch 2: ONE LATE EVENT, 60_000 s before the bucket clock —
+        # unclamped dt would be -60_000 s = -6 tokens
+        b([(4, ts(50_000))]),
+        # batch 3: on-time again; refill must run from 110_000 (the
+        # monotone clock), not from the late 50_000
+        b([(5, ts(120_000))]),
+    ]
+    for batch in batches:
+        for f in rl._ratelimit_v1_fn((7,), iter([batch]), st):
+            out.extend(f.itertuples(index=False, name=None))
+
+    allowed = {eid: a for (_, _, eid, a, _) in out}
+    bal = {eid: m for (_, _, eid, _, m) in out}
+    # batch 1: full bucket spends down 2M -> 1M -> 0, then refills 1M
+    assert [bal[i] for i in range(4)] == [2_000_000, 1_000_000, 0, 0]
+    assert all(allowed[i] for i in range(4))
+    # the late event: zero refill against a 0 balance -> denied, and
+    # the balance is NOT driven negative (the drain bug)
+    assert allowed[4] is False and bal[4] == 0
+    # e5 refills 10_000 s * 100 = exactly one token from the MONOTONE
+    # clock at 110_000 (a rewound clock at 50_000 would have refilled 7
+    # tokens, capped at 3, leaving 2M after the spend — bal[5] == 0 is
+    # only reachable if the late event never moved the clock)
+    assert allowed[5] is True and bal[5] == 0
+    assert st.get == (0, 120_000)
