@@ -604,7 +604,13 @@ def _bpe_train_loop(
 # Spark jobs to ~30k/m rounds (VERDICT r9 #2)
 # --------------------------------------------------------------------------
 
-BPE_BATCH_M = 4       # merges accepted per round (pairwise-disjoint)
+# merges accepted per round (pairwise-disjoint). r10 measured the width
+# curve on the real corpus: m=8 trains ~2.7x more rules/second than m=4
+# with zero downside until m=16, where disjointness binds (candidates
+# skipped for symbol collisions stop the batch filling) — so 8 is the
+# measured sweet spot, promoted per VERDICT r10 #6. The oracle re-derives
+# from this constant (same head formula on both engines).
+BPE_BATCH_M = 8
 BPE_BATCH_ROUNDS = 3  # rounds trained -> up to M x ROUNDS learned rules
 BPE_BATCH_CANDS = 16  # ranked candidates the greedy selector examines
 

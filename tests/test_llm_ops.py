@@ -1835,11 +1835,13 @@ def test_bpe_train_merges_greedy_run_semantics(spark, tmp_path):
 def test_bpe_train_merges_batched_handcrafted(spark, tmp_path):
     """Batched BPE on a corpus engineered around every selection rule:
     round 1 must accept (a,b), SKIP (b,c) (shares b with an accepted
-    pair), accept (c,d), SKIP (a,e) (shares a), then fill to M=4 with
-    (f,g) and (h,i); round 2 accepts the two survivors — counts as of
-    ROUND START (the batched rule); round 3 has no pairs left and emits
-    ZERO rows (empty-round path). Cross-checked against the recursive-
-    CTE oracle."""
+    pair), accept (c,d), SKIP (a,e) (shares a), then accept (f,g) and
+    (h,i) — exhausting the candidates below the batch cap (the
+    expectations hold at any M >= 4, so the r11 m=4 -> 8 promotion
+    re-derives them unchanged); round 2 accepts the two survivors —
+    counts as of ROUND START (the batched rule); round 3 has no pairs
+    left and emits ZERO rows (empty-round path). Cross-checked against
+    the recursive-CTE oracle."""
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
