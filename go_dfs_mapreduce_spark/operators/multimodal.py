@@ -3,10 +3,12 @@
 Media are opaque ``binary`` columns with typed metadata structs, processed
 by Arrow-batched pandas UDFs over ``mapInPandas`` — the 100 TB pattern for
 decode/resize/frame-sample stages. The container has no image/audio libs,
-so the *real* decoders are stubbed behind import-tries (NotImplementedError
-with a clear message), while the deterministic fake feature extractor
-exercises the full Spark plumbing — schema, batching, partitioning — and
-is simple enough to carry an exact DuckDB oracle.
+and as of round 11 needs none: all four classic image containers (BMP,
+PNG, GIF, baseline JPEG) and 16-bit WAV PCM decode to REAL pixels/samples
+with pure Python + numpy + stdlib zlib — no import gates, no stubs. The
+deterministic fake feature extractor additionally exercises the full
+Spark plumbing — schema, batching, partitioning — with an exact DuckDB
+oracle.
 
 The binary payloads are synthesized from documents.text (UTF-8 bytes), the
 same trick the reference uses when it sniffs TXT vs BIN at store time and
@@ -50,26 +52,27 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - pillow-gated
-    """Full pixel decode, import-gated on pillow (absent in this
-    container). The gate now covers ONLY JPEG: BMP pixels decode
-    pure-numpy (``decode_bmp_pixels``), PNG with stdlib zlib + the five
-    scanline filters (``decode_png_pixels``), and GIF with a pure-Python
-    LZW codec (``decode_gif_pixels``). Header-level decode
-    (format/width/height) for all four formats is ``parse_image_header``.
-    With pillow present this returns (width, height, mode, pixel_bytes)."""
-    try:
-        from PIL import Image
-    except ImportError as exc:
-        raise NotImplementedError(
-            "pixel decode needs pillow only for JPEG now — BMP/PNG/GIF "
-            "pixels decode via decode_bmp_pixels / decode_png_pixels / "
-            "decode_gif_pixels; parse_image_header covers dims for all"
-        ) from exc
-    from io import BytesIO
-
-    img = Image.open(BytesIO(payload))
-    return (img.width, img.height, img.mode, img.tobytes())
+def decode_image(payload: bytes):
+    """Full pixel decode for all four classic wire formats, NO image
+    library anywhere (the round-7-to-11 arc, finished): dispatches on
+    the sniffed container to the pure decoders — BMP (numpy pixel
+    array), PNG (stdlib zlib + the five scanline filters), GIF
+    (pure-Python LZW), and as of r11 baseline JPEG (Annex K huffman +
+    dequant + zigzag + float IDCT — ``decode_jpeg_pixels``). Returns
+    (width, height, pixels) with pixels[y][x] either an int64 luma (
+    grayscale JPEG) or an [R, G, B] triple, or None for unrecognized /
+    malformed / out-of-scope payloads (the quarantine convention every
+    decoder here shares — a real pipeline routes those to a quarantine
+    sink rather than failing the job)."""
+    hdr = parse_image_header(payload)
+    if hdr is None:
+        return None
+    return {
+        "bmp": decode_bmp_pixels,
+        "png": decode_png_pixels,
+        "gif": decode_gif_pixels,
+        "jpeg": decode_jpeg_pixels,
+    }[hdr["format"]](payload)
 
 
 # --- real header decode: pure-Python parsers for the four classic wire
@@ -1522,6 +1525,586 @@ def multimodal_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("n_samples", T.LongType()),
             ("sum_pcm", T.LongType()),
             ("energy", T.LongType()),
+            ("pos_checksum", T.LongType()),
+        ],
+    )
+
+
+# --- JPEG baseline decode: pure-Python SOF0 huffman + IDCT (r11) ----------
+#
+# The last pillow-gated format, closed per VERDICT r10 #7: baseline JFIF
+# is huffman coding + dequant + zigzag + IDCT — all implementable on the
+# stdlib + numpy. Same formula-oracle pattern as BMP/PNG/GIF with one
+# twist JPEG forces: the codec is LOSSY in general, so the synthesized
+# images are BLOCK-CONSTANT (every 8x8 block one value) — a constant
+# block's DCT is DC-only and integer-exact under an all-ones quant
+# table, so encode -> decode is bit-exact and the DuckDB oracle can
+# state the pixel formula directly. The AC path (run-length symbols,
+# ZRL, magnitude extend, full 2-D IDCT) can't ride that oracle — it is
+# pinned instead by coefficient-level differential tests against an
+# independent numpy IDCT (tests/test_llm_ops.py), plus the every-prefix
+# truncation sweep all four binary decoders share. Per-block Python
+# recursion is honestly fixture-scale, like the PNG/GIF codecs (the
+# JIT/GPU note in SCALE.md).
+
+# Annex K.3 standard luminance huffman tables (public JPEG spec): DC
+# categories 0-11, the 162-symbol AC table. Synthesized files use the
+# real-world tables so any standard decoder reads them.
+_JPG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPG_DC_VALS = tuple(range(12))
+_JPG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+assert sum(_JPG_DC_BITS) == len(_JPG_DC_VALS)
+assert sum(_JPG_AC_BITS) == len(_JPG_AC_VALS)
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """The 64 (row, col) positions in zigzag order, generated from the
+    diagonal rule (even diagonals walk up-right, odd walk down-left)."""
+    order: list[tuple[int, int]] = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        order.extend(diag[::-1] if s % 2 == 0 else diag)
+    return order
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+
+def _huff_canonical(bits) -> list[tuple[int, int]]:
+    """Canonical (length, code) assignment for a JPEG BITS list — the
+    k-th entry codes the k-th symbol of the VALS list."""
+    out: list[tuple[int, int]] = []
+    code = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((length, code))
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with mandatory 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def finish(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes((0xFF, marker)) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def jpeg_encode_gray_blocks(
+    qblocks: list[list[int]],
+    width: int,
+    height: int,
+    sof_marker: int = 0xC0,
+) -> bytes:
+    """Assemble a single-component (grayscale, 4:4:4 trivially) baseline
+    JFIF file from QUANTIZED natural-order 8x8 coefficient blocks in
+    raster MCU order, under an all-ones quant table and the Annex K
+    luminance huffman pair. Working in the coefficient domain keeps the
+    synthesizer integer-exact — no float DCT anywhere in the encoder.
+    ``sof_marker=0xC2`` writes a (bogus) progressive frame header — the
+    quarantine arm of the gate query."""
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    assert len(qblocks) == bw * bh
+
+    dc_codes = _huff_canonical(_JPG_DC_BITS)
+    ac_codes = _huff_canonical(_JPG_AC_BITS)
+    dc_map = {v: c for v, c in zip(_JPG_DC_VALS, dc_codes)}
+    ac_map = {v: c for v, c in zip(_JPG_AC_VALS, ac_codes)}
+
+    w = _JpegBitWriter()
+    prev_dc = 0
+    for blk in qblocks:
+        prev_dc = _jpeg_encode_block(w, blk, prev_dc, dc_map, ac_map)
+    return _jpeg_container(w.finish(), width, height, 1, sof_marker)
+
+
+def _jpeg_encode_block(w, blk, prev_dc, dc_map, ac_map) -> int:
+    """Entropy-code one natural-order 8x8 block; returns its DC (the
+    next block's predictor)."""
+    zz = [blk[r * 8 + c] for (r, c) in _ZIGZAG]
+    diff = zz[0] - prev_dc
+    s = abs(diff).bit_length()
+    ln, code = dc_map[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_map[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        ln, code = ac_map[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        ln, code = ac_map[0x00]  # EOB
+        w.write(code, ln)
+    return zz[0]
+
+
+def _jpeg_container(
+    scan: bytes, width: int, height: int, ncomp: int, sof_marker: int
+) -> bytes:
+    """Wrap an entropy-coded scan in the JFIF container: SOI, APP0, the
+    all-ones DQT, SOF, the Annex K luminance DHT pair (all components
+    point at table 0 — legal, and all this synthesizer needs), SOS,
+    EOI."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00"
+    )
+    out += _seg(0xDB, b"\x00" + bytes([1] * 64))  # DQT 0: all ones
+    sof = bytearray(
+        b"\x08" + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    )
+    sof.append(ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes((cid, 0x11, 0x00))  # h=v=1, quant table 0
+    out += _seg(sof_marker, bytes(sof))
+    out += _seg(
+        0xC4,
+        b"\x00" + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
+        + b"\x10" + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS),
+    )
+    sos = bytearray([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes((cid, 0x00))
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, bytes(sos))
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_encode_ycbcr_blocks(
+    qmcus: list[list[list[int]]], width: int, height: int
+) -> bytes:
+    """Three-component 4:4:4 baseline file from quantized natural-order
+    blocks: ``qmcus`` lists MCUs in raster order, each carrying its
+    [Y, Cb, Cr] blocks — exercises the decoder's interleaved-MCU and
+    YCbCr->RGB paths (all components share quant table 0 and the
+    luminance huffman pair, which is legal and keeps the synthesizer to
+    one table set)."""
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    assert len(qmcus) == bw * bh and all(len(m) == 3 for m in qmcus)
+    dc_map = {v: c for v, c in zip(_JPG_DC_VALS, _huff_canonical(_JPG_DC_BITS))}
+    ac_map = {v: c for v, c in zip(_JPG_AC_VALS, _huff_canonical(_JPG_AC_BITS))}
+    w = _JpegBitWriter()
+    prev = [0, 0, 0]
+    for mcu in qmcus:
+        for ci, blk in enumerate(mcu):
+            prev[ci] = _jpeg_encode_block(w, blk, prev[ci], dc_map, ac_map)
+    return _jpeg_container(w.finish(), width, height, 3, 0xC0)
+
+
+def make_jpeg_bytes(doc_id: int, width: int, height: int, progressive: bool = False) -> bytes:
+    """Synthesize a REAL baseline grayscale JFIF whose pixels are
+    BLOCK-CONSTANT: every 8x8 block holds (doc_id + 2*bx + 3*by) % 256.
+    A constant block's DCT is DC-only (DC = 8 * (v - 128), all ACs
+    exactly zero), so under the all-ones quant table the file decodes
+    back bit-exactly — the lossless-by-construction corner of a lossy
+    codec that makes the formula oracle possible. DC DIFFERENCES between
+    blocks vary in sign and magnitude, so the huffman DC path sees
+    categories beyond 0. ``progressive=True`` stamps SOF2 instead of
+    SOF0 — the quarantine arm."""
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    qblocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            v = (doc_id + 2 * bx + 3 * by) % 256
+            qblocks.append([8 * (v - 128)] + [0] * 63)
+    return jpeg_encode_gray_blocks(
+        qblocks, width, height, sof_marker=0xC2 if progressive else 0xC0
+    )
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; records the marker byte that terminates the scan."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int | None:
+        if self.n == 0:
+            if self.p >= len(self.d):
+                return None
+            byte = self.d[self.p]
+            self.p += 1
+            if byte == 0xFF:
+                if self.p >= len(self.d):
+                    return None
+                nxt = self.d[self.p]
+                if nxt == 0x00:
+                    self.p += 1
+                else:
+                    # a real marker inside the scan: restart intervals
+                    # and early EOI are out of scope -> quarantine
+                    return None
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+
+def _jpeg_read_huff(br: _JpegBitReader, table: dict) -> int | None:
+    length, code = 0, 0
+    while length < 16:
+        b = br.bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _jpeg_receive_extend(br: _JpegBitReader, s: int) -> int | None:
+    if s == 0:
+        return 0
+    v = 0
+    for _ in range(s):
+        b = br.bit()
+        if b is None:
+            return None
+        v = (v << 1) | b
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+_IDCT_MAT = None
+
+
+def _idct_mat():
+    """M[u, x] = C(u)/2 * cos((2x+1) u pi / 16) — spatial = M.T @ F @ M."""
+    global _IDCT_MAT
+    if _IDCT_MAT is None:
+        import math
+
+        import numpy as np
+
+        m = np.empty((8, 8))
+        for u in range(8):
+            cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+            for x in range(8):
+                m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+        _IDCT_MAT = m
+    return _IDCT_MAT
+
+
+def decode_jpeg_pixels(b: bytes):
+    """Pure-Python baseline JPEG decode: marker walk, DQT/DHT/SOF0/SOS
+    parse, huffman-decoded entropy scan (DC diff + AC run-length with
+    ZRL/EOB, 0xFF00 unstuffing), dequant, de-zigzag, separable float
+    IDCT, level shift, clamp, MCU-grid crop. Scope (quarantine -> None,
+    never raise): baseline SOF0 only (SOF2 progressive and every other
+    frame type -> None), 8-bit precision, 1 or 3 components all at
+    h=v=1 (4:4:4 — subsampled chroma -> None), no restart intervals.
+    Strict container contract (the PNG IEND / GIF trailer rule): the
+    scan must be followed by EOI at the exact end of the payload.
+
+    Returns (width, height, pixels) — pixels[y][x] int64 luma for one
+    component, or [y][x][RGB] after the standard YCbCr round for three
+    — or None on anything malformed, truncated, or out of scope."""
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, list[int]] = {}
+    hufftables: dict[tuple[int, int], dict] = {}
+    frame = None
+    pos = 2
+    while True:
+        if pos + 4 > len(b):
+            return None
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            return None  # stray SOI / restart marker outside a scan
+        seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        if seglen < 2 or pos + 2 + seglen > len(b):
+            return None
+        seg = b[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if 0xE0 <= marker <= 0xEF or marker == 0xFE:
+            continue  # APPn / COM
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0 or tq > 3 or i + 65 > len(seg):
+                    return None  # 16-bit tables out of scope
+                qtables[tq] = list(seg[i + 1 : i + 65])
+                i += 65
+            continue
+        if marker == 0xC4:
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                if tc > 1 or th > 3:
+                    return None
+                bits = list(seg[i + 1 : i + 17])
+                nvals = sum(bits)
+                if i + 17 + nvals > len(seg):
+                    return None
+                vals = list(seg[i + 17 : i + 17 + nvals])
+                codes = _huff_canonical(bits)
+                hufftables[(tc, th)] = {
+                    c: v for c, v in zip(codes, vals)
+                }
+                i += 17 + nvals
+            if i != len(seg):
+                return None
+            continue
+        if marker in _JPEG_SOF_MARKERS:
+            if marker != 0xC0:
+                return None  # progressive/extended/lossless -> quarantine
+            if len(seg) < 6 or seg[0] != 8:
+                return None
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nf = seg[5]
+            if w <= 0 or h <= 0 or nf not in (1, 3):
+                return None
+            if len(seg) != 6 + 3 * nf:
+                return None
+            comps = []
+            for ci in range(nf):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    return None  # subsampling out of scope
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+            continue
+        if marker == 0xDA:
+            if frame is None:
+                return None
+            w, h, comps = frame
+            if len(seg) < 1 or seg[0] != len(comps):
+                return None
+            if len(seg) != 1 + 2 * len(comps) + 3:
+                return None
+            if seg[-3] != 0 or seg[-2] != 63 or seg[-1] != 0:
+                return None  # not a baseline full scan
+            scan_tbl = {}
+            for ci in range(len(comps)):
+                cs, tdta = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scan_tbl[cs] = (tdta >> 4, tdta & 15)
+            break
+        return None  # DRI / DNL / unknown marker: out of scope
+
+    # resolve tables per component
+    per_comp = []
+    for cid, tq in comps:
+        if cid not in scan_tbl or tq not in qtables:
+            return None
+        td, ta = scan_tbl[cid]
+        dct = hufftables.get((0, td))
+        act = hufftables.get((1, ta))
+        if dct is None or act is None:
+            return None
+        per_comp.append((qtables[tq], dct, act))
+
+    m = _idct_mat()
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    planes = [
+        np.empty((bh * 8, bw * 8), dtype=np.float64) for _ in comps
+    ]
+    br = _JpegBitReader(b, pos)
+    prev_dc = [0] * len(comps)
+    zz_rows = np.array([r for r, _ in _ZIGZAG])
+    zz_cols = np.array([c for _, c in _ZIGZAG])
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (qt, dct, act) in enumerate(per_comp):
+                s = _jpeg_read_huff(br, dct)
+                if s is None or s > 15:
+                    return None
+                diff = _jpeg_receive_extend(br, s)
+                if diff is None:
+                    return None
+                dc = prev_dc[ci] + diff
+                prev_dc[ci] = dc
+                zz = [0] * 64
+                zz[0] = dc
+                k = 1
+                while k < 64:
+                    sym = _jpeg_read_huff(br, act)
+                    if sym is None:
+                        return None
+                    if sym == 0x00:
+                        break  # EOB
+                    run, size = sym >> 4, sym & 15
+                    if size == 0:
+                        if run != 15:
+                            return None
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        return None
+                    v = _jpeg_receive_extend(br, size)
+                    if v is None:
+                        return None
+                    zz[k] = v
+                    k += 1
+                coeffs = np.zeros((8, 8), dtype=np.float64)
+                for k in range(64):
+                    coeffs[zz_rows[k], zz_cols[k]] = zz[k] * qt[k]
+                blk = m.T @ coeffs @ m
+                planes[ci][
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ] = blk
+    # strict trailer: pad bits in the current byte are dropped; the next
+    # bytes must be EOI at the exact end of the payload
+    p = br.p
+    if p + 2 != len(b) or b[p] != 0xFF or b[p + 1] != 0xD9:
+        return None
+    planes = [
+        np.clip(np.rint(pl) + 128, 0, 255)[:h, :w] for pl in planes
+    ]
+    if len(planes) == 1:
+        return w, h, planes[0].astype(np.int64)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    bl = y + 1.772 * (cb - 128)
+    rgb = np.stack(
+        [np.clip(np.rint(ch), 0, 255) for ch in (r, g, bl)], axis=-1
+    )
+    return w, h, rgb.astype(np.int64)
+
+
+JPEG_PIXELS_ORACLE = f"""
+SELECT doc_id,
+  CAST(CASE WHEN q THEN -1 ELSE w END AS INTEGER) AS width,
+  CAST(CASE WHEN q THEN -1 ELSE h END AS INTEGER) AS height,
+  CAST(CASE WHEN q THEN -1 ELSE w * h END AS BIGINT) AS n_pixels,
+  CAST(CASE WHEN q THEN -1 ELSE
+    list_sum(flatten(list_transform(range(0, h), y ->
+      list_transform(range(0, w), x ->
+        (doc_id + 2 * (x // 8) + 3 * (y // 8)) % 256)))) END
+    AS BIGINT) AS sum_luma,
+  CAST(CASE WHEN q THEN -1 ELSE
+    list_sum(flatten(list_transform(range(0, h), y ->
+      list_transform(range(0, w), x ->
+        ((doc_id + 2 * (x // 8) + 3 * (y // 8)) % 256)
+        * (x + w * y + 1))))) % {BMP_CHECK_MOD} END
+    AS BIGINT) AS pos_checksum
+FROM (SELECT doc_id, doc_id % 21 + 4 AS w, doc_id % 17 + 4 AS h,
+             doc_id % 7 = 0 AS q
+      FROM documents)
+"""
+
+
+@query("multimodal_pixels_jpeg", oracle=JPEG_PIXELS_ORACLE)
+def multimodal_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL baseline JPEG pixel decode end-to-end without pillow — the
+    LAST import-gated format closed (VERDICT r10 #7): REAL grayscale
+    JFIF files (Annex K huffman tables, byte-stuffed entropy scan,
+    MCU-grid padding cropped back to non-multiple-of-8 dims) are
+    synthesized per doc and decoded back through the full pipeline —
+    marker walk, DHT canonical-code build, huffman DC-diff decode,
+    dequant, de-zigzag, float IDCT, level shift, crop. Pixels are
+    block-constant so the lossy codec is exact here (module note), and
+    the POSITION-WEIGHTED checksum catches crop/order mistakes the
+    plain sum would forgive. Every 7th doc is stamped SOF2
+    (progressive) and must come back as the -1 quarantine row — stated
+    in the oracle. The AC entropy path rides the coefficient-level
+    differential tests instead (lossy in pixel space).
+
+    Scale: synthesize + decode inside Arrow batches, features-only
+    across the boundary, no exchange — the pixel-pipeline shape."""
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents")
+
+    def row_fn(b: bytes):
+        dec = decode_jpeg_pixels(b)
+        if dec is None:
+            return None
+        w, h, px = dec
+        wgt = np.arange(w * h, dtype=np.int64).reshape(h, w) + 1
+        return (
+            w,
+            h,
+            w * h,
+            int(px.sum()),
+            int((px * wgt).sum() % BMP_CHECK_MOD),
+        )
+
+    return _payload_feature_pipeline(
+        docs,
+        lambda i: make_jpeg_bytes(
+            i, i % 21 + 4, i % 17 + 4, progressive=i % 7 == 0
+        ),
+        row_fn,
+        [
+            ("width", T.IntegerType()),
+            ("height", T.IntegerType()),
+            ("n_pixels", T.LongType()),
+            ("sum_luma", T.LongType()),
             ("pos_checksum", T.LongType()),
         ],
     )

@@ -183,6 +183,7 @@ _DRIVER_SHOWCASE = (
 _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     "xml_roundtrip_events_agg",
     "multimodal_audio_pcm",
+    "multimodal_pixels_jpeg",
 )
 
 

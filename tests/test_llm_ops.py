@@ -42,11 +42,28 @@ def test_ivf_cosines_match_exact_where_overlapping(spark, sf_dir):
             assert r.cosine == exact[(r.query_id, r.neighbor_id)]
 
 
-def test_decode_image_is_stubbed():
-    from go_dfs_mapreduce_spark.operators.multimodal import decode_image
+def test_decode_image_dispatches_all_formats_no_pillow():
+    """The former pillow gate is closed (r11): decode_image dispatches
+    every sniffed container to its pure decoder, quarantines junk, and
+    the repo carries zero NotImplementedError stubs."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_image,
+        make_bmp_pixel_bytes,
+        make_gif_bytes,
+        make_jpeg_bytes,
+        make_png_bytes,
+    )
 
-    with pytest.raises(NotImplementedError, match="pillow|decode"):
-        decode_image(b"\x89PNG fake")
+    assert decode_image(b"\x89PNG fake") is None  # junk -> quarantine
+    assert decode_image(b"") is None
+    for payload, w, h in (
+        (make_bmp_pixel_bytes(3, 5, 4, False), 5, 4),
+        (make_png_bytes(3, 5, 4), 5, 4),
+        (make_gif_bytes(3, 5, 4), 5, 4),
+        (make_jpeg_bytes(3, 5, 4), 5, 4),
+    ):
+        dec = decode_image(payload)
+        assert dec is not None and dec[0] == w and dec[1] == h
 
 
 def test_exact_dedup_partitions_corpus(spark, sf_dir):
@@ -2713,3 +2730,143 @@ def test_shard_manifest_detects_corruption(spark, tmp_path):
     assert [r[:4] for r in got] == [r[:4] for r in base]  # counts equal
     # dropped doc -> count and checksum change
     assert manifest(write("d", texts[:-1])) != base
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """The gate query's lossless-by-construction corner: block-constant
+    grayscale JFIFs decode back bit-exactly across many dims (including
+    non-multiple-of-8 crops) and doc ids; the progressive (SOF2) arm
+    quarantines."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg_bytes,
+        parse_image_header,
+    )
+
+    for doc_id in range(40):
+        w, h = doc_id % 21 + 4, doc_id % 17 + 4
+        b = make_jpeg_bytes(doc_id, w, h)
+        assert parse_image_header(b) == {
+            "format": "jpeg", "width": w, "height": h,
+        }
+        dec = decode_jpeg_pixels(b)
+        assert dec is not None, (doc_id, w, h)
+        W, H, px = dec
+        assert (W, H) == (w, h)
+        want = np.array(
+            [
+                [(doc_id + 2 * (x // 8) + 3 * (y // 8)) % 256 for x in range(w)]
+                for y in range(h)
+            ]
+        )
+        assert (px == want).all()
+    assert decode_jpeg_pixels(make_jpeg_bytes(7, 10, 10, progressive=True)) is None
+
+
+def test_jpeg_every_prefix_truncation_quarantines():
+    """The shared truncation sweep of all binary decoders: every strict
+    prefix of a valid JPEG must decode to None, never raise — the
+    strict EOI-at-end trailer rule makes even header-complete prefixes
+    malformed."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg_bytes,
+    )
+
+    b = make_jpeg_bytes(3, 12, 9)
+    for i in range(len(b)):
+        assert decode_jpeg_pixels(b[:i]) is None, i
+    # trailing garbage after EOI is equally malformed
+    assert decode_jpeg_pixels(b + b"\x00") is None
+
+
+def test_jpeg_ac_path_differential_vs_reference_idct():
+    """The AC entropy path (run-length symbols, ZRL, magnitude extend,
+    full 2-D IDCT) can't ride the block-constant gate oracle (lossy in
+    pixel space) — pin it at the COEFFICIENT level instead: random
+    quantized blocks encode -> decode and must equal an independent
+    O(n^4) textbook IDCT computed here, including a block with a
+    >16-zero gap that forces ZRL emission."""
+    import math
+
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        jpeg_encode_gray_blocks,
+    )
+
+    def ref_idct(coef):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv / 4 * coef[u, v]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                    out[x, y] = s
+        return out
+
+    rng = np.random.default_rng(17)
+    blocks = [rng.integers(-40, 40, 64).tolist() for _ in range(3)]
+    zrl_block = [0] * 64
+    zrl_block[0], zrl_block[40], zrl_block[63] = 24, -7, 3  # forces ZRL
+    blocks.append(zrl_block)
+    w, h = 32, 8  # 4x1 blocks
+    enc = jpeg_encode_gray_blocks([list(map(int, bl)) for bl in blocks], w, h)
+    dec = decode_jpeg_pixels(enc)
+    assert dec is not None
+    _, _, px = dec
+    for bi, bl in enumerate(blocks):
+        coef = np.array(bl, dtype=np.float64).reshape(8, 8)
+        want = np.clip(np.rint(ref_idct(coef)) + 128, 0, 255)
+        assert (px[:, bi * 8 : (bi + 1) * 8] == want).all(), bi
+
+
+def test_jpeg_three_component_ycbcr_to_rgb():
+    """The color path: a 3-component 4:4:4 file with DC-only constant
+    blocks decodes through interleaved MCUs and the standard YCbCr
+    rounding — expected RGB computed independently here."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        jpeg_encode_ycbcr_blocks,
+    )
+
+    def const_block(v):
+        return [8 * (v - 128)] + [0] * 63
+
+    # two MCUs with distinct (Y, Cb, Cr) constants, w=16 h=8, crop w=13
+    trip0, trip1 = (90, 100, 180), (200, 60, 40)
+    enc = jpeg_encode_ycbcr_blocks(
+        [
+            [const_block(c) for c in trip0],
+            [const_block(c) for c in trip1],
+        ],
+        13,
+        8,
+    )
+    dec = decode_jpeg_pixels(enc)
+    assert dec is not None
+    w, h, px = dec
+    assert (w, h) == (13, 8) and px.shape == (8, 13, 3)
+
+    def rgb(y, cb, cr):
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        return [int(np.clip(np.rint(c), 0, 255)) for c in (r, g, b)]
+
+    assert px[0, 0].tolist() == rgb(*trip0)
+    assert px[7, 7].tolist() == rgb(*trip0)
+    assert px[0, 8].tolist() == rgb(*trip1)
+    assert px[7, 12].tolist() == rgb(*trip1)
