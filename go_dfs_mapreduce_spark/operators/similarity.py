@@ -879,30 +879,44 @@ def _lsh_candidates(
     multiprobe: bool,
     bits: int | None,
     n_queries: int,
+    bucketed: bool | None = None,
 ) -> DataFrame:
     """DataFrame[qid, cid] — the DISTINCT bucket-join candidate pairs,
     shared by the exact-decimal rank path and the numpy fast scorer.
-    Signatures come from the persisted BUCKETED index
-    (``lsh_sig_bucketed``); the probe fan-out happens on the tiny
-    broadcast query side, and the probe keys are ALSO pushed into the
-    index scan as a literal ``pk IN (...)`` filter so the bucketed read
-    prunes to the probed buckets (SelectedBucketsCount in the plan —
-    the r10 verdict's #3 ask) instead of streaming every signature row
-    into the join. The filter is semantically redundant (any row
-    surviving the (t, sig) equi-join has its pk in the probe set by
-    construction), so results are byte-identical to the unpruned join —
-    pinned by ``test_lsh_bucketed_candidates_match_unpruned``.
+    Signatures come from the persisted index; the probe fan-out happens
+    on the tiny broadcast query side.
 
-    The probe-key collect is a bounded constant-size closure — at most
-    n_queries x LSH_TABLES x (bits+1) int64s (e.g. 64 x 8 x 21 ~ 10.8k
-    at the width ceiling), the same class as the 64-row query batch
-    collect documented in ``ann_cosine_batch_fast``."""
+    TWO physically different reads of the same index, same results
+    (pinned by ``test_lsh_bucketed_candidates_match_unpruned``):
+
+    - ``bucketed=False`` (the default): the exploded ARRAY index
+      streams through the broadcast (t, sig) join — one scan stage at
+      the session's parallelism. This is the measured winner at every
+      fixture/probe scale: candidates for 5 queries at 100k vectors in
+      0.8 s vs 5.5 s bucketed, 64 queries 0.67 s vs 23.7 s (r11
+      decomposition, SCALE.md round 11), because the 1024-bucket scan
+      pays ~1024 task launches against kilobyte files.
+    - ``bucketed=True`` (opt-in; env ``SPARK_GRAFT_LSH_BUCKETED=1``):
+      the BUCKETED index (``lsh_sig_bucketed``) scanned with the probe
+      keys pushed down as a literal ``pk IN (...)`` filter — the plan
+      shows ``SelectedBucketsCount: <probed> out of 1024`` (plan-pinned
+      in tests). The filter is semantically redundant (join-key
+      equality implies pk membership), so results are byte-identical.
+      This is the 100 TB SERVE shape — a bucket there is ~128 MB and
+      the pruned read skips real I/O, where at fixture scale it can
+      only skip task launches it still has to schedule. The probe-key
+      collect is a bounded constant-size closure (at most n_queries x
+      LSH_TABLES x (bits+1) int64s), the ``ann_cosine_batch_fast``
+      class."""
     b = LSH_BITS if bits is None else bits
-    qside = (
-        lsh_sig_table(spark, sf_dir, bits)
-        .where(F.col("vec_id") < n_queries)
-        .select("vec_id", F.posexplode("sigs").alias("t", "sig"))
+    if bucketed is None:
+        bucketed = os.environ.get(
+            "SPARK_GRAFT_LSH_BUCKETED", ""
+        ).lower() in ("1", "true", "yes")
+    sigs_arr = lsh_sig_table(spark, sf_dir, bits).select(
+        "vec_id", F.posexplode("sigs").alias("t", "sig")
     )
+    qside = sigs_arr.where(F.col("vec_id") < n_queries)
     if multiprobe:
         # probe the exact bucket plus every Hamming-1 bucket — the
         # expansion happens on the tiny broadcast side only
@@ -914,19 +928,22 @@ def _lsh_candidates(
         )
     else:
         qsigs = qside.select(F.col("vec_id").alias("qid"), "t", "sig")
-    probe_pks = sorted(
-        r.pk
-        for r in qsigs.select(
-            F.expr(
-                f"CAST(t AS BIGINT) * {_PK_SHIFT} + CAST(sig AS BIGINT)"
-            ).alias("pk")
+    if bucketed:
+        probe_pks = sorted(
+            r.pk
+            for r in qsigs.select(
+                F.expr(
+                    f"CAST(t AS BIGINT) * {_PK_SHIFT} + CAST(sig AS BIGINT)"
+                ).alias("pk")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
-    sigs = lsh_sig_bucketed(spark, sf_dir, bits).where(
-        F.col("pk").isin(probe_pks)
-    )
+        sigs = lsh_sig_bucketed(spark, sf_dir, bits).where(
+            F.col("pk").isin(probe_pks)
+        )
+    else:
+        sigs = sigs_arr
     return (
         sigs.join(F.broadcast(qsigs), ["t", "sig"])
         .where(F.col("vec_id") != F.col("qid"))

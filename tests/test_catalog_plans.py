@@ -1116,10 +1116,13 @@ def test_round10_operator_plan_contracts(spark, sf_dir):
 
 
 def test_lsh_bucketed_index_scan_is_pruned(spark, sf_dir):
-    """VERDICT r10 #3: the LSH candidate join must read the persisted
-    signature index through a BUCKETED scan pruned by the literal probe
-    keys — SelectedBucketsCount strictly below the bucket count — not a
-    full-index stream into the join."""
+    """VERDICT r10 #3: the OPT-IN bucketed read of the LSH signature
+    index must scan through a BUCKETED file source pruned by the
+    literal probe keys — SelectedBucketsCount strictly below the bucket
+    count — not a full-index stream into the join. (The r11
+    decomposition measured this read as the 100 TB serve shape but a
+    task-launch pessimization at fixture scale, so the DEFAULT path is
+    the array join — SCALE.md round 11.)"""
     import re
 
     from go_dfs_mapreduce_spark.operators import similarity as S
@@ -1127,7 +1130,12 @@ def test_lsh_bucketed_index_scan_is_pruned(spark, sf_dir):
 
     bits = S._calibrated_bits_for(spark, sf_dir)
     cand = S._lsh_candidates(
-        spark, sf_dir, multiprobe=True, bits=bits, n_queries=S.N_QUERIES
+        spark,
+        sf_dir,
+        multiprobe=True,
+        bits=bits,
+        n_queries=S.N_QUERIES,
+        bucketed=True,
     )
     plan = formatted_plan(cand)
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
@@ -1144,18 +1152,35 @@ def test_lsh_bucketed_index_scan_is_pruned(spark, sf_dir):
 
 def test_lsh_bucketed_candidates_match_unpruned(spark, sf_dir):
     """The pk IN (...) prune filter is semantically redundant (join-key
-    equality implies pk membership) — the candidate pair set must be
-    byte-identical to the unpruned (t, sig) bucket join computed
-    straight off the array index."""
+    equality implies pk membership) — the opt-in bucketed read's
+    candidate pair set must be byte-identical to the default array-join
+    path AND to the unpruned join recomputed inline."""
     from go_dfs_mapreduce_spark.operators import similarity as S
 
     bits = S._calibrated_bits_for(spark, sf_dir)
     got = {
         (r.qid, r.cid)
         for r in S._lsh_candidates(
-            spark, sf_dir, multiprobe=True, bits=bits, n_queries=S.N_QUERIES
+            spark,
+            sf_dir,
+            multiprobe=True,
+            bits=bits,
+            n_queries=S.N_QUERIES,
+            bucketed=True,
         ).collect()
     }
+    got_default = {
+        (r.qid, r.cid)
+        for r in S._lsh_candidates(
+            spark,
+            sf_dir,
+            multiprobe=True,
+            bits=bits,
+            n_queries=S.N_QUERIES,
+            bucketed=False,
+        ).collect()
+    }
+    assert got == got_default
 
     sigs = S.lsh_sig_table(spark, sf_dir, bits).select(
         "vec_id", F.posexplode("sigs").alias("t", "sig")
