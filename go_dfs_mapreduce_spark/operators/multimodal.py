@@ -749,8 +749,11 @@ def _payload_feature_pipeline(docs, make_payload, row_fn, out_fields):
 def _pixel_feature_pipeline(docs, make_payload, decode_fn, chan_cols):
     """The pixel-decoder instantiation of ``_payload_feature_pipeline``:
     per-channel sums in STORAGE order (``chan_cols`` names channel
-    0/1/2 — BGR for BMP, RGB for PNG/GIF) and the position-weighted
-    checksum over channel 2."""
+    0/1/2 — BGR for BMP, RGB for PNG/GIF; ONE name for a grayscale
+    decoder returning a 2-D plane, e.g. JPEG's luma) and the
+    position-weighted checksum over the last named channel. One copy of
+    the weight/checksum math for every pixel format (the r10 review's
+    triplication rule, re-applied to JPEG by the r11 review)."""
     import numpy as np
 
     def row_fn(b: bytes):
@@ -762,14 +765,16 @@ def _pixel_feature_pipeline(docs, make_payload, decode_fn, chan_cols):
         wgt = (
             np.arange(w * h, dtype=np.int64).reshape(h, w) + 1
         )  # x + w*y + 1 over the top-down grid
+        chans = (
+            [p] if p.ndim == 2
+            else [p[:, :, c] for c in range(len(chan_cols))]
+        )
         return (
             w,
             h,
             w * h,
-            int(p[:, :, 0].sum()),
-            int(p[:, :, 1].sum()),
-            int(p[:, :, 2].sum()),
-            int((p[:, :, 2] * wgt).sum() % BMP_CHECK_MOD),
+            *(int(c.sum()) for c in chans),
+            int((chans[-1] * wgt).sum() % BMP_CHECK_MOD),
         )
 
     return _payload_feature_pipeline(
@@ -1968,6 +1973,15 @@ def decode_jpeg_pixels(b: bytes):
     m = _idct_mat()
     bw = (w + 7) // 8
     bh = (h + 7) // 8
+    # allocation guard (the GIF max_out rule, r11 review finding): a
+    # crafted SOF0 can claim 65535x65535 while shipping a few hundred
+    # bytes — reject BEFORE allocating the planes unless the remaining
+    # payload could even in principle encode bw*bh*ncomp blocks (>= 2
+    # bits each: a 1-bit DC category code + a 1-bit EOB under the most
+    # degenerate legal DHT), keeping the never-raise quarantine contract
+    total_blocks = bw * bh * len(comps)
+    if (len(b) - pos) * 8 < total_blocks * 2:
+        return None
     planes = [
         np.empty((bh * 8, bw * 8), dtype=np.float64) for _ in comps
     ]
@@ -2076,35 +2090,12 @@ def multimodal_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: synthesize + decode inside Arrow batches, features-only
     across the boundary, no exchange — the pixel-pipeline shape."""
-    import numpy as np
-
     docs = table(spark, sf_dir, "documents")
-
-    def row_fn(b: bytes):
-        dec = decode_jpeg_pixels(b)
-        if dec is None:
-            return None
-        w, h, px = dec
-        wgt = np.arange(w * h, dtype=np.int64).reshape(h, w) + 1
-        return (
-            w,
-            h,
-            w * h,
-            int(px.sum()),
-            int((px * wgt).sum() % BMP_CHECK_MOD),
-        )
-
-    return _payload_feature_pipeline(
+    return _pixel_feature_pipeline(
         docs,
         lambda i: make_jpeg_bytes(
             i, i % 21 + 4, i % 17 + 4, progressive=i % 7 == 0
         ),
-        row_fn,
-        [
-            ("width", T.IntegerType()),
-            ("height", T.IntegerType()),
-            ("n_pixels", T.LongType()),
-            ("sum_luma", T.LongType()),
-            ("pos_checksum", T.LongType()),
-        ],
+        decode_jpeg_pixels,
+        ("sum_luma",),
     )

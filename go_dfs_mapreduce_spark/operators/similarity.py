@@ -467,6 +467,15 @@ _PK_SHIFT = 16_777_216  # 2^24 > any sig at the ANN_CAL_MAX_BITS=20 ceiling
 _BKT_BUILT: dict[tuple[str, str, int], str] = {}
 
 
+def _pk_expr() -> str:
+    """THE packed probe-key expression — one definition shared by the
+    index writer and the probe filter (r11 review finding: the
+    pk IN (...) prune is only semantically redundant while both sides
+    compute pk byte-identically; a drifted copy would silently empty
+    the opt-in bucketed candidate set)."""
+    return f"CAST(t AS BIGINT) * {_PK_SHIFT} + CAST(sig AS BIGINT)"
+
+
 def lsh_sig_bucketed(
     spark: SparkSession, sf_dir: str, bits: int | None = None
 ) -> DataFrame:
@@ -506,15 +515,19 @@ def lsh_sig_bucketed(
         if not spark.catalog.tableExists(name):
             # the in-memory catalog forgets tables across sessions while
             # their managed directories survive in the warehouse dir —
-            # clear leftovers (and stale-fingerprint siblings) so
-            # saveAsTable never trips over a non-empty location
+            # clear leftovers so saveAsTable never trips over a
+            # non-empty location. Only UNREGISTERED directories are
+            # GC'd: a same-prefix sibling still in this session's
+            # catalog (same kind/bits, different corpus fingerprint) is
+            # live and must survive (r11 review finding — the old
+            # prefix-wide rmtree deleted data out from under it)
             wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
                 "file:"
             )
             prefix = f"lsh_sigbkt_{kind}{b}_"
             if os.path.isdir(wh):
                 for d in os.listdir(wh):
-                    if d.startswith(prefix):
+                    if d.startswith(prefix) and not spark.catalog.tableExists(d):
                         shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
             rows = lsh_sig_table(spark, sf_dir, bits).select(
                 "vec_id",
@@ -523,9 +536,7 @@ def lsh_sig_bucketed(
                 "vec_id",
                 "t",
                 "sig",
-                F.expr(
-                    f"CAST(t AS BIGINT) * {_PK_SHIFT} + CAST(sig AS BIGINT)"
-                ).alias("pk"),
+                F.expr(_pk_expr()).alias("pk"),
             )
             (
                 rows.write.format("parquet")
@@ -931,11 +942,7 @@ def _lsh_candidates(
     if bucketed:
         probe_pks = sorted(
             r.pk
-            for r in qsigs.select(
-                F.expr(
-                    f"CAST(t AS BIGINT) * {_PK_SHIFT} + CAST(sig AS BIGINT)"
-                ).alias("pk")
-            )
+            for r in qsigs.select(F.expr(_pk_expr()).alias("pk"))
             .distinct()
             .collect()
         )
