@@ -1935,3 +1935,85 @@ def winnow_candidate_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_winnow_fast_kernel, "doc_id long, fp long")
     )
     return _winnow_pairs_from_fps(sel)
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus contamination audit (r11): the decontamination standard —
+# what fraction of each HELD-OUT doc's n-grams already exist in the
+# training slice (the GPT-3-style 13-gram check, at this corpus's 3-gram
+# scale)
+# --------------------------------------------------------------------------
+
+CONTAM_EVAL_MOD = 31        # doc_id % 31 == 0 -> the held-out eval slice
+CONTAM_THRESHOLD_PCT = 50   # contaminated iff overlap > 50% of eval shingles
+
+CONTAMINATION_ORACLE = f"""
+WITH sh AS ({SHINGLES_DUCK}),
+ev AS (SELECT * FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY doc_id),
+hit AS (
+  SELECT ev.doc_id, COUNT(*) AS n_overlap
+  FROM ev JOIN tr USING (shingle) GROUP BY ev.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(h.n_overlap, 0) * 1.0 / t.n_shingles, 6) AS overlap_frac,
+       COALESCE(h.n_overlap, 0) * 100 > t.n_shingles * {CONTAM_THRESHOLD_PCT}
+         AS contaminated
+FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+"""
+
+
+@query("contamination_ngram_audit", oracle=CONTAMINATION_ORACLE)
+def contamination_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit — the decontamination gate every
+    benchmark-respecting training pipeline runs (the GPT-3 report's
+    13-gram overlap check, expressed at this corpus's 3-gram shingle
+    scale): split the corpus by a doc_id hash-mod into train and a
+    held-out eval slice, then per eval doc report how many of its
+    DISTINCT shingles already occur anywhere in train, the overlap
+    fraction, and the contaminated verdict at an exact integer-rational
+    threshold (``n_overlap * 100 > n_shingles * 50`` — no float
+    boundary to diverge on). Shingles ride the persisted
+    ``_shingle_arrays`` derived table, so the audit adds no new
+    tokenize pass.
+
+    Plan shape: eval shingles semi-join the train-side DISTINCT shingle
+    set on the shingle key — hash-partitioned, no pair expansion (a
+    semi join cannot blow up on hot shingles the way the dedup
+    candidate joins can), one count per eval doc. At 100 TB the train
+    set is the big side and this is the standard decontam shape: one
+    shuffle keyed by n-gram; a bloom/CMS pre-filter on the eval side is
+    the established approximation when even that shuffle must shrink
+    (the heavy_hitters_cms_audit machinery), at the cost of one-sided
+    false overlap hits."""
+    sh = _shingles(spark, sf_dir)
+    ev = sh.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+    tr = (
+        sh.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+        .select("shingle")
+        .distinct()
+    )
+    tot = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        ev.join(tr, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    n_over = F.coalesce(F.col("n_overlap"), F.lit(0))
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            n_over.cast("long").alias("n_overlap"),
+            F.round(
+                n_over * F.lit(1.0) / F.col("n_shingles"), 6
+            ).alias("overlap_frac"),
+            (n_over * 100 > F.col("n_shingles") * CONTAM_THRESHOLD_PCT).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -76,6 +76,145 @@ WHERE rn <= {TOP_K}
 
 ANN_TOPK_ORACLE = _brute_oracle(N_QUERIES)
 
+# --- int8-quantized scan + exact rerank: the 4x-smaller-store brute ------
+
+ANN_INT8_RERANK_R = 32  # stage-1 survivors per query (>> TOP_K)
+
+INT8_RERANK_ORACLE = f"""
+WITH x AS ({EXPLODED_DUCK}),
+qx AS (
+  SELECT vec_id, i, CAST(FLOOR(v * 127 + 0.5) AS BIGINT) AS qv FROM x
+),
+s1 AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.qv * c.qv) AS int8_score
+  FROM qx q JOIN qx c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT qid, cid, int8_score FROM (
+    SELECT qid, cid, int8_score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY int8_score DESC, cid) AS r1
+    FROM s1) WHERE r1 <= {ANN_INT8_RERANK_R}
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,18))) AS n2 FROM x GROUP BY vec_id
+),
+dots AS (
+  SELECT cand.qid, cand.cid, cand.int8_score,
+         SUM(CAST(q.v * c.v AS DECIMAL(28,18))) AS dot
+  FROM cand
+  JOIN x q ON q.vec_id = cand.qid
+  JOIN x c ON c.vec_id = cand.cid AND c.i = q.i
+  GROUP BY 1, 2, 3
+),
+cos AS (
+  SELECT qid, cid, int8_score,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS c
+  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id
+)
+SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
+       ROUND(c, 6) AS cosine, CAST(int8_score AS BIGINT) AS int8_score
+FROM (SELECT qid, cid, int8_score, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rn
+      FROM cos)
+WHERE rn <= {TOP_K}
+"""
+
+_Q8_EXPR = (
+    "transform(embedding, v ->"
+    " CAST(FLOOR(CAST(v AS DOUBLE) * 127 + 0.5) AS BIGINT))"
+)
+
+
+@query("ann_int8_rerank_topk", oracle=INT8_RERANK_ORACLE)
+def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-scan brute force: stage 1 scans the INT8 store (the
+    4x-smaller projection ``embedding_quantize_int8`` audits — same
+    portable FLOOR(v*127+0.5) scheme) and ranks every candidate by the
+    pure-int64 quantized dot product, keeping the top
+    ``ANN_INT8_RERANK_R`` per query; stage 2 re-scores ONLY those
+    survivors with the exact-decimal cosine and emits the final top-k
+    under the standard (cosine desc, cid) tie rule, tagging each row
+    with its stage-1 score so the gate hash-checks BOTH stages.
+
+    This is the production middle ground the crossover probe (SCALE.md
+    r11) motivates: brute wins at probed scales but scans the full
+    float store; the int8 scan reads a quarter of the bytes (the 100 TB
+    lever - at 64 dims: 512 B of doubles -> 64 B of int8s per vector,
+    and the narrow stage-1 shuffle carries only (qid, cid, score)),
+    while stage 2 touches float vectors for R rows per query only.
+    Stage 1 is INTEGER arithmetic end to end - cross-engine agreement
+    is unconditional, no BLAS-ulp caveat - so unlike the numpy fast
+    arms this accelerated path carries a full-value oracle. Recall vs
+    the exact brute is pinned in tests (int8 error ~4e-3 per dim
+    reorders only near-ties; R = 32 >> k = 5 absorbs them)."""
+    from .dedup import _dec_dot_expr
+
+    emb = table(spark, sf_dir, "embeddings")
+    i8 = emb.select("vec_id", F.expr(_Q8_EXPR).alias("q8"))
+    q8 = i8.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("q8").alias("qq8")
+    )
+    int_dot = F.expr(
+        "aggregate(zip_with(qq8, q8, (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    s1 = (
+        i8.join(F.broadcast(q8), F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid", F.col("vec_id").alias("cid"), int_dot.alias("int8_score")
+        )
+    )
+    w1 = Window.partitionBy("qid").orderBy(
+        F.desc("int8_score"), F.asc("cid")
+    )
+    cand = (
+        s1.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= ANN_INT8_RERANK_R)
+        .select("qid", "cid", "int8_score")
+    )
+    ed = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
+    )
+    q = ed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("qn2"),
+    )
+    cos = (
+        cand.join(ed.alias("c"), cand.cid == F.col("c.vec_id"))
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "cid",
+            "int8_score",
+            (
+                F.expr(_dec_dot_expr("q_emb", "c.embedding")).cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("c.n2").cast("double"))
+                )
+            ).alias("c"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("cid"))
+    return (
+        cos.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.round("c", 6).alias("cosine"),
+            F.col("int8_score").cast("long").alias("int8_score"),
+        )
+    )
+
 
 @query("ann_cosine_topk", oracle=ANN_TOPK_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

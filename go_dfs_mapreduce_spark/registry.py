@@ -184,6 +184,8 @@ _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     "xml_roundtrip_events_agg",
     "multimodal_audio_pcm",
     "multimodal_pixels_jpeg",
+    "ann_int8_rerank_topk",
+    "contamination_ngram_audit",
 )
 
 

@@ -2870,3 +2870,78 @@ def test_jpeg_three_component_ycbcr_to_rgb():
     assert px[7, 7].tolist() == rgb(*trip0)
     assert px[0, 8].tolist() == rgb(*trip1)
     assert px[7, 12].tolist() == rgb(*trip1)
+
+
+def test_ann_int8_rerank_recall_vs_exact(spark, sf_dir):
+    """The int8-scan + exact-rerank accelerated brute must agree with
+    the full-precision exact brute almost everywhere: quantization
+    error ~4e-3/dim reorders only near-ties, and R=32 stage-1 survivors
+    absorb them before the k=5 cut. Where both rankings keep a pair,
+    the exact-decimal cosine must be IDENTICAL (stage 2 recomputes it
+    full-precision)."""
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_int8_rerank_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_int8_rerank_topk(spark, sf_dir).collect()
+    }
+    shared = set(exact) & set(got)
+    assert len(shared) / len(exact) >= 0.8, (len(shared), len(exact))
+    for k in shared:
+        assert got[k] == exact[k]
+
+
+def test_contamination_audit_conservation_and_handcrafted(spark, tmp_path):
+    """Contamination semantics pinned on an engineered corpus: doc 0
+    (eval, doc_id % 31 == 0) copies most of its text from train doc 1
+    -> contaminated; doc 31 (eval) is unique text -> clean; doc 62
+    (eval) has ALL shingles in train (verbatim duplicate of doc 2) ->
+    overlap_frac exactly 1.0. Plus the conservation law n_overlap <=
+    n_shingles on the real corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        contamination_ngram_audit,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = {
+        0: shared + " iota kappa",             # eval: mostly from train 1
+        1: shared + " lambda mu nu xi",        # train
+        2: "one two three four five six",      # train
+        31: "unique words nobody else wrote here at all",  # eval: clean
+        62: "one two three four five six",     # eval: verbatim dup of 2
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids], pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(["t"] * len(ids), pa.string()),
+                "n_chars": pa.array(
+                    [len(texts[i]) for i in ids], pa.int64()
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rows = {
+        r.doc_id: r
+        for r in contamination_ngram_audit(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {0, 31, 62}
+    assert rows[0].contaminated is True and rows[0].overlap_frac < 1.0
+    assert rows[31].n_overlap == 0 and rows[31].contaminated is False
+    assert rows[62].overlap_frac == 1.0 and rows[62].contaminated is True
+    for r in rows.values():
+        assert 0 <= r.n_overlap <= r.n_shingles
