@@ -2050,3 +2050,209 @@ def ann_calibrated_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ivf_cal_recall"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + ADC top-k (r11): the third leg of the
+# production ANN triad after LSH and IVF — compress vectors to M
+# codebook codes, score queries against the compressed corpus via
+# asymmetric-distance lookup tables
+# --------------------------------------------------------------------------
+
+PQ_M = 8      # subspaces (64 dims -> 8 subvectors of 8)
+PQ_DSUB = 8   # dims per subspace
+PQ_K = 16     # codewords per subspace (a 4-bit code)
+
+PQ_ADC_ORACLE = f"""
+WITH xm AS (
+  SELECT vec_id, list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, r.m AS m,
+         xm[CAST(r.m * {PQ_DSUB} + 1 AS INT) :
+            CAST(r.m * {PQ_DSUB} + {PQ_DSUB} AS INT)] AS sv
+  FROM xm, range(0, {PQ_M}) r(m)
+),
+seeds AS (
+  SELECT m, vec_id AS code, sv AS cw FROM sub WHERE vec_id < {PQ_K}
+),
+d1 AS (
+  SELECT s.vec_id, s.m, sd.code,
+         CAST(list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+              i -> (s.sv[i] - sd.cw[i]) * (s.sv[i] - sd.cw[i]))) AS BIGINT) AS d2
+  FROM sub s JOIN seeds sd ON sd.m = s.m
+),
+a1 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM d1) t WHERE rn = 1
+),
+psum AS (
+  SELECT a.m, a.code, r.i AS pos, SUM(s.sv[r.i]) AS ps, COUNT(*) AS n
+  FROM a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+       range(1, {PQ_DSUB} + 1) r(i)
+  GROUP BY 1, 2, 3
+),
+cb AS (
+  SELECT m, code,
+         list(CAST(round(CAST(ps AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cw
+  FROM psum GROUP BY m, code
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             CAST(list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+                  i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) AS BIGINT),
+             c.code) AS rn
+    FROM sub s JOIN cb c ON c.m = s.m) t WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS qid, s.m, c.code,
+         CAST(list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+              i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) AS BIGINT) AS d2
+  FROM sub s JOIN cb c ON c.m = s.m
+  WHERE s.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT l.qid, e.vec_id AS cid, SUM(l.d2) AS adc_d2
+  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+  WHERE e.vec_id <> l.qid
+  GROUP BY 1, 2
+)
+SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
+       CAST(adc_d2 AS BIGINT) AS adc_d2_micro
+FROM (SELECT qid, cid, adc_d2,
+             row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rn
+      FROM adc)
+WHERE rn <= {TOP_K}
+"""
+
+
+@query("pq_adc_topk", oracle=PQ_ADC_ORACLE)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with asymmetric-distance (ADC) scoring —
+    the third production index family after LSH and IVF (Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search", public): split
+    each 64-dim vector into ``PQ_M`` = 8 subvectors, train a ``PQ_K`` =
+    16-codeword codebook per subspace (one deterministic micro-int
+    Lloyd refinement seeded by the smallest vec_ids — the
+    ``kmeans_embeddings`` recipe per subspace), ENCODE every vector as
+    8 four-bit codes, then score each query against the COMPRESSED
+    corpus: per query, an 8 x 16-entry lookup table of exact integer
+    subspace distances, and each candidate's estimated distance is the
+    sum of 8 table lookups selected by its codes. Ranking is
+    (adc_d2 asc, cid) — all integer, so the full training + encode +
+    score pipeline carries a full-value oracle (every codebook
+    coordinate, code assignment, and ADC distance is hash-checked
+    through the SQL replay).
+
+    Scale story: the encoded corpus is 8 x 4 bits = 4 BYTES per vector
+    (128x smaller than the float64 store; the int8 store is 16x larger
+    than this) — at 100 TB of embeddings the PQ codes fit hot storage
+    outright. Scoring never touches raw vectors: one broadcast of the
+    per-query LUT (M x K rows) joins the code table, an
+    embarrassingly parallel scan of 4-byte payloads. Codebook training
+    is the kmeans shape (broadcast seeds/centroids x one corpus pass
+    per iteration); encode is one pass. The recall/compression
+    trade (PQ_K, PQ_M) is the standard knob pair; IVF-PQ composition
+    (route to cells, PQ-score within) follows from the registered IVF
+    cell tables and this operator's LUT join.
+
+    Honest recall floor (measured r11): recall@5 vs the exact brute is
+    0.28 at sf0.001 AND sf0.01 — the same near-isotropic-corpus ceiling
+    the LSH family documents (true neighbors sit at cosine ~0.35, and
+    128x compression cannot keep them separable; on a real embedding
+    corpus with neighbors at cosine ~0.9 the identical params recall
+    far higher). Production PQ pairs the ADC scan with an exact rerank
+    of the shortlist — the composition ``ann_int8_rerank_topk``
+    demonstrates on the int8 store. A verbatim duplicate of a query
+    shares the query's codes, so its ADC distance equals the query's
+    OWN quantization distortion — the minimum any candidate can achieve
+    (ADC is asymmetric: distances run query-to-codeword, never
+    query-to-candidate) — and it must rank first (pinned in tests)."""
+    emb = table(spark, sf_dir, "embeddings")
+    xm = emb.select("vec_id", F.expr(_MICRO_ARR).alias("xm"))
+    sub = xm.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" m -> slice(xm, m * {PQ_DSUB} + 1, {PQ_DSUB}))"
+            )
+        ).alias("m", "sv"),
+    )
+    seeds = sub.where(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cw")
+    )
+    d1 = sub.join(F.broadcast(seeds), "m").select(
+        "vec_id", "m", "code", F.expr(_sqd_micro("sv", "cw")).alias("d2")
+    )
+    w_vm = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+    a1 = (
+        d1.withColumn("rn", F.row_number().over(w_vm))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    psum = (
+        a1.join(sub, ["vec_id", "m"])
+        .select("m", "code", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("m", "code", "pos")
+        .agg(F.sum("x").alias("ps"), F.count(F.lit(1)).alias("n"))
+    )
+    cb = (
+        psum.select(
+            "m",
+            "code",
+            "pos",
+            F.expr(
+                "CAST(round(CAST(ps AS DOUBLE) / n) AS BIGINT)"
+            ).alias("cm"),
+        )
+        .groupBy("m", "code")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cm))),"
+                " s -> s.cm)"
+            ).alias("cw")
+        )
+    )
+    enc = (
+        sub.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id", "m", "code", F.expr(_sqd_micro("sv", "cw")).alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w_vm))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    lut = (
+        sub.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "m",
+            "code",
+            F.expr(_sqd_micro("sv", "cw")).alias("d2"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w_q = Window.partitionBy("qid").orderBy("adc_d2", "cid")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.col("adc_d2").cast("long").alias("adc_d2_micro"),
+        )
+    )

@@ -186,6 +186,7 @@ _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     "multimodal_pixels_jpeg",
     "ann_int8_rerank_topk",
     "contamination_ngram_audit",
+    "pq_adc_topk",
 )
 
 
