@@ -75,19 +75,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The exactly-50 queries the driver will record. Round-10 rotation
+# The exactly-50 queries the driver will record. Round-11 rotation
 # (the established pattern): 22 anchors keep one representative per
 # SURVEY §2 family green in every round's driver file; cumulative
-# driver verification has been TOTAL since round 8 (every registered
-# name has a passing row in the CORRECTNESS_r01-r09 union), so the
-# floating slots carry (a) round-10's own new operators — every
-# operator earns its driver row in the round it lands, the standing
-# invariant; (b) queries whose SEMANTICS changed this round and must
-# re-earn rows on the new behavior; and (c) recently-recorded names
-# staying warm. tests/test_rotation_ledger.py pins that nothing
-# silently falls out; the local gate still verifies every registered
-# query every round — driver rows are the externally-scored evidence.
-# Order within the list is presentation order only.
+# driver verification is total through r10 except the two late r10
+# additions, which head this round's new-op block, so the floating
+# slots carry (a) round-11's own new operators plus the two queued r10
+# ops — every operator earns its driver row in (or right after) the
+# round it lands, the standing invariant; (b) queries whose SEMANTICS
+# or kernel changed this round and must re-earn rows on the new
+# behavior; and (c) names whose code paths were touched this round
+# WITHOUT semantic change, staying warm as regression sentinels.
+# tests/test_rotation_ledger.py pins that nothing silently falls out;
+# the local gate still verifies every registered query every round —
+# driver rows are the externally-scored evidence. Order within the
+# list is presentation order only.
 _DRIVER_SHOWCASE = (
     # --- 22 family anchors (recorded in every round) ---
     # reference parity: wordcount plugin family (Q1-Q6)
@@ -129,50 +131,53 @@ _DRIVER_SHOWCASE = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_scores",
-    # --- round-10 new operators: each earns its driver row in its round
-    # (the standing invariant; all are green on the local gate) ---
-    "ann_lsh_calibrated_topk",
-    "ann_lsh_batch_topk",
-    "ann_cosine_batch_topk",
-    "ann_ivf_calibrated_topk",
-    "ann_calibrated_recall_audit",
+    # --- the two r10 ops queued past that round's rotation (VERDICT
+    # r10 #2: both must earn driver rows NOW) + round-11's own new
+    # operators (the standing invariant; all green on the local gate) ---
+    "xml_roundtrip_events_agg",
+    "multimodal_audio_pcm",
+    "multimodal_pixels_jpeg",
+    "ann_int8_rerank_topk",
+    "contamination_ngram_audit",
+    "pq_adc_topk",
+    # --- round-11 RE-EARN slots: bpe_train_merges_batched promoted its
+    # batch width m=4 -> 8 (results changed; VERDICT r10 #6), and the
+    # rate-limiter kernel gained the pinned out-of-order policy
+    # (VERDICT r10 #1 — results unchanged on the gate's ordered feeds,
+    # but the kernel is new code and re-earns per the verdict) ---
     "bpe_train_merges_batched",
-    "multimodal_pixels_png",
-    "multimodal_pixels_gif",
     "events_rate_limit",
     "stream_rate_limit_live",
-    # --- round-10 SEMANTICS CHANGES: these queries' results changed
-    # this round (null-event filtering at source; hot-user / mega-basket
-    # caps; authority-anchored URL port strip), so they must RE-earn
-    # driver rows on the new semantics, not coast on r9 evidence ---
-    "frequent_event_sequences",
-    "assoc_rules_copurchase",
-    "stream_event_sequences_live",
-    "url_canonical_dedup",
-    # --- 14 floating slots: recently-recorded names staying warm
-    # (every name rotated OUT retains its r1-r9 driver rows); priority
-    # to operators whose code was touched this round without semantic
-    # change (lineage cut, endianness dtype) and the new ops' direct
-    # foundations ---
-    "bpe_train_merges",
-    "winnow_candidate_pairs_fast",
-    "kmeans_embeddings",
-    "ann_recall_audit",
+    # --- 19 floating slots: code paths touched this round WITHOUT
+    # semantic change (regression sentinels — every name rotated OUT
+    # retains its r1-r10 driver rows). LSH family: the candidate join
+    # was rewritten around the opt-in bucketed index (array default,
+    # byte-identical results). Streaming *_live: the four numeric
+    # kernels were vectorized (iterrows removed). Multimodal pixels:
+    # the shared feature pipeline gained the grayscale mode and the GIF
+    # LZW decoder its output cap. Plus the new ops' direct foundations
+    # (quantization audit -> int8 rerank; kmeans -> PQ) and the
+    # freshly-dispositioned common-neighbors op ---
+    "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
-    "ann_ivf_topk",
-    "bpe_encode_corpus",
-    "doc_pack_bins_bpe",
+    "ann_lsh_calibrated_topk",
+    "ann_lsh_batch_topk",
+    "ann_calibrated_recall_audit",
+    "ann_recall_audit",
+    "lsh_recall_audit",
     "multimodal_pixels_bmp",
-    "span_corruption_plan",
-    "rrf_fusion_topk",
-    "curation_verdicts",
-    "training_shard_manifest",
+    "multimodal_pixels_png",
+    "multimodal_pixels_gif",
     "stream_cusum_alarms_live",
+    "stream_zscore_anomalies_live",
+    "stream_path_conversions_live",
+    "stream_first_occurrences_live",
+    "stream_event_sequences_live",
+    "embedding_quantize_int8",
+    "kmeans_embeddings",
+    "bpe_encode_corpus",
+    "graph_common_neighbors_topk",
 )
-
-# NOTE: xml_roundtrip_events_agg (added after the r10 rotation was
-# finalized) is queued for the next rotation rather than reshuffling a
-# verified 50-slot showcase mid-close.
 
 # Registered queries whose driver evidence is scheduled for the NEXT
 # round's rotation (the showcase is full at exactly 50). Every name here
@@ -180,14 +185,7 @@ _DRIVER_SHOWCASE = (
 # test_rotation_ledger.py fails if a registered name is in neither a
 # CORRECTNESS_r*.json nor the showcase nor this queue, so nothing can
 # silently lose its path to external evidence.
-_NEXT_ROTATION_QUEUE: tuple[str, ...] = (
-    "xml_roundtrip_events_agg",
-    "multimodal_audio_pcm",
-    "multimodal_pixels_jpeg",
-    "ann_int8_rerank_topk",
-    "contamination_ngram_audit",
-    "pq_adc_topk",
-)
+_NEXT_ROTATION_QUEUE: tuple[str, ...] = ()
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -1201,3 +1201,58 @@ def test_lsh_bucketed_candidates_match_unpruned(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_round11_operator_plan_contracts(spark, sf_dir):
+    """Plan pins for the round-11 operators: each keeps the structural
+    property its docstring claims."""
+    from go_dfs_mapreduce_spark.plans.audit import audit_plan
+
+    # ann_int8_rerank_topk: the declared two-stage shape — stage 1's
+    # narrow candidate shuffle, stage 2's broadcast of the tiny query
+    # side; one BroadcastNestedLoopJoin for the qid != vec_id pairing
+    # (query side built), never a CartesianProduct, never Python
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        ann_int8_rerank_topk,
+        pq_adc_topk,
+    )
+
+    a = audit_plan(ann_int8_rerank_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "BroadcastNestedLoopJoin" in a["plan"]
+    assert "BuildRight" in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+    assert "Window" in a["plan"]  # per-query ranks, never a global sort
+
+    # pq_adc_topk: codebooks/LUTs ride broadcasts (seeds, refined
+    # codebook, per-query LUT); the only corpus-sized work is scans +
+    # hash aggregates; JVM-only
+    a = audit_plan(pq_adc_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_broadcast_joins"] >= 3
+    assert "CartesianProduct" not in a["plan"]
+
+    # contamination_ngram_audit: the eval-vs-train probe is a LeftSemi
+    # join (no pair expansion possible on hot shingles); JVM-only
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        contamination_ngram_audit,
+    )
+
+    a = audit_plan(contamination_ngram_audit(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "LeftSemi" in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+    # multimodal_pixels_jpeg: the two declared Arrow stages (synth +
+    # decode) over a 1-column scan — Python IS the operator here, but
+    # only those two stages, and no exchange at all
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_pixels_jpeg,
+    )
+
+    a = audit_plan(multimodal_pixels_jpeg(spark, sf_dir))
+    # two tree nodes (the formatted plan repeats each in its detail
+    # section, so count the numbered tree form)
+    assert a["plan"].count("MapInPandas (") == 2
+    assert a["n_exchanges"] == 0
+    assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]  # 1-col scan
