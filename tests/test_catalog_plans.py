@@ -238,6 +238,9 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         "multimodal_pixels_png",
         "multimodal_pixels_gif",
         "multimodal_audio_pcm",
+        # round 11: the baseline JPEG pixel decoder — the last format,
+        # same Arrow decode-stage class as its BMP/PNG/GIF siblings
+        "multimodal_pixels_jpeg",
         "udf_price_tier",
         "udaf_customer_stats",
         "udtf_first_tokens",
