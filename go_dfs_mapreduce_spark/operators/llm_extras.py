@@ -30,14 +30,28 @@ from ..tables import table
 # int8 quantization
 # --------------------------------------------------------------------------
 
-QUANT_ORACLE = """
+INT8_SCALE = 127
+
+
+def int8_quantize_frag(v: str) -> str:
+    """THE symmetric int8 quantization rule — one textual source of
+    truth for every consumer on BOTH engines (this module's audit
+    operator and its oracle, ``similarity.ann_int8_rerank_topk``'s scan
+    expression and its oracle), so a scheme change (clamp, scale,
+    rounding) lands everywhere or nowhere: half-up rounding spelled as
+    FLOOR(x * 127 + 0.5) — floor of a double is engine-independent,
+    unlike round-of-double. Callers cast the result to their width."""
+    return f"FLOOR(CAST({v} AS DOUBLE) * {INT8_SCALE} + 0.5)"
+
+
+QUANT_ORACLE = f"""
 WITH x AS (
   SELECT vec_id, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS v
   FROM embeddings, range(1, 65) r(i)
 ),
 q AS (
   SELECT vec_id, i, v,
-         CAST(FLOOR(v * 127 + 0.5) AS INTEGER) AS qv
+         CAST({int8_quantize_frag('v')} AS INTEGER) AS qv
   FROM x
 ),
 e AS (
@@ -66,7 +80,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = emb.select("vec_id", F.posexplode("embedding").alias("i", "vf")).select(
         "vec_id", F.col("vf").cast("double").alias("v")
     )
-    qv = F.floor(F.col("v") * 127 + 0.5).cast("int")
+    qv = F.expr(int8_quantize_frag("v")).cast("int")
     err = F.abs(F.col("v") - qv.cast("double") / 127.0)
     e = x.select(
         "vec_id",

@@ -80,10 +80,17 @@ ANN_TOPK_ORACLE = _brute_oracle(N_QUERIES)
 
 ANN_INT8_RERANK_R = 32  # stage-1 survivors per query (>> TOP_K)
 
+# the ONE quantization rule, imported from its audit operator (r11
+# review finding: four textual copies of FLOOR(v*127+0.5) would let the
+# scheme drift out from under the 'same portable scheme' docstring claim)
+from .llm_extras import int8_quantize_frag as _int8_quantize_frag  # noqa: E402
+
+_I8Q_V = _int8_quantize_frag("v")
+
 INT8_RERANK_ORACLE = f"""
 WITH x AS ({EXPLODED_DUCK}),
 qx AS (
-  SELECT vec_id, i, CAST(FLOOR(v * 127 + 0.5) AS BIGINT) AS qv FROM x
+  SELECT vec_id, i, CAST({_I8Q_V} AS BIGINT) AS qv FROM x
 ),
 s1 AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.qv * c.qv) AS int8_score
@@ -123,10 +130,7 @@ FROM (SELECT qid, cid, int8_score, c,
 WHERE rn <= {TOP_K}
 """
 
-_Q8_EXPR = (
-    "transform(embedding, v ->"
-    " CAST(FLOOR(CAST(v AS DOUBLE) * 127 + 0.5) AS BIGINT))"
-)
+_Q8_EXPR = f"transform(embedding, v -> CAST({_I8Q_V} AS BIGINT))"
 
 
 @query("ann_int8_rerank_topk", oracle=INT8_RERANK_ORACLE)

@@ -2898,7 +2898,9 @@ def test_ann_int8_rerank_recall_vs_exact(spark, sf_dir):
         assert got[k] == exact[k]
 
 
-def test_contamination_audit_conservation_and_handcrafted(spark, tmp_path):
+def test_contamination_audit_conservation_and_handcrafted(
+    spark, sf_dir, tmp_path
+):
     """Contamination semantics pinned on an engineered corpus: doc 0
     (eval, doc_id % 31 == 0) copies most of its text from train doc 1
     -> contaminated; doc 31 (eval) is unique text -> clean; doc 62
@@ -2945,6 +2947,12 @@ def test_contamination_audit_conservation_and_handcrafted(spark, tmp_path):
     assert rows[62].overlap_frac == 1.0 and rows[62].contaminated is True
     for r in rows.values():
         assert 0 <= r.n_overlap <= r.n_shingles
+    # the conservation law on the REAL corpus too (the docstring's
+    # promise — would catch a lost distinctness guarantee upstream)
+    real = contamination_ngram_audit(spark, sf_dir).collect()
+    assert real
+    for r in real:
+        assert 0 <= r.n_overlap <= r.n_shingles
 
 
 def test_pq_adc_duplicate_ranks_first_and_recall_floor(spark, sf_dir, tmp_path):
@@ -2984,10 +2992,12 @@ def test_pq_adc_duplicate_ranks_first_and_recall_floor(spark, sf_dir, tmp_path):
     )
     rows = pq_adc_topk(spark, str(tmp_path)).collect()
     q0 = [r for r in rows if r.query_id == 0]
-    assert q0[0].neighbor_id == 40 and q0[0].rank == 1
-    assert q0[0].adc_d2_micro > 0  # asymmetric: own-distortion, not 0
-    # ...and strictly minimal among qid 0's ranked candidates
-    assert all(r.adc_d2_micro >= q0[0].adc_d2_micro for r in q0)
+    # select rank 1 explicitly — collect() order is not an API contract
+    top = min(q0, key=lambda r: r.rank)
+    assert top.neighbor_id == 40 and top.rank == 1
+    assert top.adc_d2_micro > 0  # asymmetric: own-distortion, not 0
+    # ...and minimal among qid 0's ranked candidates
+    assert all(r.adc_d2_micro >= top.adc_d2_micro for r in q0)
 
     ex = {
         (r.query_id, r.neighbor_id)
