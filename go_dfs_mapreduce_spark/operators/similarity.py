@@ -2178,6 +2178,32 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     OWN quantization distortion — the minimum any candidate can achieve
     (ADC is asymmetric: distances run query-to-codeword, never
     query-to-candidate) — and it must rank first (pinned in tests)."""
+    enc, lut = _pq_codes_and_lut(spark, sf_dir, N_QUERIES)
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w_q = Window.partitionBy("qid").orderBy("adc_d2", "cid")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.col("adc_d2").cast("long").alias("adc_d2_micro"),
+        )
+    )
+
+
+def _pq_codes_and_lut(spark: SparkSession, sf_dir: str, n_queries: int):
+    """(enc DataFrame[vec_id, m, code], lut DataFrame[qid, m, code, d2])
+    — the shared PQ machinery: subvector split, one seeded Lloyd
+    refinement per subspace, corpus encoding, and the per-query ADC
+    lookup tables. Used by ``pq_adc_topk`` (full-corpus scan) and
+    ``ivf_pq_topk`` (cell-routed scan)."""
     emb = table(spark, sf_dir, "embeddings")
     xm = emb.select("vec_id", F.expr(_MICRO_ARR).alias("xm"))
     sub = xm.select(
@@ -2234,7 +2260,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "m", "code")
     )
     lut = (
-        sub.where(F.col("vec_id") < N_QUERIES)
+        sub.where(F.col("vec_id") < n_queries)
         .join(F.broadcast(cb), "m")
         .select(
             F.col("vec_id").alias("qid"),
@@ -2243,10 +2269,197 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_sqd_micro("sv", "cw")).alias("d2"),
         )
     )
-    adc = (
-        enc.join(F.broadcast(lut), ["m", "code"])
+    return enc, lut
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (r11): the production composition — route each query to its
+# nprobe nearest calibrated IVF cells, then ADC-score ONLY those cells'
+# vectors against the PQ code table
+# --------------------------------------------------------------------------
+
+IVF_PQ_ORACLE = f"""
+WITH xm AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+  FROM embeddings
+),
+ncells AS (SELECT {_ivf_cells_sql_case("(SELECT COUNT(*) FROM embeddings)")} AS k),
+seeds AS MATERIALIZED (
+  SELECT vec_id AS seed_id, xm AS sm
+  FROM (SELECT vec_id, xm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+        FROM xm) t, ncells
+  WHERE rk <= ncells.k
+),
+d1 AS (
+  SELECT x.vec_id, s.seed_id,
+         CAST(list_sum(list_transform(range(1, len(x.xm) + 1),
+              i -> (x.xm[i] - s.sm[i]) * (x.xm[i] - s.sm[i]))) AS BIGINT) AS d2
+  FROM xm x CROSS JOIN seeds s
+),
+a1 AS MATERIALIZED (
+  SELECT vec_id, seed_id AS cluster FROM (
+    SELECT vec_id, seed_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+    FROM d1) t WHERE rn = 1
+),
+psum AS (
+  SELECT a.cluster, r.i AS pos, SUM(x.xm[r.i]) AS s, COUNT(*) AS n
+  FROM a1 a JOIN xm x USING (vec_id), range(1, 65) r(i)
+  GROUP BY 1, 2
+),
+carr AS MATERIALIZED (
+  SELECT cluster, list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT)
+                       ORDER BY pos) AS cm
+  FROM psum GROUP BY cluster
+),
+d2_ AS (
+  SELECT x.vec_id, c.cluster,
+         CAST(list_sum(list_transform(range(1, len(x.xm) + 1),
+              i -> (x.xm[i] - c.cm[i]) * (x.xm[i] - c.cm[i]))) AS BIGINT) AS d2
+  FROM xm x CROSS JOIN carr c
+),
+a2 AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM d2_) t WHERE rn = 1
+),
+probe AS MATERIALIZED (
+  SELECT qid, cluster FROM (
+    SELECT q.vec_id AS qid, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             CAST(list_sum(list_transform(range(1, len(q.xm) + 1),
+                  i -> (q.xm[i] - c.cm[i]) * (q.xm[i] - c.cm[i]))) AS BIGINT),
+             c.cluster) AS rn
+    FROM (SELECT * FROM xm WHERE vec_id < {N_QUERIES}) q
+    CROSS JOIN carr c) t
+  WHERE rn <= {IVF_CAL_NPROBE}
+),
+sub AS MATERIALIZED (
+  SELECT vec_id, r.m AS m,
+         xm[CAST(r.m * {PQ_DSUB} + 1 AS INT) :
+            CAST(r.m * {PQ_DSUB} + {PQ_DSUB} AS INT)] AS sv
+  FROM xm, range(0, {PQ_M}) r(m)
+),
+pqseeds AS (
+  SELECT m, vec_id AS code, sv AS cw FROM sub WHERE vec_id < {PQ_K}
+),
+pqd1 AS (
+  SELECT s.vec_id, s.m, sd.code,
+         CAST(list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+              i -> (s.sv[i] - sd.cw[i]) * (s.sv[i] - sd.cw[i]))) AS BIGINT) AS d2
+  FROM sub s JOIN pqseeds sd ON sd.m = s.m
+),
+pqa1 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM pqd1) t WHERE rn = 1
+),
+pqpsum AS (
+  SELECT a.m, a.code, r.i AS pos, SUM(s.sv[r.i]) AS ps, COUNT(*) AS n
+  FROM pqa1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+       range(1, {PQ_DSUB} + 1) r(i)
+  GROUP BY 1, 2, 3
+),
+cb AS MATERIALIZED (
+  SELECT m, code,
+         list(CAST(round(CAST(ps AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cw
+  FROM pqpsum GROUP BY m, code
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             CAST(list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+                  i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) AS BIGINT),
+             c.code) AS rn
+    FROM sub s JOIN cb c ON c.m = s.m) t WHERE rn = 1
+),
+lut AS MATERIALIZED (
+  SELECT s.vec_id AS qid, s.m, c.code,
+         CAST(list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+              i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) AS BIGINT) AS d2
+  FROM sub s JOIN cb c ON c.m = s.m
+  WHERE s.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS cid
+  FROM probe p JOIN a2 a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.qid
+),
+adc AS (
+  SELECT c.qid, c.cid, SUM(l.d2) AS adc_d2
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.cid
+  JOIN lut l ON l.qid = c.qid AND l.m = e.m AND l.code = e.code
+  GROUP BY 1, 2
+)
+SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
+       CAST(adc_d2 AS BIGINT) AS adc_d2_micro,
+       (SELECT CAST(k AS INTEGER) FROM ncells) AS n_cells
+FROM (SELECT qid, cid, adc_d2,
+             row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rn
+      FROM adc)
+WHERE rn <= {TOP_K}
+"""
+
+
+@query("ivf_pq_topk", oracle=IVF_PQ_ORACLE)
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the composition production vector stores actually run
+    (FAISS's IndexIVFPQ shape, from the same public PQ paper) — route
+    each query to its ``IVF_CAL_NPROBE`` nearest calibrated IVF cells
+    (the persisted k ~ sqrt(n) index of ``ann_ivf_calibrated_topk``),
+    then ADC-score ONLY those cells' vectors against the PQ code table
+    (the shared ``_pq_codes_and_lut`` machinery of ``pq_adc_topk``).
+    Candidate count per query is ~ nprobe * n/k = nprobe * sqrt(n)
+    rows of 4-byte codes; everything stays integer, so the full
+    route + train + encode + score pipeline is hash-checked through
+    the SQL replay, with the cell-count derivation itself emitted as
+    ``n_cells`` (the calibrated-family convention).
+
+    Scale: this is THE 100 TB serve plan — the coarse index prunes the
+    scan to nprobe cells (the IVF story), the fine index shrinks what
+    those cells store and stream to 4 B/vector (the PQ story), and the
+    two compose as one broadcast-probe join + one code-table join. The
+    recall budget splits multiplicatively across routing (nprobe/k) and
+    quantization (PQ_M x PQ_K); both knobs are the registered
+    single-family operators' measured territory."""
+    n = table(spark, sf_dir, "embeddings").count()
+    k = calibrated_ivf_cells(n)
+    emb = table(spark, sf_dir, "embeddings")
+    xm = emb.select("vec_id", F.expr(_MICRO_ARR).alias("xm"))
+    carr = ivf_centroid_table(spark, sf_dir, k)
+    cells = ivf_cell_table(spark, sf_dir, k)
+    probe = (
+        xm.where(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(carr))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "cluster",
+            F.expr(_sqd_micro("xm", "cm")).alias("d2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("d2", "cluster")
+            ),
+        )
+        .where(F.col("rn") <= IVF_CAL_NPROBE)
+        .select("qid", "cluster")
+    )
+    cand = (
+        cells.join(F.broadcast(probe), "cluster")
         .where(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .select("qid", F.col("vec_id").alias("cid"))
+    )
+    enc, lut = _pq_codes_and_lut(spark, sf_dir, N_QUERIES)
+    adc = (
+        cand.join(enc, cand.cid == enc.vec_id)
+        .join(F.broadcast(lut), ["qid", "m", "code"])
+        .groupBy("qid", "cid")
         .agg(F.sum("d2").alias("adc_d2"))
     )
     w_q = Window.partitionBy("qid").orderBy("adc_d2", "cid")
@@ -2258,5 +2471,6 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cid").alias("neighbor_id"),
             F.col("rn").cast("int").alias("rank"),
             F.col("adc_d2").cast("long").alias("adc_d2_micro"),
+            F.lit(k).cast("int").alias("n_cells"),
         )
     )

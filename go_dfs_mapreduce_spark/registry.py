@@ -175,7 +175,7 @@ _DRIVER_SHOWCASE = (
     "stream_event_sequences_live",
     "embedding_quantize_int8",
     "kmeans_embeddings",
-    "bpe_encode_corpus",
+    "ivf_pq_topk",
     "graph_common_neighbors_topk",
 )
 

@@ -3008,3 +3008,70 @@ def test_pq_adc_duplicate_ranks_first_and_recall_floor(spark, sf_dir, tmp_path):
         for r in pq_adc_topk(spark, sf_dir).collect()
     }
     assert len(ex & got) / len(ex) >= 0.2
+
+
+def test_ivf_pq_consistent_with_pq_and_cells(spark, sf_dir):
+    """IVF-PQ composes the two registered single-family indexes, so two
+    cross-operator invariants must hold exactly: (a) any (query,
+    neighbor) pair ranked by BOTH ivf_pq_topk and pq_adc_topk carries
+    the IDENTICAL integer ADC distance (same codebooks, same LUTs —
+    routing only restricts the candidate set); (b) every ivf_pq
+    neighbor's cell is one of its query's nprobe probed cells."""
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        IVF_CAL_NPROBE,
+        calibrated_ivf_cells,
+        ivf_cell_table,
+        ivf_centroid_table,
+        ivf_pq_topk,
+        pq_adc_topk,
+        _MICRO_ARR,
+        _sqd_micro,
+        N_QUERIES,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_d2_micro
+        for r in pq_adc_topk(spark, sf_dir).collect()
+    }
+    routed = ivf_pq_topk(spark, sf_dir).collect()
+    assert routed
+    for r in routed:
+        key = (r.query_id, r.neighbor_id)
+        if key in full:
+            assert r.adc_d2_micro == full[key], key
+
+    n = table(spark, sf_dir, "embeddings").count()
+    k = calibrated_ivf_cells(n)
+    cells = {
+        r.vec_id: r.cluster
+        for r in ivf_cell_table(spark, sf_dir, k).collect()
+    }
+    carr = ivf_centroid_table(spark, sf_dir, k)
+    xm = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_MICRO_ARR).alias("xm")
+    )
+    probe = (
+        xm.where(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(carr))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "cluster",
+            F.expr(_sqd_micro("xm", "cm")).alias("d2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("d2", "cluster")
+            ),
+        )
+        .where(F.col("rn") <= IVF_CAL_NPROBE)
+        .collect()
+    )
+    probed = {}
+    for r in probe:
+        probed.setdefault(r.qid, set()).add(r.cluster)
+    for r in routed:
+        assert cells[r.neighbor_id] in probed[r.query_id], r
