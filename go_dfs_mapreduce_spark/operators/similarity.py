@@ -2474,3 +2474,98 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(k).cast("int").alias("n_cells"),
         )
     )
+
+
+# --- recall audit for the quantized family (r11): int8 rerank, PQ, IVF-PQ
+# vs the exact brute baseline, per query, the ann_calibrated_recall_audit
+# convention ---------------------------------------------------------------
+
+QUANT_RECALL_ORACLE = f"""
+WITH exact AS ({_brute_oracle(N_QUERIES)}),
+i8 AS ({INT8_RERANK_ORACLE}),
+pq AS ({PQ_ADC_ORACLE}),
+ipq AS ({IVF_PQ_ORACLE})
+SELECT e.query_id,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS int8_hits,
+       ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS int8_recall,
+       CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS pq_hits,
+       ROUND(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS pq_recall,
+       CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS ivf_pq_hits,
+       ROUND(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS ivf_pq_recall
+FROM exact e
+LEFT JOIN i8 a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+LEFT JOIN pq b
+  ON b.query_id = e.query_id AND b.neighbor_id = e.neighbor_id
+LEFT JOIN ipq c
+  ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@query("ann_quantized_recall_audit", oracle=QUANT_RECALL_ORACLE)
+def ann_quantized_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the THREE quantized retrieval paths (int8 scan +
+    exact rerank, full-scan PQ-ADC, IVF-routed PQ-ADC) against the
+    exact brute baseline in one per-query row — the acceptance gate for
+    the r11 quantized family, same convention as
+    ``ann_calibrated_recall_audit``: the audit composes the registered
+    operators (so it measures the code that serves queries) and its
+    oracle composes their oracle SQL as CTEs (so the composition itself
+    is gate-checked). Measured shape on this corpus (sf0.01): int8 1.0
+    on every query (error ~4e-3/dim, absorbed by the R=32 rerank), PQ
+    0.0-0.6 (mean 0.28 — the documented isotropy ceiling of 4-byte
+    codes), IVF-PQ 0.2-0.8 — NOT bounded by full-scan PQ per query:
+    routing removes candidates, and a removed FALSE positive (a far
+    vector whose coarse quantization landed it a small ADC distance)
+    can free a top-k slot a true neighbor then takes.
+
+    Scale: all four inputs end at k rows per query; the audit joins
+    (|queries| x k)-sized frames — negligible next to the searches."""
+    exact = ann_cosine_topk(spark, sf_dir).alias("e")
+    i8 = ann_int8_rerank_topk(spark, sf_dir).alias("a")
+    pq = pq_adc_topk(spark, sf_dir).alias("b")
+    ipq = ivf_pq_topk(spark, sf_dir).alias("c")
+    joined = (
+        exact.join(
+            i8,
+            (F.col("e.query_id") == F.col("a.query_id"))
+            & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        .join(
+            pq,
+            (F.col("e.query_id") == F.col("b.query_id"))
+            & (F.col("e.neighbor_id") == F.col("b.neighbor_id")),
+            "left",
+        )
+        .join(
+            ipq,
+            (F.col("e.query_id") == F.col("c.query_id"))
+            & (F.col("e.neighbor_id") == F.col("c.neighbor_id")),
+            "left",
+        )
+    )
+    ahit = F.when(F.col("a.neighbor_id").isNotNull(), 1).otherwise(0)
+    bhit = F.when(F.col("b.neighbor_id").isNotNull(), 1).otherwise(0)
+    chit = F.when(F.col("c.neighbor_id").isNotNull(), 1).otherwise(0)
+    return joined.groupBy(F.col("e.query_id").alias("query_id")).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(ahit).cast("long").alias("int8_hits"),
+        F.round(F.sum(ahit) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "int8_recall"
+        ),
+        F.sum(bhit).cast("long").alias("pq_hits"),
+        F.round(F.sum(bhit) * 1.0 / F.count(F.lit(1)), 6).alias("pq_recall"),
+        F.sum(chit).cast("long").alias("ivf_pq_hits"),
+        F.round(F.sum(chit) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "ivf_pq_recall"
+        ),
+    )

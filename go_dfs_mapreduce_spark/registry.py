@@ -172,7 +172,7 @@ _DRIVER_SHOWCASE = (
     "stream_zscore_anomalies_live",
     "stream_path_conversions_live",
     "stream_first_occurrences_live",
-    "stream_event_sequences_live",
+    "ann_quantized_recall_audit",
     "embedding_quantize_int8",
     "kmeans_embeddings",
     "ivf_pq_topk",
