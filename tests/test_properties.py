@@ -834,3 +834,89 @@ def test_wav_pcm_roundtrip_property(doc_id, channels, n):
     fs = np.arange(n).reshape(n, 1)
     cs = np.arange(channels).reshape(1, channels)
     assert np.array_equal(s, (doc_id + 5 * fs + 11 * cs) % 4001 - 2000)
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    doc_id=st.integers(0, 10**6),
+    w=st.integers(1, 40),
+    h=st.integers(1, 33),
+    cut=st.floats(0.01, 0.99),
+)
+def test_jpeg_roundtrip_and_truncation_property(doc_id, w, h, cut):
+    """Every (doc_id, w, h) block-constant JPEG roundtrips bit-exactly
+    (arbitrary non-multiple-of-8 crops, arbitrary DC-difference signs
+    and magnitudes), and any proper prefix quarantines under the strict
+    EOI-at-end rule — the property-level twin of the fixture sweep."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg_bytes,
+    )
+
+    b = make_jpeg_bytes(doc_id, w, h)
+    dec = decode_jpeg_pixels(b)
+    assert dec is not None
+    jw, jh, px = dec
+    assert (jw, jh) == (w, h)
+    xs = np.arange(w).reshape(1, w)
+    ys = np.arange(h).reshape(h, 1)
+    assert np.array_equal(px, (doc_id + 2 * (xs // 8) + 3 * (ys // 8)) % 256)
+    assert decode_jpeg_pixels(b[: int(len(b) * cut)]) is None
+    assert decode_jpeg_pixels(make_jpeg_bytes(doc_id, w, h, progressive=True)) is None
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    secs=st.lists(st.integers(0, 200_000), min_size=1, max_size=60),
+    cuts=st.lists(st.integers(1, 58), max_size=4),
+    seed=st.integers(0, 10**6),
+)
+def test_ratelimit_out_of_order_invariants_property(secs, cuts, seed):
+    """For ANY arrival order and micro-batch split (including event-time
+    regressions across batches), the clamped bucket holds its
+    invariants: every emitted balance stays in [0, CAP], the persisted
+    clock is the max event second seen, exactly one verdict per event,
+    and an in-order split of the same events equals the one-fold batch
+    truth (batching invariance)."""
+    import random
+
+    import pandas as pd
+
+    from go_dfs_mapreduce_spark.streaming.ratelimit import (
+        RL_CAP_MICRO,
+        _fold_bucket,
+    )
+
+    rng = random.Random(seed)
+    rows = [(i, pd.Timestamp(s, unit="s")) for i, s in enumerate(secs)]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    splits = sorted({c for c in cuts if c < len(shuffled)})
+    parts, prev = [], 0
+    for c in splits + [len(shuffled)]:
+        if c > prev:
+            parts.append(shuffled[prev:c])
+            prev = c
+
+    bal, last, out = None, None, []
+    for part in parts:
+        pdf = pd.DataFrame(part, columns=["event_id", "ts"])
+        bal, last, o = _fold_bucket(bal, last, [pdf], user_id=7)
+        out.extend(o)
+    assert len(out) == len(rows)  # one verdict per event, none lost
+    assert all(0 <= b <= RL_CAP_MICRO for *_, b in out)
+    assert last == max(secs)  # the clock is monotone-max
+
+    # in-order feeds are batching-invariant vs the single fold
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    one = _fold_bucket(None, None, [pd.DataFrame(ordered, columns=["event_id", "ts"])], 7)
+    two_bal, two_last, two_out = None, None, []
+    mid = len(ordered) // 2
+    for part in (ordered[:mid], ordered[mid:]):
+        if part:
+            pdf = pd.DataFrame(part, columns=["event_id", "ts"])
+            two_bal, two_last, o = _fold_bucket(two_bal, two_last, [pdf], 7)
+            two_out.extend(o)
+    assert (two_bal, two_last, two_out) == one
