@@ -92,13 +92,20 @@ def main() -> None:
     }
     from go_dfs_mapreduce_spark.operators.similarity import (  # noqa: E402
         ann_cosine_batch_fast,
+        ann_int8_rerank_topk,
         ann_lsh_batch_fast,
+        ivf_pq_topk,
+        pq_adc_topk,
     )
 
     # production arms: numpy scoring (equivalence-tested against the
     # exact twins; no oracle — BLAS ulp)
     ops["lsh_batch64_fast"] = ann_lsh_batch_fast
     ops["brute_batch64_fast"] = ann_cosine_batch_fast
+    # r11 quantized family (all gate-verified)
+    ops["int8_rerank"] = ann_int8_rerank_topk
+    ops["pq_adc"] = pq_adc_topk
+    ops["ivf_pq"] = ivf_pq_topk
     only = os.environ.get("SPARK_GRAFT_ANN_OPS")
     if only:
         keep = {s.strip() for s in only.split(",")}
