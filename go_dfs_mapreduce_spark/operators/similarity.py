@@ -2198,15 +2198,11 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_codes_and_lut(spark: SparkSession, sf_dir: str, n_queries: int):
-    """(enc DataFrame[vec_id, m, code], lut DataFrame[qid, m, code, d2])
-    — the shared PQ machinery: subvector split, one seeded Lloyd
-    refinement per subspace, corpus encoding, and the per-query ADC
-    lookup tables. Used by ``pq_adc_topk`` (full-corpus scan) and
-    ``ivf_pq_topk`` (cell-routed scan)."""
+def _pq_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame[vec_id, m, sv] — every vector's micro-int subvectors."""
     emb = table(spark, sf_dir, "embeddings")
     xm = emb.select("vec_id", F.expr(_MICRO_ARR).alias("xm"))
-    sub = xm.select(
+    return xm.select(
         "vec_id",
         F.posexplode(
             F.expr(
@@ -2215,52 +2211,126 @@ def _pq_codes_and_lut(spark: SparkSession, sf_dir: str, n_queries: int):
             )
         ).alias("m", "sv"),
     )
-    seeds = sub.where(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cw")
-    )
-    d1 = sub.join(F.broadcast(seeds), "m").select(
-        "vec_id", "m", "code", F.expr(_sqd_micro("sv", "cw")).alias("d2")
-    )
-    w_vm = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
-    a1 = (
-        d1.withColumn("rn", F.row_number().over(w_vm))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
-    )
-    psum = (
-        a1.join(sub, ["vec_id", "m"])
-        .select("m", "code", F.posexplode("sv").alias("pos", "x"))
-        .groupBy("m", "code", "pos")
-        .agg(F.sum("x").alias("ps"), F.count(F.lit(1)).alias("n"))
-    )
-    cb = (
-        psum.select(
-            "m",
-            "code",
-            "pos",
-            F.expr(
-                "CAST(round(CAST(ps AS DOUBLE) / n) AS BIGINT)"
-            ).alias("cm"),
+
+
+_PQ_CB_MEMO: dict[tuple[str, str], DataFrame] = {}
+_PQ_CODES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def pq_codebook_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame[m, code, cw] — the trained PQ codebooks as a persisted
+    derived table (the ``ivf_centroid_table`` rule, applied per the r11
+    quantized-family probe's finding: training inside the query was the
+    dominant cost of both PQ arms at probe scale; a production
+    deployment trains offline once per corpus version). One seeded
+    Lloyd refinement per subspace, deterministic micro-int arithmetic,
+    versioned by the (M, K) hyperparameters in the table name."""
+    from ..derived import derived_table
+    from ..memo import session_memo
+
+    def build() -> DataFrame:
+        sub = _pq_sub(spark, sf_dir)
+        seeds = sub.where(F.col("vec_id") < PQ_K).select(
+            "m", F.col("vec_id").alias("code"), F.col("sv").alias("cw")
         )
-        .groupBy("m", "code")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, cm))),"
-                " s -> s.cm)"
-            ).alias("cw")
-        )
-    )
-    enc = (
-        sub.join(F.broadcast(cb), "m")
-        .select(
+        d1 = sub.join(F.broadcast(seeds), "m").select(
             "vec_id", "m", "code", F.expr(_sqd_micro("sv", "cw")).alias("d2")
         )
-        .withColumn("rn", F.row_number().over(w_vm))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
+        w_vm = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+        a1 = (
+            d1.withColumn("rn", F.row_number().over(w_vm))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "m", "code")
+        )
+        psum = (
+            a1.join(sub, ["vec_id", "m"])
+            .select("m", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("m", "code", "pos")
+            .agg(F.sum("x").alias("ps"), F.count(F.lit(1)).alias("n"))
+        )
+        return (
+            psum.select(
+                "m",
+                "code",
+                "pos",
+                F.expr(
+                    "CAST(round(CAST(ps AS DOUBLE) / n) AS BIGINT)"
+                ).alias("cm"),
+            )
+            .groupBy("m", "code")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, cm))),"
+                    " s -> s.cm)"
+                ).alias("cw")
+            )
+        )
+
+    return session_memo(
+        _PQ_CB_MEMO,
+        spark,
+        sf_dir,
+        lambda: derived_table(
+            spark,
+            sf_dir,
+            f"embedding_pq_cb_m{PQ_M}k{PQ_K}",
+            ("embeddings",),
+            build,
+        ),
     )
+
+
+def pq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame[vec_id, m, code] — the ENCODED corpus (every vector's
+    M codes against ``pq_codebook_table``) as its own persisted derived
+    table: this IS the production PQ index, 4 bits per (vector,
+    subspace) on disk."""
+    from ..derived import derived_table
+    from ..memo import session_memo
+
+    def build() -> DataFrame:
+        sub = _pq_sub(spark, sf_dir)
+        cb = pq_codebook_table(spark, sf_dir)
+        w_vm = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+        return (
+            sub.join(F.broadcast(cb), "m")
+            .select(
+                "vec_id",
+                "m",
+                "code",
+                F.expr(_sqd_micro("sv", "cw")).alias("d2"),
+            )
+            .withColumn("rn", F.row_number().over(w_vm))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "m", "code")
+        )
+
+    return session_memo(
+        _PQ_CODES_MEMO,
+        spark,
+        sf_dir,
+        lambda: derived_table(
+            spark,
+            sf_dir,
+            f"embedding_pq_codes_m{PQ_M}k{PQ_K}",
+            ("embeddings",),
+            build,
+        ),
+    )
+
+
+def _pq_codes_and_lut(spark: SparkSession, sf_dir: str, n_queries: int):
+    """(enc DataFrame[vec_id, m, code], lut DataFrame[qid, m, code, d2])
+    — the shared PQ serve-path machinery: the PERSISTED codebook and
+    code tables (offline index work, r11 probe fix) plus the per-query
+    ADC lookup tables, which are the only thing computed at query time
+    (n_queries x M x K tiny rows). Used by ``pq_adc_topk`` (full-corpus
+    code scan) and ``ivf_pq_topk`` (cell-routed scan)."""
+    cb = pq_codebook_table(spark, sf_dir)
+    enc = pq_code_table(spark, sf_dir)
     lut = (
-        sub.where(F.col("vec_id") < n_queries)
+        _pq_sub(spark, sf_dir)
+        .where(F.col("vec_id") < n_queries)
         .join(F.broadcast(cb), "m")
         .select(
             F.col("vec_id").alias("qid"),
