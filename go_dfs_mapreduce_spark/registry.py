@@ -185,7 +185,9 @@ _DRIVER_SHOWCASE = (
 # test_rotation_ledger.py fails if a registered name is in neither a
 # CORRECTNESS_r*.json nor the showcase nor this queue, so nothing can
 # silently lose its path to external evidence.
-_NEXT_ROTATION_QUEUE: tuple[str, ...] = ()
+_NEXT_ROTATION_QUEUE: tuple[str, ...] = (
+    "ivf_pq_rerank_topk",  # r12 new op — showcase slot at round close
+)
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -3075,3 +3075,63 @@ def test_ivf_pq_consistent_with_pq_and_cells(spark, sf_dir):
         probed.setdefault(r.qid, set()).add(r.cluster)
     for r in routed:
         assert cells[r.neighbor_id] in probed[r.query_id], r
+
+
+def test_ivf_pq_rerank_dominates_raw_and_stays_in_shortlist(spark, sf_dir):
+    """The r12 serve composition's two invariants: (a) every reranked
+    row is one of its query's top-R ADC shortlist pairs and carries the
+    shortlist's IDENTICAL integer ADC distance (stage 2 reorders, never
+    re-scores stage 1); (b) per query, the reranked hit set against the
+    exact brute CONTAINS the raw ivf_pq hit set — any true neighbor raw
+    IVF-PQ surfaced is inside the R >> k shortlist, and the exact-cosine
+    rerank cannot rank a true top-k neighbor below k within any subset
+    containing it — so rerank recall >= raw recall on every query, the
+    lift the audit measures. The audit's ivf_pq_rerank columns must
+    agree with the directly recomputed hits."""
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        IVF_PQ_RERANK_R,
+        _ivf_pq_adc,
+        ann_cosine_topk,
+        ann_quantized_recall_audit,
+        ivf_pq_rerank_topk,
+        ivf_pq_topk,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    adc, _k = _ivf_pq_adc(spark, sf_dir)
+    w1 = Window.partitionBy("qid").orderBy("adc_d2", "cid")
+    shortlist = {
+        (r.qid, r.cid): r.adc_d2
+        for r in adc.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= IVF_PQ_RERANK_R)
+        .collect()
+    }
+    rer = ivf_pq_rerank_topk(spark, sf_dir).collect()
+    assert rer
+    for r in rer:
+        key = (r.query_id, r.neighbor_id)
+        assert key in shortlist, key
+        assert r.adc_d2_micro == shortlist[key], key
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    raw = ivf_pq_topk(spark, sf_dir).collect()
+    hits_raw, hits_rer = {}, {}
+    for r in raw:
+        if (r.query_id, r.neighbor_id) in exact:
+            hits_raw.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in rer:
+        if (r.query_id, r.neighbor_id) in exact:
+            hits_rer.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for qid, got in hits_raw.items():
+        assert got <= hits_rer.get(qid, set()), qid
+
+    audit = ann_quantized_recall_audit(spark, sf_dir).collect()
+    for row in audit:
+        assert row.ivf_pq_rerank_hits == len(
+            hits_rer.get(row.query_id, set())
+        ), row
+        assert row.ivf_pq_rerank_hits >= row.ivf_pq_hits, row
