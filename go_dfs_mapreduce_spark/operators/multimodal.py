@@ -1701,12 +1701,18 @@ def _jpeg_encode_block(w, blk, prev_dc, dc_map, ac_map) -> int:
 
 
 def _jpeg_container(
-    scan: bytes, width: int, height: int, ncomp: int, sof_marker: int
+    scan: bytes,
+    width: int,
+    height: int,
+    ncomp: int,
+    sof_marker: int,
+    sampling: tuple[int, ...] | None = None,
 ) -> bytes:
     """Wrap an entropy-coded scan in the JFIF container: SOI, APP0, the
     all-ones DQT, SOF, the Annex K luminance DHT pair (all components
     point at table 0 — legal, and all this synthesizer needs), SOS,
-    EOI."""
+    EOI. ``sampling`` gives each component's packed h<<4|v SOF byte
+    (default: all 0x11, i.e. 4:4:4)."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(
         0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00"
@@ -1717,7 +1723,8 @@ def _jpeg_container(
     )
     sof.append(ncomp)
     for cid in range(1, ncomp + 1):
-        sof += bytes((cid, 0x11, 0x00))  # h=v=1, quant table 0
+        hv = 0x11 if sampling is None else sampling[cid - 1]
+        sof += bytes((cid, hv, 0x00))  # sampling factors, quant table 0
     out += _seg(sof_marker, bytes(sof))
     out += _seg(
         0xC4,
@@ -1754,6 +1761,74 @@ def jpeg_encode_ycbcr_blocks(
         for ci, blk in enumerate(mcu):
             prev[ci] = _jpeg_encode_block(w, blk, prev[ci], dc_map, ac_map)
     return _jpeg_container(w.finish(), width, height, 3, 0xC0)
+
+
+def jpeg_encode_ycbcr_420_mcus(
+    qmcus: list[list[list[int]]],
+    width: int,
+    height: int,
+    sof_marker: int = 0xC0,
+) -> bytes:
+    """Three-component 4:2:0 baseline file — the DEFAULT sampling of
+    essentially every real-world encoder (libjpeg's -sample 2x2):
+    ``qmcus`` lists 16x16-pixel MCUs in raster order, each carrying its
+    SIX quantized natural-order blocks in interleave order
+    [Y00, Y01, Y10, Y11, Cb, Cr] (luma left-to-right then top-to-bottom,
+    one 8x8 chroma block covering the whole MCU). SOF stamps component
+    1 at h=v=2 and components 2-3 at h=v=1; all components share quant
+    table 0 and the Annex K luminance huffman pair (legal, one table
+    set — the ``jpeg_encode_ycbcr_blocks`` convention)."""
+    mcux = (width + 15) // 16
+    mcuy = (height + 15) // 16
+    assert len(qmcus) == mcux * mcuy and all(len(m) == 6 for m in qmcus)
+    dc_map = {v: c for v, c in zip(_JPG_DC_VALS, _huff_canonical(_JPG_DC_BITS))}
+    ac_map = {v: c for v, c in zip(_JPG_AC_VALS, _huff_canonical(_JPG_AC_BITS))}
+    w = _JpegBitWriter()
+    prev = [0, 0, 0]
+    for mcu in qmcus:
+        for bi, blk in enumerate(mcu):
+            ci = 0 if bi < 4 else bi - 3  # 4 luma blocks, then Cb, Cr
+            prev[ci] = _jpeg_encode_block(w, blk, prev[ci], dc_map, ac_map)
+    return _jpeg_container(
+        w.finish(), width, height, 3, sof_marker, sampling=(0x22, 0x11, 0x11)
+    )
+
+
+def make_jpeg420_bytes(
+    doc_id: int, width: int, height: int, progressive: bool = False
+) -> bytes:
+    """Synthesize a REAL 4:2:0 color baseline JFIF with exactly-decodable
+    content: luma is constant per 8x8 BLOCK — Y(bx, by) =
+    (doc_id + 2*bx + 3*by) % 256 at global block coords (bx = x//8) —
+    so the four luma blocks inside each MCU DIFFER (a decoder that
+    misorders them breaks the position-weighted checksum), while chroma
+    is constant per 16x16 MCU (the finest granularity one subsampled
+    8x8 chroma block can represent exactly): Cb/Cr = 128 + 10*d with
+    d = (doc_id + {5,11}*mx + {7,13}*my) % 5 - 2 at MCU coords. Every
+    block is therefore DC-only under the all-ones quant table (the
+    lossless-by-construction corner — module note), and the chroma
+    deltas are multiples of 10, which keeps every YCbCr->RGB rounding
+    input away from exact .5 (np.rint half-to-even vs SQL ROUND
+    half-away never diverge; checked exhaustively in tests).
+    ``progressive=True`` stamps SOF2 — the quarantine arm."""
+    mcux = (width + 15) // 16
+    mcuy = (height + 15) // 16
+    qmcus = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu = []
+            for i in range(2):
+                for j in range(2):
+                    yv = (doc_id + 2 * (2 * mx + j) + 3 * (2 * my + i)) % 256
+                    mcu.append([8 * (yv - 128)] + [0] * 63)
+            cb = 128 + 10 * ((doc_id + 5 * mx + 7 * my) % 5 - 2)
+            cr = 128 + 10 * ((doc_id + 11 * mx + 13 * my) % 5 - 2)
+            mcu.append([8 * (cb - 128)] + [0] * 63)
+            mcu.append([8 * (cr - 128)] + [0] * 63)
+            qmcus.append(mcu)
+    return jpeg_encode_ycbcr_420_mcus(
+        qmcus, width, height, sof_marker=0xC2 if progressive else 0xC0
+    )
 
 
 def make_jpeg_bytes(doc_id: int, width: int, height: int, progressive: bool = False) -> bytes:
@@ -1936,9 +2011,17 @@ def decode_jpeg_pixels(b: bytes):
             comps = []
             for ci in range(nf):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    return None  # subsampling out of scope
-                comps.append((cid, tq))
+                h_i, v_i = hv >> 4, hv & 15
+                # h, v in {1, 2} covers 4:4:4, 4:2:0 (the real-world
+                # default) and 4:2:2; larger factors (legal to 4) stay
+                # quarantined. A single-component scan is non-interleaved
+                # per the spec — sampling factors don't shape its data —
+                # so only 1x1 is accepted there.
+                if h_i not in (1, 2) or v_i not in (1, 2):
+                    return None
+                if nf == 1 and hv != 0x11:
+                    return None
+                comps.append((cid, tq, h_i, v_i))
             frame = (w, h, comps)
             continue
         if marker == 0xDA:
@@ -1960,7 +2043,7 @@ def decode_jpeg_pixels(b: bytes):
 
     # resolve tables per component
     per_comp = []
-    for cid, tq in comps:
+    for cid, tq, h_i, v_i in comps:
         if cid not in scan_tbl or tq not in qtables:
             return None
         td, ta = scan_tbl[cid]
@@ -1968,73 +2051,95 @@ def decode_jpeg_pixels(b: bytes):
         act = hufftables.get((1, ta))
         if dct is None or act is None:
             return None
-        per_comp.append((qtables[tq], dct, act))
+        per_comp.append((qtables[tq], dct, act, h_i, v_i))
 
     m = _idct_mat()
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
+    hmax = max(h_i for _, _, _, h_i, _ in per_comp)
+    vmax = max(v_i for _, _, _, _, v_i in per_comp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     # allocation guard (the GIF max_out rule, r11 review finding): a
     # crafted SOF0 can claim 65535x65535 while shipping a few hundred
     # bytes — reject BEFORE allocating the planes unless the remaining
-    # payload could even in principle encode bw*bh*ncomp blocks (>= 2
+    # payload could even in principle encode every MCU's blocks (>= 2
     # bits each: a 1-bit DC category code + a 1-bit EOB under the most
     # degenerate legal DHT), keeping the never-raise quarantine contract
-    total_blocks = bw * bh * len(comps)
+    total_blocks = mcux * mcuy * sum(
+        h_i * v_i for _, _, _, h_i, v_i in per_comp
+    )
     if (len(b) - pos) * 8 < total_blocks * 2:
         return None
     planes = [
-        np.empty((bh * 8, bw * 8), dtype=np.float64) for _ in comps
+        np.empty((mcuy * v_i * 8, mcux * h_i * 8), dtype=np.float64)
+        for _, _, _, h_i, v_i in per_comp
     ]
     br = _JpegBitReader(b, pos)
     prev_dc = [0] * len(comps)
     zz_rows = np.array([r for r, _ in _ZIGZAG])
     zz_cols = np.array([c for _, c in _ZIGZAG])
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (qt, dct, act) in enumerate(per_comp):
-                s = _jpeg_read_huff(br, dct)
-                if s is None or s > 15:
-                    return None
-                diff = _jpeg_receive_extend(br, s)
-                if diff is None:
-                    return None
-                dc = prev_dc[ci] + diff
-                prev_dc[ci] = dc
-                zz = [0] * 64
-                zz[0] = dc
-                k = 1
-                while k < 64:
-                    sym = _jpeg_read_huff(br, act)
-                    if sym is None:
-                        return None
-                    if sym == 0x00:
-                        break  # EOB
-                    run, size = sym >> 4, sym & 15
-                    if size == 0:
-                        if run != 15:
+    # interleaved MCU order: per MCU, each component contributes its
+    # h_i x v_i blocks left-to-right then top-to-bottom (F.2.2.4); with
+    # all factors 1x1 this degenerates to the per-block raster the
+    # 4:4:4 path always ran
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (qt, dct, act, h_i, v_i) in enumerate(per_comp):
+                for byi in range(v_i):
+                    for bxi in range(h_i):
+                        s = _jpeg_read_huff(br, dct)
+                        if s is None or s > 15:
                             return None
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        return None
-                    v = _jpeg_receive_extend(br, size)
-                    if v is None:
-                        return None
-                    zz[k] = v
-                    k += 1
-                coeffs = np.zeros((8, 8), dtype=np.float64)
-                for k in range(64):
-                    coeffs[zz_rows[k], zz_cols[k]] = zz[k] * qt[k]
-                blk = m.T @ coeffs @ m
-                planes[ci][
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                ] = blk
+                        diff = _jpeg_receive_extend(br, s)
+                        if diff is None:
+                            return None
+                        dc = prev_dc[ci] + diff
+                        prev_dc[ci] = dc
+                        zz = [0] * 64
+                        zz[0] = dc
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_read_huff(br, act)
+                            if sym is None:
+                                return None
+                            if sym == 0x00:
+                                break  # EOB
+                            run, size = sym >> 4, sym & 15
+                            if size == 0:
+                                if run != 15:
+                                    return None
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                return None
+                            v = _jpeg_receive_extend(br, size)
+                            if v is None:
+                                return None
+                            zz[k] = v
+                            k += 1
+                        coeffs = np.zeros((8, 8), dtype=np.float64)
+                        for k in range(64):
+                            coeffs[zz_rows[k], zz_cols[k]] = zz[k] * qt[k]
+                        blk = m.T @ coeffs @ m
+                        r0 = (my * v_i + byi) * 8
+                        c0 = (mx * h_i + bxi) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk
     # strict trailer: pad bits in the current byte are dropped; the next
     # bytes must be EOI at the exact end of the payload
     p = br.p
     if p + 2 != len(b) or b[p] != 0xFF or b[p + 1] != 0xD9:
         return None
+    # nearest-neighbor upsample of subsampled components to the luma
+    # grid (each chroma sample covers an (hmax/h_i) x (vmax/v_i) pixel
+    # cell), then level shift, round, clamp, MCU-grid crop
+    planes = [
+        np.repeat(
+            np.repeat(pl, vmax // v_i, axis=0), hmax // h_i, axis=1
+        )
+        if (h_i, v_i) != (hmax, vmax)
+        else pl
+        for pl, (_, _, _, h_i, v_i) in zip(planes, per_comp)
+    ]
     planes = [
         np.clip(np.rint(pl) + 128, 0, 255)[:h, :w] for pl in planes
     ]
@@ -2098,4 +2203,82 @@ def multimodal_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         decode_jpeg_pixels,
         ("sum_luma",),
+    )
+
+
+JPEG420_PIXELS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 29 + 4 AS w, doc_id % 23 + 4 AS h,
+         doc_id % 7 = 0 AS q
+  FROM documents
+),
+px AS (
+  SELECT b.doc_id, b.w, b.h, rx.x, ry.y,
+         (b.doc_id + 2 * (rx.x // 8) + 3 * (ry.y // 8)) % 256 AS yv,
+         10 * ((b.doc_id + 5 * (rx.x // 16) + 7 * (ry.y // 16)) % 5 - 2)
+           AS cbd,
+         10 * ((b.doc_id + 11 * (rx.x // 16) + 13 * (ry.y // 16)) % 5 - 2)
+           AS crd
+  FROM base b, UNNEST(range(0, b.h)) ry(y), UNNEST(range(0, b.w)) rx(x)
+  WHERE NOT b.q
+),
+rgb AS (
+  SELECT doc_id, w, h, x, y,
+         GREATEST(0, LEAST(255,
+           CAST(ROUND(yv + 1.402 * crd) AS BIGINT))) AS r,
+         GREATEST(0, LEAST(255,
+           CAST(ROUND(yv - 0.344136 * cbd - 0.714136 * crd) AS BIGINT)))
+           AS g,
+         GREATEST(0, LEAST(255,
+           CAST(ROUND(yv + 1.772 * cbd) AS BIGINT))) AS bb
+  FROM px
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(bb) AS BIGINT) AS sum_b,
+       CAST(SUM(bb * (x + w * y + 1)) % {BMP_CHECK_MOD} AS BIGINT)
+         AS pos_checksum
+FROM rgb GROUP BY 1, 2, 3, 4
+UNION ALL
+SELECT doc_id, -1, -1, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM base WHERE q
+"""
+
+
+@query("multimodal_pixels_jpeg420", oracle=JPEG420_PIXELS_ORACLE)
+def multimodal_pixels_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled COLOR JPEG decode end-to-end (VERDICT r11
+    #2 — the default output of libjpeg, phones, and web encoders, i.e.
+    the file a real corpus actually contains): REAL three-component
+    baseline JFIFs with h=v=2 luma / 1x1 chroma are synthesized per doc
+    and decoded back through the full generalized pipeline — interleaved
+    2x2-luma MCUs (four DIFFERING luma blocks per MCU, so block
+    misordering breaks the checksum), per-component DC predictor
+    chains, subsampled chroma planes, nearest-neighbor upsample to the
+    luma grid, YCbCr->RGB, MCU-grid crop of non-multiple-of-16 dims.
+    Content is exactly decodable by construction (DC-only blocks,
+    chroma constant per MCU — the finest granularity an 8x8 chroma
+    block covering 16x16 pixels can hold exactly), chroma deltas are
+    multiples of 10 so no rounding input hits exact .5 (np.rint vs SQL
+    ROUND agree), and the oracle restates the generator formula plus
+    the SAME float YCbCr round in SQL. Every 7th doc is stamped SOF2
+    (progressive) and must come back as the -1 quarantine row. Scope
+    still quarantined: sampling factors > 2, restart intervals,
+    progressive.
+
+    Scale: synthesize + decode inside Arrow batches, features-only
+    across the boundary, no exchange — the pixel-pipeline shape."""
+    docs = table(spark, sf_dir, "documents")
+    return _pixel_feature_pipeline(
+        docs,
+        lambda i: make_jpeg420_bytes(
+            i, i % 29 + 4, i % 23 + 4, progressive=i % 7 == 0
+        ),
+        decode_jpeg_pixels,
+        ("sum_r", "sum_g", "sum_b"),
     )

@@ -3135,3 +3135,93 @@ def test_ivf_pq_rerank_dominates_raw_and_stays_in_shortlist(spark, sf_dir):
             hits_rer.get(row.query_id, set())
         ), row
         assert row.ivf_pq_rerank_hits >= row.ivf_pq_hits, row
+
+
+def test_jpeg420_every_prefix_truncation_quarantines():
+    """The shared truncation sweep applied to the 4:2:0 encoder: every
+    strict prefix of a valid subsampled color JPEG decodes to None,
+    never raises, and trailing garbage after EOI is equally malformed."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg420_bytes,
+    )
+
+    b = make_jpeg420_bytes(3, 18, 17)  # partial MCUs on both axes
+    for i in range(len(b)):
+        assert decode_jpeg_pixels(b[:i]) is None, i
+    assert decode_jpeg_pixels(b + b"\x00") is None
+
+
+def test_jpeg420_rounding_domain_has_no_exact_halves():
+    """The generator docstring's exhaustive claim: with luma 0..255 and
+    chroma deltas in {-20,-10,0,10,20}, no YCbCr->RGB rounding input is
+    an exact .5 double — so np.rint (half-to-even, the decoder) and SQL
+    ROUND (half-away-from-zero, the oracle) agree on every reachable
+    value."""
+    ds = (-20, -10, 0, 10, 20)
+    for y in range(256):
+        for a in ds:
+            for b in ds:
+                for v in (
+                    y + 1.402 * b,
+                    y - 0.344136 * a - 0.714136 * b,
+                    y + 1.772 * a,
+                ):
+                    assert v * 2 != round(v * 2) or v == round(v), (y, a, b)
+
+
+def test_jpeg422_general_sampling_factors_decode():
+    """The decoder's sampling generalization is not 4:2:0-specific: a
+    hand-assembled 4:2:2 file (luma h=2 v=1, one chroma block per 16x8
+    MCU) decodes with horizontal-only chroma upsample. Two MCUs with
+    differing luma halves and differing chroma pin block order and the
+    per-axis repeat factors."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        _huff_canonical,
+        _jpeg_container,
+        _jpeg_encode_block,
+        _JPG_AC_BITS,
+        _JPG_AC_VALS,
+        _JPG_DC_BITS,
+        _JPG_DC_VALS,
+        _JpegBitWriter,
+        decode_jpeg_pixels,
+    )
+
+    def const_block(v):
+        return [8 * (v - 128)] + [0] * 63
+
+    dc_map = {v: c for v, c in zip(_JPG_DC_VALS, _huff_canonical(_JPG_DC_BITS))}
+    ac_map = {v: c for v, c in zip(_JPG_AC_VALS, _huff_canonical(_JPG_AC_BITS))}
+    w = _JpegBitWriter()
+    prev = [0, 0, 0]
+    # MCU order for (2,1)/(1,1)/(1,1): Y-left, Y-right, Cb, Cr
+    mcus = [
+        (const_block(80), const_block(120), const_block(118), const_block(148)),
+        (const_block(200), const_block(40), const_block(108), const_block(128)),
+    ]
+    for y0, y1, cb, cr in mcus:
+        prev[0] = _jpeg_encode_block(w, y0, prev[0], dc_map, ac_map)
+        prev[0] = _jpeg_encode_block(w, y1, prev[0], dc_map, ac_map)
+        prev[1] = _jpeg_encode_block(w, cb, prev[1], dc_map, ac_map)
+        prev[2] = _jpeg_encode_block(w, cr, prev[2], dc_map, ac_map)
+    enc = _jpeg_container(
+        w.finish(), 32, 8, 3, 0xC0, sampling=(0x21, 0x11, 0x11)
+    )
+    dec = decode_jpeg_pixels(enc)
+    assert dec is not None
+    dw, dh, px = dec
+    assert (dw, dh) == (32, 8) and px.shape == (8, 32, 3)
+
+    def rgb(y, cb, cr):
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        return [int(np.clip(np.rint(c), 0, 255)) for c in (r, g, b)]
+
+    assert px[0, 0].tolist() == rgb(80, 118, 148)    # MCU0 left luma
+    assert px[7, 15].tolist() == rgb(120, 118, 148)  # MCU0 right luma
+    assert px[0, 16].tolist() == rgb(200, 108, 128)  # MCU1 left luma
+    assert px[7, 31].tolist() == rgb(40, 108, 128)   # MCU1 right luma

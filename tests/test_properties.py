@@ -920,3 +920,51 @@ def test_ratelimit_out_of_order_invariants_property(secs, cuts, seed):
             two_bal, two_last, o = _fold_bucket(two_bal, two_last, [pdf], 7)
             two_out.extend(o)
     assert (two_bal, two_last, two_out) == one
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    doc_id=st.integers(0, 10**6),
+    w=st.integers(1, 40),
+    h=st.integers(1, 36),
+    cut=st.floats(0.01, 0.99),
+)
+def test_jpeg420_roundtrip_and_truncation_property(doc_id, w, h, cut):
+    """Every (doc_id, w, h) 4:2:0 color JPEG roundtrips bit-exactly —
+    per-8x8-block luma, per-16x16-MCU chroma, nearest-neighbor upsample,
+    YCbCr->RGB, arbitrary non-multiple-of-16 crops — and any proper
+    prefix quarantines under the strict EOI-at-end rule (the 4:4:4
+    property's subsampled twin)."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        make_jpeg420_bytes,
+    )
+
+    b = make_jpeg420_bytes(doc_id, w, h)
+    dec = decode_jpeg_pixels(b)
+    assert dec is not None
+    jw, jh, px = dec
+    assert (jw, jh) == (w, h) and px.shape == (h, w, 3)
+    xs = np.arange(w).reshape(1, w)
+    ys = np.arange(h).reshape(h, 1)
+    yv = (doc_id + 2 * (xs // 8) + 3 * (ys // 8)) % 256
+    cbd = 10 * ((doc_id + 5 * (xs // 16) + 7 * (ys // 16)) % 5 - 2)
+    crd = 10 * ((doc_id + 11 * (xs // 16) + 13 * (ys // 16)) % 5 - 2)
+    want = np.stack(
+        [
+            np.clip(np.rint(yv + 1.402 * crd), 0, 255),
+            np.clip(
+                np.rint(yv - 0.344136 * cbd - 0.714136 * crd), 0, 255
+            ),
+            np.clip(np.rint(yv + 1.772 * cbd), 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.int64)
+    assert np.array_equal(px, want)
+    assert decode_jpeg_pixels(b[: int(len(b) * cut)]) is None
+    assert (
+        decode_jpeg_pixels(make_jpeg420_bytes(doc_id, w, h, progressive=True))
+        is None
+    )
