@@ -1966,6 +1966,36 @@ FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
 """
 
 
+def contamination_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_docs: DataFrame | None = None,
+) -> DataFrame:
+    """``contamination_ngram_audit`` parameterized over the EVAL SOURCE
+    (r11 verdict #7: a real decontamination gate keys on a NAMED
+    eval-set table, not a convenient id-mod slice). ``eval_docs`` is
+    any (doc_id, text) frame — a benchmark set loaded from wherever —
+    shingled through the same ``_doc_shingle_arrays`` rule as the
+    corpus; the train side is then the ENTIRE corpus shingle set (an
+    external benchmark is not part of the corpus, so nothing is held
+    out of train). ``eval_docs=None`` keeps the registered query's
+    oracle-stable semantics: the eval slice is the corpus's
+    ``doc_id % CONTAM_EVAL_MOD == 0`` docs and train is its complement.
+    Output schema and the exact integer-rational threshold are
+    identical in both modes."""
+    sh = _shingles(spark, sf_dir)
+    if eval_docs is None:
+        ev = sh.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+        tr_src = sh.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    else:
+        ev = _doc_shingle_arrays(eval_docs).select(
+            "doc_id", F.explode("shs").alias("shingle")
+        )
+        tr_src = sh
+    tr = tr_src.select("shingle").distinct()
+    return _contamination_from(ev, tr)
+
+
 @query("contamination_ngram_audit", oracle=CONTAMINATION_ORACLE)
 def contamination_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination audit — the decontamination gate every
@@ -1978,7 +2008,10 @@ def contamination_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (``n_overlap * 100 > n_shingles * 50`` — no float
     boundary to diverge on). Shingles ride the persisted
     ``_shingle_arrays`` derived table, so the audit adds no new
-    tokenize pass.
+    tokenize pass. The registered semantics keep the id-mod eval slice
+    (oracle stability); ``contamination_audit`` takes any named
+    (doc_id, text) eval table for production use against a real
+    benchmark set.
 
     Plan shape: eval shingles semi-join the train-side DISTINCT shingle
     set on the shingle key — hash-partitioned, no pair expansion (a
@@ -1989,13 +2022,13 @@ def contamination_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the established approximation when even that shuffle must shrink
     (the heavy_hitters_cms_audit machinery), at the cost of one-sided
     false overlap hits."""
-    sh = _shingles(spark, sf_dir)
-    ev = sh.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
-    tr = (
-        sh.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
-        .select("shingle")
-        .distinct()
-    )
+    return contamination_audit(spark, sf_dir)
+
+
+def _contamination_from(ev: DataFrame, tr: DataFrame) -> DataFrame:
+    """The shared audit tail: per eval doc, distinct-shingle total,
+    train-overlap count via LeftSemi, fraction, and the exact-rational
+    contaminated verdict."""
     tot = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hit = (
         ev.join(tr, "shingle", "left_semi")

@@ -147,36 +147,77 @@ def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the production middle ground the crossover probe (SCALE.md
     r11) motivates: brute wins at probed scales but scans the full
     float store; the int8 scan reads a quarter of the bytes (the 100 TB
-    lever - at 64 dims: 512 B of doubles -> 64 B of int8s per vector,
-    and the narrow stage-1 shuffle carries only (qid, cid, score)),
+    lever - at 64 dims: 512 B of doubles -> 64 B of int8s per vector),
     while stage 2 touches float vectors for R rows per query only.
     Stage 1 is INTEGER arithmetic end to end - cross-engine agreement
-    is unconditional, no BLAS-ulp caveat - so unlike the numpy fast
-    arms this accelerated path carries a full-value oracle. Recall vs
-    the exact brute is pinned in tests (int8 error ~4e-3 per dim
-    reorders only near-ties; R = 32 >> k = 5 absorbs them)."""
+    is unconditional, no BLAS-ulp caveat (int64 numpy matmul is exact)
+    - so unlike the float fast arms this accelerated path carries a
+    full-value oracle. Recall vs the exact brute is pinned in tests
+    (int8 error ~4e-3 per dim reorders only near-ties; R = 32 >> k = 5
+    absorbs them).
+
+    Stage 1 runs as the ``ann_cosine_batch_fast`` map-side-combine
+    shape (r11 verdict finding #2: the old formulation shuffled all
+    n x q scored rows into the per-query window): each Arrow batch is
+    scored against the broadcast-closure query matrix with one int64
+    matmul and emits only its per-batch top-R partials under the exact
+    (score desc, cid) tie rule, so the exchange carries ~R x |q| rows
+    per batch instead of n x q total — top-R of unioned per-batch
+    top-Rs IS the global top-R, exactness preserved. The quantized
+    store itself is still built by the shared JVM quantization rule
+    (``_Q8_EXPR``); the kernel consumes its int64 output untouched."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     from .dedup import _dec_dot_expr
 
     emb = table(spark, sf_dir, "embeddings")
     i8 = emb.select("vec_id", F.expr(_Q8_EXPR).alias("q8"))
-    q8 = i8.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("q8").alias("qq8")
+    qrows = i8.where(F.col("vec_id") < N_QUERIES).collect()  # bounded: |q|
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.array([r.q8 for r in qrows], dtype=np.int64)
+
+    part_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("cid", T.LongType()),
+            T.StructField("int8_score", T.LongType()),
+        ]
     )
-    int_dot = F.expr(
-        "aggregate(zip_with(qq8, q8, (a, b) -> a * b),"
-        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
-    s1 = (
-        i8.join(F.broadcast(q8), F.col("qid") != F.col("vec_id"))
-        .select(
-            "qid", F.col("vec_id").alias("cid"), int_dot.alias("int8_score")
-        )
-    )
+
+    def partial(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack(pdf["q8"].to_numpy()).astype(np.int64)
+            scores = mat @ qmat.T  # exact int64
+            outs = []
+            for j in range(len(qids)):
+                col = scores[:, j]
+                mask = ids != qids[j]
+                cids, cj = ids[mask], col[mask]
+                if not len(cids):
+                    continue
+                o = np.argsort(cids, kind="stable")
+                o = o[np.argsort(-cj[o], kind="stable")][:ANN_INT8_RERANK_R]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qids[j],
+                            "cid": cids[o].astype("int64"),
+                            "int8_score": cj[o],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    partials = i8.mapInPandas(partial, part_schema)
     w1 = Window.partitionBy("qid").orderBy(
         F.desc("int8_score"), F.asc("cid")
     )
     cand = (
-        s1.withColumn("r1", F.row_number().over(w1))
+        partials.withColumn("r1", F.row_number().over(w1))
         .where(F.col("r1") <= ANN_INT8_RERANK_R)
         .select("qid", "cid", "int8_score")
     )

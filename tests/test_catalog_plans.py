@@ -1211,19 +1211,21 @@ def test_round11_operator_plan_contracts(spark, sf_dir):
     property its docstring claims."""
     from go_dfs_mapreduce_spark.plans.audit import audit_plan
 
-    # ann_int8_rerank_topk: the declared two-stage shape — stage 1's
-    # narrow candidate shuffle, stage 2's broadcast of the tiny query
-    # side; one BroadcastNestedLoopJoin for the qid != vec_id pairing
-    # (query side built), never a CartesianProduct, never Python
+    # ann_int8_rerank_topk: the declared two-stage shape — stage 1 is
+    # ONE Arrow partial-top-R kernel over the int8 store (r12: the
+    # map-side combine replaced the n x q BroadcastNestedLoopJoin +
+    # full-width window shuffle), so exactly one MapInPandas feeds the
+    # per-query window; stage 2 broadcasts the tiny query side; never
+    # a CartesianProduct
     from go_dfs_mapreduce_spark.operators.similarity import (
         ann_int8_rerank_topk,
         pq_adc_topk,
     )
 
     a = audit_plan(ann_int8_rerank_topk(spark, sf_dir))
-    assert not a["has_python_worker"]
-    assert "BroadcastNestedLoopJoin" in a["plan"]
-    assert "BuildRight" in a["plan"]
+    assert a["plan"].count("MapInPandas (") == 1  # stage 1 partials only
+    assert "BroadcastNestedLoopJoin" not in a["plan"]  # the old stage 1
+    assert a["n_broadcast_joins"] >= 1  # stage 2 query-side broadcast
     assert "CartesianProduct" not in a["plan"]
     assert "Window" in a["plan"]  # per-query ranks, never a global sort
 

@@ -3225,3 +3225,50 @@ def test_jpeg422_general_sampling_factors_decode():
     assert px[7, 15].tolist() == rgb(120, 118, 148)  # MCU0 right luma
     assert px[0, 16].tolist() == rgb(200, 108, 128)  # MCU1 left luma
     assert px[7, 31].tolist() == rgb(40, 108, 128)   # MCU1 right luma
+
+
+def test_contamination_audit_named_eval_table(spark, sf_dir):
+    """The parameterized eval source (production shape): an external
+    (doc_id, text) benchmark frame is shingled by the same rule and
+    checked against the WHOLE corpus as train. A verbatim copy of a
+    corpus doc must read overlap 1.0 / contaminated; a nonsense doc
+    sharing no 3-gram must read 0 / clean; and the default mode must
+    equal the registered query exactly."""
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        contamination_audit,
+        contamination_ngram_audit,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+
+    src = (
+        table(spark, sf_dir, "documents")
+        .where("length(text) > 40")
+        .select("text")
+        .head(1)[0]
+        .text
+    )
+    ev = spark.createDataFrame(
+        [
+            (900001, src),  # verbatim corpus doc -> fully contaminated
+            (900002, "zzqx flurble womble grifnak plonk vexzor"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in contamination_audit(spark, sf_dir, eval_docs=ev).collect()
+    }
+    hit = rows[900001]
+    assert hit.n_overlap == hit.n_shingles > 0
+    assert hit.overlap_frac == 1.0 and hit.contaminated
+    miss = rows[900002]
+    assert miss.n_overlap == 0 and not miss.contaminated
+
+    # default mode == registered query
+    got = sorted(
+        map(tuple, contamination_audit(spark, sf_dir).collect())
+    )
+    want = sorted(
+        map(tuple, contamination_ngram_audit(spark, sf_dir).collect())
+    )
+    assert got == want
