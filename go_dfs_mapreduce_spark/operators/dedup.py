@@ -2050,3 +2050,172 @@ def _contamination_from(ev: DataFrame, tr: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Substring-level cross-document dedup (r12): repeated-span removal plans —
+# the suffix-array dedup family (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better", public) expressed on the shingle
+# substrate at this corpus's 3-gram scale
+# --------------------------------------------------------------------------
+
+SPAN_DEDUP_K = 3          # span atom = the corpus-wide 3-gram shingle
+SPAN_DEDUP_MIN_DOCS = 3   # a shingle is "repeated" iff >= 3 distinct docs
+
+_POS_SHINGLES_DUCK = f"""
+  SELECT doc_id, r.i AS pos,
+         toks[r.i] || ' ' || toks[r.i+1] || ' ' || toks[r.i+2] AS shingle
+  FROM (SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS toks
+        FROM documents) d,
+       UNNEST(range(1, greatest(len(toks) - 1, 1))) r(i)
+"""
+
+SPAN_DEDUP_ORACLE = f"""
+WITH pos_sh AS ({_POS_SHINGLES_DUCK}),
+fr AS (
+  SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM pos_sh)
+  GROUP BY shingle HAVING COUNT(*) >= {SPAN_DEDUP_MIN_DOCS}
+),
+flag AS (
+  SELECT doc_id, pos, pos + {SPAN_DEDUP_K - 1} AS e FROM pos_sh
+  WHERE shingle IN (SELECT shingle FROM fr)
+),
+brk AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN MAX(e) OVER w IS NULL OR pos > MAX(e) OVER w + 1
+              THEN 1 ELSE 0 END AS b
+  FROM flag
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+grp AS (
+  SELECT doc_id, pos, e,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS gid
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, gid, MIN(pos) AS s, MAX(e) AS e
+  FROM grp GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, SUM(e - s + 1) AS n_dup, COUNT(*) AS n_spans
+  FROM spans GROUP BY 1
+),
+tot AS (
+  SELECT doc_id, len(string_split({_NORM_DUCK}, ' ')) AS n FROM documents
+)
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       ROUND(COALESCE(a.n_dup, 0) * 1.0 / NULLIF(t.n, 0), 6) AS dup_ratio
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _span_dedup_spans(docs: DataFrame) -> DataFrame:
+    """DataFrame[doc_id, span_start, span_end] — the MERGED repeated
+    spans of each document, 1-based inclusive token coordinates: every
+    position starting a 3-gram that occurs in >= SPAN_DEDUP_MIN_DOCS
+    distinct documents covers tokens [pos, pos+2]; overlapping or
+    ADJACENT covered ranges merge (gaps-and-islands over a running
+    max-end window). Parameterized over any (doc_id, text) frame so
+    tests can pin exact boundaries on handcrafted corpora."""
+    toks = docs.select(
+        "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+    )
+    pos_sh = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(ngram_expr("toks", SPAN_DEDUP_K))).alias(
+            "p0", "shingle"
+        ),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "shingle")
+    fr = (
+        pos_sh.select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= SPAN_DEDUP_MIN_DOCS)
+        .select("shingle")
+    )
+    flag = pos_sh.join(fr, "shingle", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + SPAN_DEDUP_K - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max = F.max("e").over(w_prev)
+    brk = F.when(
+        prev_max.isNull() | (F.col("pos") > prev_max + 1), 1
+    ).otherwise(0)
+    return (
+        flag.withColumn("gid", F.sum(brk).over(w_run))
+        .groupBy("doc_id", "gid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("e").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+@query("span_dedup_plan", oracle=SPAN_DEDUP_ORACLE)
+def span_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level cross-document dedup — the OTHER staple of the
+    training-data literature next to doc-level near-dup (Lee et al.
+    2022's suffix-array method, public): find token SPANS repeated
+    across >= SPAN_DEDUP_MIN_DOCS distinct documents and emit each
+    document's span-REMOVAL plan in the ``span_corruption_plan`` budget
+    shape — token count, duplicated-token count, merged span count, and
+    the realized duplication ratio (exact integers plus one rounded
+    division; the float has the repo-wide ``* 1.0 /`` form). A span is
+    the union of overlapping-or-adjacent occurrences of repeated
+    3-gram shingles (positional twins of the corpus shingle rule —
+    same normalization, same ``ngram_expr``), merged per doc with a
+    running-max-end gaps-and-islands window; at the reference
+    suffix-array method's 50-token threshold the atoms are longer but
+    the pipeline is identical.
+
+    Plan shape, and why the dedup family's hot-bucket cap is NOT
+    needed here: occurrences are never joined to occurrences — the
+    repeated-shingle set comes from a distinct + count aggregation and
+    flags positions through a LeftSemi join (the contamination-audit
+    argument: a semi join cannot pair-expand on hot shingles), so every
+    stage is linear in corpus tokens. One tokenize pass, one
+    shingle-keyed aggregation, one semi join, two doc-keyed window
+    passes over flagged positions only. At 100 TB this is the standard
+    decontam/dedup exchange budget: shuffles keyed by n-gram and by
+    doc_id, nothing quadratic anywhere."""
+    docs = table(spark, sf_dir, "documents")
+    tot = docs.select(
+        "doc_id", F.expr(f"size(split({_NORM_SPARK}, ' '))").alias("n")
+    )
+    per_doc = (
+        _span_dedup_spans(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("span_end") - F.col("span_start") + 1
+            ).alias("n_dup"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    n_spans = F.coalesce(F.col("n_spans"), F.lit(0))
+    return tot.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        n_dup.cast("long").alias("n_dup_tokens"),
+        n_spans.cast("long").alias("n_spans"),
+        F.round(n_dup * F.lit(1.0) / F.nullif(F.col("n"), F.lit(0)), 6).alias(
+            "dup_ratio"
+        ),
+    )

@@ -1261,3 +1261,43 @@ def test_round11_operator_plan_contracts(spark, sf_dir):
     assert a["plan"].count("MapInPandas (") == 2
     assert a["n_exchanges"] == 0
     assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]  # 1-col scan
+
+
+def test_round12_operator_plan_contracts(spark, sf_dir):
+    """Plan pins for the round-12 operators: each keeps the structural
+    property its docstring claims."""
+    from go_dfs_mapreduce_spark.plans.audit import audit_plan
+
+    # ivf_pq_rerank_topk: stage 1 is the ivf_pq plan (broadcast probe +
+    # broadcast LUT over the code table), stage 2 broadcasts the tiny
+    # query side for the exact rerank; JVM-only, never a cartesian
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        ivf_pq_rerank_topk,
+    )
+
+    a = audit_plan(ivf_pq_rerank_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_broadcast_joins"] >= 3
+    assert "CartesianProduct" not in a["plan"]
+    assert "Window" in a["plan"]
+
+    # span_dedup_plan: positions flag through a LeftSemi against the
+    # repeated-shingle set — no occurrence-to-occurrence join anywhere,
+    # so no pair expansion on hot shingles is even expressible; JVM-only
+    from go_dfs_mapreduce_spark.operators.dedup import span_dedup_plan
+
+    a = audit_plan(span_dedup_plan(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "LeftSemi" in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+    # multimodal_pixels_jpeg420: the two declared Arrow stages over a
+    # 1-column scan, no exchange (the shared pixel-pipeline shape)
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_pixels_jpeg420,
+    )
+
+    a = audit_plan(multimodal_pixels_jpeg420(spark, sf_dir))
+    assert a["plan"].count("MapInPandas (") == 2
+    assert a["n_exchanges"] == 0
+    assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]

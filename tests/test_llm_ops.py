@@ -3272,3 +3272,33 @@ def test_contamination_audit_named_eval_table(spark, sf_dir):
         map(tuple, contamination_ngram_audit(spark, sf_dir).collect())
     )
     assert got == want
+
+
+def test_span_dedup_exact_boundaries_handcrafted(spark):
+    """Exact merged-span boundaries on a handcrafted corpus: a 3-gram
+    shared by >= 3 docs flags its positions; overlapping-or-ADJACENT
+    covered ranges merge into one span; docs without repeated spans
+    emit zeros in the plan."""
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        _span_dedup_spans,
+        SPAN_DEDUP_MIN_DOCS,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "x alpha beta gamma y"),
+            (3, "z z alpha beta gamma"),
+            (4, "unrelated words only here"),
+            # two occurrences of the frequent 3-gram at pos 1 and 4:
+            # spans [1,3] and [4,6] are adjacent -> ONE merged span
+            (5, "alpha beta gamma alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    assert SPAN_DEDUP_MIN_DOCS == 3
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in _span_dedup_spans(docs).collect()
+    }
+    assert spans == {1: (1, 3), 2: (2, 4), 3: (3, 5), 5: (1, 6)}

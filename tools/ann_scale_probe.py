@@ -94,6 +94,7 @@ def main() -> None:
         ann_cosine_batch_fast,
         ann_int8_rerank_topk,
         ann_lsh_batch_fast,
+        ivf_pq_rerank_topk,
         ivf_pq_topk,
         pq_adc_topk,
     )
@@ -106,6 +107,8 @@ def main() -> None:
     ops["int8_rerank"] = ann_int8_rerank_topk
     ops["pq_adc"] = pq_adc_topk
     ops["ivf_pq"] = ivf_pq_topk
+    # r12: the complete serve composition (ADC shortlist + exact rerank)
+    ops["ivf_pq_rerank"] = ivf_pq_rerank_topk
     only = os.environ.get("SPARK_GRAFT_ANN_OPS")
     if only:
         keep = {s.strip() for s in only.split(",")}
