@@ -750,6 +750,54 @@ def stream_rate_limit_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ratelimit_eventtime_live_oracle() -> str:
+    from .timeseries import _ratelimit_eventtime_oracle
+
+    return _ratelimit_eventtime_oracle()
+
+
+@query(
+    "stream_rate_limit_eventtime_live",
+    oracle=_ratelimit_eventtime_live_oracle(),
+)
+def stream_rate_limit_eventtime_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The rate limiter's EVENT-TIME ORDERED mode through the real
+    engine (VERDICT r11 #6 — the principled alternative to the pinned
+    arrival-order policy): per-user events BUFFER in state until the
+    watermark passes them, then fold through the same ``_fold_bucket``
+    in (ts, event_id) order, so verdicts are those of the event-time
+    replay REGARDLESS of arrival order — where the arrival-order twin
+    charges a late event against the current balance, this mode slots
+    it into its true position (or drops it if the watermark already
+    flushed past — the standard late-data contract; the out-of-order
+    fixture test differentiates the two kernels). Emission is
+    append-only because a flushed verdict depends only on sub-watermark
+    events, which are final by the same contract. The oracle is the
+    identical recursive-CTE replay over exactly the sub-final-watermark
+    slice (epoch_ms cutoff stated in SQL), so the gate hash-checks the
+    buffering, the event-time sort, the flush boundaries, AND the fold
+    through the streaming engine. On this time-ordered multi-batch feed
+    nothing is dropped (range-disjoint files + the 1 s delay); the
+    watermark machinery still evicts/flushes between batches — the
+    timers fired are the differentiating engine path (mechanics in
+    ``_run_live``)."""
+    from ..streaming.ratelimit import (
+        RL_EVENTTIME_DELAY,
+        ratelimit_eventtime_stream,
+    )
+
+    return _run_live(
+        spark,
+        sf_dir,
+        ratelimit_eventtime_stream,
+        "t_ratelimit_et_live",
+        output_mode="append",
+        watermark=RL_EVENTTIME_DELAY,
+    )
+
+
 CHUNK_SINK_ORACLE = """
 SELECT CAST(doc_id AS VARCHAR) || chr(9) || md5(text) AS line
 FROM documents

@@ -913,7 +913,7 @@ WITH RECURSIVE e AS MATERIALIZED (
   SELECT user_id, ts, event_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS t,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
-  FROM events
+  FROM {src}
 ),
 f AS (
   SELECT user_id, i, t, ts, event_id,
@@ -942,7 +942,30 @@ def _ratelimit_oracle() -> str:
     )
 
     return RATELIMIT_ORACLE.format(
-        cap=RL_CAP_MICRO, cost=RL_COST_MICRO, rate=RL_RATE_MICRO_PER_SEC
+        cap=RL_CAP_MICRO, cost=RL_COST_MICRO, rate=RL_RATE_MICRO_PER_SEC,
+        src="events",
+    )
+
+
+def _ratelimit_eventtime_oracle() -> str:
+    """The event-time twin's replay: the identical recursion over ONLY
+    the rows at or below the stream's FINAL watermark — Spark tracks
+    max event time in floor-milliseconds and subtracts the 1 s delay,
+    which epoch_ms restates exactly (DuckDB epoch_ms = micros // 1000,
+    floor for positive timestamps)."""
+    from ..streaming.ratelimit import (
+        RL_CAP_MICRO,
+        RL_COST_MICRO,
+        RL_RATE_MICRO_PER_SEC,
+    )
+
+    capped = (
+        "(SELECT * FROM events WHERE epoch_ms(ts) <= "
+        "(SELECT epoch_ms(MAX(ts)) - 1000 FROM events)) events"
+    )
+    return RATELIMIT_ORACLE.format(
+        cap=RL_CAP_MICRO, cost=RL_COST_MICRO, rate=RL_RATE_MICRO_PER_SEC,
+        src=capped,
     )
 
 

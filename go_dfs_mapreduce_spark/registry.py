@@ -189,6 +189,7 @@ _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
     "ivf_pq_rerank_topk",  # r12 new op — showcase slot at round close
     "multimodal_pixels_jpeg420",  # r12 new op
     "span_dedup_plan",  # r12 new op
+    "stream_rate_limit_eventtime_live",  # r12 new op
 )
 
 

@@ -158,6 +158,112 @@ def ratelimit_stream_v1(events: DataFrame) -> DataFrame:
     )
 
 
+# --- event-time ordered mode (r12, VERDICT r11 #6) ------------------------
+
+RL_EVENTTIME_DELAY = "1 second"  # watermark delay of the event-time mode
+
+EVENTTIME_STATE_SCHEMA = (
+    "bal long, last_t long, upto long, bts array<long>, beid array<long>"
+)
+
+
+def _ratelimit_eventtime_fn(key, pdf_iter, state):
+    """The PRINCIPLED out-of-order twin (the r11 verdict's ask): instead
+    of the arrival-order policy ('late events earn zero refill'), buffer
+    each key's events until the WATERMARK passes them, then fold in
+    EVENT-TIME order — the transformWithState-timers pattern expressed
+    on the v1 API (the container's engine path; probed r12: the engine
+    does NOT drop sub-watermark input for this operator, late handling
+    is the kernel's responsibility, and event-time timeouts fire in the
+    trailing AvailableNow batch once ``timeout < watermark``).
+
+    Mechanics per call: (1) arriving rows at or below the FLUSHED
+    boundary (``upto`` = the watermark of the last flush) are DROPPED —
+    the standard watermark contract; anything newer is buffered; (2)
+    every buffered row with event-time ms <= current watermark is
+    flushed through the shared ``_fold_bucket`` in (ts, event_id)
+    order (the late-clamp guards are no-ops on this ordered feed by
+    construction); (3) a timeout is armed just below the earliest
+    still-buffered event so the flush resumes as soon as the watermark
+    passes it. Because flush boundaries are the monotone watermark
+    sequence and each chunk is sorted, the fold is GLOBALLY event-time
+    ordered — on any feed, however shuffled its arrival, the output
+    equals the batch replay of the sub-watermark slice (the oracle).
+    Rows above the final watermark stay buffered when an AvailableNow
+    drain ends — a real deployment keeps running; the gate twin's
+    oracle states the same cutoff in SQL.
+
+    State: the two bucket longs (-1 sentinel = not yet started), the
+    flushed boundary, and the buffered (event-time micros, event_id)
+    arrays — bounded by each key's in-flight watermark lag."""
+    import pandas as pd
+
+    (user_id,) = key
+    wm = state.getCurrentWatermarkMs()
+    if state.exists:
+        bal, last_t, upto, bts, beid = state.get
+        bal = None if last_t is None or last_t < 0 else int(bal)
+        last_t = None if last_t is None or last_t < 0 else int(last_t)
+        upto = int(upto)
+        buf = list(zip(list(bts or []), list(beid or [])))
+    else:
+        bal = last_t = None
+        upto = -1
+        buf = []
+    if not state.hasTimedOut:
+        for pdf in pdf_iter:
+            us = (
+                pdf["ts"].to_numpy("datetime64[ns]").astype("int64")
+                // 1_000
+            )
+            for t_us, eid in zip(us.tolist(), pdf["event_id"].tolist()):
+                if t_us // 1_000 <= upto:
+                    continue  # late beyond the flushed watermark: dropped
+                buf.append((int(t_us), int(eid)))
+    flush = [(t, e) for (t, e) in buf if t // 1_000 <= wm]
+    keep = [(t, e) for (t, e) in buf if t // 1_000 > wm]
+    out = []
+    if flush:
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    [t * 1_000 for t, _ in flush], unit="ns"
+                ),
+                "event_id": [e for _, e in flush],
+            }
+        )
+        bal, last_t, out = _fold_bucket(bal, last_t, [pdf], user_id)
+    upto = max(upto, wm)
+    state.update(
+        (
+            -1 if last_t is None else int(bal),
+            -1 if last_t is None else int(last_t),
+            int(upto),
+            [t for t, _ in keep],
+            [e for _, e in keep],
+        )
+    )
+    if keep:
+        state.setTimeoutTimestamp(
+            max(min(t // 1_000 for t, _ in keep) - 1, wm + 1)
+        )
+    yield from _emit(out)
+
+
+def ratelimit_eventtime_stream(events: DataFrame) -> DataFrame:
+    """events (streaming, watermarked) -> append-only admission
+    verdicts folded in EVENT-TIME order (v1 API, EventTimeTimeout)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ratelimit_eventtime_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=EVENTTIME_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 class RateLimitProcessor(StatefulProcessor):
     """transformWithStateInPandas variant: same two-long state; both
     paths call ``_fold_bucket`` (equality by shared construction)."""

@@ -1358,3 +1358,84 @@ def test_ratelimit_out_of_order_late_event_no_refund():
     # only reachable if the late event never moved the clock)
     assert allowed[5] is True and bal[5] == 0
     assert st.get == (0, 120_000)
+
+
+def test_ratelimit_eventtime_mode_out_of_order_fixture():
+    """The event-time twin on the SAME out-of-order fixture that pins
+    the arrival-order policy — the differentiating test (r11 verdict
+    #6): the late event e4 is BUFFERED until the watermark passes it
+    and folds at its true event-time position, so it is ALLOWED with a
+    full refill (the arrival-order kernel denies it); an event arriving
+    below the already-flushed boundary is DROPPED entirely; an event
+    above the final watermark stays buffered until the watermark
+    advances past it."""
+    import pandas as pd
+
+    from go_dfs_mapreduce_spark.streaming import ratelimit as rl
+
+    def b(rows):
+        return pd.DataFrame(rows, columns=["event_id", "ts"])
+
+    ts = lambda s: pd.Timestamp(s, unit="s")  # noqa: E731
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+            self.hasTimedOut = False
+            self.wm = 0
+            self.timeout = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def getCurrentWatermarkMs(self):
+            return self.wm
+
+        def setTimeoutTimestamp(self, ms):
+            assert ms > self.wm
+            self.timeout = ms
+
+    st = FakeState()
+    out = []
+
+    def run(batch, wm_ms, timed_out=False):
+        st.wm = wm_ms
+        st.hasTimedOut = timed_out
+        it = iter([batch]) if batch is not None else iter([])
+        for f in rl._ratelimit_eventtime_fn((7,), it, st):
+            out.extend(f.itertuples(index=False, name=None))
+
+    # batch 1 (wm 0): everything buffers, nothing flushes
+    run(b([(0, ts(100_000)), (1, ts(100_000)), (2, ts(100_000)),
+           (3, ts(110_000))]), 0)
+    assert out == [] and st._v[3] != []
+    # batch 2 carries the LATE event e4 (ts 50_000 < batch 1's max);
+    # wm has advanced to 110_000 s - 1 s: e4 buffers and the flush
+    # folds [e4, e0, e1, e2] in EVENT-TIME order; e3 stays (above wm)
+    run(b([(4, ts(50_000))]), 110_000_000 - 1000)
+    # batch 3: e5 on-time, e6 arrives BELOW the flushed boundary -> drop
+    run(b([(5, ts(120_000)), (6, ts(90_000))]), 120_000_000 - 1000)
+    # trailing batch at the FINAL watermark: e5 (120_000 s) is above it
+    # and must still be buffered
+    run(None, 120_000_000 - 1000, timed_out=True)
+    assert [t for t in st._v[3]] == [120_000_000_000]
+    # a later watermark advance (more data in a real feed) flushes e5
+    run(None, 125_000_000, timed_out=True)
+
+    assert [r[2] for r in out] == [4, 0, 1, 2, 3, 5]  # event-time order
+    allowed = {eid: a for (_, _, eid, a, _) in out}
+    bal = {eid: m for (_, _, eid, _, m) in out}
+    # e4 folds FIRST against a fresh bucket: allowed (arrival-order
+    # kernel denies it at 0 balance — the two policies' split point)
+    assert allowed[4] is True and bal[4] == 2_000_000
+    # e0 refills to cap over the 50_000 s gap, then the burst drains
+    assert [bal[i] for i in range(3)] == [2_000_000, 1_000_000, 0]
+    assert allowed[3] is True and bal[3] == 0  # 10_000 s = exactly 1 token
+    assert allowed[5] is True and bal[5] == 0
+    assert 6 not in allowed  # dropped: below the flushed watermark
