@@ -241,6 +241,13 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         # round 11: the baseline JPEG pixel decoder — the last format,
         # same Arrow decode-stage class as its BMP/PNG/GIF siblings
         "multimodal_pixels_jpeg",
+        # round 12: the 4:2:0 color twin — same Arrow decode-stage class
+        "multimodal_pixels_jpeg420",
+        # round 12: int8 stage 1 became the declared map-side partial
+        # top-R Arrow kernel (the ann_cosine_batch_fast shape, r11
+        # verdict #8); the quantized recall audit composes it
+        "ann_int8_rerank_topk",
+        "ann_quantized_recall_audit",
         "udf_price_tier",
         "udaf_customer_stats",
         "udtf_first_tokens",

@@ -3251,6 +3251,7 @@ def test_contamination_audit_named_eval_table(spark, sf_dir):
         [
             (900001, src),  # verbatim corpus doc -> fully contaminated
             (900002, "zzqx flurble womble grifnak plonk vexzor"),
+            (900003, "two tokens"),  # too short for any 3-gram
         ],
         "doc_id long, text string",
     )
@@ -3263,6 +3264,10 @@ def test_contamination_audit_named_eval_table(spark, sf_dir):
     assert hit.overlap_frac == 1.0 and hit.contaminated
     miss = rows[900002]
     assert miss.n_overlap == 0 and not miss.contaminated
+    # the shingle-less doc still gets its clean row (r12 review finding)
+    short = rows[900003]
+    assert short.n_shingles == 0 and short.n_overlap == 0
+    assert short.overlap_frac is None and short.contaminated is False
 
     # default mode == registered query
     got = sorted(
