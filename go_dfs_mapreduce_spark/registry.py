@@ -75,17 +75,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The exactly-50 queries the driver will record. Round-11 rotation
+# The exactly-50 queries the driver will record. Round-12 rotation
 # (the established pattern): 22 anchors keep one representative per
 # SURVEY §2 family green in every round's driver file; cumulative
-# driver verification is total through r10 except the two late r10
-# additions, which head this round's new-op block, so the floating
-# slots carry (a) round-11's own new operators plus the two queued r10
-# ops — every operator earns its driver row in (or right after) the
-# round it lands, the standing invariant; (b) queries whose SEMANTICS
-# or kernel changed this round and must re-earn rows on the new
-# behavior; and (c) names whose code paths were touched this round
-# WITHOUT semantic change, staying warm as regression sentinels.
+# driver verification reached 243/243 in r11, so the floating slots
+# carry (a) round-12's own new operators — every operator earns its
+# driver row in the round it lands, the standing invariant; (b)
+# queries whose SEMANTICS or kernel changed this round and must
+# re-earn rows on the new behavior; and (c) names whose code paths
+# were touched this round WITHOUT semantic change, staying warm as
+# regression sentinels.
 # tests/test_rotation_ledger.py pins that nothing silently falls out;
 # the local gate still verifies every registered query every round —
 # driver rows are the externally-scored evidence. Order within the
@@ -131,33 +130,41 @@ _DRIVER_SHOWCASE = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_scores",
-    # --- the two r10 ops queued past that round's rotation (VERDICT
-    # r10 #2: both must earn driver rows NOW) + round-11's own new
-    # operators (the standing invariant; all green on the local gate) ---
-    "xml_roundtrip_events_agg",
-    "multimodal_audio_pcm",
-    "multimodal_pixels_jpeg",
+    # --- round-12's own NEW operators (the standing invariant: every
+    # operator earns its driver row in the round it lands; all green
+    # on the local gate) ---
+    "multimodal_pixels_jpeg420",
+    "span_dedup_plan",
+    "stream_rate_limit_eventtime_live",
+    "ivf_pq_rerank_topk",
+    # --- round-12 RE-EARN slots: ann_int8_rerank_topk's stage 1 became
+    # the map-side partial top-R Arrow kernel (results identical —
+    # top-R of per-batch top-Rs — but the kernel is new code and
+    # re-earns per the r11 convention), and ann_quantized_recall_audit
+    # gained the ivf_pq_rerank columns (schema + semantics extended) ---
     "ann_int8_rerank_topk",
-    "contamination_ngram_audit",
+    "ann_quantized_recall_audit",
+    # --- 22 floating slots: code paths touched this round WITHOUT
+    # semantic change (regression sentinels — every name rotated OUT
+    # retains its r1-r11 driver rows). ivf_pq_topk was refactored
+    # through the shared _ivf_pq_adc helper and pq_adc_topk's
+    # _pq_codes_and_lut now feeds the rerank composition; the JPEG
+    # decoder was generalized to sampling factors (4:4:4 results
+    # byte-identical); contamination_ngram_audit now delegates to the
+    # parameterized contamination_audit; events_rate_limit's oracle
+    # builder gained the src parameter and stream_rate_limit_live's
+    # module gained the event-time twin (v1 kernel untouched);
+    # embedding_quantize_int8 is the quantization-rule source the
+    # rewritten int8 kernel consumes. The rest keep the quantized/LSH/
+    # streaming/multimodal families warm ---
+    "ivf_pq_topk",
     "pq_adc_topk",
-    # --- round-11 RE-EARN slots: bpe_train_merges_batched promoted its
-    # batch width m=4 -> 8 (results changed; VERDICT r10 #6), and the
-    # rate-limiter kernel gained the pinned out-of-order policy
-    # (VERDICT r10 #1 — results unchanged on the gate's ordered feeds,
-    # but the kernel is new code and re-earns per the verdict) ---
-    "bpe_train_merges_batched",
+    "multimodal_pixels_jpeg",
+    "contamination_ngram_audit",
     "events_rate_limit",
     "stream_rate_limit_live",
-    # --- 19 floating slots: code paths touched this round WITHOUT
-    # semantic change (regression sentinels — every name rotated OUT
-    # retains its r1-r10 driver rows). LSH family: the candidate join
-    # was rewritten around the opt-in bucketed index (array default,
-    # byte-identical results). Streaming *_live: the four numeric
-    # kernels were vectorized (iterrows removed). Multimodal pixels:
-    # the shared feature pipeline gained the grayscale mode and the GIF
-    # LZW decoder its output cap. Plus the new ops' direct foundations
-    # (quantization audit -> int8 rerank; kmeans -> PQ) and the
-    # freshly-dispositioned common-neighbors op ---
+    "embedding_quantize_int8",
+    "kmeans_embeddings",
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
     "ann_lsh_calibrated_topk",
@@ -172,11 +179,6 @@ _DRIVER_SHOWCASE = (
     "stream_zscore_anomalies_live",
     "stream_path_conversions_live",
     "stream_first_occurrences_live",
-    "ann_quantized_recall_audit",
-    "embedding_quantize_int8",
-    "kmeans_embeddings",
-    "ivf_pq_topk",
-    "graph_common_neighbors_topk",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT
@@ -185,12 +187,7 @@ _DRIVER_SHOWCASE = (
 # test_rotation_ledger.py fails if a registered name is in neither a
 # CORRECTNESS_r*.json nor the showcase nor this queue, so nothing can
 # silently lose its path to external evidence.
-_NEXT_ROTATION_QUEUE: tuple[str, ...] = (
-    "ivf_pq_rerank_topk",  # r12 new op — showcase slot at round close
-    "multimodal_pixels_jpeg420",  # r12 new op
-    "span_dedup_plan",  # r12 new op
-    "stream_rate_limit_eventtime_live",  # r12 new op
-)
+_NEXT_ROTATION_QUEUE: tuple[str, ...] = ()
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
