@@ -2295,3 +2295,112 @@ def span_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_ratio"
         ),
     )
+
+
+SPAN_APPLY_ORACLE = f"""
+WITH pos_sh AS ({_POS_SHINGLES_DUCK}),
+fr AS (
+  SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM pos_sh)
+  GROUP BY shingle HAVING COUNT(*) >= {SPAN_DEDUP_MIN_DOCS}
+),
+flag AS (
+  SELECT doc_id, pos, pos + {SPAN_DEDUP_K - 1} AS e FROM pos_sh
+  WHERE shingle IN (SELECT shingle FROM fr)
+),
+brk AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN MAX(e) OVER w IS NULL OR pos > MAX(e) OVER w + 1
+              THEN 1 ELSE 0 END AS b
+  FROM flag
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+grp AS (
+  SELECT doc_id, pos, e,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS gid
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, list({{'s': s, 'e': e}}) AS ss FROM (
+    SELECT doc_id, gid, MIN(pos) AS s, MAX(e) AS e
+    FROM grp GROUP BY 1, 2) t
+  GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS toks FROM documents
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - len(kept) AS BIGINT) AS n_removed,
+       md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_md5
+FROM (
+  SELECT t.doc_id, t.toks,
+         list_transform(
+           list_filter(range(1, len(t.toks) + 1),
+             i -> len(list_filter(
+                    COALESCE(s.ss, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+                    sp -> i >= sp.s AND i <= sp.e)) = 0),
+           i -> t.toks[CAST(i AS INT)]) AS kept
+  FROM tok t LEFT JOIN spans s USING (doc_id)
+) t
+"""
+
+
+@query("span_dedup_apply", oracle=SPAN_APPLY_ORACLE)
+def span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the ``span_dedup_plan``: emit each document's CLEANED text
+    — every token covered by a merged repeated span removed, survivors
+    rejoined in order — as (token counts, removed count, md5 of the
+    cleaned string), the artifact a training pipeline actually writes
+    after span dedup. The md5 pins the full cleaned string through the
+    gate without shipping corpus-sized text into the hash compare.
+    Removal is uniform (every occurrence goes); the Lee et al. 2022
+    keep-one-copy variant needs a global owner assignment per repeated
+    chain (e.g. min doc_id) — a coordination step deliberately out of
+    this operator's per-doc scope and documented rather than implied.
+
+    Plan shape: the span frame (same persisted positional-shingle
+    index as the plan operator) is collected to ONE row per doc
+    (collect_list of its few spans), left-joined to the token arrays,
+    and the removal itself is a row-local array filter — no new
+    exchange class beyond the plan operator's budget."""
+    frame = _pos_shingle_table(spark, sf_dir)
+    spans = (
+        _span_spans_from(
+            frame.where(F.col("pos").isNotNull()).select(
+                "doc_id", "pos", "shingle"
+            )
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("ss")
+        )
+    )
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+    )
+    joined = tok.join(spans, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(
+            F.col("ss"), F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+        ).alias("ss"),
+    )
+    kept = (
+        "transform(filter(sequence(1, size(toks)),"
+        " i -> NOT exists(ss, sp -> i >= sp.s AND i <= sp.e)),"
+        " i -> element_at(toks, i))"
+    )
+    return joined.select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.expr(f"size(toks) - size({kept})").cast("long").alias("n_removed"),
+        F.md5(F.expr(f"concat_ws(' ', {kept})")).alias("cleaned_md5"),
+    )

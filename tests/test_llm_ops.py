@@ -3307,3 +3307,43 @@ def test_span_dedup_exact_boundaries_handcrafted(spark):
         for r in _span_dedup_spans(docs).collect()
     }
     assert spans == {1: (1, 3), 2: (2, 4), 3: (3, 5), 5: (1, 6)}
+
+
+def test_span_dedup_apply_consistent_with_plan(spark, sf_dir):
+    """The apply operator must agree with the plan it applies: per doc,
+    removed tokens == the plan's n_dup_tokens and token totals match;
+    a doc the plan leaves untouched must hash to its normalized text
+    verbatim, and a doc the plan empties must hash to ''."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        _NORM_SPARK,
+        span_dedup_apply,
+        span_dedup_plan,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+
+    plan = {
+        r.doc_id: r for r in span_dedup_plan(spark, sf_dir).collect()
+    }
+    applied = {
+        r.doc_id: r for r in span_dedup_apply(spark, sf_dir).collect()
+    }
+    assert set(plan) == set(applied)
+    norm = {
+        r.doc_id: r.norm
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_NORM_SPARK).alias("norm"))
+        .collect()
+    }
+    for did, p in plan.items():
+        a = applied[did]
+        assert a.n_tokens == p.n_tokens, did
+        assert a.n_removed == p.n_dup_tokens, did
+        if p.n_spans == 0:
+            want = hashlib.md5(norm[did].encode()).hexdigest()
+            assert a.cleaned_md5 == want, did
+        if p.n_dup_tokens == p.n_tokens:
+            assert a.cleaned_md5 == hashlib.md5(b"").hexdigest(), did
