@@ -136,6 +136,7 @@ _DRIVER_SHOWCASE = (
     "multimodal_pixels_jpeg420",
     "span_dedup_plan",
     "span_dedup_apply",
+    "ivf_pq_residual_topk",
     "stream_rate_limit_eventtime_live",
     "ivf_pq_rerank_topk",
     # --- round-12 RE-EARN slots: ann_int8_rerank_topk's stage 1 became
@@ -145,7 +146,7 @@ _DRIVER_SHOWCASE = (
     # gained the ivf_pq_rerank columns (schema + semantics extended) ---
     "ann_int8_rerank_topk",
     "ann_quantized_recall_audit",
-    # --- 21 floating slots: code paths touched this round WITHOUT
+    # --- 20 floating slots: code paths touched this round WITHOUT
     # semantic change (regression sentinels — every name rotated OUT
     # retains its r1-r11 driver rows). ivf_pq_topk was refactored
     # through the shared _ivf_pq_adc helper and pq_adc_topk's
@@ -171,7 +172,6 @@ _DRIVER_SHOWCASE = (
     "ann_lsh_calibrated_topk",
     "ann_lsh_batch_topk",
     "ann_calibrated_recall_audit",
-    "ann_recall_audit",
     "multimodal_pixels_bmp",
     "multimodal_pixels_png",
     "multimodal_pixels_gif",

@@ -3347,3 +3347,68 @@ def test_span_dedup_apply_consistent_with_plan(spark, sf_dir):
             assert a.cleaned_md5 == want, did
         if p.n_dup_tokens == p.n_tokens:
             assert a.cleaned_md5 == hashlib.md5(b"").hexdigest(), did
+
+
+def test_ivf_pq_residual_routing_and_recall(spark, sf_dir):
+    """The residual variant shares ivf_pq_topk's routing exactly (every
+    neighbor's assigned cell is one of its query's probed cells), emits
+    nonnegative integer ADC distances, and clears the family's fixture
+    recall floor against the exact brute."""
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        IVF_CAL_NPROBE,
+        N_QUERIES,
+        _MICRO_ARR,
+        _sqd_micro,
+        ann_cosine_topk,
+        calibrated_ivf_cells,
+        ivf_cell_table,
+        ivf_centroid_table,
+        ivf_pq_residual_topk,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = ivf_pq_residual_topk(spark, sf_dir).collect()
+    assert rows
+    assert all(r.adc_d2_micro >= 0 for r in rows)
+
+    n = table(spark, sf_dir, "embeddings").count()
+    k = calibrated_ivf_cells(n)
+    assert all(r.n_cells == k for r in rows)
+    cells = {
+        r.vec_id: r.cluster
+        for r in ivf_cell_table(spark, sf_dir, k).collect()
+    }
+    carr = ivf_centroid_table(spark, sf_dir, k)
+    xm = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_MICRO_ARR).alias("xm")
+    )
+    probed = {}
+    for r in (
+        xm.where(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(carr))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "cluster",
+            F.expr(_sqd_micro("xm", "cm")).alias("d2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("d2", "cluster")
+            ),
+        )
+        .where(F.col("rn") <= IVF_CAL_NPROBE)
+        .collect()
+    ):
+        probed.setdefault(r.qid, set()).add(r.cluster)
+    for r in rows:
+        assert cells[r.neighbor_id] in probed[r.query_id], r
+
+    ex = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(ex & got) / len(ex) >= 0.2

@@ -95,6 +95,7 @@ def main() -> None:
         ann_int8_rerank_topk,
         ann_lsh_batch_fast,
         ivf_pq_rerank_topk,
+        ivf_pq_residual_topk,
         ivf_pq_topk,
         pq_adc_topk,
     )
@@ -109,6 +110,8 @@ def main() -> None:
     ops["ivf_pq"] = ivf_pq_topk
     # r12: the complete serve composition (ADC shortlist + exact rerank)
     ops["ivf_pq_rerank"] = ivf_pq_rerank_topk
+    # r12: the FAISS-default residual encoding
+    ops["ivf_pq_residual"] = ivf_pq_residual_topk
     only = os.environ.get("SPARK_GRAFT_ANN_OPS")
     if only:
         keep = {s.strip() for s in only.split(",")}
