@@ -1629,9 +1629,19 @@ class _JpegBitWriter:
                     self.buf.append(0x00)
                 self.acc, self.n = 0, 0
 
-    def finish(self) -> bytes:
+    def align(self) -> None:
+        """Pad the current partial byte with 1s (the pre-marker rule)."""
         if self.n:
-            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+    def restart(self, idx: int) -> None:
+        """Byte-align and emit RSTm (m = idx mod 8) — raw marker bytes,
+        never byte-stuffed."""
+        self.align()
+        self.buf += bytes((0xFF, 0xD0 + (idx % 8)))
+
+    def finish(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -1644,6 +1654,7 @@ def jpeg_encode_gray_blocks(
     width: int,
     height: int,
     sof_marker: int = 0xC0,
+    restart_interval: int = 0,
 ) -> bytes:
     """Assemble a single-component (grayscale, 4:4:4 trivially) baseline
     JFIF file from QUANTIZED natural-order 8x8 coefficient blocks in
@@ -1651,7 +1662,10 @@ def jpeg_encode_gray_blocks(
     luminance huffman pair. Working in the coefficient domain keeps the
     synthesizer integer-exact — no float DCT anywhere in the encoder.
     ``sof_marker=0xC2`` writes a (bogus) progressive frame header — the
-    quarantine arm of the gate query."""
+    quarantine arm of the gate query. ``restart_interval=Ri > 0``
+    writes a DRI segment and an RSTm marker (m cycling 0..7) after
+    every Ri MCUs — the camera-output encoding — resetting the DC
+    predictor at each restart per the spec."""
     bw = (width + 7) // 8
     bh = (height + 7) // 8
     assert len(qblocks) == bw * bh
@@ -1663,9 +1677,15 @@ def jpeg_encode_gray_blocks(
 
     w = _JpegBitWriter()
     prev_dc = 0
-    for blk in qblocks:
+    for i, blk in enumerate(qblocks):
+        if restart_interval and i and i % restart_interval == 0:
+            w.restart(i // restart_interval - 1)
+            prev_dc = 0
         prev_dc = _jpeg_encode_block(w, blk, prev_dc, dc_map, ac_map)
-    return _jpeg_container(w.finish(), width, height, 1, sof_marker)
+    return _jpeg_container(
+        w.finish(), width, height, 1, sof_marker,
+        restart_interval=restart_interval,
+    )
 
 
 def _jpeg_encode_block(w, blk, prev_dc, dc_map, ac_map) -> int:
@@ -1707,12 +1727,13 @@ def _jpeg_container(
     ncomp: int,
     sof_marker: int,
     sampling: tuple[int, ...] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Wrap an entropy-coded scan in the JFIF container: SOI, APP0, the
     all-ones DQT, SOF, the Annex K luminance DHT pair (all components
-    point at table 0 — legal, and all this synthesizer needs), SOS,
-    EOI. ``sampling`` gives each component's packed h<<4|v SOF byte
-    (default: all 0x11, i.e. 4:4:4)."""
+    point at table 0 — legal, and all this synthesizer needs), an
+    optional DRI, SOS, EOI. ``sampling`` gives each component's packed
+    h<<4|v SOF byte (default: all 0x11, i.e. 4:4:4)."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(
         0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00"
@@ -1731,6 +1752,8 @@ def _jpeg_container(
         b"\x00" + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
         + b"\x10" + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS),
     )
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytearray([ncomp])
     for cid in range(1, ncomp + 1):
         sos += bytes((cid, 0x00))
@@ -1768,6 +1791,7 @@ def jpeg_encode_ycbcr_420_mcus(
     width: int,
     height: int,
     sof_marker: int = 0xC0,
+    restart_interval: int = 0,
 ) -> bytes:
     """Three-component 4:2:0 baseline file — the DEFAULT sampling of
     essentially every real-world encoder (libjpeg's -sample 2x2):
@@ -1785,12 +1809,16 @@ def jpeg_encode_ycbcr_420_mcus(
     ac_map = {v: c for v, c in zip(_JPG_AC_VALS, _huff_canonical(_JPG_AC_BITS))}
     w = _JpegBitWriter()
     prev = [0, 0, 0]
-    for mcu in qmcus:
+    for mi, mcu in enumerate(qmcus):
+        if restart_interval and mi and mi % restart_interval == 0:
+            w.restart(mi // restart_interval - 1)
+            prev = [0, 0, 0]
         for bi, blk in enumerate(mcu):
             ci = 0 if bi < 4 else bi - 3  # 4 luma blocks, then Cb, Cr
             prev[ci] = _jpeg_encode_block(w, blk, prev[ci], dc_map, ac_map)
     return _jpeg_container(
-        w.finish(), width, height, 3, sof_marker, sampling=(0x22, 0x11, 0x11)
+        w.finish(), width, height, 3, sof_marker,
+        sampling=(0x22, 0x11, 0x11), restart_interval=restart_interval,
     )
 
 
@@ -1826,8 +1854,10 @@ def make_jpeg420_bytes(
             mcu.append([8 * (cb - 128)] + [0] * 63)
             mcu.append([8 * (cr - 128)] + [0] * 63)
             qmcus.append(mcu)
+    # every 3rd doc: restart interval of 2 MCUs (see make_jpeg_bytes)
     return jpeg_encode_ycbcr_420_mcus(
-        qmcus, width, height, sof_marker=0xC2 if progressive else 0xC0
+        qmcus, width, height, sof_marker=0xC2 if progressive else 0xC0,
+        restart_interval=2 if doc_id % 3 == 0 else 0,
     )
 
 
@@ -1848,8 +1878,12 @@ def make_jpeg_bytes(doc_id: int, width: int, height: int, progressive: bool = Fa
         for bx in range(bw):
             v = (doc_id + 2 * bx + 3 * by) % 256
             qblocks.append([8 * (v - 128)] + [0] * 63)
+    # every 3rd doc encodes with a restart interval of 2 MCUs (the
+    # camera-output encoding; r12) — pixels identical, so the formula
+    # oracle is unchanged while the gate exercises the DRI/RSTm path
     return jpeg_encode_gray_blocks(
-        qblocks, width, height, sof_marker=0xC2 if progressive else 0xC0
+        qblocks, width, height, sof_marker=0xC2 if progressive else 0xC0,
+        restart_interval=2 if doc_id % 3 == 0 else 0,
     )
 
 
@@ -1862,6 +1896,18 @@ class _JpegBitReader:
         self.p = pos
         self.acc = 0
         self.n = 0
+
+    def expect_rst(self, idx: int) -> bool:
+        """Byte-align (drop pad bits) and consume RSTm, m = idx mod 8;
+        False on anything else (wrong index included — a shuffled or
+        dropped restart segment must quarantine, not mis-splice)."""
+        self.n = 0
+        if self.p + 2 > len(self.d):
+            return False
+        if self.d[self.p] != 0xFF or self.d[self.p + 1] != 0xD0 + (idx % 8):
+            return False
+        self.p += 2
+        return True
 
     def bit(self) -> int | None:
         if self.n == 0:
@@ -1952,6 +1998,7 @@ def decode_jpeg_pixels(b: bytes):
     qtables: dict[int, list[int]] = {}
     hufftables: dict[tuple[int, int], dict] = {}
     frame = None
+    dri = 0
     pos = 2
     while True:
         if pos + 4 > len(b):
@@ -2039,7 +2086,12 @@ def decode_jpeg_pixels(b: bytes):
                 cs, tdta = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 scan_tbl[cs] = (tdta >> 4, tdta & 15)
             break
-        return None  # DRI / DNL / unknown marker: out of scope
+        if marker == 0xDD:
+            if len(seg) != 2:
+                return None
+            dri = int.from_bytes(seg, "big")
+            continue
+        return None  # DNL / unknown marker: out of scope
 
     # resolve tables per component
     per_comp = []
@@ -2081,8 +2133,14 @@ def decode_jpeg_pixels(b: bytes):
     # h_i x v_i blocks left-to-right then top-to-bottom (F.2.2.4); with
     # all factors 1x1 this degenerates to the per-block raster the
     # 4:4:4 path always ran
+    mcu_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if dri and mcu_idx and mcu_idx % dri == 0:
+                if not br.expect_rst(mcu_idx // dri - 1):
+                    return None
+                prev_dc = [0] * len(comps)
+            mcu_idx += 1
             for ci, (qt, dct, act, h_i, v_i) in enumerate(per_comp):
                 for byi in range(v_i):
                     for bxi in range(h_i):

@@ -3412,3 +3412,41 @@ def test_ivf_pq_residual_routing_and_recall(spark, sf_dir):
     }
     got = {(r.query_id, r.neighbor_id) for r in rows}
     assert len(ex & got) / len(ex) >= 0.2
+
+
+def test_jpeg_restart_intervals_roundtrip_and_quarantine():
+    """DRI/RSTm support (r12): gray and 4:2:0 files encoded with a
+    restart interval roundtrip bit-exactly (DC predictors reset at each
+    marker), a WRONG restart index quarantines (a dropped/shuffled
+    restart segment must never mis-splice), every strict prefix
+    quarantines, and restart-free files are unaffected."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        jpeg_encode_gray_blocks,
+        make_jpeg420_bytes,
+        make_jpeg_bytes,
+    )
+
+    # make_jpeg_bytes stamps doc_id % 3 == 0 with restart_interval=2 —
+    # roundtrip both arms of both generators
+    for doc_id in (3, 4):  # 3 -> restart arm, 4 -> plain arm
+        for mk in (make_jpeg_bytes, make_jpeg420_bytes):
+            dec = decode_jpeg_pixels(mk(doc_id, 33, 18))
+            assert dec is not None and dec[:2] == (33, 18), (mk, doc_id)
+    d = decode_jpeg_pixels(make_jpeg_bytes(3, 40, 24))
+    xs = np.arange(40).reshape(1, 40)
+    ys = np.arange(24).reshape(24, 1)
+    assert np.array_equal(d[2], (3 + 2 * (xs // 8) + 3 * (ys // 8)) % 256)
+
+    qb = [[8 * ((i * 13) % 256 - 128)] + [0] * 63 for i in range(8)]
+    b = jpeg_encode_gray_blocks(qb, 64, 8, restart_interval=2)
+    assert decode_jpeg_pixels(b) is not None
+    i = b.find(b"\xff\xd0")
+    assert i > 0
+    bad = bytearray(b)
+    bad[i + 1] = 0xD1  # wrong RST index
+    assert decode_jpeg_pixels(bytes(bad)) is None
+    for j in range(len(b)):
+        assert decode_jpeg_pixels(b[:j]) is None, j
