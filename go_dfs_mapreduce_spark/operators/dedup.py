@@ -2197,7 +2197,8 @@ def _span_dedup_spans(docs: DataFrame) -> DataFrame:
 
 def _span_spans_from(pos_sh: DataFrame) -> DataFrame:
     """The span-merge tail over a positional-shingle frame
-    [doc_id, pos, shingle]."""
+    [doc_id, pos, shingle]: flag every occurrence of a repeated
+    shingle (uniform removal)."""
     fr = (
         pos_sh.select("doc_id", "shingle")
         .distinct()
@@ -2209,6 +2210,38 @@ def _span_spans_from(pos_sh: DataFrame) -> DataFrame:
     flag = pos_sh.join(fr, "shingle", "left_semi").select(
         "doc_id", "pos", (F.col("pos") + SPAN_DEDUP_K - 1).alias("e")
     )
+    return _merge_flagged(flag)
+
+
+def _span_keep_owner_spans_from(pos_sh: DataFrame) -> DataFrame:
+    """The keep-one-copy flag rule: a repeated shingle's occurrences
+    are flagged ONLY outside its OWNER doc (min doc_id containing it —
+    the deterministic canonical copy), so every repeated chain survives
+    somewhere in the corpus."""
+    fr = (
+        pos_sh.select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("owner"),
+        )
+        .where(F.col("df") >= SPAN_DEDUP_MIN_DOCS)
+        .select("shingle", "owner")
+    )
+    flag = (
+        pos_sh.join(fr, "shingle")
+        .where(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id", "pos", (F.col("pos") + SPAN_DEDUP_K - 1).alias("e")
+        )
+    )
+    return _merge_flagged(flag)
+
+
+def _merge_flagged(flag: DataFrame) -> DataFrame:
+    """Merge flagged [doc_id, pos, e] ranges into maximal spans
+    (overlapping-or-adjacent; running-max-end gaps-and-islands)."""
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -2403,4 +2436,106 @@ def span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(toks)").cast("long").alias("n_tokens"),
         F.expr(f"size(toks) - size({kept})").cast("long").alias("n_removed"),
         F.md5(F.expr(f"concat_ws(' ', {kept})")).alias("cleaned_md5"),
+    )
+
+
+SPAN_KEEP_OWNER_ORACLE = f"""
+WITH pos_sh AS ({_POS_SHINGLES_DUCK}),
+fr AS (
+  SELECT shingle, MIN(doc_id) AS owner
+  FROM (SELECT DISTINCT doc_id, shingle FROM pos_sh)
+  GROUP BY shingle HAVING COUNT(*) >= {SPAN_DEDUP_MIN_DOCS}
+),
+flag AS (
+  SELECT p.doc_id, p.pos, p.pos + {SPAN_DEDUP_K - 1} AS e
+  FROM pos_sh p JOIN fr f USING (shingle)
+  WHERE p.doc_id <> f.owner
+),
+brk AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN MAX(e) OVER w IS NULL OR pos > MAX(e) OVER w + 1
+              THEN 1 ELSE 0 END AS b
+  FROM flag
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+grp AS (
+  SELECT doc_id, pos, e,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS gid
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, gid, MIN(pos) AS s, MAX(e) AS e
+  FROM grp GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, SUM(e - s + 1) AS n_dup, COUNT(*) AS n_spans
+  FROM spans GROUP BY 1
+),
+tot AS (
+  SELECT doc_id, len(string_split({_NORM_DUCK}, ' ')) AS n FROM documents
+)
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       ROUND(COALESCE(a.n_dup, 0) * 1.0 / NULLIF(t.n, 0), 6) AS dup_ratio
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _span_dedup_keep_owner_spans(docs: DataFrame) -> DataFrame:
+    """``_span_dedup_spans``'s keep-one-copy twin over any (doc_id,
+    text) frame — for boundary tests on handcrafted corpora."""
+    return _span_keep_owner_spans_from(
+        _doc_pos_shingles(docs).where(F.col("pos").isNotNull())
+    )
+
+
+@query("span_dedup_keep_owner", oracle=SPAN_KEEP_OWNER_ORACLE)
+def span_dedup_keep_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``span_dedup_plan``'s KEEP-ONE-COPY variant — the discipline the
+    suffix-array dedup literature actually applies (Lee et al. 2022
+    remove later occurrences, keeping one): each repeated shingle gets
+    a deterministic OWNER (the min doc_id containing it — no scan-order
+    dependence, so both engines agree unconditionally), and occurrences
+    are flagged for removal only OUTSIDE the owner doc. Every repeated
+    chain therefore survives verbatim somewhere in the corpus — the
+    uniform variant can delete a phrase from every document that has
+    it, which loses content; this one can't. Same plan-budget shape
+    (positional index -> shingle-keyed aggregation -> equi-join flag ->
+    per-doc merge windows) with one addition: the flag join carries the
+    owner column, still keyed by shingle, still no occurrence-pair
+    expansion. Output schema matches span_dedup_plan row for row, so
+    the two plans difference cleanly (n_dup_tokens here <= the uniform
+    plan's for every doc — pinned in tests)."""
+    frame = _pos_shingle_table(spark, sf_dir)
+    tot = frame.where(
+        F.col("pos").isNull() | (F.col("pos") == 1)
+    ).select("doc_id", "n")
+    per_doc = (
+        _span_keep_owner_spans_from(
+            frame.where(F.col("pos").isNotNull()).select(
+                "doc_id", "pos", "shingle"
+            )
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("span_end") - F.col("span_start") + 1
+            ).alias("n_dup"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    n_spans = F.coalesce(F.col("n_spans"), F.lit(0))
+    return tot.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        n_dup.cast("long").alias("n_dup_tokens"),
+        n_spans.cast("long").alias("n_spans"),
+        F.round(n_dup * F.lit(1.0) / F.nullif(F.col("n"), F.lit(0)), 6).alias(
+            "dup_ratio"
+        ),
     )

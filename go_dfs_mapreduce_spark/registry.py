@@ -136,6 +136,7 @@ _DRIVER_SHOWCASE = (
     "multimodal_pixels_jpeg420",
     "span_dedup_plan",
     "span_dedup_apply",
+    "span_dedup_keep_owner",
     "ivf_pq_residual_topk",
     "stream_rate_limit_eventtime_live",
     "ivf_pq_rerank_topk",
@@ -146,7 +147,7 @@ _DRIVER_SHOWCASE = (
     # gained the ivf_pq_rerank columns (schema + semantics extended) ---
     "ann_int8_rerank_topk",
     "ann_quantized_recall_audit",
-    # --- 20 floating slots: code paths touched this round WITHOUT
+    # --- 19 floating slots: code paths touched this round WITHOUT
     # semantic change (regression sentinels — every name rotated OUT
     # retains its r1-r11 driver rows). ivf_pq_topk was refactored
     # through the shared _ivf_pq_adc helper and pq_adc_topk's
@@ -166,7 +167,6 @@ _DRIVER_SHOWCASE = (
     "events_rate_limit",
     "stream_rate_limit_live",
     "embedding_quantize_int8",
-    "kmeans_embeddings",
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
     "ann_lsh_calibrated_topk",

@@ -3450,3 +3450,49 @@ def test_jpeg_restart_intervals_roundtrip_and_quarantine():
     assert decode_jpeg_pixels(bytes(bad)) is None
     for j in range(len(b)):
         assert decode_jpeg_pixels(b[:j]) is None, j
+
+
+def test_span_dedup_keep_owner_boundaries_and_dominance(spark, sf_dir):
+    """Keep-one-copy semantics: on the handcrafted corpus, the owner
+    (min doc_id) of the repeated 3-gram keeps its occurrences — doc 1
+    has NO spans where the uniform plan flags [1,3] — while non-owner
+    docs flag exactly as the uniform rule does; and at corpus scale the
+    keep-owner plan's n_dup_tokens is <= the uniform plan's for every
+    doc."""
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        _span_dedup_keep_owner_spans,
+        span_dedup_keep_owner,
+        span_dedup_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "x alpha beta gamma y"),
+            (3, "z z alpha beta gamma"),
+            (4, "unrelated words only here"),
+            (5, "alpha beta gamma alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in _span_dedup_keep_owner_spans(docs).collect()
+    }
+    # doc 1 owns "alpha beta gamma" -> keeps it; others flag as before
+    assert spans == {2: (2, 4), 3: (3, 5), 5: (1, 6)}
+
+    uniform = {
+        r.doc_id: r.n_dup_tokens
+        for r in span_dedup_plan(spark, sf_dir).collect()
+    }
+    keep = {
+        r.doc_id: r.n_dup_tokens
+        for r in span_dedup_keep_owner(spark, sf_dir).collect()
+    }
+    assert set(uniform) == set(keep)
+    assert all(keep[d] <= uniform[d] for d in uniform)
+    # the owner rule must actually retain something somewhere: the
+    # total removed strictly drops whenever any repeated shingle exists
+    if sum(uniform.values()) > 0:
+        assert sum(keep.values()) < sum(uniform.values())
