@@ -1308,3 +1308,34 @@ def test_round12_operator_plan_contracts(spark, sf_dir):
     assert a["plan"].count("MapInPandas (") == 2
     assert a["n_exchanges"] == 0
     assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]
+
+    # span_dedup_apply / span_dedup_keep_owner: same contract as the
+    # plan operator — flagging is keyed by shingle (LeftSemi for the
+    # uniform rule, an equi-join carrying the owner for keep-one-copy),
+    # never a cartesian, never Python
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        span_dedup_apply,
+        span_dedup_keep_owner,
+    )
+
+    a = audit_plan(span_dedup_apply(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "LeftSemi" in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+    a = audit_plan(span_dedup_keep_owner(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "CartesianProduct" not in a["plan"]
+
+    # ivf_pq_residual_topk: the serve plan is ivf_pq's with the
+    # per-(query, cell) LUT broadcast — codebooks/probe/LUT all ride
+    # broadcasts, the only corpus-sized join input is the code table;
+    # JVM-only, never a cartesian
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+    )
+
+    a = audit_plan(ivf_pq_residual_topk(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_broadcast_joins"] >= 3
+    assert "CartesianProduct" not in a["plan"]
+    assert "Window" in a["plan"]

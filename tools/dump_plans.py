@@ -118,6 +118,9 @@ PLAN_QUERIES = [
     "ivf_pq_rerank_topk",
     "multimodal_pixels_jpeg420",
     "span_dedup_plan",
+    "span_dedup_apply",
+    "span_dedup_keep_owner",
+    "ivf_pq_residual_topk",
 ]
 
 
