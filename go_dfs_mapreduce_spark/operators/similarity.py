@@ -2277,11 +2277,13 @@ def pq_codebook_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         d1 = sub.join(F.broadcast(seeds), "m").select(
             "vec_id", "m", "code", F.expr(_sqd_micro("sv", "cw")).alias("d2")
         )
-        w_vm = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
-        a1 = (
-            d1.withColumn("rn", F.row_number().over(w_vm))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "m", "code")
+        # argmin via min_by (map-side partial aggregation — the kmeans
+        # recipe; r12: the row_number window formulation OOM'd the
+        # 8 GiB probe harness at 500k x M rows, a sort exchange the
+        # assignment never needed). min of struct(d2, code) IS the
+        # (d2 asc, code) tie rule.
+        a1 = d1.groupBy("vec_id", "m").agg(
+            F.expr("min_by(code, struct(d2, code))").alias("code")
         )
         psum = (
             a1.join(sub, ["vec_id", "m"])
@@ -2332,7 +2334,6 @@ def pq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         sub = _pq_sub(spark, sf_dir)
         cb = pq_codebook_table(spark, sf_dir)
-        w_vm = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
         return (
             sub.join(F.broadcast(cb), "m")
             .select(
@@ -2341,8 +2342,8 @@ def pq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "code",
                 F.expr(_sqd_micro("sv", "cw")).alias("d2"),
             )
-            .withColumn("rn", F.row_number().over(w_vm))
-            .where(F.col("rn") == 1)
+            .groupBy("vec_id", "m")
+            .agg(F.expr("min_by(code, struct(d2, code))").alias("code"))
             .select("vec_id", "m", "code")
         )
 
@@ -2901,11 +2902,9 @@ def pqres_codebook_table(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         d1 = sub.join(F.broadcast(seeds), "m").select(
             "vec_id", "m", "code", F.expr(_sqd_micro("sv", "cw")).alias("d2")
         )
-        w_vm = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
-        a1 = (
-            d1.withColumn("rn", F.row_number().over(w_vm))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "m", "code")
+        # min_by argmin — see pq_codebook_table
+        a1 = d1.groupBy("vec_id", "m").agg(
+            F.expr("min_by(code, struct(d2, code))").alias("code")
         )
         psum = (
             a1.join(sub, ["vec_id", "m"])
@@ -2956,7 +2955,6 @@ def pqres_code_table(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     def build() -> DataFrame:
         sub = _res_sub(spark, sf_dir, k).select("vec_id", "m", "sv")
         cb = pqres_codebook_table(spark, sf_dir, k)
-        w_vm = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
         return (
             sub.join(F.broadcast(cb), "m")
             .select(
@@ -2965,8 +2963,8 @@ def pqres_code_table(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
                 "code",
                 F.expr(_sqd_micro("sv", "cw")).alias("d2"),
             )
-            .withColumn("rn", F.row_number().over(w_vm))
-            .where(F.col("rn") == 1)
+            .groupBy("vec_id", "m")
+            .agg(F.expr("min_by(code, struct(d2, code))").alias("code"))
             .select("vec_id", "m", "code")
         )
 
