@@ -968,3 +968,86 @@ def test_jpeg420_roundtrip_and_truncation_property(doc_id, w, h, cut):
         decode_jpeg_pixels(make_jpeg420_bytes(doc_id, w, h, progressive=True))
         is None
     )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["ka", "lo", "mi", "ne", "po", "ra"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=3,
+        max_size=7,
+    ),
+)
+def test_span_dedup_family_matches_python_reference(spark, texts):
+    """Differential property for the span-dedup family: on random small
+    corpora over a 6-word alphabet (dense shared 3-grams), BOTH flag
+    rules' merged spans equal an independent pure-Python reference of
+    the stated semantics exactly — frequent = >= SPAN_DEDUP_MIN_DOCS
+    distinct docs, owner = min doc_id, overlapping-or-adjacent merge —
+    and every emitted span list is sorted, disjoint, and non-adjacent
+    (the merge's fixed point)."""
+    import re
+
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        SPAN_DEDUP_MIN_DOCS,
+        _span_dedup_keep_owner_spans,
+        _span_dedup_spans,
+    )
+
+    docs = list(enumerate(texts))
+
+    def ref(keep_owner):
+        toks = {
+            d: re.sub(r"\s+", " ", t).strip().lower().split(" ")
+            for d, t in docs
+        }
+        occ, by_sh = {}, {}
+        for d, tk in toks.items():
+            if len(tk) < 3:
+                continue
+            for i in range(len(tk) - 2):
+                sh = " ".join(tk[i : i + 3])
+                occ.setdefault(d, []).append((i + 1, sh))
+                by_sh.setdefault(sh, set()).add(d)
+        owner = {
+            sh: min(ds)
+            for sh, ds in by_sh.items()
+            if len(ds) >= SPAN_DEDUP_MIN_DOCS
+        }
+        out = {}
+        for d, os_ in occ.items():
+            flags = sorted(
+                p
+                for p, sh in os_
+                if sh in owner and (not keep_owner or owner[sh] != d)
+            )
+            merged = []
+            for p in flags:
+                e = p + 2
+                if merged and p <= merged[-1][1] + 1:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((p, e))
+            if merged:
+                out[d] = merged
+        return out
+
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    for fn, keep in (
+        (_span_dedup_spans, False),
+        (_span_dedup_keep_owner_spans, True),
+    ):
+        got = {}
+        for r in fn(frame).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end)
+            )
+        got = {d: sorted(v) for d, v in got.items()}
+        assert got == ref(keep), (keep, texts)
+        for spans in got.values():
+            for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+                assert s2 > e1 + 1  # disjoint AND non-adjacent
