@@ -2610,12 +2610,17 @@ def _ivf_pq_adc(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
 
 IVF_PQ_RERANK_R = 32  # ADC shortlist width per query (>> TOP_K)
 
-IVF_PQ_RERANK_ORACLE = f"""{_IVF_PQ_CTE_BODY},
+def _rerank_suffix_sql(adc_cte: str) -> str:
+    """The exact-rerank oracle tail over any (qid, cid, adc_d2) CTE:
+    top-R shortlist by (adc asc, cid), exact-decimal cosine re-score,
+    final top-k by (cosine desc, cid) — shared by the raw and residual
+    IVF-PQ rerank compositions."""
+    return f""",
 short AS (
   SELECT qid, cid, adc_d2 FROM (
     SELECT qid, cid, adc_d2,
            row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS r1
-    FROM adc) t WHERE r1 <= {IVF_PQ_RERANK_R}
+    FROM {adc_cte}) t WHERE r1 <= {IVF_PQ_RERANK_R}
 ),
 xr AS ({EXPLODED_DUCK}),
 normsr AS (
@@ -2648,6 +2653,9 @@ WHERE rn <= {TOP_K}
 """
 
 
+IVF_PQ_RERANK_ORACLE = f"{_IVF_PQ_CTE_BODY}{_rerank_suffix_sql('adc')}"
+
+
 @query("ivf_pq_rerank_topk", oracle=IVF_PQ_RERANK_ORACLE)
 def ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with the exact-rerank stage — the COMPLETE production
@@ -2677,9 +2685,20 @@ def ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector reads total, independent of corpus size. Integer ADC +
     decimal cosine end to end, so the composed pipeline keeps the
     family's full-value oracle."""
+    adc, k = _ivf_pq_adc(spark, sf_dir)
+    return _adc_rerank_tail(spark, sf_dir, adc, k)
+
+
+def _adc_rerank_tail(
+    spark: SparkSession, sf_dir: str, adc: DataFrame, k: int
+) -> DataFrame:
+    """The shared exact-rerank stage over any (qid, cid, adc_d2) ADC
+    frame: top-``IVF_PQ_RERANK_R`` shortlist by (adc asc, cid), exact-
+    decimal cosine re-score against the float store, final top-k by
+    (cosine desc, cid) — used by the raw and residual IVF-PQ rerank
+    compositions."""
     from .dedup import _dec_dot_expr
 
-    adc, k = _ivf_pq_adc(spark, sf_dir)
     w1 = Window.partitionBy("qid").orderBy("adc_d2", "cid")
     short = (
         adc.withColumn("r1", F.row_number().over(w1))
@@ -2992,7 +3011,7 @@ _RD2 = (
     " i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) AS BIGINT)"
 )
 
-IVF_PQ_RESIDUAL_ORACLE = f"""{_IVF_ROUTE_CTES},
+_IVF_PQ_RESIDUAL_CTE_BODY = f"""{_IVF_ROUTE_CTES},
 res AS MATERIALIZED (
   SELECT x.vec_id, a.cluster,
          list_transform(range(1, len(x.xm) + 1),
@@ -3061,7 +3080,9 @@ radc AS (
   JOIN rlut l ON l.qid = c.qid AND l.cluster = c.cluster
              AND l.m = e.m AND l.code = e.code
   GROUP BY 1, 2
-)
+)"""
+
+IVF_PQ_RESIDUAL_ORACLE = f"""{_IVF_PQ_RESIDUAL_CTE_BODY}
 SELECT qid AS query_id, cid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
        CAST(adc_d2 AS BIGINT) AS adc_d2_micro,
        (SELECT CAST(k AS INTEGER) FROM ncells) AS n_cells
@@ -3070,6 +3091,10 @@ FROM (SELECT qid, cid, adc_d2,
       FROM radc)
 WHERE rn <= {TOP_K}
 """
+
+IVF_PQ_RESIDUAL_RERANK_ORACLE = (
+    f"{_IVF_PQ_RESIDUAL_CTE_BODY}{_rerank_suffix_sql('radc')}"
+)
 
 
 @query("ivf_pq_residual_topk", oracle=IVF_PQ_RESIDUAL_ORACLE)
@@ -3098,6 +3123,29 @@ def ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     little mass to subtract; on clustered real embeddings residual
     encoding is the production default for a reason, and the recall
     floor is pinned in tests."""
+    adc, k = _ivf_pq_residual_adc(spark, sf_dir)
+    w_q = Window.partitionBy("qid").orderBy("adc_d2", "cid")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.col("adc_d2").cast("long").alias("adc_d2_micro"),
+            F.lit(k).cast("int").alias("n_cells"),
+        )
+    )
+
+
+def _ivf_pq_residual_adc(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """(adc DataFrame[qid, cid, adc_d2], n_cells) — the residual-encoded
+    IVF-PQ scoring pipeline (cell routing, per-(query, probed-cell)
+    residual LUTs, broadcast-LUT ADC join over the persisted residual
+    code table); ``ivf_pq_residual_topk`` cuts it to top-k,
+    ``ivf_pq_residual_rerank_topk`` reranks the wider shortlist."""
     n = table(spark, sf_dir, "embeddings").count()
     k = calibrated_ivf_cells(n)
     emb = table(spark, sf_dir, "embeddings")
@@ -3158,15 +3206,25 @@ def ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "cid")
         .agg(F.sum("d2").alias("adc_d2"))
     )
-    w_q = Window.partitionBy("qid").orderBy("adc_d2", "cid")
-    return (
-        adc.withColumn("rn", F.row_number().over(w_q))
-        .where(F.col("rn") <= TOP_K)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("cid").alias("neighbor_id"),
-            F.col("rn").cast("int").alias("rank"),
-            F.col("adc_d2").cast("long").alias("adc_d2_micro"),
-            F.lit(k).cast("int").alias("n_cells"),
-        )
-    )
+    return adc, k
+
+
+@query("ivf_pq_residual_rerank_topk", oracle=IVF_PQ_RESIDUAL_RERANK_ORACLE)
+def ivf_pq_residual_rerank_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual IVF-PQ + exact rerank — FAISS's LITERAL default serve
+    path end to end (IndexIVFPQ trains on residuals AND deployments
+    rerank the ADC shortlist): the residual composition's top
+    ``IVF_PQ_RERANK_R`` shortlist per query re-scored with the
+    exact-decimal cosine through the shared ``_adc_rerank_tail``, final
+    top-k by (cosine desc, cid), every row carrying its ADC distance
+    and the cell count. The oracle splices the residual CTE chain with
+    the same rerank suffix the raw composition uses — one shared
+    suffix, so the two compositions cannot drift apart textually.
+
+    Scale: identical budget to ``ivf_pq_rerank_topk`` — stage 1 is the
+    residual serve plan verbatim, stage 2 touches R float vectors per
+    query regardless of corpus size."""
+    adc, k = _ivf_pq_residual_adc(spark, sf_dir)
+    return _adc_rerank_tail(spark, sf_dir, adc, k)

@@ -138,6 +138,7 @@ _DRIVER_SHOWCASE = (
     "span_dedup_apply",
     "span_dedup_keep_owner",
     "ivf_pq_residual_topk",
+    "ivf_pq_residual_rerank_topk",
     "stream_rate_limit_eventtime_live",
     "ivf_pq_rerank_topk",
     # --- round-12 RE-EARN slots: ann_int8_rerank_topk's stage 1 became
@@ -147,7 +148,7 @@ _DRIVER_SHOWCASE = (
     # gained the ivf_pq_rerank columns (schema + semantics extended) ---
     "ann_int8_rerank_topk",
     "ann_quantized_recall_audit",
-    # --- 19 floating slots: code paths touched this round WITHOUT
+    # --- 18 floating slots: code paths touched this round WITHOUT
     # semantic change (regression sentinels — every name rotated OUT
     # retains its r1-r11 driver rows). ivf_pq_topk was refactored
     # through the shared _ivf_pq_adc helper and pq_adc_topk's
@@ -168,7 +169,6 @@ _DRIVER_SHOWCASE = (
     "stream_rate_limit_live",
     "embedding_quantize_int8",
     "ann_lsh_topk",
-    "ann_lsh_multiprobe_topk",
     "ann_lsh_calibrated_topk",
     "ann_lsh_batch_topk",
     "ann_calibrated_recall_audit",

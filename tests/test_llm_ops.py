@@ -3496,3 +3496,49 @@ def test_span_dedup_keep_owner_boundaries_and_dominance(spark, sf_dir):
     # total removed strictly drops whenever any repeated shingle exists
     if sum(uniform.values()) > 0:
         assert sum(keep.values()) < sum(uniform.values())
+
+
+def test_ivf_pq_residual_rerank_dominates_and_shares_stage1(spark, sf_dir):
+    """The residual rerank composition: (a) every output pair is in the
+    residual ADC top-R shortlist with the IDENTICAL integer distance;
+    (b) per query its hit set vs the exact brute CONTAINS raw residual
+    IVF-PQ's (the shortlist-containment argument of the raw rerank
+    test)."""
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        IVF_PQ_RERANK_R,
+        _ivf_pq_residual_adc,
+        ann_cosine_topk,
+        ivf_pq_residual_rerank_topk,
+        ivf_pq_residual_topk,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    adc, _k = _ivf_pq_residual_adc(spark, sf_dir)
+    w1 = Window.partitionBy("qid").orderBy("adc_d2", "cid")
+    shortlist = {
+        (r.qid, r.cid): r.adc_d2
+        for r in adc.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= IVF_PQ_RERANK_R)
+        .collect()
+    }
+    rer = ivf_pq_residual_rerank_topk(spark, sf_dir).collect()
+    assert rer
+    for r in rer:
+        key = (r.query_id, r.neighbor_id)
+        assert key in shortlist and r.adc_d2_micro == shortlist[key], key
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    raw = ivf_pq_residual_topk(spark, sf_dir).collect()
+    hits_raw, hits_rer = {}, {}
+    for r in raw:
+        if (r.query_id, r.neighbor_id) in exact:
+            hits_raw.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in rer:
+        if (r.query_id, r.neighbor_id) in exact:
+            hits_rer.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for qid, got in hits_raw.items():
+        assert got <= hits_rer.get(qid, set()), qid

@@ -121,6 +121,7 @@ PLAN_QUERIES = [
     "span_dedup_apply",
     "span_dedup_keep_owner",
     "ivf_pq_residual_topk",
+    "ivf_pq_residual_rerank_topk",
 ]
 
 
