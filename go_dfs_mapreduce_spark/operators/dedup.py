@@ -2539,3 +2539,124 @@ def span_dedup_keep_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_ratio"
         ),
     )
+
+
+SPAN_INCREMENTAL_ORACLE = f"""
+WITH pos_sh AS ({_POS_SHINGLES_DUCK}),
+t AS (SELECT CAST((MAX(doc_id) * {INC_SPLIT_NUM}) // {INC_SPLIT_DEN} AS BIGINT)
+        AS t
+      FROM documents),
+fr AS (
+  SELECT shingle FROM (
+    SELECT DISTINCT doc_id, shingle FROM pos_sh
+    WHERE doc_id <= (SELECT t FROM t))
+  GROUP BY shingle HAVING COUNT(*) >= {SPAN_DEDUP_MIN_DOCS}
+),
+flag AS (
+  SELECT doc_id, pos, pos + {SPAN_DEDUP_K - 1} AS e FROM pos_sh
+  WHERE doc_id > (SELECT t FROM t)
+    AND shingle IN (SELECT shingle FROM fr)
+),
+brk AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN MAX(e) OVER w IS NULL OR pos > MAX(e) OVER w + 1
+              THEN 1 ELSE 0 END AS b
+  FROM flag
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+grp AS (
+  SELECT doc_id, pos, e,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS gid
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, gid, MIN(pos) AS s, MAX(e) AS e
+  FROM grp GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, SUM(e - s + 1) AS n_dup, COUNT(*) AS n_spans
+  FROM spans GROUP BY 1
+),
+tot AS (
+  SELECT doc_id, len(string_split({_NORM_DUCK}, ' ')) AS n FROM documents
+  WHERE doc_id > (SELECT t FROM t)
+)
+SELECT t2.doc_id,
+       CAST(t2.n AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       ROUND(COALESCE(a.n_dup, 0) * 1.0 / NULLIF(t2.n, 0), 6) AS dup_ratio
+FROM tot t2 LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("span_dedup_incremental", oracle=SPAN_INCREMENTAL_ORACLE)
+def span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion span dedup — ``span_dedup_plan`` restricted
+    to TODAY'S ingest batch against the FROZEN corpus index (the
+    ``dedup_incremental_new_docs`` split: docs above 80% of max id are
+    the arriving batch): a new doc's span is flagged iff its 3-gram
+    already occurs in >= SPAN_DEDUP_MIN_DOCS distinct BASE docs, i.e.
+    the repeated-shingle set is computed over the standing corpus only
+    and new arrivals never extend it mid-batch — the index version a
+    production ingest pins per day. Emits the removal-plan budget for
+    new docs only; same schema as span_dedup_plan.
+
+    Scale: the frequent-shingle set is the persisted index artifact
+    (built once per corpus version — here recomputed because the gate
+    re-derives everything); per-ingest work is the NEW docs' positional
+    shingles semi-joined against it — proportional to the batch, not
+    the corpus. The boundary is a 1-row aggregate broadcast into the
+    plan, never collected (the incremental-dedup convention)."""
+    frame = _pos_shingle_table(spark, sf_dir)
+    thr = frame.agg(
+        F.expr(
+            f"(max(doc_id) * {INC_SPLIT_NUM}) div {INC_SPLIT_DEN}"
+        ).alias("t")
+    )
+    pos = frame.where(F.col("pos").isNotNull()).join(F.broadcast(thr))
+    fr = (
+        pos.where(F.col("doc_id") <= F.col("t"))
+        .select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= SPAN_DEDUP_MIN_DOCS)
+        .select("shingle")
+    )
+    flag = (
+        pos.where(F.col("doc_id") > F.col("t"))
+        .join(fr, "shingle", "left_semi")
+        .select(
+            "doc_id", "pos", (F.col("pos") + SPAN_DEDUP_K - 1).alias("e")
+        )
+    )
+    per_doc = (
+        _merge_flagged(flag)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("span_end") - F.col("span_start") + 1
+            ).alias("n_dup"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+    tot = (
+        frame.where(F.col("pos").isNull() | (F.col("pos") == 1))
+        .join(F.broadcast(thr))
+        .where(F.col("doc_id") > F.col("t"))
+        .select("doc_id", "n")
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    n_spans = F.coalesce(F.col("n_spans"), F.lit(0))
+    return tot.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        n_dup.cast("long").alias("n_dup_tokens"),
+        n_spans.cast("long").alias("n_spans"),
+        F.round(n_dup * F.lit(1.0) / F.nullif(F.col("n"), F.lit(0)), 6).alias(
+            "dup_ratio"
+        ),
+    )

@@ -137,6 +137,7 @@ _DRIVER_SHOWCASE = (
     "span_dedup_plan",
     "span_dedup_apply",
     "span_dedup_keep_owner",
+    "span_dedup_incremental",
     "ivf_pq_residual_topk",
     "ivf_pq_residual_rerank_topk",
     "stream_rate_limit_eventtime_live",
@@ -148,7 +149,7 @@ _DRIVER_SHOWCASE = (
     # gained the ivf_pq_rerank columns (schema + semantics extended) ---
     "ann_int8_rerank_topk",
     "ann_quantized_recall_audit",
-    # --- 18 floating slots: code paths touched this round WITHOUT
+    # --- 17 floating slots: code paths touched this round WITHOUT
     # semantic change (regression sentinels — every name rotated OUT
     # retains its r1-r11 driver rows). ivf_pq_topk was refactored
     # through the shared _ivf_pq_adc helper and pq_adc_topk's
@@ -173,7 +174,6 @@ _DRIVER_SHOWCASE = (
     "ann_lsh_batch_topk",
     "ann_calibrated_recall_audit",
     "multimodal_pixels_bmp",
-    "multimodal_pixels_png",
     "multimodal_pixels_gif",
     "stream_cusum_alarms_live",
     "stream_zscore_anomalies_live",

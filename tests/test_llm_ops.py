@@ -3542,3 +3542,39 @@ def test_ivf_pq_residual_rerank_dominates_and_shares_stage1(spark, sf_dir):
             hits_rer.setdefault(r.query_id, set()).add(r.neighbor_id)
     for qid, got in hits_raw.items():
         assert got <= hits_rer.get(qid, set()), qid
+
+
+def test_span_dedup_incremental_consistent_with_base_index(spark, sf_dir):
+    """The incremental plan covers exactly the docs above the split
+    boundary, and a new doc's flagged budget can only SHRINK relative
+    to the full-corpus plan when the batch's own arrivals were what
+    pushed a shingle over the frequency threshold — so for docs the two
+    plans both cover, incremental n_dup_tokens <= full n_dup_tokens."""
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        INC_SPLIT_DEN,
+        INC_SPLIT_NUM,
+        span_dedup_incremental,
+        span_dedup_plan,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+    from pyspark.sql import functions as F
+
+    t = (
+        table(spark, sf_dir, "documents")
+        .agg(
+            F.expr(
+                f"(max(doc_id) * {INC_SPLIT_NUM}) div {INC_SPLIT_DEN}"
+            ).alias("t")
+        )
+        .collect()[0]
+        .t
+    )
+    inc = {
+        r.doc_id: r for r in span_dedup_incremental(spark, sf_dir).collect()
+    }
+    assert inc and all(d > t for d in inc)
+    full = {r.doc_id: r for r in span_dedup_plan(spark, sf_dir).collect()}
+    assert set(inc) == {d for d in full if d > t}
+    for d, r in inc.items():
+        assert r.n_tokens == full[d].n_tokens, d
+        assert r.n_dup_tokens <= full[d].n_dup_tokens, d

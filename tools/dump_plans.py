@@ -122,6 +122,7 @@ PLAN_QUERIES = [
     "span_dedup_keep_owner",
     "ivf_pq_residual_topk",
     "ivf_pq_residual_rerank_topk",
+    "span_dedup_incremental",
 ]
 
 
