@@ -1326,6 +1326,18 @@ def test_round12_operator_plan_contracts(spark, sf_dir):
     assert not a["has_python_worker"]
     assert "CartesianProduct" not in a["plan"]
 
+    # span_dedup_incremental: same LeftSemi contract, with the ingest
+    # boundary as a broadcast 1-row aggregate (never collected)
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        span_dedup_incremental,
+    )
+
+    a = audit_plan(span_dedup_incremental(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "LeftSemi" in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+    assert a["n_broadcast_joins"] >= 2  # the threshold rides broadcasts
+
     # ivf_pq_residual_topk: the serve plan is ivf_pq's with the
     # per-(query, cell) LUT broadcast — codebooks/probe/LUT all ride
     # broadcasts, the only corpus-sized join input is the code table;
