@@ -2340,3 +2340,113 @@ def multimodal_pixels_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_jpeg_pixels,
         ("sum_r", "sum_g", "sum_b"),
     )
+
+
+# --- audio FEATURE EXTRACTION: integer-exact spectral band energies -------
+
+WHT_N = 64       # analysis window: first 64 frames of channel 0
+WHT_BANDS = 8    # 8 bands of 8 Walsh coefficients each
+
+_WHT_H = None
+
+
+def _wht_matrix():
+    """The 64x64 Walsh-Hadamard sign matrix H[i, j] = (-1)^popcount(i&j)
+    — the natural (Hadamard) ordering; both engines define the sign the
+    same way, so the ordering convention cancels out."""
+    global _WHT_H
+    if _WHT_H is None:
+        import numpy as np
+
+        _WHT_H = np.array(
+            [
+                [1 - 2 * (bin(i & j).count("1") & 1) for j in range(WHT_N)]
+                for i in range(WHT_N)
+            ],
+            dtype=np.int64,
+        )
+    return _WHT_H
+
+
+def _wht_band_cols() -> str:
+    cols = []
+    for b in range(WHT_BANDS):
+        terms = " + ".join(
+            f"cf[{b * 8 + k + 1}] * cf[{b * 8 + k + 1}]" for k in range(8)
+        )
+        cols.append(
+            f"  CAST(CASE WHEN q THEN -1 ELSE {terms} END AS BIGINT)"
+            f" AS wht_b{b}"
+        )
+    return ",\n".join(cols)
+
+
+AUDIO_WHT_ORACLE = f"""
+SELECT doc_id,
+  CAST(CASE WHEN q THEN -1 ELSE ch END AS INTEGER) AS channels,
+  CAST(CASE WHEN q THEN -1 ELSE n END AS BIGINT) AS n_samples,
+{_wht_band_cols()}
+FROM (
+  SELECT doc_id, ch, n, q,
+    list_transform(range(0, {WHT_N}), j ->
+      list_sum(list_transform(range(0, {WHT_N}), i ->
+        ((doc_id + 5 * i) % 4001 - 2000)
+        * (1 - 2 * (bit_count(i & j) % 2))))) AS cf
+  FROM (SELECT doc_id, doc_id % 2 + 1 AS ch, doc_id % 100 + {WHT_N} AS n,
+               doc_id % 7 = 0 AS q
+        FROM documents)
+)
+"""
+
+
+@query("multimodal_audio_wht", oracle=AUDIO_WHT_ORACLE)
+def multimodal_audio_wht(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION end-to-end — the decode -> spectral-
+    feature stage of a training-data audio pipeline, kept INTEGER-EXACT
+    so it carries a full-value oracle: real 16-bit PCM WAVs are
+    synthesized per doc (the ``multimodal_audio_pcm`` generator, >= 64
+    frames), decoded through the RIFF chunk walk, and channel 0's first
+    64 samples are transformed with the 64-point WALSH-HADAMARD
+    transform — the +/-1-coefficient spectral basis (public: the
+    sequency analysis / fast-JL / audio-fingerprinting workhorse),
+    chosen over the DFT precisely because every coefficient is an exact
+    int64 dot product, so Spark's numpy matmul and the oracle's SQL
+    replay agree unconditionally (a float FFT would hash-diverge at
+    libm ulps). Emits 8 band energies (sums of squared coefficients
+    over consecutive groups of 8 — the coarse spectral envelope a
+    quality/voice-activity gate thresholds on). Every 7th doc is
+    IEEE-float format and must come back as the -1 quarantine row; so
+    must any file shorter than the 64-frame analysis window.
+
+    Scale: synthesize + decode + one 64x64 int64 matmul per doc inside
+    Arrow batches, features-only across the boundary, no exchange —
+    the pixel-pipeline shape."""
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents")
+    h = _wht_matrix()
+
+    def row_fn(b: bytes):
+        dec = decode_wav_pcm(b)
+        if dec is None:
+            return None
+        ch, n, s = dec
+        if n < WHT_N:
+            return None  # shorter than the analysis window: quarantine
+        cf = h @ s[:WHT_N, 0]
+        bands = (cf * cf).reshape(WHT_BANDS, 8).sum(axis=1)
+        return (ch, n, *(int(x) for x in bands))
+
+    return _payload_feature_pipeline(
+        docs,
+        lambda i: make_wav_pcm_bytes(
+            i, i % 2 + 1, i % 100 + WHT_N,
+            fmt_code=3 if i % 7 == 0 else PCM_FMT_CODE,
+        ),
+        row_fn,
+        [
+            ("channels", T.IntegerType()),
+            ("n_samples", T.LongType()),
+            *((f"wht_b{b}", T.LongType()) for b in range(WHT_BANDS)),
+        ],
+    )

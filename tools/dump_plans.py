@@ -123,6 +123,7 @@ PLAN_QUERIES = [
     "ivf_pq_residual_topk",
     "ivf_pq_residual_rerank_topk",
     "span_dedup_incremental",
+    "multimodal_audio_wht",
 ]
 
 
