@@ -243,6 +243,8 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         "multimodal_pixels_jpeg",
         # round 12: the 4:2:0 color twin — same Arrow decode-stage class
         "multimodal_pixels_jpeg420",
+        # round 12: the WHT audio-feature stage — same class
+        "multimodal_audio_wht",
         # round 12: int8 stage 1 became the declared map-side partial
         # top-R Arrow kernel (the ann_cosine_batch_fast shape, r11
         # verdict #8); the quantized recall audit composes it
