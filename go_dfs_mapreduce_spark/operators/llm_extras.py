@@ -570,3 +570,107 @@ def curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         rule_f.alias("rule_fluency"),
         (rule_q & rule_g & rule_r & rule_f).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (priority sampling)
+# --------------------------------------------------------------------------
+#
+# Duffield-Lund-Thorup priority sampling (JACM 2007): give row i priority
+# q_i = w_i / u_i with u_i uniform in (0, 1], keep the k highest-priority
+# rows, and estimate each kept row's weight as max(w_i, tau) where tau is
+# the (k+1)-th priority. The estimator is unbiased for any subset-sum and
+# near-optimal in variance — the standard way to keep a fixed-size
+# weighted sample of an unbounded corpus. Unlike Efraimidis-Spirakis keys
+# (u^(1/w) — a transcendental pow whose last ulp differs across libms),
+# the priority needs ONE exact integer multiply and ONE correctly-rounded
+# IEEE division, so Spark and DuckDB produce bit-identical doubles and the
+# operator carries a full-value oracle.
+
+WSAMPLE_K = 64  # fixed sample size
+
+
+def _wsample_pri_spark() -> F.Column:
+    """Priority q = w * 2^32 / (h + 1): h is the first 8 md5 hex digits of
+    the salted doc key (u = (h+1)/2^32 uniform in (0,1], never 0), the
+    multiply w * 2^32 stays exact (< 2^53 for any plausible doc length),
+    and the single division is IEEE-correctly-rounded on both engines."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (F.col("n_chars").cast("double") * F.lit(4294967296.0)) / (
+        h + F.lit(1)
+    ).cast("double")
+
+
+WSAMPLE_ORACLE = f"""
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         CAST(n_chars AS DOUBLE) * 4294967296.0 /
+         CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              + 1 AS DOUBLE) AS pri
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY pri DESC, doc_id) AS rn FROM pri),
+tau AS (
+  SELECT coalesce(min(CASE WHEN rn = {WSAMPLE_K} + 1 THEN pri END), 0.0) AS tau
+  FROM ranked WHERE rn <= {WSAMPLE_K} + 1)
+SELECT doc_id, source, n_chars AS weight,
+       CAST(rn AS INTEGER) AS sample_rank,
+       greatest(CAST(n_chars AS DOUBLE), tau) AS est_weight
+FROM ranked, tau
+WHERE rn <= {WSAMPLE_K}
+"""
+
+
+@query("corpus_sample_weighted", oracle=WSAMPLE_ORACLE)
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement (priority sampling,
+    Duffield-Lund-Thorup): keep the {K} docs with the highest priority
+    w/u (w = n_chars, u a deterministic md5 uniform), and attach the
+    unbiased weight estimate max(w, tau) — summing est_weight over any
+    subset of the sample estimates that subset's true total weight, which
+    is what lets a curation pipeline audit token budgets from the sample
+    alone. Complements the unweighted hash threshold (corpus_sample_hash)
+    and the per-stratum top-N (corpus_sample_stratified): this is the
+    length-proportional variant a token-budgeted mixture actually wants.
+
+    Scale: the plan is scan -> project -> global top-(k+1), which Spark
+    executes as TakeOrderedAndProject — each task keeps a k+1-row heap and
+    only those partials cross to the driver; no shuffle, no global sort,
+    no state proportional to the corpus. tau is then an unpartitioned
+    window aggregate over the SAME 65-row limited frame (single lineage —
+    a separate agg-and-broadcast branch would rescan the corpus twice; the
+    single-partition WindowExec warning this trades for applies to 65
+    rows). At 100 TB this is one pass at scan speed with O(k) memory per
+    task — the property that makes priority sampling the streaming-sketch
+    of choice for weighted samples."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", "n_chars", _wsample_pri_spark().alias("pri"))
+    topk1 = base.orderBy(F.col("pri").desc(), F.col("doc_id").asc()).limit(
+        WSAMPLE_K + 1
+    )
+    w = Window.orderBy(F.col("pri").desc(), F.col("doc_id").asc())
+    ranked = topk1.withColumn("rn", F.row_number().over(w))
+    whole = Window.partitionBy()  # 65 rows: the k+1 cut, not the corpus
+    tau = F.coalesce(
+        F.min(F.when(F.col("rn") == WSAMPLE_K + 1, F.col("pri"))).over(whole),
+        F.lit(0.0),
+    )
+    return (
+        ranked.withColumn("tau", tau)
+        .where(F.col("rn") <= WSAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("weight"),
+            F.col("rn").cast("int").alias("sample_rank"),
+            F.greatest(F.col("n_chars").cast("double"), F.col("tau")).alias(
+                "est_weight"
+            ),
+        )
+    )

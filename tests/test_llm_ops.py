@@ -3613,3 +3613,41 @@ def test_audio_wht_parseval_and_quarantines(spark, sf_dir):
     from go_dfs_mapreduce_spark.operators.multimodal import _wht_matrix
 
     assert (_wht_matrix() @ _wht_matrix()).trace() == WHT_N * WHT_N
+
+
+def test_priority_sampling_matches_pure_python_replay(spark, sf_dir):
+    """Differential: the Spark priority sample equals an independent
+    pure-Python replay of Duffield-Lund-Thorup on the same parquet —
+    same 64 rows, same ranks, bit-identical est_weight doubles (the
+    operator's claim that one exact multiply + one IEEE division is
+    engine-portable)."""
+    import hashlib
+
+    import duckdb
+
+    from go_dfs_mapreduce_spark.operators.llm_extras import (
+        WSAMPLE_K,
+        corpus_sample_weighted,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    pri = []
+    for doc_id, n_chars in docs:
+        h = int(hashlib.md5(f"wsamp:{doc_id}".encode()).hexdigest()[:8], 16)
+        pri.append((n_chars * 4294967296.0 / (h + 1), doc_id, n_chars))
+    pri.sort(key=lambda t: (-t[0], t[1]))
+    tau = pri[WSAMPLE_K][0] if len(pri) > WSAMPLE_K else 0.0
+    expect = {
+        doc_id: (rank + 1, max(float(n_chars), tau))
+        for rank, (_, doc_id, n_chars) in enumerate(pri[:WSAMPLE_K])
+    }
+
+    got = corpus_sample_weighted(spark, sf_dir).collect()
+    assert len(got) == WSAMPLE_K
+    for r in got:
+        rank, est = expect[r.doc_id]
+        assert r.sample_rank == rank
+        assert r.est_weight == est  # exact double equality
+        assert r.est_weight >= r.weight  # DLT: estimate never below weight
