@@ -977,3 +977,199 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("content_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# z-order data-layout audit (multi-dimensional clustering for pruning)
+# --------------------------------------------------------------------------
+#
+# The Delta/Iceberg OPTIMIZE ZORDER question, answered with numbers: if
+# the orders table were laid out in 64 files sorted by the bit-interleaved
+# (custkey, orderdate) Morton key instead of by orderdate alone, how many
+# files would a 2-D box predicate actually have to scan under standard
+# min/max (parquet row-group / file-footer) pruning? Everything is integer
+# arithmetic — rank-normalize each dimension to 16 bits with min/max from
+# the data, interleave to a 32-bit z-value, ntile into files, then model
+# the pruning decision per file — so the audit carries a full-value oracle.
+
+ZORDER_BITS = 16
+ZORDER_FILES = 64
+
+
+def _zorder_interleave_duck(a: str, b: str) -> str:
+    """Morton interleave in SQL: bit i of ``a`` lands at 2i, bit i of
+    ``b`` at 2i+1."""
+    return " + ".join(
+        f"((({a} >> {i}) & 1) << {2 * i}) + ((({b} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    )
+
+
+def _zorder_interleave_spark(a, b):
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+ZORDER_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey AS c,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d
+  FROM orders),
+stats AS (
+  SELECT min(c) AS cmin, max(c) AS cmax, min(d) AS dmin, max(d) AS dmax
+  FROM base),
+keyed AS (
+  SELECT o_orderkey, c, d,
+         ((c - cmin) * 65536) // (cmax - cmin + 1) AS cb,
+         ((d - dmin) * 65536) // (dmax - dmin + 1) AS db,
+         cmin AS qc_lo,
+         cmin + (cmax - cmin + 1) // 8 - 1 AS qc_hi,
+         dmin + (dmax - dmin + 1) // 4 AS qd_lo,
+         dmin + (dmax - dmin + 1) // 4 + (dmax - dmin + 1) // 8 - 1 AS qd_hi
+  FROM base, stats),
+placed AS (
+  SELECT *,
+         ntile({ZORDER_FILES}) OVER (ORDER BY z, o_orderkey) AS file_z,
+         ntile({ZORDER_FILES}) OVER (ORDER BY d, o_orderkey) AS file_lin
+  FROM (SELECT *, {_zorder_interleave_duck("cb", "db")} AS z FROM keyed)),
+both_layouts AS (
+  SELECT 'zorder' AS layout, file_z AS file_id, c, d,
+         qc_lo, qc_hi, qd_lo, qd_hi FROM placed
+  UNION ALL
+  SELECT 'linear', file_lin, c, d, qc_lo, qc_hi, qd_lo, qd_hi FROM placed),
+per_file AS (
+  SELECT layout, file_id, count(*) AS n_rows,
+         min(c) AS mc, max(c) AS xc, min(d) AS md, max(d) AS xd,
+         min(qc_lo) AS qc_lo, min(qc_hi) AS qc_hi,
+         min(qd_lo) AS qd_lo, min(qd_hi) AS qd_hi,
+         sum(CASE WHEN c BETWEEN qc_lo AND qc_hi
+                   AND d BETWEEN qd_lo AND qd_hi THEN 1 ELSE 0 END) AS matched
+  FROM both_layouts GROUP BY layout, file_id)
+SELECT layout,
+  CAST(count(*) AS INTEGER) AS files_total,
+  CAST(sum(CASE WHEN xc >= qc_lo AND mc <= qc_hi
+                 AND xd >= qd_lo AND md <= qd_hi
+            THEN 1 ELSE 0 END) AS INTEGER) AS files_scanned,
+  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+  CAST(sum(CASE WHEN xc >= qc_lo AND mc <= qc_hi
+                 AND xd >= qd_lo AND md <= qd_hi
+            THEN n_rows ELSE 0 END) AS BIGINT) AS rows_in_scanned_files,
+  CAST(sum(matched) AS BIGINT) AS rows_matched
+FROM per_file GROUP BY layout
+"""
+
+
+@query("zorder_layout_audit", oracle=ZORDER_ORACLE)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantify what OPTIMIZE ZORDER would buy: lay orders out two ways —
+    64 files clustered by the Morton (bit-interleaved) key of
+    (o_custkey, o_orderdate) vs 64 files sorted by orderdate alone — and
+    model standard min/max file pruning for a 2-D box predicate (a 12.5%
+    custkey band x a 12.5% date band). Output per layout: files scanned,
+    rows read, rows actually matching. The linear layout prunes on the
+    date dimension only (every file spans all custkeys), so it reads
+    ~12.5% of the table; the z-order layout localizes BOTH dimensions, so
+    the same predicate touches a handful of files — the measured gap IS
+    the case for multi-dimensional clustering keys at 100 TB, where
+    "files scanned" is the dominant cost of every selective query.
+
+    Scale: the audit itself uses ntile over a global order for exact,
+    oracle-checkable file assignment; the production layout step is
+    df.repartitionByRange(N, z).sortWithinPartitions(z) — same file
+    boundaries, fully distributed, one range-exchange. Dimension
+    normalization is rank-to-16-bits with exact integer arithmetic, so
+    the audit is engine-portable bit for bit."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).cast(
+            "long"
+        ).alias("d"),
+    )
+    stats = base.agg(
+        F.min("c").alias("cmin"),
+        F.max("c").alias("cmax"),
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+    )
+    span_c = F.col("cmax") - F.col("cmin") + F.lit(1)
+    span_d = F.col("dmax") - F.col("dmin") + F.lit(1)
+    keyed = base.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        "c",
+        "d",
+        ((F.col("c") - F.col("cmin")) * F.lit(65536) / span_c)
+        .cast("long")
+        .alias("cb"),
+        ((F.col("d") - F.col("dmin")) * F.lit(65536) / span_d)
+        .cast("long")
+        .alias("db"),
+        F.col("cmin").alias("qc_lo"),
+        (F.col("cmin") + (span_c / F.lit(8)).cast("long") - F.lit(1)).alias("qc_hi"),
+        (F.col("dmin") + (span_d / F.lit(4)).cast("long")).alias("qd_lo"),
+        (
+            F.col("dmin")
+            + (span_d / F.lit(4)).cast("long")
+            + (span_d / F.lit(8)).cast("long")
+            - F.lit(1)
+        ).alias("qd_hi"),
+    )
+    zval = keyed.withColumn(
+        "z", _zorder_interleave_spark(F.col("cb"), F.col("db"))
+    )
+    placed = zval.select(
+        "*",
+        F.ntile(ZORDER_FILES)
+        .over(Window.orderBy(F.col("z").asc(), F.col("o_orderkey").asc()))
+        .alias("file_z"),
+        F.ntile(ZORDER_FILES)
+        .over(Window.orderBy(F.col("d").asc(), F.col("o_orderkey").asc()))
+        .alias("file_lin"),
+    )
+    cols = ["c", "d", "qc_lo", "qc_hi", "qd_lo", "qd_hi"]
+    both = placed.select(
+        F.lit("zorder").alias("layout"), F.col("file_z").alias("file_id"), *cols
+    ).unionByName(
+        placed.select(
+            F.lit("linear").alias("layout"),
+            F.col("file_lin").alias("file_id"),
+            *cols,
+        )
+    )
+    is_match = F.col("c").between(F.col("qc_lo"), F.col("qc_hi")) & F.col(
+        "d"
+    ).between(F.col("qd_lo"), F.col("qd_hi"))
+    per_file = both.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c").alias("mc"),
+        F.max("c").alias("xc"),
+        F.min("d").alias("md"),
+        F.max("d").alias("xd"),
+        F.min("qc_lo").alias("qc_lo"),
+        F.min("qc_hi").alias("qc_hi"),
+        F.min("qd_lo").alias("qd_lo"),
+        F.min("qd_hi").alias("qd_hi"),
+        F.sum(F.when(is_match, 1).otherwise(0)).alias("matched"),
+    )
+    overlap = (
+        (F.col("xc") >= F.col("qc_lo"))
+        & (F.col("mc") <= F.col("qc_hi"))
+        & (F.col("xd") >= F.col("qd_lo"))
+        & (F.col("md") <= F.col("qd_hi"))
+    )
+    return per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("int").alias("files_total"),
+        F.sum(F.when(overlap, 1).otherwise(0)).cast("int").alias("files_scanned"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(overlap, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_in_scanned_files"),
+        F.sum("matched").cast("long").alias("rows_matched"),
+    )

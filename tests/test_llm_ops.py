@@ -3651,3 +3651,52 @@ def test_priority_sampling_matches_pure_python_replay(spark, sf_dir):
         assert r.sample_rank == rank
         assert r.est_weight == est  # exact double equality
         assert r.est_weight >= r.weight  # DLT: estimate never below weight
+
+
+def test_morton_interleave_matches_pure_python():
+    """The generated SQL interleave expression computes the textbook
+    Morton code (checked on DuckDB against a bit-twiddling reference)."""
+    import random
+
+    import duckdb
+
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        ZORDER_BITS,
+        _zorder_interleave_duck,
+    )
+
+    rng = random.Random(12)
+    pairs = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(64)]
+    expr = _zorder_interleave_duck("a", "b")
+    for a, b in pairs:
+        # BIGINT like the real oracle's columns (INTEGER << 31 overflows)
+        got = duckdb.sql(
+            f"SELECT {expr} FROM (SELECT CAST({a} AS BIGINT) a, CAST({b} AS BIGINT) b)"
+        ).fetchone()[0]
+        want = sum(
+            (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))
+            for i in range(ZORDER_BITS)
+        )
+        assert got == want
+
+
+def test_zorder_layout_audit_invariants(spark, sf_dir):
+    """Both layouts hold the same table and match the same rows; the
+    z-order layout never scans MORE than linear for the 2-D box (that
+    superiority on both dimensions is the operator's whole claim), and
+    pruning is sound (scanned rows cover every match)."""
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        ZORDER_FILES,
+        zorder_layout_audit,
+    )
+
+    rows = {r.layout: r for r in zorder_layout_audit(spark, sf_dir).collect()}
+    z, lin = rows["zorder"], rows["linear"]
+    assert z.files_total == lin.files_total == ZORDER_FILES
+    assert z.rows_total == lin.rows_total
+    assert z.rows_matched == lin.rows_matched
+    for r in (z, lin):
+        assert r.rows_in_scanned_files >= r.rows_matched
+        assert r.files_scanned <= r.files_total
+    assert z.files_scanned <= lin.files_scanned
+    assert z.rows_in_scanned_files <= lin.rows_in_scanned_files
