@@ -2450,3 +2450,228 @@ def multimodal_audio_wht(spark: SparkSession, sf_dir: str) -> DataFrame:
             *((f"wht_b{b}", T.LongType()) for b in range(WHT_BANDS)),
         ],
     )
+
+
+# --- REAL video container decode: YUV4MPEG2 (Y4M) --------------------------
+#
+# multimodal_frame_sample above proves the *plumbing* on a synthetic
+# fixed-width frame layout; this closes the remaining gap in the
+# image/audio/VIDEO triad with an actual wire format. Y4M is the standard
+# raw-video interchange container (mjpegtools, ffmpeg's yuv4mpegpipe): an
+# ASCII parameter line ("YUV4MPEG2 W.. H.. F.. I. A.. C..\n"), then per
+# frame an ASCII "FRAME[ params]\n" marker followed by raw planar YUV.
+# Like the image decoders, the synthesizer writes REAL streams (both
+# C420jpeg half-res chroma and C444 full-res chroma, with optional FRAME
+# parameter tokens) and the decoder parses the actual byte layout back —
+# header tokens, per-frame marker lines, plane slicing — with pure
+# numpy. The oracle restates the generator formulas, so a decoder that
+# mis-slices planes, drops a frame, or ignores the chroma geometry fails
+# the hash compare.
+
+Y4M_SAMPLE_EVERY = 2  # temporal subsample: decode every 2nd frame
+
+# colorspace tags with C420-shaped planes (w/2 x h/2 chroma); C444 keeps
+# full-res chroma. Anything else (C422, mono, 10-bit) quarantines.
+_Y4M_C420_TAGS = frozenset({"420", "420jpeg", "420mpeg2", "420paldv"})
+
+
+def _y4m_plane(doc_id: int, w: int, h: int, cx: int, cy: int, cf: int, f: int) -> bytes:
+    return bytes(
+        (doc_id + cx * x + cy * y + cf * f) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+
+
+def make_y4m_bytes(doc_id: int) -> bytes:
+    """Synthesize a REAL Y4M stream: dimensions, frame count, and chroma
+    geometry derived from doc_id (every 4th doc uses C444 full-res
+    chroma, the rest C420jpeg; every 6th doc adds a legal FRAME parameter
+    token). Pixel formulas (top-down, per plane, frame index f):
+    Y = (doc_id + 2x + 3y + 17f) % 256, Cb = (doc_id + 5x + 7y + 19f),
+    Cr = (doc_id + 11x + 13y + 23f) — the formulas the oracle restates,
+    with x, y on the half-res grid for C420 chroma."""
+    w = (doc_id % 9 + 1) * 2
+    h = (doc_id % 7 + 1) * 2
+    nf = doc_id % 5 + 2
+    full_chroma = doc_id % 4 == 0
+    cs = "444" if full_chroma else "420jpeg"
+    cw, ch = (w, h) if full_chroma else (w // 2, h // 2)
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cs}\n".encode("ascii")]
+    frame_hdr = b"FRAME Xsynth\n" if doc_id % 6 == 0 else b"FRAME\n"
+    for f in range(nf):
+        out.append(frame_hdr)
+        out.append(_y4m_plane(doc_id, w, h, 2, 3, 17, f))
+        out.append(_y4m_plane(doc_id, cw, ch, 5, 7, 19, f))
+        out.append(_y4m_plane(doc_id, cw, ch, 11, 13, 23, f))
+    return b"".join(out)
+
+
+def decode_y4m(b: bytes):
+    """Pure-numpy Y4M decode: parse the parameter line (W/H/C tokens;
+    colorspace defaults to C420 per the mjpegtools spec), then walk the
+    FRAME markers slicing Y/Cb/Cr planes at the geometry the header
+    declares. Returns (width, height, frames) with frames a list of
+    (Y, Cb, Cr) uint8 arrays in storage resolution, or None to
+    quarantine: not-Y4M, unsupported colorspace, odd dimensions under
+    420 subsampling, a malformed FRAME line, a truncated plane, zero
+    frames, or trailing garbage (the strict-container contract the JPEG
+    decoder's EOI rule established)."""
+    import numpy as np
+
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        return None
+    try:
+        tokens = b[:nl].decode("ascii").split(" ")
+    except UnicodeDecodeError:
+        return None
+    if tokens[0] != "YUV4MPEG2":
+        return None
+    w = h = None
+    cs = "420"
+    for tok in tokens[1:]:
+        if not tok:
+            continue
+        tag, val = tok[0], tok[1:]
+        if tag == "W":
+            if not val.isdigit():
+                return None
+            w = int(val)
+        elif tag == "H":
+            if not val.isdigit():
+                return None
+            h = int(val)
+        elif tag == "C":
+            cs = val
+    if not w or not h:
+        return None
+    if cs in _Y4M_C420_TAGS:
+        if w % 2 or h % 2:
+            return None
+        cw, ch = w // 2, h // 2
+    elif cs == "444":
+        cw, ch = w, h
+    else:
+        return None  # C422 / mono / 10-bit: out of scope, quarantine
+    y_sz, c_sz = w * h, cw * ch
+    frames = []
+    i = nl + 1
+    while i < len(b):
+        if not b.startswith(b"FRAME", i):
+            return None  # trailing garbage / desynced stream
+        fnl = b.find(b"\n", i)
+        if fnl < 0:
+            return None
+        sep = b[i + 5 : i + 6]
+        if fnl != i + 5 and sep != b" ":  # params need a space separator
+            return None
+        i = fnl + 1
+        if i + y_sz + 2 * c_sz > len(b):
+            return None  # truncated plane
+        planes = []
+        for sz, pw, ph in ((y_sz, w, h), (c_sz, cw, ch), (c_sz, cw, ch)):
+            planes.append(
+                np.frombuffer(b, dtype=np.uint8, count=sz, offset=i).reshape(ph, pw)
+            )
+            i += sz
+        frames.append(tuple(planes))
+    if not frames:
+        return None
+    return w, h, frames
+
+
+_Y4M_PLANE_SUM = """list_sum(list_transform(sampled, f ->
+    list_sum(flatten(list_transform(range(0, {ph}), y ->
+      list_transform(range(0, {pw}), x ->
+        (doc_id + {cx} * x + {cy} * y + {cf} * f) % 256))))))"""
+
+Y4M_ORACLE = f"""
+SELECT doc_id,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(nf AS INTEGER) AS n_frames,
+  CAST(len(sampled) AS INTEGER) AS n_sampled,
+  CAST({_Y4M_PLANE_SUM.format(pw="w", ph="h", cx=2, cy=3, cf=17)} AS BIGINT) AS sum_y,
+  CAST({_Y4M_PLANE_SUM.format(pw="cw", ph="ch", cx=5, cy=7, cf=19)} AS BIGINT) AS sum_cb,
+  CAST({_Y4M_PLANE_SUM.format(pw="cw", ph="ch", cx=11, cy=13, cf=23)} AS BIGINT) AS sum_cr,
+  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+         list_transform(range(0, w), x ->
+           ((doc_id + 2 * x + 3 * y + 17 * lf) % 256) * (x + w * y + 1)))))
+       % {BMP_CHECK_MOD} AS BIGINT) AS pos_checksum
+FROM (
+  SELECT *,
+         CASE WHEN full_chroma THEN w ELSE w // 2 END AS cw,
+         CASE WHEN full_chroma THEN h ELSE h // 2 END AS ch,
+         list_filter(range(0, nf), f -> f % {Y4M_SAMPLE_EVERY} = 0) AS sampled,
+         ((nf - 1) // {Y4M_SAMPLE_EVERY}) * {Y4M_SAMPLE_EVERY} AS lf
+  FROM (SELECT doc_id,
+               (doc_id % 9 + 1) * 2 AS w,
+               (doc_id % 7 + 1) * 2 AS h,
+               doc_id % 5 + 2 AS nf,
+               (doc_id % 4 = 0) AS full_chroma
+        FROM documents))
+"""
+
+
+@query("multimodal_video_y4m", oracle=Y4M_ORACLE)
+def multimodal_video_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: synthesize Y4M streams (the raw-video
+    interchange container), decode the actual byte layout back — header
+    tokens, FRAME marker lines, planar YUV slicing at the declared chroma
+    geometry — and emit the features a video training pipeline extracts:
+    temporal subsample (every {N}th frame, the standard frame-sampling
+    step), per-plane pixel sums over the sampled frames, and a
+    position-weighted checksum over the LAST sampled frame's luma (a
+    decoder that drops a frame, desyncs on a FRAME parameter token, or
+    swaps Cb/Cr produces the right sums elsewhere but the wrong checksum
+    or chroma sums, and the oracle fails the hash compare). Both chroma
+    geometries are exercised: every 4th doc is C444 full-res, the rest
+    C420jpeg half-res — the oracle states each doc's plane dimensions.
+
+    Scale: identical shape to every decode stage in this module —
+    synthesize + decode inside Arrow batches over a 1-column scan,
+    embarrassingly parallel, features-only across the boundary; a real
+    corpus swaps the synthesizer for the stored binary column and the
+    same kernel runs unchanged on 100 TB of video."""
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents")
+
+    def row_fn(b: bytes):
+        dec = decode_y4m(b)
+        if dec is None:
+            return None
+        w, h, frames = dec
+        nf = len(frames)
+        sampled = range(0, nf, Y4M_SAMPLE_EVERY)
+        sums = [0, 0, 0]
+        for f in sampled:
+            for p in range(3):
+                sums[p] += int(frames[f][p].astype(np.int64).sum())
+        luma = frames[sampled[-1]][0].astype(np.int64)
+        wgt = np.arange(w * h, dtype=np.int64).reshape(h, w) + 1
+        return (
+            w,
+            h,
+            nf,
+            len(sampled),
+            *sums,
+            int((luma * wgt).sum() % BMP_CHECK_MOD),
+        )
+
+    return _payload_feature_pipeline(
+        docs,
+        make_y4m_bytes,
+        row_fn,
+        [
+            ("width", T.IntegerType()),
+            ("height", T.IntegerType()),
+            ("n_frames", T.IntegerType()),
+            ("n_sampled", T.IntegerType()),
+            ("sum_y", T.LongType()),
+            ("sum_cb", T.LongType()),
+            ("sum_cr", T.LongType()),
+            ("pos_checksum", T.LongType()),
+        ],
+    )

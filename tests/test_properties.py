@@ -1051,3 +1051,68 @@ def test_span_dedup_family_matches_python_reference(spark, texts):
         for spans in got.values():
             for (s1, e1), (s2, _) in zip(spans, spans[1:]):
                 assert s2 > e1 + 1  # disjoint AND non-adjacent
+
+
+@settings(deadline=None, max_examples=60)
+@given(doc_id=st.integers(0, 10**6), cut=st.integers(0, 10**9))
+def test_y4m_roundtrip_and_truncation_property(doc_id, cut):
+    """Every synthesized Y4M decodes back to the generator formulas
+    (both chroma geometries, FRAME parameter tokens included), and every
+    proper prefix either quarantines or — when the cut lands exactly on
+    a frame boundary — decodes as the legal shorter stream with a
+    frame-prefix of the same pixels (Y4M has no trailer, so both
+    outcomes are correct; anything else is a desync bug)."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_y4m,
+        make_y4m_bytes,
+    )
+
+    b = make_y4m_bytes(doc_id)
+    dec = decode_y4m(b)
+    assert dec is not None
+    w, h, frames = dec
+    assert (w, h) == ((doc_id % 9 + 1) * 2, (doc_id % 7 + 1) * 2)
+    assert len(frames) == doc_id % 5 + 2
+    full_chroma = doc_id % 4 == 0
+    cw, ch = (w, h) if full_chroma else (w // 2, h // 2)
+    xs, ys = np.arange(w).reshape(1, w), np.arange(h).reshape(h, 1)
+    cxs, cys = np.arange(cw).reshape(1, cw), np.arange(ch).reshape(ch, 1)
+    for f, (y, cb, cr) in enumerate(frames):
+        assert np.array_equal(y, (doc_id + 2 * xs + 3 * ys + 17 * f) % 256)
+        assert np.array_equal(cb, (doc_id + 5 * cxs + 7 * cys + 19 * f) % 256)
+        assert np.array_equal(cr, (doc_id + 11 * cxs + 13 * cys + 23 * f) % 256)
+
+    prefix = b[: cut % len(b)]  # every possible proper prefix, sampled
+    got = decode_y4m(prefix)
+    if got is not None:
+        pw, ph, pframes = got
+        assert (pw, ph) == (w, h)
+        assert 1 <= len(pframes) < len(frames)
+        for a, bfr in zip(pframes, frames):
+            assert all(np.array_equal(x, y) for x, y in zip(a, bfr))
+
+
+def test_y4m_quarantine_cases():
+    """The out-of-scope and malformed payloads all route to None: wrong
+    magic, unsupported colorspace, odd dims under 420 chroma, missing
+    dimensions, desynced frame marker, header-only stream, garbage
+    between frames."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_y4m,
+        make_y4m_bytes,
+    )
+
+    assert decode_y4m(b"") is None
+    assert decode_y4m(b"RIFF1234") is None
+    assert decode_y4m(b"YUV4MPEG2 W4 H4 C444\n") is None  # zero frames
+    assert decode_y4m(b"YUV4MPEG2 W4 H4 C422\nFRAME\n" + bytes(32)) is None
+    assert decode_y4m(b"YUV4MPEG2 W3 H4 C420\nFRAME\n" + bytes(18)) is None
+    assert decode_y4m(b"YUV4MPEG2 W4 C444\nFRAME\n" + bytes(48)) is None
+    assert decode_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAMEX\n" + bytes(12)) is None
+    good = make_y4m_bytes(5)
+    assert decode_y4m(good + b"junk") is None  # trailing garbage
+    # C420 default when no C token: 2x2 -> Y 4 bytes + 2 chroma bytes
+    got = decode_y4m(b"YUV4MPEG2 W2 H2\nFRAME\n" + bytes(6))
+    assert got is not None and got[0] == 2 and len(got[2]) == 1
