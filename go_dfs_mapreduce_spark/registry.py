@@ -132,7 +132,12 @@ _DRIVER_SHOWCASE = (
     "text_quality_scores",
     # --- round-12's own NEW operators (the standing invariant: every
     # operator earns its driver row in the round it lands; all green
-    # on the local gate) ---
+    # on the local gate). The late-session additions — priority
+    # sampling, the z-order layout audit, Y4M video decode — took the
+    # slots of three LSH-family sentinels (ann_lsh_calibrated_topk /
+    # ann_lsh_batch_topk / ann_calibrated_recall_audit, all
+    # driver-recorded in earlier rounds; ann_lsh_topk still anchors
+    # the family) ---
     "multimodal_pixels_jpeg420",
     "multimodal_audio_wht",
     "span_dedup_plan",
@@ -143,6 +148,9 @@ _DRIVER_SHOWCASE = (
     "ivf_pq_residual_rerank_topk",
     "stream_rate_limit_eventtime_live",
     "ivf_pq_rerank_topk",
+    "corpus_sample_weighted",
+    "zorder_layout_audit",
+    "multimodal_video_y4m",
     # --- round-12 RE-EARN slots: ann_int8_rerank_topk's stage 1 became
     # the map-side partial top-R Arrow kernel (results identical —
     # top-R of per-batch top-Rs — but the kernel is new code and
@@ -171,9 +179,6 @@ _DRIVER_SHOWCASE = (
     "stream_rate_limit_live",
     "embedding_quantize_int8",
     "ann_lsh_topk",
-    "ann_lsh_calibrated_topk",
-    "ann_lsh_batch_topk",
-    "ann_calibrated_recall_audit",
     "multimodal_pixels_bmp",
     "multimodal_pixels_gif",
     "stream_cusum_alarms_live",

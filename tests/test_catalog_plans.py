@@ -1353,3 +1353,48 @@ def test_round12_operator_plan_contracts(spark, sf_dir):
     assert a["n_broadcast_joins"] >= 3
     assert "CartesianProduct" not in a["plan"]
     assert "Window" in a["plan"]
+
+
+def test_round12_late_operator_plan_contracts(spark, sf_dir):
+    """Plan pins for the late-round-12 operators: each keeps the
+    structural property its docstring claims."""
+    from go_dfs_mapreduce_spark.plans.audit import audit_plan
+
+    # corpus_sample_weighted: ONE pruned corpus scan feeding a
+    # TakeOrderedAndProject (O(k) heap per task — never a global Sort
+    # or an Exchange of the corpus); tau is a window over the limited
+    # cut, not a second scan
+    from go_dfs_mapreduce_spark.operators.llm_extras import (
+        corpus_sample_weighted,
+    )
+
+    a = audit_plan(corpus_sample_weighted(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_exchanges"] == 0
+    # tree form only (the details section repeats each node name)
+    assert a["plan"].count("Scan parquet  (") == 1
+    assert "TakeOrderedAndProject" in a["plan"]
+
+    # zorder_layout_audit: integer Morton keys end-to-end, JVM-only,
+    # min/max stats ride a broadcast (never a per-row shuffle of the
+    # stats), no cartesian anywhere
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        zorder_layout_audit,
+    )
+
+    a = audit_plan(zorder_layout_audit(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "CartesianProduct" not in a["plan"]
+    assert "BroadcastNestedLoopJoin" in a["plan"]  # the tiny stats frame
+
+    # multimodal_video_y4m: the two declared Arrow stages (synth +
+    # decode) over a 1-column scan, no exchange — the module's shared
+    # decode shape
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_video_y4m,
+    )
+
+    a = audit_plan(multimodal_video_y4m(spark, sf_dir))
+    assert a["plan"].count("MapInPandas (") == 2
+    assert a["n_exchanges"] == 0
+    assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]

@@ -124,6 +124,9 @@ PLAN_QUERIES = [
     "ivf_pq_residual_rerank_topk",
     "span_dedup_incremental",
     "multimodal_audio_wht",
+    "corpus_sample_weighted",
+    "zorder_layout_audit",
+    "multimodal_video_y4m",
 ]
 
 
