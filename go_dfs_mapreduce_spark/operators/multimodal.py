@@ -2675,3 +2675,145 @@ def multimodal_video_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("pos_checksum", T.LongType()),
         ],
     )
+
+
+# --- video scene-cut detection over the Y4M decode --------------------------
+#
+# THE standard video-preprocessing stage for a training-data pipeline:
+# shot-boundary detection by sum-of-absolute-differences (SAD) between
+# consecutive luma frames — the primitive behind keyframe extraction and
+# temporal frame dedup. Runs on REAL container bytes through decode_y4m;
+# the synthesizer injects an actual scene change (a +101 luma jump at the
+# midpoint frame) into two thirds of the docs, so the detector has true
+# positives AND true negatives to get right, and the oracle restates the
+# per-pair SAD formula exactly.
+
+SCENE_JUMP = 101  # luma offset the synthetic scene change adds
+SCENE_STEP = 10  # per-frame luma drift within a shot (continuity motion)
+SCENE_CUT_PER_PIXEL = 48  # cut when mean per-pixel |delta| exceeds this
+# the luma formula is wrap-free by construction (max 79 + 50 + 101 = 230
+# < 256), so continuity pairs are EXACTLY 10 per pixel and scene-change
+# pairs exactly 111 — the threshold separates the modes at every frame
+# size, including 2x2 (a %256 formula's wrap tail would dominate tiny
+# planes and blur the modes)
+
+
+def make_y4m_scene_bytes(doc_id: int) -> bytes:
+    """A REAL Y4M stream with a controlled scene change: grayscale C444
+    frames Y = (doc_id + 2x + 3y) % 80 + 10f + jump_f where jump_f =
+    SCENE_JUMP for frames at/after the midpoint boundary s = nf // 2 —
+    but only for docs with doc_id % 3 != 0 (the rest are single-shot
+    negatives). Chroma planes are flat 128 (grayscale), so the luma SAD
+    is the only signal, exactly like a real detector's input."""
+    w = (doc_id % 9 + 1) * 2
+    h = (doc_id % 7 + 1) * 2
+    nf = doc_id % 5 + 2
+    s = nf // 2 if doc_id % 3 else nf  # nf: boundary never reached
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode("ascii")]
+    flat = bytes([128]) * (w * h)
+    for f in range(nf):
+        jump = SCENE_JUMP if f >= s else 0
+        out.append(b"FRAME\n")
+        out.append(
+            bytes(
+                (doc_id + 2 * x + 3 * y) % 80 + SCENE_STEP * f + jump
+                for y in range(h)
+                for x in range(w)
+            )
+        )
+        out.append(flat)
+        out.append(flat)
+    return b"".join(out)
+
+
+# wrap-free, so each pair's per-pixel |delta| is constant: SCENE_STEP
+# within a shot, SCENE_STEP + SCENE_JUMP across the boundary
+_Y4M_SAD = (
+    f"w * h * ({SCENE_STEP} + CASE WHEN f = s THEN {SCENE_JUMP} ELSE 0 END)"
+)
+
+SCENE_CUTS_ORACLE = f"""
+SELECT doc_id,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(nf AS INTEGER) AS n_frames,
+  CAST(coalesce(list_sum(sads), 0) AS BIGINT) AS sad_total,
+  CAST(coalesce(list_max(sads), 0) AS BIGINT) AS sad_max,
+  CAST(len(list_filter(sads, v -> v > w * h * {SCENE_CUT_PER_PIXEL}))
+       AS INTEGER) AS n_cuts,
+  CAST(coalesce(list_min(list_transform(
+         list_filter(range(1, nf), f ->
+           sads[f] > w * h * {SCENE_CUT_PER_PIXEL}), f -> f)), -1)
+       AS INTEGER) AS first_cut_frame
+FROM (
+  SELECT doc_id, w, h, nf,
+         list_transform(range(1, nf), f -> {_Y4M_SAD}) AS sads
+  FROM (SELECT doc_id,
+               (doc_id % 9 + 1) * 2 AS w,
+               (doc_id % 7 + 1) * 2 AS h,
+               doc_id % 5 + 2 AS nf,
+               CASE WHEN doc_id % 3 = 0 THEN doc_id % 5 + 2
+                    ELSE (doc_id % 5 + 2) // 2 END AS s
+        FROM documents))
+"""
+
+
+@query("multimodal_video_scene_cuts", oracle=SCENE_CUTS_ORACLE)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection on real video bytes: decode each Y4M
+    stream (decode_y4m — the same parser the decode query pins), compute
+    the luma SAD of every consecutive frame pair, and flag cuts where
+    the mean per-pixel difference exceeds 48 — continuity pairs in the
+    fixture run exactly 10/pixel (wrap-free formula), true scene changes
+    exactly 111, so the threshold separates the modes at every frame size
+    (two thirds of docs carry an injected midpoint scene change, one
+    third are single-shot negatives; the oracle restates the per-pair
+    SAD closed-form, so a detector that drops a frame, compares
+    non-consecutive pairs, or mis-handles the first frame fails the
+    hash). first_cut_frame is the keyframe-extraction output: the index
+    where a new shot begins, -1 for single-shot docs.
+
+    Scale: identical to every decode stage — synth + decode/SAD inside
+    Arrow batches over a 1-column scan, zero exchanges; frames are
+    compared pairwise inside one payload, so no cross-row state. A real
+    corpus swaps the synthesizer for the stored binary column."""
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents")
+
+    def row_fn(b: bytes):
+        dec = decode_y4m(b)
+        if dec is None:
+            return None
+        w, h, frames = dec
+        nf = len(frames)
+        lumas = [f[0].astype(np.int64) for f in frames]
+        sads = [
+            int(np.abs(lumas[f] - lumas[f - 1]).sum()) for f in range(1, nf)
+        ]
+        thresh = w * h * SCENE_CUT_PER_PIXEL
+        cuts = [f for f in range(1, nf) if sads[f - 1] > thresh]
+        return (
+            w,
+            h,
+            nf,
+            sum(sads),
+            max(sads, default=0),
+            len(cuts),
+            cuts[0] if cuts else -1,
+        )
+
+    return _payload_feature_pipeline(
+        docs,
+        make_y4m_scene_bytes,
+        row_fn,
+        [
+            ("width", T.IntegerType()),
+            ("height", T.IntegerType()),
+            ("n_frames", T.IntegerType()),
+            ("sad_total", T.LongType()),
+            ("sad_max", T.LongType()),
+            ("n_cuts", T.IntegerType()),
+            ("first_cut_frame", T.IntegerType()),
+        ],
+    )

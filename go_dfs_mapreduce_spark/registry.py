@@ -137,7 +137,9 @@ _DRIVER_SHOWCASE = (
     # slots of three LSH-family sentinels (ann_lsh_calibrated_topk /
     # ann_lsh_batch_topk / ann_calibrated_recall_audit, all
     # driver-recorded in earlier rounds; ann_lsh_topk still anchors
-    # the family) ---
+    # the family); the scene-cut detector took multimodal_pixels_gif's
+    # slot (driver-recorded r9 + r11; BMP still anchors the pixel
+    # family) ---
     "multimodal_pixels_jpeg420",
     "multimodal_audio_wht",
     "span_dedup_plan",
@@ -151,6 +153,7 @@ _DRIVER_SHOWCASE = (
     "corpus_sample_weighted",
     "zorder_layout_audit",
     "multimodal_video_y4m",
+    "multimodal_video_scene_cuts",
     # --- round-12 RE-EARN slots: ann_int8_rerank_topk's stage 1 became
     # the map-side partial top-R Arrow kernel (results identical —
     # top-R of per-batch top-Rs — but the kernel is new code and
@@ -180,7 +183,6 @@ _DRIVER_SHOWCASE = (
     "embedding_quantize_int8",
     "ann_lsh_topk",
     "multimodal_pixels_bmp",
-    "multimodal_pixels_gif",
     "stream_cusum_alarms_live",
     "stream_zscore_anomalies_live",
     "stream_first_occurrences_live",

@@ -245,6 +245,10 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         "multimodal_pixels_jpeg420",
         # round 12: the WHT audio-feature stage — same class
         "multimodal_audio_wht",
+        # round 12 (late): the Y4M video decoder and the scene-cut
+        # detector built on it — same Arrow decode-stage class
+        "multimodal_video_y4m",
+        "multimodal_video_scene_cuts",
         # round 12: int8 stage 1 became the declared map-side partial
         # top-R Arrow kernel (the ann_cosine_batch_fast shape, r11
         # verdict #8); the quantized recall audit composes it
@@ -1395,6 +1399,18 @@ def test_round12_late_operator_plan_contracts(spark, sf_dir):
     )
 
     a = audit_plan(multimodal_video_y4m(spark, sf_dir))
+    assert a["plan"].count("MapInPandas (") == 2
+    assert a["n_exchanges"] == 0
+    assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]
+
+    # multimodal_video_scene_cuts: same declared two-Arrow-stage decode
+    # shape (frames compare pairwise INSIDE one payload — no cross-row
+    # state, no exchange)
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_video_scene_cuts,
+    )
+
+    a = audit_plan(multimodal_video_scene_cuts(spark, sf_dir))
     assert a["plan"].count("MapInPandas (") == 2
     assert a["n_exchanges"] == 0
     assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]

@@ -3700,3 +3700,22 @@ def test_zorder_layout_audit_invariants(spark, sf_dir):
         assert r.files_scanned <= r.files_total
     assert z.files_scanned <= lin.files_scanned
     assert z.rows_in_scanned_files <= lin.rows_in_scanned_files
+
+
+def test_scene_cut_detector_truth_table(spark, sf_dir):
+    """The detector recovers the injected ground truth exactly: docs with
+    doc_id % 3 != 0 carry one midpoint scene change (cut at frame
+    nf // 2), the rest are single-shot negatives with no cut."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_video_scene_cuts,
+    )
+
+    for r in multimodal_video_scene_cuts(spark, sf_dir).collect():
+        nf = r.doc_id % 5 + 2
+        assert r.n_frames == nf
+        if r.doc_id % 3:
+            assert r.n_cuts == 1
+            assert r.first_cut_frame == nf // 2
+        else:
+            assert r.n_cuts == 0
+            assert r.first_cut_frame == -1

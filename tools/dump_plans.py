@@ -127,6 +127,7 @@ PLAN_QUERIES = [
     "corpus_sample_weighted",
     "zorder_layout_audit",
     "multimodal_video_y4m",
+    "multimodal_video_scene_cuts",
 ]
 
 
