@@ -630,7 +630,7 @@ WHERE rn <= {WSAMPLE_K}
 @query("corpus_sample_weighted", oracle=WSAMPLE_ORACLE)
 def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size weighted sample WITHOUT replacement (priority sampling,
-    Duffield-Lund-Thorup): keep the {K} docs with the highest priority
+    Duffield-Lund-Thorup): keep the 64 docs with the highest priority
     w/u (w = n_chars, u a deterministic md5 uniform), and attach the
     unbiased weight estimate max(w, tau) — summing est_weight over any
     subset of the sample estimates that subset's true total weight, which

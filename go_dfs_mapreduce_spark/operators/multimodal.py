@@ -2620,7 +2620,7 @@ def multimodal_video_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     interchange container), decode the actual byte layout back — header
     tokens, FRAME marker lines, planar YUV slicing at the declared chroma
     geometry — and emit the features a video training pipeline extracts:
-    temporal subsample (every {N}th frame, the standard frame-sampling
+    temporal subsample (every 2nd frame, the standard frame-sampling
     step), per-plane pixel sums over the sampled frames, and a
     position-weighted checksum over the LAST sampled frame's luma (a
     decoder that drops a frame, desyncs on a FRAME parameter token, or

@@ -1099,27 +1099,19 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("dmin"),
         F.max("d").alias("dmax"),
     )
-    span_c = F.col("cmax") - F.col("cmin") + F.lit(1)
-    span_d = F.col("dmax") - F.col("dmin") + F.lit(1)
-    keyed = base.crossJoin(F.broadcast(stats)).select(
+    # integer DIV end to end (a double quotient + truncating cast can
+    # round up across an integer boundary once (v - vmin) * 65536 nears
+    # 2^53 — exact on the fixture but not portable at bigint spans)
+    keyed = base.crossJoin(F.broadcast(stats)).selectExpr(
         "o_orderkey",
         "c",
         "d",
-        ((F.col("c") - F.col("cmin")) * F.lit(65536) / span_c)
-        .cast("long")
-        .alias("cb"),
-        ((F.col("d") - F.col("dmin")) * F.lit(65536) / span_d)
-        .cast("long")
-        .alias("db"),
-        F.col("cmin").alias("qc_lo"),
-        (F.col("cmin") + (span_c / F.lit(8)).cast("long") - F.lit(1)).alias("qc_hi"),
-        (F.col("dmin") + (span_d / F.lit(4)).cast("long")).alias("qd_lo"),
-        (
-            F.col("dmin")
-            + (span_d / F.lit(4)).cast("long")
-            + (span_d / F.lit(8)).cast("long")
-            - F.lit(1)
-        ).alias("qd_hi"),
+        "((c - cmin) * 65536) DIV (cmax - cmin + 1) AS cb",
+        "((d - dmin) * 65536) DIV (dmax - dmin + 1) AS db",
+        "cmin AS qc_lo",
+        "cmin + (cmax - cmin + 1) DIV 8 - 1 AS qc_hi",
+        "dmin + (dmax - dmin + 1) DIV 4 AS qd_lo",
+        "dmin + (dmax - dmin + 1) DIV 4 + (dmax - dmin + 1) DIV 8 - 1 AS qd_hi",
     )
     zval = keyed.withColumn(
         "z", _zorder_interleave_spark(F.col("cb"), F.col("db"))
@@ -1133,15 +1125,17 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("d").asc(), F.col("o_orderkey").asc()))
         .alias("file_lin"),
     )
-    cols = ["c", "d", "qc_lo", "qc_hi", "qd_lo", "qd_hi"]
-    both = placed.select(
-        F.lit("zorder").alias("layout"), F.col("file_z").alias("file_id"), *cols
-    ).unionByName(
-        placed.select(
-            F.lit("linear").alias("layout"),
-            F.col("file_lin").alias("file_id"),
-            *cols,
-        )
+    # single-lineage melt: a unionByName of two projections of `placed`
+    # would duplicate the whole lineage (two table scans + two stats
+    # branches); stack() emits both layout rows from ONE pass
+    both = placed.selectExpr(
+        "stack(2, 'zorder', file_z, 'linear', file_lin) AS (layout, file_id)",
+        "c",
+        "d",
+        "qc_lo",
+        "qc_hi",
+        "qd_lo",
+        "qd_hi",
     )
     is_match = F.col("c").between(F.col("qc_lo"), F.col("qc_hi")) & F.col(
         "d"

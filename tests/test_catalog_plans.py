@@ -1390,6 +1390,10 @@ def test_round12_late_operator_plan_contracts(spark, sf_dir):
     assert not a["has_python_worker"]
     assert "CartesianProduct" not in a["plan"]
     assert "BroadcastNestedLoopJoin" in a["plan"]  # the tiny stats frame
+    # single-lineage melt: exactly the main scan + the stats-agg scan
+    # (the review's unionByName draft duplicated both to four)
+    assert a["plan"].count("Scan parquet  (") == 2
+    assert "Generate" in a["plan"]  # the stack() melt node
 
     # multimodal_video_y4m: the two declared Arrow stages (synth +
     # decode) over a 1-column scan, no exchange — the module's shared
