@@ -674,3 +674,89 @@ def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+WSAMPLE_PER_LANG = 16  # fixed per-stratum sample size
+
+
+WSAMPLE_STRAT_ORACLE = f"""
+WITH pri AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(n_chars AS DOUBLE) * 4294967296.0 /
+         CAST(('0x' || substr(md5('wstrat:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              + 1 AS DOUBLE) AS pri
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY lang ORDER BY pri DESC, doc_id) AS rn
+  FROM pri),
+tau AS (
+  SELECT lang,
+         coalesce(min(CASE WHEN rn = {WSAMPLE_PER_LANG} + 1 THEN pri END), 0.0)
+           AS tau
+  FROM ranked WHERE rn <= {WSAMPLE_PER_LANG} + 1 GROUP BY lang)
+SELECT r.doc_id, r.lang, r.n_chars AS weight,
+       CAST(r.rn AS INTEGER) AS rank_in_lang,
+       greatest(CAST(r.n_chars AS DOUBLE), t.tau) AS est_weight
+FROM ranked r JOIN tau t ON r.lang = t.lang
+WHERE r.rn <= {WSAMPLE_PER_LANG}
+"""
+
+
+@query("corpus_sample_weighted_stratified", oracle=WSAMPLE_STRAT_ORACLE)
+def corpus_sample_weighted_stratified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The mixture-building primitive: a fixed-size priority sample PER
+    LANGUAGE (16 docs each, weight = n_chars), so every stratum gets a
+    length-proportional sample with its own Duffield-Lund-Thorup weight
+    estimates — summing est_weight within a stratum estimates that
+    language's true token mass from 16 rows, which is how a pipeline
+    audits a sampling mixture without a second full scan. Same portable
+    priority arithmetic as corpus_sample_weighted (one exact multiply,
+    one IEEE division); per-stratum tau is the (k+1)-th priority within
+    the language, 0.0 for strata smaller than k+1.
+
+    Scale: rank <= k+1 over Window.partitionBy(lang) lets Spark plan a
+    WindowGroupLimit — each task keeps a per-stratum (k+1)-row heap
+    BEFORE the exchange, so only |langs| x (k+1) rows per task shuffle,
+    not the corpus (the plan pin asserts the node). tau is a second
+    per-lang window over the ALREADY-FILTERED (k+1)-per-stratum frame —
+    same lineage, same partitioning (no new exchange, no second corpus
+    scan; the flat sampler learned this the same way)."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wstrat:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    pri = (F.col("n_chars").cast("double") * F.lit(4294967296.0)) / (
+        h + F.lit(1)
+    ).cast("double")
+    base = docs.select("doc_id", "lang", "n_chars", pri.alias("pri"))
+    w = Window.partitionBy("lang").orderBy(F.col("pri").desc(), F.col("doc_id").asc())
+    ranked = base.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= WSAMPLE_PER_LANG + 1
+    )
+    per_lang = Window.partitionBy("lang")  # <= k+1 rows per stratum here
+    tau = F.coalesce(
+        F.min(
+            F.when(F.col("rn") == WSAMPLE_PER_LANG + 1, F.col("pri"))
+        ).over(per_lang),
+        F.lit(0.0),
+    )
+    return (
+        ranked.withColumn("tau", tau)
+        .where(F.col("rn") <= WSAMPLE_PER_LANG)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").alias("weight"),
+            F.col("rn").cast("int").alias("rank_in_lang"),
+            F.greatest(F.col("n_chars").cast("double"), F.col("tau")).alias(
+                "est_weight"
+            ),
+        )
+    )

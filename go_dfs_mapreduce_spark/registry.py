@@ -139,7 +139,9 @@ _DRIVER_SHOWCASE = (
     # driver-recorded in earlier rounds; ann_lsh_topk still anchors
     # the family); the scene-cut detector took multimodal_pixels_gif's
     # slot (driver-recorded r9 + r11; BMP still anchors the pixel
-    # family) ---
+    # family); the stratified weighted sampler took
+    # stream_zscore_anomalies_live's (driver-recorded r9 + r11; cusum
+    # and first-occurrences keep the live family warm) ---
     "multimodal_pixels_jpeg420",
     "multimodal_audio_wht",
     "span_dedup_plan",
@@ -151,6 +153,7 @@ _DRIVER_SHOWCASE = (
     "stream_rate_limit_eventtime_live",
     "ivf_pq_rerank_topk",
     "corpus_sample_weighted",
+    "corpus_sample_weighted_stratified",
     "zorder_layout_audit",
     "multimodal_video_y4m",
     "multimodal_video_scene_cuts",
@@ -161,8 +164,8 @@ _DRIVER_SHOWCASE = (
     # gained the ivf_pq_rerank columns (schema + semantics extended) ---
     "ann_int8_rerank_topk",
     "ann_quantized_recall_audit",
-    # --- 12 floating slots (16 before the late-session operators took
-    # four): code paths touched this round WITHOUT
+    # --- 11 floating slots (16 before the late-session operators took
+    # five): code paths touched this round WITHOUT
     # semantic change (regression sentinels — every name rotated OUT
     # retains its r1-r11 driver rows). ivf_pq_topk was refactored
     # through the shared _ivf_pq_adc helper and pq_adc_topk's
@@ -185,7 +188,6 @@ _DRIVER_SHOWCASE = (
     "ann_lsh_topk",
     "multimodal_pixels_bmp",
     "stream_cusum_alarms_live",
-    "stream_zscore_anomalies_live",
     "stream_first_occurrences_live",
 )
 

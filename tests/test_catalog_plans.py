@@ -1379,6 +1379,20 @@ def test_round12_late_operator_plan_contracts(spark, sf_dir):
     assert a["plan"].count("Scan parquet  (") == 1
     assert "TakeOrderedAndProject" in a["plan"]
 
+    # corpus_sample_weighted_stratified: rank <= k+1 per stratum plans
+    # a WindowGroupLimit (per-task per-stratum heaps BEFORE the lang
+    # exchange); single corpus scan (tau is a window over the filtered
+    # frame, not a second agg branch), exactly one exchange
+    from go_dfs_mapreduce_spark.operators.llm_extras import (
+        corpus_sample_weighted_stratified,
+    )
+
+    a = audit_plan(corpus_sample_weighted_stratified(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "WindowGroupLimit" in a["plan"]
+    assert a["plan"].count("Scan parquet  (") == 1
+    assert a["n_exchanges"] <= 2  # partial/final pair of the lang shuffle
+
     # zorder_layout_audit: integer Morton keys end-to-end, JVM-only,
     # min/max stats ride a broadcast (never a per-row shuffle of the
     # stats), no cartesian anywhere

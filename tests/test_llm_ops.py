@@ -3719,3 +3719,39 @@ def test_scene_cut_detector_truth_table(spark, sf_dir):
         else:
             assert r.n_cuts == 0
             assert r.first_cut_frame == -1
+
+
+def test_stratified_priority_sampling_matches_pure_python_replay(spark, sf_dir):
+    """Differential: the per-language priority sample equals a pure-Python
+    replay — per-stratum ranks, per-stratum tau (0.0 for strata smaller
+    than k+1), bit-identical est_weight doubles."""
+    import hashlib
+
+    import duckdb
+
+    from go_dfs_mapreduce_spark.operators.llm_extras import (
+        WSAMPLE_PER_LANG,
+        corpus_sample_weighted_stratified,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    by_lang = {}
+    for doc_id, lang, n_chars in docs:
+        h = int(hashlib.md5(f"wstrat:{doc_id}".encode()).hexdigest()[:8], 16)
+        by_lang.setdefault(lang, []).append(
+            (n_chars * 4294967296.0 / (h + 1), doc_id, n_chars)
+        )
+    expect = {}
+    for lang, pri in by_lang.items():
+        pri.sort(key=lambda t: (-t[0], t[1]))
+        tau = pri[WSAMPLE_PER_LANG][0] if len(pri) > WSAMPLE_PER_LANG else 0.0
+        for rank, (_, doc_id, n_chars) in enumerate(pri[:WSAMPLE_PER_LANG]):
+            expect[doc_id] = (lang, rank + 1, max(float(n_chars), tau))
+
+    got = corpus_sample_weighted_stratified(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        lang, rank, est = expect[r.doc_id]
+        assert (r.lang, r.rank_in_lang, r.est_weight) == (lang, rank, est)

@@ -125,6 +125,7 @@ PLAN_QUERIES = [
     "span_dedup_incremental",
     "multimodal_audio_wht",
     "corpus_sample_weighted",
+    "corpus_sample_weighted_stratified",
     "zorder_layout_audit",
     "multimodal_video_y4m",
     "multimodal_video_scene_cuts",
