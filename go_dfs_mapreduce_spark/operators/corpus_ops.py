@@ -645,3 +645,88 @@ def chi_square_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("chi2d").cast("double"), 6).alias("chi2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HTML text extraction (boilerplate stripping)
+# --------------------------------------------------------------------------
+#
+# The CommonCrawl-shaped step every web-scale text pipeline runs: pull the
+# article text out of an HTML page, dropping nav/footer boilerplate. The
+# fixture corpus is plain text, so — exactly like the multimodal
+# synthesizers — the operator first builds a REAL HTML page around each
+# document (title, nav boilerplate containing its own <p> to defeat naive
+# all-paragraph extractors, the escaped body in the main div, a variable
+# number of footer links), then extracts back with JVM regexp/replace
+# expressions only. The oracle states the recovery contract directly:
+# md5(extracted body) must equal md5(original text) — a hash proof of
+# byte-exact extraction — plus the title, link count, and byte length.
+
+
+def html_escape_expr(col: str) -> str:
+    """HTML-escape as nested literal replaces — '&' FIRST (the inverse
+    order of html_unescape_expr; swapping either order corrupts text
+    containing literal entities like '&lt;')."""
+    return (
+        f"replace(replace(replace({col}, '&', '&amp;'),"
+        f" '<', '&lt;'), '>', '&gt;')"
+    )
+
+
+def html_unescape_expr(col: str) -> str:
+    """Inverse of html_escape_expr — '&amp;' LAST."""
+    return (
+        f"replace(replace(replace({col}, '&lt;', '<'),"
+        f" '&gt;', '>'), '&amp;', '&')"
+    )
+
+
+HTML_EXTRACT_ORACLE = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(doc_id % 4 AS INTEGER) AS n_links,
+       md5(text) AS body_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes
+FROM documents
+"""
+
+
+@query("html_text_extraction", oracle=HTML_EXTRACT_ORACLE)
+def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a real HTML page per document, then extract the article
+    text back with pure JVM expressions: title from <title>, body from
+    the main div (dotall regexp — the nav carries its own <p> so an
+    all-paragraph extractor fails the hash), entity unescape in the
+    inverse order of the escape, link count from the footer anchors. The
+    oracle's md5(text) comparison makes this a byte-exact recovery
+    proof: any escaping-order bug, greedy-regexp overrun into the
+    footer, or boilerplate bleed-through changes the hash.
+
+    Scale: one scan, all whole-stage-codegen string expressions (no
+    Python anywhere) — at 100 TB this is the shape you want for the
+    highest-volume stage of a web pipeline; a real corpus starts from a
+    stored html column and runs the same extraction half unchanged."""
+    docs = table(spark, sf_dir, "documents")
+    esc = html_escape_expr("text")
+    links = (
+        "array_join(transform(array_repeat(1, CAST(doc_id % 4 AS INT)),"
+        " (x, j) -> concat('<a href=\"https://example.com/', doc_id, '/',"
+        " j, '\">more</a>')), '')"
+    )
+    html = (
+        "concat('<html><head><title>Doc ', doc_id, '</title></head><body>',"
+        " '<nav><p>Home | About</p></nav>',"
+        f" '<div class=\"main\"><p>', {esc}, '</p></div>',"
+        f" '<footer>', {links}, '</footer></body></html>')"
+    )
+    page = docs.select("doc_id", F.expr(html).alias("html"))
+    body = (
+        'regexp_extract(html, \'(?s)<div class="main"><p>(.*?)</p></div>\', 1)'
+    )
+    return page.selectExpr(
+        "doc_id",
+        "regexp_extract(html, '<title>(.*?)</title>', 1) AS title",
+        "CAST(regexp_count(html, '<a href=') AS INT) AS n_links",
+        f"md5({html_unescape_expr(body)}) AS body_md5",
+        f"CAST(octet_length({html_unescape_expr(body)}) AS BIGINT) AS body_bytes",
+    )

@@ -141,7 +141,9 @@ _DRIVER_SHOWCASE = (
     # slot (driver-recorded r9 + r11; BMP still anchors the pixel
     # family); the stratified weighted sampler took
     # stream_zscore_anomalies_live's (driver-recorded r9 + r11; cusum
-    # and first-occurrences keep the live family warm) ---
+    # and first-occurrences keep the live family warm); HTML extraction
+    # took pq_adc_topk's (driver-recorded r11; ivf_pq_topk keeps the
+    # quantized family warm) ---
     "multimodal_pixels_jpeg420",
     "multimodal_audio_wht",
     "span_dedup_plan",
@@ -157,6 +159,7 @@ _DRIVER_SHOWCASE = (
     "zorder_layout_audit",
     "multimodal_video_y4m",
     "multimodal_video_scene_cuts",
+    "html_text_extraction",
     # --- round-12 RE-EARN slots: ann_int8_rerank_topk's stage 1 became
     # the map-side partial top-R Arrow kernel (results identical —
     # top-R of per-batch top-Rs — but the kernel is new code and
@@ -164,8 +167,8 @@ _DRIVER_SHOWCASE = (
     # gained the ivf_pq_rerank columns (schema + semantics extended) ---
     "ann_int8_rerank_topk",
     "ann_quantized_recall_audit",
-    # --- 11 floating slots (16 before the late-session operators took
-    # five): code paths touched this round WITHOUT
+    # --- 10 floating slots (16 before the late-session operators took
+    # six): code paths touched this round WITHOUT
     # semantic change (regression sentinels — every name rotated OUT
     # retains its r1-r11 driver rows). ivf_pq_topk was refactored
     # through the shared _ivf_pq_adc helper and pq_adc_topk's
@@ -179,7 +182,6 @@ _DRIVER_SHOWCASE = (
     # rewritten int8 kernel consumes. The rest keep the quantized/LSH/
     # streaming/multimodal families warm ---
     "ivf_pq_topk",
-    "pq_adc_topk",
     "multimodal_pixels_jpeg",
     "contamination_ngram_audit",
     "events_rate_limit",

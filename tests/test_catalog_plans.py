@@ -1432,3 +1432,15 @@ def test_round12_late_operator_plan_contracts(spark, sf_dir):
     assert a["plan"].count("MapInPandas (") == 2
     assert a["n_exchanges"] == 0
     assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]
+
+    # html_text_extraction: the web pipeline's highest-volume stage —
+    # one scan, zero exchanges, zero Python, all whole-stage-codegen
+    # string expressions
+    from go_dfs_mapreduce_spark.operators.corpus_ops import (
+        html_text_extraction,
+    )
+
+    a = audit_plan(html_text_extraction(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert a["n_exchanges"] == 0
+    assert a["plan"].count("Scan parquet  (") == 1

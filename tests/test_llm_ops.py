@@ -3755,3 +3755,40 @@ def test_stratified_priority_sampling_matches_pure_python_replay(spark, sf_dir):
     for r in got:
         lang, rank, est = expect[r.doc_id]
         assert (r.lang, r.rank_in_lang, r.est_weight) == (lang, rank, est)
+
+
+def test_html_escape_roundtrip_adversarial(spark):
+    """The fixture corpus has no &<> characters, so the gate's md5 proof
+    cannot catch a broken escape path — this test feeds the SAME escape/
+    extract/unescape expressions adversarial bodies: literal entities
+    ('&lt;'), real tags ('</div>', '<p>'), ampersand runs, and the
+    closing sequence of the main div itself."""
+    from go_dfs_mapreduce_spark.operators.corpus_ops import (
+        html_escape_expr,
+        html_unescape_expr,
+    )
+
+    bodies = [
+        "plain text",
+        "literal entity &lt; stays literal",
+        "a < b > c & d &&& <p>tag</p>",
+        "breakout attempt </p></div><footer>",
+        "&amp;lt; double-escaped",
+        "",
+    ]
+    df = spark.createDataFrame([(i, b) for i, b in enumerate(bodies)], ["i", "text"])
+    esc = html_escape_expr("text")
+    page = df.selectExpr(
+        "i",
+        "text",
+        f"concat('<nav><p>Home</p></nav><div class=\"main\"><p>', {esc},"
+        " '</p></div><footer><a href=\"x\">more</a></footer>') AS html",
+    )
+    body = (
+        'regexp_extract(html, \'(?s)<div class="main"><p>(.*?)</p></div>\', 1)'
+    )
+    got = page.selectExpr(
+        "i", "text", f"{html_unescape_expr(body)} AS recovered"
+    ).collect()
+    for r in got:
+        assert r.recovered == r.text, (r.text, r.recovered)

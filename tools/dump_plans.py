@@ -129,6 +129,7 @@ PLAN_QUERIES = [
     "zorder_layout_audit",
     "multimodal_video_y4m",
     "multimodal_video_scene_cuts",
+    "html_text_extraction",
 ]
 
 
