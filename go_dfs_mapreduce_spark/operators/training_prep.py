@@ -1167,3 +1167,179 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_in_scanned_files"),
         F.sum("matched").cast("long").alias("rows_matched"),
     )
+
+
+# --------------------------------------------------------------------------
+# bloom-filter data-skipping audit (the point-lookup complement)
+# --------------------------------------------------------------------------
+#
+# zorder_layout_audit models min/max pruning for RANGE predicates; this is
+# the other half of the data-skipping story: for a point lookup on a
+# high-cardinality key scattered across files (custkey in a date-sorted
+# layout), min/max footers prune almost nothing — every file's
+# [min, max] spans most of the key space — while a small per-file Bloom
+# filter prunes to the files that actually contain the key plus a bounded
+# false-positive tail. Deterministic md5 bit positions make the whole
+# construct engine-portable, so the audit carries a full-value oracle.
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+BLOOM_FILES = 64  # date-sorted layout, same ntile shape as the z-order audit
+BLOOM_PROBES = 16  # probe keys p * 71 % 1500, p = 1..16
+
+
+def _bloom_pos_duck(j: str, key: str) -> str:
+    return (
+        f"('0x' || substr(md5('bloom:' || CAST({j} AS VARCHAR) || ':' ||"
+        f" CAST({key} AS VARCHAR)), 1, 8))::UBIGINT % {BLOOM_BITS}"
+    )
+
+
+def _bloom_pos_spark(j, key) -> F.Column:
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("bloom:"),
+                    j.cast("string"),
+                    F.lit(":"),
+                    key.cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % BLOOM_BITS
+
+
+BLOOM_ORACLE = f"""
+WITH placed AS (
+  SELECT o_custkey AS c,
+         ntile({BLOOM_FILES}) OVER (ORDER BY o_orderdate, o_orderkey) AS file_id
+  FROM orders),
+file_stats AS (
+  SELECT file_id, min(c) AS mc, max(c) AS xc FROM placed GROUP BY file_id),
+bloom AS (
+  SELECT DISTINCT file_id, {_bloom_pos_duck("j", "c")} AS bitpos
+  FROM placed, range(0, {BLOOM_HASHES}) r(j)),
+probes AS (
+  SELECT p * 71 % 1500 AS probe_key FROM range(1, {BLOOM_PROBES} + 1) r(p)),
+probe_bits AS (
+  SELECT probe_key, j, {_bloom_pos_duck("j", "probe_key")} AS bitpos
+  FROM probes, range(0, {BLOOM_HASHES}) r(j)),
+bloom_pass AS (
+  SELECT pb.probe_key, b.file_id
+  FROM probe_bits pb JOIN bloom b
+    ON pb.bitpos = b.bitpos
+  GROUP BY pb.probe_key, b.file_id
+  HAVING count(DISTINCT pb.j) = {BLOOM_HASHES}),
+actual AS (
+  SELECT p.probe_key, count(DISTINCT placed.file_id) AS n_actual
+  FROM probes p LEFT JOIN placed ON placed.c = p.probe_key
+  GROUP BY p.probe_key),
+minmax_pass AS (
+  SELECT p.probe_key, count(*) AS n_minmax
+  FROM probes p JOIN file_stats f
+    ON p.probe_key BETWEEN f.mc AND f.xc
+  GROUP BY p.probe_key)
+SELECT p.probe_key,
+       CAST(coalesce(a.n_actual, 0) AS INTEGER) AS n_files_actual,
+       CAST(coalesce(bp.n_bloom, 0) AS INTEGER) AS n_files_bloom,
+       CAST(coalesce(m.n_minmax, 0) AS INTEGER) AS n_files_minmax
+FROM probes p
+LEFT JOIN actual a ON a.probe_key = p.probe_key
+LEFT JOIN (SELECT probe_key, count(*) AS n_bloom FROM bloom_pass
+           GROUP BY probe_key) bp ON bp.probe_key = p.probe_key
+LEFT JOIN minmax_pass m ON m.probe_key = p.probe_key
+"""
+
+
+@query("bloom_skipping_audit", oracle=BLOOM_ORACLE)
+def bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantify per-file Bloom-filter data skipping for point lookups —
+    the case min/max footers cannot help: in a date-sorted 64-file
+    layout every file spans most of the custkey space, so a point probe
+    passes the min/max check in ~all files, while a 4096-bit/3-hash
+    Bloom per file admits only the true containing files plus a bounded
+    false-positive tail. Output per probe key: files actually containing
+    it, files the Bloom would scan, files a min/max check would scan —
+    the measured gap IS the case for Bloom footers (parquet
+    bloom_filter_enabled, Delta/Iceberg bloom columns) on join/lookup
+    keys at 100 TB.
+
+    Scale: the Bloom build is one exchange — explode keys x 3 hash
+    seeds, distinct (file, bitpos) — and its output is bounded by
+    files x bits (64 x 4096 here), independent of row count; probes and
+    per-file stats are tiny broadcasts. The audit's ntile layout is the
+    oracle-exact stand-in for real file boundaries, as in
+    zorder_layout_audit."""
+    o = table(spark, sf_dir, "orders")
+    placed = o.select(
+        F.col("o_custkey").alias("c"),
+        F.ntile(BLOOM_FILES)
+        .over(Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()))
+        .alias("file_id"),
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_HASHES - 1))).alias("j")
+    bloom = (
+        placed.select("file_id", "c")
+        .select("file_id", "c", js)
+        .select(
+            "file_id", _bloom_pos_spark(F.col("j"), F.col("c")).alias("bitpos")
+        )
+        .distinct()
+    )
+    file_stats = placed.groupBy("file_id").agg(
+        F.min("c").alias("mc"), F.max("c").alias("xc")
+    )
+    probes = spark.range(1, BLOOM_PROBES + 1).select(
+        (F.col("id") * 71 % 1500).alias("probe_key")
+    )
+    probe_bits = probes.select("probe_key", js).select(
+        "probe_key",
+        "j",
+        _bloom_pos_spark(F.col("j"), F.col("probe_key")).alias("bitpos"),
+    )
+    bloom_pass = (
+        F.broadcast(probe_bits)
+        .join(bloom, "bitpos")
+        .groupBy("probe_key", "file_id")
+        .agg(F.countDistinct("j").alias("nj"))
+        .where(F.col("nj") == BLOOM_HASHES)
+        .groupBy("probe_key")
+        .agg(F.count(F.lit(1)).alias("n_bloom"))
+    )
+    actual = (
+        F.broadcast(probes)
+        .join(placed, probes.probe_key == placed.c, "left")
+        .groupBy("probe_key")
+        .agg(F.countDistinct("file_id").alias("n_actual"))
+    )
+    minmax_pass = (
+        F.broadcast(probes)
+        .join(
+            file_stats,
+            F.col("probe_key").between(F.col("mc"), F.col("xc")),
+        )
+        .groupBy("probe_key")
+        .agg(F.count(F.lit(1)).alias("n_minmax"))
+    )
+    return (
+        probes.join(actual, "probe_key", "left")
+        .join(bloom_pass, "probe_key", "left")
+        .join(minmax_pass, "probe_key", "left")
+        .select(
+            "probe_key",
+            F.coalesce(F.col("n_actual"), F.lit(0)).cast("int").alias(
+                "n_files_actual"
+            ),
+            F.coalesce(F.col("n_bloom"), F.lit(0)).cast("int").alias(
+                "n_files_bloom"
+            ),
+            F.coalesce(F.col("n_minmax"), F.lit(0)).cast("int").alias(
+                "n_files_minmax"
+            ),
+        )
+    )

@@ -143,7 +143,9 @@ _DRIVER_SHOWCASE = (
     # stream_zscore_anomalies_live's (driver-recorded r9 + r11; cusum
     # and first-occurrences keep the live family warm); HTML extraction
     # took pq_adc_topk's (driver-recorded r11; ivf_pq_topk keeps the
-    # quantized family warm) ---
+    # quantized family warm); the bloom audit took events_rate_limit's
+    # (driver-recorded r10 + r11; stream_rate_limit_live keeps the
+    # rate-limit pair warm) ---
     "multimodal_pixels_jpeg420",
     "multimodal_audio_wht",
     "span_dedup_plan",
@@ -157,6 +159,7 @@ _DRIVER_SHOWCASE = (
     "corpus_sample_weighted",
     "corpus_sample_weighted_stratified",
     "zorder_layout_audit",
+    "bloom_skipping_audit",
     "multimodal_video_y4m",
     "multimodal_video_scene_cuts",
     "html_text_extraction",
@@ -167,8 +170,8 @@ _DRIVER_SHOWCASE = (
     # gained the ivf_pq_rerank columns (schema + semantics extended) ---
     "ann_int8_rerank_topk",
     "ann_quantized_recall_audit",
-    # --- 10 floating slots (16 before the late-session operators took
-    # six): code paths touched this round WITHOUT
+    # --- 9 floating slots (16 before the late-session operators took
+    # seven): code paths touched this round WITHOUT
     # semantic change (regression sentinels — every name rotated OUT
     # retains its r1-r11 driver rows). ivf_pq_topk was refactored
     # through the shared _ivf_pq_adc helper and pq_adc_topk's
@@ -184,7 +187,6 @@ _DRIVER_SHOWCASE = (
     "ivf_pq_topk",
     "multimodal_pixels_jpeg",
     "contamination_ngram_audit",
-    "events_rate_limit",
     "stream_rate_limit_live",
     "embedding_quantize_int8",
     "ann_lsh_topk",

@@ -1444,3 +1444,15 @@ def test_round12_late_operator_plan_contracts(spark, sf_dir):
     assert not a["has_python_worker"]
     assert a["n_exchanges"] == 0
     assert a["plan"].count("Scan parquet  (") == 1
+
+    # bloom_skipping_audit: probes/stats ride broadcasts, the bloom
+    # build's output is bounded by files x bits (corpus-independent);
+    # JVM-only, no cartesian
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        bloom_skipping_audit,
+    )
+
+    a = audit_plan(bloom_skipping_audit(spark, sf_dir))
+    assert not a["has_python_worker"]
+    assert "CartesianProduct" not in a["plan"]
+    assert a["n_broadcast_joins"] >= 2

@@ -3792,3 +3792,24 @@ def test_html_escape_roundtrip_adversarial(spark):
     ).collect()
     for r in got:
         assert r.recovered == r.text, (r.text, r.recovered)
+
+
+def test_bloom_skipping_audit_invariants(spark, sf_dir):
+    """Bloom soundness and the point-lookup story: a Bloom filter never
+    misses a containing file (n_bloom >= n_actual — no false negatives,
+    by construction), and in a date-sorted layout every probe passes the
+    min/max check in far more files than the Bloom admits."""
+    from go_dfs_mapreduce_spark.operators.training_prep import (
+        BLOOM_FILES,
+        bloom_skipping_audit,
+    )
+
+    rows = bloom_skipping_audit(spark, sf_dir).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.n_files_bloom >= r.n_files_actual  # no false negatives
+        assert r.n_files_minmax <= BLOOM_FILES
+        assert r.n_files_bloom <= r.n_files_minmax
+    total_bloom = sum(r.n_files_bloom for r in rows)
+    total_minmax = sum(r.n_files_minmax for r in rows)
+    assert total_bloom * 3 < total_minmax  # the audit's whole point

@@ -130,6 +130,7 @@ PLAN_QUERIES = [
     "multimodal_video_y4m",
     "multimodal_video_scene_cuts",
     "html_text_extraction",
+    "bloom_skipping_audit",
 ]
 
 
