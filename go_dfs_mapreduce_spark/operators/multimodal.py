@@ -877,30 +877,16 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def make_png_bytes(
-    doc_id: int, width: int, height: int, interlaced: bool = False
-) -> bytes:
-    """Synthesize a REAL 8-bit truecolor (color type 2) PNG: signature,
-    IHDR, one zlib-compressed IDAT of filtered scanlines, IEND — all
-    with correct CRC32s. Pixel (x, y): R/G/B =
-    (doc_id + {2,5,11}x + {3,7,13}y) % 256 (the BMP formula family);
-    row y is encoded with filter type (doc_id + y) % 5, so all five
-    PNG filters (None/Sub/Up/Average/Paeth) appear across the corpus
-    and the decoder's un-filtering is exercised for real.
-    ``interlaced=True`` sets the Adam7 flag (the decoder's documented
-    quarantine case)."""
-    import zlib
-
+def _png_filter_rows(rows: list[bytearray], ft_of) -> bytearray:
+    """Filter a run of equal-length scanlines (PNG spec 9): one filter
+    byte ``ft_of(y)`` per row, prior row all-zero at the start of the
+    run. ONE copy of the filter math for the sequential encoder AND
+    every Adam7 pass (each pass filters as its own run, per spec 8.2)."""
     bpp = 3
     out = bytearray()
-    prior = bytes(width * bpp)
-    for y in range(height):
-        raw = bytearray()
-        for x in range(width):
-            raw.append((doc_id + 2 * x + 3 * y) % 256)
-            raw.append((doc_id + 5 * x + 7 * y) % 256)
-            raw.append((doc_id + 11 * x + 13 * y) % 256)
-        ft = (doc_id + y) % 5
+    prior = bytes(len(rows[0])) if rows else b""
+    for y, raw in enumerate(rows):
+        ft = ft_of(y)
         out.append(ft)
         for i in range(len(raw)):
             left = raw[i - bpp] if i >= bpp else 0
@@ -918,28 +904,155 @@ def make_png_bytes(
                 f = (raw[i] - _paeth(left, up, ul)) % 256
             out.append(f)
         prior = bytes(raw)
+    return out
+
+
+def _png_raw_row(doc_id: int, y: int, xs) -> bytearray:
+    """One scanline of the shared generator formula over the given x
+    coordinates (consecutive for sequential encode, strided for an
+    Adam7 pass)."""
+    raw = bytearray()
+    for x in xs:
+        raw.append((doc_id + 2 * x + 3 * y) % 256)
+        raw.append((doc_id + 5 * x + 7 * y) % 256)
+        raw.append((doc_id + 11 * x + 13 * y) % 256)
+    return raw
+
+
+def _png_wrap(width: int, height: int, interlace: int, idat: bytes) -> bytes:
+    import zlib
+
     ihdr = (
         width.to_bytes(4, "big")
         + height.to_bytes(4, "big")
-        + bytes([8, 2, 0, 0, 1 if interlaced else 0])
+        + bytes([8, 2, 0, 0, interlace])
     )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IDAT", zlib.compress(idat))
         + _png_chunk(b"IEND", b"")
     )
 
 
+def make_png_bytes(
+    doc_id: int, width: int, height: int, interlaced: bool = False
+) -> bytes:
+    """Synthesize a REAL 8-bit truecolor (color type 2) PNG: signature,
+    IHDR, one zlib-compressed IDAT of filtered scanlines, IEND — all
+    with correct CRC32s. Pixel (x, y): R/G/B =
+    (doc_id + {2,5,11}x + {3,7,13}y) % 256 (the BMP formula family);
+    row y is encoded with filter type (doc_id + y) % 5, so all five
+    PNG filters (None/Sub/Up/Average/Paeth) appear across the corpus
+    and the decoder's un-filtering is exercised for real.
+    ``interlaced=True`` sets the Adam7 FLAG while keeping sequential
+    scanline data — a deliberately MALFORMED stream (the data length
+    cannot match any real Adam7 layout except 1x1) kept for the
+    quarantine tests; real interlaced encode is
+    ``make_png_adam7_bytes``."""
+    rows = [
+        _png_raw_row(doc_id, y, range(width)) for y in range(height)
+    ]
+    out = _png_filter_rows(rows, lambda y: (doc_id + y) % 5)
+    return _png_wrap(width, height, 1 if interlaced else 0, bytes(out))
+
+
+# Adam7 pass grid (PNG spec 8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int):
+    """Non-empty Adam7 passes as (x_start, y_start, x_step, y_step,
+    pass_w, pass_h) — a pass with zero reduced width or height
+    contributes NO bytes, not even filter bytes (spec 8.2)."""
+    out = []
+    for xs, ys, xstep, ystep in _ADAM7:
+        pw = (w - xs + xstep - 1) // xstep if w > xs else 0
+        ph = (h - ys + ystep - 1) // ystep if h > ys else 0
+        if pw > 0 and ph > 0:
+            out.append((xs, ys, xstep, ystep, pw, ph))
+    return out
+
+
+def make_png_adam7_bytes(doc_id: int, width: int, height: int) -> bytes:
+    """Synthesize a REAL Adam7-interlaced PNG: the same generator
+    formula as ``make_png_bytes``, but the IDAT stream is the seven
+    progressive passes of spec 8.2 — each non-empty pass a reduced
+    image with its own per-scanline filter bytes (type
+    (doc_id + pass + row) % 5, so the whole filter family appears
+    WITHIN the interlaced path too), filtered against the pass's own
+    prior scanline."""
+    out = bytearray()
+    for p, (xs, ys, xstep, ystep, pw, ph) in enumerate(_adam7_passes(width, height)):
+        rows = [
+            _png_raw_row(
+                doc_id, ys + i * ystep, range(xs, xs + pw * xstep, xstep)
+            )
+            for i in range(ph)
+        ]
+        out += _png_filter_rows(rows, lambda i, p=p: (doc_id + p + i) % 5)
+    return _png_wrap(width, height, 1, bytes(out))
+
+
+def _png_unfilter_rows(arr, n_rows: int, stride: int):
+    """Undo the per-scanline filter over a run of ``n_rows`` scanlines
+    of ``stride`` bytes each (prior row all-zero at the start of the
+    run — which is exactly an Adam7 pass boundary too). ``arr`` is the
+    uint8 byte run INCLUDING filter bytes; returns the (n_rows, stride)
+    uint8 array or None on an undefined filter type. None/Up are
+    vectorized; Sub/Average/Paeth carry the in-row byte recursion the
+    spec defines."""
+    import numpy as np
+
+    px = np.zeros((n_rows, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(n_rows):
+        ft = int(arr[y * (stride + 1)])
+        fr = arr[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(
+            np.int64
+        )
+        if ft == 0:
+            rec = fr
+        elif ft == 2:
+            rec = (fr + prior) % 256
+        elif ft in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = int(rec[i - 3]) if i >= 3 else 0
+                up = int(prior[i])
+                ul = int(prior[i - 3]) if i >= 3 else 0
+                if ft == 1:
+                    rec[i] = (fr[i] + left) % 256
+                elif ft == 3:
+                    rec[i] = (fr[i] + (left + up) // 2) % 256
+                else:
+                    rec[i] = (fr[i] + _paeth(left, up, ul)) % 256
+        else:
+            return None
+        px[y] = rec.astype(np.uint8)
+        prior = rec
+    return px
+
+
 def decode_png_pixels(b: bytes):
     """Stdlib-only PNG pixel decode: walk the chunk stream verifying
-    every CRC32, require 8-bit truecolor non-interlaced (Adam7 -> None,
-    the quarantine convention), inflate the IDAT run with zlib, then
-    undo the per-scanline filter (None/Up vectorized; Sub/Average/Paeth
-    carry the in-row byte recursion the spec defines). Returns
+    every CRC32, require 8-bit truecolor (both sequential AND Adam7
+    interlaced streams decode — the interlace quarantine closed late in
+    r12, the PNG twin of the JPEG 4:2:0 arc), inflate the IDAT run with
+    zlib, then undo the per-scanline filter per run — the whole image
+    sequentially, or each Adam7 pass as its own run with its pixels
+    scattered back to the full grid (spec 8.2). Returns
     (width, height, pixels[y][x] = (R, G, B) top-down) or None for
-    anything malformed — bad signature, CRC mismatch, short data,
-    unsupported layout.
+    anything malformed — bad signature, CRC mismatch, data whose length
+    matches neither layout, unsupported bit depth/color type.
 
     Scale note: the fixture images are tiny, so the per-byte Python
     recursion is irrelevant here; a production decode stage would JIT
@@ -978,46 +1091,38 @@ def decode_png_pixels(b: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
-    if (bit_depth, color_type, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    if (bit_depth, color_type, comp, filt) != (8, 2, 0, 0):
         return None
-    if w <= 0 or h <= 0:
+    if interlace not in (0, 1) or w <= 0 or h <= 0:
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * 3
-    if len(raw) != h * (stride + 1):
-        return None
     arr = np.frombuffer(raw, dtype=np.uint8)
-    px = np.zeros((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        ft = int(arr[y * (stride + 1)])
-        fr = arr[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(
-            np.int64
-        )
-        if ft == 0:
-            rec = fr
-        elif ft == 2:
-            rec = (fr + prior) % 256
-        elif ft in (1, 3, 4):
-            rec = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                left = int(rec[i - 3]) if i >= 3 else 0
-                up = int(prior[i])
-                ul = int(prior[i - 3]) if i >= 3 else 0
-                if ft == 1:
-                    rec[i] = (fr[i] + left) % 256
-                elif ft == 3:
-                    rec[i] = (fr[i] + (left + up) // 2) % 256
-                else:
-                    rec[i] = (fr[i] + _paeth(left, up, ul)) % 256
-        else:
+    if interlace == 0:
+        stride = w * 3
+        if len(raw) != h * (stride + 1):
             return None
-        px[y] = rec.astype(np.uint8)
-        prior = rec
-    return w, h, px.reshape(h, w, 3)
+        px = _png_unfilter_rows(arr, h, stride)
+        if px is None:
+            return None
+        return w, h, px.reshape(h, w, 3)
+    passes = _adam7_passes(w, h)
+    if len(raw) != sum(ph * (pw * 3 + 1) for *_, pw, ph in passes):
+        return None
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    off = 0
+    for xs, ys, xstep, ystep, pw, ph in passes:
+        run = ph * (pw * 3 + 1)
+        px = _png_unfilter_rows(arr[off : off + run], ph, pw * 3)
+        if px is None:
+            return None
+        out[
+            ys : ys + ph * ystep : ystep, xs : xs + pw * xstep : xstep
+        ] = px.reshape(ph, pw, 3)
+        off += run
+    return w, h, out
 
 
 _PNG_SUM = (
@@ -1027,22 +1132,17 @@ _PNG_SUM = (
 
 PNG_PIXELS_ORACLE = f"""
 SELECT doc_id,
-  CAST(CASE WHEN quarantined THEN -1 ELSE w END AS INTEGER) AS width,
-  CAST(CASE WHEN quarantined THEN -1 ELSE h END AS INTEGER) AS height,
-  CAST(CASE WHEN quarantined THEN -1 ELSE w * h END AS BIGINT) AS n_pixels,
-  CAST(CASE WHEN quarantined THEN -1
-       ELSE {_PNG_SUM.format(cx=2, cy=3)} END AS BIGINT) AS sum_r,
-  CAST(CASE WHEN quarantined THEN -1
-       ELSE {_PNG_SUM.format(cx=5, cy=7)} END AS BIGINT) AS sum_g,
-  CAST(CASE WHEN quarantined THEN -1
-       ELSE {_PNG_SUM.format(cx=11, cy=13)} END AS BIGINT) AS sum_b,
-  CAST(CASE WHEN quarantined THEN -1
-       ELSE list_sum(flatten(list_transform(range(0, h), y ->
-              list_transform(range(0, w), x ->
-                ((doc_id + 11 * x + 13 * y) % 256) * (x + w * y + 1)))))
-             % {BMP_CHECK_MOD} END AS BIGINT) AS pos_checksum
-FROM (SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 11 + 1 AS h,
-             doc_id % 7 = 0 AS quarantined
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  CAST({_PNG_SUM.format(cx=2, cy=3)} AS BIGINT) AS sum_r,
+  CAST({_PNG_SUM.format(cx=5, cy=7)} AS BIGINT) AS sum_g,
+  CAST({_PNG_SUM.format(cx=11, cy=13)} AS BIGINT) AS sum_b,
+  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+         list_transform(range(0, w), x ->
+           ((doc_id + 11 * x + 13 * y) % 256) * (x + w * y + 1)))))
+       % {BMP_CHECK_MOD} AS BIGINT) AS pos_checksum
+FROM (SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 11 + 1 AS h
       FROM documents)
 """
 
@@ -1057,21 +1157,28 @@ def multimodal_pixels_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk CRCs, inflate, un-filter — and emits the same feature row
     shape as the BMP twin: per-channel sums plus the position-weighted
     checksum that catches row-order/filter mistakes the plain sums
-    would forgive. Every 7th doc is synthesized INTERLACED (Adam7) and
-    must come back as the -1 quarantine row — the oracle states that
-    rejection, so the gate hash-checks the quarantine path too. JPEG
-    pixels remain the only pillow-gated decode (DCT entropy coding is a
-    codec, not plumbing).
+    would forgive. Every 7th doc is synthesized ADAM7-INTERLACED and
+    must decode to the SAME pixels through the seven-pass scatter path
+    (spec 8.2) — the r9-r12 quarantine for interlace is closed, the PNG
+    twin of the JPEG 4:2:0 arc, and the shared formula oracle now
+    hash-checks both layouts against one ground truth. The
+    position-weighted checksum is what makes the interlaced rows a real
+    test: a decoder that mis-scatters a pass produces the right channel
+    sums but the wrong checksum.
 
     Scale: per-row synthesize + decode inside Arrow batches,
     embarrassingly parallel, features-only across the boundary — the
     identical shape a pillow/GPU decoder would slot into."""
     docs = table(spark, sf_dir, "documents")
+
+    def synth(i: int) -> bytes:
+        if i % 7 == 0:
+            return make_png_adam7_bytes(i, i % 13 + 1, i % 11 + 1)
+        return make_png_bytes(i, i % 13 + 1, i % 11 + 1)
+
     return _pixel_feature_pipeline(
         docs,
-        lambda i: make_png_bytes(
-            i, i % 13 + 1, i % 11 + 1, interlaced=i % 7 == 0
-        ),
+        synth,
         decode_png_pixels,
         ("sum_r", "sum_g", "sum_b"),
     )
@@ -1206,6 +1313,18 @@ def _gif_palette() -> bytes:
     return bytes(pal)
 
 
+def _gif_interlace_order(height: int) -> list[int]:
+    """The four-pass GIF interlace row sequence (GIF87a Appendix E):
+    every 8th row from 0, every 8th from 4, every 4th from 2, every
+    2nd from 1 — the order rows are STORED in an interlaced stream."""
+    return (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    )
+
+
 def make_gif_bytes(
     doc_id: int, width: int, height: int, interlaced: bool = False
 ) -> bytes:
@@ -1213,11 +1332,16 @@ def make_gif_bytes(
     global 256-color table, image descriptor, LZW-compressed pixel
     indices in sub-blocks, trailer. Pixel index at (x, y):
     (doc_id + 2x + 3y) % 256; colors come from ``_gif_palette``.
-    ``interlaced=True`` sets the image descriptor's interlace flag
-    (the decoder's quarantine case)."""
+    ``interlaced=True`` writes a GENUINE interlaced stream: the flag
+    plus rows stored in the four-pass Appendix E order (the quarantine
+    this used to exercise was closed late in r12 alongside PNG's
+    Adam7)."""
+    ys = (
+        _gif_interlace_order(height) if interlaced else range(height)
+    )
     idx = [
         (doc_id + 2 * x + 3 * y) % 256
-        for y in range(height)
+        for y in ys
         for x in range(width)
     ]
     lzw = _lzw_encode(idx)
@@ -1249,9 +1373,10 @@ def make_gif_bytes(
 def decode_gif_pixels(b: bytes):
     """Pure-Python GIF pixel decode: parse the header and logical screen
     descriptor, read the global color table, skip extension blocks,
-    reject interlaced images (Adam-style row shuffling -> quarantine,
-    like PNG's Adam7), LZW-decompress the index stream, and map indices
-    through the palette AS READ FROM THE FILE. Returns (width, height,
+    LZW-decompress the index stream, de-permute the four-pass row order
+    when the interlace flag is set (Appendix E — the quarantine closed
+    late in r12 alongside PNG's Adam7), and map indices through the
+    palette AS READ FROM THE FILE. Returns (width, height,
     pixels[y][x] = (R, G, B) top-down) or None on anything malformed."""
     import numpy as np
 
@@ -1281,8 +1406,6 @@ def decode_gif_pixels(b: bytes):
             h = int.from_bytes(b[pos + 7 : pos + 9], "little")
             img_packed = b[pos + 9]
             pos += 10
-            if img_packed & 0x40:  # interlaced -> quarantine
-                return None
             if img_packed & 0x80:  # local color table overrides
                 n = 2 << (img_packed & 0x07)
                 raw_pal = b[pos : pos + 3 * n]
@@ -1325,7 +1448,12 @@ def decode_gif_pixels(b: bytes):
             arr = np.asarray(idx, dtype=np.int64)
             if arr.max() >= palette.shape[0]:
                 return None
-            return w, h, palette[arr].reshape(h, w, 3)
+            rows = arr.reshape(h, w)
+            if img_packed & 0x40:  # de-permute the 4-pass interlace order
+                out = np.empty_like(rows)
+                out[_gif_interlace_order(h)] = rows
+                rows = out
+            return w, h, palette[rows.reshape(h * w)].reshape(h, w, 3)
         elif marker == 0x3B:
             return None  # trailer before any image
         else:
@@ -1342,22 +1470,17 @@ _GIF_SUM = (
 
 GIF_PIXELS_ORACLE = f"""
 SELECT doc_id,
-  CAST(CASE WHEN quarantined THEN -1 ELSE w END AS INTEGER) AS width,
-  CAST(CASE WHEN quarantined THEN -1 ELSE h END AS INTEGER) AS height,
-  CAST(CASE WHEN quarantined THEN -1 ELSE w * h END AS BIGINT) AS n_pixels,
-  CAST(CASE WHEN quarantined THEN -1
-       ELSE {_GIF_SUM.format(expr=_GIF_IDX)} END AS BIGINT) AS sum_r,
-  CAST(CASE WHEN quarantined THEN -1
-       ELSE {_GIF_SUM.format(expr=f"(7 * ({_GIF_IDX})) % 256")} END AS BIGINT) AS sum_g,
-  CAST(CASE WHEN quarantined THEN -1
-       ELSE {_GIF_SUM.format(expr=f"(13 * ({_GIF_IDX})) % 256")} END AS BIGINT) AS sum_b,
-  CAST(CASE WHEN quarantined THEN -1
-       ELSE list_sum(flatten(list_transform(range(0, h), y ->
-              list_transform(range(0, w), x ->
-                ((13 * ({_GIF_IDX})) % 256) * (x + w * y + 1)))))
-             % {BMP_CHECK_MOD} END AS BIGINT) AS pos_checksum
-FROM (SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 11 + 1 AS h,
-             doc_id % 7 = 0 AS quarantined
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  CAST({_GIF_SUM.format(expr=_GIF_IDX)} AS BIGINT) AS sum_r,
+  CAST({_GIF_SUM.format(expr=f"(7 * ({_GIF_IDX})) % 256")} AS BIGINT) AS sum_g,
+  CAST({_GIF_SUM.format(expr=f"(13 * ({_GIF_IDX})) % 256")} AS BIGINT) AS sum_b,
+  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+         list_transform(range(0, w), x ->
+           ((13 * ({_GIF_IDX})) % 256) * (x + w * y + 1)))))
+       % {BMP_CHECK_MOD} AS BIGINT) AS pos_checksum
+FROM (SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 11 + 1 AS h
       FROM documents)
 """
 
@@ -1371,11 +1494,12 @@ def multimodal_pixels_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder, and the indices mapped through the palette read from the
     file's own color table. Features are the BMP/PNG shape: per-channel
     sums plus the position-weighted checksum. Every 7th doc is
-    synthesized INTERLACED and must come back as the -1 quarantine row
-    (stated in the oracle, so the gate checks the rejection path). With
-    BMP (raw), PNG (zlib+filters) and GIF (LZW) all decoding for real,
-    the pillow gate now covers ONLY JPEG — a DCT entropy codec, the one
-    genuine codec-library dependency.
+    synthesized GENUINELY INTERLACED (rows stored in the four-pass
+    Appendix E order) and must decode to the SAME pixels through the
+    de-permutation path — the interlace quarantine closed late in r12
+    alongside PNG's Adam7; the position-weighted checksum is what makes
+    those rows a real test, since a decoder that skips the de-permute
+    gets every channel sum right and the checksum wrong.
 
     Scale: identical to the BMP/PNG twins — synthesize + decode inside
     Arrow batches, features-only across the boundary, no exchange."""

@@ -138,8 +138,8 @@ _DRIVER_SHOWCASE = (
     # ann_lsh_batch_topk / ann_calibrated_recall_audit, all
     # driver-recorded in earlier rounds; ann_lsh_topk still anchors
     # the family); the scene-cut detector took multimodal_pixels_gif's
-    # slot (driver-recorded r9 + r11; BMP still anchors the pixel
-    # family); the stratified weighted sampler took
+    # sentinel slot (GIF then RE-ENTERED as a re-earn when its
+    # interlace semantics changed); the stratified weighted sampler took
     # stream_zscore_anomalies_live's (driver-recorded r9 + r11; cusum
     # and first-occurrences keep the live family warm); HTML extraction
     # took pq_adc_topk's (driver-recorded r11; ivf_pq_topk keeps the
@@ -170,8 +170,16 @@ _DRIVER_SHOWCASE = (
     # gained the ivf_pq_rerank columns (schema + semantics extended) ---
     "ann_int8_rerank_topk",
     "ann_quantized_recall_audit",
-    # --- 9 floating slots (16 before the late-session operators took
-    # seven): code paths touched this round WITHOUT
+    # late r12: the PNG and GIF decoders gained real interlaced decode
+    # (Adam7 passes / Appendix E de-permutation) and their every-7th
+    # fixture docs flipped from pinned quarantine rows to full pixel
+    # rows — semantics changed, so both re-earn driver rows
+    "multimodal_pixels_png",
+    "multimodal_pixels_gif",
+    # --- 7 floating slots (16 before the late-session operators and
+    # the PNG/GIF interlace re-earns took nine; embedding_quantize_int8
+    # and stream_cusum_alarms_live rotated out with r10/r11 driver rows
+    # intact): code paths touched this round WITHOUT
     # semantic change (regression sentinels — every name rotated OUT
     # retains its r1-r11 driver rows). ivf_pq_topk was refactored
     # through the shared _ivf_pq_adc helper and pq_adc_topk's
@@ -188,10 +196,8 @@ _DRIVER_SHOWCASE = (
     "multimodal_pixels_jpeg",
     "contamination_ngram_audit",
     "stream_rate_limit_live",
-    "embedding_quantize_int8",
     "ann_lsh_topk",
     "multimodal_pixels_bmp",
-    "stream_cusum_alarms_live",
     "stream_first_occurrences_live",
 )
 

@@ -307,7 +307,9 @@ def test_png_pixel_decode_roundtrip_and_quarantine():
                 (3 + 11 * x + 13 * y) % 256,
             ), (x, y)
     assert px.dtype == np.uint8
-    # Adam7 interlace -> quarantine, not garbage
+    # interlace FLAG over sequential scanline data = malformed (the
+    # byte length matches no real Adam7 layout at 4x7); genuine Adam7
+    # streams now decode — see test_png_adam7_roundtrip_property
     assert decode_png_pixels(make_png_bytes(3, 4, 7, interlaced=True)) is None
     # malformed payloads -> None
     assert decode_png_pixels(b"not a png") is None
@@ -363,7 +365,8 @@ def test_gif_lzw_roundtrip_and_quarantine():
     """The pure-Python LZW codec roundtrips streams that exercise every
     code path — deep dictionary growth, KwKwK chains, width bumps, and
     the 4096 dictionary reset — and the GIF container decode recovers
-    the exact palette-mapped pixel grid, quarantining interlaced and
+    the exact palette-mapped pixel grid — interlaced streams included
+    (de-permuted, not quarantined, since late r12) — quarantining
     malformed payloads as None."""
     import random
 
@@ -396,7 +399,9 @@ def test_gif_lzw_roundtrip_and_quarantine():
                 (7 * i) % 256,
                 (13 * i) % 256,
             )
-    assert decode_gif_pixels(make_gif_bytes(9, 5, 4, interlaced=True)) is None
+    # a genuinely interlaced stream decodes to the SAME pixels
+    iw, ih, ipx = decode_gif_pixels(make_gif_bytes(9, 5, 4, interlaced=True))
+    assert (iw, ih) == (5, 4) and (ipx == px).all()
     assert decode_gif_pixels(b"nope") is None
     assert decode_gif_pixels(make_gif_bytes(9, 5, 4)[:40]) is None
 

