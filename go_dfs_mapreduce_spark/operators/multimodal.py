@@ -2941,3 +2941,278 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("first_cut_frame", T.IntegerType()),
         ],
     )
+
+
+# --- animated GIF: multi-frame decode with sub-rectangle compositing -------
+#
+# decode_gif_pixels handles the single-image case; real-world GIFs are
+# often ANIMATIONS — a sequence of Graphics Control Extension blocks and
+# image descriptors, each frame a sub-RECTANGLE composited onto the
+# canvas (disposal method "leave in place"). Frame extraction from
+# animations is a genuine preprocessing step (thumbnail choice, frame
+# dedup, motion features), and compositing is where naive decoders go
+# wrong: a frame pasted at the wrong offset yields the right per-frame
+# sums but the wrong final canvas. The synthesizer writes REAL GIF89a
+# animations (per-frame GCE delays, doc_id-derived sub-rect geometry);
+# the oracle restates the COMPOSITED final canvas in closed form (the
+# last frame covering each pixel wins), so the position-weighted
+# checksum gate-checks compositing itself.
+
+GIF_ANIM_DISPOSAL_KEEP = 0x04  # GCE packed: disposal method 1, no transparency
+
+
+def make_gif_anim_bytes(doc_id: int) -> bytes:
+    """Synthesize a REAL animated GIF89a: global 256-color palette
+    (``_gif_palette``), then per frame a GCE (delay (doc_id + f) % 10
+    + 1 cs, disposal 1, no transparency) and an image descriptor.
+    Frame 0 covers the whole w x h canvas; frame f >= 1 updates the
+    sub-rectangle at left = (doc_id + 3f) % (w-1), top =
+    (doc_id + 5f) % (h-1), size max((w-left)//2, 1) x
+    max((h-top)//2, 1). Pixel index at GLOBAL (x, y) in frame f:
+    (doc_id + 2x + 3y + 29f) % 256 — the formulas the oracle restates
+    to state the composited final canvas."""
+    w = doc_id % 9 + 4
+    h = doc_id % 7 + 4
+    nf = doc_id % 4 + 2
+    out = bytearray()
+    out += b"GIF89a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes((0xF7, 0, 0))
+    out += _gif_palette()
+    for f in range(nf):
+        if f == 0:
+            left = top = 0
+            fw, fh = w, h
+        else:
+            left = (doc_id + 3 * f) % (w - 1)
+            top = (doc_id + 5 * f) % (h - 1)
+            fw = max((w - left) // 2, 1)
+            fh = max((h - top) // 2, 1)
+        delay = (doc_id + f) % 10 + 1
+        out += bytes((0x21, 0xF9, 0x04, GIF_ANIM_DISPOSAL_KEEP))
+        out += delay.to_bytes(2, "little")
+        out += bytes((0, 0))  # transparent index (unused), block end
+        idx = [
+            (doc_id + 2 * x + 3 * y + 29 * f) % 256
+            for y in range(top, top + fh)
+            for x in range(left, left + fw)
+        ]
+        lzw = _lzw_encode(idx)
+        out += b"\x2c"
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+        out += bytes((0x00, _GIF_MIN_CODE))
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(b: bytes):
+    """Pure-Python ANIMATED GIF decode: walk every GCE + image
+    descriptor to the trailer, LZW-decode each frame's sub-rectangle
+    (de-permuting the interlace order if flagged), and composite onto
+    the canvas under disposal method 0/1 ("leave in place" — each
+    frame paints over the previous state). Returns (width, height,
+    delays_cs, canvas_indices, palette) with delays per frame and the
+    FINAL composited canvas, or None to quarantine: transparency flag
+    set or disposal > 1 (out of declared scope), a sub-rectangle
+    outside the canvas, missing palette, index past the palette, LZW
+    length mismatch, truncation, zero frames, or a missing trailer."""
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    if w <= 0 or h <= 0:
+        return None
+    packed = b[10]
+    bg = b[11]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        raw_pal = b[pos : pos + 3 * n]
+        if len(raw_pal) != 3 * n:
+            return None
+        palette = np.frombuffer(raw_pal, dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    if palette is None or bg >= palette.shape[0]:
+        return None
+    canvas = np.full((h, w), bg, dtype=np.int64)
+    delays: list[int] = []
+    pending_delay = 0
+    saw_trailer = False
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x21:  # extension
+            if pos + 2 > len(b):
+                return None
+            label = b[pos + 1]
+            if label == 0xF9:  # Graphics Control Extension
+                if pos + 8 > len(b) or b[pos + 2] != 4:
+                    return None
+                gce_packed = b[pos + 3]
+                if gce_packed & 0x01:  # transparency: out of scope
+                    return None
+                if (gce_packed >> 2) & 0x07 > 1:  # disposal 2/3: scope
+                    return None
+                pending_delay = int.from_bytes(b[pos + 4 : pos + 6], "little")
+                pos += 7
+                if pos >= len(b) or b[pos] != 0:
+                    return None
+                pos += 1
+            else:  # other extension: skip sub-blocks
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                if pos >= len(b):
+                    return None
+                pos += 1
+        elif marker == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            left = int.from_bytes(b[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(b[pos + 3 : pos + 5], "little")
+            fw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            fh = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            img_packed = b[pos + 9]
+            pos += 10
+            if fw <= 0 or fh <= 0 or left + fw > w or top + fh > h:
+                return None
+            if img_packed & 0x80:  # local palette overrides
+                n = 2 << (img_packed & 0x07)
+                raw_pal = b[pos : pos + 3 * n]
+                if len(raw_pal) != 3 * n:
+                    return None
+                palette = np.frombuffer(raw_pal, dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if pos >= len(b):
+                return None
+            min_code = b[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                return None
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            if pos >= len(b) or b[pos] != 0:
+                return None
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, max_out=fw * fh)
+            if idx is None or len(idx) != fw * fh:
+                return None
+            arr = np.asarray(idx, dtype=np.int64)
+            if arr.max() >= palette.shape[0]:
+                return None
+            rows = arr.reshape(fh, fw)
+            if img_packed & 0x40:
+                depermuted = np.empty_like(rows)
+                depermuted[_gif_interlace_order(fh)] = rows
+                rows = depermuted
+            canvas[top : top + fh, left : left + fw] = rows
+            delays.append(pending_delay)
+            pending_delay = 0
+        elif marker == 0x3B:
+            saw_trailer = True
+            pos += 1
+            break
+        else:
+            return None
+    if not saw_trailer or pos != len(b) or not delays:
+        return None
+    return w, h, delays, canvas, palette
+
+
+# the last frame whose rectangle covers (x, y) wins under disposal 1 —
+# frame 0 covers everything, so the max over covering f IS the painter
+_GIF_ANIM_LF = """list_max(list_transform(range(0, nf), f ->
+  CASE WHEN f = 0 OR (
+    x >= (doc_id + 3 * f) % (w - 1)
+    AND x < (doc_id + 3 * f) % (w - 1)
+        + greatest((w - (doc_id + 3 * f) % (w - 1)) // 2, 1)
+    AND y >= (doc_id + 5 * f) % (h - 1)
+    AND y < (doc_id + 5 * f) % (h - 1)
+        + greatest((h - (doc_id + 5 * f) % (h - 1)) // 2, 1)
+  ) THEN f ELSE 0 END))"""
+
+_GIF_ANIM_IDX = f"(doc_id + 2 * x + 3 * y + 29 * ({_GIF_ANIM_LF})) % 256"
+
+GIF_ANIM_ORACLE = f"""
+SELECT doc_id,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(nf AS INTEGER) AS n_frames,
+  CAST(list_sum(list_transform(range(0, nf), f -> (doc_id + f) % 10 + 1))
+       AS BIGINT) AS total_delay_cs,
+  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+         list_transform(range(0, w), x -> {_GIF_ANIM_IDX}))))
+       AS BIGINT) AS canvas_sum_r,
+  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+         list_transform(range(0, w), x ->
+           ((13 * ({_GIF_ANIM_IDX})) % 256) * (x + w * y + 1)))))
+       % {BMP_CHECK_MOD} AS BIGINT) AS pos_checksum
+FROM (SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 7 + 4 AS h,
+             doc_id % 4 + 2 AS nf
+      FROM documents)
+"""
+
+
+@query("multimodal_gif_animation", oracle=GIF_ANIM_ORACLE)
+def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF decode end-to-end: real GIF89a animations (per-frame
+    GCE delay blocks, sub-rectangle frames, genuine LZW streams) are
+    synthesized per doc and decoded back frame by frame, compositing
+    each sub-rectangle onto the canvas under disposal method 1. Emitted
+    features: frame count, total animation delay, and the final
+    composited canvas's palette-R sum and position-weighted checksum —
+    the checksum is computed over the CANVAS AFTER all frames, and the
+    oracle restates it in closed form (the last frame covering each
+    pixel wins), so a decoder that pastes any frame at the wrong offset,
+    drops a frame, or mis-orders the sequence fails the hash. Scope:
+    transparency and disposal methods 2/3 quarantine (documented at
+    decode_gif_frames); the fixture exercises neither.
+
+    Scale: the module's standard two-Arrow-stage decode shape — one
+    1-column scan, frames composite inside one payload, no cross-row
+    state, no exchange."""
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents")
+
+    def row_fn(b: bytes):
+        dec = decode_gif_frames(b)
+        if dec is None:
+            return None
+        w, h, delays, canvas, palette = dec
+        r_chan = palette[:, 0].astype(np.int64)[canvas]
+        b_chan = palette[:, 2].astype(np.int64)[canvas]
+        wgt = np.arange(w * h, dtype=np.int64).reshape(h, w) + 1
+        return (
+            w,
+            h,
+            len(delays),
+            sum(delays),
+            int(r_chan.sum()),
+            int((b_chan * wgt).sum() % BMP_CHECK_MOD),
+        )
+
+    return _payload_feature_pipeline(
+        docs,
+        make_gif_anim_bytes,
+        row_fn,
+        [
+            ("width", T.IntegerType()),
+            ("height", T.IntegerType()),
+            ("n_frames", T.IntegerType()),
+            ("total_delay_cs", T.LongType()),
+            ("canvas_sum_r", T.LongType()),
+            ("pos_checksum", T.LongType()),
+        ],
+    )

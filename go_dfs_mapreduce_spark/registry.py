@@ -162,6 +162,7 @@ _DRIVER_SHOWCASE = (
     "bloom_skipping_audit",
     "multimodal_video_y4m",
     "multimodal_video_scene_cuts",
+    "multimodal_gif_animation",
     "html_text_extraction",
     # --- round-12 RE-EARN slots: ann_int8_rerank_topk's stage 1 became
     # the map-side partial top-R Arrow kernel (results identical —
@@ -176,10 +177,11 @@ _DRIVER_SHOWCASE = (
     # rows — semantics changed, so both re-earn driver rows
     "multimodal_pixels_png",
     "multimodal_pixels_gif",
-    # --- 7 floating slots (16 before the late-session operators and
-    # the PNG/GIF interlace re-earns took nine; embedding_quantize_int8
-    # and stream_cusum_alarms_live rotated out with r10/r11 driver rows
-    # intact): code paths touched this round WITHOUT
+    # --- 6 floating slots (16 before the late-session operators and
+    # the PNG/GIF interlace re-earns took ten; embedding_quantize_int8,
+    # stream_cusum_alarms_live, and contamination_ngram_audit rotated
+    # out with r10/r11 driver rows intact): code paths touched this
+    # round WITHOUT
     # semantic change (regression sentinels — every name rotated OUT
     # retains its r1-r11 driver rows). ivf_pq_topk was refactored
     # through the shared _ivf_pq_adc helper and pq_adc_topk's
@@ -194,7 +196,6 @@ _DRIVER_SHOWCASE = (
     # streaming/multimodal families warm ---
     "ivf_pq_topk",
     "multimodal_pixels_jpeg",
-    "contamination_ngram_audit",
     "stream_rate_limit_live",
     "ann_lsh_topk",
     "multimodal_pixels_bmp",

@@ -245,10 +245,12 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         "multimodal_pixels_jpeg420",
         # round 12: the WHT audio-feature stage — same class
         "multimodal_audio_wht",
-        # round 12 (late): the Y4M video decoder and the scene-cut
-        # detector built on it — same Arrow decode-stage class
+        # round 12 (late): the Y4M video decoder, the scene-cut
+        # detector built on it, and the animated-GIF compositor —
+        # same Arrow decode-stage class
         "multimodal_video_y4m",
         "multimodal_video_scene_cuts",
+        "multimodal_gif_animation",
         # round 12: int8 stage 1 became the declared map-side partial
         # top-R Arrow kernel (the ann_cosine_batch_fast shape, r11
         # verdict #8); the quantized recall audit composes it
@@ -1456,3 +1458,14 @@ def test_round12_late_operator_plan_contracts(spark, sf_dir):
     assert not a["has_python_worker"]
     assert "CartesianProduct" not in a["plan"]
     assert a["n_broadcast_joins"] >= 2
+
+    # multimodal_gif_animation: the module's two-Arrow-stage decode
+    # shape (frames composite inside one payload — no cross-row state)
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_gif_animation,
+    )
+
+    a = audit_plan(multimodal_gif_animation(spark, sf_dir))
+    assert a["plan"].count("MapInPandas (") == 2
+    assert a["n_exchanges"] == 0
+    assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]

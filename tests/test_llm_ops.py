@@ -3818,3 +3818,29 @@ def test_bloom_skipping_audit_invariants(spark, sf_dir):
     total_bloom = sum(r.n_files_bloom for r in rows)
     total_minmax = sum(r.n_files_minmax for r in rows)
     assert total_bloom * 3 < total_minmax  # the audit's whole point
+
+
+def test_gif_animation_quarantine_cases():
+    """Out-of-scope and malformed animations route to None: transparency
+    flag, disposal methods 2/3, a sub-rectangle outside the canvas,
+    trailing garbage after the trailer."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_gif_frames,
+        make_gif_anim_bytes,
+    )
+
+    good = bytearray(make_gif_anim_bytes(7))
+    assert decode_gif_frames(bytes(good)) is not None
+    gce = good.index(bytes((0x21, 0xF9, 0x04)))
+    transparent = bytearray(good)
+    transparent[gce + 3] |= 0x01
+    assert decode_gif_frames(bytes(transparent)) is None
+    disposal2 = bytearray(good)
+    disposal2[gce + 3] = 0x08  # disposal method 2 (restore background)
+    assert decode_gif_frames(bytes(disposal2)) is None
+    desc = good.index(0x2C, gce)
+    oob = bytearray(good)
+    oob[desc + 5 : desc + 7] = (5000).to_bytes(2, "little")  # fw > canvas
+    assert decode_gif_frames(bytes(oob)) is None
+    assert decode_gif_frames(bytes(good) + b"x") is None
+    assert decode_gif_frames(b"GIF89a") is None

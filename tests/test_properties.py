@@ -1168,3 +1168,43 @@ def test_gif_interlace_roundtrip_property(doc_id, w, h):
     il = decode_gif_pixels(make_gif_bytes(doc_id, w, h, interlaced=True))
     assert seq is not None and il is not None
     assert np.array_equal(seq[2], il[2])
+
+
+@settings(deadline=None, max_examples=60)
+@given(doc_id=st.integers(0, 10**6), cut=st.integers(0, 10**9))
+def test_gif_animation_composite_and_truncation_property(doc_id, cut):
+    """The animated-GIF decoder's final canvas equals an independent
+    pure-Python painter's-algorithm replay of the synthesizer's
+    geometry, per-frame delays match the formula, and EVERY proper
+    prefix quarantines (the trailer-and-nothing-after contract means no
+    prefix of an animation is a valid animation)."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_gif_frames,
+        make_gif_anim_bytes,
+    )
+
+    b = make_gif_anim_bytes(doc_id)
+    dec = decode_gif_frames(b)
+    assert dec is not None
+    w, h, delays, canvas, palette = dec
+    assert (w, h) == (doc_id % 9 + 4, doc_id % 7 + 4)
+    nf = doc_id % 4 + 2
+    assert delays == [(doc_id + f) % 10 + 1 for f in range(nf)]
+    expect = np.zeros((h, w), dtype=np.int64)
+    for f in range(nf):
+        if f == 0:
+            left = top = 0
+            fw, fh = w, h
+        else:
+            left = (doc_id + 3 * f) % (w - 1)
+            top = (doc_id + 5 * f) % (h - 1)
+            fw = max((w - left) // 2, 1)
+            fh = max((h - top) // 2, 1)
+        for y in range(top, top + fh):
+            for x in range(left, left + fw):
+                expect[y, x] = (doc_id + 2 * x + 3 * y + 29 * f) % 256
+    assert np.array_equal(canvas, expect)
+    assert np.array_equal(palette[:, 0], np.arange(256, dtype=np.uint8))
+    assert decode_gif_frames(b[: cut % len(b)]) is None

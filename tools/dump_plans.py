@@ -131,6 +131,7 @@ PLAN_QUERIES = [
     "multimodal_video_scene_cuts",
     "html_text_extraction",
     "bloom_skipping_audit",
+    "multimodal_gif_animation",
 ]
 
 
