@@ -3216,3 +3216,115 @@ def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("pos_checksum", T.LongType()),
         ],
     )
+
+
+# --- audio activity segmentation (VAD-style energy thresholding) -----------
+#
+# The audio twin of the video scene-cut stage: speech/music corpora are
+# preprocessed by segmenting on short-time energy — drop silence, keep
+# active regions. Runs on REAL WAV bytes through decode_wav_pcm; the
+# synthesizer alternates genuinely loud and near-silent 128-sample
+# blocks (which blocks are which derives from doc_id, so the detector
+# has true positives AND negatives), and the oracle restates the exact
+# integer block energies, making the detection itself gate-checked.
+
+VAD_BLOCK = 128  # samples per analysis block
+# quiet blocks: |s| <= 10 -> energy <= 128 * 100 = 12,800.  active
+# blocks: s spans a step-7 progression over (-1000, 1000] whose worst
+# 128-sample window still sums > 2x this threshold. 10,000 mean-square
+# splits the modes with margin in both directions.
+VAD_THRESHOLD = VAD_BLOCK * 10_000
+
+
+def make_wav_vad_bytes(doc_id: int) -> bytes:
+    """A REAL mono 16-bit PCM WAV of alternating loud/quiet blocks:
+    n = (doc_id % 5 + 2) * 128 samples; block j is ACTIVE iff
+    j % 2 == doc_id % 2; active sample i = ((doc_id + 7i) % 2001) -
+    1000, quiet sample i = ((doc_id + 3i) % 21) - 10 — the formulas
+    the oracle restates block by block."""
+    import numpy as np
+
+    n = (doc_id % 5 + 2) * VAD_BLOCK
+    i = np.arange(n, dtype=np.int64)
+    active = (i // VAD_BLOCK) % 2 == doc_id % 2
+    loud = (doc_id + 7 * i) % 2001 - 1000
+    quiet = (doc_id + 3 * i) % 21 - 10
+    data = np.where(active, loud, quiet).astype("<i2").tobytes()
+    return make_wav_bytes(1, 16000, 16, n, data=data)
+
+
+VAD_ORACLE = f"""
+SELECT doc_id,
+  CAST(nb * {VAD_BLOCK} AS BIGINT) AS n_samples,
+  CAST(nb AS INTEGER) AS n_blocks,
+  CAST(len(list_filter(energies, e -> e > {VAD_THRESHOLD})) AS INTEGER)
+    AS n_active_blocks,
+  CAST(coalesce(list_min(list_transform(
+         list_filter(range(0, nb), j ->
+           energies[j + 1] > {VAD_THRESHOLD}), j -> j)), -1)
+       AS INTEGER) AS first_active_block,
+  CAST(list_sum(energies) AS BIGINT) AS total_energy
+FROM (
+  SELECT doc_id, nb,
+         list_transform(range(0, nb), j ->
+           list_sum(list_transform(range(j * {VAD_BLOCK}, (j + 1) * {VAD_BLOCK}),
+             i -> CASE WHEN j % 2 = doc_id % 2
+                       THEN ((doc_id + 7 * i) % 2001 - 1000)
+                            * ((doc_id + 7 * i) % 2001 - 1000)
+                       ELSE ((doc_id + 3 * i) % 21 - 10)
+                            * ((doc_id + 3 * i) % 21 - 10) END))) AS energies
+  FROM (SELECT doc_id, doc_id % 5 + 2 AS nb FROM documents))
+"""
+
+
+@query("multimodal_audio_vad", oracle=VAD_ORACLE)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity segmentation on real audio bytes: decode each WAV's PCM
+    samples (decode_wav_pcm — the same parser the PCM query pins),
+    compute short-time energy per 128-sample block, and threshold at
+    mean-square 10,000 — quiet blocks in the fixture stay below 12,800
+    total while active blocks exceed a million, so the detector
+    separates the modes with margin and the oracle's exact integer
+    energies gate-check the detection (a decoder that misaligns blocks
+    or drops samples shifts an energy across the threshold and fails
+    the hash). Output per doc: block count, active-block count, the
+    first active block (the segment-start a trimming pipeline keeps),
+    and total energy.
+
+    Scale: the module's standard two-Arrow-stage decode shape — one
+    1-column scan, per-payload block math, no cross-row state, no
+    exchange."""
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents")
+
+    def row_fn(b: bytes):
+        dec = decode_wav_pcm(b)
+        if dec is None:
+            return None
+        ch, n, s = dec
+        if ch != 1 or n % VAD_BLOCK:
+            return None
+        blocks = s[:, 0].astype(np.int64).reshape(-1, VAD_BLOCK)
+        energies = (blocks * blocks).sum(axis=1)
+        active = np.nonzero(energies > VAD_THRESHOLD)[0]
+        return (
+            n,
+            len(energies),
+            int(len(active)),
+            int(active[0]) if len(active) else -1,
+            int(energies.sum()),
+        )
+
+    return _payload_feature_pipeline(
+        docs,
+        make_wav_vad_bytes,
+        row_fn,
+        [
+            ("n_samples", T.LongType()),
+            ("n_blocks", T.IntegerType()),
+            ("n_active_blocks", T.IntegerType()),
+            ("first_active_block", T.IntegerType()),
+            ("total_energy", T.LongType()),
+        ],
+    )

@@ -251,6 +251,7 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         "multimodal_video_y4m",
         "multimodal_video_scene_cuts",
         "multimodal_gif_animation",
+        "multimodal_audio_vad",
         # round 12: int8 stage 1 became the declared map-side partial
         # top-R Arrow kernel (the ann_cosine_batch_fast shape, r11
         # verdict #8); the quantized recall audit composes it
@@ -1469,3 +1470,12 @@ def test_round12_late_operator_plan_contracts(spark, sf_dir):
     assert a["plan"].count("MapInPandas (") == 2
     assert a["n_exchanges"] == 0
     assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]
+
+    # multimodal_audio_vad: same two-Arrow-stage decode shape
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_audio_vad,
+    )
+
+    a = audit_plan(multimodal_audio_vad(spark, sf_dir))
+    assert a["plan"].count("MapInPandas (") == 2
+    assert a["n_exchanges"] == 0

@@ -3844,3 +3844,19 @@ def test_gif_animation_quarantine_cases():
     assert decode_gif_frames(bytes(oob)) is None
     assert decode_gif_frames(bytes(good) + b"x") is None
     assert decode_gif_frames(b"GIF89a") is None
+
+
+def test_audio_vad_truth_table(spark, sf_dir):
+    """The VAD recovers the injected ground truth exactly: block j is
+    active iff j % 2 == doc_id % 2, so exactly ceil/floor-half of the
+    blocks are active and the first active block is 0 or 1."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_audio_vad,
+    )
+
+    for r in multimodal_audio_vad(spark, sf_dir).collect():
+        nb = r.doc_id % 5 + 2
+        assert r.n_blocks == nb
+        want_active = [j for j in range(nb) if j % 2 == r.doc_id % 2]
+        assert r.n_active_blocks == len(want_active)
+        assert r.first_active_block == want_active[0]

@@ -132,6 +132,7 @@ PLAN_QUERIES = [
     "html_text_extraction",
     "bloom_skipping_audit",
     "multimodal_gif_animation",
+    "multimodal_audio_vad",
 ]
 
 
