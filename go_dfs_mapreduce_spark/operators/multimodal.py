@@ -3328,3 +3328,181 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("total_energy", T.LongType()),
         ],
     )
+
+
+# --- perceptual-hash image dedup (the LAION-style image near-dup step) -----
+#
+# The dedup family covers text exhaustively (exact/minhash/simhash/
+# containment/spans); this is the IMAGE side: perceptual average-hash
+# (aHash) dedup, the standard cheap pass over a web-scale image corpus —
+# subsample the decoded image to an 8x8 grid, threshold each cell
+# against the grid mean, pack 64 bits, and group equal hashes. Every
+# stage is integer arithmetic on decoded bytes, so the whole
+# decode -> subsample -> threshold -> group pipeline carries a
+# full-value oracle. The fixture plants REAL duplicate groups: five
+# consecutive docs share a base image (dimensions and grid pixels from
+# doc_id // 5) and differ only by per-doc noise on off-grid pixels —
+# which aHash ignores by construction of nearest-neighbor sampling, the
+# robustness property the hash is built on. Hamming-tolerant (near-dup)
+# grouping composes with the simhash band-join machinery (dedup.py) —
+# the exact-equal grouping here is the first-pass the banded variant
+# refines.
+
+PHASH_GRID = 8  # aHash grid (64 bits)
+
+
+def make_phash_bmp_bytes(doc_id: int) -> bytes:
+    """A REAL grayscale 24-bit BMP whose aHash-relevant pixels derive
+    from the doc's GROUP (base = doc_id // 5): dimensions
+    (base % 9 + 8) x (base % 7 + 8), gray(x, y) = (17 base + 2x + 3y)
+    % 256 on the 8x8 sample grid (x in {k*w//8}, y in {j*h//8}) and
+    that value plus the per-doc noise (doc_id % 5 + 1) elsewhere — so
+    the five docs of a group are byte-DIFFERENT images with identical
+    perceptual hashes, exactly the near-duplicate structure a real
+    corpus has."""
+    base = doc_id // 5
+    w = base % 9 + 8
+    h = base % 7 + 8
+    xs = {k * w // PHASH_GRID for k in range(PHASH_GRID)}
+    ys = {j * h // PHASH_GRID for j in range(PHASH_GRID)}
+    noise = doc_id % 5 + 1
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up BMP
+        row = bytearray()
+        for x in range(w):
+            g = (17 * base + 2 * x + 3 * y) % 256
+            if x not in xs or y not in ys:
+                g = (g + noise) % 256
+            row += bytes((g, g, g))
+        row += b"\x00" * (stride - w * 3)
+        rows.append(bytes(row))
+    px = b"".join(rows)
+    return (
+        b"BM" + (54 + len(px)).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(px).to_bytes(4, "little")
+        + bytes(16)
+        + px
+    )
+
+
+def ahash64(px, w: int, h: int) -> tuple[int, int]:
+    """Average-hash of a decoded pixel array: gray = channel mean at the
+    8x8 nearest-neighbor sample grid (the multimodal_resize_nn index
+    arithmetic), bit k*8+j set iff 64 * gray > grid total (strict —
+    integer compare, no division). Returned as (hi, lo) 32-bit halves:
+    bit 63 of a single BIGINT overflows the sign on BOTH engines, so
+    the portable representation is two unsigned-safe halves."""
+    import numpy as np
+
+    sx = [k * w // PHASH_GRID for k in range(PHASH_GRID)]
+    sy = [j * h // PHASH_GRID for j in range(PHASH_GRID)]
+    gray = px.astype(np.int64).sum(axis=2)[np.ix_(sy, sx)] // 3
+    total = int(gray.sum())
+    bits = (
+        (gray * (PHASH_GRID * PHASH_GRID) > total)
+        .astype(np.int64)
+        .reshape(-1)
+    )
+    lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+    hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+    return hi, lo
+
+
+# the sampled pixels are noise-free by construction, so the oracle
+# states the hash from the group formula directly
+_PHASH_GRAY = "(17 * (doc_id // 5) + 2 * (x * w // 8) + 3 * (y * h // 8)) % 256"
+
+_PHASH_TOTAL = """list_sum(flatten(list_transform(range(0, 8), yy ->
+  list_transform(range(0, 8), xx ->
+    (17 * (doc_id // 5) + 2 * (xx * w // 8) + 3 * (yy * h // 8)) % 256))))"""
+
+
+def _phash_half_duck(bit_lo: int) -> str:
+    """32 bits of the oracle hash starting at grid index ``bit_lo``
+    (bit k*8+j of the 8x8 grid; halves avoid the BIGINT sign bit)."""
+    return f"""list_sum(list_transform(range({bit_lo}, {bit_lo} + 32), k ->
+      CASE WHEN 64 * ((17 * (doc_id // 5) + 2 * ((k % 8) * w // 8)
+                       + 3 * ((k // 8) * h // 8)) % 256) > {_PHASH_TOTAL}
+      THEN 1 << (k - {bit_lo}) ELSE 0 END))"""
+
+
+PHASH_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         {_phash_half_duck(32)} AS phash_hi,
+         {_phash_half_duck(0)} AS phash_lo
+  FROM (SELECT doc_id, (doc_id // 5) % 9 + 8 AS w, (doc_id // 5) % 7 + 8 AS h
+        FROM documents))
+SELECT doc_id,
+       CAST(phash_hi AS BIGINT) AS phash_hi,
+       CAST(phash_lo AS BIGINT) AS phash_lo,
+       CAST(count(*) OVER (PARTITION BY phash_hi, phash_lo) AS INTEGER)
+         AS group_size,
+       CAST(min(doc_id) OVER (PARTITION BY phash_hi, phash_lo) AS BIGINT)
+         AS canonical_doc
+FROM hashed
+"""
+
+
+@query("multimodal_image_phash_dedup", oracle=PHASH_ORACLE)
+def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual hash, end to end on real bytes: decode
+    each BMP (decode_bmp_pixels — the gate-pinned parser), compute the
+    64-bit average-hash over the 8x8 nearest-neighbor sample grid, and
+    group equal hashes — the planted five-doc near-duplicate groups
+    (byte-different images, off-grid noise) must land in one group with
+    the smallest doc_id as canonical. The fixture exhibits BOTH
+    robustness properties the hash is built on, and the oracle
+    gate-checks each: off-grid noise never splits a base's five docs,
+    and bases whose images differ only by a constant brightness shift
+    (the +17*base gray term, where it doesn't wrap differently at the
+    sample points) legally COLLAPSE into one group — average-hash
+    thresholds against the shifted mean, so it is brightness-shift
+    invariant by construction; observed group sizes run 5 to 75 in
+    multiples of five. The oracle restates the hash in closed form from
+    the generator, so a decoder offset bug, a wrong sample index, or a
+    biased threshold shifts bits and fails the gate.
+    This is the image-side counterpart of dedup_simhash: equal-hash
+    grouping here, and the hamming-banded join (dedup.py's simhash
+    bands) is the drop-in extension when near-dups differ ON the grid.
+
+    Scale: hashing is the standard two-Arrow-stage decode shape (one
+    1-column scan, no cross-row state); grouping shuffles only (doc_id,
+    64-bit hash) pairs — the whole corpus reduces to 12 bytes/image
+    before the exchange, which is what makes perceptual-hash dedup the
+    cheap first pass over billions of images."""
+    import numpy as np  # noqa: F401  (ahash64 uses it inside the stage)
+
+    docs = table(spark, sf_dir, "documents")
+
+    def row_fn(b: bytes):
+        dec = decode_bmp_pixels(b)
+        if dec is None:
+            return None
+        w, h, px = dec
+        return ahash64(px, w, h)
+
+    hashed = _payload_feature_pipeline(
+        docs,
+        make_phash_bmp_bytes,
+        row_fn,
+        [("phash_hi", T.LongType()), ("phash_lo", T.LongType())],
+    )
+    from pyspark.sql.window import Window as W
+
+    byhash = W.partitionBy("phash_hi", "phash_lo")
+    return hashed.select(
+        "doc_id",
+        "phash_hi",
+        "phash_lo",
+        F.count(F.lit(1)).over(byhash).cast("int").alias("group_size"),
+        F.min("doc_id").over(byhash).cast("long").alias("canonical_doc"),
+    )

@@ -164,6 +164,7 @@ _DRIVER_SHOWCASE = (
     "multimodal_video_scene_cuts",
     "multimodal_gif_animation",
     "multimodal_audio_vad",
+    "multimodal_image_phash_dedup",
     "html_text_extraction",
     # --- round-12 RE-EARN slots: ann_int8_rerank_topk's stage 1 became
     # the map-side partial top-R Arrow kernel (results identical —
@@ -178,12 +179,14 @@ _DRIVER_SHOWCASE = (
     # rows — semantics changed, so both re-earn driver rows
     "multimodal_pixels_png",
     "multimodal_pixels_gif",
-    # --- 5 floating slots (16 before the late-session operators and
-    # the PNG/GIF interlace re-earns took eleven; embedding_quantize_
-    # int8, stream_cusum_alarms_live, contamination_ngram_audit, and
-    # multimodal_pixels_jpeg rotated out with r10-r12 driver rows
-    # intact — JPEG's 4:2:0 twin stays showcased): code paths touched
-    # this round WITHOUT
+    # --- 4 floating slots (16 before the late-session operators and
+    # the PNG/GIF interlace re-earns took twelve; embedding_quantize_
+    # int8, stream_cusum_alarms_live, contamination_ngram_audit,
+    # multimodal_pixels_jpeg, and multimodal_pixels_bmp rotated out
+    # with r9-r12 driver rows intact — JPEG's 4:2:0 twin stays
+    # showcased, and the BMP decoder stays driver-exercised through
+    # the phash-dedup row that consumes it): code paths touched this
+    # round WITHOUT
     # semantic change (regression sentinels — every name rotated OUT
     # retains its r1-r11 driver rows). ivf_pq_topk was refactored
     # through the shared _ivf_pq_adc helper and pq_adc_topk's
@@ -199,7 +202,6 @@ _DRIVER_SHOWCASE = (
     "ivf_pq_topk",
     "stream_rate_limit_live",
     "ann_lsh_topk",
-    "multimodal_pixels_bmp",
     "stream_first_occurrences_live",
 )
 

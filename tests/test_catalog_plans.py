@@ -252,6 +252,7 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         "multimodal_video_scene_cuts",
         "multimodal_gif_animation",
         "multimodal_audio_vad",
+        "multimodal_image_phash_dedup",
         # round 12: int8 stage 1 became the declared map-side partial
         # top-R Arrow kernel (the ann_cosine_batch_fast shape, r11
         # verdict #8); the quantized recall audit composes it
@@ -1479,3 +1480,14 @@ def test_round12_late_operator_plan_contracts(spark, sf_dir):
     a = audit_plan(multimodal_audio_vad(spark, sf_dir))
     assert a["plan"].count("MapInPandas (") == 2
     assert a["n_exchanges"] == 0
+
+    # multimodal_image_phash_dedup: two Arrow decode stages, then the
+    # grouping exchange carries only (doc_id, hash halves) — the
+    # 12-bytes-per-image reduction the docstring claims
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_image_phash_dedup,
+    )
+
+    a = audit_plan(multimodal_image_phash_dedup(spark, sf_dir))
+    assert a["plan"].count("MapInPandas (") == 2
+    assert "Window" in a["plan"]  # per-hash grouping, never a collect

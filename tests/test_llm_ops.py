@@ -3860,3 +3860,39 @@ def test_audio_vad_truth_table(spark, sf_dir):
         want_active = [j for j in range(nb) if j % 2 == r.doc_id % 2]
         assert r.n_active_blocks == len(want_active)
         assert r.first_active_block == want_active[0]
+
+
+def test_image_phash_dedup_group_structure(spark, sf_dir):
+    """Perceptual-hash grouping invariants: the five byte-different docs
+    of each planted base ALWAYS share one hash (off-grid noise never
+    splits a group, so every group size is a multiple of five),
+    brightness-shift-only bases may legally merge (aHash is
+    shift-invariant), and the canonical is the group's min doc_id."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_image_phash_dedup,
+    )
+
+    rows = multimodal_image_phash_dedup(spark, sf_dir).collect()
+    by_hash: dict[tuple[int, int], list] = {}
+    for r in rows:
+        by_hash.setdefault((r.phash_hi, r.phash_lo), []).append(r)
+    for members in by_hash.values():
+        docs = sorted(m.doc_id for m in members)
+        assert len(docs) % 5 == 0 and len(docs) >= 5
+        bases = {d // 5 for d in docs}
+        for b in bases:  # a base's five docs never split across groups
+            assert sum(1 for d in docs if d // 5 == b) == len(
+                [d for d in range(b * 5, b * 5 + 5)
+                 if any(m.doc_id == d for m in members)]
+            )
+        for m in members:
+            assert m.group_size == len(docs)
+            assert m.canonical_doc == docs[0]
+    # every planted five-doc base is intact in exactly one group
+    all_docs = sorted(r.doc_id for r in rows)
+    for b in {d // 5 for d in all_docs}:
+        expect = [d for d in all_docs if d // 5 == b]
+        keys = {
+            (r.phash_hi, r.phash_lo) for r in rows if r.doc_id // 5 == b
+        }
+        assert len(keys) == 1, (b, expect)

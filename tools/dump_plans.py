@@ -133,6 +133,7 @@ PLAN_QUERIES = [
     "bloom_skipping_audit",
     "multimodal_gif_animation",
     "multimodal_audio_vad",
+    "multimodal_image_phash_dedup",
 ]
 
 
