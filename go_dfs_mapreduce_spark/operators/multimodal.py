@@ -935,26 +935,22 @@ def _png_wrap(width: int, height: int, interlace: int, idat: bytes) -> bytes:
     )
 
 
-def make_png_bytes(
-    doc_id: int, width: int, height: int, interlaced: bool = False
-) -> bytes:
+def make_png_bytes(doc_id: int, width: int, height: int) -> bytes:
     """Synthesize a REAL 8-bit truecolor (color type 2) PNG: signature,
     IHDR, one zlib-compressed IDAT of filtered scanlines, IEND — all
     with correct CRC32s. Pixel (x, y): R/G/B =
     (doc_id + {2,5,11}x + {3,7,13}y) % 256 (the BMP formula family);
     row y is encoded with filter type (doc_id + y) % 5, so all five
     PNG filters (None/Sub/Up/Average/Paeth) appear across the corpus
-    and the decoder's un-filtering is exercised for real.
-    ``interlaced=True`` sets the Adam7 FLAG while keeping sequential
-    scanline data — a deliberately MALFORMED stream (the data length
-    cannot match any real Adam7 layout except 1x1) kept for the
-    quarantine tests; real interlaced encode is
-    ``make_png_adam7_bytes``."""
+    and the decoder's un-filtering is exercised for real. Always
+    sequential (interlace flag 0); real interlaced encode is
+    ``make_png_adam7_bytes`` — the quarantine test for a LYING Adam7
+    flag over sequential data builds that malformed stream locally."""
     rows = [
         _png_raw_row(doc_id, y, range(width)) for y in range(height)
     ]
     out = _png_filter_rows(rows, lambda y: (doc_id + y) % 5)
-    return _png_wrap(width, height, 1 if interlaced else 0, bytes(out))
+    return _png_wrap(width, height, 0, bytes(out))
 
 
 # Adam7 pass grid (PNG spec 8.2): (x_start, y_start, x_step, y_step)
@@ -3417,20 +3413,26 @@ def ahash64(px, w: int, h: int) -> tuple[int, int]:
 
 
 # the sampled pixels are noise-free by construction, so the oracle
-# states the hash from the group formula directly
-_PHASH_GRAY = "(17 * (doc_id // 5) + 2 * (x * w // 8) + 3 * (y * h // 8)) % 256"
+# states the hash from the group formula directly; ONE template for the
+# gray value at grid coordinate (x, y) keeps the total and the per-bit
+# threshold from ever drifting apart
+def _phash_gray_duck(x_expr: str, y_expr: str) -> str:
+    return (
+        f"(17 * (doc_id // 5) + 2 * (({x_expr}) * w // 8)"
+        f" + 3 * (({y_expr}) * h // 8)) % 256"
+    )
 
-_PHASH_TOTAL = """list_sum(flatten(list_transform(range(0, 8), yy ->
+
+_PHASH_TOTAL = f"""list_sum(flatten(list_transform(range(0, 8), yy ->
   list_transform(range(0, 8), xx ->
-    (17 * (doc_id // 5) + 2 * (xx * w // 8) + 3 * (yy * h // 8)) % 256))))"""
+    {_phash_gray_duck("xx", "yy")}))))"""
 
 
 def _phash_half_duck(bit_lo: int) -> str:
     """32 bits of the oracle hash starting at grid index ``bit_lo``
     (bit k*8+j of the 8x8 grid; halves avoid the BIGINT sign bit)."""
     return f"""list_sum(list_transform(range({bit_lo}, {bit_lo} + 32), k ->
-      CASE WHEN 64 * ((17 * (doc_id // 5) + 2 * ((k % 8) * w // 8)
-                       + 3 * ((k // 8) * h // 8)) % 256) > {_PHASH_TOTAL}
+      CASE WHEN 64 * ({_phash_gray_duck("k % 8", "k // 8")}) > {_PHASH_TOTAL}
       THEN 1 << (k - {bit_lo}) ELSE 0 END))"""
 
 

@@ -309,8 +309,18 @@ def test_png_pixel_decode_roundtrip_and_quarantine():
     assert px.dtype == np.uint8
     # interlace FLAG over sequential scanline data = malformed (the
     # byte length matches no real Adam7 layout at 4x7); genuine Adam7
-    # streams now decode — see test_png_adam7_roundtrip_property
-    assert decode_png_pixels(make_png_bytes(3, 4, 7, interlaced=True)) is None
+    # streams now decode — see test_png_adam7_roundtrip_property.
+    # Built locally: flip the IHDR interlace byte (offset 8 sig + 8
+    # chunk header + 12 into the 13-byte IHDR data) and re-CRC the
+    # chunk so only the flag lies, not the checksum.
+    import zlib
+
+    lying = bytearray(b)
+    ihdr_data = bytearray(lying[16:29])
+    ihdr_data[12] = 1
+    lying[16:29] = ihdr_data
+    lying[29:33] = zlib.crc32(b"IHDR" + bytes(ihdr_data)).to_bytes(4, "big")
+    assert decode_png_pixels(bytes(lying)) is None
     # malformed payloads -> None
     assert decode_png_pixels(b"not a png") is None
     assert decode_png_pixels(b[:30]) is None  # truncated mid-chunk
@@ -3873,18 +3883,19 @@ def test_image_phash_dedup_group_structure(spark, sf_dir):
     )
 
     rows = multimodal_image_phash_dedup(spark, sf_dir).collect()
+    corpus_by_base: dict[int, set] = {}
+    for r in rows:
+        corpus_by_base.setdefault(r.doc_id // 5, set()).add(r.doc_id)
     by_hash: dict[tuple[int, int], list] = {}
     for r in rows:
         by_hash.setdefault((r.phash_hi, r.phash_lo), []).append(r)
     for members in by_hash.values():
         docs = sorted(m.doc_id for m in members)
         assert len(docs) % 5 == 0 and len(docs) >= 5
-        bases = {d // 5 for d in docs}
-        for b in bases:  # a base's five docs never split across groups
-            assert sum(1 for d in docs if d // 5 == b) == len(
-                [d for d in range(b * 5, b * 5 + 5)
-                 if any(m.doc_id == d for m in members)]
-            )
+        for b in {d // 5 for d in docs}:
+            # a base's five docs never split across groups: every doc of
+            # base b present ANYWHERE in the corpus is in this group
+            assert corpus_by_base[b] <= set(docs), (b, docs)
         for m in members:
             assert m.group_size == len(docs)
             assert m.canonical_doc == docs[0]

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -61,23 +62,27 @@ def main() -> None:
     ).format("noop").save()
     for n in ns:
         d = build_docs(spark, n)
+        try:
+            def _run():
+                t0 = time.monotonic()
+                corpus_sample_weighted(spark, d).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                return time.monotonic() - t0
 
-        def _run():
-            t0 = time.monotonic()
-            corpus_sample_weighted(spark, d).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            return time.monotonic() - t0
-
-        rows = corpus_sample_weighted(spark, d).count()
-        wall = min(_run() for _ in range(REPS))
-        print(
-            json.dumps(
-                {"op": "corpus_sample_weighted", "rows_in": n,
-                 "rows_out": rows, "wall_sec": round(wall, 2)}
-            ),
-            flush=True,
-        )
+            rows = corpus_sample_weighted(spark, d).count()
+            wall = min(_run() for _ in range(REPS))
+            print(
+                json.dumps(
+                    {"op": "corpus_sample_weighted", "rows_in": n,
+                     "rows_out": rows, "wall_sec": round(wall, 2)}
+                ),
+                flush=True,
+            )
+        finally:
+            # the synthesized datasets reach 50M rows; never leave
+            # multi-GB temp dirs behind across probe runs
+            shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":
