@@ -658,58 +658,120 @@ FROM clusters c
 """
 
 
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC '14 — public algorithm): every node u
+    connects its strictly LARGER neighbors to m(u) = min(N(u) ∪ {u}).
+    Output edges are oriented (a, b) with b < a always (m ≤ u < v)."""
+    nbr = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = (
+        nbr.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select("a", F.least("mb", "a").alias("m"))
+    )
+    return (
+        nbr.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge high→low; every node u
+    connects its ≤-neighbors AND itself to m(u) = min of those
+    neighbors. Self-edges never emitted."""
+    hl = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    mins = hl.groupBy("a").agg(F.min("b").alias("m"))
+    return (
+        hl.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(mins.select("a", F.col("m").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 64
+) -> tuple[DataFrame, int]:
+    """Distributed connected components by ALTERNATING large-star /
+    small-star rounds (Kiveris et al., SoCC '14): converges in O(log n)
+    rounds regardless of component diameter — a 1024-hop chain closes in
+    a handful of rounds where plain min-label propagation needs 1024
+    (measured: tools/dedup_scale_probe.py --ops cc). Each round is two
+    keyed aggregations + a distinct — shuffles keyed by node id only,
+    no driver-side data, lineage truncated per round.
+
+    ``nodes`` is DataFrame[doc_id] (covers isolated vertices); ``edges``
+    is DataFrame[a, b] undirected pairs in any orientation. Fixpoint =
+    the edge set is unchanged by a (large, small) round, which is
+    exactly the star state: every non-min node holds one edge to its
+    component minimum. The check is EXACT set equality (outputs are
+    distinct sets: equal counts + empty difference), a scalar per round,
+    never a data collect. Returns (labels[doc_id, cluster], rounds);
+    cluster = min doc_id reachable, the same unique fixpoint the
+    recursive-CTE oracle computes."""
+    e = (
+        edges.select("a", "b")
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        new_e = _cc_small_star(_cc_large_star(e)).localCheckpoint()
+        n_new = new_e.count()
+        if n_new == n_edges and new_e.exceptAll(e).isEmpty():
+            e = new_e
+            break
+        e, n_edges = new_e, n_new
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    labels = (
+        nodes.select("doc_id")
+        .join(
+            e.select(F.col("a").alias("doc_id"), F.col("b").alias("root")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("root", "doc_id").alias("cluster")
+        )
+    )
+    return labels, rounds
+
+
 @query("dedup_clusters", oracle=DEDUP_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over LSH-verified near-dup pairs (jaccard >=
-    threshold) by iterative min-label propagation — the canonical-group
-    assignment a dedup pipeline feeds the survivor selector.
+    threshold) — the canonical-group assignment a dedup pipeline feeds
+    the survivor selector.
 
     Spark 4 has recursive CTEs but only with UNION ALL recursion
     (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE as of 4.1), which cannot
     terminate on the cyclic reachability expansion connected components
-    needs — so the fixpoint stays a driver loop: each
-    round every doc takes the min label among itself and its neighbors;
-    convergence when no label changes (checked with a one-row aggregate,
-    never by collecting data rows). Rounds = cluster diameter, which for
-    near-dup graphs is tiny. Edges and labels are ``localCheckpoint``-ed
-    each round to truncate lineage — without it the plan doubles per
-    iteration. The fixpoint (min doc_id reachable) is unique, so the
-    result is deterministic and matches the oracle's recursive CTE."""
+    needs — so the fixpoint is a driver-coordinated loop of
+    ``connected_components`` star rounds: O(log n) rounds independent of
+    cluster diameter (the r12 label-propagation loop was O(diameter)).
+    The fixpoint (min doc_id reachable) is unique, so the result is
+    deterministic and matches the oracle's recursive CTE."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_minhash_lsh(spark, sf_dir).where(
         F.col("jaccard") >= CLUSTER_MIN_JACCARD
     )
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .localCheckpoint()
+    labels, _ = connected_components(
+        docs, pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster")).localCheckpoint()
-    # bounded fixpoint: rounds needed = graph diameter. Near-dup clusters
-    # are dense blobs with tiny diameter; a 64-hop chain of pairwise
-    # near-dups is pathological, so fail loudly instead of spinning
-    for _ in range(64):
-        msgs = edges.join(
-            labels.withColumnRenamed("doc_id", "a"), "a"
-        ).select(F.col("b").alias("doc_id"), "cluster")
-        new_labels = (
-            labels.union(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("cluster").alias("cluster"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()[0]["c"]
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("dedup_clusters did not converge in 64 rounds")
     w = Window.partitionBy("cluster")
     return labels.select(
         "doc_id", "cluster", F.count(F.lit(1)).over(w).alias("cluster_size")

@@ -560,6 +560,54 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     assert bad_roots.count() == 0
 
 
+def test_connected_components_star_rounds_log_not_diameter(spark):
+    """The alternating large-star/small-star kernel labels a 129-hop
+    chain correctly in O(log n) rounds — label propagation would need
+    ~129 — and matches a driver-side union-find on adversarial shapes
+    (chain, star, two blobs + bridge, isolated nodes, self-loops)."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.dedup import connected_components
+
+    def check(n, edges, max_rounds=64):
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        e = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+        if not edges:
+            e = e.where(F.lit(False))
+        labels, rounds = connected_components(nodes, e, max_rounds)
+        got = {r.doc_id: r.cluster for r in labels.collect()}
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps: dict[int, list] = {}
+        for i in range(n):
+            comps.setdefault(find(i), []).append(i)
+        want = {x: min(ms) for ms in comps.values() for x in ms}
+        assert got == want
+        return rounds
+
+    # 129-node chain: diameter 128, star rounds must be logarithmic
+    rounds = check(129, [(i, i + 1) for i in range(128)])
+    assert rounds <= 12, rounds
+    # star graph converges immediately-ish
+    assert check(20, [(0, i) for i in range(1, 20)]) <= 3
+    # two dense blobs + one bridge, plus isolated nodes 20..24
+    blob = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    blob += [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    check(25, blob + [(4, 10)])
+    # self-loops and duplicate/reversed edges are harmless
+    check(6, [(2, 2), (1, 3), (3, 1), (1, 3), (4, 5)])
+
+
 def test_decontamination_flags_only_nonbenchmark_docs(spark, sf_dir):
     from pyspark.sql import functions as F
 

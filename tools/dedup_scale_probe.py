@@ -134,6 +134,67 @@ def _winnow_diag(spark, d: str) -> dict:
     }
 
 
+def _cc_probe(spark, ns) -> None:
+    """Round-count evidence for the star-rounds CC kernel: on an N-hop
+    CHAIN (the diameter-pathological dup graph), plain min-label
+    propagation needs N rounds; alternating large-star/small-star needs
+    O(log N). Reports both measured round counts per N — propagation is
+    run as a reference inline loop (capped) on the same edge list."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.dedup import connected_components
+
+    for n in ns:
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        edges = spark.range(n - 1).select(
+            F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+        )
+        t0 = time.time()
+        labels, star_rounds = connected_components(nodes, edges, max_rounds=64)
+        ok = labels.where(F.col("cluster") != 0).count() == 0
+        star_wall = time.time() - t0
+        # reference: the r12 label-propagation loop, capped at 3x the
+        # star count to keep the probe cheap — hitting the cap proves
+        # the point (rounds grow with diameter)
+        cap = star_rounds * 3
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
+        lab = nodes.select(
+            "doc_id", F.col("doc_id").alias("cluster")
+        ).localCheckpoint()
+        prop_rounds = 0
+        for _ in range(cap):
+            prop_rounds += 1
+            msgs = sym.join(lab.withColumnRenamed("doc_id", "a"), "a").select(
+                F.col("b").alias("doc_id"), "cluster"
+            )
+            new_lab = (
+                lab.union(msgs)
+                .groupBy("doc_id")
+                .agg(F.min("cluster").alias("cluster"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_lab.alias("n")
+                .join(lab.alias("o"), "doc_id")
+                .where(F.col("n.cluster") != F.col("o.cluster"))
+                .count()
+            )
+            lab = new_lab
+            if changed == 0:
+                break
+        print(
+            json.dumps(
+                {"op": "cc", "chain_n": n, "star_rounds": star_rounds,
+                 "star_ok": ok, "star_wall_sec": round(star_wall, 2),
+                 "propagation_rounds": prop_rounds,
+                 "propagation_capped": prop_rounds >= cap}
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     args = sys.argv[1:]
     ops = ["minhash"]
@@ -142,6 +203,10 @@ def main() -> None:
         args = args[2:]
     ks = [int(a) for a in args] or [1, 4, 10]
     spark = get_spark("dedup-scale-probe")
+    if ops == ["cc"]:
+        _cc_probe(spark, ks if args else [256, 1024, 4096])
+        spark.stop()
+        return
     from go_dfs_mapreduce_spark.operators.dedup import (
         dedup_fuzzy_levenshtein,
         dedup_minhash_lsh,
