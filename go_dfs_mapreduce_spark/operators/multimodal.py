@@ -2939,6 +2939,377 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- MJPEG-in-AVI: COMPRESSED video decode end-to-end ----------------------
+#
+# Y4M covers raw planar video; real camera/scan archives overwhelmingly
+# carry COMPRESSED frames in a container. MJPEG-in-AVI is the classic
+# composition: a RIFF/AVI chunk tree (the WAV walk's container family,
+# _walk_riff_chunks) whose movi payloads are full baseline JFIF images —
+# so this operator composes the two decoders this module already pins:
+# the RIFF chunk-walk discipline (2-byte alignment, declared-size
+# strictness) and decode_jpeg_pixels (huffman scan, IDCT, MCU crop).
+# A decoder that trusts the wrong header (avih vs strf), desyncs on an
+# odd-length JPEG's pad byte, or ignores the index gets the chunk walk
+# wrong and fails the closed-form oracle.
+
+AVIF_HASINDEX = 0x10
+AVI_FPS = 25
+AVI_FRAME_SEED_STEP = 17  # luma drift between frames (the Y4M constant)
+
+
+def _avi_chunk(fourcc: bytes, data: bytes) -> bytes:
+    """One RIFF chunk: fourcc, little-endian size, data, pad byte to
+    2-byte alignment (the pad is NOT counted in the declared size)."""
+    return (
+        fourcc
+        + len(data).to_bytes(4, "little")
+        + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+
+
+def _avi_list(ltype: bytes, data: bytes) -> bytes:
+    return _avi_chunk(b"LIST", ltype + data)
+
+
+def make_avi_mjpeg_bytes(doc_id: int) -> bytes:
+    """Synthesize a REAL MJPEG AVI: RIFF('AVI ') with a full hdrl tree
+    (avih main header, one 'vids'/'MJPG' stream with strh + a
+    BITMAPINFOHEADER strf), a movi LIST of one '00dc' chunk per frame —
+    each a COMPLETE baseline grayscale JFIF from ``make_jpeg_bytes``
+    with per-frame seed doc_id + 17f, so frame f's pixel (x, y) is
+    (doc_id + 17f + 2*(x//8) + 3*(y//8)) % 256 — and, for even docs, an
+    idx1 index (offsets relative to the 'movi' fourcc, the standard
+    convention) with AVIF_HASINDEX set. Geometry: w = doc_id % 21 + 4,
+    h = doc_id % 17 + 4 (partial-MCU crops exercised), nf = doc_id % 4
+    + 2. Every 7th doc stamps its MIDDLE frame progressive (SOF2) —
+    one bad frame must quarantine the whole video."""
+    w = doc_id % 21 + 4
+    h = doc_id % 17 + 4
+    nf = doc_id % 4 + 2
+    with_index = doc_id % 2 == 0
+    jpegs = [
+        make_jpeg_bytes(
+            doc_id + AVI_FRAME_SEED_STEP * f,
+            w,
+            h,
+            progressive=doc_id % 7 == 0 and f == nf // 2,
+        )
+        for f in range(nf)
+    ]
+    movi_chunks = bytearray()
+    index = bytearray()
+    for j in jpegs:
+        # chunk offset relative to the 'movi' fourcc byte
+        off = 4 + len(movi_chunks)
+        index += (
+            b"00dc"
+            + AVIF_HASINDEX.to_bytes(4, "little")
+            + off.to_bytes(4, "little")
+            + len(j).to_bytes(4, "little")
+        )
+        movi_chunks += _avi_chunk(b"00dc", j)
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in (
+            1_000_000 // AVI_FPS,  # dwMicroSecPerFrame
+            0,  # dwMaxBytesPerSec
+            0,  # dwPaddingGranularity
+            AVIF_HASINDEX if with_index else 0,  # dwFlags
+            nf,  # dwTotalFrames
+            0,  # dwInitialFrames
+            1,  # dwStreams
+            0,  # dwSuggestedBufferSize
+            w,
+            h,
+            0,
+            0,
+            0,
+            0,  # dwReserved[4]
+        )
+    )
+    strh = (
+        b"vidsMJPG"
+        + b"".join(
+            v.to_bytes(4, "little")
+            for v in (0, 0, 0, 1, AVI_FPS, 0, nf, 0, 0, 0)
+        )  # flags, prio+lang, initial, scale, rate, start, length,
+        #    bufsize, quality, samplesize
+        + b"".join(v.to_bytes(2, "little") for v in (0, 0, w, h))  # rcFrame
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"MJPG"
+        + (w * h * 3).to_bytes(4, "little")
+        + bytes(16)  # XPels/YPels/ClrUsed/ClrImportant
+    )
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)),
+    )
+    body = hdrl + _avi_list(b"movi", bytes(movi_chunks))
+    if with_index:
+        body += _avi_chunk(b"idx1", bytes(index))
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"AVI " + body
+
+
+def _avi_parse_hdrl(d: bytes):
+    """Walk the hdrl LIST body: returns (avih dict, strf dims) or None.
+    Exactly one video stream is in scope; the stream must declare
+    fccType 'vids' and handler/compression 'MJPG' in BOTH strh and
+    strf (a disagreeing pair is malformed, not a judgement call)."""
+    avih = None
+    strh_ok = False
+    strf_dims = None
+    i = 0
+    while i < len(d):
+        if i + 8 > len(d):
+            return None
+        cid = d[i : i + 4]
+        size = int.from_bytes(d[i + 4 : i + 8], "little")
+        if i + 8 + size > len(d):
+            return None
+        seg = d[i + 8 : i + 8 + size]
+        if cid == b"avih":
+            if size < 56:
+                return None
+            vals = [
+                int.from_bytes(seg[k : k + 4], "little") for k in range(0, 40, 4)
+            ]
+            avih = {
+                "flags": vals[3],
+                "total_frames": vals[4],
+                "streams": vals[6],
+                "w": vals[8],
+                "h": vals[9],
+            }
+        elif cid == b"LIST" and size >= 4 and seg[:4] == b"strl":
+            j = 4
+            while j < len(seg):
+                if j + 8 > len(seg):
+                    return None
+                scid = seg[j : j + 4]
+                ssize = int.from_bytes(seg[j + 4 : j + 8], "little")
+                if j + 8 + ssize > len(seg):
+                    return None
+                sub = seg[j + 8 : j + 8 + ssize]
+                if scid == b"strh":
+                    if ssize < 8 or sub[0:4] != b"vids" or sub[4:8] != b"MJPG":
+                        return None
+                    strh_ok = True
+                elif scid == b"strf":
+                    if ssize < 40 or sub[16:20] != b"MJPG":
+                        return None
+                    strf_dims = (
+                        int.from_bytes(sub[4:8], "little"),
+                        int.from_bytes(sub[8:12], "little"),
+                    )
+                j += 8 + ssize + (ssize & 1)
+        i += 8 + size + (size & 1)
+    if avih is None or not strh_ok or strf_dims is None:
+        return None
+    return avih, strf_dims
+
+
+def _avi_collect_movi(d: bytes):
+    """Walk the movi LIST body collecting '00dc' frame payloads with
+    their offsets relative to the 'movi' fourcc (for idx1 validation).
+    Any other chunk id (audio '01wb', rec lists) is out of scope ->
+    None; a chunk running past the list is malformed -> None."""
+    frames = []
+    i = 0
+    while i < len(d):
+        if i + 8 > len(d):
+            return None
+        cid = d[i : i + 4]
+        size = int.from_bytes(d[i + 4 : i + 8], "little")
+        if cid != b"00dc" or i + 8 + size > len(d):
+            return None
+        frames.append((4 + i, d[i + 8 : i + 8 + size]))
+        i += 8 + size + (size & 1)
+    return frames
+
+
+def decode_avi_mjpeg(b: bytes):
+    """Pure-Python MJPEG-AVI decode: strict RIFF walk (declared RIFF
+    size must equal the payload exactly — the EOI/IEND trailer rule in
+    container form), hdrl parse, movi '00dc' collection, idx1
+    cross-check, then every frame through ``decode_jpeg_pixels``.
+
+    Strictness (quarantine -> None, never raise): one stream only;
+    avih and strf must agree on dimensions; frame count must equal
+    avih's dwTotalFrames; AVIF_HASINDEX iff an idx1 chunk is present,
+    and when present every entry's (ckid, offset, size) must match the
+    movi walk — a stale or shuffled index is corruption, not advice;
+    every frame must decode as grayscale baseline JPEG at exactly the
+    declared dimensions (one progressive or mis-sized frame quarantines
+    the whole video). Returns (width, height, frames) with frames a
+    list of 2-D int64 luma arrays, or None."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    if int.from_bytes(b[4:8], "little") != len(b) - 8:
+        return None
+    hdr = None
+    movi = None
+    idx1 = None
+    i = 12
+    while i < len(b):
+        if i + 8 > len(b):
+            return None
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if i + 8 + size > len(b):
+            return None
+        data = b[i + 8 : i + 8 + size]
+        if cid == b"LIST":
+            if size < 4:
+                return None
+            if data[:4] == b"hdrl":
+                if hdr is not None:
+                    return None
+                hdr = _avi_parse_hdrl(data[4:])
+                if hdr is None:
+                    return None
+            elif data[:4] == b"movi":
+                if movi is not None:
+                    return None
+                movi = _avi_collect_movi(data[4:])
+                if movi is None:
+                    return None
+        elif cid == b"idx1":
+            idx1 = data
+        i += 8 + size + (size & 1)
+    if hdr is None or movi is None:
+        return None
+    avih, (sw, sh) = hdr
+    w, h = avih["w"], avih["h"]
+    if avih["streams"] != 1 or (w, h) != (sw, sh) or w <= 0 or h <= 0:
+        return None
+    if len(movi) != avih["total_frames"] or not movi:
+        return None
+    has_index_flag = bool(avih["flags"] & AVIF_HASINDEX)
+    if has_index_flag != (idx1 is not None):
+        return None
+    if idx1 is not None:
+        if len(idx1) != 16 * len(movi):
+            return None
+        for k, (off, payload) in enumerate(movi):
+            e = idx1[16 * k : 16 * k + 16]
+            if (
+                e[0:4] != b"00dc"
+                or int.from_bytes(e[8:12], "little") != off
+                or int.from_bytes(e[12:16], "little") != len(payload)
+            ):
+                return None
+    frames = []
+    for _, payload in movi:
+        dec = decode_jpeg_pixels(payload)
+        if dec is None:
+            return None
+        fw, fh, px = dec
+        if (fw, fh) != (w, h) or px.ndim != 2:
+            return None  # mis-sized or color frame: header lied
+        frames.append(px)
+    return w, h, frames
+
+
+_AVI_LUMA = (
+    f"(doc_id + {AVI_FRAME_SEED_STEP} * {{f}} + 2 * (x // 8)"
+    " + 3 * (y // 8)) % 256"
+)
+
+MJPEG_AVI_ORACLE = f"""
+SELECT doc_id,
+  CAST(CASE WHEN q THEN -1 ELSE w END AS INTEGER) AS width,
+  CAST(CASE WHEN q THEN -1 ELSE h END AS INTEGER) AS height,
+  CAST(CASE WHEN q THEN -1 ELSE nf END AS INTEGER) AS n_frames,
+  CAST(CASE WHEN q THEN -1 ELSE len(sampled) END AS INTEGER) AS n_sampled,
+  CAST(CASE WHEN q THEN -1 ELSE
+    list_sum(list_transform(sampled, f ->
+      list_sum(flatten(list_transform(range(0, h), y ->
+        list_transform(range(0, w), x -> {_AVI_LUMA.format(f="f")})))))) END
+    AS BIGINT) AS sum_luma,
+  CAST(CASE WHEN q THEN -1 ELSE
+    list_sum(flatten(list_transform(range(0, h), y ->
+      list_transform(range(0, w), x ->
+        ({_AVI_LUMA.format(f="lf")}) * (x + w * y + 1))))) % {BMP_CHECK_MOD} END
+    AS BIGINT) AS pos_checksum
+FROM (
+  SELECT *,
+         list_filter(range(0, nf), f -> f % {Y4M_SAMPLE_EVERY} = 0) AS sampled,
+         ((nf - 1) // {Y4M_SAMPLE_EVERY}) * {Y4M_SAMPLE_EVERY} AS lf
+  FROM (SELECT doc_id, doc_id % 21 + 4 AS w, doc_id % 17 + 4 AS h,
+               doc_id % 4 + 2 AS nf, doc_id % 7 = 0 AS q
+        FROM documents))
+"""
+
+
+@query("multimodal_video_mjpeg", oracle=MJPEG_AVI_ORACLE)
+def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED video decode end-to-end: synthesize MJPEG AVIs (RIFF
+    container, hdrl headers, per-frame baseline JFIF payloads, idx1 on
+    even docs), decode the actual byte layout back — container walk,
+    header cross-validation, index verification, then the full JPEG
+    pipeline per frame — and emit the Y4M op's feature row: temporal
+    subsample (every 2nd frame), luma sum over sampled frames, and the
+    position-weighted checksum of the LAST sampled frame (a decoder
+    that drops a frame, desyncs on an odd-length JPEG's pad byte, or
+    samples the wrong frames produces wrong sums or checksum and fails
+    the hash compare). Every 7th doc's middle frame is progressive
+    (SOF2) and must quarantine the WHOLE video as the -1 row — stated
+    in the oracle.
+
+    Completes the video arc past uncompressed Y4M (VERDICT r12 #3) by
+    composing two already-pinned decoders: the RIFF chunk walk
+    (``_walk_riff_chunks``'s container family) and
+    ``decode_jpeg_pixels``. Scale: the universal decode-stage shape —
+    synthesize + decode inside Arrow batches over a 1-column scan,
+    features-only across the boundary, zero exchanges; a real corpus
+    swaps the synthesizer for the stored binary column and the same
+    kernel runs unchanged on 100 TB of video."""
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents")
+
+    def row_fn(b: bytes):
+        dec = decode_avi_mjpeg(b)
+        if dec is None:
+            return None
+        w, h, frames = dec
+        nf = len(frames)
+        sampled = range(0, nf, Y4M_SAMPLE_EVERY)
+        total = sum(int(frames[f].astype(np.int64).sum()) for f in sampled)
+        luma = frames[sampled[-1]].astype(np.int64)
+        wgt = np.arange(w * h, dtype=np.int64).reshape(h, w) + 1
+        return (
+            w,
+            h,
+            nf,
+            len(sampled),
+            total,
+            int((luma * wgt).sum() % BMP_CHECK_MOD),
+        )
+
+    return _payload_feature_pipeline(
+        docs,
+        make_avi_mjpeg_bytes,
+        row_fn,
+        [
+            ("width", T.IntegerType()),
+            ("height", T.IntegerType()),
+            ("n_frames", T.IntegerType()),
+            ("n_sampled", T.IntegerType()),
+            ("sum_luma", T.LongType()),
+            ("pos_checksum", T.LongType()),
+        ],
+    )
+
+
 # --- animated GIF: multi-frame decode with sub-rectangle compositing -------
 #
 # decode_gif_pixels handles the single-image case; real-world GIFs are

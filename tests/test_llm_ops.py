@@ -3784,6 +3784,68 @@ def test_scene_cut_detector_truth_table(spark, sf_dir):
             assert r.first_cut_frame == -1
 
 
+def test_avi_mjpeg_roundtrip_exact():
+    """The MJPEG-AVI decoder recovers every frame's block-constant luma
+    formula bit-exactly on both container arms (with and without idx1),
+    and quarantines the every-7th progressive-middle-frame docs."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        AVI_FRAME_SEED_STEP,
+        decode_avi_mjpeg,
+        make_avi_mjpeg_bytes,
+    )
+
+    for doc_id in (1, 2, 9, 12):  # odd/even: no-index and idx1 arms
+        w0, h0 = doc_id % 21 + 4, doc_id % 17 + 4
+        dec = decode_avi_mjpeg(make_avi_mjpeg_bytes(doc_id))
+        assert dec is not None
+        w, h, frames = dec
+        assert (w, h) == (w0, h0) and len(frames) == doc_id % 4 + 2
+        for f, px in enumerate(frames):
+            seed = doc_id + AVI_FRAME_SEED_STEP * f
+            want = np.fromfunction(
+                lambda y, x: (seed + 2 * (x // 8) + 3 * (y // 8)) % 256,
+                (h, w),
+            )
+            assert (np.asarray(px) == want).all(), (doc_id, f)
+    for doc_id in (0, 7, 14):
+        assert decode_avi_mjpeg(make_avi_mjpeg_bytes(doc_id)) is None
+
+
+def test_avi_mjpeg_truncation_and_tamper_quarantine():
+    """The shared truncation sweep applied to the AVI container: every
+    strict prefix -> None; plus the container-specific tamper cases —
+    trailing garbage (strict RIFF size), a stale idx1 offset, an
+    index/flag mismatch, and an avih/strf dimension disagreement."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        make_avi_mjpeg_bytes,
+    )
+
+    b = make_avi_mjpeg_bytes(2)  # even: carries idx1
+    assert decode_avi_mjpeg(b) is not None
+    for i in range(len(b)):
+        assert decode_avi_mjpeg(b[:i]) is None, i
+    assert decode_avi_mjpeg(b + b"\x00") is None
+    # stale index: bump the first idx1 entry's offset
+    idx_pos = b.rfind(b"idx1")
+    tampered = bytearray(b)
+    tampered[idx_pos + 16] ^= 0x01  # entry 0 dwChunkOffset low byte
+    assert decode_avi_mjpeg(bytes(tampered)) is None
+    # index dropped but AVIF_HASINDEX still set: flag/chunk mismatch
+    # (RIFF size re-stated so only the inconsistency is at fault)
+    idx_len = 8 + int.from_bytes(b[idx_pos + 4 : idx_pos + 8], "little")
+    noidx = bytearray(b[:idx_pos] + b[idx_pos + idx_len :])
+    noidx[4:8] = (len(noidx) - 8).to_bytes(4, "little")
+    assert decode_avi_mjpeg(bytes(noidx)) is None
+    # avih/strf disagreement: bump avih dwWidth only
+    avih_pos = b.find(b"avih")
+    disagree = bytearray(b)
+    disagree[avih_pos + 8 + 32] ^= 0x01
+    assert decode_avi_mjpeg(bytes(disagree)) is None
+
+
 def test_stratified_priority_sampling_matches_pure_python_replay(spark, sf_dir):
     """Differential: the per-language priority sample equals a pure-Python
     replay — per-stratum ranks, per-stratum tau (0.0 for strata smaller
