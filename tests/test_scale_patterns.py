@@ -134,3 +134,68 @@ def test_incremental_operators_plan_shapes(spark, sf_dir):
     assert a["n_sortmerge_joins"] == 0
     assert "CartesianProduct" not in a["plan"]
     assert not a["has_python_worker"]
+
+
+def test_aqe_skew_join_split_fires_and_matches_salted(spark):
+    """AQE skew-join demonstration (VERDICT r12 #5): a fact-fact join
+    with one hot key (70% of the big side) under test-scale skew
+    thresholds. With skewJoin enabled the FINAL adaptive plan carries a
+    skew=true SortMergeJoin (the hot partition was split at runtime);
+    with it disabled the same query runs unsplit — and the manual
+    salted_join fallback produces the identical result set either way.
+    Measured at 20M x 2M rows: 2.0s split vs 6.6s unsplit (SCALE.md
+    round 13). Salting remains necessary only where AQE can't see the
+    skew: derived keys materialized mid-stage, or aggregations ahead of
+    the exchange AQE rebalances."""
+    from go_dfs_mapreduce_spark.functions.skew import salted_join
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+
+    def build():
+        big = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 7, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.range(50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        return big, small
+
+    def run_joined(df):
+        agg = df.select(
+            F.sum(F.col("v") + F.col("w")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        row = agg.collect()[0]
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        return (row["s"], row["n"]), plan.count("skew=true")
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big, small = build()
+        res_split, n_skew = run_joined(big.join(small, "k"))
+        assert n_skew >= 1, "AQE did not split the hot partition"
+        # expected cardinality: 280k hot-key rows match k=0 once, plus
+        # the 15k unique keys under 50k with id % 10 >= 7
+        assert res_split[1] == 280_000 + 15_000
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        res_plain, n_skew_off = run_joined(big.join(small, "k"))
+        assert n_skew_off == 0
+        assert res_plain == res_split
+        # the manual fallback for AQE-invisible skew: same result set
+        res_salted, _ = run_joined(salted_join(big, small, "k"))
+        assert res_salted == res_split
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
