@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..tables import table
@@ -2987,7 +2988,6 @@ def make_avi_mjpeg_bytes(doc_id: int) -> bytes:
     w = doc_id % 21 + 4
     h = doc_id % 17 + 4
     nf = doc_id % 4 + 2
-    with_index = doc_id % 2 == 0
     jpegs = [
         make_jpeg_bytes(
             doc_id + AVI_FRAME_SEED_STEP * f,
@@ -2997,6 +2997,14 @@ def make_avi_mjpeg_bytes(doc_id: int) -> bytes:
         )
         for f in range(nf)
     ]
+    return _avi_container(jpegs, w, h, with_index=doc_id % 2 == 0)
+
+
+def _avi_container(jpegs: list, w: int, h: int, with_index: bool) -> bytes:
+    """Assemble the RIFF/AVI container around ready-made JFIF frame
+    payloads (shared by the decode fixture and the frame-dedup
+    fixture — one copy of the header layout)."""
+    nf = len(jpegs)
     movi_chunks = bytearray()
     index = bytearray()
     for j in jpegs:
@@ -3307,6 +3315,153 @@ def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("sum_luma", T.LongType()),
             ("pos_checksum", T.LongType()),
         ],
+    )
+
+
+# --- cross-video frame dedup: exact keyframe dedup over decoded pixels ----
+#
+# THE frame-level dedup step of a video training pipeline: after decode,
+# byte-identical frames recur ACROSS videos (re-encodes, shared intros,
+# rebroadcasts), and the dedup key must be the DECODED pixels, not the
+# container bytes — the same content arrives in byte-different streams.
+# The fixture plants that exactly: every base of three docs carries the
+# SAME four frames in three different orders (byte-different AVIs, equal
+# frame sets), so grouping by a pixel fingerprint must reunite them.
+
+VFRAME_COUNT = 4
+VFRAME_VARIANTS = 3
+
+
+def make_avi_frame_dedup_bytes(doc_id: int) -> bytes:
+    """A REAL MJPEG AVI from the planted-duplicate family: base
+    b = doc_id // 3 fixes dims (w = b % 9 + 6, h = b % 7 + 6) and four
+    frame CONTENTS j = 0..3 with pixel seed 7b + 31j; variant
+    r = doc_id % 3 presents content (f + r) % 4 at frame f. The three
+    variants of a base are byte-different streams holding identical
+    frame sets. Distinct bases never collide: equal dims + equal seeds
+    needs b ≡ b' (mod lcm(63, 256) = 16128), far beyond the corpus
+    (the fixture-collision bound, stated so a bigger corpus is a
+    conscious re-check)."""
+    b, r = divmod(doc_id, VFRAME_VARIANTS)
+    w = b % 9 + 6
+    h = b % 7 + 6
+    jpegs = [
+        make_jpeg_bytes(7 * b + 31 * ((f + r) % VFRAME_COUNT), w, h)
+        for f in range(VFRAME_COUNT)
+    ]
+    return _avi_container(jpegs, w, h, with_index=doc_id % 2 == 0)
+
+
+# the decoded-frame fingerprint both engines state: md5 over the
+# canonical "w:h:p0,p1,..." string of row-major pixel values
+_VFRAME_SEED = f"(7 * (doc_id // {VFRAME_VARIANTS})" \
+    f" + 31 * ((f + doc_id % {VFRAME_VARIANTS}) % {VFRAME_COUNT}))"
+
+VIDEO_FRAME_DEDUP_ORACLE = f"""
+WITH frames AS (
+  SELECT doc_id, r.f AS frame_idx,
+         md5(w || ':' || h || ':' || array_to_string(
+           flatten(list_transform(range(0, h), y ->
+             list_transform(range(0, w), x ->
+               ({_VFRAME_SEED} + 2 * (x // 8) + 3 * (y // 8)) % 256))),
+           ',')) AS fingerprint
+  FROM (SELECT doc_id,
+               (doc_id // {VFRAME_VARIANTS}) % 9 + 6 AS w,
+               (doc_id // {VFRAME_VARIANTS}) % 7 + 6 AS h
+        FROM documents),
+       range({VFRAME_COUNT}) r(f)
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, fingerprint,
+       CAST(count(*) OVER (PARTITION BY fingerprint) AS INTEGER)
+         AS n_dup_frames,
+       CAST(min(doc_id) OVER (PARTITION BY fingerprint) AS BIGINT)
+         AS canonical_doc
+FROM frames
+"""
+
+
+@query("multimodal_video_frame_dedup", oracle=VIDEO_FRAME_DEDUP_ORACLE)
+def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frame dedup ACROSS videos on decoded pixels: decode every
+    MJPEG AVI (the full container + JPEG pipeline of
+    ``decode_avi_mjpeg``), fingerprint each frame as the md5 of its
+    canonical pixel string ("w:h:" + comma-joined row-major values —
+    dims in the key so a 6x8 and an 8x6 frame with equal pixel lists
+    never merge), and group equal fingerprints corpus-wide. The planted
+    three-variant bases (same frames, different order, byte-different
+    streams) must land n_dup_frames = 3 per content with the smallest
+    doc as canonical — a dedup keyed on container bytes instead of
+    decoded pixels scores 1s across the board and fails the hash.
+
+    Scale: the decode stays the embarrassingly-parallel Arrow shape;
+    only (doc_id, frame_idx, 32-char fingerprint) crosses the exchange
+    — ~48 bytes per frame regardless of resolution, the same reduction
+    the image phash op pins. Grouping is one hash-partitioned window
+    over the fingerprint; no pairwise comparison anywhere."""
+    docs = table(spark, sf_dir, "documents")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        make_avi_frame_dedup_bytes(int(i))
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def fingerprints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                dec = decode_avi_mjpeg(bytes(b))
+                if dec is None:
+                    continue  # fixture is all-valid; quarantine = drop
+                w, h, frames = dec
+                for f, px in enumerate(frames):
+                    canon = f"{w}:{h}:" + ",".join(
+                        str(int(v)) for row in px for v in row
+                    )
+                    rows.append(
+                        (
+                            int(doc_id),
+                            f,
+                            hashlib.md5(canon.encode("ascii")).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "fingerprint"]
+            )
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    frame_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("fingerprint", T.StringType()),
+        ]
+    )
+    frames = (
+        docs.select("doc_id")
+        .mapInPandas(synth, payload_schema)
+        .mapInPandas(fingerprints, frame_schema)
+    )
+    w = Window.partitionBy("fingerprint")
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "fingerprint",
+        F.count(F.lit(1)).over(w).cast("int").alias("n_dup_frames"),
+        F.min("doc_id").over(w).alias("canonical_doc"),
     )
 
 

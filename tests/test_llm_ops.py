@@ -3846,6 +3846,39 @@ def test_avi_mjpeg_truncation_and_tamper_quarantine():
     assert decode_avi_mjpeg(bytes(disagree)) is None
 
 
+def test_video_frame_dedup_reunites_planted_variants(spark, sf_dir):
+    """Cross-video frame dedup on decoded pixels: the three byte-
+    different variants of each complete base share all four frame
+    fingerprints (n_dup_frames = 3, canonical = the base's smallest
+    doc), and no fingerprint ever spans two bases."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        VFRAME_VARIANTS,
+        multimodal_video_frame_dedup,
+    )
+
+    rows = multimodal_video_frame_dedup(spark, sf_dir).collect()
+    docs_by_base: dict[int, set] = {}
+    for r in rows:
+        docs_by_base.setdefault(r.doc_id // VFRAME_VARIANTS, set()).add(
+            r.doc_id
+        )
+    by_fp: dict[str, list] = {}
+    for r in rows:
+        by_fp.setdefault(r.fingerprint, []).append(r)
+    for members in by_fp.values():
+        bases = {m.doc_id // VFRAME_VARIANTS for m in members}
+        assert len(bases) == 1, bases  # no cross-base merges
+        base = bases.pop()
+        # every doc of the base contributes the content exactly once
+        assert sorted(m.doc_id for m in members) == sorted(
+            docs_by_base[base]
+        )
+        lo = min(docs_by_base[base])
+        for m in members:
+            assert m.n_dup_frames == len(docs_by_base[base])
+            assert m.canonical_doc == lo
+
+
 def test_stratified_priority_sampling_matches_pure_python_replay(spark, sf_dir):
     """Differential: the per-language priority sample equals a pure-Python
     replay — per-stratum ranks, per-stratum tau (0.0 for strata smaller
