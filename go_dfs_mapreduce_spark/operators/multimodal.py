@@ -3318,6 +3318,208 @@ def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- audio landmark fingerprinting: shift-invariant match over real PCM ---
+#
+# The audio twin of near-dup detection: find recordings that contain the
+# SAME content at a different time offset (rebroadcasts, padded edits).
+# The classic landmark scheme (Wang's constellation hashing, ISMIR 2003 —
+# public): detect salient peaks, hash small tuples of RELATIVE peak
+# geometry (inter-peak gaps + quantized amplitudes here — both invariant
+# under time shift), and match documents by counting shared hashes in a
+# bucket join. The fixture plants base pairs (2b, 2b+1): identical
+# impulse landmarks, the odd doc delayed by a per-base offset and both
+# overlaid with doc-SPECIFIC sub-threshold noise — byte-different
+# streams, equal landmark geometry. Landmark gaps/amplitudes are
+# md5-derived per base (the minhash oracle's trick), so distinct bases
+# share at most 1 hash (measured over 1000 bases) and the >= 4 match
+# threshold admits exactly the planted pairs.
+
+AFP_PEAK_THRESHOLD = 800  # |sample| at/above this is a landmark peak
+AFP_NOISE_SPAN = 200  # noise is ((3*doc_id + 5i) % 200) - 100: |r| <= 100
+AFP_MIN_SHARED = 4  # matched pair = at least this many shared hashes
+AFP_NGRAM = 3  # hashes cover 3 consecutive gaps / peak amplitudes
+
+
+def _afp_gap(b: int, j: int) -> int:
+    """Gap between landmark peaks j and j+1 of base b: 4..16 samples,
+    md5-derived so gap sequences never repeat across bases."""
+    import hashlib
+
+    return int(hashlib.md5(f"afp:{b}:{j}".encode()).hexdigest()[:2], 16) % 13 + 4
+
+
+def _afp_amp(b: int, j: int) -> int:
+    """Amplitude of peak j of base b: 1000..1900 in steps of 100 (the
+    decoder quantizes by // 100, recovering the 10..19 code exactly)."""
+    import hashlib
+
+    return 1000 + 100 * (
+        int(hashlib.md5(f"amp:{b}:{j}".encode()).hexdigest()[:2], 16) % 10
+    )
+
+
+def make_wav_landmark_bytes(doc_id: int) -> bytes:
+    """A REAL mono 16-bit PCM WAV from the planted-pair family: base
+    b = doc_id // 2 fixes K = 12 + b % 5 peaks with md5-derived gaps
+    and amplitudes; the odd variant delays every peak by
+    (b % 5 + 1) * 3 samples. Every non-peak sample carries doc-specific
+    noise ((3*doc_id + 5i) % 200) - 100 — far below the peak threshold,
+    but enough that the two variants share not a single data byte."""
+    import numpy as np
+
+    b, v = divmod(doc_id, 2)
+    k_peaks = 12 + b % 5
+    delay = (b % 5 + 1) * 3 if v else 0
+    pos = [b % 3 + delay]
+    for j in range(k_peaks - 1):
+        pos.append(pos[-1] + _afp_gap(b, j))
+    n = pos[-1] + b % 4 + 2
+    i = np.arange(n, dtype=np.int64)
+    s = (3 * doc_id + 5 * i) % AFP_NOISE_SPAN - AFP_NOISE_SPAN // 2
+    for j, p in enumerate(pos):
+        s[p] = _afp_amp(b, j)
+    return make_wav_bytes(1, 16000, 16, n, data=s.astype("<i2").tobytes())
+
+
+def audio_landmark_hashes(samples) -> list[str]:
+    """Shift-invariant landmark hashes of one channel's samples: peak
+    positions (value >= threshold), then for every run of AFP_NGRAM
+    consecutive inter-peak gaps the string
+    "g1,g2,g3|a1,a2,a3" over the gaps and the three leading peaks'
+    quantized (// 100) amplitudes, md5-hexed. Knows NOTHING about the
+    fixture — any time-shifted recording yields identical hashes."""
+    import hashlib
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    peaks = np.flatnonzero(arr >= AFP_PEAK_THRESHOLD)
+    if len(peaks) < AFP_NGRAM + 1:
+        return []
+    gaps = np.diff(peaks)
+    amps = arr[peaks] // 100
+    out = []
+    for k in range(len(gaps) - AFP_NGRAM + 1):
+        key = (
+            ",".join(str(int(g)) for g in gaps[k : k + AFP_NGRAM])
+            + "|"
+            + ",".join(str(int(a)) for a in amps[k : k + AFP_NGRAM])
+        )
+        out.append(hashlib.md5(key.encode("ascii")).hexdigest())
+    return out
+
+
+def _afp_md5_int(prefix: str, j_expr: str, mod: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{prefix}:' || CAST(b AS VARCHAR) || ':' "
+        f"|| CAST(({j_expr}) AS VARCHAR)), 1, 2))::UBIGINT AS BIGINT) % {mod}"
+    )
+
+
+AUDIO_FINGERPRINT_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT doc_id,
+         {_afp_md5_int("afp", "k", 13)} + 4 AS g1,
+         {_afp_md5_int("afp", "k + 1", 13)} + 4 AS g2,
+         {_afp_md5_int("afp", "k + 2", 13)} + 4 AS g3,
+         10 + {_afp_md5_int("amp", "k", 10)} AS a1,
+         10 + {_afp_md5_int("amp", "k + 1", 10)} AS a2,
+         10 + {_afp_md5_int("amp", "k + 2", 10)} AS a3
+  FROM (SELECT doc_id, doc_id // 2 AS b, 12 + (doc_id // 2) % 5 AS kp
+        FROM documents),
+       range(13) r(k)
+  WHERE k <= kp - 1 - {AFP_NGRAM}
+)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(COUNT(*) AS INTEGER) AS n_shared
+FROM h a JOIN h c
+  ON a.g1 = c.g1 AND a.g2 = c.g2 AND a.g3 = c.g3
+ AND a.a1 = c.a1 AND a.a2 = c.a2 AND a.a3 = c.a3
+ AND a.doc_id < c.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {AFP_MIN_SHARED}
+"""
+
+
+@query("multimodal_audio_fingerprint_dedup", oracle=AUDIO_FINGERPRINT_ORACLE)
+def multimodal_audio_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shift-invariant audio dedup on real WAV bytes end-to-end: decode
+    each stream (``decode_wav_pcm`` — the gate-pinned parser), extract
+    landmark hashes from relative peak geometry (gap 3-grams + quantized
+    amplitudes — both unchanged by a time offset), and match documents
+    by counting DISTINCT shared hashes in a hash-bucket join. The
+    planted (2b, 2b+1) pairs — identical landmarks, per-base delay,
+    disjoint noise bytes — must each match with every hash shared (>= 9
+    distinct by construction); md5-derived per-base geometry keeps
+    cross-base overlap at <= 1 hash, so the >= 4 threshold admits
+    exactly the planted pairs. A matcher comparing absolute peak
+    POSITIONS instead of relative geometry finds nothing and fails the
+    row-count compare.
+
+    Scale: decode + hashing stay in the embarrassingly-parallel Arrow
+    shape; only (doc_id, 32-char hash) rows cross the exchange, and the
+    pair join is bucketed by hash (the LSH posture — never all-pairs).
+    Bucket width is bounded by hash selectivity, not corpus size."""
+    docs = table(spark, sf_dir, "documents")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        make_wav_landmark_bytes(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = decode_wav_pcm(bytes(payload))
+                if dec is None:
+                    continue  # fixture is all-valid; quarantine = drop
+                _, _, samples = dec
+                for hx in audio_landmark_hashes(samples[:, 0]):
+                    rows.append((int(doc_id), hx))
+            yield pd.DataFrame(rows, columns=["doc_id", "hsh"])
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    hash_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("hsh", T.StringType()),
+        ]
+    )
+    h = (
+        docs.select("doc_id")
+        .mapInPandas(synth, payload_schema)
+        .mapInPandas(hashes, hash_schema)
+        .distinct()
+    )
+    return (
+        h.alias("a")
+        .join(
+            h.alias("c"),
+            (F.col("a.hsh") == F.col("c.hsh"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+        .where(F.col("n_shared") >= AFP_MIN_SHARED)
+    )
+
+
 # --- cross-video frame dedup: exact keyframe dedup over decoded pixels ----
 #
 # THE frame-level dedup step of a video training pipeline: after decode,

@@ -3846,6 +3846,42 @@ def test_avi_mjpeg_truncation_and_tamper_quarantine():
     assert decode_avi_mjpeg(bytes(disagree)) is None
 
 
+def test_audio_fingerprint_matches_exactly_planted_pairs(spark, sf_dir):
+    """Landmark matching returns exactly the planted (2b, 2b+1) pairs —
+    no cross-base false positives survive the >= 4-shared threshold —
+    and every match shares at least the 9-hash construction floor."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_audio_fingerprint_dedup,
+    )
+
+    rows = multimodal_audio_fingerprint_dedup(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    n_docs = max(r.doc_b for r in rows) + 1 if rows else 0
+    want = {(2 * b, 2 * b + 1) for b in range((n_docs + 1) // 2)}
+    assert got == want
+    assert all(r.n_shared >= 9 for r in rows)
+
+
+def test_audio_landmark_hashes_shift_invariant():
+    """The hash extractor itself is time-shift invariant: any signal
+    prepended with sub-threshold padding yields identical hashes."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        audio_landmark_hashes,
+    )
+
+    rng_signal = np.zeros(300, dtype=np.int64)
+    for p, a in ((7, 1200), (19, 1500), (30, 1000), (44, 1900), (61, 1100)):
+        rng_signal[p] = a
+    base = audio_landmark_hashes(rng_signal)
+    assert len(base) == 2  # 5 peaks -> 4 gaps -> 2 gap 3-grams
+    shifted = np.concatenate([np.full(37, 50, dtype=np.int64), rng_signal])
+    assert audio_landmark_hashes(shifted) == base
+    # fewer than 4 peaks -> no hashes, never an error
+    assert audio_landmark_hashes(rng_signal[:20]) == []
+
+
 def test_video_frame_dedup_reunites_planted_variants(spark, sf_dir):
     """Cross-video frame dedup on decoded pixels: the three byte-
     different variants of each complete base share all four frame
