@@ -209,39 +209,26 @@ def stream_dfs_chunk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_dfs_sources(spark)
     docs = table(spark, sf_dir, "documents")
     # The chunk writer assigns indices contiguously in PARTITION order,
-    # and the oracle expects residue-class buckets in order (dense-ranked
-    # when a class is empty), so bucket b must land
-    # in partition b exactly. Hash partitioning maps values opaquely, so
-    # probe the session's actual placement with a 64-row job and route
-    # each bucket through a constant that lands where it belongs — all
+    # and the oracle expects residue-class buckets in ascending order
+    # (dense-ranked when a class is empty) — so partition the corpus by
+    # RANGE over the bucket value: repartitionByRange's partitions are
+    # ordered by key ascending as a PUBLIC semantic, which is exactly
+    # the contract the layout needs. (The r9-r12 version probed the
+    # session's opaque hash placement with a side job and routed buckets
+    # through constants — the engine-internal coupling the r12 review
+    # flagged; the range router removes the probe entirely.) All
     # corpus-sized work (md5, concat, sort) stays in codegen.
-    probe = (
-        spark.range(64)
-        .select(F.col("id").cast("int").alias("c"))
-        .repartition(4, "c")
-        .select("c", F.spark_partition_id().alias("p"))
-        .collect()
-    )
-    rep: dict[int, int] = {}
-    for r in probe:
-        rep.setdefault(r.p, r.c)
-    if sorted(rep) != [0, 1, 2, 3]:  # P(miss) ~ 4*(3/4)^64 — belt only
-        raise RuntimeError(f"hash-route probe missed a partition: {rep}")
-    route = F.element_at(
-        F.array(*[F.lit(rep[b]) for b in range(4)]),
-        (F.col("doc_id") % 4 + 1).cast("int"),
-    )
     lines = (
         docs.select(
             F.col("doc_id"),
-            route.alias("bucket_route"),
+            (F.col("doc_id") % 4).alias("bucket"),
             F.concat(
                 F.col("doc_id").cast("string"),
                 F.lit("\t"),
                 F.md5(F.col("text").cast("binary")),
             ).alias("line"),
         )
-        .repartition(4, "bucket_route")
+        .repartitionByRange(4, "bucket")
         .sortWithinPartitions("doc_id")
         .select("line")
     )
