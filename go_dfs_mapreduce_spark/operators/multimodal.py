@@ -3600,6 +3600,23 @@ def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — ~48 bytes per frame regardless of resolution, the same reduction
     the image phash op pins. Grouping is one hash-partitioned window
     over the fingerprint; no pairwise comparison anywhere."""
+    frames = _video_frame_fingerprints(spark, sf_dir)
+    w = Window.partitionBy("fingerprint")
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "fingerprint",
+        F.count(F.lit(1)).over(w).cast("int").alias("n_dup_frames"),
+        F.min("doc_id").over(w).alias("canonical_doc"),
+    )
+
+
+def _video_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, frame_idx, fingerprint) rows for the planted-duplicate
+    AVI fixture: synthesize + decode + canonical-pixel md5, all inside
+    two Arrow stages — the shared front end of the full and incremental
+    frame-dedup queries (in production this IS the persisted frame
+    index table)."""
     docs = table(spark, sf_dir, "documents")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3652,18 +3669,97 @@ def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("fingerprint", T.StringType()),
         ]
     )
-    frames = (
+    return (
         docs.select("doc_id")
         .mapInPandas(synth, payload_schema)
         .mapInPandas(fingerprints, frame_schema)
     )
-    w = Window.partitionBy("fingerprint")
-    return frames.select(
-        "doc_id",
-        "frame_idx",
+
+
+# boundary shared with the text incremental op: docs above 80% of max id
+# are "today's ingest" (ids grow over time in a real ingest log)
+VFD_SPLIT_NUM, VFD_SPLIT_DEN = 8, 10
+
+VIDEO_FRAME_INCREMENTAL_ORACLE = f"""
+WITH t AS (SELECT CAST((MAX(doc_id) * {VFD_SPLIT_NUM}) // {VFD_SPLIT_DEN}
+                       AS BIGINT) AS t
+           FROM documents),
+fr AS (
+  SELECT doc_id, r.f AS frame_idx,
+         doc_id // {VFRAME_VARIANTS} AS b,
+         (r.f + doc_id % {VFRAME_VARIANTS}) % {VFRAME_COUNT} AS content
+  FROM documents, range({VFRAME_COUNT}) r(f)
+)
+SELECT n.doc_id AS new_doc, CAST(n.frame_idx AS INTEGER) AS new_frame,
+       o.doc_id AS matched_doc, CAST(o.frame_idx AS INTEGER) AS matched_frame,
+       CASE WHEN o.doc_id <= (SELECT t FROM t) THEN 'corpus' ELSE 'batch' END
+         AS matched_in
+FROM fr n
+JOIN fr o ON n.b = o.b AND n.content = o.content AND o.doc_id < n.doc_id
+WHERE n.doc_id > (SELECT t FROM t)
+"""
+
+
+@query(
+    "multimodal_video_frame_dedup_incremental",
+    oracle=VIDEO_FRAME_INCREMENTAL_ORACLE,
+)
+def multimodal_video_frame_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous-ingestion frame dedup: match TODAY'S ingested videos
+    (docs above the id boundary — the ``dedup_incremental_new_docs``
+    split) against the standing FRAME INDEX without re-pairing the
+    corpus with itself. The index is pruned by a semi join to the
+    batch's fingerprints BEFORE any pair emission — a 100 TB video
+    corpus with a 0.1% daily ingest touches ~0.1% of its index rows —
+    then each new frame joins its surviving index bucket, keeping only
+    strictly-older matches (earlier-new-vs-new pairs included, the
+    batch provenance tagged). Emits (new_doc, new_frame, matched_doc,
+    matched_frame, matched_in corpus|batch) — the per-frame drop list
+    an ingest audit wants. The oracle restates matches from the planted
+    (base, content) geometry; equality with fingerprint matching holds
+    under the fixture's stated no-cross-base-collision bound.
+
+    Scale: the fingerprint stage covers the corpus here because the
+    gate recomputes the index per run; production reads the persisted
+    index table instead (``_video_frame_fingerprints`` is exactly that
+    table's builder) and pays only the new-batch decode."""
+    frames = _video_frame_fingerprints(spark, sf_dir)
+    thr = table(spark, sf_dir, "documents").agg(
+        F.expr(
+            f"(max(doc_id) * {VFD_SPLIT_NUM}) div {VFD_SPLIT_DEN}"
+        ).alias("t")
+    )
+    new_f = (
+        frames.join(F.broadcast(thr))
+        .where(F.col("doc_id") > F.col("t"))
+        .select(
+            F.col("doc_id").alias("new_doc"),
+            F.col("frame_idx").alias("new_frame"),
+            "fingerprint",
+        )
+    )
+    index = frames.join(
+        new_f.select("fingerprint"), "fingerprint", "left_semi"
+    ).select(
+        F.col("doc_id").alias("matched_doc"),
+        F.col("frame_idx").alias("matched_frame"),
         "fingerprint",
-        F.count(F.lit(1)).over(w).cast("int").alias("n_dup_frames"),
-        F.min("doc_id").over(w).alias("canonical_doc"),
+    )
+    return (
+        new_f.join(index, "fingerprint")
+        .where(F.col("matched_doc") < F.col("new_doc"))
+        .join(F.broadcast(thr))
+        .select(
+            "new_doc",
+            "new_frame",
+            "matched_doc",
+            "matched_frame",
+            F.when(F.col("matched_doc") <= F.col("t"), F.lit("corpus"))
+            .otherwise(F.lit("batch"))
+            .alias("matched_in"),
+        )
     )
 
 
