@@ -75,20 +75,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The exactly-50 queries the driver will record. Round-12 rotation
+# The exactly-50 queries the driver will record. Round-13 rotation
 # (the established pattern): 22 anchors keep one representative per
 # SURVEY §2 family green in every round's driver file; cumulative
-# driver verification reached 243/243 in r11, so the floating slots
-# carry (a) round-12's own new operators — every operator earns its
+# driver verification reached 263/263 in r12, so the floating slots
+# carry (a) round-13's own new operators — every operator earns its
 # driver row in the round it lands, the standing invariant; (b)
-# queries whose SEMANTICS or kernel changed this round and must
-# re-earn rows on the new behavior; and (c) names whose code paths
-# were touched this round WITHOUT semantic change, staying warm as
-# regression sentinels.
-# tests/test_rotation_ledger.py pins that nothing silently falls out;
-# the local gate still verifies every registered query every round —
-# driver rows are the externally-scored evidence. Order within the
-# list is presentation order only.
+# queries whose KERNEL changed this round and must re-earn rows on the
+# new behavior (dedup_clusters's fixpoint is now large-star/small-star
+# rounds; stream_dfs_chunk_tail's layout router is now
+# repartitionByRange instead of the hash-placement probe); (c) names
+# whose code paths were touched this round WITHOUT semantic change
+# (multimodal_image_phash_dedup's oracle gray formula single-sourced;
+# multimodal_pixels_png's synthesizer dropped the interlaced flag),
+# staying warm as regression sentinels; and (d) RECENCY slots — the
+# names whose latest driver row is oldest (all eight remaining r1
+# recordings and the twelve alphabetically-first r2 recordings), so
+# recency of external evidence keeps improving, not just coverage.
+# The local gate still verifies every registered query every round —
+# driver rows are the externally-scored evidence. Every name rotated
+# OUT of the r12 showcase retains its r1-r12 driver rows. Order within
+# the list is presentation order only.
 _DRIVER_SHOWCASE = (
     # --- 22 family anchors (recorded in every round) ---
     # reference parity: wordcount plugin family (Q1-Q6)
@@ -130,79 +137,55 @@ _DRIVER_SHOWCASE = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_scores",
-    # --- round-12's own NEW operators (the standing invariant: every
+    # --- round-13's own NEW operators (the standing invariant: every
     # operator earns its driver row in the round it lands; all green
-    # on the local gate). The late-session additions — priority
-    # sampling, the z-order layout audit, Y4M video decode — took the
-    # slots of three LSH-family sentinels (ann_lsh_calibrated_topk /
-    # ann_lsh_batch_topk / ann_calibrated_recall_audit, all
-    # driver-recorded in earlier rounds; ann_lsh_topk still anchors
-    # the family); the scene-cut detector took multimodal_pixels_gif's
-    # sentinel slot (GIF then RE-ENTERED as a re-earn when its
-    # interlace semantics changed); the stratified weighted sampler took
-    # stream_zscore_anomalies_live's (driver-recorded r9 + r11; cusum
-    # and first-occurrences keep the live family warm); HTML extraction
-    # took pq_adc_topk's (driver-recorded r11; ivf_pq_topk keeps the
-    # quantized family warm); the bloom audit took events_rate_limit's
-    # (driver-recorded r10 + r11; stream_rate_limit_live keeps the
-    # rate-limit pair warm) ---
-    "multimodal_pixels_jpeg420",
-    "multimodal_audio_wht",
-    "span_dedup_plan",
-    "span_dedup_apply",
-    "span_dedup_keep_owner",
-    "span_dedup_incremental",
-    "ivf_pq_residual_topk",
-    "ivf_pq_residual_rerank_topk",
-    "stream_rate_limit_eventtime_live",
-    "ivf_pq_rerank_topk",
-    "corpus_sample_weighted",
-    "corpus_sample_weighted_stratified",
-    "zorder_layout_audit",
-    "bloom_skipping_audit",
-    "multimodal_video_y4m",
-    "multimodal_video_scene_cuts",
-    "multimodal_gif_animation",
-    "multimodal_audio_vad",
+    # on the local gate): compressed-video decode (MJPEG-in-AVI),
+    # cross-video exact frame dedup on decoded pixels + its incremental
+    # ingest twin, and shift-invariant audio landmark fingerprinting ---
+    "multimodal_video_mjpeg",
+    "multimodal_video_frame_dedup",
+    "multimodal_video_frame_dedup_incremental",
+    "multimodal_audio_fingerprint_dedup",
+    # --- round-13 RE-EARN slots (kernel changed, results identical —
+    # the r11 convention): dedup_clusters's fixpoint is now alternating
+    # large-star/small-star rounds (O(log n), was O(diameter) label
+    # propagation); stream_dfs_chunk_tail's bucket router is now
+    # repartitionByRange (public ordering semantic) instead of the
+    # hash-placement probe the r12 review flagged ---
+    "dedup_clusters",
+    "stream_dfs_chunk_tail",
+    # --- touched-without-semantic-change sentinels: the phash oracle's
+    # gray formula was single-sourced (ADVICE r12) and the PNG
+    # synthesizer dropped its malformed-interlace flag — byte-identical
+    # outputs, but the code paths are warm this round ---
     "multimodal_image_phash_dedup",
-    "html_text_extraction",
-    # --- round-12 RE-EARN slots: ann_int8_rerank_topk's stage 1 became
-    # the map-side partial top-R Arrow kernel (results identical —
-    # top-R of per-batch top-Rs — but the kernel is new code and
-    # re-earns per the r11 convention), and ann_quantized_recall_audit
-    # gained the ivf_pq_rerank columns (schema + semantics extended) ---
-    "ann_int8_rerank_topk",
-    "ann_quantized_recall_audit",
-    # late r12: the PNG and GIF decoders gained real interlaced decode
-    # (Adam7 passes / Appendix E de-permutation) and their every-7th
-    # fixture docs flipped from pinned quarantine rows to full pixel
-    # rows — semantics changed, so both re-earn driver rows
     "multimodal_pixels_png",
-    "multimodal_pixels_gif",
-    # --- 4 floating slots (16 before the late-session operators and
-    # the PNG/GIF interlace re-earns took twelve; embedding_quantize_
-    # int8, stream_cusum_alarms_live, contamination_ngram_audit,
-    # multimodal_pixels_jpeg, and multimodal_pixels_bmp rotated out
-    # with r9-r12 driver rows intact — JPEG's 4:2:0 twin stays
-    # showcased, and the BMP decoder stays driver-exercised through
-    # the phash-dedup row that consumes it): code paths touched this
-    # round WITHOUT
-    # semantic change (regression sentinels — every name rotated OUT
-    # retains its r1-r11 driver rows). ivf_pq_topk was refactored
-    # through the shared _ivf_pq_adc helper and pq_adc_topk's
-    # _pq_codes_and_lut now feeds the rerank composition; the JPEG
-    # decoder was generalized to sampling factors (4:4:4 results
-    # byte-identical); contamination_ngram_audit now delegates to the
-    # parameterized contamination_audit; events_rate_limit's oracle
-    # builder gained the src parameter and stream_rate_limit_live's
-    # module gained the event-time twin (v1 kernel untouched);
-    # embedding_quantize_int8 is the quantization-rule source the
-    # rewritten int8 kernel consumes. The rest keep the quantized/LSH/
-    # streaming/multimodal families warm ---
-    "ivf_pq_topk",
-    "stream_rate_limit_live",
-    "ann_lsh_topk",
-    "stream_first_occurrences_live",
+    # --- 20 RECENCY slots: cumulative coverage has been 100% since
+    # r11, so floating slots now chase the OLDEST latest-driver-row.
+    # These are all eight names whose only driver rows are from r1 and
+    # the twelve alphabetically-first of the twenty-one r2-latest names
+    # (the remaining nine r2 names are first in line for r14; every
+    # name rotated out keeps its prior rows) ---
+    "dedup_ngram_jaccard",
+    "window_first_last_event",
+    "window_lag_delta",
+    "window_moving_avg",
+    "window_ntile_percentiles",
+    "window_running_total",
+    "wordcount_distinct",
+    "wordcount_topk",
+    "date_function_showcase",
+    "global_sort_orders",
+    "join_right_outer_counts",
+    "lang_id_heuristic",
+    "listagg_segments_per_nation",
+    "multimodal_binary_meta",
+    "multimodal_fake_features",
+    "multimodal_frame_sample",
+    "q10_returned_items",
+    "q5_local_supplier_volume",
+    "set_except_brands",
+    "set_intersect_all_custkeys",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT

@@ -253,6 +253,13 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         "multimodal_gif_animation",
         "multimodal_audio_vad",
         "multimodal_image_phash_dedup",
+        # round 13: MJPEG-AVI compressed-video decode, the cross-video
+        # frame-dedup pair built on it, and the audio landmark
+        # fingerprint extractor — same Arrow decode-stage class
+        "multimodal_video_mjpeg",
+        "multimodal_video_frame_dedup",
+        "multimodal_video_frame_dedup_incremental",
+        "multimodal_audio_fingerprint_dedup",
         # round 12: int8 stage 1 became the declared map-side partial
         # top-R Arrow kernel (the ann_cosine_batch_fast shape, r11
         # verdict #8); the quantized recall audit composes it
@@ -1572,3 +1579,66 @@ def test_cbo_column_stats_flip_join_strategy(spark, sf_dir):
         for k, v in saved.items():
             spark.conf.set(k, v)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_round13_operator_plan_contracts(spark, sf_dir):
+    """Plan pins for the round-13 operators: each keeps the structural
+    property its docstring claims."""
+    from go_dfs_mapreduce_spark.plans.audit import audit_plan
+
+    # multimodal_video_mjpeg: the module's two-Arrow-stage decode shape
+    # (synth + container/JPEG decode) over a 1-column scan, no exchange
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_audio_fingerprint_dedup,
+        multimodal_video_frame_dedup,
+        multimodal_video_frame_dedup_incremental,
+        multimodal_video_mjpeg,
+    )
+
+    a = audit_plan(multimodal_video_mjpeg(spark, sf_dir))
+    assert a["plan"].count("MapInPandas (") == 2
+    assert a["n_exchanges"] == 0
+    assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]
+
+    # frame dedup: the fingerprint frame arrives from the persisted
+    # session memo (InMemoryTableScan — decode runs once per session,
+    # not once per consumer lineage), then one window over the
+    # fingerprint — never a pairwise join
+    a = audit_plan(multimodal_video_frame_dedup(spark, sf_dir))
+    assert "InMemoryTableScan" in a["plan"]
+    assert "Window" in a["plan"]
+    assert "Join" not in a["plan"]
+
+    # incremental frame dedup: index pruned by a LeftSemi BEFORE the
+    # pair join; all three consumers of the fingerprint frame read the
+    # SAME persisted memo (no decode re-run per lineage); the 1-row
+    # batch threshold rides broadcasts — never a cartesian of data rows
+    a = audit_plan(multimodal_video_frame_dedup_incremental(spark, sf_dir))
+    assert "LeftSemi" in a["plan"]
+    # the memo shows up as InMemoryTableScan consumers (the cached
+    # relation's stored description still names its MapInPandas build)
+    assert "InMemoryTableScan" in a["plan"]
+    assert a["plan"].count("BroadcastNestedLoopJoin Inner BuildRight (") >= 2
+    assert "CartesianProduct" not in a["plan"]
+
+    # audio fingerprint: both self-join sides read the persisted hash
+    # index (decode once), pair candidates come from the hash-bucket
+    # equi-join — no cartesian anywhere
+    a = audit_plan(multimodal_audio_fingerprint_dedup(spark, sf_dir))
+    assert "InMemoryTableScan" in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+    assert "SortMergeJoin" in a["plan"] or "ShuffledHashJoin" in a["plan"] \
+        or "BroadcastHashJoin" in a["plan"]
+
+    # dedup_clusters' star rounds: driver loop, so pin the KERNEL
+    # instead — one large-star round is two keyed aggregates + a
+    # distinct, all hash exchanges, zero Python stages
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.dedup import _cc_large_star
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    a = audit_plan(_cc_large_star(e))
+    assert not a["has_python_worker"]
+    assert "CartesianProduct" not in a["plan"]
+    assert "HashAggregate" in a["plan"]

@@ -134,6 +134,12 @@ PLAN_QUERIES = [
     "multimodal_gif_animation",
     "multimodal_audio_vad",
     "multimodal_image_phash_dedup",
+    # round 13
+    "multimodal_video_mjpeg",
+    "multimodal_video_frame_dedup",
+    "multimodal_video_frame_dedup_incremental",
+    "multimodal_audio_fingerprint_dedup",
+    "dedup_clusters",
 ]
 
 
