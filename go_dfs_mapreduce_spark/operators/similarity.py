@@ -1343,7 +1343,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is (broadcast centroids) x (one pass over vectors) ->
     per-cluster partial sums — at 100 TB the per-iteration cost is one
     scan + one |K x dims| aggregate, and more iterations are the same
-    plan repeated (cf. dedup_clusters' bounded label propagation for the
+    plan repeated (cf. dedup_clusters' bounded star-round fixpoint for the
     loop-until-converged variant).
 
     Plan shape: centroids stay driver-free (broadcast joins of K rows),
