@@ -3318,6 +3318,290 @@ def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- keyframe extraction: the manifest downstream of shot detection -------
+
+KEYFRAME_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         (doc_id % 9 + 1) * 2 AS w,
+         (doc_id % 7 + 1) * 2 AS h,
+         doc_id % 5 + 2 AS nf,
+         CASE WHEN doc_id % 3 = 0 THEN doc_id % 5 + 2
+              ELSE (doc_id % 5 + 2) // 2 END AS s,
+         doc_id % 3 <> 0 AS has2
+  FROM documents
+),
+shots AS (
+  SELECT doc_id, w, h, s, CAST(r.k AS INTEGER) AS shot_idx,
+         CASE WHEN r.k = 0 THEN 0 ELSE s END AS start_frame,
+         CASE WHEN r.k = 0 THEN (CASE WHEN has2 THEN s ELSE nf END)
+              ELSE nf - s END AS n_frames
+  FROM base, range(2) r(k)
+  WHERE r.k = 0 OR has2
+)
+SELECT doc_id, shot_idx,
+       CAST(start_frame AS INTEGER) AS start_frame,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(list_sum(flatten(list_transform(range(0, h), y ->
+              list_transform(range(0, w), x ->
+                ((doc_id + 2 * x + 3 * y) % 80 + {SCENE_STEP} * start_frame
+                 + CASE WHEN start_frame >= s THEN {SCENE_JUMP} ELSE 0 END)
+                * (x + w * y + 1))))) % {BMP_CHECK_MOD} AS BIGINT)
+         AS key_checksum
+FROM shots
+"""
+
+
+@query("multimodal_video_keyframes", oracle=KEYFRAME_ORACLE)
+def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe extraction — the manifest a video training pipeline
+    actually materializes downstream of shot detection: decode each Y4M
+    stream, find shot boundaries (the scene-cut SAD threshold the
+    detector query pins), and emit ONE ROW PER SHOT with its first
+    frame's index, the shot length, and the position-weighted checksum
+    of the keyframe's luma (the content a frame encoder would consume —
+    a wrong keyframe choice or an off-by-one shot boundary produces the
+    wrong checksum). Two-thirds of docs carry the injected midpoint cut
+    (two shots); one third are single-shot.
+
+    Scale: per-payload decode + segmentation inside Arrow batches, one
+    output row per shot — only (doc_id, shot_idx, frame, len, checksum)
+    crosses the boundary; no cross-row state, no exchange."""
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        make_y4m_scene_bytes(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def keyframes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = decode_y4m(bytes(payload))
+                if dec is None:
+                    continue  # fixture is all-valid; quarantine = drop
+                w, h, frames = dec
+                lumas = [f[0].astype(np.int64) for f in frames]
+                thresh = w * h * SCENE_CUT_PER_PIXEL
+                starts = [0] + [
+                    f
+                    for f in range(1, len(frames))
+                    if int(np.abs(lumas[f] - lumas[f - 1]).sum()) > thresh
+                ]
+                bounds = starts + [len(frames)]
+                wgt = np.arange(w * h, dtype=np.int64).reshape(h, w) + 1
+                for k, f0 in enumerate(starts):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            k,
+                            f0,
+                            bounds[k + 1] - f0,
+                            int((lumas[f0] * wgt).sum() % BMP_CHECK_MOD),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "shot_idx",
+                    "start_frame",
+                    "n_frames",
+                    "key_checksum",
+                ],
+            )
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("shot_idx", T.IntegerType()),
+            T.StructField("start_frame", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("key_checksum", T.LongType()),
+        ]
+    )
+    return (
+        docs.select("doc_id")
+        .mapInPandas(synth, payload_schema)
+        .mapInPandas(keyframes, out_schema)
+    )
+
+
+# --- timed text (SRT subtitles): the caption modality ---------------------
+#
+# Video-caption training data arrives as SubRip (.srt) sidecars: numbered
+# cues, "HH:MM:SS,mmm --> HH:MM:SS,mmm" timing lines, multi-line text
+# payloads separated by blank lines. Parsing + timing/character stats is
+# the alignment-prep step before captions are paired with frames. The
+# synthesizer writes REAL SRT byte streams with closed-form cue geometry
+# and text, so the oracle restates every feature — including the md5 of
+# the concatenated caption text, which catches a parser that drops a
+# cue, merges text lines wrongly, or mis-orders cues.
+
+SRT_CUE_SPACING_MS = 1700  # cue i starts at i*1700 + phase; durations < 1700
+
+
+def make_srt_bytes(doc_id: int) -> bytes:
+    """A REAL SRT stream: nc = doc_id % 4 + 2 cues; cue i starts at
+    137*(doc_id % 13) + 1700*i ms and lasts 800 + 90*((doc_id + i) % 5)
+    ms (always under the spacing — cues never overlap); text is two
+    lines, 'cue {i} of doc {doc_id}' and 'pace {(7*doc_id + i) % 100}'.
+    Every 9th doc REVERSES the middle cue's timestamps (end before
+    start) — the malformed arm the parser must quarantine."""
+    nc = doc_id % 4 + 2
+    phase = 137 * (doc_id % 13)
+    out = []
+    for i in range(nc):
+        start = phase + SRT_CUE_SPACING_MS * i
+        end = start + 800 + 90 * ((doc_id + i) % 5)
+        if doc_id % 9 == 0 and i == nc // 2:
+            start, end = end, start
+        out.append(
+            f"{i + 1}\n{_srt_ts(start)} --> {_srt_ts(end)}\n"
+            f"cue {i} of doc {doc_id}\npace {(7 * doc_id + i) % 100}\n"
+        )
+    return "\n".join(out).encode("ascii")
+
+
+def _srt_ts(ms: int) -> str:
+    s, ms = divmod(ms, 1000)
+    m, s = divmod(s, 60)
+    h, m = divmod(m, 60)
+    return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
+
+
+def parse_srt(b: bytes):
+    """Strict SubRip parse: blocks separated by blank lines, each block
+    an index line (sequential from 1), a timing line
+    'HH:MM:SS,mmm --> HH:MM:SS,mmm', and at least one text line.
+    Quarantine -> None (never raise) on: non-UTF8, a non-sequential or
+    non-numeric index, a malformed timing line, end <= start, an empty
+    text payload, or an empty file. Returns a list of
+    (start_ms, end_ms, text) with text's internal newlines preserved."""
+    import re
+
+    try:
+        s = b.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    ts = r"(\d{2}):(\d{2}):(\d{2}),(\d{3})"
+    timing = re.compile(rf"^{ts} --> {ts}$")
+    cues = []
+    blocks = [blk for blk in s.split("\n\n") if blk.strip("\n")]
+    if not blocks:
+        return None
+    for k, blk in enumerate(blocks):
+        lines = blk.split("\n")
+        if lines and lines[-1] == "":
+            lines = lines[:-1]  # trailing newline of the final block
+        if len(lines) < 3 or lines[0] != str(k + 1):
+            return None
+        m = timing.match(lines[1])
+        if not m:
+            return None
+        g = [int(v) for v in m.groups()]
+        start = ((g[0] * 60 + g[1]) * 60 + g[2]) * 1000 + g[3]
+        end = ((g[4] * 60 + g[5]) * 60 + g[6]) * 1000 + g[7]
+        if end <= start or any(v >= 60 for v in (g[1], g[2], g[5], g[6])):
+            return None
+        text = "\n".join(lines[2:])
+        if not text:
+            return None
+        cues.append((start, end, text))
+    return cues
+
+
+_SRT_TEXT_DUCK = (
+    "'cue ' || i || ' of doc ' || doc_id || chr(10) "
+    "|| 'pace ' || (7 * doc_id + i) % 100"
+)
+
+SRT_ORACLE = f"""
+SELECT doc_id,
+  CAST(CASE WHEN q THEN -1 ELSE nc END AS INTEGER) AS n_cues,
+  CAST(CASE WHEN q THEN -1 ELSE phase END AS BIGINT) AS first_start_ms,
+  CAST(CASE WHEN q THEN -1 ELSE
+    phase + {SRT_CUE_SPACING_MS} * (nc - 1)
+          + 800 + 90 * ((doc_id + nc - 1) % 5) END AS BIGINT) AS last_end_ms,
+  CAST(CASE WHEN q THEN -1 ELSE
+    list_sum(list_transform(range(0, nc), i ->
+      800 + 90 * ((doc_id + i) % 5))) END AS BIGINT) AS speech_ms,
+  CAST(CASE WHEN q THEN -1 ELSE
+    list_sum(list_transform(range(0, nc), i ->
+      length({_SRT_TEXT_DUCK}))) END AS BIGINT) AS n_chars,
+  CASE WHEN q THEN '' ELSE
+    md5(array_to_string(list_transform(range(0, nc), i ->
+      {_SRT_TEXT_DUCK}), chr(10))) END AS text_md5
+FROM (SELECT doc_id, doc_id % 4 + 2 AS nc, 137 * (doc_id % 13) AS phase,
+             doc_id % 9 = 0 AS q
+      FROM documents)
+"""
+
+
+@query("multimodal_subtitle_srt", oracle=SRT_ORACLE)
+def multimodal_subtitle_srt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed-text decode end-to-end: synthesize real SRT sidecars, parse
+    the actual byte format back (sequential indices, strict timing
+    lines, multi-line payloads), and emit the caption-alignment features
+    a video-caption pipeline extracts: cue count, span (first start /
+    last end), total speech time, character volume, and the md5 of the
+    ordered concatenated text (a parser that drops, merges, or reorders
+    cues produces the right counts elsewhere but the wrong digest).
+    Every 9th doc carries a reversed middle timing (end before start)
+    and must come back as the quarantine row — stated in the oracle.
+
+    Scale: the universal decode-stage shape — two Arrow stages over a
+    1-column scan, features-only across the boundary, zero exchanges."""
+    import hashlib
+
+    docs = table(spark, sf_dir, "documents")
+
+    def row_fn(b: bytes):
+        cues = parse_srt(b)
+        if cues is None:
+            # explicit quarantine tuple: the shared -1 fill would put an
+            # int into the string digest column; '' is the stated value
+            return (-1, -1, -1, -1, -1, "")
+        texts = [t for _, _, t in cues]
+        return (
+            len(cues),
+            cues[0][0],
+            cues[-1][1],
+            sum(e - s for s, e, _ in cues),
+            sum(len(t) for t in texts),
+            hashlib.md5("\n".join(texts).encode("utf-8")).hexdigest(),
+        )
+
+    return _payload_feature_pipeline(
+        docs,
+        make_srt_bytes,
+        row_fn,
+        [
+            ("n_cues", T.IntegerType()),
+            ("first_start_ms", T.LongType()),
+            ("last_end_ms", T.LongType()),
+            ("speech_ms", T.LongType()),
+            ("n_chars", T.LongType()),
+            ("text_md5", T.StringType()),
+        ],
+    )
+
+
 # --- audio landmark fingerprinting: shift-invariant match over real PCM ---
 #
 # The audio twin of near-dup detection: find recordings that contain the

@@ -260,6 +260,8 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         "multimodal_video_frame_dedup",
         "multimodal_video_frame_dedup_incremental",
         "multimodal_audio_fingerprint_dedup",
+        "multimodal_video_keyframes",
+        "multimodal_subtitle_srt",
         # round 12: int8 stage 1 became the declared map-side partial
         # top-R Arrow kernel (the ann_cosine_batch_fast shape, r11
         # verdict #8); the quantized recall audit composes it

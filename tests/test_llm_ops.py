@@ -3846,6 +3846,58 @@ def test_avi_mjpeg_truncation_and_tamper_quarantine():
     assert decode_avi_mjpeg(bytes(disagree)) is None
 
 
+def test_srt_parse_roundtrip_and_quarantine():
+    """The SRT parser recovers every planted cue (timing + multi-line
+    text) bit-exactly and quarantines malformed streams — reversed
+    timestamps, broken timing arrows, non-sequential indices, trailing
+    garbage blocks, non-UTF8 — without raising."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        make_srt_bytes,
+        parse_srt,
+    )
+
+    for d in (1, 2, 3, 4, 5, 10, 13, 42):
+        cues = parse_srt(make_srt_bytes(d))
+        if d % 9 == 0:
+            assert cues is None
+            continue
+        assert len(cues) == d % 4 + 2
+        phase = 137 * (d % 13)
+        for i, (s, e, t) in enumerate(cues):
+            assert s == phase + 1700 * i
+            assert e == s + 800 + 90 * ((d + i) % 5)
+            assert t == f"cue {i} of doc {d}\npace {(7 * d + i) % 100}"
+    assert parse_srt(make_srt_bytes(0)) is None  # reversed middle cue
+    assert parse_srt(b"") is None
+    assert parse_srt(b"\xff\xfe junk") is None
+    b = make_srt_bytes(3)
+    assert parse_srt(b + b"\n\nnot-a-cue") is None
+    assert parse_srt(b.replace(b"-->", b"->")) is None
+    assert parse_srt(b.replace(b"1\n00:", b"7\n00:", 1)) is None
+
+
+def test_video_keyframes_match_scene_truth(spark, sf_dir):
+    """The keyframe manifest recovers the injected shot structure: docs
+    with doc_id % 3 != 0 yield two shots split at nf // 2, the rest one
+    full-length shot; shot lengths partition the frame count."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_video_keyframes,
+    )
+
+    rows = multimodal_video_keyframes(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, shots in by_doc.items():
+        nf = d % 5 + 2
+        shots.sort(key=lambda r: r.shot_idx)
+        assert sum(r.n_frames for r in shots) == nf
+        if d % 3:
+            assert [r.start_frame for r in shots] == [0, nf // 2]
+        else:
+            assert [r.start_frame for r in shots] == [0]
+
+
 def test_audio_fingerprint_matches_exactly_planted_pairs(spark, sf_dir):
     """Landmark matching returns exactly the planted (2b, 2b+1) pairs —
     no cross-base false positives survive the >= 4-shared threshold —

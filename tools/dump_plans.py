@@ -139,6 +139,8 @@ PLAN_QUERIES = [
     "multimodal_video_frame_dedup",
     "multimodal_video_frame_dedup_incremental",
     "multimodal_audio_fingerprint_dedup",
+    "multimodal_video_keyframes",
+    "multimodal_subtitle_srt",
     "dedup_clusters",
 ]
 
