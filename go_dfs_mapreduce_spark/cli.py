@@ -174,6 +174,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-n", "--limit", type=int, default=20)
 
     p = sub.add_parser(
+        "analyze",
+        help="register sf parquet tables in the catalog and ANALYZE them "
+        "(row counts + column stats — the CBO food; see "
+        "sources/catalog_stats.py)",
+    )
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--db", default="sf_stats")
+    p.add_argument(
+        "--no-columns",
+        action="store_true",
+        help="compute only row counts / sizes, skip per-column stats",
+    )
+
+    p = sub.add_parser(
         "derived", help="inspect / clean the derived-table warehouse"
     )
     p.add_argument("action", choices=["ls", "gc"])
@@ -270,6 +284,21 @@ def main(argv: list[str] | None = None) -> int:
 
         register_temp_views(spark, args.sf_dir)
         spark.sql(args.statement).show(args.limit, truncate=False)
+    elif args.cmd == "analyze":
+        from .sources.catalog_stats import (
+            TPCH_TABLES,
+            analyze_tables,
+            register_parquet_catalog,
+        )
+
+        register_parquet_catalog(spark, args.db, args.sf_dir)
+        analyze_tables(spark, args.db, columns=not args.no_columns)
+        for t in TPCH_TABLES:
+            row = spark.sql(f"DESCRIBE EXTENDED {args.db}.{t}").where(
+                "col_name = 'Statistics'"
+            ).collect()
+            stats = row[0]["data_type"] if row else "none"
+            print(json.dumps({"table": f"{args.db}.{t}", "statistics": stats}))
     return 0
 
 

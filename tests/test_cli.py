@@ -409,3 +409,22 @@ def test_cli_mr_dist_grep_example(spark, tmp_path, wh_root, capsys):
     assert "app.log:4: panic: out of memory" in lines
     # non-matching lines emitted nothing
     assert not any("boot ok" in l or "all good" in l for l in lines)
+
+
+def test_cli_analyze_reports_statistics(spark, wh_root, capsys, sf_dir):
+    """The analyze verb registers the sf tables as catalog externals,
+    runs ANALYZE over them, and reports catalog statistics (bytes +
+    rows) per table — the nightly CBO-stats job surface."""
+    db = "cli_analyze_t"
+    try:
+        rc, out = _run(
+            capsys, "--warehouse", wh_root, "analyze",
+            "--sf-dir", sf_dir, "--db", db,
+        )
+        assert rc == 0
+        rows = [json.loads(ln) for ln in out.splitlines() if ln.startswith("{")]
+        assert len(rows) == 7
+        li = next(r for r in rows if r["table"] == f"{db}.lineitem")
+        assert "rows" in li["statistics"] and "bytes" in li["statistics"]
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
