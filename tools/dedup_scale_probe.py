@@ -195,6 +195,36 @@ def _cc_probe(spark, ns) -> None:
         )
 
 
+def _cc_random_probe(spark, ns) -> None:
+    """Star-rounds CC on BULK random graphs (the non-pathological case
+    at probe scale): N nodes, 3N hash-derived random edges — a giant
+    component plus fringe. Reports rounds + wall per N; rounds should
+    stay single-digit as N grows 100x while per-round cost is the only
+    thing scaling (two keyed aggregations + a distinct)."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.dedup import connected_components
+
+    for n in ns:
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        edges = spark.range(3 * n).select(
+            F.expr(f"cast(xxhash64(id, 17) % {n} as long)").alias("a"),
+            F.expr(f"cast(xxhash64(id, 31) % {n} as long)").alias("b"),
+        ).select(F.abs("a").alias("a"), F.abs("b").alias("b"))
+        t0 = time.time()
+        labels, rounds = connected_components(nodes, edges, max_rounds=64)
+        n_comp = labels.select("cluster").distinct().count()
+        wall = time.time() - t0
+        print(
+            json.dumps(
+                {"op": "ccrand", "nodes": n, "edges": 3 * n,
+                 "rounds": rounds, "components": n_comp,
+                 "wall_sec": round(wall, 2)}
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     args = sys.argv[1:]
     ops = ["minhash"]
@@ -205,6 +235,10 @@ def main() -> None:
     spark = get_spark("dedup-scale-probe")
     if ops == ["cc"]:
         _cc_probe(spark, ks if args else [256, 1024, 4096])
+        spark.stop()
+        return
+    if ops == ["ccrand"]:
+        _cc_random_probe(spark, ks if args else [100_000, 1_000_000, 10_000_000])
         spark.stop()
         return
     from go_dfs_mapreduce_spark.operators.dedup import (
