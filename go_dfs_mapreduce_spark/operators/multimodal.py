@@ -3602,6 +3602,193 @@ def multimodal_subtitle_srt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- caption-frame alignment: the cross-modal pairing join ----------------
+#
+# The step that actually MAKES video-caption training pairs: align each
+# decoded frame with the caption cue whose interval covers the frame's
+# timestamp. Both sides arrive from REAL byte decoders (decode_y4m for
+# frames at the container's 25 fps, parse_srt for cue intervals), and
+# the pairing is an interval-containment join keyed by doc — the same
+# plan family as range_join_event_pairs, applied across modalities.
+
+CAPTION_FPS = 25  # the Y4M fixture's F25:1 header: frame f covers 40f ms
+CAPTION_CUE_MS = 80  # aligned fixture: cue i covers [80i, 80i + 70)
+CAPTION_CUE_GAP_MS = 10
+
+
+def make_srt_aligned_bytes(doc_id: int) -> bytes:
+    """An SRT sidecar time-aligned to the Y4M decode fixture
+    (``make_y4m_bytes``, nf = doc_id % 5 + 2 frames at 25 fps): cue i
+    covers [80i, 80i + 70) ms, three cues — enough that every frame
+    midpoint (40f + 20) falls inside cue f // 2. Text per cue:
+    'cap {i} of doc {doc_id}'."""
+    out = []
+    for i in range(3):
+        start = CAPTION_CUE_MS * i
+        end = start + CAPTION_CUE_MS - CAPTION_CUE_GAP_MS
+        out.append(
+            f"{i + 1}\n{_srt_ts(start)} --> {_srt_ts(end)}\n"
+            f"cap {i} of doc {doc_id}\n"
+        )
+    return "\n".join(out).encode("ascii")
+
+
+CAPTION_ALIGN_ORACLE = f"""
+WITH frames AS (
+  SELECT doc_id, r.f AS f, 40 * r.f + 20 AS mid_ms,
+         w, h
+  FROM (SELECT doc_id, doc_id % 5 + 2 AS nf,
+               (doc_id % 9 + 1) * 2 AS w, (doc_id % 7 + 1) * 2 AS h
+        FROM documents), range(6) r(f)
+  WHERE r.f < nf
+),
+cues AS (
+  SELECT doc_id, r.i AS cue_idx,
+         {CAPTION_CUE_MS} * r.i AS start_ms,
+         {CAPTION_CUE_MS} * r.i + {CAPTION_CUE_MS - CAPTION_CUE_GAP_MS}
+           AS end_ms,
+         'cap ' || r.i || ' of doc ' || doc_id AS cap_text
+  FROM documents, range(3) r(i)
+)
+SELECT fr.doc_id, CAST(fr.f AS INTEGER) AS frame_idx,
+       CAST(c.cue_idx AS INTEGER) AS cue_idx,
+       c.cap_text,
+       CAST(list_sum(flatten(list_transform(range(0, fr.h), y ->
+              list_transform(range(0, fr.w), x ->
+                ((fr.doc_id + 2 * x + 3 * y + 17 * fr.f) % 256)
+                * (x + fr.w * y + 1))))) % {BMP_CHECK_MOD} AS BIGINT)
+         AS frame_checksum
+FROM frames fr
+JOIN cues c ON c.doc_id = fr.doc_id
+          AND fr.mid_ms >= c.start_ms AND fr.mid_ms < c.end_ms
+"""
+
+
+@query("multimodal_caption_alignment", oracle=CAPTION_ALIGN_ORACLE)
+def multimodal_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal caption-frame alignment end-to-end: decode the video
+    side (real Y4M bytes -> per-frame timestamps at the container's
+    declared 25 fps + the frame's position-weighted luma checksum) and
+    the caption side (real SRT bytes -> cue intervals + text), then
+    pair them with an interval-containment join on (doc, time) — each
+    frame matches the cue covering its midpoint. This IS the
+    training-pair materialization step for a video-caption model; the
+    oracle restates both decoders' closed forms and the join, so a
+    timestamp off by one frame, a dropped cue, or a wrong fps constant
+    mis-pairs and fails the hash.
+
+    Scale: each modality decodes in its own Arrow stage over a 1-column
+    scan; the join is doc-keyed equi + interval predicate (the
+    range-join family) — cue counts per doc are tiny, so the pairing is
+    broadcast-friendly and never quadratic in frames."""
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents")
+
+    def synth_v(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [make_y4m_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def frames_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = decode_y4m(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, fr = dec
+                wgt = np.arange(w * h, dtype=np.int64).reshape(h, w) + 1
+                for f, planes in enumerate(fr):
+                    luma = planes[0].astype(np.int64)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            f,
+                            1000 * f // CAPTION_FPS + 20,
+                            int((luma * wgt).sum() % BMP_CHECK_MOD),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "mid_ms", "frame_checksum"]
+            )
+
+    def synth_s(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        make_srt_aligned_bytes(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def cues_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                cues = parse_srt(bytes(payload))
+                if cues is None:
+                    continue
+                for i, (s, e, text) in enumerate(cues):
+                    rows.append((int(doc_id), i, s, e, text))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "cue_idx", "start_ms", "end_ms", "cap_text"],
+            )
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    frames = (
+        docs.select("doc_id")
+        .mapInPandas(synth_v, payload_schema)
+        .mapInPandas(
+            frames_fn,
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("frame_idx", T.IntegerType()),
+                    T.StructField("mid_ms", T.LongType()),
+                    T.StructField("frame_checksum", T.LongType()),
+                ]
+            ),
+        )
+    )
+    cues = (
+        docs.select("doc_id")
+        .mapInPandas(synth_s, payload_schema)
+        .mapInPandas(
+            cues_fn,
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("cue_idx", T.IntegerType()),
+                    T.StructField("start_ms", T.LongType()),
+                    T.StructField("end_ms", T.LongType()),
+                    T.StructField("cap_text", T.StringType()),
+                ]
+            ),
+        )
+    )
+    return (
+        frames.join(cues, "doc_id")
+        .where(
+            (F.col("mid_ms") >= F.col("start_ms"))
+            & (F.col("mid_ms") < F.col("end_ms"))
+        )
+        .select("doc_id", "frame_idx", "cue_idx", "cap_text", "frame_checksum")
+    )
+
+
 # --- audio landmark fingerprinting: shift-invariant match over real PCM ---
 #
 # The audio twin of near-dup detection: find recordings that contain the

@@ -3898,6 +3898,28 @@ def test_video_keyframes_match_scene_truth(spark, sf_dir):
             assert [r.start_frame for r in shots] == [0]
 
 
+def test_caption_alignment_pairs_every_frame_once(spark, sf_dir):
+    """The cross-modal alignment join pairs EVERY decoded frame with
+    exactly one cue — the one covering its midpoint (cue = frame // 2
+    under the aligned fixture) — and carries that cue's parsed text."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_caption_alignment,
+    )
+
+    rows = multimodal_caption_alignment(spark, sf_dir).collect()
+    seen: dict[tuple[int, int], int] = {}
+    for r in rows:
+        key = (r.doc_id, r.frame_idx)
+        assert key not in seen  # exactly one cue per frame
+        seen[key] = r.cue_idx
+        assert r.cue_idx == r.frame_idx // 2
+        assert r.cap_text == f"cap {r.cue_idx} of doc {r.doc_id}"
+    docs = {d for d, _ in seen}
+    for d in docs:  # no frame dropped by the join
+        nf = d % 5 + 2
+        assert {(d, f) for f in range(nf)} <= set(seen)
+
+
 def test_audio_fingerprint_matches_exactly_planted_pairs(spark, sf_dir):
     """Landmark matching returns exactly the planted (2b, 2b+1) pairs —
     no cross-base false positives survive the >= 4-shared threshold —

@@ -141,6 +141,7 @@ PLAN_QUERIES = [
     "multimodal_audio_fingerprint_dedup",
     "multimodal_video_keyframes",
     "multimodal_subtitle_srt",
+    "multimodal_caption_alignment",
     "dedup_clusters",
 ]
 
