@@ -1208,3 +1208,76 @@ def test_gif_animation_composite_and_truncation_property(doc_id, cut):
     assert np.array_equal(canvas, expect)
     assert np.array_equal(palette[:, 0], np.arange(256, dtype=np.uint8))
     assert decode_gif_frames(b[: cut % len(b)]) is None
+
+
+@settings(deadline=None, max_examples=40)
+@given(doc_id=st.integers(0, 10**6), cut=st.floats(0.01, 0.99))
+def test_avi_mjpeg_roundtrip_and_truncation_property(doc_id, cut):
+    """Every fixture AVI either roundtrips every frame's block-constant
+    formula bit-exactly (non-quarantine docs, both index arms) or
+    quarantines (the every-7th progressive arm), and any proper prefix
+    quarantines under the strict RIFF-size rule."""
+    import numpy as np
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        AVI_FRAME_SEED_STEP,
+        decode_avi_mjpeg,
+        make_avi_mjpeg_bytes,
+    )
+
+    b = make_avi_mjpeg_bytes(doc_id)
+    dec = decode_avi_mjpeg(b)
+    if doc_id % 7 == 0:
+        assert dec is None
+    else:
+        w, h, frames = dec
+        assert (w, h) == (doc_id % 21 + 4, doc_id % 17 + 4)
+        assert len(frames) == doc_id % 4 + 2
+        xs = np.arange(w).reshape(1, w)
+        ys = np.arange(h).reshape(h, 1)
+        for f, px in enumerate(frames):
+            seed = doc_id + AVI_FRAME_SEED_STEP * f
+            assert np.array_equal(
+                np.asarray(px), (seed + 2 * (xs // 8) + 3 * (ys // 8)) % 256
+            )
+    assert decode_avi_mjpeg(b[: int(len(b) * cut)]) is None
+
+
+@settings(deadline=None, max_examples=60)
+@given(doc_id=st.integers(0, 10**6), cut=st.floats(0.01, 0.99))
+def test_srt_roundtrip_and_truncation_property(doc_id, cut):
+    """Every fixture SRT either roundtrips all cue timings and texts
+    exactly or quarantines (the every-9th reversed-timestamp arm);
+    truncation never raises (it either quarantines or yields a valid
+    prefix of whole cues — SRT has no trailer, so a clean cut between
+    blocks IS a well-formed shorter file)."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        make_srt_bytes,
+        parse_srt,
+    )
+
+    b = make_srt_bytes(doc_id)
+    cues = parse_srt(b)
+    if doc_id % 9 == 0:
+        assert cues is None
+    else:
+        nc = doc_id % 4 + 2
+        assert len(cues) == nc
+        phase = 137 * (doc_id % 13)
+        for i, (s, e, t) in enumerate(cues):
+            assert s == phase + 1700 * i
+            assert e == s + 800 + 90 * ((doc_id + i) % 5)
+            assert t == (
+                f"cue {i} of doc {doc_id}\npace {(7 * doc_id + i) % 100}"
+            )
+    trunc = parse_srt(b[: int(len(b) * cut)])
+    if trunc is not None and doc_id % 9 != 0:
+        # a surviving parse must be a cue-prefix of the original: exact
+        # timings, exact texts except the final cue's, which may be cut
+        # mid-text (SRT carries no length fields, so a shorter text is
+        # indistinguishable from a shorter caption — inherent to the
+        # format, unlike the length-framed binary containers)
+        assert [c[:2] for c in trunc] == [c[:2] for c in cues[: len(trunc)]]
+        for k, (_, _, t) in enumerate(trunc[:-1]):
+            assert t == cues[k][2]
+        assert cues[len(trunc) - 1][2].startswith(trunc[-1][2])
