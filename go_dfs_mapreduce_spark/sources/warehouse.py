@@ -413,12 +413,31 @@ class Warehouse:
 
     # -- diagnostics -------------------------------------------------------
     def info(self) -> list[dict]:
-        """Per-executor report (the reference's per-node `info`,
-        cn/dfs_actions.go:226-282)."""
+        """Per-executor report — field-for-field the reference's
+        per-node `info` (cn/dfs_actions.go:226-282: free space, chunks
+        served, busy time since start): here each executor reports its
+        task-serving counts, cumulative busy epoch (total task wall
+        time), and memory capacity/usage from the app status store —
+        the Spark-native soft state the reference rebuilds from
+        heartbeats."""
         sc = self.spark.sparkContext
-        return [
-            {"executor": e} for e in sorted(sc._jsc.sc().getExecutorMemoryStatus().keySet().toString()[4:-1].split(", "))
-        ]
+        store = sc._jsc.sc().statusStore()
+        lst = store.executorList(True)
+        out = []
+        for i in range(lst.size()):
+            e = lst.apply(i)
+            out.append(
+                {
+                    "executor": e.id(),
+                    "served_tasks": e.completedTasks(),
+                    "failed_tasks": e.failedTasks(),
+                    "busy_epoch_ms": e.totalDuration(),
+                    "memory_used": e.memoryUsed(),
+                    "memory_max": e.maxMemory(),
+                    "disk_used": e.diskUsed(),
+                }
+            )
+        return sorted(out, key=lambda d: d["executor"])
 
     def activity(self) -> dict:
         """Cluster-level report (the reference's `activity`,

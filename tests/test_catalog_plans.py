@@ -185,9 +185,17 @@ def test_retrieve_orders_lines_across_parts(wh, tmp_path, spark):
 
 
 def test_info_reports_executors(wh):
+    """info carries the reference's per-node fields (cn/dfs_actions.go:
+    226-282): serving counts, busy epoch, capacity — per executor."""
+    wh.spark.range(1000).selectExpr("sum(id)").collect()  # serve tasks
     report = wh.info()
     assert isinstance(report, list) and report
-    assert all("executor" in e for e in report)
+    for e in report:
+        assert {"executor", "served_tasks", "busy_epoch_ms",
+                "memory_max"} <= set(e)
+        assert e["busy_epoch_ms"] >= 0 and e["memory_max"] > 0
+    # the counts are live soft state, not placeholders
+    assert any(e["served_tasks"] > 0 for e in report)
 
 
 def test_q6_all_predicates_pushed(spark, sf_dir):
