@@ -48,7 +48,13 @@ def register_parquet_catalog(
     files are not copied — the catalog entry just gives ANALYZE a place
     to hang statistics."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-    existing = {t.name for t in spark.catalog.listTables(db)}
+    # listTables(db) also returns the session's GLOBAL temp views (e.g.
+    # the CLI sql verb registers views named region/nation/...), which
+    # would wrongly satisfy the idempotence check — count only real
+    # tables that live in this database
+    existing = {
+        t.name for t in spark.catalog.listTables(db) if not t.isTemporary
+    }
     for t in tables:
         if t not in existing:
             spark.sql(
