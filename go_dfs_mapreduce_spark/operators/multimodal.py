@@ -4007,6 +4007,95 @@ def _build_audio_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the incremental split convention shared with the text and frame
+# incrementals: docs above 80% of max id are "today's ingest"
+AFP_SPLIT_NUM, AFP_SPLIT_DEN = 8, 10
+
+AUDIO_FP_INCREMENTAL_ORACLE = f"""
+WITH t AS (SELECT CAST((MAX(doc_id) * {AFP_SPLIT_NUM}) // {AFP_SPLIT_DEN}
+                       AS BIGINT) AS t
+           FROM documents),
+h AS (
+  SELECT DISTINCT doc_id,
+         {_afp_md5_int("afp", "k", 13)} + 4 AS g1,
+         {_afp_md5_int("afp", "k + 1", 13)} + 4 AS g2,
+         {_afp_md5_int("afp", "k + 2", 13)} + 4 AS g3,
+         10 + {_afp_md5_int("amp", "k", 10)} AS a1,
+         10 + {_afp_md5_int("amp", "k + 1", 10)} AS a2,
+         10 + {_afp_md5_int("amp", "k + 2", 10)} AS a3
+  FROM (SELECT doc_id, doc_id // 2 AS b, 12 + (doc_id // 2) % 5 AS kp
+        FROM documents),
+       range(13) r(k)
+  WHERE k <= kp - 1 - {AFP_NGRAM}
+)
+SELECT n.doc_id AS new_doc, o.doc_id AS matched_doc,
+       CAST(COUNT(*) AS INTEGER) AS n_shared,
+       CASE WHEN o.doc_id <= (SELECT t FROM t) THEN 'corpus' ELSE 'batch' END
+         AS matched_in
+FROM h n JOIN h o
+  ON n.g1 = o.g1 AND n.g2 = o.g2 AND n.g3 = o.g3
+ AND n.a1 = o.a1 AND n.a2 = o.a2 AND n.a3 = o.a3
+ AND o.doc_id < n.doc_id
+WHERE n.doc_id > (SELECT t FROM t)
+GROUP BY 1, 2, 4
+HAVING COUNT(*) >= {AFP_MIN_SHARED}
+"""
+
+
+@query(
+    "multimodal_audio_fingerprint_incremental",
+    oracle=AUDIO_FP_INCREMENTAL_ORACLE,
+)
+def multimodal_audio_fingerprint_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous-ingestion audio matching: today's ingested recordings
+    (docs above the 80%-of-max-id boundary) against the standing
+    landmark-hash index WITHOUT re-pairing the corpus with itself —
+    the `dedup_incremental_new_docs` convention applied to audio. The
+    index is semi-join-pruned to the batch's hashes before any pair
+    emission; matches keep strictly-older partners with corpus/batch
+    provenance. Emits (new_doc, matched_doc, n_shared, matched_in).
+
+    Scale: production persists the hash index between ingests (the
+    memoized `_build_audio_fps` frame IS that table's builder); the
+    per-ingest cost is the new batch's decode plus a bucket join
+    proportional to the batch's hash collisions, not the corpus."""
+    from ..memo import session_memo
+
+    h = session_memo(
+        _AUDIO_FP_MEMO, spark, sf_dir, lambda: _build_audio_fps(spark, sf_dir)
+    )
+    thr = table(spark, sf_dir, "documents").agg(
+        F.expr(
+            f"(max(doc_id) * {AFP_SPLIT_NUM}) div {AFP_SPLIT_DEN}"
+        ).alias("t")
+    )
+    new_h = (
+        h.join(F.broadcast(thr))
+        .where(F.col("doc_id") > F.col("t"))
+        .select(F.col("doc_id").alias("new_doc"), "hsh")
+    )
+    index = h.join(
+        new_h.select("hsh"), "hsh", "left_semi"
+    ).select(F.col("doc_id").alias("matched_doc"), "hsh")
+    return (
+        new_h.join(index, "hsh")
+        .where(F.col("matched_doc") < F.col("new_doc"))
+        .join(F.broadcast(thr))
+        .groupBy(
+            "new_doc",
+            "matched_doc",
+            F.when(F.col("matched_doc") <= F.col("t"), F.lit("corpus"))
+            .otherwise(F.lit("batch"))
+            .alias("matched_in"),
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+        .where(F.col("n_shared") >= AFP_MIN_SHARED)
+        .select("new_doc", "matched_doc", "n_shared", "matched_in")
+    )
+
+
 # --- cross-video frame dedup: exact keyframe dedup over decoded pixels ----
 #
 # THE frame-level dedup step of a video training pipeline: after decode,

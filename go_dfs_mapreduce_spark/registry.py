@@ -90,7 +90,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # multimodal_pixels_png's synthesizer dropped the interlaced flag),
 # staying warm as regression sentinels; and (d) RECENCY slots — the
 # names whose latest driver row is oldest (all eight remaining r1
-# recordings and the nine alphabetically-first r2 recordings), so
+# recordings and the eight alphabetically-first r2 recordings), so
 # recency of external evidence keeps improving, not just coverage.
 # The local gate still verifies every registered query every round —
 # driver rows are the externally-scored evidence. Every name rotated
@@ -149,6 +149,7 @@ _DRIVER_SHOWCASE = (
     "multimodal_video_keyframes",
     "multimodal_subtitle_srt",
     "multimodal_caption_alignment",
+    "multimodal_audio_fingerprint_incremental",
     # --- round-13 RE-EARN slots (kernel changed, results identical —
     # the r11 convention): dedup_clusters's fixpoint is now alternating
     # large-star/small-star rounds (O(log n), was O(diameter) label
@@ -163,13 +164,14 @@ _DRIVER_SHOWCASE = (
     # outputs, but the code paths are warm this round ---
     "multimodal_image_phash_dedup",
     "multimodal_pixels_png",
-    # --- 17 RECENCY slots: cumulative coverage has been 100% since
+    # --- 16 RECENCY slots: cumulative coverage has been 100% since
     # r11, so floating slots now chase the OLDEST latest-driver-row.
     # These are all eight names whose only driver rows are from r1 and
-    # the nine alphabetically-first of the twenty-one r2-latest names
-    # (the remaining twelve r2 names are first in line for r14; every
-    # name rotated out keeps its prior rows; three slots went to the
-    # late-round keyframe, SRT, and caption-alignment operators) ---
+    # the eight alphabetically-first of the twenty-one r2-latest names
+    # (the remaining thirteen r2 names are first in line for r14; every
+    # name rotated out keeps its prior rows; four slots went to the
+    # late-round keyframe, SRT, caption-alignment, and audio-
+    # incremental operators) ---
     "dedup_ngram_jaccard",
     "window_first_last_event",
     "window_lag_delta",
@@ -186,7 +188,6 @@ _DRIVER_SHOWCASE = (
     "multimodal_binary_meta",
     "multimodal_fake_features",
     "multimodal_frame_sample",
-    "q10_returned_items",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT

@@ -3920,6 +3920,36 @@ def test_caption_alignment_pairs_every_frame_once(spark, sf_dir):
         assert {(d, f) for f in range(nf)} <= set(seen)
 
 
+def test_audio_fingerprint_incremental_matches_only_older_partners(spark, sf_dir):
+    """Incremental matching returns exactly the planted pairs whose NEW
+    side is above the ingest boundary and whose partner is strictly
+    older: every odd doc above t matches its even sibling (corpus or
+    batch provenance by the sibling's side of t); even docs above t
+    have only a NEWER partner and contribute nothing."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        AFP_SPLIT_DEN,
+        AFP_SPLIT_NUM,
+        multimodal_audio_fingerprint_incremental,
+    )
+    from go_dfs_mapreduce_spark.tables import table as _table
+
+    max_id = (
+        _table(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    )
+    t = max_id * AFP_SPLIT_NUM // AFP_SPLIT_DEN
+    rows = multimodal_audio_fingerprint_incremental(spark, sf_dir).collect()
+    got = {(r.new_doc, r.matched_doc, r.matched_in) for r in rows}
+    want = {
+        (d, d - 1, "corpus" if d - 1 <= t else "batch")
+        for d in range(t + 1, max_id + 1)
+        if d % 2 == 1
+    }
+    assert got == want
+    assert all(r.n_shared >= 9 for r in rows)
+
+
 def test_audio_fingerprint_matches_exactly_planted_pairs(spark, sf_dir):
     """Landmark matching returns exactly the planted (2b, 2b+1) pairs —
     no cross-base false positives survive the >= 4-shared threshold —

@@ -142,6 +142,7 @@ PLAN_QUERIES = [
     "multimodal_video_keyframes",
     "multimodal_subtitle_srt",
     "multimodal_caption_alignment",
+    "multimodal_audio_fingerprint_incremental",
     "dedup_clusters",
 ]
 
