@@ -3805,7 +3805,9 @@ def multimodal_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # share at most 1 hash (measured over 1000 bases) and the >= 4 match
 # threshold admits exactly the planted pairs.
 
-AFP_PEAK_THRESHOLD = 800  # |sample| at/above this is a landmark peak
+AFP_PEAK_THRESHOLD = 800  # sample VALUE at/above this is a landmark peak
+# (positive-going impulses only — the extractor's documented contract;
+# the fixture's impulses are 1000..1900, its noise within ±100)
 AFP_NOISE_SPAN = 200  # noise is ((3*doc_id + 5i) % 200) - 100: |r| <= 100
 AFP_MIN_SHARED = 4  # matched pair = at least this many shared hashes
 AFP_NGRAM = 3  # hashes cover 3 consecutive gaps / peak amplitudes
