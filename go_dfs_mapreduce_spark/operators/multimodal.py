@@ -3318,6 +3318,210 @@ def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- JPEG metadata extraction: APP0 density, EXIF orientation, comment ----
+#
+# Camera metadata is a first-class curation signal (DPI / orientation /
+# caption filters run before any pixel work). The fixture splices REAL
+# metadata segments into the gate-pinned baseline JPEGs: a parameterized
+# JFIF APP0 (units + x/y density), an APP1 Exif block whose TIFF IFD is
+# walked for real — alternating little/big endian headers per doc — and
+# a COM text comment. The image payload still decodes (the segments ride
+# in front of the unchanged DQT/SOF/scan), so a parser that miscounts a
+# segment length desyncs and quarantines.
+
+EXIF_TAG_ORIENTATION = 0x0112
+EXIF_TYPE_SHORT = 3
+
+
+def make_jpeg_meta_bytes(doc_id: int) -> bytes:
+    """A REAL baseline JPEG (``make_jpeg_bytes`` at doc_id % 9 + 4 x
+    doc_id % 7 + 4) whose fixed APP0 is replaced by a parameterized one
+    (units doc_id % 3, densities doc_id % 300 + 1 / doc_id % 200 + 1)
+    and which gains an APP1 Exif block (TIFF header little-endian for
+    even docs, big-endian for odd; IFD0 with one Orientation SHORT =
+    doc_id % 8 + 1) and a COM comment
+    'shot {doc_id} lens {(3 * doc_id) % 50}'. Every 11th doc corrupts
+    the TIFF magic (43 instead of 42) — the quarantine arm."""
+    base = make_jpeg_bytes(doc_id, doc_id % 9 + 4, doc_id % 7 + 4)
+    app0 = _seg(
+        0xE0,
+        b"JFIF\x00\x01\x01"
+        + bytes([doc_id % 3])
+        + (doc_id % 300 + 1).to_bytes(2, "big")
+        + (doc_id % 200 + 1).to_bytes(2, "big")
+        + b"\x00\x00",
+    )
+    endian = "little" if doc_id % 2 == 0 else "big"
+    magic = 43 if doc_id % 11 == 0 else 42
+    tiff = (
+        (b"II" if endian == "little" else b"MM")
+        + magic.to_bytes(2, endian)
+        + (8).to_bytes(4, endian)  # IFD0 offset
+        + (1).to_bytes(2, endian)  # one entry
+        + EXIF_TAG_ORIENTATION.to_bytes(2, endian)
+        + EXIF_TYPE_SHORT.to_bytes(2, endian)
+        + (1).to_bytes(4, endian)
+        + (doc_id % 8 + 1).to_bytes(2, endian)
+        + b"\x00\x00"  # SHORT value padded to the 4-byte field
+        + (0).to_bytes(4, endian)  # next-IFD offset: none
+    )
+    app1 = _seg(0xE1, b"Exif\x00\x00" + tiff)
+    com = _seg(
+        0xFE, f"shot {doc_id} lens {(3 * doc_id) % 50}".encode("ascii")
+    )
+    # the base always starts SOI + the fixed APP0 (marker 2 + length 2
+    # + 14-byte payload = bytes [2, 20)) — replace it
+    return base[:2] + app0 + app1 + com + base[20:]
+
+
+def _parse_exif_orientation(t: bytes):
+    """Walk a real TIFF structure for the Orientation tag: endianness
+    marker, magic 42, IFD0 entry scan. Returns the orientation SHORT,
+    or None on any malformation (bad endian marker, wrong magic,
+    truncated IFD) — never raises."""
+    if len(t) < 8:
+        return None
+    if t[0:2] == b"II":
+        endian = "little"
+    elif t[0:2] == b"MM":
+        endian = "big"
+    else:
+        return None
+    if int.from_bytes(t[2:4], endian) != 42:
+        return None
+    off = int.from_bytes(t[4:8], endian)
+    if off + 2 > len(t):
+        return None
+    n = int.from_bytes(t[off : off + 2], endian)
+    p = off + 2
+    orient = None
+    for _ in range(n):
+        if p + 12 > len(t):
+            return None
+        tag = int.from_bytes(t[p : p + 2], endian)
+        typ = int.from_bytes(t[p + 2 : p + 4], endian)
+        cnt = int.from_bytes(t[p + 4 : p + 8], endian)
+        if tag == EXIF_TAG_ORIENTATION and typ == EXIF_TYPE_SHORT and cnt == 1:
+            orient = int.from_bytes(t[p + 8 : p + 10], endian)
+        p += 12
+    return orient
+
+
+def jpeg_metadata(b: bytes):
+    """Metadata walk over a JFIF stream: APP0 (validated 'JFIF\\0'
+    identifier + version 1.x) for density units and x/y density, APP1
+    'Exif\\0\\0' for the TIFF-IFD orientation, COM for the text
+    comment, SOF0 for pixel dimensions. Strict segment-length walk (a
+    lying length desyncs into quarantine); the stream must reach an SOS
+    and carry the EOI trailer (truncation quarantines — and a stuffed
+    scan cannot contain a spurious FFD9, so the trailer check is
+    sound); an APP1 present but unparseable is CORRUPTION, not
+    absence -> None. Returns (units,
+    x_density, y_density, orientation, comment, width, height) with
+    orientation -1 / comment '' when genuinely absent, or None."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8" or b[-2:] != b"\xff\xd9":
+        return None  # no SOI, or no EOI trailer (truncated stream)
+    units = xd = yd = None
+    orient = -1
+    comment = ""
+    w = h = None
+    saw_sos = False
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xDA:
+            saw_sos = True
+            break  # metadata lives before the scan
+        seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        if seglen < 2 or pos + 2 + seglen > len(b):
+            return None
+        seg = b[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xE0:
+            if len(seg) < 14 or seg[0:5] != b"JFIF\x00" or seg[5] != 1:
+                return None
+            units = seg[7]
+            xd = int.from_bytes(seg[8:10], "big")
+            yd = int.from_bytes(seg[10:12], "big")
+        elif marker == 0xE1:
+            if seg[:6] != b"Exif\x00\x00":
+                continue  # a non-Exif APP1 (e.g. XMP) is not ours
+            got = _parse_exif_orientation(seg[6:])
+            if got is None:
+                return None  # present-but-corrupt Exif quarantines
+            orient = got
+        elif marker == 0xFE:
+            try:
+                comment = seg.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        elif marker == 0xC0:
+            if len(seg) < 5:
+                return None
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+    if units is None or w is None or not saw_sos:
+        return None
+    return units, xd, yd, orient, comment, w, h
+
+
+JPEG_META_ORACLE = """
+SELECT doc_id,
+  CAST(CASE WHEN q THEN -1 ELSE doc_id % 3 END AS INTEGER) AS units,
+  CAST(CASE WHEN q THEN -1 ELSE doc_id % 300 + 1 END AS INTEGER) AS x_density,
+  CAST(CASE WHEN q THEN -1 ELSE doc_id % 200 + 1 END AS INTEGER) AS y_density,
+  CAST(CASE WHEN q THEN -1 ELSE doc_id % 8 + 1 END AS INTEGER) AS orientation,
+  CASE WHEN q THEN '' ELSE
+    'shot ' || doc_id || ' lens ' || (3 * doc_id) % 50 END AS comment,
+  CAST(CASE WHEN q THEN -1 ELSE doc_id % 9 + 4 END AS INTEGER) AS width,
+  CAST(CASE WHEN q THEN -1 ELSE doc_id % 7 + 4 END AS INTEGER) AS height
+FROM (SELECT doc_id, doc_id % 11 = 0 AS q FROM documents)
+"""
+
+
+@query("multimodal_jpeg_metadata", oracle=JPEG_META_ORACLE)
+def multimodal_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Camera-metadata extraction end-to-end: splice real APP0/APP1/COM
+    segments into the gate-pinned baseline JPEGs and walk them back —
+    JFIF density (units + x/y), EXIF orientation through an actual
+    TIFF-IFD parse (both endiannesses exercised: II on even docs, MM on
+    odd), the text comment, and the SOF dimensions. Every 11th doc
+    corrupts the TIFF magic and must quarantine (present-but-corrupt
+    Exif is corruption, not absence — stated in the oracle). These are
+    the filter columns an image-curation pipeline cuts on before
+    spending any decode compute.
+
+    Scale: the universal decode-stage shape — two Arrow stages over a
+    1-column scan, features-only across the boundary, zero exchanges;
+    the metadata walk reads only the pre-scan segments, so cost is
+    header-bounded regardless of image size."""
+    docs = table(spark, sf_dir, "documents")
+
+    def row_fn(b: bytes):
+        meta = jpeg_metadata(b)
+        if meta is None:
+            return (-1, -1, -1, -1, "", -1, -1)
+        units, xd, yd, orient, comment, w, h = meta
+        return (units, xd, yd, orient, comment, w, h)
+
+    return _payload_feature_pipeline(
+        docs,
+        make_jpeg_meta_bytes,
+        row_fn,
+        [
+            ("units", T.IntegerType()),
+            ("x_density", T.IntegerType()),
+            ("y_density", T.IntegerType()),
+            ("orientation", T.IntegerType()),
+            ("comment", T.StringType()),
+            ("width", T.IntegerType()),
+            ("height", T.IntegerType()),
+        ],
+    )
+
+
 # --- keyframe extraction: the manifest downstream of shot detection -------
 
 KEYFRAME_ORACLE = f"""

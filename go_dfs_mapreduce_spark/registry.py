@@ -90,7 +90,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # multimodal_pixels_png's synthesizer dropped the interlaced flag),
 # staying warm as regression sentinels; and (d) RECENCY slots — the
 # names whose latest driver row is oldest (all eight remaining r1
-# recordings and the eight alphabetically-first r2 recordings), so
+# recordings and the seven alphabetically-first r2 recordings), so
 # recency of external evidence keeps improving, not just coverage.
 # The local gate still verifies every registered query every round —
 # driver rows are the externally-scored evidence. Every name rotated
@@ -150,6 +150,7 @@ _DRIVER_SHOWCASE = (
     "multimodal_subtitle_srt",
     "multimodal_caption_alignment",
     "multimodal_audio_fingerprint_incremental",
+    "multimodal_jpeg_metadata",
     # --- round-13 RE-EARN slots (kernel changed, results identical —
     # the r11 convention): dedup_clusters's fixpoint is now alternating
     # large-star/small-star rounds (O(log n), was O(diameter) label
@@ -164,14 +165,14 @@ _DRIVER_SHOWCASE = (
     # outputs, but the code paths are warm this round ---
     "multimodal_image_phash_dedup",
     "multimodal_pixels_png",
-    # --- 16 RECENCY slots: cumulative coverage has been 100% since
+    # --- 15 RECENCY slots: cumulative coverage has been 100% since
     # r11, so floating slots now chase the OLDEST latest-driver-row.
     # These are all eight names whose only driver rows are from r1 and
-    # the eight alphabetically-first of the twenty-one r2-latest names
-    # (the remaining thirteen r2 names are first in line for r14; every
-    # name rotated out keeps its prior rows; four slots went to the
-    # late-round keyframe, SRT, caption-alignment, and audio-
-    # incremental operators) ---
+    # the seven alphabetically-first of the twenty-one r2-latest names
+    # (the remaining fourteen r2 names are first in line for r14; every
+    # name rotated out keeps its prior rows; five slots went to the
+    # late-round keyframe, SRT, caption-alignment, audio-incremental,
+    # and JPEG-metadata operators) ---
     "dedup_ngram_jaccard",
     "window_first_last_event",
     "window_lag_delta",
@@ -187,7 +188,6 @@ _DRIVER_SHOWCASE = (
     "listagg_segments_per_nation",
     "multimodal_binary_meta",
     "multimodal_fake_features",
-    "multimodal_frame_sample",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT

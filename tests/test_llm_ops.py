@@ -3846,6 +3846,31 @@ def test_avi_mjpeg_truncation_and_tamper_quarantine():
     assert decode_avi_mjpeg(bytes(disagree)) is None
 
 
+def test_jpeg_metadata_roundtrip_and_quarantine():
+    """The metadata walk recovers density/orientation/comment/dims
+    exactly in BOTH TIFF endiannesses, the spliced segments leave the
+    pixel payload decodable, every truncation quarantines (EOI trailer
+    rule), and present-but-corrupt Exif quarantines the whole doc."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        jpeg_metadata,
+        make_jpeg_meta_bytes,
+    )
+
+    for d in (1, 2, 3, 10, 24, 42):  # even = II, odd = MM
+        b = make_jpeg_meta_bytes(d)
+        units, xd, yd, o, c, w, h = jpeg_metadata(b)
+        assert (units, xd, yd, o) == (d % 3, d % 300 + 1, d % 200 + 1, d % 8 + 1)
+        assert c == f"shot {d} lens {(3 * d) % 50}"
+        assert (w, h) == (d % 9 + 4, d % 7 + 4)
+        assert decode_jpeg_pixels(b) is not None
+    assert jpeg_metadata(make_jpeg_meta_bytes(11)) is None  # bad TIFF magic
+    b = make_jpeg_meta_bytes(3)
+    for i in range(len(b)):
+        assert jpeg_metadata(b[:i]) is None, i
+    assert jpeg_metadata(b + b"x") is None  # trailing garbage
+
+
 def test_srt_parse_roundtrip_and_quarantine():
     """The SRT parser recovers every planted cue (timing + multi-line
     text) bit-exactly and quarantines malformed streams — reversed

@@ -143,6 +143,7 @@ PLAN_QUERIES = [
     "multimodal_subtitle_srt",
     "multimodal_caption_alignment",
     "multimodal_audio_fingerprint_incremental",
+    "multimodal_jpeg_metadata",
     "dedup_clusters",
 ]
 
