@@ -239,6 +239,27 @@ def stream_dfs_chunk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .save(node)
     )
+    # Fail-loud layout check (ADVICE r13): repartitionByRange SAMPLES its
+    # bounds, so a skewed or tiny corpus could legally merge two residue
+    # classes into one range partition — which would silently produce a
+    # chunk layout diverging from the oracle's bucket-per-chunk shape.
+    # One metadata listing + one 1-row aggregate restore the hash-probe
+    # era's explicit contract: chunk count == populated residue classes.
+    from ..sources.dfs_chunks import _inventory
+
+    n_chunks = len(_inventory([node], "TXT", "docs"))
+    n_classes = docs.select(
+        F.countDistinct((F.col("doc_id") % 4).alias("bucket"))
+    ).first()[0]
+    if n_chunks != n_classes:
+        import shutil
+
+        shutil.rmtree(node, ignore_errors=True)
+        raise RuntimeError(
+            f"chunk-tail layout diverged: {n_chunks} chunks written for "
+            f"{n_classes} populated residue classes (range partitioner "
+            "merged or split a bucket)"
+        )
     qname = f"t_chunk_tail_{uuid.uuid4().hex[:8]}"
     q = (
         spark.readStream.format("go_dfs_text")

@@ -1699,3 +1699,64 @@ def test_round13_operator_plan_contracts(spark, sf_dir):
     assert not a["has_python_worker"]
     assert "CartesianProduct" not in a["plan"]
     assert "HashAggregate" in a["plan"]
+
+
+def test_persisted_index_plan_contracts(spark, sf_dir):
+    """VERDICT r13 #1/#2: the dedup/ANN/fingerprint indexes are PERSISTED
+    WAREHOUSE TABLES (memo.index_table = fingerprinted parquet in the
+    derived warehouse + a session-memoized persisted read-back), and the
+    plans prove it: (a) each index handle's executed plan is an
+    InMemoryTableScan whose cached child scans the STORED parquet table
+    (warehouse/derived/<name>-<fp>) with zero Python stages — so the
+    expensive build (Arrow decode, md5 minhashing, decimal-distance
+    argmin) appears in NO consumer plan; (b) each consuming query's
+    executed plan reads the index through that InMemoryTableScan and is
+    itself Python-free. Dropping derived_table breaks the path marker
+    (the handle's scan falls back to the raw corpus and the decode
+    reappears); dropping session_memo breaks the InMemoryTableScan."""
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        band_sig_index,
+        dedup_incremental_new_docs,
+        embedding_nn_cosine,
+        nn_cells,
+    )
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        _audio_fp_index,
+        _video_frame_fingerprints,
+        multimodal_audio_fingerprint_incremental,
+        multimodal_video_frame_dedup,
+    )
+
+    PY_MARKERS = (
+        "MapInPandas",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "FlatMapGroupsInPandas",
+    )
+
+    def executed(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    handles = {
+        "lsh_band_index": band_sig_index(spark, sf_dir),
+        "ann_ivf_cells": nn_cells(spark, sf_dir),
+        "audio_landmark_index": _audio_fp_index(spark, sf_dir),
+        "video_frame_hash_index": _video_frame_fingerprints(spark, sf_dir),
+    }
+    for name, h in handles.items():
+        plan = executed(h)
+        assert "InMemoryTableScan" in plan, name
+        assert f"warehouse/derived/{name}-" in plan, (name, plan[:400])
+        assert not any(m in plan for m in PY_MARKERS), name
+
+    consumers = {
+        "lsh_band_index": dedup_incremental_new_docs,
+        "ann_ivf_cells": embedding_nn_cosine,
+        "audio_landmark_index": multimodal_audio_fingerprint_incremental,
+        "video_frame_hash_index": multimodal_video_frame_dedup,
+    }
+    for name, fn in consumers.items():
+        plan = executed(fn(spark, sf_dir))
+        assert "InMemoryTableScan" in plan, name
+        assert f"warehouse/derived/{name}-" in plan, name
+        assert not any(m in plan for m in PY_MARKERS), name

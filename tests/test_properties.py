@@ -1072,7 +1072,8 @@ def test_y4m_roundtrip_and_truncation_property(doc_id, cut):
     b = make_y4m_bytes(doc_id)
     dec = decode_y4m(b)
     assert dec is not None
-    w, h, frames = dec
+    w, h, frames, rate = dec
+    assert rate == (25, 1)  # the fixture's declared F token, surfaced
     assert (w, h) == ((doc_id % 9 + 1) * 2, (doc_id % 7 + 1) * 2)
     assert len(frames) == doc_id % 5 + 2
     full_chroma = doc_id % 4 == 0
@@ -1087,7 +1088,7 @@ def test_y4m_roundtrip_and_truncation_property(doc_id, cut):
     prefix = b[: cut % len(b)]  # every possible proper prefix, sampled
     got = decode_y4m(prefix)
     if got is not None:
-        pw, ph, pframes = got
+        pw, ph, pframes, _ = got
         assert (pw, ph) == (w, h)
         assert 1 <= len(pframes) < len(frames)
         for a, bfr in zip(pframes, frames):
