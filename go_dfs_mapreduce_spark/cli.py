@@ -373,20 +373,21 @@ def _run_mr(spark: SparkSession, wh, args) -> int:
             )
             inputs = df if inputs is None else inputs.unionByName(df)
     job = MapReduceJob(f"cli-{args.job}", f_map, f_reduce, r=r)
-    result = job.run(inputs).orderBy("r_id", "seq")
-    os.makedirs(args.out_dir, exist_ok=True)
-    handles: dict[int, object] = {}
-    try:
-        for row in result.toLocalIterator():
-            fh = handles.get(row.r_id)
-            if fh is None:
-                fh = open(os.path.join(args.out_dir, f"r{row.r_id}"), "w")
-                handles[row.r_id] = fh
-            fh.write(row.line + "\n")
-    finally:
-        for fh in handles.values():
-            fh.close()
-    print(f"wrote {len(handles)} reducer file(s) to {args.out_dir}")
+    result = job.run(inputs)
+    # Streamed MID-JOB result pull (cl/mr_actions.go:138-219 parity):
+    # each reducer's file is written and closed the moment that
+    # reducer's rows end — while later reducers are still running —
+    # instead of materializing the whole job before the first byte
+    # lands. The per-reducer print is the reference client's
+    # per-blob download progress line.
+    from .mapreduce.results import stream_reducer_results
+
+    done = stream_reducer_results(
+        result,
+        args.out_dir,
+        on_complete=lambda r_id, path: print(f"pulled r{r_id} -> {path}"),
+    )
+    print(f"wrote {len(done)} reducer file(s) to {args.out_dir}")
     return 0
 
 

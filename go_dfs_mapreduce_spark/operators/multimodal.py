@@ -4169,9 +4169,9 @@ def multimodal_audio_fingerprint_dedup(
     shape; only (doc_id, 32-char hash) rows cross the exchange, and the
     pair join is bucketed by hash (the LSH posture — never all-pairs).
     Bucket width is bounded by hash selectivity, not corpus size. The
-    hash frame is memoized + persisted per (session, sf_dir): the self
-    join consumes it on two lineages, and without the persist each
-    side re-runs the decode (the `_shingle_arrays` rationale)."""
+    hash frame is a persisted warehouse table (``_audio_fp_index``):
+    the self join consumes the stored parquet index on both lineages —
+    the decode ran once, at index build time."""
     h = _audio_fp_index(spark, sf_dir)
     return (
         h.alias("a")
@@ -4310,10 +4310,11 @@ def multimodal_audio_fingerprint_incremental(
     emission; matches keep strictly-older partners with corpus/batch
     provenance. Emits (new_doc, matched_doc, n_shared, matched_in).
 
-    Scale: production persists the hash index between ingests (the
-    memoized `_build_audio_fps` frame IS that table's builder); the
-    per-ingest cost is the new batch's decode plus a bucket join
-    proportional to the batch's hash collisions, not the corpus."""
+    Scale: the hash index IS a persisted warehouse table
+    (``_audio_fp_index`` — parquet in the derived warehouse, rebuilt
+    only when the corpus version changes); the per-ingest cost is a
+    3-column index scan plus a bucket join proportional to the batch's
+    hash collisions, not the corpus."""
     h = _audio_fp_index(spark, sf_dir)
     thr = table(spark, sf_dir, "documents").agg(
         F.expr(

@@ -428,3 +428,95 @@ def test_cli_analyze_reports_statistics(spark, wh_root, capsys, sf_dir):
         assert "rows" in li["statistics"] and "bytes" in li["statistics"]
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_mr_streams_reducer_files_mid_job(spark, tmp_path):
+    """Streamed MID-JOB result pull (cl/mr_actions.go:138-219 parity,
+    VERDICT r12 #7 / r13 #3): each reducer's file must be complete and
+    closed on disk while later reducers are still running. Proven the
+    hard way: the reducer hashed into the LAST-drained shuffle partition
+    REFUSES to produce anything until the first-drained reducer's pulled
+    file exists on disk. If the pull materialized the whole job before
+    writing (the old orderBy + toLocalIterator shape, or any collect),
+    this deadlocks and the gate's timeout fails the test; with genuine
+    partition-at-a-time pulls the sentinel appears in time and every
+    reducer completes."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.mapreduce import MapReduceJob
+    from go_dfs_mapreduce_spark.mapreduce.results import (
+        stream_reducer_results,
+    )
+
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # pmod(hash(r_id), n) is exactly HashPartitioning's routing for the
+    # reduce exchange: drain order across reducers is partition order
+    part = {
+        r: spark.range(1)
+        .select(F.expr(f"pmod(hash({r}), {n_shuffle})").cast("int"))
+        .first()[0]
+        for r in range(3)
+    }
+    free_r = min(part, key=lambda r: (part[r], r))
+    blocked_r = max(part, key=lambda r: (part[r], r))
+    if part[free_r] == part[blocked_r]:
+        pytest.skip("all three reducer ids hash to one shuffle partition")
+    # parity partitioner routing for R=3: first char ord % 3
+    key_of = {1: "a", 2: "b", 0: "c"}
+    blocked_key = key_of[blocked_r]
+    sentinel = str(tmp_path / "first_pull_done")
+    out_dir = tmp_path / "out"
+
+    def f_map(file, line_no, line, out):
+        for w in line.split():
+            out.append(w)
+            out.append("1")
+
+    def f_reduce(keys, values, out):
+        if keys and keys[0] == blocked_key:
+            deadline = time.time() + 120
+            while not os.path.exists(sentinel):
+                if time.time() > deadline:
+                    raise RuntimeError(
+                        "gate never opened: result pull is not mid-job"
+                    )
+                time.sleep(0.05)
+        tally = {}
+        for k in keys:
+            tally[k] = tally.get(k, 0) + 1
+        for k in sorted(tally):
+            out.append(f"{k}:{tally[k]}")
+
+    inputs = spark.createDataFrame(
+        [("t.txt", i, "a b c") for i in range(1, 5)],
+        "file string, line_number long, line string",
+    )
+    completion_order = []
+
+    def on_complete(r_id, path):
+        assert os.path.exists(path)
+        if not completion_order:
+            # the FIRST pulled blob lands while the blocked reducer has
+            # produced nothing — its file must not exist yet
+            assert not os.path.exists(str(out_dir / f"r{blocked_r}"))
+            with open(sentinel, "w"):
+                pass
+        completion_order.append(r_id)
+
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")  # keep the 3 groups' partitions
+    try:
+        job = MapReduceJob("t_midjob_pull", f_map, f_reduce, r=3)
+        done = stream_reducer_results(
+            job.run(inputs), str(out_dir), on_complete
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    assert sorted(done) == [0, 1, 2]
+    assert completion_order.index(free_r) < completion_order.index(blocked_r)
+    for r, key in key_of.items():
+        assert (out_dir / f"r{r}").read_text() == f"{key}:4\n"
