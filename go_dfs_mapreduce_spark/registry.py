@@ -75,27 +75,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The exactly-50 queries the driver will record. Round-13 rotation
+# The exactly-50 queries the driver will record. Round-14 rotation
 # (the established pattern): 22 anchors keep one representative per
 # SURVEY §2 family green in every round's driver file; cumulative
-# driver verification reached 263/263 in r12, so the floating slots
-# carry (a) round-13's own new operators — every operator earns its
-# driver row in the round it lands, the standing invariant; (b)
-# queries whose KERNEL changed this round and must re-earn rows on the
-# new behavior (dedup_clusters's fixpoint is now large-star/small-star
-# rounds; stream_dfs_chunk_tail's layout router is now
-# repartitionByRange instead of the hash-placement probe); (c) names
-# whose code paths were touched this round WITHOUT semantic change
-# (multimodal_image_phash_dedup's oracle gray formula single-sourced;
-# multimodal_pixels_png's synthesizer dropped the interlaced flag),
-# staying warm as regression sentinels; and (d) RECENCY slots — the
-# names whose latest driver row is oldest (all eight remaining r1
-# recordings and the seven alphabetically-first r2 recordings), so
-# recency of external evidence keeps improving, not just coverage.
-# The local gate still verifies every registered query every round —
-# driver rows are the externally-scored evidence. Every name rotated
-# OUT of the r12 showcase retains its r1-r12 driver rows. Order within
-# the list is presentation order only.
+# driver verification has been 100% since r11, so the floating slots
+# carry (a) round-14's own new operator — the stored-BIN decode twin
+# (every operator earns its driver row in the round it lands, the
+# standing invariant); (b) RE-EARN slots for queries whose kernel or
+# provenance changed this round: the dedup/ANN/fingerprint index
+# accessors now read PERSISTED warehouse tables (memo.index_table), so
+# every consumer of band_sig_index / nn_cells / _audio_fp_index /
+# _video_frame_fingerprints re-earns its row on the stored-index path;
+# the Y4M decoder now returns the container's parsed F rate (caption
+# alignment clocks midpoints from it) and the AVI/JPEG walks quarantine
+# duplicate structural segments — so every decode_y4m/decode_avi/
+# jpeg_metadata consumer re-earns too; stream_dfs_chunk_tail gained the
+# fail-loud chunk-layout check; and (c) RECENCY slots — 13 of the 14
+# names whose only driver rows are from r2 (the oldest cohort;
+# variant_props_showcase, alphabetically last, is first in line for
+# r15). Every name rotated OUT of the r13 showcase retains its r1-r13
+# driver rows. Order within the list is presentation order only.
 _DRIVER_SHOWCASE = (
     # --- 22 family anchors (recorded in every round) ---
     # reference parity: wordcount plugin family (Q1-Q6)
@@ -137,57 +136,41 @@ _DRIVER_SHOWCASE = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_scores",
-    # --- round-13's own NEW operators (the standing invariant: every
-    # operator earns its driver row in the round it lands; all green
-    # on the local gate): compressed-video decode (MJPEG-in-AVI),
-    # cross-video exact frame dedup on decoded pixels + its incremental
-    # ingest twin, and shift-invariant audio landmark fingerprinting ---
-    "multimodal_video_mjpeg",
+    # --- round-14's own NEW operator: the chunk-store decode loop ---
+    "multimodal_jpeg_metadata_stored",
+    # --- round-14 RE-EARN slots: persisted-index consumers (the index
+    # tables moved from session cache to fingerprinted parquet in the
+    # derived warehouse) and decoder-strictness/rate-parsing consumers ---
+    "dedup_incremental_new_docs",
+    "embedding_nn_cosine",
+    "semantic_dedup",
+    "multimodal_audio_fingerprint_dedup",
+    "multimodal_audio_fingerprint_incremental",
     "multimodal_video_frame_dedup",
     "multimodal_video_frame_dedup_incremental",
-    "multimodal_audio_fingerprint_dedup",
-    "multimodal_video_keyframes",
-    "multimodal_subtitle_srt",
     "multimodal_caption_alignment",
-    "multimodal_audio_fingerprint_incremental",
+    "multimodal_video_mjpeg",
     "multimodal_jpeg_metadata",
-    # --- round-13 RE-EARN slots (kernel changed, results identical —
-    # the r11 convention): dedup_clusters's fixpoint is now alternating
-    # large-star/small-star rounds (O(log n), was O(diameter) label
-    # propagation); stream_dfs_chunk_tail's bucket router is now
-    # repartitionByRange (public ordering semantic) instead of the
-    # hash-placement probe the r12 review flagged ---
-    "dedup_clusters",
+    "multimodal_video_keyframes",
+    "multimodal_video_y4m",
+    "multimodal_video_scene_cuts",
     "stream_dfs_chunk_tail",
-    # --- touched-without-semantic-change sentinels: the phash oracle's
-    # gray formula was single-sourced (ADVICE r12) and the PNG
-    # synthesizer dropped its malformed-interlace flag — byte-identical
-    # outputs, but the code paths are warm this round ---
-    "multimodal_image_phash_dedup",
-    "multimodal_pixels_png",
-    # --- 15 RECENCY slots: cumulative coverage has been 100% since
-    # r11, so floating slots now chase the OLDEST latest-driver-row.
-    # These are all eight names whose only driver rows are from r1 and
-    # the seven alphabetically-first of the twenty-one r2-latest names
-    # (the remaining fourteen r2 names are first in line for r14; every
-    # name rotated out keeps its prior rows; five slots went to the
-    # late-round keyframe, SRT, caption-alignment, audio-incremental,
-    # and JPEG-metadata operators) ---
-    "dedup_ngram_jaccard",
-    "window_first_last_event",
-    "window_lag_delta",
-    "window_moving_avg",
-    "window_ntile_percentiles",
-    "window_running_total",
-    "wordcount_distinct",
-    "wordcount_topk",
-    "date_function_showcase",
-    "global_sort_orders",
-    "join_right_outer_counts",
-    "lang_id_heuristic",
-    "listagg_segments_per_nation",
-    "multimodal_binary_meta",
-    "multimodal_fake_features",
+    # --- 13 RECENCY slots: the r2-latest cohort (oldest external
+    # evidence), alphabetical; the 14th (variant_props_showcase) leads
+    # the r15 recency queue ---
+    "multimodal_frame_sample",
+    "q10_returned_items",
+    "q5_local_supplier_volume",
+    "set_except_brands",
+    "set_intersect_all_custkeys",
+    "set_intersect_nations",
+    "stream_enrich_dim",
+    "stream_interval_join",
+    "stream_sliding_user_value",
+    "stream_throttle_dedup",
+    "subquery_scalar_above_avg",
+    "token_stats",
+    "try_arithmetic_showcase",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT

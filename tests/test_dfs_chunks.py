@@ -1183,3 +1183,39 @@ def test_stream_sink_detects_concurrent_producer(spark, tmp_path):
     # the incumbent chunk survives untouched
     with open(os.path.join(node, chunk_name("doc.txt", "TXT", 1)), "rb") as fh:
         assert fh.read() == b"from-b\n"
+
+
+def test_jpeg_chunk_store_layout_and_idempotence(spark, sf_dir):
+    """The stored-BIN decode twin's corpus store (VERDICT r13 #8):
+    publishes record-packed BIN chunks with md5 sidecars in the
+    reference layout, is idempotent per corpus fingerprint (second call
+    reuses the published dir — no rebuild), and its scan decodes to
+    exactly the synth twin's rows."""
+    import os
+
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        JPEG_STORE_CHUNKS,
+        _jpeg_chunk_store,
+        multimodal_jpeg_metadata,
+        multimodal_jpeg_metadata_stored,
+    )
+
+    node = _jpeg_chunk_store(spark, sf_dir)
+    chunks = sorted(
+        e for e in os.listdir(node) if e.startswith("jpegs_b") and not e.endswith("h")
+    )
+    assert len(chunks) == JPEG_STORE_CHUNKS
+    for c in chunks:
+        assert os.path.exists(os.path.join(node, c + "h"))  # md5 sidecar
+    mtime = os.path.getmtime(node)
+    assert _jpeg_chunk_store(spark, sf_dir) == node
+    assert os.path.getmtime(node) == mtime  # no rebuild on reuse
+
+    got = {
+        tuple(r)
+        for r in multimodal_jpeg_metadata_stored(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r) for r in multimodal_jpeg_metadata(spark, sf_dir).collect()
+    }
+    assert got == want

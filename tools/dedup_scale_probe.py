@@ -8,7 +8,7 @@ corpus — then times dedup_minhash_lsh end-to-end (warm codegen, noop
 sink, best of N) and reports docs / candidate-verified pairs / wall
 seconds as one JSON line per K.
 
-Usage: python tools/dedup_scale_probe.py [--ops minhash,fuzzy,winnow,winnow_fast] [K ...]
+Usage: python tools/dedup_scale_probe.py [--ops minhash,fuzzy,winnow,winnow_fast,span] [K ...]
        (defaults: --ops minhash, K = 1 4 10)
 
 For fuzzy/winnow the line also carries the operator's skew diagnostics:
@@ -134,6 +134,32 @@ def _winnow_diag(spark, d: str) -> dict:
     }
 
 
+def _span_diag(spark, d: str) -> dict:
+    """Linearity evidence for the span-dedup family (VERDICT r12 #8 /
+    r13 #4): positional-shingle index size, shingles repeated across >=
+    SPAN_DEDUP_MIN_DOCS docs, and positions the semi join flags — every
+    stage's cardinality, so the no-quadratic-blowup claim is checkable
+    against docs (index_rows ~ tokens, flagged <= index_rows, and no
+    pair expansion exists to diverge)."""
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        SPAN_DEDUP_MIN_DOCS,
+        _pos_shingle_table,
+    )
+
+    pos_rows = _pos_shingle_table(spark, d).where(F.col("pos").isNotNull())
+    rep = (
+        pos_rows.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= SPAN_DEDUP_MIN_DOCS)
+    )
+    flagged = pos_rows.join(rep.select("shingle"), "shingle", "left_semi")
+    return {
+        "index_rows": pos_rows.count(),
+        "repeated_shingles": rep.count(),
+        "flagged_positions": flagged.count(),
+    }
+
+
 def _cc_probe(spark, ns) -> None:
     """Round-count evidence for the star-rounds CC kernel: on an N-hop
     CHAIN (the diameter-pathological dup graph), plain min-label
@@ -244,6 +270,7 @@ def main() -> None:
     from go_dfs_mapreduce_spark.operators.dedup import (
         dedup_fuzzy_levenshtein,
         dedup_minhash_lsh,
+        span_dedup_plan,
         winnow_candidate_pairs,
         winnow_candidate_pairs_fast,
     )
@@ -253,6 +280,12 @@ def main() -> None:
         "fuzzy": (dedup_fuzzy_levenshtein, _fuzzy_diag),
         "winnow": (winnow_candidate_pairs, _winnow_diag),
         "winnow_fast": (winnow_candidate_pairs_fast, None),
+        # span emits one PLAN row per doc, not pairs: "pairs" counts docs
+        # with >= 1 removable span (n_spans > 0)
+        "span": (
+            lambda sp, dd: span_dedup_plan(sp, dd).where("n_spans > 0"),
+            _span_diag,
+        ),
     }
     # codegen warmup on the smallest fixture
     for op in ops:
