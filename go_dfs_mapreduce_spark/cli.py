@@ -156,6 +156,20 @@ def main(argv: list[str] | None = None) -> int:
         " storage-node agent's side of the protocol)",
     )
 
+    p = sub.add_parser(
+        "dfs-daemon",
+        help="the controller's PERPETUAL maintenance loop"
+        " (cn/struct.go:58-66: registry rebuild + replication every 5s):"
+        " each cycle heartbeats the node dirs, reports membership +"
+        " under-replication, and fsck-repairs corrupt/missing replicas;"
+        " runs until --cycles (0 = forever / Ctrl-C)",
+    )
+    p.add_argument("nodes", help="comma-separated storage-node directories")
+    p.add_argument("--interval-s", type=float, default=5.0)
+    p.add_argument("--cycles", type=int, default=0)
+    p.add_argument("--replicas", type=int, default=3)
+    p.add_argument("--flatline-ms", type=int, default=22000)
+
     p = sub.add_parser("query", help="run a registered analytics query")
     p.add_argument("name")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -259,6 +273,58 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         )
+    elif args.cmd == "dfs-daemon":
+        # Always-on controller choreography (cn/struct.go:58-66 runs
+        # check_nodes + check_replication_level in a perpetual 5 s loop;
+        # the repo's batch verbs are the same logic invocable once).
+        # Each cycle: heartbeat -> membership/under-replication report
+        # -> fsck --repair. One JSON line per cycle; SIGINT (Ctrl-C)
+        # exits cleanly after the current cycle like a daemon's TERM.
+        import time as _time
+
+        from .sources.dfs_chunks import fsck
+        from .sources.membership import node_status, touch_heartbeat
+
+        dirs = [p for p in (s.strip() for s in args.nodes.split(",")) if p]
+        cycle = 0
+        try:
+            while args.cycles <= 0 or cycle < args.cycles:
+                t0 = _time.time()
+                for d in dirs:
+                    touch_heartbeat(d)
+                status = node_status(
+                    dirs,
+                    flatline_ms=args.flatline_ms,
+                    replicas=args.replicas,
+                )
+                rows = fsck(
+                    dirs, repair=True, replicas=args.replicas, spark=spark
+                )
+                print(
+                    json.dumps(
+                        {
+                            "cycle": cycle,
+                            "alive": sum(
+                                1 for n in status["nodes"] if n["alive"]
+                            ),
+                            "under_replicated": len(
+                                status["under_replicated"]
+                            ),
+                            "chunks": len(rows),
+                            "corrupt": sum(r["corrupt"] for r in rows),
+                            "repaired": sum(r["repaired"] for r in rows),
+                            "wall_s": round(_time.time() - t0, 3),
+                        }
+                    ),
+                    flush=True,
+                )
+                cycle += 1
+                if args.cycles <= 0 or cycle < args.cycles:
+                    _time.sleep(
+                        max(0.0, args.interval_s - (_time.time() - t0))
+                    )
+        except KeyboardInterrupt:
+            print(json.dumps({"stopped_after_cycle": cycle}), flush=True)
     elif args.cmd == "dfs-drain":
         print(_dfs_drain(spark, args))
     elif args.cmd == "dfs-import":

@@ -520,3 +520,41 @@ def test_mr_streams_reducer_files_mid_job(spark, tmp_path):
     assert completion_order.index(free_r) < completion_order.index(blocked_r)
     for r, key in key_of.items():
         assert (out_dir / f"r{r}").read_text() == f"{key}:4\n"
+
+
+def test_cli_dfs_daemon_two_cycles_repairs(spark, tmp_path, capsys):
+    """dfs-daemon (cn/struct.go:58-66 parity, VERDICT r13 #9): the
+    always-on controller loop as a CLI verb. Two bounded cycles over a
+    layout with one corrupt replica: cycle 0 heartbeats, reports the
+    membership + under-replication state, deletes the corrupt replica
+    and re-replicates it; cycle 1 finds a clean layout. One JSON line
+    per cycle."""
+    import json as _json
+    import os
+
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import chunk_name
+    from tests.test_dfs_chunks import _write_chunk
+
+    n1, n2 = str(tmp_path / "node1"), str(tmp_path / "node2")
+    data = b"alpha beta\ngamma delta\n"
+    _write_chunk(n1, "doc.txt", "TXT", 0, data, corrupt=True)
+    _write_chunk(n2, "doc.txt", "TXT", 0, data)
+    rc, out = _run(
+        capsys,
+        "dfs-daemon",
+        ",".join((n1, n2)),
+        "--cycles",
+        "2",
+        "--interval-s",
+        "0",
+        "--replicas",
+        "2",
+    )
+    assert rc == 0
+    c0, c1 = [_json.loads(line) for line in out.splitlines()]
+    assert c0["cycle"] == 0 and c0["alive"] == 2
+    assert c0["corrupt"] == 1 and c0["repaired"] == 1
+    assert c1["cycle"] == 1 and c1["corrupt"] == 0 and c1["repaired"] == 0
+    # the heartbeat twin landed in both dirs and the replica is back
+    assert os.path.exists(os.path.join(n1, ".heartbeat"))
+    assert os.path.exists(os.path.join(n1, chunk_name("doc.txt", "TXT", 0)))
