@@ -273,6 +273,9 @@ def test_no_rowwise_python_in_any_registered_query(spark, sf_dir):
         "multimodal_caption_alignment",
         "multimodal_audio_fingerprint_incremental",
         "multimodal_jpeg_metadata",
+        # the stored twin: envelope-walk + metadata decode over go_dfs_bin
+        # chunk rows (the chunk scan itself is also a Python DataSource)
+        "multimodal_jpeg_metadata_stored",
         # round 12: int8 stage 1 became the declared map-side partial
         # top-R Arrow kernel (the ann_cosine_batch_fast shape, r11
         # verdict #8); the quantized recall audit composes it

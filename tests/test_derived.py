@@ -114,3 +114,69 @@ def test_cli_derived_ls_and_gc(tmp_path, monkeypatch, capsys):
 
     assert main(["derived", "gc", "--all"]) == 0
     assert not (base / "edges-abc123").exists()
+
+
+def test_index_reload_across_sessions(spark, tmp_path, monkeypatch):
+    """The persisted-index contract ACROSS SESSIONS (VERDICT r13 #1's
+    production claim): a separate process builds the LSH band index for
+    a corpus, and this session's accessor must RELOAD the stored table
+    — same rows, no rebuild (the published dir's files are untouched).
+    This is the incremental-ingest flow: tonight's ingest job reuses
+    the index yesterday's job built."""
+    import shutil
+    import subprocess
+    import sys
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    src = os.path.join(SF, "documents.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, corpus / "documents.parquet")
+    else:
+        shutil.copy(src, corpus / "documents.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(tmp_path / "dw"))
+    env = dict(os.environ, SPARK_GRAFT_DERIVED_DIR=str(tmp_path / "dw"))
+    build = (
+        "from go_dfs_mapreduce_spark.session import get_spark\n"
+        "from go_dfs_mapreduce_spark.operators.dedup import band_sig_index\n"
+        "s = get_spark('index-builder', shuffle_partitions=4)\n"
+        f"print('BUILT', band_sig_index(s, {str(corpus)!r}).count())\n"
+        "s.stop()\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", build],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert "BUILT" in out.stdout, out.stderr[-2000:]
+    (published,) = [
+        d
+        for d in os.listdir(tmp_path / "dw")
+        if d.startswith("lsh_band_index-")
+    ]
+    pdir = tmp_path / "dw" / published
+    files_before = {
+        f: os.path.getmtime(os.path.join(pdir, f)) for f in os.listdir(pdir)
+    }
+
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        _doc_band_sigs,
+        _shingle_arrays,
+        band_sig_index,
+    )
+
+    got = {
+        tuple(r) for r in band_sig_index(spark, str(corpus)).collect()
+    }
+    want = {
+        tuple(r)
+        for r in _doc_band_sigs(_shingle_arrays(spark, str(corpus))).collect()
+    }
+    assert got == want and got
+    files_after = {
+        f: os.path.getmtime(os.path.join(pdir, f)) for f in os.listdir(pdir)
+    }
+    assert files_after == files_before  # reloaded, never rebuilt
