@@ -9,30 +9,48 @@ in ``MapReduceJob._plan``: **each r_id's rows live in exactly one output
 partition** — the Arrow path is ``groupBy("r_id").applyInPandas`` (hash
 exchange on r_id; a group is never split) and both lowered paths end in
 a ``Window.partitionBy("r_id")`` rank forcing the same exchange. So the
-driver pulls ONE RESULT PARTITION PER JOB (``sc.runJob(rdd, list, [p])``
-— the mechanism behind ``toLocalIterator``, made partition-explicit) and
-closes every reducer file in partition p at p's boundary: the reduce
-work for partition p+1 has not run yet, so each blob is complete on disk
-while later reducers are still pending — the reference's latency
-profile. Partition-explicit pulls matter: a plain row iterator can only
-detect "this reducer ended" by fetching the NEXT row, which would force
-the next partition's reducers to run first.
+driver pulls result partitions as CONCURRENT single-partition jobs
+(``sc.runJob(rdd, list, [p])`` from a bounded thread pool — the
+mechanism behind ``toLocalIterator``, made partition-explicit and
+parallel) and writes every reducer file in a partition the moment that
+partition's job returns. Reducers therefore EXECUTE in parallel (the
+reference schedules all R reducers at once) and each blob is complete
+on disk in reducer-finish order while stragglers are still running —
+the reference's latency profile. Two design points that matter:
+
+- Partition-explicit pulls: a plain row iterator can only detect "this
+  reducer ended" by fetching the NEXT row, which would force another
+  partition's reducers to run first. Sequential per-partition pulls fix
+  that but serialize reducer execution (measured: a 6 s straggler in
+  the first-drained partition delayed every other blob behind it); the
+  bounded pool gives both properties.
+- AQE partition coalescing is pinned OFF for the pull's plan: it would
+  merge small reducers into one task, collapsing the per-reducer pull
+  back into a batch (measured: a 6 s straggler delayed every blob to
+  job end at gate sizes). At real output sizes coalescing is a no-op
+  anyway — the advisory partition size keeps big reducers separate.
 
 ``tests/test_cli.py::test_mr_streams_reducer_files_mid_job`` proves the
 behavior the hard way — a reducer that refuses to produce until an
 earlier reducer's pulled file exists still completes.
 
-A reducer id reappearing after its file closed would mean the plan fact
-broke (someone re-planned the reduce without r_id-keyed output); that is
-a fail-loud error, never a silent mis-ordered file.
+A reducer id appearing in two partitions would mean the plan fact broke
+(someone re-planned the reduce without r_id-keyed output); that is a
+fail-loud error at file-claim time, never a silently corrupted file.
 """
 
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor, as_completed
 
 from pyspark.sql import DataFrame
+
+# concurrent single-partition pull jobs; local[32] handles 8 comfortably
+# and a cluster scheduler treats them as ordinary FIFO jobs
+PULL_POOL = 8
 
 
 def stream_reducer_results(
@@ -41,53 +59,78 @@ def stream_reducer_results(
     on_complete: Callable[[int, str], None] | None = None,
 ) -> list[int]:
     """Write ``result`` (DataFrame[r_id, seq, line]) as one ``r{r_id}``
-    file per reducer under ``out_dir``, pulling result partitions one
-    job at a time and closing each reducer's file at its partition's
-    end — the streamed mid-job pull. ``on_complete(r_id, path)`` fires
-    at each close, while later reducers may still be running. Returns
-    reducer ids in completion order (reducers with no output produce no
-    file, matching the reference's empty-blob behavior)."""
+    file per reducer under ``out_dir``, pulling result partitions as
+    concurrent jobs and closing each reducer's file the moment its
+    partition's job returns — the streamed mid-job pull.
+    ``on_complete(r_id, path)`` fires at each close (serialized under a
+    lock), while straggler reducers are still running. Returns reducer
+    ids in completion order (reducers with no output produce no file,
+    matching the reference's empty-blob behavior)."""
     os.makedirs(out_dir, exist_ok=True)
     # narrow per-partition sort: groups become contiguous and seq-ordered
     # without an exchange, so partition-at-a-time laziness is preserved
     stream = result.sortWithinPartitions("r_id", "seq")
-    sc = result.sparkSession.sparkContext
-    rdd = stream.rdd
-    done: list[int] = []
-    cur_id: int | None = None
-    cur_fh = None
-
-    def _close() -> None:
-        nonlocal cur_id, cur_fh
-        if cur_fh is not None:
-            cur_fh.close()
-            done.append(cur_id)
-            if on_complete is not None:
-                on_complete(cur_id, os.path.join(out_dir, f"r{cur_id}"))
-        cur_id, cur_fh = None, None
-
+    spark = result.sparkSession
+    sc = spark.sparkContext
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
     try:
-        for p in range(rdd.getNumPartitions()):
-            # one Spark job per result partition; shuffle map output is
-            # computed once and reused across these jobs
-            for row in sc.runJob(rdd, lambda rows: list(rows), [p]):
-                if row.r_id != cur_id:
-                    if row.r_id in done:
-                        raise RuntimeError(
-                            f"reducer {row.r_id} reappeared after its "
-                            "file closed: reduce output is no longer "
-                            "r_id-partitioned (see module docstring)"
-                        )
-                    _close()
-                    cur_id = int(row.r_id)
-                    cur_fh = open(
-                        os.path.join(out_dir, f"r{cur_id}"), "w"
-                    )
-                cur_fh.write(row.line + "\n")
-            # partition boundary: every reducer in it is complete NOW —
-            # never wait for the next partition's rows to learn that
-            _close()
+        return _drain(stream.rdd, sc, out_dir, on_complete)
     finally:
-        if cur_fh is not None:
-            cur_fh.close()
+        spark.conf.set(coalesce_key, prev)
+
+
+def _drain(rdd, sc, out_dir, on_complete) -> list[int]:
+    done: list[int] = []
+    claimed: set[int] = set()
+    lock = threading.Lock()
+
+    def _claim(r_id: int) -> str:
+        with lock:
+            if r_id in claimed:
+                raise RuntimeError(
+                    f"reducer {r_id} appeared in two result partitions: "
+                    "reduce output is no longer r_id-partitioned (see "
+                    "module docstring)"
+                )
+            claimed.add(r_id)
+        return os.path.join(out_dir, f"r{r_id}")
+
+    def _finish(r_id: int, path: str) -> None:
+        with lock:
+            done.append(r_id)
+            if on_complete is not None:
+                on_complete(r_id, path)
+
+    def _pull(p: int) -> None:
+        # one Spark job for ONE partition; the shuffle map output is
+        # computed once and shared across all concurrent pull jobs
+        rows = sc.runJob(rdd, lambda it: list(it), [p])
+        cur_id: int | None = None
+        cur_path: str | None = None
+        cur_fh = None
+        try:
+            for row in rows:
+                if row.r_id != cur_id:
+                    if cur_fh is not None:
+                        cur_fh.close()
+                        _finish(cur_id, cur_path)
+                    cur_id = int(row.r_id)
+                    cur_path = _claim(cur_id)
+                    cur_fh = open(cur_path, "w")
+                cur_fh.write(row.line + "\n")
+            if cur_fh is not None:
+                cur_fh.close()
+                cur_fh = None
+                _finish(cur_id, cur_path)
+        finally:
+            if cur_fh is not None:
+                cur_fh.close()
+
+    n = rdd.getNumPartitions()
+    with ThreadPoolExecutor(max_workers=min(PULL_POOL, max(n, 1))) as pool:
+        futures = [pool.submit(_pull, p) for p in range(n)]
+        for f in as_completed(futures):
+            f.result()  # surface pull/claim errors immediately
     return done
