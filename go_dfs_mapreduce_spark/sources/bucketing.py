@@ -6,7 +6,7 @@ once (at ingest) and amortizes it over every subsequent join:
 ``bucketBy(n, key).sortBy(key)`` + ``saveAsTable`` → Spark's scan reports
 the bucketing, and SortMergeJoin elides both Exchange nodes.
 
-tests/test_bucketing.py proves the property at the plan level: the same
+tests/test_scale_patterns.py proves the property at the plan level: the same
 join has 2 Exchanges unbucketed and 0 bucketed.
 """
 

@@ -199,3 +199,44 @@ def test_aqe_skew_join_split_fires_and_matches_salted(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_band_index_bucketed_layout_elides_bucket_agg_exchange(spark, sf_dir):
+    """The 100 TB layout claim behind the persisted LSH band index
+    (SCALE.md r14): stored BUCKETED by its aggregation keys, the
+    incremental's (band, sig) bucket groupBy — and the batch-vs-index
+    semi join keyed the same way — runs EXCHANGE-FREE; the shuffle
+    shipped once at index-build time and is amortized over every
+    ingest. Proven at the plan level against the identical unbucketed
+    aggregation, with identical results."""
+    from go_dfs_mapreduce_spark.operators.dedup import band_sig_index
+
+    sigs = band_sig_index(spark, sf_dir)
+    try:
+        (
+            sigs.write.format("parquet")
+            .bucketBy(8, "band", "sig")
+            .sortBy("band", "sig")
+            .mode("overwrite")
+            .saveAsTable("b_band_index")
+        )
+        bucketed = (
+            spark.table("b_band_index")
+            .groupBy("band", "sig")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .where(F.expr("size(ds) > 1"))
+        )
+        plain = (
+            sigs.groupBy("band", "sig")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .where(F.expr("size(ds) > 1"))
+        )
+        a_bucketed = audit_plan(bucketed)
+        a_plain = audit_plan(plain)
+        assert a_plain["n_exchanges"] >= 1, "plain bucket agg must shuffle"
+        assert a_bucketed["n_exchanges"] == 0, a_bucketed["plan"][:2000]
+        got = {(r.band, r.sig, tuple(r.ds)) for r in bucketed.collect()}
+        want = {(r.band, r.sig, tuple(r.ds)) for r in plain.collect()}
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_band_index")
