@@ -269,6 +269,7 @@ def main() -> None:
         return
     from go_dfs_mapreduce_spark.operators.dedup import (
         dedup_fuzzy_levenshtein,
+        dedup_incremental_new_docs,
         dedup_minhash_lsh,
         span_dedup_plan,
         winnow_candidate_pairs,
@@ -286,6 +287,11 @@ def main() -> None:
             lambda sp, dd: span_dedup_plan(sp, dd).where("n_spans > 0"),
             _span_diag,
         ),
+        # the incremental ingest path over the PERSISTED band index —
+        # pair work restricted to buckets the new batch touches; run
+        # next to "minhash" at the same K for the full-vs-incremental
+        # wall comparison (the stored-index amortization claim)
+        "minhash_inc": (dedup_incremental_new_docs, None),
     }
     # codegen warmup on the smallest fixture
     for op in ops:
