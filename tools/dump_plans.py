@@ -145,6 +145,8 @@ PLAN_QUERIES = [
     "multimodal_audio_fingerprint_incremental",
     "multimodal_jpeg_metadata",
     "dedup_clusters",
+    # round 14
+    "multimodal_jpeg_metadata_stored",
 ]
 
 
