@@ -169,6 +169,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cycles", type=int, default=0)
     p.add_argument("--replicas", type=int, default=3)
     p.add_argument("--flatline-ms", type=int, default=22000)
+    p.add_argument(
+        "--heartbeat",
+        action="store_true",
+        help="also play the storage-node agents' role and write each"
+        " cycle's .heartbeat into the dirs (single-host demo mode);"
+        " WITHOUT this the daemon is controller-only and flatlined"
+        " nodes actually show up dead",
+    )
 
     p = sub.add_parser("query", help="run a registered analytics query")
     p.add_argument("name")
@@ -290,16 +298,29 @@ def main(argv: list[str] | None = None) -> int:
         try:
             while args.cycles <= 0 or cycle < args.cycles:
                 t0 = _time.time()
-                for d in dirs:
-                    touch_heartbeat(d)
-                status = node_status(
-                    dirs,
-                    flatline_ms=args.flatline_ms,
-                    replicas=args.replicas,
-                )
-                rows = fsck(
-                    dirs, repair=True, replicas=args.replicas, spark=spark
-                )
+                # A vanished node dir is a DEAD NODE, not a daemon crash
+                # (the reference controller survives node loss and keeps
+                # repairing from the survivors, cn/struct.go:189-232) —
+                # re-evaluated every cycle so a node can come back.
+                present = [d for d in dirs if os.path.isdir(d)]
+                if args.heartbeat:
+                    for d in present:
+                        touch_heartbeat(d)
+                if present:
+                    status = node_status(
+                        present,
+                        flatline_ms=args.flatline_ms,
+                        replicas=args.replicas,
+                    )
+                    rows = fsck(
+                        present,
+                        repair=True,
+                        replicas=args.replicas,
+                        spark=spark,
+                    )
+                else:
+                    status = {"nodes": [], "under_replicated": []}
+                    rows = []
                 print(
                     json.dumps(
                         {
@@ -307,6 +328,7 @@ def main(argv: list[str] | None = None) -> int:
                             "alive": sum(
                                 1 for n in status["nodes"] if n["alive"]
                             ),
+                            "missing_dirs": len(dirs) - len(present),
                             "under_replicated": len(
                                 status["under_replicated"]
                             ),

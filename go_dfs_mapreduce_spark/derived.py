@@ -47,10 +47,16 @@ def _default_base() -> str:
     )
 
 
-def _source_fingerprint(sf_dir: str, source_tables: tuple[str, ...]) -> str:
+def _source_fingerprint(
+    sf_dir: str, source_tables: tuple[str, ...], version: int = 1
+) -> str:
     """Content key of the source tables: any byte-size or mtime change in
-    any part file changes the fingerprint (and the builder schema/layout
-    version is folded in so a code change can force a rebuild)."""
+    any part file changes the fingerprint. ``version`` is the BUILDER'S
+    OWN version (per table, bumped by the caller whenever the builder's
+    semantics change — a new hash formula, a different lane count), and
+    the global layout version is folded in too: fingerprinting only
+    source bytes would silently serve a stale index after a code change
+    (round-14 review finding)."""
     parts: list[tuple[str, int, int]] = []
     for t in source_tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -66,7 +72,7 @@ def _source_fingerprint(sf_dir: str, source_tables: tuple[str, ...]) -> str:
             st = os.stat(p)
             parts.append((f"{t}.parquet", st.st_size, st.st_mtime_ns))
     blob = json.dumps(
-        [_LAYOUT_VERSION, os.path.abspath(sf_dir), sorted(parts)],
+        [_LAYOUT_VERSION, version, os.path.abspath(sf_dir), sorted(parts)],
         separators=(",", ":"),
     )
     return hashlib.md5(blob.encode()).hexdigest()[:16]
@@ -78,6 +84,7 @@ def derived_table(
     name: str,
     source_tables: tuple[str, ...],
     build: Callable[[], DataFrame],
+    version: int = 1,
 ) -> DataFrame:
     """Return ``name`` derived from ``source_tables`` under ``sf_dir``,
     reading the fingerprint-matched parquet copy if one exists and
@@ -93,7 +100,7 @@ def derived_table(
     round-robin exchange of a few MB per cold session buys the correct
     task fan-out everywhere downstream."""
     base = _default_base()
-    fp = _source_fingerprint(sf_dir, source_tables)
+    fp = _source_fingerprint(sf_dir, source_tables, version)
     dst = os.path.join(base, f"{name}-{fp}")
     if not os.path.isdir(dst):
         os.makedirs(base, exist_ok=True)
@@ -105,27 +112,61 @@ def derived_table(
             # a concurrent builder published first; its copy is
             # byte-equivalent in content (same fingerprint), keep it
             shutil.rmtree(tmp, ignore_errors=True)
-        # GC versions of this table whose source fingerprint is stale
-        for d in os.listdir(base):
-            if (
-                d.startswith(f"{name}-")
-                and d != os.path.basename(dst)
-                and ".tmp-" not in d
-            ):
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        _gc_stale_versions(base, name, keep=os.path.basename(dst))
     return spark.read.parquet(dst).repartition(
         max(spark.sparkContext.defaultParallelism, 1)
     )
+
+
+# Published versions of one table retained per name: the fingerprint
+# embeds the corpus path, so gate (sf0.01) and bench (sf0.1) runs that
+# alternate would otherwise delete each other's live copy every build —
+# rebuild-thrash, plus an rmtree under a concurrent reader's scan
+# (round-14 review finding). Keeping a few newest versions makes the
+# common multi-corpus workflow stable; truly stale versions age out.
+KEEP_VERSIONS = 4
+
+
+def _gc_stale_versions(base: str, name: str, keep: str) -> None:
+    """Drop this table's oldest published versions beyond KEEP_VERSIONS
+    (never the one just published, never in-flight .tmp dirs)."""
+    versions = [
+        d
+        for d in os.listdir(base)
+        if d.startswith(f"{name}-") and ".tmp-" not in d
+    ]
+    versions.sort(
+        key=lambda d: os.path.getmtime(os.path.join(base, d)), reverse=True
+    )
+    for d in versions[KEEP_VERSIONS:]:
+        if d != keep:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+
+def _bases() -> list[str]:
+    """All artifact stores under the warehouse root: the derived parquet
+    tables plus the sibling bin_store (reference-layout chunk corpora,
+    e.g. the stored-BIN decode twin's) — one inventory/GC surface for
+    both (round-14 review: bin_store was invisible to `derived ls`/`gc`,
+    so a crashed build's .tmp dir leaked forever)."""
+    base = _default_base()
+    sibling = os.path.join(os.path.dirname(base.rstrip(os.sep)), "bin_store")
+    return [base] + ([sibling] if os.path.isdir(sibling) else [])
 
 
 def list_tables() -> list[dict]:
     """Inventory of the derived warehouse: one dict per published table
     version (name, fingerprint, bytes, part files, mtime) plus any
     orphaned .tmp dirs from crashed builders."""
-    base = _default_base()
     out: list[dict] = []
-    if not os.path.isdir(base):
-        return out
+    for base in _bases():
+        if not os.path.isdir(base):
+            continue
+        _list_base(base, out)
+    return out
+
+
+def _list_base(base: str, out: list[dict]) -> None:
     for d in sorted(os.listdir(base)):
         p = os.path.join(base, d)
         if not os.path.isdir(p):
@@ -142,9 +183,9 @@ def list_tables() -> list[dict]:
                 "bytes": sum(os.path.getsize(f) for f in files),
                 "n_files": len(files),
                 "mtime": int(os.path.getmtime(p)),
+                "store": os.path.basename(base),
             }
         )
-    return out
 
 
 def gc(drop_all: bool = False) -> list[str]:
@@ -152,15 +193,15 @@ def gc(drop_all: bool = False) -> list[str]:
     publishes via rename, so anything still named .tmp-* after its
     process exits is litter); with ``drop_all``, drop every published
     table too — they rebuild from source on next use."""
-    base = _default_base()
     removed: list[str] = []
-    if not os.path.isdir(base):
-        return removed
-    for d in sorted(os.listdir(base)):
-        p = os.path.join(base, d)
-        if not os.path.isdir(p):
+    for base in _bases():
+        if not os.path.isdir(base):
             continue
-        if ".tmp-" in d or drop_all:
-            shutil.rmtree(p, ignore_errors=True)
-            removed.append(d)
+        for d in sorted(os.listdir(base)):
+            p = os.path.join(base, d)
+            if not os.path.isdir(p):
+                continue
+            if ".tmp-" in d or drop_all:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(d)
     return removed

@@ -4,19 +4,19 @@ each reducer's blob AS SOON AS that reducer finishes, not at job end —
 others are still running; the storage node serves the blob from
 `sn/mr_actions.go:510-544`).
 
-The Spark-native twin rests on one plan fact shared by every reduce path
-in ``MapReduceJob._plan``: **each r_id's rows live in exactly one output
-partition** — the Arrow path is ``groupBy("r_id").applyInPandas`` (hash
-exchange on r_id; a group is never split) and both lowered paths end in
-a ``Window.partitionBy("r_id")`` rank forcing the same exchange. So the
-driver pulls result partitions as CONCURRENT single-partition jobs
-(``sc.runJob(rdd, list, [p])`` from a bounded thread pool — the
-mechanism behind ``toLocalIterator``, made partition-explicit and
-parallel) and writes every reducer file in a partition the moment that
-partition's job returns. Reducers therefore EXECUTE in parallel (the
-reference schedules all R reducers at once) and each blob is complete
-on disk in reducer-finish order while stragglers are still running —
-the reference's latency profile. Two design points that matter:
+The Spark-native twin exploits a plan fact of the HOT reduce paths in
+``MapReduceJob._plan``: each r_id's rows live in exactly one output
+partition — the Arrow path is ``groupBy("r_id").applyInPandas`` (hash
+exchange on r_id; a group is never split) and the ``PerKeyIntSumFormat``
+lowering ends in a ``Window.partitionBy("r_id")`` rank forcing the same
+exchange. Where that holds, the driver pulls result partitions as
+CONCURRENT single-partition jobs (``sc.runJob(rdd, list, [p])`` from a
+bounded thread pool — the mechanism behind ``toLocalIterator``, made
+partition-explicit and parallel) and writes every reducer file in a
+partition the moment that partition's job returns. Reducers therefore
+EXECUTE in parallel (the reference schedules all R reducers at once) and
+each blob is complete on disk in reducer-finish order while stragglers
+are still running — the reference's latency profile. Design points:
 
 - Partition-explicit pulls: a plain row iterator can only detect "this
   reducer ended" by fetching the NEXT row, which would force another
@@ -29,14 +29,27 @@ the reference's latency profile. Two design points that matter:
   back into a batch (measured: a 6 s straggler delayed every blob to
   job end at gate sizes). At real output sizes coalescing is a no-op
   anyway — the advisory partition size keeps big reducers separate.
+- Driver memory is bounded by PULL_POOL concurrently-held partitions
+  (each pull job materializes one partition's rows); at the reference's
+  64 MiB blob scale that is a few hundred MB — size PULL_POOL down if
+  reducer outputs are bigger.
+
+The invariant is NOT guaranteed for an arbitrary ``ReduceExpr`` lowering
+(e.g. log_analyzer's builder unions several relational branches whose
+output partitionings can disagree, splitting one r_id across pulled
+partitions — observed live on the CLI). The writer detects the split at
+file-claim time and FALLS BACK to the classic ordered drain (global
+orderBy(r_id, seq) + toLocalIterator): every file is rewritten complete
+and correctly ordered, at the cost of job-end latency — correctness
+never rides on the plan shape. ``on_complete`` may re-fire for a reducer
+whose phase-1 file was rewritten by the fallback.
 
 ``tests/test_cli.py::test_mr_streams_reducer_files_mid_job`` proves the
-behavior the hard way — a reducer that refuses to produce until an
-earlier reducer's pulled file exists still completes.
-
-A reducer id appearing in two partitions would mean the plan fact broke
-(someone re-planned the reduce without r_id-keyed output); that is a
-fail-loud error at file-claim time, never a silently corrupted file.
+mid-job behavior the hard way — a reducer that refuses to produce until
+an earlier reducer's pulled file exists still completes — and
+``test_mr_cli_lowered_log_analyzer_streams_per_reducer`` pins the
+fallback: the lowered log_analyzer CLI run completes with files byte-
+identical to the unlowered Arrow reduce.
 """
 
 from __future__ import annotations
@@ -49,8 +62,16 @@ from concurrent.futures import ThreadPoolExecutor, as_completed
 from pyspark.sql import DataFrame
 
 # concurrent single-partition pull jobs; local[32] handles 8 comfortably
-# and a cluster scheduler treats them as ordinary FIFO jobs
+# and a cluster scheduler treats them as ordinary FIFO jobs. Also the
+# driver-memory bound: at most this many result partitions are held at
+# once while their files are written.
 PULL_POOL = 8
+
+
+class _SplitReducer(RuntimeError):
+    """A reducer's rows turned up in two result partitions: the plan is
+    not r_id-partitioned, so per-partition pulls cannot produce complete
+    blobs — switch to the ordered fallback drain."""
 
 
 def stream_reducer_results(
@@ -65,7 +86,10 @@ def stream_reducer_results(
     ``on_complete(r_id, path)`` fires at each close (serialized under a
     lock), while straggler reducers are still running. Returns reducer
     ids in completion order (reducers with no output produce no file,
-    matching the reference's empty-blob behavior)."""
+    matching the reference's empty-blob behavior). If the result plan is
+    not r_id-partitioned (possible for custom ``ReduceExpr`` lowerings),
+    the writer detects the split and transparently redoes the drain in
+    ordered job-end mode — same files, no mid-job latency win."""
     os.makedirs(out_dir, exist_ok=True)
     # narrow per-partition sort: groups become contiguous and seq-ordered
     # without an exchange, so partition-at-a-time laziness is preserved
@@ -76,7 +100,10 @@ def stream_reducer_results(
     prev = spark.conf.get(coalesce_key)
     spark.conf.set(coalesce_key, "false")
     try:
-        return _drain(stream.rdd, sc, out_dir, on_complete)
+        try:
+            return _drain(stream.rdd, sc, out_dir, on_complete)
+        except _SplitReducer:
+            return _ordered_drain(result, out_dir, on_complete)
     finally:
         spark.conf.set(coalesce_key, prev)
 
@@ -89,11 +116,7 @@ def _drain(rdd, sc, out_dir, on_complete) -> list[int]:
     def _claim(r_id: int) -> str:
         with lock:
             if r_id in claimed:
-                raise RuntimeError(
-                    f"reducer {r_id} appeared in two result partitions: "
-                    "reduce output is no longer r_id-partitioned (see "
-                    "module docstring)"
-                )
+                raise _SplitReducer(r_id)
             claimed.add(r_id)
         return os.path.join(out_dir, f"r{r_id}")
 
@@ -131,6 +154,37 @@ def _drain(rdd, sc, out_dir, on_complete) -> list[int]:
     n = rdd.getNumPartitions()
     with ThreadPoolExecutor(max_workers=min(PULL_POOL, max(n, 1))) as pool:
         futures = [pool.submit(_pull, p) for p in range(n)]
-        for f in as_completed(futures):
-            f.result()  # surface pull/claim errors immediately
+        try:
+            for f in as_completed(futures):
+                f.result()  # surface pull/claim errors immediately
+        except _SplitReducer:
+            # stop handing out new pulls; running ones finish harmlessly
+            # (the with-block joins them before the fallback rewrites)
+            for fut in futures:
+                fut.cancel()
+            raise
+    return done
+
+
+def _ordered_drain(result: DataFrame, out_dir, on_complete) -> list[int]:
+    """Job-end fallback for non-r_id-partitioned plans: one globally
+    ordered pass, every file rewritten complete (clobbering any partial
+    phase-1 files). The pre-parallel-pull writer, kept as the safety
+    net."""
+    done: list[int] = []
+    handles: dict[int, object] = {}
+    try:
+        for row in result.orderBy("r_id", "seq").toLocalIterator():
+            fh = handles.get(row.r_id)
+            if fh is None:
+                fh = open(os.path.join(out_dir, f"r{row.r_id}"), "w")
+                handles[row.r_id] = fh
+            fh.write(row.line + "\n")
+    finally:
+        for r_id, fh in sorted(handles.items()):
+            fh.close()
+    for r_id in sorted(handles):
+        done.append(r_id)
+        if on_complete is not None:
+            on_complete(r_id, os.path.join(out_dir, f"r{r_id}"))
     return done

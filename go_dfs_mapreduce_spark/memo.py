@@ -50,6 +50,7 @@ def index_table(
     name: str,
     source_tables: tuple[str, ...],
     build: Callable[[], DataFrame],
+    version: int = 1,
 ) -> DataFrame:
     """A PERSISTED INDEX TABLE: the durable artifact is a
     content-fingerprinted parquet table in the derived warehouse
@@ -66,12 +67,19 @@ def index_table(
     show an InMemoryTableScan whose cached child is a parquet scan of
     the stored index — the expensive build (decode, hashing, distance
     argmin) appears in NO consumer plan (pinned by
-    tests/test_catalog_plans.py::test_persisted_index_plan_contracts)."""
+    tests/test_catalog_plans.py::test_persisted_index_plan_contracts).
+
+    ``version`` is the BUILDER'S version, folded into the on-disk
+    fingerprint: bump it whenever the build's semantics change (hash
+    formula, lane count, decode rule) — source-byte fingerprinting alone
+    would silently keep serving the pre-change index."""
     from .derived import derived_table
 
     return session_memo(
         memo,
         spark,
         sf_dir,
-        lambda: derived_table(spark, sf_dir, name, source_tables, build),
+        lambda: derived_table(
+            spark, sf_dir, name, source_tables, build, version=version
+        ),
     )

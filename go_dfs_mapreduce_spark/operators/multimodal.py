@@ -2657,10 +2657,19 @@ def decode_y4m(b: bytes):
     w = h = None
     cs = "420"
     fps_num, fps_den = 25, 1
+    seen: set[str] = set()
     for tok in tokens[1:]:
         if not tok:
             continue
         tag, val = tok[0], tok[1:]
+        if tag in "WHCF":
+            # two declarations of a token WE CONSUME can disagree —
+            # quarantine like the duplicate APP0/Exif/idx1 rule (tokens
+            # we ignore, e.g. Ip/A/X, stay pass-through: lenient on what
+            # is unused, strict on what clocks or shapes the decode)
+            if tag in seen:
+                return None
+            seen.add(tag)
         if tag == "W":
             if not val.isdigit():
                 return None
@@ -3443,6 +3452,7 @@ def jpeg_metadata(b: bytes):
     comment = ""
     w = h = None
     saw_sos = False
+    saw_com = False
     pos = 2
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
@@ -3476,11 +3486,17 @@ def jpeg_metadata(b: bytes):
                 return None  # present-but-corrupt Exif quarantines
             orient = got
         elif marker == 0xFE:
+            if saw_com:
+                return None  # conflicting comments — quarantine, like
+                # the duplicate APP0/Exif rule above
+            saw_com = True
             try:
                 comment = seg.decode("utf-8")
             except UnicodeDecodeError:
                 return None
         elif marker == 0xC0:
+            if w is not None:
+                return None  # two frame headers can disagree on dims
             if len(seg) < 5:
                 return None
             h = int.from_bytes(seg[1:3], "big")
@@ -3564,7 +3580,11 @@ def _jpeg_chunk_store(spark: SparkSession, sf_dir: str) -> str:
     chunk-tail layout lesson, ADVICE r13)."""
     import shutil
 
-    from ..derived import _default_base, _source_fingerprint
+    from ..derived import (
+        _default_base,
+        _gc_stale_versions,
+        _source_fingerprint,
+    )
     from ..sources import register_dfs_sources
     from ..sources.dfs_chunks import _inventory
 
@@ -3619,13 +3639,10 @@ def _jpeg_chunk_store(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         # concurrent builder published the same fingerprint first
         shutil.rmtree(tmp, ignore_errors=True)
-    for d in os.listdir(base):
-        if (
-            d.startswith("jpeg_meta_corpus-")
-            and d != os.path.basename(node)
-            and ".tmp-" not in d
-        ):
-            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    # shared retention GC: keep recent versions (multi-corpus workflows
+    # alternate fingerprints), age out the rest; orphan .tmp dirs are
+    # cleaned by `derived gc`, which inventories bin_store too
+    _gc_stale_versions(base, "jpeg_meta_corpus", keep=os.path.basename(node))
     return node
 
 

@@ -549,12 +549,91 @@ def test_cli_dfs_daemon_two_cycles_repairs(spark, tmp_path, capsys):
         "0",
         "--replicas",
         "2",
+        "--heartbeat",
     )
     assert rc == 0
     c0, c1 = [_json.loads(line) for line in out.splitlines()]
-    assert c0["cycle"] == 0 and c0["alive"] == 2
+    assert c0["cycle"] == 0 and c0["alive"] == 2 and c0["missing_dirs"] == 0
     assert c0["corrupt"] == 1 and c0["repaired"] == 1
     assert c1["cycle"] == 1 and c1["corrupt"] == 0 and c1["repaired"] == 0
     # the heartbeat twin landed in both dirs and the replica is back
     assert os.path.exists(os.path.join(n1, ".heartbeat"))
     assert os.path.exists(os.path.join(n1, chunk_name("doc.txt", "TXT", 0)))
+    # node LOSS is a dead node, not a daemon crash (cn/struct.go:189-232
+    # keeps repairing from survivors): a vanished dir is reported and the
+    # cycle still verifies the remaining replicas
+    rc, out = _run(
+        capsys,
+        "dfs-daemon",
+        ",".join((n1, n2, str(tmp_path / "gone"))),
+        "--cycles",
+        "1",
+        "--interval-s",
+        "0",
+        "--replicas",
+        "2",
+        "--heartbeat",
+    )
+    assert rc == 0
+    (c,) = [_json.loads(line) for line in out.splitlines()]
+    assert c["missing_dirs"] == 1 and c["alive"] == 2
+    assert c["chunks"] == 1 and c["corrupt"] == 0
+
+
+def test_mr_cli_lowered_log_analyzer_streams_per_reducer(
+    spark, tmp_path, wh_root, capsys
+):
+    """Pins the ReduceExpr-lowered path THROUGH the streamed pull: the
+    log_analyzer reduce lowers to a relational builder that UNIONS
+    branches whose output partitionings disagree, so one r_id's rows DO
+    span pulled partitions (observed live — this is the case the
+    round-14 review flagged). The writer must detect the split at
+    file-claim time and fall back to the ordered job-end drain: the CLI
+    completes, per-reducer pull lines still print, and the files match
+    the unlowered Arrow reduce byte-for-byte."""
+    src = tmp_path / "crawl.log"
+    src.write_text(
+        "10.0.0.1 - - [x] \"GET /a HTTP/1.1\" 200 123 \"-\" \"bot\"\n"
+        "10.0.0.2 - - [x] \"GET http://example.com/b HTTP/1.1\" 404 5 \"-\" \"ua\"\n"
+        * 40
+    )
+    rc, _ = _run(capsys, "--warehouse", wh_root, "store", str(src))
+    assert rc == 0
+    out_dir = tmp_path / "out"
+    rc, out = _run(
+        capsys, "--warehouse", wh_root, "mr", "log_analyzer", "-o", str(out_dir)
+    )
+    assert rc == 0
+    pulls = [line for line in out.splitlines() if line.startswith("pulled r")]
+    assert pulls, out
+    lowered = {f.name: f.read_text() for f in out_dir.iterdir()}
+
+    from go_dfs_mapreduce_spark.mapreduce import MapReduceJob, plugins
+    from go_dfs_mapreduce_spark.mapreduce.results import (
+        stream_reducer_results,
+    )
+    from pyspark.sql import functions as F
+
+    wh = cli.Warehouse(spark, wh_root) if hasattr(cli, "Warehouse") else None
+    from go_dfs_mapreduce_spark.sources import Warehouse
+
+    inputs = (
+        Warehouse(spark, wh_root)
+        .read("crawl.log")
+        .select(
+            F.lit("crawl.log").alias("file"),
+            F.col("line_number").cast("long").alias("line_number"),
+            F.col("value").alias("line"),
+        )
+    )
+    arrow_dir = tmp_path / "arrow_out"
+    job = MapReduceJob(
+        "t_log_arrow_baseline",
+        plugins.log_analyzer_map,
+        plugins.log_analyzer_reduce,
+        r=plugins.LOG_ANALYZER_R,
+        lower=False,
+    )
+    stream_reducer_results(job.run(inputs), str(arrow_dir))
+    arrow = {f.name: f.read_text() for f in arrow_dir.iterdir()}
+    assert lowered == arrow and lowered

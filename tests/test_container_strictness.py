@@ -76,3 +76,37 @@ def test_y4m_declared_rate_parsed_and_validated():
     for tok in (b"Fx:1", b"F25", b"F0:1", b"F25:0", b"F25:"):
         bad = b"YUV4MPEG2 W2 H2 C444 " + tok + b"\nFRAME\n" + bytes(12)
         assert decode_y4m(bad) is None, tok
+
+
+def test_y4m_duplicate_consumed_tokens_quarantine():
+    """Two declarations of a token the decoder CONSUMES (W/H/C/F) can
+    disagree — quarantine, matching the duplicate-APP0/Exif/idx1 rule.
+    Tokens the decoder ignores (Ip, A, X...) stay pass-through."""
+    from go_dfs_mapreduce_spark.operators.multimodal import decode_y4m
+
+    ok = b"YUV4MPEG2 W2 H2 C444 F30:1 Ip A1:1 Xy\nFRAME\n" + bytes(12)
+    assert decode_y4m(ok) is not None
+    for dup in (b"W2", b"H2", b"C444", b"F30:1"):
+        bad = (
+            b"YUV4MPEG2 W2 H2 C444 F30:1 " + dup + b"\nFRAME\n" + bytes(12)
+        )
+        assert decode_y4m(bad) is None, dup
+    # ignored tokens may legally repeat
+    ok2 = b"YUV4MPEG2 W2 H2 C444 Ip Ip A1:1 A1:1\nFRAME\n" + bytes(12)
+    assert decode_y4m(ok2) is not None
+
+
+def test_jpeg_duplicate_com_and_sof_quarantine():
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        jpeg_metadata,
+        make_jpeg_meta_bytes,
+    )
+
+    b = make_jpeg_meta_bytes(4)
+    assert jpeg_metadata(b) is not None
+    com = b.find(b"\xff\xfe")
+    assert com > 0
+    assert jpeg_metadata(_dup_jpeg_segment(b, com)) is None
+    sof = b.find(b"\xff\xc0")
+    assert sof > 0
+    assert jpeg_metadata(_dup_jpeg_segment(b, sof)) is None

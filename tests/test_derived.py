@@ -55,7 +55,18 @@ def test_source_change_invalidates_and_gcs(spark, tmp_path, monkeypatch):
     derived.derived_table(spark, str(src), "t_inv", ("documents",), build)
     fp2 = [d for d in os.listdir(tmp_path / "wh") if d.startswith("t_inv-")]
     assert len(calls) == 2
-    assert len(fp2) == 1 and fp2 != fp1  # stale version GC'd
+    # r14 retention: recent versions COEXIST (gate sf0.01 and bench
+    # sf0.1 alternate corpora; deleting the other's live copy thrashed
+    # rebuilds and raced concurrent readers) — the new fingerprint is
+    # published alongside, and only versions beyond KEEP_VERSIONS age out
+    assert set(fp1) < set(fp2) and len(fp2) == 2
+    for bump in range(2, 2 + derived.KEEP_VERSIONS):
+        st = p.stat()
+        os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+        derived.derived_table(spark, str(src), "t_inv", ("documents",), build)
+    fp3 = [d for d in os.listdir(tmp_path / "wh") if d.startswith("t_inv-")]
+    assert len(fp3) == derived.KEEP_VERSIONS  # oldest pruned
+    assert fp1[0] not in fp3
 
 
 def test_edges_roundtrip_matches_direct_build(spark, tmp_path, monkeypatch):

@@ -8,7 +8,7 @@ corpus — then times dedup_minhash_lsh end-to-end (warm codegen, noop
 sink, best of N) and reports docs / candidate-verified pairs / wall
 seconds as one JSON line per K.
 
-Usage: python tools/dedup_scale_probe.py [--ops minhash,fuzzy,winnow,winnow_fast,span] [K ...]
+Usage: python tools/dedup_scale_probe.py [--ops minhash,minhash_inc,fuzzy,winnow,winnow_fast,span] [K ...]
        (defaults: --ops minhash, K = 1 4 10)
 
 For fuzzy/winnow the line also carries the operator's skew diagnostics:
