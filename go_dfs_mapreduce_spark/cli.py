@@ -174,8 +174,9 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="also play the storage-node agents' role and write each"
         " cycle's .heartbeat into the dirs (single-host demo mode);"
-        " WITHOUT this the daemon is controller-only and flatlined"
-        " nodes actually show up dead",
+        " WITHOUT this the daemon is controller-only, flatlined nodes"
+        " actually show up dead, and the repair arm reads from / copies"
+        " to LIVE nodes only (a dead replica is not a healthy copy)",
     )
 
     p = sub.add_parser("query", help="run a registered analytics query")
@@ -305,20 +306,46 @@ def main(argv: list[str] | None = None) -> int:
                 present = [d for d in dirs if os.path.isdir(d)]
                 if args.heartbeat:
                     for d in present:
-                        touch_heartbeat(d)
-                if present:
-                    status = node_status(
-                        present,
-                        flatline_ms=args.flatline_ms,
-                        replicas=args.replicas,
-                    )
-                    rows = fsck(
-                        present,
-                        repair=True,
-                        replicas=args.replicas,
-                        spark=spark,
-                    )
-                else:
+                        try:
+                            touch_heartbeat(d)
+                        except FileNotFoundError:
+                            # vanished between the isdir scan and the
+                            # write (TOCTOU): dead for this cycle
+                            continue
+                try:
+                    if present:
+                        status = node_status(
+                            present,
+                            flatline_ms=args.flatline_ms,
+                            replicas=args.replicas,
+                        )
+                        # the repair arm sees only LIVE nodes: a replica
+                        # sitting on a flatlined-but-present dir must not
+                        # count as healthy, or under-replication caused by
+                        # a dead node is reported every cycle yet never
+                        # repaired — the reference controller re-replicates
+                        # off dead nodes (cn/struct.go:234-392). With zero
+                        # live nodes there is nothing to read from or copy
+                        # to, so the cycle only reports.
+                        live = [
+                            n["dir"] for n in status["nodes"] if n["alive"]
+                        ]
+                        rows = (
+                            fsck(
+                                live,
+                                repair=True,
+                                replicas=args.replicas,
+                                spark=spark,
+                            )
+                            if live
+                            else []
+                        )
+                    else:
+                        status = {"nodes": [], "under_replicated": []}
+                        rows = []
+                except FileNotFoundError:
+                    # a dir vanished mid-walk (same TOCTOU window inside
+                    # node_status/fsck): degraded cycle, re-scan next time
                     status = {"nodes": [], "under_replicated": []}
                     rows = []
                 print(

@@ -127,6 +127,16 @@ def derived_table(
 KEEP_VERSIONS = 4
 
 
+def _mtime_or_zero(path: str) -> float:
+    """GC sort key tolerant of a CONCURRENT session GC-ing the same table
+    between our listdir and the stat (round-14 advice): a vanished entry
+    sorts oldest and the rmtree below is already ignore_errors."""
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return 0.0
+
+
 def _gc_stale_versions(base: str, name: str, keep: str) -> None:
     """Drop this table's oldest published versions beyond KEEP_VERSIONS
     (never the one just published, never in-flight .tmp dirs)."""
@@ -136,7 +146,7 @@ def _gc_stale_versions(base: str, name: str, keep: str) -> None:
         if d.startswith(f"{name}-") and ".tmp-" not in d
     ]
     versions.sort(
-        key=lambda d: os.path.getmtime(os.path.join(base, d)), reverse=True
+        key=lambda d: _mtime_or_zero(os.path.join(base, d)), reverse=True
     )
     for d in versions[KEEP_VERSIONS:]:
         if d != keep:
@@ -175,14 +185,21 @@ def _list_base(base: str, out: list[dict]) -> None:
             os.path.join(r, f) for r, _, fs in os.walk(p) for f in fs
         ]
         name, _, fp = d.rpartition("-")
+
+        def _size(f: str) -> int:
+            try:  # tolerate a concurrent GC racing the inventory walk
+                return os.path.getsize(f)
+            except OSError:
+                return 0
+
         out.append(
             {
                 "name": name if ".tmp-" not in d else d,
                 "fingerprint": fp if ".tmp-" not in d else None,
                 "orphan_tmp": ".tmp-" in d,
-                "bytes": sum(os.path.getsize(f) for f in files),
+                "bytes": sum(_size(f) for f in files),
                 "n_files": len(files),
-                "mtime": int(os.path.getmtime(p)),
+                "mtime": int(_mtime_or_zero(p)),
                 "store": os.path.basename(base),
             }
         )

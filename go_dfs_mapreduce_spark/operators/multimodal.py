@@ -3564,6 +3564,12 @@ def multimodal_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 JPEG_STORE_CHUNKS = 8  # gate-scale chunk count; production sizes this so
 # each chunk is ~64 MiB (the reference default), i.e. n_chunks = bytes/64Mi
 
+# BUILDER version of the packed BIN store, folded into its content
+# fingerprint (round-14 advice): bump whenever make_jpeg_meta_bytes or
+# the [doc_id:8][len:4] record envelope changes, else a code change
+# would silently keep serving the pre-change chunk bytes.
+_JPEG_STORE_VERSION = 1
+
 
 def _jpeg_chunk_store(spark: SparkSession, sf_dir: str) -> str:
     """Publish the synthesized JPEG corpus ONCE per corpus version as a
@@ -3592,7 +3598,7 @@ def _jpeg_chunk_store(spark: SparkSession, sf_dir: str) -> str:
     base = os.path.join(
         os.path.dirname(_default_base().rstrip(os.sep)), "bin_store"
     )
-    fp = _source_fingerprint(sf_dir, ("documents",))
+    fp = _source_fingerprint(sf_dir, ("documents",), version=_JPEG_STORE_VERSION)
     node = os.path.join(base, f"jpeg_meta_corpus-{fp}")
     if os.path.isdir(node):
         return node

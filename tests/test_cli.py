@@ -580,6 +580,96 @@ def test_cli_dfs_daemon_two_cycles_repairs(spark, tmp_path, capsys):
     assert c["chunks"] == 1 and c["corrupt"] == 0
 
 
+def test_cli_dfs_daemon_repairs_off_dead_node(spark, tmp_path, capsys):
+    """Dead-node re-replication (ADVICE r14): a replica sitting on a
+    flatlined-but-present node is NOT a healthy copy — the daemon's
+    repair arm must see only live nodes, so the chunk stranded at one
+    live replica gets re-copied onto the other live node (the reference
+    controller re-replicates off dead nodes, cn/struct.go:234-392)."""
+    import json as _json
+    import os
+    import time
+
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import chunk_name
+    from go_dfs_mapreduce_spark.sources.membership import touch_heartbeat
+    from tests.test_dfs_chunks import _write_chunk
+
+    n1, n2, n3 = (str(tmp_path / f"node{i}") for i in (1, 2, 3))
+    data = b"alpha beta\n"
+    name = chunk_name("doc.txt", "TXT", 0)
+    _write_chunk(n1, "doc.txt", "TXT", 0, data)
+    os.makedirs(n2)
+    _write_chunk(n3, "doc.txt", "TXT", 0, data)
+    # n3 is present but DEAD: no .heartbeat, and its chunk mtime (the
+    # migration-mode stand-in) is a minute stale
+    old = time.time() - 60
+    for e in os.listdir(n3):
+        os.utime(os.path.join(n3, e), (old, old))
+    # n1/n2 heartbeat as live storage nodes (the daemon itself runs
+    # controller-only here: --heartbeat would revive n3 too)
+    touch_heartbeat(n1)
+    touch_heartbeat(n2)
+    rc, out = _run(
+        capsys,
+        "dfs-daemon",
+        ",".join((n1, n2, n3)),
+        "--cycles",
+        "1",
+        "--interval-s",
+        "0",
+        "--replicas",
+        "2",
+    )
+    assert rc == 0
+    (c,) = [_json.loads(line) for line in out.splitlines()]
+    assert c["alive"] == 2 and c["missing_dirs"] == 0
+    # the under-replication (1 live copy < 2) was repaired onto n2
+    assert c["repaired"] == 1
+    assert os.path.exists(os.path.join(n2, name))
+
+
+def test_cli_dfs_daemon_survives_heartbeat_toctou(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """A node dir vanishing between the per-cycle isdir scan and the
+    heartbeat write (or inside node_status/fsck) is a dead node for that
+    cycle, not a daemon crash (ADVICE r14 TOCTOU)."""
+    import json as _json
+
+    from go_dfs_mapreduce_spark.sources import membership
+    from tests.test_dfs_chunks import _write_chunk
+
+    n1, n2 = str(tmp_path / "node1"), str(tmp_path / "node2")
+    _write_chunk(n1, "doc.txt", "TXT", 0, b"alpha\n")
+    _write_chunk(n2, "doc.txt", "TXT", 0, b"alpha\n")
+    real_touch = membership.touch_heartbeat
+
+    def flaky_touch(node_dir, space=None):
+        if node_dir == n2:  # simulate the dir vanishing mid-cycle
+            raise FileNotFoundError(node_dir)
+        return real_touch(node_dir, space)
+
+    monkeypatch.setattr(membership, "touch_heartbeat", flaky_touch)
+    rc, out = _run(
+        capsys,
+        "dfs-daemon",
+        ",".join((n1, n2)),
+        "--cycles",
+        "2",
+        "--interval-s",
+        "0",
+        "--replicas",
+        "1",
+        "--heartbeat",
+    )
+    assert rc == 0
+    cycles = [_json.loads(line) for line in out.splitlines()]
+    assert len(cycles) == 2  # the daemon survived both cycles
+    # n2 never heartbeats, so after the migration-mode grace it reports
+    # dead-or-alive per its chunk mtime; the important part is no crash
+    assert all(c["alive"] >= 1 for c in cycles)
+
+
 def test_mr_cli_lowered_log_analyzer_streams_per_reducer(
     spark, tmp_path, wh_root, capsys
 ):
