@@ -324,7 +324,22 @@ class MapReduceJob:
         if self.lower and isinstance(spec, PerKeyIntSumFormat):
             return self._lowered_per_key_sum(with_pid, spec)
         if self.lower and isinstance(spec, ReduceExpr):
-            return spec.builder(with_pid).select("r_id", "seq", "line")
+            # Re-establish the one-r_id-per-partition invariant the
+            # streamed mid-job result pull rides on (results.py): an
+            # arbitrary builder may UNION branches whose output
+            # partitionings disagree, splitting one r_id across result
+            # partitions (observed live on log_analyzer — the r14 review
+            # partial). One final hash exchange on r_id over the RESULT
+            # rows (output-sized, tiny next to the KV shuffle the builder
+            # already did) restores it; hash partitioning may co-locate
+            # several r_ids in one partition but never splits one, which
+            # is exactly the invariant the pull's claim check needs.
+            # Measured at gate scale: the exchange adds ~0.2 s to the
+            # lowered log_analyzer CLI run and converts the pull from the
+            # ordered job-end fallback to the true streamed path
+            # (SCALE.md round 15).
+            out = spec.builder(with_pid).select("r_id", "seq", "line")
+            return out.repartition(self.r, "r_id")
 
         def reduce_phase(pdf: pd.DataFrame) -> pd.DataFrame:
             r_id = int(pdf["r_id"].iloc[0])

@@ -671,16 +671,27 @@ def test_cli_dfs_daemon_survives_heartbeat_toctou(
 
 
 def test_mr_cli_lowered_log_analyzer_streams_per_reducer(
-    spark, tmp_path, wh_root, capsys
+    spark, tmp_path, wh_root, capsys, monkeypatch
 ):
-    """Pins the ReduceExpr-lowered path THROUGH the streamed pull: the
-    log_analyzer reduce lowers to a relational builder that UNIONS
-    branches whose output partitionings disagree, so one r_id's rows DO
-    span pulled partitions (observed live — this is the case the
-    round-14 review flagged). The writer must detect the split at
-    file-claim time and fall back to the ordered job-end drain: the CLI
-    completes, per-reducer pull lines still print, and the files match
-    the unlowered Arrow reduce byte-for-byte."""
+    """Pins the ReduceExpr-lowered path THROUGH the streamed pull ON THE
+    MID-JOB PATH (VERDICT r14 #2): the log_analyzer reduce lowers to a
+    relational builder that UNIONS branches whose output partitionings
+    disagree — without the plan's final r_id repartition one r_id's rows
+    DID span pulled partitions and the writer fell back to the ordered
+    job-end drain (observed live, the r14 parity partial). The lowered
+    plan now ends in a hash exchange on r_id, so the pull must complete
+    WITHOUT the fallback, and the files still match the unlowered Arrow
+    reduce byte-for-byte."""
+    from go_dfs_mapreduce_spark.mapreduce import results as results_mod
+
+    fallback_calls: list[str] = []
+    real_fallback = results_mod._ordered_drain
+
+    def spying_fallback(result, out_dir, on_complete):
+        fallback_calls.append(out_dir)
+        return real_fallback(result, out_dir, on_complete)
+
+    monkeypatch.setattr(results_mod, "_ordered_drain", spying_fallback)
     src = tmp_path / "crawl.log"
     src.write_text(
         "10.0.0.1 - - [x] \"GET /a HTTP/1.1\" 200 123 \"-\" \"bot\"\n"
@@ -696,6 +707,9 @@ def test_mr_cli_lowered_log_analyzer_streams_per_reducer(
     assert rc == 0
     pulls = [line for line in out.splitlines() if line.startswith("pulled r")]
     assert pulls, out
+    # the lowered plan's final r_id exchange keeps one r_id per pulled
+    # partition: the mid-job path must succeed, fallback never fires
+    assert not fallback_calls
     lowered = {f.name: f.read_text() for f in out_dir.iterdir()}
 
     from go_dfs_mapreduce_spark.mapreduce import MapReduceJob, plugins
