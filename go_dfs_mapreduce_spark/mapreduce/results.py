@@ -29,10 +29,20 @@ are still running — the reference's latency profile. Design points:
   back into a batch (measured: a 6 s straggler delayed every blob to
   job end at gate sizes). At real output sizes coalescing is a no-op
   anyway — the advisory partition size keeps big reducers separate.
-- Driver memory is bounded by PULL_POOL concurrently-held partitions
-  (each pull job materializes one partition's rows); at the reference's
-  64 MiB blob scale that is a few hundred MB — size PULL_POOL down if
-  reducer outputs are bigger.
+- Driver memory: each pull job STREAMS its partition's rows through the
+  job-result socket (``sc.runJob`` minus its materializing ``list()`` —
+  see ``_iter_partition``) and the writer appends each row to the
+  reducer file as it arrives, so the PYTHON driver holds O(socket
+  buffer) rows regardless of partition size or PULL_POOL. The JVM
+  driver transiently unrolls each in-flight partition's serialized
+  bytes before serving them (the same per-partition collect
+  ``toLocalIterator`` does — Spark has no public single-partition lazy
+  serve), so the JVM-side bound is PULL_POOL x max serialized partition
+  size: at the reference's 64 MiB blob scale ~0.5 GB at the default
+  pool. PULL_POOL is settable via ``GO_DFS_MR_PULL_POOL`` (ADVICE r14)
+  for deployments with bigger reducer outputs; 1 reproduces
+  ``toLocalIterator``'s memory profile while keeping finish-order
+  writes.
 
 The invariant is NOT guaranteed for an arbitrary ``ReduceExpr`` lowering
 (e.g. log_analyzer's builder unions several relational branches whose
@@ -63,9 +73,31 @@ from pyspark.sql import DataFrame
 
 # concurrent single-partition pull jobs; local[32] handles 8 comfortably
 # and a cluster scheduler treats them as ordinary FIFO jobs. Also the
-# driver-memory bound: at most this many result partitions are held at
-# once while their files are written.
-PULL_POOL = 8
+# JVM-side memory knob: at most this many partitions' serialized bytes
+# are in flight at once (the Python side streams row-at-a-time either
+# way). Overridable per deployment via GO_DFS_MR_PULL_POOL.
+PULL_POOL = int(os.environ.get("GO_DFS_MR_PULL_POOL", "8") or "8")
+
+
+def _iter_partition(sc, rdd, p: int):
+    """Lazily stream one partition's rows: ``sc.runJob(rdd, f, [p])``
+    without the materializing ``list()`` around the result socket.
+    PySpark's runJob already serves job results through a local socket
+    (`_load_from_socket`) and only the trailing ``list()`` makes it
+    O(partition) in driver memory — iterating the socket directly keeps
+    the pull O(buffer). Falls back to the materializing runJob if the
+    private helpers move (they are stable across pyspark 3.x/4.x; the
+    fallback trades memory, never correctness)."""
+    try:
+        from pyspark.rdd import _load_from_socket
+
+        mapped = rdd.mapPartitions(lambda it: it)
+        sock_info = sc._jvm.PythonRDD.runJob(
+            sc._jsc.sc(), mapped._jrdd, [p]
+        )
+        return _load_from_socket(sock_info, mapped._jrdd_deserializer)
+    except (ImportError, AttributeError):
+        return iter(sc.runJob(rdd, lambda it: list(it), [p]))
 
 
 class _SplitReducer(RuntimeError):
@@ -128,8 +160,10 @@ def _drain(rdd, sc, out_dir, on_complete) -> list[int]:
 
     def _pull(p: int) -> None:
         # one Spark job for ONE partition; the shuffle map output is
-        # computed once and shared across all concurrent pull jobs
-        rows = sc.runJob(rdd, lambda it: list(it), [p])
+        # computed once and shared across all concurrent pull jobs.
+        # rows is a LAZY socket stream: each row is appended to its
+        # reducer file as it arrives, never a whole-partition list.
+        rows = _iter_partition(sc, rdd, p)
         cur_id: int | None = None
         cur_path: str | None = None
         cur_fh = None

@@ -580,6 +580,51 @@ def test_cli_dfs_daemon_two_cycles_repairs(spark, tmp_path, capsys):
     assert c["chunks"] == 1 and c["corrupt"] == 0
 
 
+def test_result_pull_streams_rows_lazily(spark):
+    """The per-partition pull is a ROW STREAM, not a whole-partition
+    list (VERDICT r14 #4): `_iter_partition` is sc.runJob minus its
+    materializing list(), so the Python driver holds O(socket buffer)
+    rows however big the reducer output — PULL_POOL sizes only the
+    JVM-side in-flight partitions. Pin that the pull yields an
+    incremental iterator with the right contents, and that the pool
+    size honors GO_DFS_MR_PULL_POOL."""
+    from go_dfs_mapreduce_spark.mapreduce import results as results_mod
+
+    df = spark.range(1000).selectExpr(
+        "CAST(0 AS INT) AS r_id", "CAST(id AS INT) AS seq",
+        "CAST(id AS STRING) AS line",
+    ).repartition(1, "r_id")
+    it = results_mod._iter_partition(
+        spark.sparkContext, df.rdd, 0
+    )
+    assert not isinstance(it, (list, tuple))  # lazy, not materialized
+    first = next(it)
+    assert first.r_id == 0
+    rest = list(it)
+    assert len(rest) == 999
+    # partial consumption must be safe (the _SplitReducer abort path
+    # abandons in-flight streams): a fresh stream, read 3 rows, drop it
+    it2 = results_mod._iter_partition(spark.sparkContext, df.rdd, 0)
+    for _ in range(3):
+        next(it2)
+    del it2
+    # env knob (ADVICE r14): PULL_POOL is read from GO_DFS_MR_PULL_POOL
+    import importlib
+    import os as _os
+
+    old = _os.environ.get("GO_DFS_MR_PULL_POOL")
+    try:
+        _os.environ["GO_DFS_MR_PULL_POOL"] = "2"
+        importlib.reload(results_mod)
+        assert results_mod.PULL_POOL == 2
+    finally:
+        if old is None:
+            _os.environ.pop("GO_DFS_MR_PULL_POOL", None)
+        else:
+            _os.environ["GO_DFS_MR_PULL_POOL"] = old
+        importlib.reload(results_mod)
+
+
 def test_cli_dfs_daemon_repairs_off_dead_node(spark, tmp_path, capsys):
     """Dead-node re-replication (ADVICE r14): a replica sitting on a
     flatlined-but-present node is NOT a healthy copy — the daemon's
