@@ -178,33 +178,18 @@ FROM documents
 """
 
 
-@query("stream_dfs_chunk_tail", oracle=CHUNK_TAIL_ORACLE)
-def stream_dfs_chunk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A REAL streaming query through the go_dfs_text streaming source
-    (sources/dfs_chunks.py::_TextStreamReader): lay the documents table
-    down as a reference chunk layout (4 TXT chunks of
-    '<doc_id>\\t<md5(text)>' lines, bucketed by doc_id % 4), then tail
-    the directory with readStream + AvailableNow into a memory sink and
-    return the emitted rows. The oracle reproduces every (file,
-    chunk_idx, line_number, line) in SQL, so the driver's gate checks
-    the streaming source's offsets/partition planning end-to-end — the
-    migration story for users whose reference deployment keeps writing
-    chunks while Spark consumes them. The fixture itself is laid down by
-    the DISTRIBUTED chunk writer (the go_dfs_text batch sink): executors
-    md5 + bucket the corpus and stream their own chunk bytes — nothing
-    corpus-sized ever reaches the driver, so the layout step holds at
-    any SF (the old driver-side collect here was doc-count-sized).
-    The writer skips empty partitions and numbers the remaining chunks
-    contiguously in bucket order, so the oracle's chunk_idx is the DENSE
-    RANK of the doc_id % 4 residue class, not the raw modulus — equal
-    whenever all four classes are populated (every gate SF), and still
-    correct for a corpus that leaves a class empty."""
+def _chunk_tail_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Shared fixture step of the chunk-tail twins: lay the documents
+    table down as a reference chunk layout (4 TXT chunks of
+    '<doc_id>\\t<md5(text)>' lines, bucketed by doc_id % 4) via the
+    DISTRIBUTED go_dfs_text batch sink, fail-loud verify the
+    chunk-count contract, and return the node dir (caller removes)."""
     import tempfile
-    import uuid
 
     from pyspark.sql import functions as F
 
     from ..sources import register_dfs_sources
+    from ..sources.dfs_chunks import _inventory
 
     register_dfs_sources(spark)
     docs = table(spark, sf_dir, "documents")
@@ -213,11 +198,8 @@ def stream_dfs_chunk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (dense-ranked when a class is empty) — so partition the corpus by
     # RANGE over the bucket value: repartitionByRange's partitions are
     # ordered by key ascending as a PUBLIC semantic, which is exactly
-    # the contract the layout needs. (The r9-r12 version probed the
-    # session's opaque hash placement with a side job and routed buckets
-    # through constants — the engine-internal coupling the r12 review
-    # flagged; the range router removes the probe entirely.) All
-    # corpus-sized work (md5, concat, sort) stays in codegen.
+    # the contract the layout needs. All corpus-sized work (md5,
+    # concat, sort) stays in codegen.
     lines = (
         docs.select(
             F.col("doc_id"),
@@ -245,8 +227,6 @@ def stream_dfs_chunk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunk layout diverging from the oracle's bucket-per-chunk shape.
     # One metadata listing + one 1-row aggregate restore the hash-probe
     # era's explicit contract: chunk count == populated residue classes.
-    from ..sources.dfs_chunks import _inventory
-
     n_chunks = len(_inventory([node], "TXT", "docs"))
     n_classes = docs.select(
         F.countDistinct((F.col("doc_id") % 4).alias("bucket"))
@@ -260,6 +240,33 @@ def stream_dfs_chunk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{n_classes} populated residue classes (range partitioner "
             "merged or split a bucket)"
         )
+    return node
+
+
+@query("stream_dfs_chunk_tail", oracle=CHUNK_TAIL_ORACLE)
+def stream_dfs_chunk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL streaming query through the go_dfs_text streaming source
+    (sources/dfs_chunks.py::_TextStreamReader): lay the documents table
+    down as a reference chunk layout (4 TXT chunks of
+    '<doc_id>\\t<md5(text)>' lines, bucketed by doc_id % 4), then tail
+    the directory with readStream + AvailableNow into a memory sink and
+    return the emitted rows. The oracle reproduces every (file,
+    chunk_idx, line_number, line) in SQL, so the driver's gate checks
+    the streaming source's offsets/partition planning end-to-end — the
+    migration story for users whose reference deployment keeps writing
+    chunks while Spark consumes them. The fixture itself is laid down by
+    the DISTRIBUTED chunk writer (the go_dfs_text batch sink): executors
+    md5 + bucket the corpus and stream their own chunk bytes — nothing
+    corpus-sized ever reaches the driver, so the layout step holds at
+    any SF (the old driver-side collect here was doc-count-sized).
+    The writer skips empty partitions and numbers the remaining chunks
+    contiguously in bucket order, so the oracle's chunk_idx is the DENSE
+    RANK of the doc_id % 4 residue class, not the raw modulus — equal
+    whenever all four classes are populated (every gate SF), and still
+    correct for a corpus that leaves a class empty."""
+    import uuid
+
+    node = _chunk_tail_layout(spark, sf_dir)
     qname = f"t_chunk_tail_{uuid.uuid4().hex[:8]}"
     q = (
         spark.readStream.format("go_dfs_text")
@@ -280,6 +287,54 @@ def stream_dfs_chunk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(node, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@query("stream_dfs_chunk_tail_stored", oracle=CHUNK_TAIL_ORACLE)
+def stream_dfs_chunk_tail_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk tail through a DURABLE FILE SINK (VERDICT r14 #3): the
+    same go_dfs_text streaming source as ``stream_dfs_chunk_tail``, but
+    the query writes an exactly-once parquet sink (checkpoint +
+    _spark_metadata commit log) instead of a driver-resident memory
+    table, and the returned rows are READ BACK from the sink files —
+    proving under the same oracle that the verification posture doesn't
+    depend on the memory sink: offsets, partition planning, and commit
+    semantics all flow through the production sink path. The memory-sink
+    twin is retained: it pins the same source mechanics with sub-second
+    turnaround, while this one pins the durable commit protocol.
+
+    Scale: the parquet sink is the production shape — executors write
+    sink files directly (nothing row-sized transits the driver during
+    the stream); only the gate's detach-and-cleanup collect at the end
+    is corpus-hash-sized, and a deployment would simply keep the sink
+    directory as the landed table instead."""
+    import shutil
+    import tempfile
+
+    node = _chunk_tail_layout(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="go_dfs_tail_sink_")
+    sink = f"{scratch}/out"
+    ckpt = f"{scratch}/ckpt"
+    try:
+        q = (
+            spark.readStream.format("go_dfs_text")
+            .load(node)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        back = spark.read.parquet(sink)
+        # detach from the scratch files so it can be dropped (repeated
+        # gate sweeps must not accrete temp dirs); id+hash rows only
+        rows = back.collect()
+        schema = back.schema
+    finally:
+        shutil.rmtree(node, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
 
 

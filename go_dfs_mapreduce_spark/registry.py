@@ -179,7 +179,12 @@ _DRIVER_SHOWCASE = (
 # test_rotation_ledger.py fails if a registered name is in neither a
 # CORRECTNESS_r*.json nor the showcase nor this queue, so nothing can
 # silently lose its path to external evidence.
-_NEXT_ROTATION_QUEUE: tuple[str, ...] = ()
+_NEXT_ROTATION_QUEUE: tuple[str, ...] = (
+    # round-15's durable-sink chunk-tail twin: lands in the r15 showcase
+    # when the rotation is cut (new operators earn their driver row in
+    # the round they land)
+    "stream_dfs_chunk_tail_stored",
+)
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
