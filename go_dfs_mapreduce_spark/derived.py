@@ -14,13 +14,33 @@ corpus rather than recomputing per query. Measured at sf0.1 (median of
 shingle arrays 1.21 s vs 0.28 s (SCALE.md round-7).
 
 Staleness is handled by CONTENT FINGERPRINT, not trust: the cache key
-includes (layout version, absolute sf_dir, and the (relpath, size,
-mtime_ns) of every source parquet file), so regenerating the testdata —
-or pointing at a different corpus — misses the cache and rebuilds
-rather than silently serving stale rows. Writes are atomic
-(build into a pid-suffixed temp dir, ``os.rename`` into place; the
-loser of a concurrent race discards its copy), and stale fingerprints
-of the same table are garbage-collected on the next build.
+includes (layout version, builder version, absolute sf_dir, and a
+per-data-file token of every source parquet file), so regenerating the
+testdata — or pointing at a different corpus — misses the cache and
+rebuilds rather than silently serving stale rows. The per-file token is
+(size, mtime_ns) by default; ``SPARK_GRAFT_FP_MODE=content`` swaps in a
+size + head/tail md5 sample for stores whose mtimes are not stable
+across copies (object-store posture, VERDICT r14 #5).
+
+Publishing is MANIFEST-GATED: a build lands in a pid-suffixed temp dir,
+``_MANIFEST.json`` is written LAST (it records the fingerprint inputs
+and generation chain), and the dir is renamed into place. Readers trust
+a version dir ONLY if its manifest exists — on a POSIX FS the rename is
+atomic anyway; on an object-store mount where a directory "rename" is a
+non-atomic copy, a torn publish is never READ as published (worst case
+it rebuilds; the litter is GC-able). The loser of a concurrent publish
+race discards its copy, and stale fingerprints of the same table are
+garbage-collected on the next build (KEEP_VERSIONS newest retained).
+
+INCREMENTAL INGEST: a builder whose rows are per-source-row independent
+(the LSH band index: one row set per doc) may pass ``delta_build``;
+when the corpus change is purely ADDITIVE (every previously
+fingerprinted data file unchanged, new files added — the landing
+pattern of a growing corpus), the new version is published as the old
+version's data files (hardlinked, falling back to copy) plus the delta
+builder's output over ONLY the new files, with the manifest recording
+the generation chain. Any non-additive change — or a builder without a
+delta — takes the full rebuild, which doubles as the compaction.
 
 In-memory session caching stays where it was (``memo.session_memo``
 persists the read-back frame per session); this layer only changes what
@@ -37,7 +57,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_LAYOUT_VERSION = 1
+# v2: manifest-gated publish + metadata-file-free fingerprints (v1 dirs
+# have no manifest and fold _SUCCESS markers into the fingerprint; the
+# version bump retires them cleanly — they age out via the normal GC)
+_LAYOUT_VERSION = 2
+_MANIFEST = "_MANIFEST.json"
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -47,35 +71,148 @@ def _default_base() -> str:
     )
 
 
-def _source_fingerprint(
-    sf_dir: str, source_tables: tuple[str, ...], version: int = 1
-) -> str:
-    """Content key of the source tables: any byte-size or mtime change in
-    any part file changes the fingerprint. ``version`` is the BUILDER'S
-    OWN version (per table, bumped by the caller whenever the builder's
-    semantics change — a new hash formula, a different lane count), and
-    the global layout version is folded in too: fingerprinting only
-    source bytes would silently serve a stale index after a code change
-    (round-14 review finding)."""
-    parts: list[tuple[str, int, int]] = []
+def _fp_mode() -> str:
+    mode = os.environ.get("SPARK_GRAFT_FP_MODE", "stat")
+    if mode not in ("stat", "content"):
+        raise ValueError(
+            f"SPARK_GRAFT_FP_MODE must be 'stat' or 'content', got {mode!r}"
+        )
+    return mode
+
+
+def _file_token(path: str, size: int, mtime_ns: int, mode: str) -> str:
+    """Per-file change token. 'stat' trusts (size, mtime_ns) — free, and
+    correct on any FS that preserves mtimes (immutable-object stores
+    qualify: re-upload implies possible content change, so a LastModified
+    bump forcing a rebuild is the safe direction). 'content' samples the
+    first+last 1 MiB through md5 for stores/copies with unstable mtimes —
+    O(2 MiB) per file per lookup instead of a full read, and a parquet
+    file can't change rows without changing its head (magic+schema
+    offsets) or its tail (the footer with row-group metadata)."""
+    if mode == "stat":
+        return str(mtime_ns)
+    h = hashlib.md5()
+    sample = 1 << 20
+    with open(path, "rb") as fh:
+        h.update(fh.read(sample))
+        if size > 2 * sample:
+            fh.seek(size - sample)
+        h.update(fh.read(sample))
+    return h.hexdigest()
+
+
+def _source_files(
+    sf_dir: str, source_tables: tuple[str, ...], mode: str
+) -> list[list]:
+    """[[relpath, size, token], ...] for every DATA file of the source
+    tables, sorted. Spark-convention metadata files (basenames starting
+    with '_' or '.': _SUCCESS, .crc sidecars) are excluded — they are
+    rewritten by appends that leave every data file untouched, and the
+    additive-ingest detection below compares exactly these entries."""
+    parts: list[list] = []
     for t in source_tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
             for root, _, files in os.walk(p):
                 for f in sorted(files):
+                    if f.startswith(("_", ".")):
+                        continue
                     fp = os.path.join(root, f)
                     st = os.stat(fp)
                     parts.append(
-                        (os.path.relpath(fp, sf_dir), st.st_size, st.st_mtime_ns)
+                        [
+                            os.path.relpath(fp, sf_dir),
+                            st.st_size,
+                            _file_token(fp, st.st_size, st.st_mtime_ns, mode),
+                        ]
                     )
         elif os.path.exists(p):
             st = os.stat(p)
-            parts.append((f"{t}.parquet", st.st_size, st.st_mtime_ns))
+            parts.append(
+                [
+                    f"{t}.parquet",
+                    st.st_size,
+                    _file_token(p, st.st_size, st.st_mtime_ns, mode),
+                ]
+            )
+    parts.sort()
+    return parts
+
+
+def _source_fingerprint(
+    sf_dir: str, source_tables: tuple[str, ...], version: int = 1
+) -> str:
+    """Content key of the source tables: any data-file size/token change
+    changes the fingerprint. ``version`` is the BUILDER'S OWN version
+    (per table, bumped by the caller whenever the builder's semantics
+    change — a new hash formula, a different lane count), and the global
+    layout version is folded in too: fingerprinting only source bytes
+    would silently serve a stale index after a code change (round-14
+    review finding)."""
+    mode = _fp_mode()
+    parts = _source_files(sf_dir, source_tables, mode)
     blob = json.dumps(
-        [_LAYOUT_VERSION, version, os.path.abspath(sf_dir), sorted(parts)],
+        [
+            _LAYOUT_VERSION,
+            version,
+            mode,
+            os.path.abspath(sf_dir),
+            parts,
+        ],
         separators=(",", ":"),
     )
     return hashlib.md5(blob.encode()).hexdigest()[:16]
+
+
+def _write_manifest(dir_: str, payload: dict) -> None:
+    """The LAST file written into a version dir — its presence IS the
+    published bit. Written via tmp + same-dir rename so a reader never
+    sees a half-written manifest."""
+    tmp = os.path.join(dir_, f".{_MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, separators=(",", ":"))
+    os.replace(tmp, os.path.join(dir_, _MANIFEST))
+
+
+def _read_manifest(dir_: str) -> dict | None:
+    try:
+        with open(os.path.join(dir_, _MANIFEST)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _is_published(dir_: str) -> bool:
+    return os.path.isfile(os.path.join(dir_, _MANIFEST))
+
+
+def _latest_published(
+    base: str, name: str, match: dict | None = None
+) -> tuple[str, dict] | None:
+    """Newest published version dir of ``name`` (by manifest mtime) and
+    its manifest — the append candidate. ``match`` restricts to versions
+    whose manifest agrees on the given fields (corpus dir, builder
+    version, fp mode — so gate/bench corpora alternating in one
+    warehouse can't shadow each other's append basis). Tolerates
+    concurrent GC."""
+    best: tuple[float, str, dict] | None = None
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return None
+    for d in entries:
+        if not d.startswith(f"{name}-") or ".tmp-" in d:
+            continue
+        p = os.path.join(base, d)
+        man = _read_manifest(p)
+        if man is None or man.get("name") != name:
+            continue
+        if match and any(man.get(k) != v for k, v in match.items()):
+            continue
+        mt = _mtime_or_zero(os.path.join(p, _MANIFEST))
+        if best is None or mt > best[0]:
+            best = (mt, p, man)
+    return None if best is None else (best[1], best[2])
 
 
 def derived_table(
@@ -85,10 +222,23 @@ def derived_table(
     source_tables: tuple[str, ...],
     build: Callable[[], DataFrame],
     version: int = 1,
+    delta_build: Callable[[list[str]], DataFrame] | None = None,
 ) -> DataFrame:
     """Return ``name`` derived from ``source_tables`` under ``sf_dir``,
     reading the fingerprint-matched parquet copy if one exists and
-    building + atomically publishing it otherwise.
+    building + publishing it (manifest last, then atomic rename)
+    otherwise.
+
+    ``delta_build(new_data_files) -> DataFrame`` opts into the APPEND
+    path: valid only for builders whose output rows depend on their
+    source rows independently (band signatures per doc — NOT k-means
+    cells, whose centroids are global). When the previous published
+    version's fingerprinted data files are all unchanged and the corpus
+    only GREW, the new version hardlinks the old data files and appends
+    ``delta_build``'s rows over just the new files — per-ingest cost is
+    the batch, not the corpus. Everything else (first build, mutated or
+    shrunk corpus, changed fingerprint mode or builder version) takes
+    the full ``build()``, which is also the compaction story.
 
     The read-back is REPARTITIONED to the session's default parallelism
     before it reaches consumers: these feature tables are megabytes, so
@@ -100,12 +250,35 @@ def derived_table(
     round-robin exchange of a few MB per cold session buys the correct
     task fan-out everywhere downstream."""
     base = _default_base()
+    mode = _fp_mode()
     fp = _source_fingerprint(sf_dir, source_tables, version)
     dst = os.path.join(base, f"{name}-{fp}")
-    if not os.path.isdir(dst):
+    if not _is_published(dst):
+        if os.path.isdir(dst):
+            # manifest-less dir at the right fingerprint: a torn publish
+            # (non-atomic rename crashed mid-copy) — never read it
+            shutil.rmtree(dst, ignore_errors=True)
         os.makedirs(base, exist_ok=True)
+        files_now = _source_files(sf_dir, source_tables, mode)
         tmp = f"{dst}.tmp-{os.getpid()}"
-        build().write.mode("overwrite").parquet(tmp)
+        manifest = {
+            "layout_version": _LAYOUT_VERSION,
+            "builder_version": version,
+            "fp_mode": mode,
+            "name": name,
+            "fingerprint": fp,
+            "sf_dir": os.path.abspath(sf_dir),
+            "source_tables": list(source_tables),
+            "source_files": files_now,
+            "generations": 1,
+            "appended_from": None,
+        }
+        appended = _try_append(
+            spark, base, name, sf_dir, manifest, tmp, delta_build, files_now
+        )
+        if not appended:
+            build().write.mode("overwrite").parquet(tmp)
+        _write_manifest(tmp, manifest)
         try:
             os.rename(tmp, dst)
         except OSError:
@@ -116,6 +289,69 @@ def derived_table(
     return spark.read.parquet(dst).repartition(
         max(spark.sparkContext.defaultParallelism, 1)
     )
+
+
+def _try_append(
+    spark: SparkSession,
+    base: str,
+    name: str,
+    sf_dir: str,
+    manifest: dict,
+    tmp: str,
+    delta_build: Callable[[list[str]], DataFrame] | None,
+    files_now: list[list],
+) -> bool:
+    """Attempt the additive-ingest publish into ``tmp``; mutates
+    ``manifest`` with the generation chain on success. False means the
+    caller runs the full build (also the explicit compaction path)."""
+    if delta_build is None:
+        return False
+    prev = _latest_published(
+        base,
+        name,
+        match={
+            "layout_version": _LAYOUT_VERSION,
+            "builder_version": manifest["builder_version"],
+            "fp_mode": manifest["fp_mode"],
+            "sf_dir": manifest["sf_dir"],
+        },
+    )
+    if prev is None:
+        return False
+    prev_dir, prev_man = prev
+    old = {tuple(e) for e in prev_man.get("source_files", [])}
+    now = {tuple(e) for e in files_now}
+    new_entries = now - old
+    if not (old and old <= now and new_entries):
+        return False  # not purely additive (or nothing new): full rebuild
+    new_paths = [
+        os.path.join(sf_dir, rel) for rel, _, _ in sorted(new_entries)
+    ]
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        for f in os.listdir(prev_dir):
+            if f == _MANIFEST or f.startswith(("_", ".")):
+                continue
+            src, dst_f = os.path.join(prev_dir, f), os.path.join(tmp, f)
+            try:
+                os.link(src, dst_f)  # hardlink: append cost is the delta
+            except OSError:
+                shutil.copy2(src, dst_f)
+    except OSError:
+        # prev version GC'd by a concurrent session mid-copy: the append
+        # basis is gone — fall back to the full rebuild, never crash
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        return False
+    try:
+        delta_build(new_paths).write.mode("append").parquet(tmp)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    manifest["generations"] = int(prev_man.get("generations", 1)) + 1
+    manifest["appended_from"] = prev_man.get("fingerprint")
+    manifest["delta_files"] = [list(e) for e in sorted(new_entries)]
+    return True
 
 
 # Published versions of one table retained per name: the fingerprint
@@ -192,11 +428,14 @@ def _list_base(base: str, out: list[dict]) -> None:
             except OSError:
                 return 0
 
+        man = _read_manifest(p)
         out.append(
             {
                 "name": name if ".tmp-" not in d else d,
                 "fingerprint": fp if ".tmp-" not in d else None,
                 "orphan_tmp": ".tmp-" in d,
+                "published": man is not None,
+                "generations": None if man is None else man.get("generations"),
                 "bytes": sum(_size(f) for f in files),
                 "n_files": len(files),
                 "mtime": int(_mtime_or_zero(p)),

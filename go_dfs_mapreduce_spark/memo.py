@@ -51,6 +51,7 @@ def index_table(
     source_tables: tuple[str, ...],
     build: Callable[[], DataFrame],
     version: int = 1,
+    delta_build: Callable[[list[str]], DataFrame] | None = None,
 ) -> DataFrame:
     """A PERSISTED INDEX TABLE: the durable artifact is a
     content-fingerprinted parquet table in the derived warehouse
@@ -72,7 +73,14 @@ def index_table(
     ``version`` is the BUILDER'S version, folded into the on-disk
     fingerprint: bump it whenever the build's semantics change (hash
     formula, lane count, decode rule) — source-byte fingerprinting alone
-    would silently keep serving the pre-change index."""
+    would silently keep serving the pre-change index.
+
+    ``delta_build`` (optional) is the incremental-ingest path: when the
+    corpus change since the last published version is purely additive,
+    the stored index is APPENDED (old data files hardlinked + the delta
+    builder's rows over just the new files) instead of rebuilt — see
+    ``derived.derived_table``. Only valid for builders whose output rows
+    are per-source-row independent."""
     from .derived import derived_table
 
     return session_memo(
@@ -80,6 +88,12 @@ def index_table(
         spark,
         sf_dir,
         lambda: derived_table(
-            spark, sf_dir, name, source_tables, build, version=version
+            spark,
+            sf_dir,
+            name,
+            source_tables,
+            build,
+            version=version,
+            delta_build=delta_build,
         ),
     )

@@ -36,6 +36,8 @@ corpus so results are non-trivial.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -394,6 +396,13 @@ def band_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyway for its verify stage, so the index table buys it nothing."""
     from ..memo import index_table
 
+    def delta(new_files: list[str]) -> DataFrame:
+        # band signatures are PER-DOC independent, so an additive corpus
+        # change appends exactly the new docs' rows: read only the new
+        # data files, shingle + hash just them (derived.py append path,
+        # VERDICT r14 #6). The full build below stays the compaction.
+        return _doc_band_sigs(_doc_shingle_arrays(spark.read.parquet(*new_files)))
+
     return index_table(
         _BAND_SIG_MEMO,
         spark,
@@ -401,6 +410,7 @@ def band_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_band_index",
         ("documents",),
         lambda: _doc_band_sigs(_shingle_arrays(spark, sf_dir)),
+        delta_build=delta,
     )
 
 
@@ -551,12 +561,22 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions — the corpus is never re-tokenized or re-hashed. The
     shingle arrays (also a persisted derived table) are read only by
     the verify stage's candidate-restricted joins."""
+    return _incremental_matches(spark, sf_dir, band_sig_index(spark, sf_dir))
+
+
+def _incremental_matches(
+    spark: SparkSession, sf_dir: str, sig_index: DataFrame
+) -> DataFrame:
+    """The ingest-vs-corpus match pipeline of ``dedup_incremental_new_docs``
+    parameterized over WHICH persisted band-signature index supplies the
+    buckets — the appended-index twin feeds its two-generation demo index
+    through the identical plan."""
     arrs = _shingle_arrays(spark, sf_dir)
     thr = arrs.agg(
         F.expr(f"(max(doc_id) * {INC_SPLIT_NUM}) div {INC_SPLIT_DEN}").alias("t")
     )
     buckets = (
-        band_sig_index(spark, sf_dir)
+        sig_index
         .groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .where(F.expr("size(ds) > 1"))
@@ -583,6 +603,131 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("batch"))
             .alias("matched_in"),
         )
+    )
+
+
+def _appended_demo_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TWO-GENERATION persisted band index proving the warehouse
+    APPEND path end-to-end under the driver gate (VERDICT r14 #6): the
+    corpus is re-laid as a fixture in two landings — the standing corpus
+    (doc_id <= t, the same t as ``dedup_incremental_new_docs``) first,
+    then the ingest batch as additional parquet files in the same
+    directory. Generation 1 builds the index full; the batch landing is
+    detected as purely additive, so generation 2 publishes as gen-1's
+    data files HARDLINKED plus ``_doc_band_sigs`` over only the new
+    files (``derived._try_append``). The manifest's generation chain is
+    asserted fail-loud here: if the append path ever silently degrades
+    to a full rebuild, this query errors rather than passing on
+    identical rows. Since base + batch is exactly the documents table,
+    the appended index must equal ``band_sig_index`` row-for-row — the
+    oracle checks that through the full match pipeline.
+
+    The fixture is built once per corpus fingerprint (idempotent marker;
+    a concurrent builder is waited out), so repeat gate sweeps reuse
+    both generations from disk."""
+    import shutil
+    import time
+
+    from ..derived import (
+        _default_base,
+        _latest_published,
+        _source_fingerprint,
+        derived_table,
+    )
+
+    corpus_fp = _source_fingerprint(sf_dir, ("documents",))
+    fixtures = os.path.join(
+        os.path.dirname(_default_base().rstrip(os.sep)), "fixtures"
+    )
+    fixture = os.path.join(fixtures, f"append_demo-{corpus_fp}")
+    docdir = os.path.join(fixture, "documents.parquet")
+    done = os.path.join(fixture, "_COMPLETE")
+    name = "lsh_band_index_appdemo"
+
+    def build_full() -> DataFrame:
+        return _doc_band_sigs(
+            _doc_shingle_arrays(spark.read.parquet(docdir))
+        )
+
+    def build_delta(new_files: list[str]) -> DataFrame:
+        return _doc_band_sigs(
+            _doc_shingle_arrays(spark.read.parquet(*new_files))
+        )
+
+    if not os.path.isfile(done):
+        os.makedirs(fixtures, exist_ok=True)
+        try:
+            os.makedirs(fixture)  # atomic claim of the fixture build
+        except FileExistsError:
+            # another session is laying the fixture down (or crashed):
+            # wait it out, then take over if it never completed
+            deadline = time.time() + 120
+            while not os.path.isfile(done) and time.time() < deadline:
+                time.sleep(0.5)
+            if not os.path.isfile(done):
+                shutil.rmtree(fixture, ignore_errors=True)
+                os.makedirs(fixture)
+        if not os.path.isfile(done):
+            docs = table(spark, sf_dir, "documents")
+            t = docs.agg(
+                F.expr(
+                    f"(max(doc_id) * {INC_SPLIT_NUM}) div {INC_SPLIT_DEN}"
+                ).alias("t")
+            ).first()[0]
+            # landing 1: the standing corpus
+            docs.where(F.col("doc_id") <= t).write.mode("overwrite").parquet(
+                docdir
+            )
+            derived_table(
+                spark, fixture, name, ("documents",), build_full,
+                delta_build=build_delta,
+            )
+            # landing 2: the ingest batch — NEW part files, old untouched
+            docs.where(F.col("doc_id") > t).write.mode("append").parquet(
+                docdir
+            )
+            with open(done, "w") as fh:
+                fh.write("ok")
+    idx = derived_table(
+        spark, fixture, name, ("documents",), build_full,
+        delta_build=build_delta,
+    )
+    # fail-loud: the current published version must be generation 2 via
+    # the append chain, else this query is not testing what it claims
+    fp_now = _source_fingerprint(fixture, ("documents",))
+    latest = _latest_published(
+        _default_base(), name, match={"sf_dir": os.path.abspath(fixture)}
+    )
+    if (
+        latest is None
+        or latest[1].get("fingerprint") != fp_now
+        or latest[1].get("generations") != 2
+        or not latest[1].get("appended_from")
+    ):
+        raise RuntimeError(
+            f"appended-index demo expected a generation-2 appended "
+            f"publish, found: {None if latest is None else latest[1]}"
+        )
+    return idx
+
+
+@query("dedup_appended_index", oracle=INCREMENTAL_ORACLE)
+def dedup_appended_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental_new_docs`` served from an index that was
+    INCREMENTALLY APPENDED across two corpus generations instead of
+    built in one shot (``_appended_demo_index`` — the derived
+    warehouse's additive-ingest path, VERDICT r14 #6). Identical oracle,
+    different index provenance: a bug in the append machinery (dropped
+    delta rows, double-counted hardlinked generations, stale manifest
+    chain) surfaces here as a value mismatch or a fail-loud generation
+    check, never as silently passing rows.
+
+    Scale: this is the nightly-ingest posture at 100 TB — per-ingest
+    index cost is the BATCH's shingle+hash work plus hardlinks to the
+    standing generation's files; the full rebuild remains available as
+    compaction. Append-vs-rebuild cost is tabulated in SCALE.md r15."""
+    return _incremental_matches(
+        spark, sf_dir, _appended_demo_index(spark, sf_dir)
     )
 
 

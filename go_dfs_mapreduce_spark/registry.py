@@ -180,10 +180,11 @@ _DRIVER_SHOWCASE = (
 # CORRECTNESS_r*.json nor the showcase nor this queue, so nothing can
 # silently lose its path to external evidence.
 _NEXT_ROTATION_QUEUE: tuple[str, ...] = (
-    # round-15's durable-sink chunk-tail twin: lands in the r15 showcase
-    # when the rotation is cut (new operators earn their driver row in
-    # the round they land)
+    # round-15's new operators: land in the r15 showcase when the
+    # rotation is cut (new operators earn their driver row in the round
+    # they land)
     "stream_dfs_chunk_tail_stored",
+    "dedup_appended_index",
 )
 
 

@@ -191,3 +191,194 @@ def test_index_reload_across_sessions(spark, tmp_path, monkeypatch):
         f: os.path.getmtime(os.path.join(pdir, f)) for f in os.listdir(pdir)
     }
     assert files_after == files_before  # reloaded, never rebuilt
+
+
+def _mini_corpus(spark, dst_dir, lo, hi):
+    """documents-shaped parquet dir with doc_ids [lo, hi)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    (
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(os.path.join(dst_dir, "documents.parquet"))
+    )
+
+
+def test_manifest_gates_publish(spark, tmp_path, monkeypatch):
+    """Readers trust a version dir ONLY via its manifest (VERDICT r14
+    #5: on an object-store mount a directory rename is a non-atomic
+    copy, so a torn publish must never be read as published)."""
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(tmp_path / "wh"))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(7).select(F.col("id").alias("u"))
+
+    derived.derived_table(spark, SF, "t_man", ("documents",), build)
+    (d,) = [x for x in os.listdir(tmp_path / "wh") if x.startswith("t_man-")]
+    pdir = tmp_path / "wh" / d
+    assert (pdir / derived._MANIFEST).exists()
+    man = derived._read_manifest(str(pdir))
+    assert man["generations"] == 1 and man["name"] == "t_man"
+    assert man["source_files"]  # fingerprint inputs recorded
+    # no metadata files in the fingerprint inputs (appends rewrite them)
+    assert not any(
+        os.path.basename(rel).startswith(("_", "."))
+        for rel, _, _ in man["source_files"]
+    )
+    # simulate the torn publish: manifest missing -> dir is NOT trusted,
+    # the table rebuilds (and republishes with a manifest)
+    os.remove(pdir / derived._MANIFEST)
+    derived.derived_table(spark, SF, "t_man", ("documents",), build)
+    assert len(calls) == 2
+    assert (pdir / derived._MANIFEST).exists()
+
+
+def test_append_path_additive_ingest(spark, tmp_path, monkeypatch):
+    """The incremental-ingest append (VERDICT r14 #6): an additive
+    corpus change publishes old-data-hardlinks + delta rows, records the
+    generation chain, and reads back row-identical to a full rebuild;
+    a MUTATED corpus falls back to the full rebuild."""
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(tmp_path / "wh"))
+    src = str(tmp_path / "corpus")
+    _mini_corpus(spark, src, 0, 40)
+    full_calls, delta_calls = [], []
+
+    def build():
+        full_calls.append(1)
+        return spark.read.parquet(os.path.join(src, "documents.parquet")).select(
+            "doc_id", F.length("text").alias("n")
+        )
+
+    def delta(new_files):
+        delta_calls.append(list(new_files))
+        return spark.read.parquet(*new_files).select(
+            "doc_id", F.length("text").alias("n")
+        )
+
+    kw = dict(delta_build=delta)
+    a = derived.derived_table(spark, src, "t_app", ("documents",), build, **kw)
+    assert len(full_calls) == 1 and not delta_calls
+    n0 = a.count()
+    # additive ingest: one new data file lands in the corpus dir
+    _mini_corpus(spark, src, 40, 60)
+    b = derived.derived_table(spark, src, "t_app", ("documents",), build, **kw)
+    assert len(full_calls) == 1 and len(delta_calls) == 1
+    assert len(delta_calls[0]) == 1  # exactly the new data file
+    got = {(r.doc_id, r.n) for r in b.collect()}
+    want = {
+        (r.doc_id, r.n)
+        for r in spark.read.parquet(os.path.join(src, "documents.parquet"))
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > n0
+    dirs = sorted(
+        x for x in os.listdir(tmp_path / "wh") if x.startswith("t_app-")
+    )
+    assert len(dirs) == 2
+    mans = {
+        derived._read_manifest(str(tmp_path / "wh" / d))["generations"]
+        for d in dirs
+    }
+    assert mans == {1, 2}
+    gen2 = [
+        d
+        for d in dirs
+        if derived._read_manifest(str(tmp_path / "wh" / d))["generations"] == 2
+    ][0]
+    man2 = derived._read_manifest(str(tmp_path / "wh" / gen2))
+    assert man2["appended_from"] and man2["delta_files"]
+    # gen-1's data files were hardlinked into gen-2, not rewritten
+    gen1 = [d for d in dirs if d != gen2][0]
+    linked = 0
+    for f in os.listdir(tmp_path / "wh" / gen1):
+        if f.startswith(("_", ".")):
+            continue
+        st1 = os.stat(tmp_path / "wh" / gen1 / f)
+        if os.path.exists(tmp_path / "wh" / gen2 / f):
+            linked += int(
+                os.stat(tmp_path / "wh" / gen2 / f).st_ino == st1.st_ino
+            )
+    assert linked > 0
+    # MUTATED corpus (an existing file touched): full rebuild, gen reset
+    pq = os.path.join(src, "documents.parquet")
+    part = sorted(
+        f for f in os.listdir(pq) if not f.startswith(("_", "."))
+    )[0]
+    st = os.stat(os.path.join(pq, part))
+    os.utime(os.path.join(pq, part), ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    derived.derived_table(spark, src, "t_app", ("documents",), build, **kw)
+    assert len(full_calls) == 2 and len(delta_calls) == 1
+
+
+def test_band_index_appends_on_ingest(spark, tmp_path, monkeypatch):
+    """The LSH band index itself rides the append path: after an
+    additive ingest the stored index equals a from-scratch build over
+    the grown corpus (the dedup consumers' correctness basis)."""
+    import go_dfs_mapreduce_spark.operators.dedup as dd
+
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(tmp_path / "wh"))
+    src = str(tmp_path / "corpus")
+    _mini_corpus(spark, src, 0, 60)
+    dd._BAND_SIG_MEMO.clear()
+    dd._ARRS_MEMO.clear()
+    try:
+        dd.band_sig_index(spark, src).count()
+        _mini_corpus(spark, src, 60, 90)
+        dd._BAND_SIG_MEMO.clear()  # new corpus version = new session view
+        got = {tuple(r) for r in dd.band_sig_index(spark, src).collect()}
+        dirs = [
+            d
+            for d in os.listdir(tmp_path / "wh")
+            if d.startswith("lsh_band_index-")
+        ]
+        gens = {
+            derived._read_manifest(str(tmp_path / "wh" / d))["generations"]
+            for d in dirs
+        }
+        assert 2 in gens  # the second version was APPENDED, not rebuilt
+        dd._ARRS_MEMO.clear()
+        want = {
+            tuple(r)
+            for r in dd._doc_band_sigs(
+                dd._doc_shingle_arrays(
+                    spark.read.parquet(os.path.join(src, "documents.parquet"))
+                )
+            ).collect()
+        }
+        assert got == want and got
+    finally:
+        dd._BAND_SIG_MEMO.clear()
+        dd._ARRS_MEMO.clear()
+
+
+def test_content_fingerprint_mode(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_FP_MODE=content: mtime changes alone do NOT
+    invalidate (stores with unstable mtimes), byte changes DO."""
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(tmp_path / "wh"))
+    monkeypatch.setenv("SPARK_GRAFT_FP_MODE", "content")
+    src = tmp_path / "sf"
+    _docs_head(spark, SF, str(src))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).select(F.col("id").alias("u"))
+
+    derived.derived_table(spark, str(src), "t_cnt", ("documents",), build)
+    p = src / "documents.parquet"
+    st = p.stat()
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    derived.derived_table(spark, str(src), "t_cnt", ("documents",), build)
+    assert len(calls) == 1  # mtime-only change: same content fingerprint
+    with open(p, "r+b") as fh:  # flip a byte -> content change
+        fh.seek(4)
+        b = fh.read(1)
+        fh.seek(4)
+        fh.write(bytes([b[0] ^ 0xFF]))
+    derived.derived_table(spark, str(src), "t_cnt", ("documents",), build)
+    assert len(calls) == 2

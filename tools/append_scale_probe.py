@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Append-vs-rebuild cost probe for the derived-warehouse additive-ingest
+path (VERDICT r14 #6): lay a corpus down in two landings (standing corpus
++ ingest batch), then measure (a) the full band-index build over the
+grown corpus — the compaction cost — against (b) the append publish
+(hardlink standing generation + delta build over only the batch files).
+
+Usage: python tools/append_scale_probe.py [sf_dir] [batch_pct]
+Writes nothing outside a temp warehouse; prints one JSON line per shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    batch_pct = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    scratch = tempfile.mkdtemp(prefix="append_probe_")
+    os.environ["SPARK_GRAFT_DERIVED_DIR"] = os.path.join(scratch, "wh")
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark import derived
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        _doc_band_sigs,
+        _doc_shingle_arrays,
+    )
+    from go_dfs_mapreduce_spark.session import get_spark
+
+    spark = get_spark("append-probe")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n = docs.count()
+        t = docs.agg(
+            F.expr(f"percentile(doc_id, {1 - batch_pct / 100})")
+        ).first()[0]
+        corpus = os.path.join(scratch, "corpus")
+        docdir = os.path.join(corpus, "documents.parquet")
+
+        def full_build():
+            return _doc_band_sigs(
+                _doc_shingle_arrays(spark.read.parquet(docdir))
+            )
+
+        def delta_build(new_files):
+            return _doc_band_sigs(
+                _doc_shingle_arrays(spark.read.parquet(*new_files))
+            )
+
+        # landing 1: standing corpus -> generation 1 (full build)
+        docs.where(F.col("doc_id") <= t).write.mode("overwrite").parquet(docdir)
+        t0 = time.time()
+        derived.derived_table(
+            spark, corpus, "probe_band_idx", ("documents",), full_build,
+            delta_build=delta_build,
+        )
+        gen1_s = time.time() - t0
+
+        # landing 2: the ingest batch -> generation 2 (append path)
+        docs.where(F.col("doc_id") > t).write.mode("append").parquet(docdir)
+        t0 = time.time()
+        derived.derived_table(
+            spark, corpus, "probe_band_idx", ("documents",), full_build,
+            delta_build=delta_build,
+        )
+        append_s = time.time() - t0
+
+        # compaction baseline: full rebuild over the SAME grown corpus
+        # (fresh name so the append basis can't shadow it)
+        t0 = time.time()
+        derived.derived_table(
+            spark, corpus, "probe_band_idx_full", ("documents",), full_build,
+        )
+        rebuild_s = time.time() - t0
+
+        base = derived._default_base()
+        latest = derived._latest_published(base, "probe_band_idx")
+        print(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "docs": n,
+                    "batch_pct": batch_pct,
+                    "gen1_full_build_s": round(gen1_s, 2),
+                    "append_publish_s": round(append_s, 2),
+                    "full_rebuild_s": round(rebuild_s, 2),
+                    "speedup": round(rebuild_s / append_s, 2),
+                    "generations": latest[1]["generations"],
+                }
+            )
+        )
+    finally:
+        spark.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
