@@ -1219,3 +1219,85 @@ def test_jpeg_chunk_store_layout_and_idempotence(spark, sf_dir):
         tuple(r) for r in multimodal_jpeg_metadata(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_packed_bin_store_multichunk_corrupt_replica_failover(spark, tmp_path):
+    """The stored-BIN posture at multi-chunk scale with induced
+    corruption (VERDICT r14 #7): a record-packed BIN corpus laid down as
+    8 chunks, replicated to a second node by fsck, then one replica of
+    two different chunks corrupted — the scan must fail over PER CHUNK
+    to the healthy replica (task-level, no global retry), and
+    fsck --repair must delete the bad replicas and restore 2 healthy
+    copies, after which the corrupt node alone serves the full corpus."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.sources import register_dfs_sources
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import chunk_name, fsck
+
+    register_dfs_sources(spark)
+    n1, n2 = str(tmp_path / "n1"), str(tmp_path / "n2")
+    os.makedirs(n2)
+    n_chunks, n_docs = 8, 64
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for i in sorted(int(x) for x in pdf["doc_id"]):
+            payload = (b"%dpayload" % i) * 3
+            recs.append(
+                i.to_bytes(8, "big")
+                + len(payload).to_bytes(4, "big")
+                + payload
+            )
+        return pd.DataFrame({"content": [b"".join(recs)]})
+
+    (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("bucket", F.col("doc_id") % n_chunks)
+        .groupBy("bucket")
+        .applyInPandas(pack, "content binary")
+        .write.format("go_dfs_bin")
+        .option("file", "corpus")
+        .mode("overwrite")
+        .save(n1)
+    )
+
+    def decode_ids(dirs: str) -> list[int]:
+        df = spark.read.format("go_dfs_bin").load(dirs)
+        assert df.rdd.getNumPartitions() == n_chunks  # one task per chunk
+        ids = []
+        for row in df.collect():
+            b = bytes(row.content)
+            off = 0
+            while off < len(b):
+                doc_id = int.from_bytes(b[off : off + 8], "big")
+                ln = int.from_bytes(b[off + 8 : off + 12], "big")
+                ids.append(doc_id)
+                off += 12 + ln
+        return sorted(ids)
+
+    want = list(range(n_docs))
+    assert decode_ids(n1) == want
+
+    # replicate to n2 (controller maintenance), then corrupt ONE replica
+    # of two different chunks on n1 — sidecars keep the TRUE digests
+    fsck([n1, n2], repair=True, replicas=2, spark=spark)
+    assert decode_ids(",".join((n1, n2))) == want
+    corrupted = []
+    for idx in (2, 5):
+        p = os.path.join(n1, chunk_name("corpus", "BIN", idx))
+        data = open(p, "rb").read()
+        with open(p, "wb") as fh:
+            fh.write(b"X" + data[1:])
+        corrupted.append(p)
+    # per-chunk failover: the n1 replica md5-mismatches, the scan task
+    # falls through to n2's copy; every record still decodes
+    assert decode_ids(",".join((n1, n2))) == want
+    # repair: bad replicas deleted, healthy copies restored onto n1
+    report = fsck([n1, n2], repair=True, replicas=2, spark=spark)
+    bad = [r for r in report if r["corrupt"]]
+    assert len(bad) == 2 and all(r["repaired"] == 1 for r in bad)
+    for p in corrupted:
+        assert os.path.exists(p)  # re-replicated copy is back
+    assert decode_ids(n1) == want  # n1 alone is healthy again
