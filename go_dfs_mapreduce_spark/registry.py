@@ -75,26 +75,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The exactly-50 queries the driver will record. Round-14 rotation
+# The exactly-50 queries the driver will record. Round-15 rotation
 # (the established pattern): 22 anchors keep one representative per
 # SURVEY §2 family green in every round's driver file; cumulative
 # driver verification has been 100% since r11, so the floating slots
-# carry (a) round-14's own new operator — the stored-BIN decode twin
-# (every operator earns its driver row in the round it lands, the
-# standing invariant); (b) RE-EARN slots for queries whose kernel or
-# provenance changed this round: the dedup/ANN/fingerprint index
-# accessors now read PERSISTED warehouse tables (memo.index_table), so
-# every consumer of band_sig_index / nn_cells / _audio_fp_index /
-# _video_frame_fingerprints re-earns its row on the stored-index path;
-# the Y4M decoder now returns the container's parsed F rate (caption
-# alignment clocks midpoints from it) and the AVI/JPEG walks quarantine
-# duplicate structural segments — so every decode_y4m/decode_avi/
-# jpeg_metadata consumer re-earns too; stream_dfs_chunk_tail gained the
-# fail-loud chunk-layout check; and (c) RECENCY slots — 13 of the 14
-# names whose only driver rows are from r2 (the oldest cohort;
-# variant_props_showcase, alphabetically last, is first in line for
-# r15). Every name rotated OUT of the r13 showcase retains its r1-r13
-# driver rows. Order within the list is presentation order only.
+# carry (a) round-15's own new operators (every operator earns its
+# driver row in the round it lands, the standing invariant) and
+# (b) RECENCY slots — the oldest external-evidence cohort refreshes
+# (VERDICT r14 #1): variant_props_showcase (last r2-latest name) plus
+# the full 25-name r3-latest cohort, advancing the oldest cohort to r4.
+# Every name rotated OUT of the r14 showcase retains its r1-r14 driver
+# rows. Order within the list is presentation order only.
 _DRIVER_SHOWCASE = (
     # --- 22 family anchors (recorded in every round) ---
     # reference parity: wordcount plugin family (Q1-Q6)
@@ -136,41 +127,47 @@ _DRIVER_SHOWCASE = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_scores",
-    # --- round-14's own NEW operator: the chunk-store decode loop ---
-    "multimodal_jpeg_metadata_stored",
-    # --- round-14 RE-EARN slots: persisted-index consumers (the index
-    # tables moved from session cache to fingerprinted parquet in the
-    # derived warehouse) and decoder-strictness/rate-parsing consumers ---
-    "dedup_incremental_new_docs",
-    "embedding_nn_cosine",
-    "semantic_dedup",
-    "multimodal_audio_fingerprint_dedup",
-    "multimodal_audio_fingerprint_incremental",
-    "multimodal_video_frame_dedup",
-    "multimodal_video_frame_dedup_incremental",
-    "multimodal_caption_alignment",
-    "multimodal_video_mjpeg",
-    "multimodal_jpeg_metadata",
-    "multimodal_video_keyframes",
-    "multimodal_video_y4m",
-    "multimodal_video_scene_cuts",
-    "stream_dfs_chunk_tail",
-    # --- 13 RECENCY slots: the r2-latest cohort (oldest external
-    # evidence), alphabetical; the 14th (variant_props_showcase) leads
-    # the r15 recency queue ---
-    "multimodal_frame_sample",
-    "q10_returned_items",
-    "q5_local_supplier_volume",
-    "set_except_brands",
-    "set_intersect_all_custkeys",
-    "set_intersect_nations",
-    "stream_enrich_dim",
-    "stream_interval_join",
-    "stream_sliding_user_value",
-    "stream_throttle_dedup",
-    "subquery_scalar_above_avg",
-    "token_stats",
-    "try_arithmetic_showcase",
+    # --- round-15's own NEW operators: the durable-sink chunk-tail twin
+    # (file sink + read-back under the memory-sink twin's oracle) and
+    # the incremental-dedup over a two-generation APPENDED index ---
+    "stream_dfs_chunk_tail_stored",
+    "dedup_appended_index",
+    # --- 26 RECENCY slots: variant_props_showcase (the last r2-latest
+    # name, led this round's queue per VERDICT r14 #1) plus the ENTIRE
+    # r3-latest cohort, alphabetical — after this round the oldest
+    # external evidence cohort is r4. Kernel changes this round are
+    # covered without extra re-earn slots: the lowered-ReduceExpr
+    # exchange re-earns through the mr_log_analyzer anchor, the
+    # chunk-tail layout factoring through stream_dfs_chunk_tail_stored,
+    # and the derived-warehouse manifest/append machinery through
+    # dedup_appended_index (dedup_incremental_new_docs' plan is
+    # byte-identical after the _incremental_matches factoring). ---
+    "variant_props_showcase",
+    "array_agg_langs_per_source",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "join_full_outer_nation_counts",
+    "join_left_outer_order_counts",
+    "join_orders_per_nation",
+    "join_semi_urgent_customers",
+    "log_distinct_counts",
+    "log_normalize_urls",
+    "log_parse_fields",
+    "log_top_crawlers",
+    "map_function_showcase",
+    "multimodal_image_dims",
+    "multimodal_resize_nn",
+    "percentiles_by_returnflag",
+    "q18_large_orders",
+    "rollup_customers_by_geo",
+    "set_except_all_custkeys",
+    "stream_session_windows",
+    "stream_tumbling_counts",
+    "udaf_customer_stats",
+    "unpivot_customer_metrics",
+    "window_range_frame_trailing",
+    "wordcount_fmt",
 )
 
 # Registered queries whose driver evidence is scheduled for the NEXT
@@ -179,13 +176,7 @@ _DRIVER_SHOWCASE = (
 # test_rotation_ledger.py fails if a registered name is in neither a
 # CORRECTNESS_r*.json nor the showcase nor this queue, so nothing can
 # silently lose its path to external evidence.
-_NEXT_ROTATION_QUEUE: tuple[str, ...] = (
-    # round-15's new operators: land in the r15 showcase when the
-    # rotation is cut (new operators earn their driver row in the round
-    # they land)
-    "stream_dfs_chunk_tail_stored",
-    "dedup_appended_index",
-)
+_NEXT_ROTATION_QUEUE: tuple[str, ...] = ()
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
