@@ -145,8 +145,17 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _doc_shingle_arrays(table(spark, sf_dir, "documents"))
 
     def build() -> DataFrame:
+        # shingle arrays are per-doc independent: an additive corpus
+        # change appends the new docs' rows (derived.py delta path)
         return derived_table(
-            spark, sf_dir, "doc_shingle_arrays", ("documents",), build_arrays
+            spark,
+            sf_dir,
+            "doc_shingle_arrays",
+            ("documents",),
+            build_arrays,
+            delta_build=lambda new_files: _doc_shingle_arrays(
+                spark.read.parquet(*new_files)
+            ),
         )
 
     return session_memo(_ARRS_MEMO, spark, sf_dir, build)

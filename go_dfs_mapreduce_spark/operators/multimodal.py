@@ -4382,7 +4382,10 @@ def _audio_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions, and session-memoized so the matcher's self-join lineages
     and the incremental's three lineages share one materialization.
     Consumer plans scan the stored (doc_id, hsh) table — the decode
-    appears in NO query plan after the first build."""
+    appears in NO query plan after the first build. Landmark rows are
+    per-doc independent, so an additive corpus change APPENDS the new
+    docs' rows (derived.py delta path) instead of re-decoding the
+    corpus."""
     from ..memo import index_table
 
     return index_table(
@@ -4391,14 +4394,19 @@ def _audio_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "audio_landmark_index",
         ("documents",),
-        lambda: _build_audio_fps(spark, sf_dir),
+        lambda: _build_audio_fps(table(spark, sf_dir, "documents")),
+        delta_build=lambda new_files: _build_audio_fps(
+            spark.read.parquet(*new_files)
+        ),
     )
 
 
-def _build_audio_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_audio_fps(docs: DataFrame) -> DataFrame:
     """DISTINCT (doc_id, hsh) landmark rows over the decoded corpus —
-    the builder behind ``_audio_fp_index``'s stored table."""
-    docs = table(spark, sf_dir, "documents")
+    the builder behind ``_audio_fp_index``'s stored table. Rows are
+    PER-DOC independent (synth + decode + landmark hashing see one doc
+    at a time), so the same builder over just an ingest batch's docs is
+    the index's APPEND delta."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -4632,7 +4640,9 @@ def _video_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     per corpus version, stored as parquet, reloaded by later sessions.
     The incremental query consumes it on three lineages (batch side,
     index side, semi-join prune) — all three scan the stored table; the
-    decode ran once, at index build time."""
+    decode ran once, at index build time. Frame rows are per-doc
+    independent, so an additive corpus change APPENDS the new docs' rows
+    (derived.py delta path) instead of re-decoding the corpus."""
     from ..memo import index_table
 
     return index_table(
@@ -4641,12 +4651,17 @@ def _video_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "video_frame_hash_index",
         ("documents",),
-        lambda: _build_frame_fps(spark, sf_dir),
+        lambda: _build_frame_fps(table(spark, sf_dir, "documents")),
+        delta_build=lambda new_files: _build_frame_fps(
+            spark.read.parquet(*new_files)
+        ),
     )
 
 
-def _build_frame_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+def _build_frame_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, fingerprint) rows — per-doc independent
+    (synth + decode + canonical-pixel md5 see one doc at a time), so the
+    same builder over an ingest batch's docs is the append delta."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -382,3 +382,52 @@ def test_content_fingerprint_mode(spark, tmp_path, monkeypatch):
         fh.write(bytes([b[0] ^ 0xFF]))
     derived.derived_table(spark, str(src), "t_cnt", ("documents",), build)
     assert len(calls) == 2
+
+
+def test_audio_video_indexes_append_on_ingest(spark, tmp_path, monkeypatch):
+    """The audio landmark and video frame-hash indexes ride the same
+    append path as the band index (VERDICT r14 #6 names all three):
+    after an additive ingest each stored index is generation-2 appended
+    and row-identical to a from-scratch build over the grown corpus."""
+    import go_dfs_mapreduce_spark.operators.multimodal as mm
+
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(tmp_path / "wh"))
+    src = str(tmp_path / "corpus")
+    _mini_corpus(spark, src, 0, 30)
+    docs_pq = os.path.join(src, "documents.parquet")
+    cases = [
+        (
+            "audio_landmark_index",
+            mm._AUDIO_FP_MEMO,
+            mm._audio_fp_index,
+            mm._build_audio_fps,
+        ),
+        (
+            "video_frame_hash_index",
+            mm._FRAME_FP_MEMO,
+            mm._video_frame_fingerprints,
+            mm._build_frame_fps,
+        ),
+    ]
+    for memo, accessor, _ in ((m, a, b) for _, m, a, b in cases):
+        memo.clear()
+        accessor(spark, src).count()
+    _mini_corpus(spark, src, 30, 45)
+    try:
+        for name, memo, accessor, builder in cases:
+            memo.clear()  # new corpus version = new session view
+            got = {tuple(r) for r in accessor(spark, src).collect()}
+            want = {
+                tuple(r)
+                for r in builder(spark.read.parquet(docs_pq)).collect()
+            }
+            assert got == want and got, name
+            gens = {
+                derived._read_manifest(str(tmp_path / "wh" / d))["generations"]
+                for d in os.listdir(tmp_path / "wh")
+                if d.startswith(f"{name}-")
+            }
+            assert 2 in gens, name  # appended, not rebuilt
+    finally:
+        for _, memo, _, _ in cases:
+            memo.clear()

@@ -56,7 +56,11 @@ def main() -> None:
 
     ops = {
         "mjpeg": multimodal_video_mjpeg,
-        "frames": _build_frame_fps,
+        # _build_frame_fps now takes a docs FRAME (append-delta reuse);
+        # adapt to the probe's (spark, sf_dir) op signature
+        "frames": lambda s, d: _build_frame_fps(
+            s.read.parquet(os.path.join(d, "documents.parquet"))
+        ),
     }
     # codegen + Arrow warmup on the smallest fixture
     for fn in ops.values():
