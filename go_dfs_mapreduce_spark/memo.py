@@ -18,23 +18,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def session_memo(
-    memo: dict[tuple[str, str], DataFrame],
+    memo: dict[tuple, DataFrame],
     spark: SparkSession,
     sf_dir: str,
     build: Callable[[], DataFrame],
+    fingerprint: str | None = None,
 ) -> DataFrame:
     """Return the memoized persisted frame for (this session, sf_dir),
     building + persisting + eagerly populating it on first use. Entries
     from other (stopped) applications are evicted — their DataFrame
     wrappers point into dead JVM contexts and would otherwise accrete
-    across session restarts within one Python process."""
+    across session restarts within one Python process.
+
+    ``fingerprint`` (r15) folds the CURRENT source-corpus fingerprint
+    into the key: a long-lived session spanning an ingest must not keep
+    serving the pre-ingest frame after the stored table advanced a
+    generation. The superseded entry is unpersisted and evicted — one
+    live materialization per (session, corpus dir)."""
     app = spark.sparkContext.applicationId
     for stale in [k for k in memo if k[0] != app]:
         del memo[stale]
-    key = (app, os.path.abspath(sf_dir))
+    key = (app, os.path.abspath(sf_dir), fingerprint)
     df = memo.get(key)
     if df is not None and df.storageLevel.useMemory:
         return df
+    for old in [k for k in memo if k[:2] == key[:2] and k != key]:
+        try:  # superseded corpus version: drop its cached blocks too
+            memo[old].unpersist()
+        except Exception:
+            pass  # dead context/executors: eviction is best-effort
+        del memo[old]
     df = build().persist()
     # populate NOW: concurrent AQE stages racing an unpopulated cache
     # each recompute the subtree (see mr_log_analyzer, plugins.py)
@@ -80,8 +93,13 @@ def index_table(
     the stored index is APPENDED (old data files hardlinked + the delta
     builder's rows over just the new files) instead of rebuilt — see
     ``derived.derived_table``. Only valid for builders whose output rows
-    are per-source-row independent."""
-    from .derived import derived_table
+    are per-source-row independent.
+
+    The session handle is keyed by the CURRENT corpus fingerprint (one
+    metadata stat walk per access), so an ingest landing mid-session
+    rolls every consumer onto the new index generation instead of
+    serving the pre-ingest frame from cache."""
+    from .derived import _source_fingerprint, derived_table
 
     return session_memo(
         memo,
@@ -96,4 +114,5 @@ def index_table(
             version=version,
             delta_build=delta_build,
         ),
+        fingerprint=_source_fingerprint(sf_dir, source_tables, version),
     )

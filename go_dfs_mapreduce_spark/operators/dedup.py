@@ -138,7 +138,7 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1.21 s -> 0.28 s at sf0.1, SCALE.md round-7): the shingle-array
     table is the dedup family's on-disk index, the same artifact the
     streaming incremental dedup already persists per generation."""
-    from ..derived import derived_table
+    from ..derived import _source_fingerprint, derived_table
     from ..memo import session_memo
 
     def build_arrays() -> DataFrame:
@@ -158,7 +158,13 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    return session_memo(_ARRS_MEMO, spark, sf_dir, build)
+    return session_memo(
+        _ARRS_MEMO,
+        spark,
+        sf_dir,
+        build,
+        fingerprint=_source_fingerprint(sf_dir, ("documents",)),
+    )
 
 
 def _doc_shingle_arrays(docs: DataFrame) -> DataFrame:

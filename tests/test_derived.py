@@ -329,7 +329,8 @@ def test_band_index_appends_on_ingest(spark, tmp_path, monkeypatch):
     try:
         dd.band_sig_index(spark, src).count()
         _mini_corpus(spark, src, 60, 90)
-        dd._BAND_SIG_MEMO.clear()  # new corpus version = new session view
+        # NO memo.clear(): the session handle is fingerprint-keyed, so
+        # the ingest landing mid-session rolls the cache over by itself
         got = {tuple(r) for r in dd.band_sig_index(spark, src).collect()}
         dirs = [
             d
