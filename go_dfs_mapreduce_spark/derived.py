@@ -261,6 +261,10 @@ def derived_table(
         os.makedirs(base, exist_ok=True)
         files_now = _source_files(sf_dir, source_tables, mode)
         tmp = f"{dst}.tmp-{os.getpid()}"
+        # a crashed earlier build (pid reuse) may have left this exact
+        # tmp dir with stale part files — the append path hardlinks INTO
+        # tmp, so leftovers would silently ride into the publish
+        shutil.rmtree(tmp, ignore_errors=True)
         manifest = {
             "layout_version": _LAYOUT_VERSION,
             "builder_version": version,
@@ -286,6 +290,13 @@ def derived_table(
             # byte-equivalent in content (same fingerprint), keep it
             shutil.rmtree(tmp, ignore_errors=True)
         _gc_stale_versions(base, name, keep=os.path.basename(dst))
+        if not _is_published(dst):
+            # rename lost to something that is NOT a finished publish
+            # (e.g. a torn dir recreated concurrently): reading it could
+            # return partial rows — fail loud instead
+            raise RuntimeError(
+                f"derived-table publish failed for {dst}: no manifest"
+            )
     return spark.read.parquet(dst).repartition(
         max(spark.sparkContext.defaultParallelism, 1)
     )
