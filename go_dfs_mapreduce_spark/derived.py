@@ -403,12 +403,19 @@ def _gc_stale_versions(base: str, name: str, keep: str) -> None:
 def _bases() -> list[str]:
     """All artifact stores under the warehouse root: the derived parquet
     tables plus the sibling bin_store (reference-layout chunk corpora,
-    e.g. the stored-BIN decode twin's) — one inventory/GC surface for
-    both (round-14 review: bin_store was invisible to `derived ls`/`gc`,
-    so a crashed build's .tmp dir leaked forever)."""
+    e.g. the stored-BIN decode twin's) and fixtures (the append-demo's
+    re-laid corpora) — one inventory/GC surface for all three
+    (round-14 review: bin_store was invisible to `derived ls`/`gc`, so a
+    crashed build's .tmp dir leaked forever; r15 adds fixtures for the
+    same reason)."""
     base = _default_base()
-    sibling = os.path.join(os.path.dirname(base.rstrip(os.sep)), "bin_store")
-    return [base] + ([sibling] if os.path.isdir(sibling) else [])
+    root = os.path.dirname(base.rstrip(os.sep))
+    out = [base]
+    for sib in ("bin_store", "fixtures"):
+        p = os.path.join(root, sib)
+        if os.path.isdir(p):
+            out.append(p)
+    return out
 
 
 def list_tables() -> list[dict]:

@@ -703,6 +703,13 @@ def _appended_demo_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             with open(done, "w") as fh:
                 fh.write("ok")
+            # retention: old corpus versions' fixtures age out like
+            # derived-table versions (same KEEP_VERSIONS policy)
+            from ..derived import _gc_stale_versions
+
+            _gc_stale_versions(
+                fixtures, "append_demo", keep=os.path.basename(fixture)
+            )
     idx = derived_table(
         spark, fixture, name, ("documents",), build_full,
         delta_build=build_delta,
