@@ -6,6 +6,11 @@ grown corpus — the compaction cost — against (b) the append publish
 (hardlink standing generation + delta build over only the batch files).
 
 Usage: python tools/append_scale_probe.py [sf_dir] [batch_pct]
+       python tools/append_scale_probe.py --synthetic N [batch_pct]
+The synthetic mode builds an N-doc corpus of deterministic pseudo-text
+(32 write partitions) so the append-vs-rebuild gap can be measured at
+corpus sizes the parquet fixtures don't reach — the linearity evidence
+for "per-ingest cost is the batch, not the corpus".
 Writes nothing outside a temp warehouse; prints one JSON line per shape.
 """
 
@@ -22,8 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    batch_pct = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    synthetic = len(sys.argv) > 1 and sys.argv[1] == "--synthetic"
+    if synthetic:
+        synth_n = int(float(sys.argv[2]))
+        batch_pct = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+        sf_dir = f"synthetic:{synth_n}"
+    else:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+        batch_pct = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     scratch = tempfile.mkdtemp(prefix="append_probe_")
     os.environ["SPARK_GRAFT_DERIVED_DIR"] = os.path.join(scratch, "wh")
@@ -38,7 +49,26 @@ def main() -> None:
 
     spark = get_spark("append-probe")
     try:
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        if synthetic:
+            # deterministic pseudo-text: ~40 hashed words per doc, so the
+            # shingle/minhash stages do real per-doc work at any N
+            docs = (
+                spark.range(synth_n)
+                .select(F.col("id").alias("doc_id"))
+                .withColumn(
+                    "text",
+                    F.expr(
+                        "array_join(transform(sequence(0, 39), "
+                        "i -> substr(md5(concat(cast(doc_id as string), "
+                        "':', cast(i as string))), 1, 6)), ' ')"
+                    ),
+                )
+                .repartition(32)
+            )
+        else:
+            docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            )
         n = docs.count()
         t = docs.agg(
             F.expr(f"percentile(doc_id, {1 - batch_pct / 100})")
