@@ -211,9 +211,9 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
-        "derived", help="inspect / clean the derived-table warehouse"
+        "derived", help="inspect / clean / compact the derived-table warehouse"
     )
-    p.add_argument("action", choices=["ls", "gc"])
+    p.add_argument("action", choices=["ls", "gc", "compact"])
     p.add_argument(
         "--all",
         action="store_true",
@@ -221,19 +221,31 @@ def main(argv: list[str] | None = None) -> int:
         help="gc: drop every published table (they rebuild on next use), "
         "not just orphaned .tmp build dirs",
     )
+    p.add_argument(
+        "--name",
+        default=None,
+        help="compact: restrict to one table name (default: every "
+        "multi-generation version)",
+    )
 
     args = ap.parse_args(argv)
 
-    # warehouse-inventory verb needs no SparkSession at all
+    # warehouse ls/gc need no SparkSession at all; compact rewrites
+    # parquet, so it alone starts one
     if args.cmd == "derived":
         from . import derived
 
         if args.action == "ls":
             for entry in derived.list_tables():
                 print(json.dumps(entry))
-        else:
+        elif args.action == "gc":
             for name in derived.gc(drop_all=args.drop_all):
                 print(f"removed {name}")
+        else:
+            for row in derived.compact(
+                _get_spark("cli-derived-compact"), name=args.name
+            ):
+                print(json.dumps(row))
         return 0
 
     from .sources.warehouse import Warehouse

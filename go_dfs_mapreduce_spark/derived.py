@@ -462,6 +462,89 @@ def _list_base(base: str, out: list[dict]) -> None:
         )
 
 
+# target on-disk bytes per compacted part file (the parquet sweet spot
+# for scan split sizing; tiny tables compact to one file)
+_COMPACT_TARGET_BYTES = 128 << 20
+
+
+def compact(spark: SparkSession, name: str | None = None) -> list[dict]:
+    """Rewrite multi-generation (appended) published versions as
+    single-generation compacted publishes — the small-file control for
+    the additive-ingest path: nightly appends add one small part-file
+    set per generation, and a year of them would make every consumer
+    scan schedule hundreds of tiny splits. Compaction reads the current
+    rows back and republishes them sized to ~128 MiB per file, manifest
+    generations reset to 1 (with the prior chain length recorded), same
+    fingerprint — consumers and FUTURE APPENDS (the manifest keeps the
+    source-file list) are unaffected.
+
+    The in-place swap (build tmp, drop dir, rename) is NOT atomic —
+    there is no rename-over-dir. The manifest gate keeps the window
+    safe: a reader hitting the gap or a torn swap sees an unpublished
+    dir and rebuilds rather than reading partial rows. Run compaction
+    like any maintenance pass: not concurrently with a cold consumer of
+    the same table version.
+
+    Returns one dict per compacted version (name, fingerprint,
+    generations folded, files before/after)."""
+    out: list[dict] = []
+    base = _default_base()
+    if not os.path.isdir(base):
+        return out
+    for d in sorted(os.listdir(base)):
+        p = os.path.join(base, d)
+        man = _read_manifest(p)
+        if man is None:
+            continue
+        if name is not None and man.get("name") != name:
+            continue
+        gens = int(man.get("generations", 1))
+        if gens <= 1:
+            continue
+        data_files = [
+            f
+            for f in os.listdir(p)
+            if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(p, f))
+        ]
+        total = sum(
+            os.path.getsize(os.path.join(p, f)) for f in data_files
+        )
+        n_out = max(1, -(-total // _COMPACT_TARGET_BYTES))
+        tmp = f"{p}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.read.parquet(p).coalesce(n_out).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        man2 = dict(man)
+        man2["generations"] = 1
+        man2["appended_from"] = None
+        man2["compacted_generations"] = gens
+        man2.pop("delta_files", None)
+        _write_manifest(tmp, man2)
+        shutil.rmtree(p, ignore_errors=True)
+        try:
+            os.rename(tmp, p)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        after = [
+            f
+            for f in os.listdir(p)
+            if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(p, f))
+        ]
+        out.append(
+            {
+                "name": man.get("name"),
+                "fingerprint": man.get("fingerprint"),
+                "generations_folded": gens,
+                "files_before": len(data_files),
+                "files_after": len(after),
+                "bytes": total,
+            }
+        )
+    return out
+
+
 def gc(drop_all: bool = False) -> list[str]:
     """Remove orphaned .tmp build dirs (always safe: a live builder
     publishes via rename, so anything still named .tmp-* after its

@@ -432,3 +432,83 @@ def test_audio_video_indexes_append_on_ingest(spark, tmp_path, monkeypatch):
     finally:
         for _, memo, _, _ in cases:
             memo.clear()
+
+
+def test_compact_folds_generations_and_future_appends_work(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """`derived compact` (r15): the small-file control for the append
+    path — a multi-generation version rewrites to generation 1 with
+    fewer files, same rows, same fingerprint; consumers keep reading it
+    and the NEXT ingest appends on the compacted basis."""
+    import json as _json
+
+    from go_dfs_mapreduce_spark.cli import main
+
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(tmp_path / "wh"))
+    src = str(tmp_path / "corpus")
+    _mini_corpus(spark, src, 0, 40)
+
+    def build():
+        return spark.read.parquet(os.path.join(src, "documents.parquet")).select(
+            "doc_id", F.length("text").alias("n")
+        )
+
+    def delta(new_files):
+        return spark.read.parquet(*new_files).select(
+            "doc_id", F.length("text").alias("n")
+        )
+
+    kw = dict(delta_build=delta)
+    derived.derived_table(spark, src, "t_cmp", ("documents",), build, **kw)
+    _mini_corpus(spark, src, 40, 60)
+    derived.derived_table(spark, src, "t_cmp", ("documents",), build, **kw)
+    gen2_dir = [
+        d
+        for d in os.listdir(tmp_path / "wh")
+        if d.startswith("t_cmp-")
+        and derived._read_manifest(str(tmp_path / "wh" / d))["generations"] == 2
+    ][0]
+    files_before = {
+        f
+        for f in os.listdir(tmp_path / "wh" / gen2_dir)
+        if not f.startswith(("_", "."))
+    }
+    rows_before = {
+        (r.doc_id, r.n)
+        for r in derived.derived_table(
+            spark, src, "t_cmp", ("documents",), build, **kw
+        ).collect()
+    }
+
+    assert main(["derived", "compact", "--name", "t_cmp"]) == 0
+    (row,) = [
+        _json.loads(l) for l in capsys.readouterr().out.splitlines()
+    ]
+    assert row["name"] == "t_cmp" and row["generations_folded"] == 2
+    assert row["files_after"] <= row["files_before"]
+    man = derived._read_manifest(str(tmp_path / "wh" / gen2_dir))
+    assert man["generations"] == 1 and man["compacted_generations"] == 2
+    assert man["fingerprint"] == gen2_dir.rpartition("-")[2]
+    files_after = {
+        f
+        for f in os.listdir(tmp_path / "wh" / gen2_dir)
+        if not f.startswith(("_", "."))
+    }
+    assert len(files_after) <= len(files_before)
+    rows_after = {
+        (r.doc_id, r.n)
+        for r in derived.derived_table(
+            spark, src, "t_cmp", ("documents",), build, **kw
+        ).collect()
+    }
+    assert rows_after == rows_before and rows_after
+    # the NEXT ingest appends on the compacted basis (source_files kept)
+    _mini_corpus(spark, src, 60, 70)
+    derived.derived_table(spark, src, "t_cmp", ("documents",), build, **kw)
+    gens = {
+        derived._read_manifest(str(tmp_path / "wh" / d))["generations"]
+        for d in os.listdir(tmp_path / "wh")
+        if d.startswith("t_cmp-")
+    }
+    assert 2 in gens  # appended onto the compacted generation
