@@ -114,6 +114,11 @@ def main() -> None:
 
         base = derived._default_base()
         latest = derived._latest_published(base, "probe_band_idx")
+
+        # fold the appended generations back (the small-file control)
+        t0 = time.time()
+        folded = derived.compact(spark, name="probe_band_idx")
+        compact_s = time.time() - t0
         print(
             json.dumps(
                 {
@@ -125,6 +130,13 @@ def main() -> None:
                     "full_rebuild_s": round(rebuild_s, 2),
                     "speedup": round(rebuild_s / append_s, 2),
                     "generations": latest[1]["generations"],
+                    "compact_s": round(compact_s, 2),
+                    "compact_files": (
+                        f"{folded[0]['files_before']}->"
+                        f"{folded[0]['files_after']}"
+                        if folded
+                        else None
+                    ),
                 }
             )
         )
