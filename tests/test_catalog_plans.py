@@ -1763,3 +1763,19 @@ def test_persisted_index_plan_contracts(spark, sf_dir):
         assert "InMemoryTableScan" in plan, name
         assert f"warehouse/derived/{name}-" in plan, name
         assert not any(m in plan for m in PY_MARKERS), name
+
+    # r15: the APPENDED (two-generation) index obeys the same contract —
+    # its consumer scans the stored gen-2 parquet dir (hardlinked gen-1
+    # files + delta files behind one path) with zero Python stages; the
+    # delta decode ran at append time, never in a query plan
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        _appended_demo_index,
+        dedup_appended_index,
+    )
+
+    plan = executed(_appended_demo_index(spark, sf_dir))
+    assert "lsh_band_index_appdemo-" in plan, plan[:400]
+    assert not any(m in plan for m in PY_MARKERS), "appdemo handle"
+    plan = executed(dedup_appended_index(spark, sf_dir))
+    assert "lsh_band_index_appdemo-" in plan, plan[:400]
+    assert not any(m in plan for m in PY_MARKERS), "appdemo consumer"
