@@ -639,7 +639,36 @@ def _appended_demo_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fixture is built once per corpus fingerprint (idempotent marker;
     a concurrent builder is waited out), so repeat gate sweeps reuse
-    both generations from disk."""
+    both generations from disk. If the published generations were aged
+    out by the per-name retention GC (3+ corpora alternating through
+    one warehouse evicts the oldest corpus's pair) the append basis is
+    gone and a naive rebuild would be generation 1 — the wrapper relays
+    the fixture from scratch ONCE so both landings (and the appended
+    publish) are re-created rather than failing the generation check."""
+    try:
+        return _appended_demo_index_once(spark, sf_dir)
+    except _AppendDemoDegraded:
+        import shutil
+
+        from ..derived import _default_base, _source_fingerprint
+
+        corpus_fp = _source_fingerprint(sf_dir, ("documents",))
+        fixtures = os.path.join(
+            os.path.dirname(_default_base().rstrip(os.sep)), "fixtures"
+        )
+        shutil.rmtree(
+            os.path.join(fixtures, f"append_demo-{corpus_fp}"),
+            ignore_errors=True,
+        )
+        return _appended_demo_index_once(spark, sf_dir)
+
+
+class _AppendDemoDegraded(RuntimeError):
+    """The appended-demo index came back without its generation-2
+    append chain (basis GC'd / torn fixture): relay the fixture."""
+
+
+def _appended_demo_index_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import time
 
@@ -726,7 +755,7 @@ def _appended_demo_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         or latest[1].get("generations") != 2
         or not latest[1].get("appended_from")
     ):
-        raise RuntimeError(
+        raise _AppendDemoDegraded(
             f"appended-index demo expected a generation-2 appended "
             f"publish, found: {None if latest is None else latest[1]}"
         )

@@ -512,3 +512,30 @@ def test_compact_folds_generations_and_future_appends_work(
         if d.startswith("t_cmp-")
     }
     assert 2 in gens  # appended onto the compacted generation
+
+
+def test_appended_demo_relays_after_basis_gc(spark, tmp_path, monkeypatch):
+    """3+ corpora alternating through one warehouse can age out an old
+    corpus's appdemo generation pair (per-name KEEP_VERSIONS); the demo
+    must then RELAY its fixture and come back generation-2 appended
+    rather than failing the generation check on a basis-less rebuild."""
+    import shutil
+
+    import go_dfs_mapreduce_spark.operators.dedup as dd
+
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(tmp_path / "wh"))
+    idx1 = dd._appended_demo_index(spark, SF)
+    n1 = idx1.count()
+    # simulate the GC: every published appdemo version vanishes
+    for d in os.listdir(tmp_path / "wh"):
+        if d.startswith("lsh_band_index_appdemo-"):
+            shutil.rmtree(tmp_path / "wh" / d)
+    idx2 = dd._appended_demo_index(spark, SF)
+    assert idx2.count() == n1
+    gens = {
+        derived._read_manifest(str(tmp_path / "wh" / d))["generations"]
+        for d in os.listdir(tmp_path / "wh")
+        if d.startswith("lsh_band_index_appdemo-")
+        and derived._is_published(str(tmp_path / "wh" / d))
+    }
+    assert 2 in gens  # relaid and appended, not a gen-1 rebuild
