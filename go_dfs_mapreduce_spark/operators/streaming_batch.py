@@ -178,12 +178,32 @@ FROM documents
 """
 
 
-def _chunk_tail_layout(spark: SparkSession, sf_dir: str) -> str:
+def _chunk_tail_layout(
+    spark: SparkSession, sf_dir: str, force_exact: bool = False
+) -> str:
     """Shared fixture step of the chunk-tail twins: lay the documents
     table down as a reference chunk layout (4 TXT chunks of
     '<doc_id>\\t<md5(text)>' lines, bucketed by doc_id % 4) via the
-    DISTRIBUTED go_dfs_text batch sink, fail-loud verify the
-    chunk-count contract, and return the node dir (caller removes)."""
+    DISTRIBUTED go_dfs_text batch sink, verify the chunk-count
+    contract, and return the node dir (caller removes).
+
+    Fast path: repartitionByRange(4, bucket) — partitions are ordered
+    by key ascending as a PUBLIC semantic, which is exactly the
+    bucket-per-chunk contract, and all corpus-sized work (md5, concat,
+    sort) stays in codegen. But the range partitioner SAMPLES its
+    bounds, and with only 4 distinct key values a sample can legally
+    merge two residue classes into one partition (observed at sf0.1:
+    3 chunks for 4 classes — the r13-advice check caught it). On
+    divergence the layout re-writes through the EXACT router: an
+    RDD-level ``partitionBy(4, identity)`` — one partition PER BUCKET
+    by construction, immune to sampling and to the optimizer (every
+    DataFrame-level construction tried — union of coalesce(1) or
+    repartition(1) branches — gets collapsed to one partition by the
+    union/repartition rewrite rules; measured, not speculation). The
+    exact path pays a Python-side shuffle + per-bucket in-task sort, so
+    it stays the fixture fallback rather than the default; it only
+    raises if even the identity routing diverges (impossible short of
+    writer bugs)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -193,53 +213,57 @@ def _chunk_tail_layout(spark: SparkSession, sf_dir: str) -> str:
 
     register_dfs_sources(spark)
     docs = table(spark, sf_dir, "documents")
-    # The chunk writer assigns indices contiguously in PARTITION order,
-    # and the oracle expects residue-class buckets in ascending order
-    # (dense-ranked when a class is empty) — so partition the corpus by
-    # RANGE over the bucket value: repartitionByRange's partitions are
-    # ordered by key ascending as a PUBLIC semantic, which is exactly
-    # the contract the layout needs. All corpus-sized work (md5,
-    # concat, sort) stays in codegen.
-    lines = (
-        docs.select(
-            F.col("doc_id"),
-            (F.col("doc_id") % 4).alias("bucket"),
-            F.concat(
-                F.col("doc_id").cast("string"),
-                F.lit("\t"),
-                F.md5(F.col("text").cast("binary")),
-            ).alias("line"),
+    tagged = docs.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % 4).alias("bucket"),
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("\t"),
+            F.md5(F.col("text").cast("binary")),
+        ).alias("line"),
+    )
+
+    def _write(lines) -> int:
+        (
+            lines.write.format("go_dfs_text")
+            .option("file", "docs")
+            .mode("overwrite")
+            .save(node)
         )
-        .repartitionByRange(4, "bucket")
-        .sortWithinPartitions("doc_id")
-        .select("line")
-    )
+        return len(_inventory([node], "TXT", "docs"))
+
     node = tempfile.mkdtemp(prefix="go_dfs_tail_")
-    (
-        lines.write.format("go_dfs_text")
-        .option("file", "docs")
-        .mode("overwrite")
-        .save(node)
-    )
-    # Fail-loud layout check (ADVICE r13): repartitionByRange SAMPLES its
-    # bounds, so a skewed or tiny corpus could legally merge two residue
-    # classes into one range partition — which would silently produce a
-    # chunk layout diverging from the oracle's bucket-per-chunk shape.
-    # One metadata listing + one 1-row aggregate restore the hash-probe
-    # era's explicit contract: chunk count == populated residue classes.
-    n_chunks = len(_inventory([node], "TXT", "docs"))
     n_classes = docs.select(
         F.countDistinct((F.col("doc_id") % 4).alias("bucket"))
     ).first()[0]
-    if n_chunks != n_classes:
-        import shutil
-
-        shutil.rmtree(node, ignore_errors=True)
-        raise RuntimeError(
-            f"chunk-tail layout diverged: {n_chunks} chunks written for "
-            f"{n_classes} populated residue classes (range partitioner "
-            "merged or split a bucket)"
+    fast = (
+        tagged.repartitionByRange(4, "bucket")
+        .sortWithinPartitions("doc_id")
+        .select("line")
+    )
+    # force_exact is the test hook: the fallback only fires organically
+    # when the sampler misbehaves, which is corpus/seed-dependent
+    if force_exact or _write(fast) != n_classes:
+        part = (
+            tagged.select("bucket", "doc_id", "line")
+            .rdd.map(lambda r: (int(r[0]), (int(r[1]), r[2])))
+            .partitionBy(4, lambda b: b)
+            .mapPartitions(
+                lambda it: (
+                    (line,) for _, line in sorted(v for _, v in it)
+                )
+            )
         )
+        exact = spark.createDataFrame(part, "line string")
+        n_chunks = _write(exact)
+        if n_chunks != n_classes:
+            import shutil
+
+            shutil.rmtree(node, ignore_errors=True)
+            raise RuntimeError(
+                f"chunk-tail layout diverged even on the exact router: "
+                f"{n_chunks} chunks for {n_classes} populated classes"
+            )
     return node
 
 

@@ -1439,3 +1439,55 @@ def test_ratelimit_eventtime_mode_out_of_order_fixture():
     assert allowed[3] is True and bal[3] == 0  # 10_000 s = exactly 1 token
     assert allowed[5] is True and bal[5] == 0
     assert 6 not in allowed  # dropped: below the flushed watermark
+
+
+def test_chunk_tail_exact_router_layout(spark, sf_dir):
+    """The chunk-tail layout's EXACT fallback (r15): repartitionByRange
+    SAMPLES bounds and can merge residue classes (observed at sf0.1);
+    the RDD identity router must produce one chunk per populated class
+    in ascending bucket order with doc_id-sorted lines, regardless of
+    sampling. Forced on directly — the organic trigger is seed-luck."""
+    import shutil
+
+    from go_dfs_mapreduce_spark.operators.streaming_batch import (
+        _chunk_tail_layout,
+    )
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import (
+        _inventory,
+        _read_verified,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+    from pyspark.sql import functions as F
+
+    node = _chunk_tail_layout(spark, sf_dir, force_exact=True)
+    try:
+        docs = table(spark, sf_dir, "documents")
+        n_classes = docs.select(
+            F.countDistinct((F.col("doc_id") % 4)).alias("n")
+        ).first()[0]
+        chunks = _inventory([node], "TXT", "docs")
+        assert len(chunks) == n_classes
+        # each chunk holds exactly one residue class, ascending, with
+        # doc_ids sorted within the chunk
+        for (fname, idx), paths in sorted(chunks.items()):
+            part = _read_verified(
+                type(
+                    "P",
+                    (),
+                    {
+                        "file": fname,
+                        "ftype": "TXT",
+                        "idx": idx,
+                        "replicas": tuple(paths),
+                        "verify": True,
+                    },
+                )()
+            )
+            ids = [
+                int(line.split("\t")[0])
+                for line in part.decode().splitlines()
+            ]
+            assert ids == sorted(ids)
+            assert {i % 4 for i in ids} == {idx}
+    finally:
+        shutil.rmtree(node, ignore_errors=True)
