@@ -374,6 +374,15 @@ def _try_append(
 KEEP_VERSIONS = 4
 
 
+def _size_or_zero(path: str) -> int:
+    """Compaction sizing tolerant of a concurrent GC dropping the
+    version mid-scan (same posture as the inventory walk)."""
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def _mtime_or_zero(path: str) -> float:
     """GC sort key tolerant of a CONCURRENT session GC-ing the same table
     between our listdir and the stat (round-14 advice): a vanished entry
@@ -439,13 +448,6 @@ def _list_base(base: str, out: list[dict]) -> None:
             os.path.join(r, f) for r, _, fs in os.walk(p) for f in fs
         ]
         name, _, fp = d.rpartition("-")
-
-        def _size(f: str) -> int:
-            try:  # tolerate a concurrent GC racing the inventory walk
-                return os.path.getsize(f)
-            except OSError:
-                return 0
-
         man = _read_manifest(p)
         out.append(
             {
@@ -454,7 +456,7 @@ def _list_base(base: str, out: list[dict]) -> None:
                 "orphan_tmp": ".tmp-" in d,
                 "published": man is not None,
                 "generations": None if man is None else man.get("generations"),
-                "bytes": sum(_size(f) for f in files),
+                "bytes": sum(_size_or_zero(f) for f in files),
                 "n_files": len(files),
                 "mtime": int(_mtime_or_zero(p)),
                 "store": os.path.basename(base),
@@ -492,6 +494,11 @@ def compact(spark: SparkSession, name: str | None = None) -> list[dict]:
     if not os.path.isdir(base):
         return out
     for d in sorted(os.listdir(base)):
+        if ".tmp-" in d:
+            # an orphaned build dir can carry a manifest if its builder
+            # crashed between manifest write and rename — it is litter
+            # for `gc`, never a compaction target
+            continue
         p = os.path.join(base, d)
         man = _read_manifest(p)
         if man is None:
@@ -507,7 +514,7 @@ def compact(spark: SparkSession, name: str | None = None) -> list[dict]:
             if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(p, f))
         ]
         total = sum(
-            os.path.getsize(os.path.join(p, f)) for f in data_files
+            _size_or_zero(os.path.join(p, f)) for f in data_files
         )
         n_out = max(1, -(-total // _COMPACT_TARGET_BYTES))
         tmp = f"{p}.tmp-{os.getpid()}"

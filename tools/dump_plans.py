@@ -147,6 +147,11 @@ PLAN_QUERIES = [
     "dedup_clusters",
     # round 14
     "multimodal_jpeg_metadata_stored",
+    # round 15 (the chunk-tail twins return driver-collected rows, so
+    # their static plans are LocalTableScan — omitted like the memory
+    # twin always was; the appended-index query's plan shows the
+    # two-generation stored index feeding the incremental match)
+    "dedup_appended_index",
 ]
 
 
