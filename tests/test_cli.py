@@ -625,6 +625,28 @@ def test_result_pull_streams_rows_lazily(spark):
         importlib.reload(results_mod)
 
 
+def test_result_pull_falls_back_without_socket_helper(spark, monkeypatch):
+    """`_iter_partition`'s safety net: the lazy path leans on pyspark's
+    PRIVATE `_load_from_socket`; if a pyspark upgrade moves it, the pull
+    must degrade to the materializing runJob — same rows in the same
+    order, trading driver memory, never a crash."""
+    import pyspark.rdd
+
+    from go_dfs_mapreduce_spark.mapreduce import results as results_mod
+
+    monkeypatch.delattr(pyspark.rdd, "_load_from_socket")
+    df = spark.range(100).selectExpr(
+        "CAST(0 AS INT) AS r_id", "CAST(id AS INT) AS seq",
+        "CAST(id AS STRING) AS line",
+    ).repartition(1, "r_id")
+    rows = list(
+        results_mod._iter_partition(spark.sparkContext, df.rdd, 0)
+    )
+    assert len(rows) == 100
+    assert {r.r_id for r in rows} == {0}
+    assert sorted(int(r.line) for r in rows) == list(range(100))
+
+
 def test_cli_dfs_daemon_repairs_off_dead_node(spark, tmp_path, capsys):
     """Dead-node re-replication (ADVICE r14): a replica sitting on a
     flatlined-but-present node is NOT a healthy copy — the daemon's
