@@ -539,3 +539,109 @@ def test_appended_demo_relays_after_basis_gc(spark, tmp_path, monkeypatch):
         and derived._is_published(str(tmp_path / "wh" / d))
     }
     assert 2 in gens  # relaid and appended, not a gen-1 rebuild
+
+
+def test_append_rebuild_equivalence_random_landings(
+    spark, tmp_path, monkeypatch
+):
+    """PROPERTY (hypothesis): across an ARBITRARY sequence of corpus
+    landings — additive batches, in-place file mutations, file
+    deletions — the derived table read-back is ALWAYS row-identical to
+    a direct build over the current corpus, and the SERVED version's
+    generation matches a shadow model of the publish semantics: a
+    revisited fingerprint serves its cached version unchanged (a drop
+    can legally return the corpus to an earlier fingerprint — found by
+    this very test's first run), a fresh fingerprint whose file set
+    strictly grew from the last-published one appends (gen+1), and any
+    other fresh fingerprint is a full gen-1 rebuild. Example-based
+    tests above pin single transitions; this pins every interleaving.
+    Ops are capped at 3 so total publishes stay within KEEP_VERSIONS
+    (retention GC is its own test, not part of this model)."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    wh = tmp_path / "wh"
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(wh))
+    ctr = itertools.count()
+
+    @given(ops=st.lists(st.sampled_from(["add", "mutate", "drop"]),
+                        min_size=1, max_size=3))
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(ops):
+        n = next(ctr)
+        src = str(tmp_path / f"corpus{n}")
+        name = f"t_prop{n}"
+        pq = os.path.join(src, "documents.parquet")
+
+        def build():
+            return spark.read.parquet(pq).select(
+                "doc_id", F.length("text").alias("ln")
+            )
+
+        def delta(new_files):
+            return spark.read.parquet(*new_files).select(
+                "doc_id", F.length("text").alias("ln")
+            )
+
+        def data_files():
+            return sorted(
+                f for f in os.listdir(pq) if not f.startswith(("_", "."))
+            )
+
+        # shadow model of the publish semantics
+        seen: dict[str, int] = {}  # fingerprint -> generations
+        last_pub: dict = {"files": None, "gen": 0}
+
+        def check():
+            fp = derived._source_fingerprint(src, ("documents",))
+            files_now = {
+                tuple(e)
+                for e in derived._source_files(src, ("documents",), "stat")
+            }
+            if fp in seen:
+                expect = seen[fp]  # cache hit: served as-is, no publish
+            else:
+                prev = last_pub["files"]
+                additive = (
+                    prev is not None and prev < files_now  # strict growth
+                )
+                expect = last_pub["gen"] + 1 if additive else 1
+                seen[fp] = expect
+                last_pub["files"] = files_now
+                last_pub["gen"] = expect
+            got = derived.derived_table(
+                spark, src, name, ("documents",), build, delta_build=delta
+            )
+            assert {(r.doc_id, r.ln) for r in got.collect()} == {
+                (r.doc_id, r.ln) for r in build().collect()
+            }
+            man = derived._read_manifest(os.path.join(str(wh), f"{name}-{fp}"))
+            assert man is not None, "served version must be published"
+            assert man["generations"] == expect
+
+        _mini_corpus(spark, src, 0, 10)
+        check()
+        lo = 10
+        for op in ops:
+            if op == "drop" and len(data_files()) < 2:
+                op = "mutate"  # an empty corpus dir can't be rebuilt
+            if op == "add":
+                _mini_corpus(spark, src, lo, lo + 10)
+                lo += 10
+            elif op == "mutate":
+                f = os.path.join(pq, data_files()[0])
+                stt = os.stat(f)
+                os.utime(
+                    f, ns=(stt.st_atime_ns, stt.st_mtime_ns + 1_000_000)
+                )
+            else:
+                os.remove(os.path.join(pq, data_files()[-1]))
+            check()
+
+    run()
