@@ -1282,3 +1282,52 @@ def test_srt_roundtrip_and_truncation_property(doc_id, cut):
         for k, (_, _, t) in enumerate(trunc[:-1]):
             assert t == cues[k][2]
         assert cues[len(trunc) - 1][2].startswith(trunc[-1][2])
+
+
+@given(
+    data=st.data(),
+    n_rows=st.integers(0, 25),
+    r_ids=st.integers(1, 5),
+    split=st.booleans(),
+)
+@SET
+def test_streamed_pull_files_equal_ordered_drain(
+    spark, data, n_rows, r_ids, split
+):
+    """PROPERTY: the mid-job streamed result pull produces files
+    byte-identical to the classic ordered job-end drain for ARBITRARY
+    row sets and partitionings — r_id-partitioned plans take the
+    concurrent per-partition path, round-robin plans split r_ids across
+    partitions and must detect it and fall back; either way the bytes
+    on disk are the same (correctness never rides on the plan shape,
+    mapreduce/results.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from go_dfs_mapreduce_spark.mapreduce import results as results_mod
+
+    rows = [
+        (
+            data.draw(st.integers(0, r_ids - 1)),
+            seq,
+            data.draw(st.text(alphabet="abXY01 .ü", max_size=8)),
+        )
+        for seq in range(n_rows)
+    ]
+    schema = "r_id int, seq int, line string"
+    df = spark.createDataFrame(rows, schema)
+    df = df.repartition(4) if split else df.repartition(4, "r_id")
+    a = tempfile.mkdtemp(prefix="pull_prop_a_")
+    b = tempfile.mkdtemp(prefix="pull_prop_b_")
+    try:
+        got = results_mod.stream_reducer_results(df, a)
+        want = results_mod._ordered_drain(df, b, None)
+        read = lambda d: {
+            f: open(os.path.join(d, f)).read() for f in os.listdir(d)
+        }
+        assert read(a) == read(b)
+        assert sorted(got) == sorted(want)
+    finally:
+        shutil.rmtree(a, ignore_errors=True)
+        shutil.rmtree(b, ignore_errors=True)
