@@ -1491,3 +1491,64 @@ def test_chunk_tail_exact_router_layout(spark, sf_dir):
             assert {i % 4 for i in ids} == {idx}
     finally:
         shutil.rmtree(node, ignore_errors=True)
+
+
+def test_chunk_tail_layout_with_empty_residue_classes(
+    spark, sf_dir, tmp_path
+):
+    """A corpus leaving residue classes EMPTY (only doc_id % 4 in
+    {0, 2}) must lay down dense-ranked chunks — 2 chunks, idx 0 holding
+    residue 0 and idx 1 holding residue 2 — through BOTH routers: the
+    range fast path (2 distinct keys is exactly where the sampler can
+    merge; on divergence it self-heals through the exact router) and
+    the forced exact router (4 identity partitions, two empty — the
+    writer must skip them and number contiguously). Pins the
+    dense-rank contract the twins' oracle documents for gap corpora."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.operators.streaming_batch import (
+        _chunk_tail_layout,
+    )
+    from go_dfs_mapreduce_spark.sources.dfs_chunks import (
+        _inventory,
+        _read_verified,
+    )
+    from go_dfs_mapreduce_spark.tables import table
+
+    gap_dir = str(tmp_path / "gap_corpus")
+    (
+        table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 4).isin(0, 2))
+        .write.parquet(os.path.join(gap_dir, "documents.parquet"))
+    )
+
+    for force in (False, True):
+        node = _chunk_tail_layout(spark, gap_dir, force_exact=force)
+        try:
+            chunks = _inventory([node], "TXT", "docs")
+            assert len(chunks) == 2, (force, sorted(chunks))
+            want_residue = {0: 0, 1: 2}  # dense rank -> residue class
+            for (fname, idx), paths in sorted(chunks.items()):
+                part = _read_verified(
+                    type(
+                        "P",
+                        (),
+                        {
+                            "file": fname,
+                            "ftype": "TXT",
+                            "idx": idx,
+                            "replicas": tuple(paths),
+                            "verify": True,
+                        },
+                    )()
+                )
+                ids = [
+                    int(line.split("\t")[0])
+                    for line in part.decode().splitlines()
+                ]
+                assert ids == sorted(ids)
+                assert {i % 4 for i in ids} == {want_residue[idx]}, force
+        finally:
+            shutil.rmtree(node, ignore_errors=True)
