@@ -14,6 +14,9 @@ is CLEARED before every rep, so operators that deliberately persist
 shared subframes (LSH shingle arrays, IVF cells — SCALE.md) are timed
 doing their complete pipeline each rep; session-cache reuse wins are
 reported separately in SCALE.md, never folded into these numbers.
+SPARK_GRAFT_BENCH_REPS overrides the per-query rep count (default 3)
+for drift-disposition runs that want a wider median window; the driver
+contract (plain `python bench.py`) is unchanged.
 """
 
 from __future__ import annotations
@@ -72,10 +75,11 @@ def main() -> None:
             "noop"
         ).save()
 
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3") or "3")
     timings: dict[str, float] = {}
     for name in names:
         reps = []
-        for _ in range(3):
+        for _ in range(n_reps):
             spark.catalog.clearCache()
             t0 = time.time()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
