@@ -87,7 +87,14 @@ def _iter_partition(sc, rdd, p: int):
     O(partition) in driver memory — iterating the socket directly keeps
     the pull O(buffer). Falls back to the materializing runJob if the
     private helpers move (they are stable across pyspark 3.x/4.x; the
-    fallback trades memory, never correctness)."""
+    fallback trades memory, never correctness). A moved helper shows up
+    as ImportError/AttributeError; a changed JVM-side runJob SIGNATURE
+    as a plain Py4JError ("method does not exist") — all pre-iteration,
+    so all safely degrade to the materializing path. A GENUINE job
+    failure at this synchronous call is a Py4JJavaError and must
+    propagate, not re-run the failing job through the fallback."""
+    from py4j.protocol import Py4JError, Py4JJavaError
+
     try:
         from pyspark.rdd import _load_from_socket
 
@@ -96,7 +103,9 @@ def _iter_partition(sc, rdd, p: int):
             sc._jsc.sc(), mapped._jrdd, [p]
         )
         return _load_from_socket(sock_info, mapped._jrdd_deserializer)
-    except (ImportError, AttributeError):
+    except Py4JJavaError:
+        raise
+    except (ImportError, AttributeError, Py4JError):
         return iter(sc.runJob(rdd, lambda it: list(it), [p]))
 
 
