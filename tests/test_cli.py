@@ -517,7 +517,15 @@ def test_mr_streams_reducer_files_mid_job(spark, tmp_path):
     finally:
         spark.conf.set(coalesce_key, prev)
     assert sorted(done) == [0, 1, 2]
-    assert completion_order.index(free_r) < completion_order.index(blocked_r)
+    # the blocked reducer can never be FIRST: it waits on the sentinel
+    # only a prior completion writes (the on_complete hook above also
+    # asserted its file was absent when the first blob landed). Any
+    # stronger ordering — e.g. free_r strictly before blocked_r — is a
+    # scheduling race once the gate opens: under load the free pull can
+    # legitimately straggle past the unblocked one (observed flaking on
+    # a contended box), while the mid-job property this test exists for
+    # is already pinned by the sentinel hand-off itself.
+    assert completion_order[0] != blocked_r
     for r, key in key_of.items():
         assert (out_dir / f"r{r}").read_text() == f"{key}:4\n"
 
