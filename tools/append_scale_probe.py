@@ -7,10 +7,18 @@ grown corpus — the compaction cost — against (b) the append publish
 
 Usage: python tools/append_scale_probe.py [sf_dir] [batch_pct]
        python tools/append_scale_probe.py --synthetic N [batch_pct]
+       python tools/append_scale_probe.py --landings K --synthetic N
 The synthetic mode builds an N-doc corpus of deterministic pseudo-text
 (32 write partitions) so the append-vs-rebuild gap can be measured at
 corpus sizes the parquet fixtures don't reach — the linearity evidence
 for "per-ingest cost is the batch, not the corpus".
+
+--landings K is the MULTI-GENERATION shape (the nightly-ingest story):
+the corpus lands in K equal batches — generation 1 is the full build
+over batch 1, then K-1 successive appends. Per-landing publish seconds
+must stay FLAT as generations accumulate (each append hardlinks the
+standing files and delta-builds one batch); the closing compact folds
+the K-generation part-file pileup back to target-sized files.
 Writes nothing outside a temp warehouse; prints one JSON line per shape.
 """
 
@@ -27,6 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    argv = sys.argv[1:]
+    landings = 0
+    if argv and argv[0] == "--landings":
+        landings = int(argv[1])
+        argv = argv[2:]
+    sys.argv = [sys.argv[0], *argv]
     synthetic = len(sys.argv) > 1 and sys.argv[1] == "--synthetic"
     if synthetic:
         synth_n = int(float(sys.argv[2]))
@@ -85,6 +99,48 @@ def main() -> None:
             return _doc_band_sigs(
                 _doc_shingle_arrays(spark.read.parquet(*new_files))
             )
+
+        if landings:
+            # multi-generation shape: K equal landings (doc_id ranges —
+            # contiguous in synthetic mode, quantile-close otherwise),
+            # one publish after each; per-landing seconds must stay flat
+            per = []
+            step = -(-n // landings)
+            for i in range(landings):
+                docs.where(
+                    (F.col("doc_id") >= i * step)
+                    & (F.col("doc_id") < (i + 1) * step)
+                ).write.mode("append").parquet(docdir)
+                t0 = time.time()
+                derived.derived_table(
+                    spark, corpus, "probe_band_idx", ("documents",),
+                    full_build, delta_build=delta_build,
+                )
+                per.append(round(time.time() - t0, 2))
+            latest = derived._latest_published(
+                derived._default_base(), "probe_band_idx"
+            )
+            t0 = time.time()
+            folded = derived.compact(spark, name="probe_band_idx")
+            print(
+                json.dumps(
+                    {
+                        "sf_dir": sf_dir,
+                        "docs": n,
+                        "landings": landings,
+                        "per_landing_publish_s": per,
+                        "generations": latest[1]["generations"],
+                        "compact_s": round(time.time() - t0, 2),
+                        "compact_files": (
+                            f"{folded[0]['files_before']}->"
+                            f"{folded[0]['files_after']}"
+                            if folded
+                            else None
+                        ),
+                    }
+                )
+            )
+            return
 
         # landing 1: standing corpus -> generation 1 (full build)
         docs.where(F.col("doc_id") <= t).write.mode("overwrite").parquet(docdir)
