@@ -30,17 +30,45 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Session-scoped memo of the LAZY reader DataFrames (r15, guide §1.2/§6):
+# every `spark.read.parquet(path)` call builds a fresh InMemoryFileIndex and
+# re-infers the schema from the footer — measured ~240 ms of driver-side
+# time PER CALL at sf0.1, paid inside every query builder (a 3-table join
+# paid it three times per invocation). The memo key carries the
+# applicationId (a dead session's plans must not leak into a new one) and
+# the source file's (size, mtime_ns), so a regenerated/appended corpus
+# misses and re-reads. Values are unexecuted plans — every action still
+# scans the parquet input; nothing here caches rows or results.
+_READER_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _table_stat(path: str) -> tuple:
+    """(size, mtime_ns) change token of a table path; directories token on
+    the dir's own mtime (appends create/remove entries, bumping it)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return (0, 0)
+    return (st.st_size, st.st_mtime_ns)
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), _table_stat(path))
+    cached = _READER_MEMO.get(key)
+    if cached is not None:
+        return cached
+    for stale in [k for k in _READER_MEMO if k[:2] == key[:2] and k != key]:
+        del _READER_MEMO[stale]
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
         # default. The conf is runtime-settable, and setting it HERE (not
         # only in session.py) means the queries work under ANY caller's
         # SparkSession — including the grading driver's.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
@@ -57,6 +85,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # keeps the wall-clock fields, so rendered values still match
             # DuckDB's naive reading of the same parquet in any session tz.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _READER_MEMO[key] = df
     return df
 
 
