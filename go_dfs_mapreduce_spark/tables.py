@@ -93,6 +93,61 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size conf values: plain bytes ('134217728') or suffixed
+    ('128m', '1g', '512k', optionally trailing 'b')."""
+    s = v.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            s, mult = s[: -1], m
+            break
+    return max(1, int(float(s) * mult))
+
+
+def spread_scan(
+    spark: SparkSession, sf_dir: str, name: str, df: DataFrame
+) -> DataFrame:
+    """Scale-adaptive spread for compute-heavy consumers of a table scan
+    (r15, guide §2.5 "input skew: one huge unsplittable file ... repartition
+    immediately after the read").
+
+    The gate corpora are single-file, SINGLE-ROW-GROUP parquet — a row
+    group is the unit of scan parallelism, so every downstream expression
+    Spark pipelines into the scan (decimal array folds, md5 lanes, regexp)
+    runs as ONE task while the other cores idle. When the table's byte
+    size yields fewer scan splits than the session's cores, round-robin
+    repartition to the core count so per-row compute AFTER the exchange
+    runs at full parallelism. At any real scale the estimate (bytes /
+    maxPartitionBytes) exceeds the core count and this is a NO-OP — no
+    exchange is added on a 100 TB corpus; the cluster-scale spread is the
+    file layout itself. The exchange only ever carries the pruned columns
+    the consumer selected, and a round-robin repartition of a parquet scan
+    is deterministic under task retry (stable input order + the built-in
+    sort-before-repartition)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return df
+    max_split = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    cores = max(spark.sparkContext.defaultParallelism, 1)
+    est_splits = max(1, (size + max_split - 1) // max_split)
+    if est_splits >= cores:
+        return df
+    return df.repartition(cores)
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so spark.sql can reference them."""
     for name in TABLE_NAMES:
