@@ -24,13 +24,19 @@ from ..mapreduce.plugins import (
     word_count_reduce,
 )
 from ..registry import query
-from ..tables import table
+from ..tables import spread_scan, table
 
 
 def _documents_as_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents rows as the reference's (file, line_number, line) input
     shape — each document is one text line of its own 'file'."""
-    return table(spark, sf_dir, "documents").select(
+    # the lowered FlatMapExpr map phase (tokenize + explode + partial
+    # agg) rides the scan's own splits (mapreduce/job.py) — ONE task on
+    # the gate's single-row-group parquet. Spread so the parity engine's
+    # map work runs at full parallelism (guide §2.5; no-op at real scale).
+    return spread_scan(
+        spark, sf_dir, "documents", table(spark, sf_dir, "documents")
+    ).select(
         F.col("doc_id").cast("string").alias("file"),
         F.lit(0).cast("long").alias("line_number"),
         F.col("text").alias("line"),
@@ -150,7 +156,9 @@ WHERE c.rn <= 5
 
 def crawler_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthesized crawler log rendered as F1-shaped text lines."""
-    logs = crawler_logs(spark, table(spark, sf_dir, "events"))
+    logs = crawler_logs(
+        spark, spread_scan(spark, sf_dir, "events", table(spark, sf_dir, "events"))
+    )
     return logs.select(
         F.lit("crawler_logs").alias("file"),
         F.col("event_id").cast("long").alias("line_number"),
