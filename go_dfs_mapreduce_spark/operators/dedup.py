@@ -435,7 +435,13 @@ def _doc_band_sigs(arrs: DataFrame) -> DataFrame:
     persisted index: incremental ingestion writes each batch's rows as a
     new generation and re-derives buckets from the union, so the bucket
     groupBy in ``_band_buckets`` is just this frame aggregated."""
-    lanes = F.expr(
+    # selectExpr strings, not per-column F.transform(... python lambda):
+    # each python-side lambda construction costs ~6 py4j roundtrips, and
+    # the 8 lane-min columns were ~350 ms of DRIVER time per build at
+    # sf0.1 (cProfile, r15); one parsed SQL projection is 1 roundtrip and
+    # the identical analyzed expression (guide §5 — the driver should do
+    # almost no work; re-proven vs the DuckDB oracle at all three SFs).
+    lanes_sql = (
         "transform(shs, s -> flatten(transform("
         " array(md5(concat('0:', s)), md5(concat('1:', s))),"
         " h -> array("
@@ -443,16 +449,14 @@ def _doc_band_sigs(arrs: DataFrame) -> DataFrame:
             f"cast(conv(substr(h, {1 + 8 * k}, 8), 16, 10) as bigint)"
             for k in range(4)
         )
-        + "))))"
-    ).alias("lanes")
-
-    def _lane_min(i: int):
-        return F.array_min(
-            F.transform(F.col("lanes"), lambda a: F.element_at(a, i + 1))
-        ).alias(f"mh{i}")
-
-    mins = arrs.select("doc_id", lanes).select(
-        "doc_id", *[_lane_min(i) for i in range(N_HASHES)]
+        + ")))) AS lanes"
+    )
+    mins = arrs.selectExpr("doc_id", lanes_sql).selectExpr(
+        "doc_id",
+        *[
+            f"array_min(transform(lanes, a -> element_at(a, {i + 1}))) AS mh{i}"
+            for i in range(N_HASHES)
+        ],
     )
     bands = mins.select(
         "doc_id",
@@ -808,25 +812,17 @@ def _pair_overlap(cand: DataFrame, arrs: DataFrame) -> DataFrame:
     """
     return (
         cand.join(
-            arrs.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("shs").alias("sa"),
-                F.col("sz").alias("sz_a"),
-            ),
+            arrs.selectExpr("doc_id AS doc_a", "shs AS sa", "sz AS sz_a"),
             "doc_a",
         )
         .join(
-            arrs.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("shs").alias("sb"),
-                F.col("sz").alias("sz_b"),
-            ),
+            arrs.selectExpr("doc_id AS doc_b", "shs AS sb", "sz AS sz_b"),
             "doc_b",
         )
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.expr("size(array_intersect(sa, sb))").alias("n"),
+            "size(array_intersect(sa, sb)) AS n",
             "sz_a",
             "sz_b",
         )
