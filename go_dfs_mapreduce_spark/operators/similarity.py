@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..tables import table
+from ..tables import table, table_row_count
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 5
@@ -872,7 +872,7 @@ def _calibrated_bits_for(spark: SparkSession, sf_dir: str) -> int:
     it materializes the signature index; the count is a metadata-cheap
     parquet scan, and the derivation is the same integer-threshold walk
     the oracle replays in SQL."""
-    n = table(spark, sf_dir, "embeddings").count()
+    n = table_row_count(spark, sf_dir, "embeddings")
     return calibrated_lsh_bits(n)
 
 
@@ -1972,7 +1972,7 @@ def ann_ivf_calibrated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _dec_dot_expr
 
     emb = table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = table_row_count(spark, sf_dir, "embeddings")
     k = calibrated_ivf_cells(n)
     carr = ivf_centroid_table(spark, sf_dir, k)
     a2 = ivf_cell_table(spark, sf_dir, k)
@@ -2578,7 +2578,7 @@ def _ivf_pq_adc(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     ADC join over the persisted 4-byte code table. ``ivf_pq_topk`` cuts
     this to top-k directly; ``ivf_pq_rerank_topk`` keeps a wider
     shortlist and re-scores it exactly."""
-    n = table(spark, sf_dir, "embeddings").count()
+    n = table_row_count(spark, sf_dir, "embeddings")
     k = calibrated_ivf_cells(n)
     emb = table(spark, sf_dir, "embeddings")
     xm = emb.select("vec_id", F.expr(_MICRO_ARR).alias("xm"))
@@ -3156,7 +3156,7 @@ def _ivf_pq_residual_adc(
     residual LUTs, broadcast-LUT ADC join over the persisted residual
     code table); ``ivf_pq_residual_topk`` cuts it to top-k,
     ``ivf_pq_residual_rerank_topk`` reranks the wider shortlist."""
-    n = table(spark, sf_dir, "embeddings").count()
+    n = table_row_count(spark, sf_dir, "embeddings")
     k = calibrated_ivf_cells(n)
     emb = table(spark, sf_dir, "embeddings")
     xm = emb.select("vec_id", F.expr(_MICRO_ARR).alias("xm"))

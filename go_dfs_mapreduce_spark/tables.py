@@ -148,6 +148,46 @@ def spread_scan(
     return df.repartition(cores)
 
 
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """EXACT row count of a table from parquet footer metadata — the
+    num_rows every writer commits per file — with zero Spark jobs.
+
+    Calibration scalars (SRP signature width, IVF cell count) need only
+    |corpus|, and ``df.count()`` spends a whole scan job (~150-300 ms
+    scheduling floor + scan) to learn what the footers already state
+    (r15, guide §5: the driver should do almost no data work — this is
+    metadata, not data). Falls back to ``count()`` for non-parquet or
+    unreadable layouts. Memoized per (session, path, file stat) like the
+    reader plans above, so repeated builder calls in one session don't
+    re-walk footers."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = ("rowcount", os.path.abspath(path), _table_stat(path))
+    hit = _ROWCOUNT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    n = -1
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            n = 0
+            for root, _, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                        n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        else:
+            n = pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        n = -1
+    if n < 0:
+        n = table(spark, sf_dir, name).count()
+    _ROWCOUNT_MEMO[key] = n
+    return n
+
+
+_ROWCOUNT_MEMO: dict[tuple, int] = {}
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so spark.sql can reference them."""
     for name in TABLE_NAMES:
