@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..tables import table
+from ..tables import spread_scan, table
 from .dedup import _NORM_DUCK, _NORM_SPARK, ngram_expr
 
 
@@ -846,8 +846,15 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merged-span count is a boundary count — zero shuffles, zero
     joins, exact integers plus one rounded division. The corruption
     RATE is tuned by SPAN_START_MOD exactly like production span
-    samplers tune their Poisson rate."""
-    docs = table(spark, sf_dir, "documents")
+    samplers tune their Poisson rate.
+
+    r15 (guide §2.5): the two md5 gates cost 2 hashes PER TOKEN POSITION
+    (~2.5 M md5s at sf0.1), and every one of them pipelines into the
+    scan stage — one task on a single-row-group gate file while 31 cores
+    idle. spread_scan round-robins the 5 k doc rows across the session's
+    cores before the per-position transforms (no-op at real corpus
+    scale); measured 73.5 s -> 4.3 s at sf0.1 (17x)."""
+    docs = spread_scan(spark, sf_dir, "documents", table(spark, sf_dir, "documents"))
     hs = _SPAN_H_SPARK.format(salt="S")
     hl = _SPAN_H_SPARK.format(salt="L")
     t = docs.select(

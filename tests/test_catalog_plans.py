@@ -1053,8 +1053,11 @@ def test_round9_late_operator_plan_contracts(spark, sf_dir):
 
 
 def test_span_corruption_plan_contract(spark, sf_dir):
-    """span_corruption_plan: pure in-row layout — zero exchanges, no
-    joins, no python worker, 2-column scan."""
+    """span_corruption_plan: pure in-row layout — no joins, no python
+    worker, 2-column scan. r15: the scale-adaptive spread_scan may add
+    at most ONE round-robin exchange when the gate's single-row-group
+    file under-splits the scan (a no-op at real corpus scale); the
+    per-position md5 transforms must run above it."""
     from go_dfs_mapreduce_spark.operators.training_prep import (
         span_corruption_plan,
     )
@@ -1062,7 +1065,10 @@ def test_span_corruption_plan_contract(spark, sf_dir):
 
     a = audit_plan(span_corruption_plan(spark, sf_dir))
     assert not a["has_python_worker"]
-    assert a["n_exchanges"] == 0
+    # formatted plans name each Exchange twice (tree + detail section)
+    assert a["n_exchanges"] <= 2
+    if a["n_exchanges"]:
+        assert "RoundRobinPartitioning" in a["plan"]
     assert "Join" not in a["plan"]
     assert set(a["read_columns"]) == {"doc_id", "text"}
 
@@ -1146,14 +1152,18 @@ def test_round10_operator_plan_contracts(spark, sf_dir):
     assert a["n_broadcast_joins"] >= 2
     assert "CartesianProduct" not in a["plan"]
 
-    # events_rate_limit: ONE user-keyed exchange feeding the declared
-    # Arrow group fold; 3-column scan
+    # events_rate_limit: ONE user-keyed exchange + in-partition sort
+    # feeding the declared Arrow kernel through a single MapInPandas
+    # pass (r15: one Python crossing for the whole partition, not one
+    # UDF invocation per user group); 3-column scan
     from go_dfs_mapreduce_spark.operators.timeseries import (
         events_rate_limit,
     )
 
     a = audit_plan(events_rate_limit(spark, sf_dir))
-    assert "FlatMapGroupsInPandas" in a["plan"]
+    assert "MapInPandas" in a["plan"]
+    assert "FlatMapGroupsInPandas" not in a["plan"]
+    assert "hashpartitioning(user_id" in a["plan"]
     assert set(a["read_columns"]) == {"event_id", "ts", "user_id"}
     assert "Join" not in a["plan"]
 
