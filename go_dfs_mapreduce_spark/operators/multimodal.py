@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..tables import table
+from ..tables import spread_frame, table
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -697,7 +697,7 @@ BMP_PIXELS_SCHEMA = T.StructType(
 )
 
 
-def _payload_feature_pipeline(docs, make_payload, row_fn, out_fields):
+def _payload_feature_pipeline(docs, make_payload, row_fn, out_fields, spread=False):
     """Shared synth -> decode -> features plumbing of ALL the binary
     decoders (BMP/PNG/GIF pixels, WAV PCM samples): two Arrow stages
     over a 1-column scan, quarantine as the all -1 row. ``row_fn``
@@ -744,11 +744,14 @@ def _payload_feature_pipeline(docs, make_payload, row_fn, out_fields):
             *(T.StructField(n, t) for n, t in out_fields),
         ]
     )
-    payloads = docs.select("doc_id").mapInPandas(synth, payload_schema)
+    ids = docs.select("doc_id")
+    if spread:
+        ids = spread_frame(ids)
+    payloads = ids.mapInPandas(synth, payload_schema)
     return payloads.mapInPandas(decode, out_schema)
 
 
-def _pixel_feature_pipeline(docs, make_payload, decode_fn, chan_cols):
+def _pixel_feature_pipeline(docs, make_payload, decode_fn, chan_cols, spread=False):
     """The pixel-decoder instantiation of ``_payload_feature_pipeline``:
     per-channel sums in STORAGE order (``chan_cols`` names channel
     0/1/2 — BGR for BMP, RGB for PNG/GIF; ONE name for a grayscale
@@ -790,6 +793,7 @@ def _pixel_feature_pipeline(docs, make_payload, decode_fn, chan_cols):
             *((c, T.LongType()) for c in chan_cols),
             ("pos_checksum", T.LongType()),
         ],
+        spread=spread,
     )
 
 _BMP_SUM = (
@@ -1179,6 +1183,7 @@ def multimodal_pixels_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth,
         decode_png_pixels,
         ("sum_r", "sum_g", "sum_b"),
+        spread=True,
     )
 
 
@@ -1509,6 +1514,7 @@ def multimodal_pixels_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         decode_gif_pixels,
         ("sum_r", "sum_g", "sum_b"),
+        spread=True,
     )
 
 # --- WAV PCM sample decode: the audio twin of the pixel decoders ---------
@@ -2383,6 +2389,7 @@ def multimodal_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         decode_jpeg_pixels,
         ("sum_luma",),
+        spread=True,
     )
 
 
@@ -2461,6 +2468,7 @@ def multimodal_pixels_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         decode_jpeg_pixels,
         ("sum_r", "sum_g", "sum_b"),
+        spread=True,
     )
 
 
@@ -2817,6 +2825,7 @@ def multimodal_video_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("sum_cr", T.LongType()),
             ("pos_checksum", T.LongType()),
         ],
+        spread=True,
     )
 
 
@@ -3341,6 +3350,7 @@ def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("sum_luma", T.LongType()),
             ("pos_checksum", T.LongType()),
         ],
+        spread=True,
     )
 
 
@@ -5079,6 +5089,7 @@ def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("canvas_sum_r", T.LongType()),
             ("pos_checksum", T.LongType()),
         ],
+        spread=True,
     )
 
 

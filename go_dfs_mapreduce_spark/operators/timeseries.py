@@ -295,22 +295,38 @@ def recursive_compound_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free) — or restructure to a window decomposition when the
     recurrence is linear (this one's integer floor makes that
     impossible, which is why it is the showcase). All arithmetic is
-    integer cents — bit-identical on both engines."""
-    table(spark, sf_dir, "orders").createOrReplaceTempView("_rec_orders")
+    integer cents — bit-identical on both engines.
+
+    r15 (guide §5 caching / §2.4): Spark's UnionLoop re-executes the
+    step subtree once per level, and with ``base`` as a plain CTE that
+    meant 25 repeats of the orders scan + row_number window. ``base`` is
+    now built as a DataFrame, CACHED, and eagerly populated before the
+    recursion (the in-memory analog of the docstring's "materialize base
+    once" scale advice); every level then probes an InMemoryTableScan.
+    Measured 9.8 s -> 5.6 s at sf0.1; the remainder is the depth-25
+    UnionLoop's per-level join/stage machinery, which is the price of
+    the recursive-CTE formulation itself. Cache lifetime follows the
+    session like the log_analyzer triple cache; the bench clears it
+    between reps so every rep pays the full populate."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    base = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.row_number().over(w).alias("seq"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .cache()
+    )
+    base.count()
+    base.createOrReplaceTempView("_rec_base")
     return spark.sql(
         """
-        WITH RECURSIVE base AS (
-          SELECT o_custkey AS c,
-                 ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                    ORDER BY o_orderdate, o_orderkey) AS seq,
-                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-          FROM _rec_orders
-        ),
-        acc AS (
-          SELECT c, seq, cents AS bal FROM base WHERE seq = 1
+        WITH RECURSIVE acc AS (
+          SELECT c, seq, cents AS bal FROM _rec_base WHERE seq = 1
           UNION ALL
           SELECT b.c, b.seq, (a.bal * 101) DIV 100 + b.cents
-          FROM acc a JOIN base b ON b.c = a.c AND b.seq = a.seq + 1
+          FROM acc a JOIN _rec_base b ON b.c = a.c AND b.seq = a.seq + 1
         )
         SELECT c AS o_custkey,
                CAST(MAX(seq) AS BIGINT) AS n_orders,

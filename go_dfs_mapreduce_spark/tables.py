@@ -148,6 +148,29 @@ def spread_scan(
     return df.repartition(cores)
 
 
+def spread_frame(df: DataFrame) -> DataFrame:
+    """Scale-adaptive spread for a compute-heavy Arrow/Python stage fed by
+    an arbitrary (already pruned, few-column) frame — the ``spread_scan``
+    idea for inputs that are not a direct table scan (r15, guide §2.5).
+
+    The gate corpora are single-file, single-row-group parquet, so a
+    ``select("doc_id").mapInPandas(...)`` decode chain runs as ONE task
+    while the other cores idle. When the frame's current plan yields fewer
+    partitions than the session's cores, round-robin repartition to the
+    core count; at any real corpus scale the scan already has >= cores
+    splits and this is a NO-OP. The exchange carries only the pruned
+    columns (a doc_id per row for the decode chains), and a round-robin
+    repartition of a deterministic scan is retry-safe (built-in
+    sort-before-repartition)."""
+    sc = df.sparkSession.sparkContext
+    cores = max(sc.defaultParallelism, 1)
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(cores) if n < cores else df
+
+
 def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     """EXACT row count of a table from parquet footer metadata — the
     num_rows every writer commits per file — with zero Spark jobs.

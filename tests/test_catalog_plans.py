@@ -1789,3 +1789,20 @@ def test_persisted_index_plan_contracts(spark, sf_dir):
     plan = executed(dedup_appended_index(spark, sf_dir))
     assert "lsh_band_index_appdemo-" in plan, plan[:400]
     assert not any(m in plan for m in PY_MARKERS), "appdemo consumer"
+
+
+def test_recursive_compound_balance_cached_base(spark, sf_dir):
+    """r15: the recursive CTE's base (orders + row_number) is cached and
+    eagerly populated so UnionLoop's per-level re-execution probes an
+    InMemoryTableScan instead of repeating the scan + window each level;
+    the recursion itself must remain a UnionLoop (the feature under
+    test), with no Python stages."""
+    from go_dfs_mapreduce_spark.operators.timeseries import (
+        recursive_compound_balance,
+    )
+    from go_dfs_mapreduce_spark.plans.audit import audit_plan
+
+    a = audit_plan(recursive_compound_balance(spark, sf_dir))
+    assert "UnionLoop" in a["plan"]
+    assert "InMemoryTableScan" in a["plan"] or "InMemoryRelation" in a["plan"]
+    assert not a["has_python_worker"]

@@ -152,3 +152,41 @@ def test_spread_scan_noop_when_splits_cover_cores(spark, tmp_path):
         spread.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_spread_frame_adds_exchange_only_when_underpartitioned(spark, sf_dir):
+    """r15: spread_frame round-robins a few-partition frame to the core
+    count and is an identity on frames that already have >= cores
+    partitions (the any-real-scale case)."""
+    from pyspark.sql import functions as F
+
+    from go_dfs_mapreduce_spark.tables import spread_frame, table
+
+    cores = spark.sparkContext.defaultParallelism
+    ids = table(spark, sf_dir, "documents").select("doc_id")
+    spread = spread_frame(ids)
+    assert spread.rdd.getNumPartitions() == cores
+
+    wide = spark.range(0, 1000, 1, cores + 4)
+    assert spread_frame(wide) is wide
+
+
+def test_heavy_decoders_spread_light_decoders_do_not(spark, sf_dir):
+    """r15 measured split (guide §2.5): compressed-codec decoders (JPEG,
+    MJPEG-AVI) pay per-payload Python work heavy enough to fund a spread
+    exchange; trivial decoders (BMP, PCM envelope) measured SLOWER with
+    it and must stay exchange-free."""
+    from go_dfs_mapreduce_spark.operators.multimodal import (
+        multimodal_audio_pcm,
+        multimodal_pixels_bmp,
+        multimodal_pixels_jpeg,
+        multimodal_video_mjpeg,
+    )
+    from go_dfs_mapreduce_spark.plans.audit import audit_plan
+
+    for q in (multimodal_pixels_jpeg, multimodal_video_mjpeg):
+        a = audit_plan(q(spark, sf_dir))
+        assert "RoundRobinPartitioning" in a["plan"], q.__name__
+    for q in (multimodal_pixels_bmp, multimodal_audio_pcm):
+        a = audit_plan(q(spark, sf_dir))
+        assert "RoundRobinPartitioning" not in a["plan"], q.__name__
