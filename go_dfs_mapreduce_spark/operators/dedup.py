@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..tables import table
+from ..tables import spread_scan, table
 
 # --- shared normalized-token / shingle builders (Spark + SQL twins) -------
 
@@ -2049,8 +2049,13 @@ def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (> ``WIN_MAX_DOC_FREQ`` docs = boilerplate, generates O(n^2) pairs
     with no signal — the ngram_jaccard cap rationale), then in-bucket
     pair expansion + a partial-aggregated shared count. All hashing is
-    md5-derived 60-bit ints (the engine-portable hash family)."""
-    docs = table(spark, sf_dir, "documents")
+    md5-derived 60-bit ints (the engine-portable hash family).
+
+    r15 (guide §2.5): one md5 PER CHARACTER of normalized text runs
+    in-row, pipelined into the gate's single-row-group scan task;
+    spread_scan fans the rows across cores first (no-op at real scale).
+    Measured 4.3 s -> 1.4 s at sf0.1 (3x)."""
+    docs = spread_scan(spark, sf_dir, "documents", table(spark, sf_dir, "documents"))
     grams = (
         f"CASE WHEN length(norm) < {WIN_K} THEN array() ELSE "
         f"transform(sequence(1, length(norm) - {WIN_K - 1}),"
@@ -2222,7 +2227,13 @@ def winnow_candidate_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the kernel is per-document (embarrassingly parallel, no
     state), emits only the selected ~2/(W+1) fingerprint fraction
     across the Arrow boundary, and feeds the same capped-bucket
-    equi-join tail as the md5 twin (``_winnow_pairs_from_fps``)."""
+    equi-join tail as the md5 twin (``_winnow_pairs_from_fps``).
+
+    r15: a spread_scan A/B measured NO win here (1.24 s unspread vs
+    1.24-1.40 s spread at sf0.1) — the vectorized kernel is cheap enough
+    that the capped-bucket join tail dominates, so the scan keeps its
+    exchange-free shape (contrast the md5 twin, where hashing dominates
+    and the spread pays 3x)."""
     docs = table(spark, sf_dir, "documents")
     sel = (
         docs.select(
