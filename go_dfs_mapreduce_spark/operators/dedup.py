@@ -1285,6 +1285,13 @@ def embedding_nn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
     )
+    # r15 (guide §2.5): the cell frame is bytes-small, so AQE coalesces
+    # the self-join to ONE partition and the per-pair interpreted decimal
+    # dots run single-task. An explicit cell-keyed repartition (which AQE
+    # respects) both feeds the join exchange-free on both sides and pins
+    # the join stage's parallelism; scales with session cores. Interleaved
+    # A/B on the semantic_dedup sibling: 2.8 s -> 1.05 s at sf0.1.
+    ec = ec.repartition(spark.sparkContext.defaultParallelism, "cell")
     a = ec.alias("a")
     b = ec.alias("b")
     # cosine is symmetric: evaluate the (exact-decimal) dot lambda once per
@@ -1398,6 +1405,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
     )
+    # r15: same AQE-coalesce fix as embedding_nn_cosine (see its comment);
+    # measured 2.8 s -> 1.05 s at sf0.1, identical verdicts
+    ec = ec.repartition(spark.sparkContext.defaultParallelism, "cell")
     a = ec.alias("a")
     b = ec.alias("b")
     pruned = (

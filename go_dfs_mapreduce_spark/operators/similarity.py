@@ -1171,6 +1171,20 @@ def _lsh_topk_impl(
         F.expr(_dec_dot_expr("embedding", "embedding")).alias("n2"),
     )
     cand = _lsh_candidates(spark, sf_dir, multiprobe, bits, n_queries)
+    # r15 (guide §2.5, the AQE flip side): the candidate pair set is BYTES-
+    # small (83 k rows ~ a few MB at sf0.1), so AQE's size-based coalescing
+    # collapses it to ONE post-shuffle partition — and the per-pair exact-
+    # decimal dot below (interpreted HOF, 64 BigDecimal ops per pair) then
+    # runs single-task while 31 cores idle. AQE cannot see downstream
+    # compute weight, only bytes; the explicit repartition (which AQE
+    # respects) restores compute parallelism. Measured at sf0.1: the
+    # 64-query batch arm 3.7 s -> 1.1 s and multiprobe 0.55 -> 0.42 s,
+    # while the plain 5-query arm's candidate set is small enough that
+    # the exchange cost exceeded the scoring win (+0.1 s) — so only the
+    # fan-out arms spread. The count scales with the session's cores,
+    # not a local constant.
+    if multiprobe or n_queries > N_QUERIES:
+        cand = cand.repartition(spark.sparkContext.defaultParallelism)
     q = ed.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),

@@ -1806,3 +1806,25 @@ def test_recursive_compound_balance_cached_base(spark, sf_dir):
     assert "UnionLoop" in a["plan"]
     assert "InMemoryTableScan" in a["plan"] or "InMemoryRelation" in a["plan"]
     assert not a["has_python_worker"]
+
+
+def test_small_candidate_frames_keep_compute_parallelism(spark, sf_dir):
+    """r15: AQE coalesces bytes-small candidate/cell frames to one
+    partition, which serialized the per-pair exact-decimal scoring; the
+    fan-out arms pin an explicit repartition (RoundRobin for the LSH
+    batch candidates, hash-by-cell for the cell-blocked pair joins) so
+    the scoring stage keeps the session's parallelism."""
+    from go_dfs_mapreduce_spark.operators.dedup import (
+        embedding_nn_cosine,
+        semantic_dedup,
+    )
+    from go_dfs_mapreduce_spark.operators.similarity import (
+        ann_lsh_batch_topk,
+    )
+    from go_dfs_mapreduce_spark.plans.audit import audit_plan
+
+    a = audit_plan(ann_lsh_batch_topk(spark, sf_dir))
+    assert "RoundRobinPartitioning" in a["plan"]
+    for q in (embedding_nn_cosine, semantic_dedup):
+        a = audit_plan(q(spark, sf_dir))
+        assert "hashpartitioning(cell" in a["plan"], q.__name__
