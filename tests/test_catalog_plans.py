@@ -1129,7 +1129,11 @@ def test_round10_operator_plan_contracts(spark, sf_dir):
     # two Arrow stages, each named twice (tree + detail section)
     assert a["plan"].count("MapInPandas") == 4
     assert set(a["read_columns"]) == {"doc_id"}
-    assert "Exchange" not in a["plan"]  # embarrassingly parallel
+    # r15: heavy compressed-codec decoders spread the doc_id feed when
+    # the gate's single-row-group scan under-splits (round-robin only;
+    # a no-op exchange-free plan at real corpus scale)
+    if "Exchange" in a["plan"]:
+        assert "RoundRobinPartitioning" in a["plan"]
 
     # multimodal_pixels_gif: identical shape to the PNG twin
     from go_dfs_mapreduce_spark.operators.multimodal import (
@@ -1139,7 +1143,8 @@ def test_round10_operator_plan_contracts(spark, sf_dir):
     a = audit_plan(multimodal_pixels_gif(spark, sf_dir))
     assert a["plan"].count("MapInPandas") == 4
     assert set(a["read_columns"]) == {"doc_id"}
-    assert "Exchange" not in a["plan"]
+    if "Exchange" in a["plan"]:  # r15 spread, see the PNG pin above
+        assert "RoundRobinPartitioning" in a["plan"]
 
     # ann_ivf_calibrated_topk: centroids/probe lists ride as broadcasts,
     # the candidate join is an equi-join on the cluster id, JVM-only
@@ -1309,7 +1314,10 @@ def test_round11_operator_plan_contracts(spark, sf_dir):
     # two tree nodes (the formatted plan repeats each in its detail
     # section, so count the numbered tree form)
     assert a["plan"].count("MapInPandas (") == 2
-    assert a["n_exchanges"] == 0
+    # r15 spread (round-robin only; no-op at real scale)
+    assert a["n_exchanges"] <= 2
+    if a["n_exchanges"]:
+        assert "RoundRobinPartitioning" in a["plan"]
     assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]  # 1-col scan
 
 
@@ -1349,7 +1357,10 @@ def test_round12_operator_plan_contracts(spark, sf_dir):
 
     a = audit_plan(multimodal_pixels_jpeg420(spark, sf_dir))
     assert a["plan"].count("MapInPandas (") == 2
-    assert a["n_exchanges"] == 0
+    # r15 spread (round-robin only; no-op at real scale)
+    assert a["n_exchanges"] <= 2
+    if a["n_exchanges"]:
+        assert "RoundRobinPartitioning" in a["plan"]
     assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]
 
     # span_dedup_apply / span_dedup_keep_owner: same contract as the
@@ -1455,7 +1466,10 @@ def test_round12_late_operator_plan_contracts(spark, sf_dir):
 
     a = audit_plan(multimodal_video_y4m(spark, sf_dir))
     assert a["plan"].count("MapInPandas (") == 2
-    assert a["n_exchanges"] == 0
+    # r15 spread (round-robin only; no-op at real scale)
+    assert a["n_exchanges"] <= 2
+    if a["n_exchanges"]:
+        assert "RoundRobinPartitioning" in a["plan"]
     assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]
 
     # multimodal_video_scene_cuts: same declared two-Arrow-stage decode
@@ -1502,7 +1516,10 @@ def test_round12_late_operator_plan_contracts(spark, sf_dir):
 
     a = audit_plan(multimodal_gif_animation(spark, sf_dir))
     assert a["plan"].count("MapInPandas (") == 2
-    assert a["n_exchanges"] == 0
+    # r15 spread (round-robin only; no-op at real scale)
+    assert a["n_exchanges"] <= 2
+    if a["n_exchanges"]:
+        assert "RoundRobinPartitioning" in a["plan"]
     assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]
 
     # multimodal_audio_vad: same two-Arrow-stage decode shape
@@ -1667,7 +1684,10 @@ def test_round13_operator_plan_contracts(spark, sf_dir):
 
     a = audit_plan(multimodal_video_mjpeg(spark, sf_dir))
     assert a["plan"].count("MapInPandas (") == 2
-    assert a["n_exchanges"] == 0
+    # r15 spread (round-robin only; no-op at real scale)
+    assert a["n_exchanges"] <= 2
+    if a["n_exchanges"]:
+        assert "RoundRobinPartitioning" in a["plan"]
     assert "ReadSchema: struct<doc_id:bigint>" in a["plan"]
 
     # frame dedup: the fingerprint frame arrives from the persisted
