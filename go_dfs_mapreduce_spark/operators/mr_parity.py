@@ -30,13 +30,15 @@ from ..tables import spread_scan, table
 def _documents_as_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents rows as the reference's (file, line_number, line) input
     shape — each document is one text line of its own 'file'."""
-    # the lowered FlatMapExpr map phase (tokenize + explode + partial
-    # agg) rides the scan's own splits (mapreduce/job.py) — ONE task on
-    # the gate's single-row-group parquet. Spread so the parity engine's
-    # map work runs at full parallelism (guide §2.5; no-op at real scale).
-    return spread_scan(
-        spark, sf_dir, "documents", table(spark, sf_dir, "documents")
-    ).select(
+    # UNSPREAD (r16 disposition of the r15 spread_scan probe): the driver
+    # measured mr_wordcount 0.856 -> 0.979 s after r15 added a spread
+    # here, and the r16 re-run of the interleaved A/B (10 reps, quiet
+    # box, 32 cores) AGREES with the driver — unspread 830 ms vs spread
+    # 1035 ms median (+24.7%): wordcount's tokenize+explode map phase is
+    # too light to fund the exchange, same verdict as the idiomatic
+    # wordcount's rejected spread. mr_log_analyzer's regexp-dense map
+    # KEEPS its spread (re-measured -26.5% the same session).
+    return table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("file"),
         F.lit(0).cast("long").alias("line_number"),
         F.col("text").alias("line"),
