@@ -369,7 +369,20 @@ def common_neighbors_topk_from_edges(
     # (103 s vs 45 s over 148M wedges, SCALE.md). The join streams both
     # probe sides through generated code and feeds the partial count
     # directly.
-    a, b = adj.alias("a"), adj.alias("b")
+    # r16 (guide §3.1 — pick the join strategy deliberately): the wedge
+    # self-join emits ~124 wedges per probe row (148 M from 2.4 M adj
+    # rows at sf0.1), and sort-merge buffers every apex's match group in
+    # an ExternalAppendOnlyUnsafeRowArray that each probe row re-scans.
+    # A shuffled-hash join streams the probe side through the per-
+    # partition hash map with no sort and no buffering copy — interleaved
+    # A/B at sf0.1: 17.5 -> 15.2 s median (-13%), identical top-k
+    # (tools/cn_variants_r16.py; fastmap/sort-agg/partition-count arms
+    # all measured worse or flat and are recorded in OPTIMIZATION_r16).
+    # Build side = the adjacency (bounded per partition by the apex cap);
+    # at any scale its per-partition hash map is |adj|/parts rows, and
+    # the SHUFFLE_HASH hint falls back to SMJ only if Spark cannot build
+    # it, so the plan stays spill-safe.
+    a, b = adj.alias("a"), adj.hint("SHUFFLE_HASH").alias("b")
     # the wedge aggregation keys on the PAIR PACKED INTO ONE LONG
     # (p1 << 32 | p2): half the shuffle key width and a single-column
     # hash, measured 31% faster end-to-end at sf0.1 (39.0 s -> 27.1 s,

@@ -181,6 +181,19 @@ FROM documents
 _CHUNK_TAIL_MEMO: dict[tuple, str] = {}
 
 
+def _evict_stale_fixture_dirs(memo: dict, app: str, dir_of) -> None:
+    """Drop (rmtree + del) fixture-memo entries from OTHER (stopped)
+    applications — the ``memo.session_memo`` stale-app sweep applied to
+    the on-disk fixture dirs (ADVICE r15: without it a long-lived
+    interpreter restarting sessions accretes one split/chunk dir set per
+    app until exit). ``dir_of`` maps a memo value to its directory."""
+    import shutil
+
+    for stale in [k for k in memo if k[0] != app]:
+        shutil.rmtree(dir_of(memo[stale]), ignore_errors=True)
+        del memo[stale]
+
+
 def _chunk_tail_dir(spark: SparkSession, sf_dir: str) -> str:
     """Session-memoized chunk-tail fixture dir (r15, the _events_split_dir
     treatment): both chunk-tail twins consumed an identical 4-chunk
@@ -197,8 +210,10 @@ def _chunk_tail_dir(spark: SparkSession, sf_dir: str) -> str:
     from ..tables import _table_stat
 
     path = os.path.join(sf_dir, "documents.parquet")
+    app = spark.sparkContext.applicationId
+    _evict_stale_fixture_dirs(_CHUNK_TAIL_MEMO, app, lambda v: v)
     key = (
-        spark.sparkContext.applicationId,
+        app,
         os.path.abspath(path),
         _table_stat(path),
     )
@@ -432,8 +447,10 @@ def _events_split_dir(
     from ..tables import _table_stat
 
     path = os.path.join(sf_dir, "events.parquet")
+    app = spark.sparkContext.applicationId
+    _evict_stale_fixture_dirs(_SPLIT_MEMO, app, lambda v: v[0])
     key = (
-        spark.sparkContext.applicationId,
+        app,
         os.path.abspath(path),
         _table_stat(path),
         n_files,
@@ -549,9 +566,11 @@ def _run_live(spark: SparkSession, sf_dir: str, builder, prefix: str,
     proof of multi-batch execution. State-store commit cost is per
     partition per batch, so shuffle partitions are scoped down around
     start() (measured 32 s -> 17 s on the session query) and restored
-    after. The memory-sink view and scratch dir are removed on every
-    path so repeated gate sweeps never accrete sink tables or temp
-    dirs. The driver-side split is test-harness plumbing at gate scale
+    after. The memory-sink view is dropped on every path; the shared
+    landing dir is session-memoized (``_events_split_dir``) — stale-app
+    entries are swept on access and live dirs are removed at
+    interpreter exit, so repeated gate sweeps never accrete sink tables
+    or temp dirs. The driver-side split is test-harness plumbing at gate scale
     (it stands in for a producer landing files over time); at
     deployment the stream points at the live landing directory and the
     memory sink becomes a real one."""

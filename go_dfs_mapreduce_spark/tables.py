@@ -155,20 +155,45 @@ def spread_frame(df: DataFrame) -> DataFrame:
 
     The gate corpora are single-file, single-row-group parquet, so a
     ``select("doc_id").mapInPandas(...)`` decode chain runs as ONE task
-    while the other cores idle. When the frame's current plan yields fewer
-    partitions than the session's cores, round-robin repartition to the
+    while the other cores idle. When the frame's input files yield fewer
+    scan splits than the session's cores, round-robin repartition to the
     core count; at any real corpus scale the scan already has >= cores
     splits and this is a NO-OP. The exchange carries only the pruned
     columns (a doc_id per row for the decode chains), and a round-robin
     repartition of a deterministic scan is retry-safe (built-in
-    sort-before-repartition)."""
-    sc = df.sparkSession.sparkContext
-    cores = max(sc.defaultParallelism, 1)
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:
+    sort-before-repartition).
+
+    r16 (ADVICE r15): the split estimate comes from the frame's
+    input-file METADATA (``inputFiles()`` + on-disk bytes /
+    maxPartitionBytes — exactly ``spread_scan``'s arithmetic), not from
+    ``df.rdd.getNumPartitions()``, which forced a driver-side physical
+    planning + RDD conversion of the frame on every call and could
+    disagree with the AQE-finalized runtime partition count. Every
+    current caller feeds a pruned single-table scan, where the file
+    estimate IS the scan's split count. A frame with no file inputs
+    (in-memory fixtures in tests) is left untouched — its partitioning
+    came from createDataFrame, not a collapsed file scan."""
+    spark = df.sparkSession
+    cores = max(spark.sparkContext.defaultParallelism, 1)
+    files = df.inputFiles()
+    size = 0
+    for uri in files:
+        p = uri.removeprefix("file:")
+        try:
+            size += os.path.getsize(p)
+        except OSError:
+            # non-local URI (hdfs/s3): size unknown here — spread, since
+            # the only reason a caller opted in is a collapsed tiny scan,
+            # and at real scale the estimate branch below never triggers
+            # anyway (remote deployments pass >= cores splits)
+            return df.repartition(cores)
+    if not files:
         return df
-    return df.repartition(cores) if n < cores else df
+    max_split = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est_splits = max(1, (size + max_split - 1) // max_split)
+    return df.repartition(cores) if est_splits < cores else df
 
 
 def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:

@@ -323,11 +323,13 @@ def test_stream_upsert_state_is_arrival_order_independent(spark, monkeypatch):
     }
 
     real_split = sb._split_events
+    called = []
 
     def reversed_split(spark_, sf, node, n_files):
         import os
         import time
 
+        called.append(node)
         n = real_split(spark_, sf, node, n_files)
         # flip mtimes so the LAST time-slice lands first
         base = time.time() - 3600
@@ -338,10 +340,16 @@ def test_stream_upsert_state_is_arrival_order_independent(spark, monkeypatch):
         return n
 
     monkeypatch.setattr(sb, "_split_events", reversed_split)
+    # the normal run above populated the session split memo; drop it so
+    # the reversed run actually re-lays the files through the patched
+    # splitter instead of replaying the memoized normal-order dir
+    # (ADVICE r15: the memo had made this property check vacuous)
+    monkeypatch.setattr(sb, "_SPLIT_MEMO", {})
     reversed_rows = {
         (r.user_id, r.last_ts, r.last_event_id, r.last_value, r.n_events)
         for r in sb.stream_upsert_latest_state(spark, sf_dir).collect()
     }
+    assert called, "patched splitter was never invoked — memo not bypassed"
     assert reversed_rows == normal
 
     # and both equal the batch window the oracle expresses
