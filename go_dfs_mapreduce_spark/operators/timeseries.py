@@ -272,6 +272,14 @@ FROM acc GROUP BY c
 """
 
 
+# positions advanced per UnionLoop level (r16; A/B in the docstring).
+# Each level's join row carries _REC_K-1 lead(cents) columns, so the
+# cached base widens by 8 bytes per step — at 100 TB that trade holds
+# because the base is orders-count-sized either way and level count is
+# the recursion's serial bottleneck.
+_REC_K = 6
+
+
 @query("recursive_compound_balance", oracle=RECURSIVE_BALANCE_ORACLE)
 def recursive_compound_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 recursive CTE (UNION ALL recursion) driving a NONLINEAR
@@ -303,29 +311,84 @@ def recursive_compound_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     now built as a DataFrame, CACHED, and eagerly populated before the
     recursion (the in-memory analog of the docstring's "materialize base
     once" scale advice); every level then probes an InMemoryTableScan.
-    Measured 9.8 s -> 5.6 s at sf0.1; the remainder is the depth-25
-    UnionLoop's per-level join/stage machinery, which is the price of
-    the recursive-CTE formulation itself. Cache lifetime follows the
+    Measured 9.8 s -> 5.6 s at sf0.1. Cache lifetime follows the
     session like the log_analyzer triple cache; the bench clears it
-    between reps so every rep pays the full populate."""
+    between reps so every rep pays the full populate.
+
+    r16 (VERDICT r15 item 4, generalized): the residual was pure
+    per-level UnionLoop join/stage machinery x depth 24, so each level
+    now advances the recurrence ``_REC_K`` positions in ONE join: the
+    same window pass that ranks the orders also precomputes each
+    position's next ``_REC_K - 1`` cents values (``lead``) and the
+    chain length (``count`` over the partition), and the step SELECT
+    folds the recurrence through up to ``_REC_K`` exact integer steps
+    in-row, emitting only the block's last reachable position. The
+    emitted seq values are 1, 1+K, 1+2K, ... and always end at the
+    chain's true last position, so MAX(seq) and MAX_BY(bal, seq) —
+    the only things the final aggregate reads — are unchanged; the
+    fold applies the identical floor steps in the identical order, so
+    every emitted bal is bit-equal to the k=1 recursion's value at
+    that position (branching is by POSITION arithmetic, lst - seq,
+    never by value nullness). Depth falls from 24 to ceil(24/6) = 4
+    levels (+1 termination probe). Interleaved A/B at sf0.1
+    (tools/recursion_ab_r16.py): k=1 6.76 s, k=2 4.90 s, k=4 3.55 s,
+    k=6 3.10 s median (-54%), sorted outputs identical at every k;
+    full 3-SF oracle proof at commit, block-boundary chain lengths
+    pinned against a Python fold in tests/test_llm_ops.py.
+    Deeper unrolling flattens out (the remaining wall is the populate
+    + 4 joins), and the step expression grows linearly, so 6 is where
+    the A/B curve went flat."""
+    return _compound_balance_from_orders(
+        spark, table(spark, sf_dir, "orders")
+    )
+
+
+def _compound_balance_from_orders(
+    spark: SparkSession, orders: DataFrame
+) -> DataFrame:
+    """Core ``_REC_K``-step recursion over any orders-shaped frame
+    (split out so tests can drive handcrafted chain lengths across the
+    block boundaries); semantics in ``recursive_compound_balance``."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
     base = (
-        table(spark, sf_dir, "orders")
+        orders
         .select(
             F.col("o_custkey").alias("c"),
             F.row_number().over(w).alias("seq"),
-            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+            cents.alias("cents"),
+            *[
+                F.lead(cents, j).over(w).alias(f"d{j}")
+                for j in range(1, _REC_K)
+            ],
+            F.count(F.lit(1)).over(
+                Window.partitionBy("o_custkey")
+            ).alias("lst"),
         )
         .cache()
     )
     base.count()
     base.createOrReplaceTempView("_rec_base")
+    # bal[j] = the recurrence folded j extra positions past b.seq
+    bal = ["(a.bal * 101) DIV 100 + b.cents"]
+    for j in range(1, _REC_K):
+        bal.append(f"(({bal[j - 1]}) * 101) DIV 100 + b.d{j}")
+    seq_expr = " ".join(
+        f"WHEN b.lst - b.seq >= {j} THEN b.seq + {j}"
+        for j in range(_REC_K - 1, 0, -1)
+    )
+    bal_expr = " ".join(
+        f"WHEN b.lst - b.seq >= {j} THEN {bal[j]}"
+        for j in range(_REC_K - 1, 0, -1)
+    )
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE acc AS (
           SELECT c, seq, cents AS bal FROM _rec_base WHERE seq = 1
           UNION ALL
-          SELECT b.c, b.seq, (a.bal * 101) DIV 100 + b.cents
+          SELECT a.c,
+                 CASE {seq_expr} ELSE b.seq END AS seq,
+                 CASE {bal_expr} ELSE {bal[0]} END AS bal
           FROM acc a JOIN _rec_base b ON b.c = a.c AND b.seq = a.seq + 1
         )
         SELECT c AS o_custkey,

@@ -4215,3 +4215,49 @@ def test_image_phash_dedup_group_structure(spark, sf_dir):
             (r.phash_hi, r.phash_lo) for r in rows if r.doc_id // 5 == b
         }
         assert len(keys) == 1, (b, expect)
+
+
+def test_recursive_balance_kstep_matches_python_fold(spark):
+    """r16: the recursion advances _REC_K positions per UnionLoop level
+    (lead-column fold). Chain lengths straddling every block boundary
+    (1, K-1, K, K+1, 2K, 2K+1) must reproduce the straight sequential
+    integer fold bal = floor(bal*101/100) + cents exactly — n_orders is
+    the true chain length even when the final block is short, and the
+    final balance composes the identical floor steps in order."""
+    import datetime
+
+    from go_dfs_mapreduce_spark.operators.timeseries import (
+        _REC_K,
+        _compound_balance_from_orders,
+    )
+
+    K = _REC_K
+    lengths = {1: 1, 2: K - 1, 3: K, 4: K + 1, 5: 2 * K, 6: 2 * K + 1}
+    rows = []
+    for cust, n in lengths.items():
+        for i in range(n):
+            # distinct per-position prices; date order defines seq
+            rows.append(
+                (
+                    cust,
+                    cust * 1000 + i,
+                    datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+                    float(100 + 7 * cust + 13 * i) + 0.25,
+                )
+            )
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    got = {
+        r.o_custkey: (r.n_orders, r.final_balance_cents)
+        for r in _compound_balance_from_orders(spark, orders).collect()
+    }
+
+    for cust, n in lengths.items():
+        cents = [
+            round((100 + 7 * cust + 13 * i + 0.25) * 100) for i in range(n)
+        ]
+        bal = cents[0]
+        for c in cents[1:]:
+            bal = (bal * 101) // 100 + c
+        assert got[cust] == (n, bal), (cust, n)
