@@ -33,6 +33,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--ctrl", type=int, default=8)
     ap.add_argument("--trt", type=int, default=2)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -54,7 +55,10 @@ def main() -> None:
                         shuffle_partitions=n, **kw)
         return run
 
-    arms = [("ctrl8", with_parts(8)), (f"trt{args.trt}", with_parts(args.trt))]
+    arms = [
+        (f"ctrl{args.ctrl}", with_parts(args.ctrl)),
+        (f"trt{args.trt}", with_parts(args.trt)),
+    ]
 
     # warm at smoke scale, both arms (also materializes the split memo)
     smoke = "/root/testdata/sf0.001"
@@ -83,14 +87,14 @@ def main() -> None:
 
     print(f"{'query':<40} {'ctrl8':>8} {'trt':>8} {'delta%':>7}")
     for n in names:
-        c = results[n]["ctrl8"]
+        c = results[n][arms[0][0]]
         t = results[n][arms[1][0]]
         cm, tm = statistics.median(c), statistics.median(t)
         print(f"{n:<40} {cm:>8.2f} {tm:>8.2f} {100*(tm-cm)/cm:>+6.1f}%")
 
     # output equality ctrl vs trt
     for n in names:
-        sb._run_live = with_parts(8)
+        sb._run_live = with_parts(args.ctrl)
         ref = sorted(map(tuple, qs[n](spark, args.sf_dir).collect()))
         sb._run_live = with_parts(args.trt)
         got = sorted(map(tuple, qs[n](spark, args.sf_dir).collect()))
