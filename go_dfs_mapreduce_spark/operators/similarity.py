@@ -2585,13 +2585,38 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# unexecuted ADC plans per (app, sf_dir, embeddings fingerprint) — the
+# r15 reader-plan-memo rule (lazy plans only, nothing caches rows)
+_IVF_PQ_ADC_MEMO: dict[tuple, tuple[DataFrame, int]] = {}
+
+
 def _ivf_pq_adc(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     """(adc DataFrame[qid, cid, adc_d2], n_cells) — the shared IVF-PQ
     scoring pipeline: calibrated-cell routing (broadcast probe against
     the persisted centroid/cell tables) followed by the broadcast-LUT
     ADC join over the persisted 4-byte code table. ``ivf_pq_topk`` cuts
     this to top-k directly; ``ivf_pq_rerank_topk`` keeps a wider
-    shortlist and re-scores it exactly."""
+    shortlist and re-scores it exactly.
+
+    r16 (guide §5 — the driver should do almost no work): the returned
+    PLAN is memoized per (session, sf_dir, embeddings fingerprint) —
+    cProfile showed the recall audit building this identical ~0.2 s
+    lineage twice (once per composed consumer); the memo stores the
+    unexecuted DataFrame only, every action still runs the full
+    pipeline, and a corpus change misses via the fingerprint."""
+    from ..derived import _source_fingerprint
+
+    app = spark.sparkContext.applicationId
+    key = (
+        app,
+        os.path.abspath(sf_dir),
+        _source_fingerprint(sf_dir, ("embeddings",)),
+    )
+    hit = _IVF_PQ_ADC_MEMO.get(key)
+    if hit is not None:
+        return hit
+    for stale in [k for k in _IVF_PQ_ADC_MEMO if k[0] != app]:
+        del _IVF_PQ_ADC_MEMO[stale]
     n = table_row_count(spark, sf_dir, "embeddings")
     k = calibrated_ivf_cells(n)
     emb = table(spark, sf_dir, "embeddings")
@@ -2627,6 +2652,7 @@ def _ivf_pq_adc(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
         .groupBy("qid", "cid")
         .agg(F.sum("d2").alias("adc_d2"))
     )
+    _IVF_PQ_ADC_MEMO[key] = (adc, k)
     return adc, k
 
 
