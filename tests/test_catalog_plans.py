@@ -960,6 +960,11 @@ def test_round9_operator_plan_contracts(spark, sf_dir):
     assert "partial_count" in a["plan"]
     assert set(a["read_columns"]) == {"l_orderkey", "l_partkey"}
     assert "TakeOrderedAndProject" in a["plan"]
+    # r16: the basket self-join is a SORT-MERGE join reusing the
+    # basket-size window's ok-partitioned, ok-sorted layout — the
+    # unhinted broadcast shipped the whole capped frame per task and
+    # measured 14-22% slower (docstring A/B)
+    assert "SortMergeJoin Inner" in a["plan"]
 
     # bigram_fluency_scores: bigrams unfold in-row, the doc join is an
     # equi-join on the bigram key, JVM-only, 2-column scan
